@@ -1,0 +1,66 @@
+package graft.mr
+
+import graft.SparkSpec
+
+/** Parity tests for the typed MapReduce API against the reference's
+  * sample client (FIXTURES.md §2; `Sample Client/SampleClient.cpp`).
+  */
+class MapReduceSpec extends SparkSpec {
+
+  /** The exact 3-string input of `SampleClient.cpp:74-79`. */
+  private val sampleInput = Seq(
+    "This string is full of characters",
+    "Multithreading is awesome",
+    "race conditions are bad")
+
+  /** Golden 21-pair output (FIXTURES.md §2), compared as a set — output
+    * order is nondeterministic (`MapReduceFramework.cpp:181-184`).
+    */
+  private val golden: Set[(String, Long)] = Set(
+    " " -> 10L, "M" -> 1L, "T" -> 1L, "a" -> 7L, "b" -> 1L, "c" -> 4L,
+    "d" -> 3L, "e" -> 6L, "f" -> 2L, "g" -> 2L, "h" -> 3L, "i" -> 8L,
+    "l" -> 3L, "m" -> 1L, "n" -> 4L, "o" -> 4L, "r" -> 6L, "s" -> 7L,
+    "t" -> 5L, "u" -> 2L, "w" -> 1L)
+
+  test("sample client character count matches the golden output as a set") {
+    import spark.implicits._
+    val input = spark.createDataset(sampleInput)
+    // map = per-string histogram (SampleClient.cpp:34-50: map-side combine);
+    // reduce = sum of counts per char (SampleClient.cpp:52-65).
+    val out = MapReduce.run(input) { s =>
+      s.groupBy(identity).iterator.map { case (c, cs) => (c.toString, cs.length.toLong) }
+    } { (ch, counts) => Iterator.single((ch, counts.sum)) }
+    assert(out.collect().toSet === golden)
+  }
+
+  test("runAggregate (partial-agg fast path) matches the golden output") {
+    import spark.implicits._
+    val input = spark.createDataset(sampleInput)
+    val out = MapReduce.runAggregate(input) { s =>
+      s.iterator.map(c => (c.toString, 1L))
+    } (_ + _)
+    assert(out.collect().toSet === golden)
+  }
+
+  test("map may emit zero pairs (filter) and many pairs (expand)") {
+    import spark.implicits._
+    val input = spark.createDataset(Seq(1, 2, 3, 4, 5))
+    val out = MapReduce.run(input) { i =>
+      if (i % 2 == 0) Iterator.tabulate(i)(j => (i, j.toLong)) else Iterator.empty
+    } { (k, vs) => Iterator.single((k, vs.sum)) }
+    assert(out.collect().toSet === Set(2 -> 1L, 4 -> 6L))
+  }
+
+  test("reduce sees all values of a key exactly once, may emit many pairs") {
+    import spark.implicits._
+    val input = spark.createDataset((1 to 100).map(i => (i % 7, i.toLong)))
+    val out = MapReduce.run(input)(Iterator.single(_)) { (k, vs) =>
+      val list = vs.toList
+      Iterator((s"count_$k", list.size.toLong), (s"sum_$k", list.sum))
+    }
+    val expected = (1 to 100).groupBy(_ % 7).flatMap { case (k, is) =>
+      Seq((s"count_$k", is.size.toLong), (s"sum_$k", is.map(_.toLong).sum))
+    }.toSet
+    assert(out.collect().toSet === expected)
+  }
+}
