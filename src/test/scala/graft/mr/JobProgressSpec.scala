@@ -1,0 +1,49 @@
+package graft.mr
+
+import graft.SparkSpec
+
+/** Progress-API parity (FIXTURES.md §2 progress fixture): observed states
+  * must be a subsequence of UNDEFINED→MAP→SHUFFLE→REDUCE, percentage
+  * monotone within a stage, terminating at (REDUCE, 100) — the sample
+  * client's poll-loop exit condition (`SampleClient.cpp:85-94`).
+  */
+class JobProgressSpec extends SparkSpec {
+
+  test("listener reproduces the 4-stage JobState machine") {
+    import spark.implicits._
+    val listener = JobProgress.attach(spark)
+    val observed = scala.collection.mutable.ArrayBuffer.empty[JobState]
+    @volatile var polling = true
+    val poller = new Thread(() => {
+      while (polling) {
+        observed += listener.state
+        Thread.sleep(2)
+      }
+    })
+    poller.start()
+    try {
+      val input = spark.createDataset(1 to 10000)
+      MapReduce.run(input)(i => Iterator((i % 100, 1L)))((k, vs) =>
+        Iterator((k, vs.sum))).collect()
+    } finally {
+      // one final snapshot after the blocking action returns (waitForJob)
+      Thread.sleep(50)
+      observed += listener.state
+      polling = false
+      poller.join()
+      JobProgress.detach(spark, listener)
+    }
+    val states = observed.toList
+    // stage ids must be non-decreasing (subsequence of the 4-stage machine)
+    val stageIds = states.map(_.stage.id)
+    assert(stageIds === stageIds.sorted, "stages regressed")
+    // percentage monotone within each stage
+    states.groupBy(_.stage).foreach { case (_, ss) =>
+      val ps = ss.map(_.percentage)
+      assert(ps === ps.sorted, "percentage regressed within a stage")
+    }
+    // terminal state is (REDUCE, 100) — the poll-loop exit condition
+    assert(states.last.stage === JobStage.Reduce)
+    assert(states.last.percentage === 100f)
+  }
+}
