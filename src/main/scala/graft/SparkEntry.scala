@@ -24,7 +24,8 @@ object SparkEntry {
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++
-      multimodal.Multimodal.oracles
+      multimodal.Multimodal.oracles ++
+      streaming.Streams.oracles
 }

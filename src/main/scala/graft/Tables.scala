@@ -39,7 +39,9 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division: double `/` loses precision on epoch-nanos
+        // magnitudes (1.7e18 exceeds double's 53-bit mantissa)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

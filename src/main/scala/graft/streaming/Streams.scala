@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Structured Streaming layer over the `events` table.
+  *
+  * The reference is batch-only (`MapReduceFramework.cpp:191-202` runs one
+  * job to completion); this module is the capability extension the task
+  * calls for: file-source replay → watermarked windowed aggregation →
+  * sinks, with `flatMapGroupsWithState` as the incremental analog of the
+  * reference's whole-group reduce (`MapReduceClient.h:61-64` — all values
+  * of one key at once, here arriving batch by batch with state carrying
+  * the group between batches).
+  *
+  * Every transform is defined on a plain DataFrame so the SAME code runs
+  * in batch (oracle-checkable, `SparkEntry.queries`) and on a stream
+  * (tested via file replay + MemoryStream in StreamingSpec).
+  */
+object Streams {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events schema for the streaming file source (file sources need an
+    * explicit schema). `ts` arrives as nanos-since-epoch (the parquet is
+    * TIMESTAMP(NANOS), read under nanosAsLong).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source replay of the events table as a stream. The source is a
+    * single parquet file but file stream sources monitor directories, so
+    * stage a per-table temp directory containing a symlink to it.
+    */
+  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val staged = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-events-${math.abs(src.toString.hashCode)}")
+    Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    s.readStream
+      .schema(eventsRawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows with a 1-hour watermark: count + exact sum
+    * per (window, event_type).
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding windows: 1 hour every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** Session windows: 30-minute gap per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"), col("user_id"),
+        col("cnt"), col("sum_value"))
+
+  /** Batch form of [[sessions]] on the events table — oracle-checked via
+    * the classic gaps-and-islands SQL (watermark is a no-op in batch,
+    * omitted).
+    */
+  def sessionsBatch: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"), col("user_id"),
+        col("cnt"), col("sum_value"))
+
+  /** Batch form of [[sliding]]. DuckDB oracle: a sliding window is the
+    * union of the 4 quarter-hour-offset tumbling bucketings that cover
+    * each event.
+    */
+  def slidingBatch: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Incremental whole-group reduce: per-user running totals carried in
+    * GroupState across micro-batches — the streaming port of the
+    * reference's reduce-sees-all-values contract.
+    */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q25_session_window" -> sessionsBatch,
+    "q26_sliding_window" -> slidingBatch)
+
+  val oracles: Map[String, String] = Map(
+    // gaps-and-islands: a session breaks when the gap is >= 30 minutes
+    // (Spark merges an event only while ts < previous-event ts + gap);
+    // session end = last ts + gap
+    "q25_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o)
+        |SELECT min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we, user_id,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+    // each event falls into the 4 sliding windows whose starts are the
+    // 15-min buckets in (ts - 1h, ts]
+    "q26_sliding_window" ->
+      """SELECT ws, event_type, count(*) AS cnt
+        |FROM (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS ws,
+        |    ts
+        |  FROM events, (SELECT unnest(range(0, 4)) AS k))
+        |WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+        |GROUP BY ws, event_type""".stripMargin)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "complete"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("file-replayed tumbling windows equal the batch computation") {
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.tumbling(stream), "tumbling_sink")
+    val streamed = spark.table("tumbling_sink").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streams.tumbling(Tables.events(spark, sf)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("file-replayed session windows equal the batch computation") {
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.sessions(stream), "session_sink")
+    val streamed = spark.table("session_sink").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Streams.sessionsBatch(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val df = ms.toDF().toDF("ts", "value")
+    val agg = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "10 minutes").as("w"))
+      .count()
+      .select($"w.start".as("ws"), $"count")
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // batch 1: events at 00:01 and 00:05 — window [00:00,00:10) open
+    ms.addData((t(1), 1.0), (t(5), 1.0))
+    q.processAllAvailable()
+    // batch 2: event at 00:35 pushes watermark to 00:25 → [00:00,00:10) finalizes
+    ms.addData((t(35), 1.0))
+    q.processAllAvailable()
+    // batch 3: LATE event at 00:02 (before watermark) must be dropped
+    ms.addData((t(2), 1.0))
+    q.processAllAvailable()
+    // batch 4: push watermark past everything so remaining windows emit
+    ms.addData((t(120), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_sink").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the late 00:02 event was NOT added to the finalized first window
+    assert(rows("2024-01-01 00:00:00.0") === 2L)
+    assert(rows("2024-01-01 00:30:00.0") === 1L)
+  }
+
+  test("flatMapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.runningTotals(ms.toDS()).writeStream
+      .format("memory").queryName("totals_sink").outputMode("update").start()
+    def ev(u: Long, min: Int, v: Double) =
+      Streams.Ev(u, Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), v)
+    ms.addData(ev(1, 1, 10.0), ev(1, 2, 5.0), ev(2, 3, 7.0))
+    q.processAllAvailable()
+    ms.addData(ev(1, 4, 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("totals_sink").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    // user 1: 3 events totaling 17.5 after the second batch; user 2: 1 event
+    assert(last(1L) === ((3L, 17.5)))
+    assert(last(2L) === ((1L, 7.0)))
+  }
+}
