@@ -1,0 +1,28 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for every registered query at the given
+  * sf dir — the plan-audit artifact (are filters pushed, joins broadcast,
+  * aggregates partial, codegen fused?).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      sb.append(s"\n================ $name ================\n")
+      try {
+        val df = fn(spark, sfDir)
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

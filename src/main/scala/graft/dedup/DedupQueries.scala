@@ -72,28 +72,51 @@ object DedupQueries {
     * the output equals the exact operator's (same oracle) with
     * overwhelming probability — while never forming the all-pairs join.
     */
+  /** splitmix64 finalizer: full-avalanche 64-bit mix, the per-seed hash
+    * family h_j(s) = mix(xxhash64(s) ^ c_j).
+    */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   def minhashLsh: Q = (s, d) => {
+    import s.implicits._
     val numHashes = 24
     val rowsPerBand = 4
+    val numBands = numHashes / rowsPerBand
+    val seedConsts = {
+      val rnd = new scala.util.Random(7L)
+      Array.fill(numHashes)(rnd.nextLong())
+    }
     val dsh = shingles(Tables.documents(s, d)).cache()
 
-    // signature: one column per seed, computed in a single aggregation
-    val seeded = dsh.select(col("doc_id"), col("s"),
-      explode(array((0 until numHashes).map(lit): _*)).as("seed"))
-      .select(col("doc_id"), col("seed"), xxhash64(col("seed"), col("s")).as("h"))
-    val sig = seeded.groupBy("doc_id")
-      .agg((0 until numHashes).map(j =>
-        min(when(col("seed") === j, col("h"))).as(s"mh$j")).head,
-        (1 until numHashes).map(j =>
-          min(when(col("seed") === j, col("h"))).as(s"mh$j")): _*)
-
-    // band keys: hash the 4 minhashes of each band into one bucket key
-    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bkey"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // one base xxhash64 per shingle; the k-hash family is derived on the
+    // reduce side with a splitmix64 mix in a tight loop — the only
+    // shuffle carries |distinct (doc, shingle)| rows, not k times that.
+    // Bands are emitted directly from the same group pass.
+    val hashed = dsh.select(col("doc_id"), xxhash64(col("s")).as("h")).as[(Long, Long)]
+    val buckets = hashed.groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        it.foreach { case (_, h) =>
+          var j = 0
+          while (j < numHashes) {
+            val x = mix64(h ^ seedConsts(j))
+            if (x < mins(j)) mins(j) = x
+            j += 1
+          }
+        }
+        Iterator.tabulate(numBands) { b =>
+          var bkey = 0L
+          var r = 0
+          while (r < rowsPerBand) { bkey = mix64(bkey ^ mins(b * rowsPerBand + r)); r += 1 }
+          (id, b, bkey)
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
 
     // candidate pairs = same (band, bucket)
     val l = buckets.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
@@ -126,15 +149,28 @@ object DedupQueries {
     * ~32, the corpus's injected near-dups at 1-5 — wide separation.)
     */
   def simhash: Q = (s, d) => {
+    import s.implicits._
     val dsh = shingles(Tables.documents(s, d))
     val hashed = dsh.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // per-doc simhash: bit j set iff sum of (+1/-1 per shingle bit j) >= 0
-    val sim = hashed.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + CASE WHEN aggregate(hs, 0L,
-          |      (a, h) -> a + CASE WHEN shiftright(h, j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
-          |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin).as("sh"))
+    // per-doc simhash: bit j set iff sum of (+1/-1 per shingle bit j) >= 0.
+    // Typed mapGroups with plain bit loops: the 64 x |shingles| inner loop
+    // is imperative per-group math, much faster than interpreted HOFs.
+    val sim = hashed.as[(Long, Long)].groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val counts = new Array[Int](64)
+        it.foreach { case (_, h) =>
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        var sh = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) >= 0) sh |= (1L << j); j += 1 }
+        (id, sh)
+      }
+      .toDF("doc_id", "sh")
     val chunks = sim.select(col("doc_id"), col("sh"),
       explode(expr(
         "transform(sequence(0, 7), k -> struct(k AS k, shiftright(sh, k * 8) & 255 AS cv))")).as("ch"))

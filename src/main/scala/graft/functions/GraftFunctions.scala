@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime registration of graft's native Catalyst expressions into a
+  * session's function registry, so query code can call them through the
+  * public `expr("dot_i64(...)")` surface (works on any session, including
+  * the driver-created ones — no SparkSessionExtensions wiring needed).
+  */
+object GraftFunctions {
+  /** Idempotent: createOrReplace semantics. */
+  def register(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_i64", exprs => DotProductI64(exprs.head, exprs(1)), "built-in")
+  }
+}

