@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreQueries.queries ++
+      ops.ExtraQueries.queries ++
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.CoreQueries.oracles ++
+      ops.ExtraQueries.oracles ++
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Coverage extensions beyond CoreQueries: GROUPING SETS, the plain SQL
+  * surface (temp views + `spark.sql`), array scalar functions, HLL
+  * approximate distinct, and a typed `Aggregator` registered as a UDAF —
+  * the reusable-custom-aggregate surface the reference's `reduce`
+  * callback implies (`MapReduceClient.h:61-64`).
+  */
+object ExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Explicit GROUPING SETS (distinct from rollup/cube). */
+  def groupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** The SQL lifecycle surface: a TPC-H Q3-style query written entirely
+    * in SQL over registered temp views — parsed, analyzed and optimized
+    * by Catalyst exactly like the DataFrame forms.
+    */
+  def sqlSurface: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer_v
+        |JOIN orders_v ON c_custkey = o_custkey
+        |JOIN lineitem_v ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY o_orderkey
+        |HAVING count(*) >= 5""".stripMargin)
+  }
+
+  /** Array scalar functions over the tokenized text (scalars derived from
+    * the arrays so the oracle compare stays on flat columns).
+    */
+  def arrayFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_uniq"),
+        concat_ws(",", slice(sort_array(col("ws")), 1, 3)).as("first3_sorted"),
+        array_contains(col("ws"), "spark").cast("int").as("has_spark"),
+        element_at(col("ws"), 1).as("first_word"),
+        element_at(col("ws"), -1).as("last_word"))
+
+  /** HLL approximate count-distinct (no oracle — sketch implementations
+    * differ across engines; accuracy asserted in ExtraSpec instead).
+    */
+  def approxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Typed Aggregator: exact average price in integer cents — the
+    * buffer is (sum_cents: Long, n: Long), so the aggregation is
+    * engine-order-independent and partial-aggregation friendly; the
+    * UDAF registration path (`functions.udaf`) is what makes a custom
+    * reduce reusable from both DataFrame and SQL code.
+    */
+  object AvgCents extends Aggregator[Double, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), price: Double): (Long, Long) =
+      (b._1 + math.round(price * 100), b._2 + 1)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0 else r._1.toDouble / r._2 / 100.0
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def udafAvgCents: Q = (s, d) => {
+    val avgCents = udaf(AvgCents)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(avgCents(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("cnt"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q27_grouping_sets" -> groupingSets,
+    "q28_sql_surface" -> sqlSurface,
+    "q29_array_funcs" -> arrayFuncs,
+    "q34_approx_distinct" -> approxDistinct,
+    "q35_udaf_avg_cents" -> udafAvgCents)
+
+  val oracles: Map[String, String] = Map(
+    "q27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q28_sql_surface" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        |GROUP BY o_orderkey
+        |HAVING count(*) >= 5""".stripMargin,
+    "q29_array_funcs" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
+        |  CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
+        |  string_split(text, ' ')[1] AS first_word,
+        |  string_split(text, ' ')[-1] AS last_word
+        |FROM documents""".stripMargin,
+    "q35_udaf_avg_cents" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100.0 AS avg_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+}

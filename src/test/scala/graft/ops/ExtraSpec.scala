@@ -1,0 +1,27 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ExtraSpec extends SparkSpec {
+
+  test("approx_count_distinct is within its 5% default error of exact") {
+    ExtraQueries.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+  }
+
+  test("typed Aggregator equals the arithmetic it encodes") {
+    val rows = ExtraQueries.udafAvgCents(spark, sf).collect()
+    val byFlag = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val prices = byFlag(r.getString(0)).map(_.getDouble(1))
+      val expected = prices.map(p => math.round(p * 100)).sum.toDouble / prices.length / 100.0
+      assert(r.getDouble(1) === expected)
+    }
+  }
+}
