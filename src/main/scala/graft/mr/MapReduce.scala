@@ -46,6 +46,18 @@ object MapReduce {
       .groupByKey(_._1)             // SHUFFLE: group-by-key (cpp:100-133)
       .flatMapGroups((k: K2, it: Iterator[(K2, V2)]) => reduce(k, it.map(_._2)))
 
+  /** Async submission with the reference's full job lifecycle
+    * (`startMapReduceJob`/`getJobState`/`waitForJob`/`closeJobHandle`) —
+    * see [[JobHandle]].
+    */
+  def submit[I, K2, V2, K3, V3](input: Dataset[I])(
+      map: I => IterableOnce[(K2, V2)])(
+      reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
+      e2: Encoder[(K2, V2)],
+      ek: Encoder[K2],
+      e3: Encoder[(K3, V3)]): JobHandle[Array[(K3, V3)]] =
+    JobHandle.launch(input)(map)(reduce)
+
   /** Algebraic fast path: when reduce is a commutative/associative merge,
     * run it as `reduceGroups` so Spark applies partial aggregation before
     * the shuffle (the upgrade over the reference the 100 TB target needs).

@@ -42,6 +42,25 @@ class MapReduceSpec extends SparkSpec {
     assert(out.collect().toSet === golden)
   }
 
+  test("submit/poll/waitForJob reproduces the sample client driver loop") {
+    import spark.implicits._
+    // the driver pattern of SampleClient.cpp:82-99: start the job, poll
+    // getJobState until (REDUCE, 100), then consume the output
+    val input = spark.createDataset(sampleInput)
+    val handle = MapReduce.submit(input) { s =>
+      s.groupBy(identity).iterator.map { case (c, cs) => (c.toString, cs.length.toLong) }
+    } { (ch, counts) => Iterator.single((ch, counts.sum)) }
+    var polls = 0
+    while (!(handle.state.stage == JobStage.Reduce && handle.state.percentage == 100f)
+      && polls < 3000) {
+      polls += 1
+      Thread.sleep(5)
+    }
+    assert(handle.state === JobState(JobStage.Reduce, 100f))
+    val out = handle.close()
+    assert(out.toSet === golden)
+  }
+
   test("map may emit zero pairs (filter) and many pairs (expand)") {
     import spark.implicits._
     val input = spark.createDataset(Seq(1, 2, 3, 4, 5))
