@@ -22,6 +22,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
       // nanos-since-epoch under this flag (converted in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -95,12 +95,41 @@ object ExtraQueries {
         count(lit(1)).as("cnt"))
   }
 
+  /** CSV connector coverage: round-trip the nation dim through CSV with
+    * an explicit schema, then join-aggregate against customers. (The CSV
+    * copy is rewritten deterministically per run.)
+    */
+  def csvSource: Q = (s, d) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-nation-csv"
+    Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
+    val nation = s.read
+      .option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(tmp)
+    Tables.customer(s, d)
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  /** Schema-full JSON parsing (`from_json`) of the events.props column —
+    * the structured counterpart of q21's get_json_object path.
+    */
+  def fromJson: Q = (s, d) =>
+    graft.Tables.events(s, d)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
+
   val queries: Map[String, Q] = Map(
     "q27_grouping_sets" -> groupingSets,
     "q28_sql_surface" -> sqlSurface,
     "q29_array_funcs" -> arrayFuncs,
     "q34_approx_distinct" -> approxDistinct,
-    "q35_udaf_avg_cents" -> udafAvgCents)
+    "q35_udaf_avg_cents" -> udafAvgCents,
+    "q36_csv_source" -> csvSource,
+    "q37_from_json" -> fromJson)
 
   val oracles: Map[String, String] = Map(
     "q27_grouping_sets" ->
@@ -131,5 +160,15 @@ object ExtraQueries {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |    / count(*) / 100.0 AS avg_price,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q36_csv_source" ->
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q37_from_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  count(*) AS cnt,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scale utilities: the techniques a 100 TB deployment leans on when the
+  * default shuffle behavior is not enough.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed group keys: rows of one hot
+    * key are first spread over `salts` sub-groups (partial aggregate),
+    * then the per-salt partials are combined (final aggregate). For
+    * algebraic aggregates (sum/count) the result is identical to the
+    * direct groupBy; the hot key's work is spread over `salts` tasks
+    * instead of one straggler.
+    *
+    * The salt comes from a hash of the whole row's physical position
+    * (`monotonically_increasing_id`), so no extra column is required and
+    * the distribution is uniform regardless of key skew.
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame = {
+    val partial = df
+      .select(key.as("k"), value.as("v"),
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)).as("_salt"))
+      .groupBy(col("k"), col("_salt"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("pv"), count(lit(1)).as("pc"))
+    partial
+      .groupBy(col("k"))
+      .agg(sum(col("pv")).cast("double").as("total"), sum(col("pc")).as("cnt"))
+  }
+
+  /** Register bucketed copies of two tables and return the co-located
+    * join: both sides pre-partitioned into the same bucket layout on the
+    * join key, so the join itself needs NO shuffle (no Exchange in the
+    * plan) — the pattern for repeatedly-joined 100 TB fact tables.
+    * Buckets are written once per (warehouse, sf) and reused.
+    */
+  def bucketedJoin(s: SparkSession, d: String, buckets: Int = 8): DataFrame = {
+    def ensure(name: String, df: DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        // the in-memory catalog forgets tables across JVMs but the
+        // warehouse directory persists — clear any stale location first
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(wh, name)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+        df.write.bucketBy(buckets, key).sortBy(key)
+          .mode("overwrite").format("parquet").saveAsTable(name)
+      }
+    ensure("orders_bkt", Tables.orders(s, d), "o_custkey")
+    ensure("customer_bkt", Tables.customer(s, d), "c_custkey")
+    val o = s.table("orders_bkt")
+    val c = s.table("customer_bkt")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals the direct groupBy") {
+    val li = Tables.lineitem(spark, sf)
+    val salted = Scale.saltedSum(li, col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted === direct)
+  }
+
+  test("salted plan spreads the hot key over salt sub-groups") {
+    // a maximally skewed input: one key only
+    val skewed = spark.range(10000).select(lit("hot").as("k"), col("id").cast("double").as("v"))
+    val out = Scale.saltedSum(skewed, col("k"), col("v")).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(1) === (0 until 10000).map(_.toDouble).sum)
+    assert(out.head.getLong(2) === 10000L)
+  }
+
+  test("bucketed join runs without a shuffle exchange") {
+    // the tables are tiny, so Spark would broadcast and never exercise
+    // the bucketed layout; disable broadcast to see the 100 TB plan shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody()
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    val joined = Scale.bucketedJoin(spark, sf)
+    val bucketed = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // inspect the AQE-final plan: a sort-merge join directly over the two
+    // bucketed scans, with NO exchange on either join key (the aggregate
+    // above it may still exchange on its own key)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled-family join over bucketed scans:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"join inputs must be exchange-free (bucketing co-locates):\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans must use the bucket layout:\n$plan")
+    // and the result matches the plain join
+    val direct = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bucketed === direct)
+  }
+}
