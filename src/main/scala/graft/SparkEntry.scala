@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreQueries.queries ++
       ops.ExtraQueries.queries ++
+      ops.AsOf.queries ++
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.CoreQueries.oracles ++
       ops.ExtraQueries.oracles ++
+      ops.AsOf.oracles ++
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++

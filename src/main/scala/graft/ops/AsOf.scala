@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (most-recent-at-or-before) join — an operator Spark lacks
+  * natively, composed from built-ins per the preference order in the
+  * build brief: union-tag both sides, one window pass per key ordered by
+  * time (right rows sorting before left rows at equal timestamps makes
+  * the match inclusive), then `last(value, ignoreNulls)` carries the
+  * latest right-side value forward to each left row.
+  *
+  * Scale shape: a single hash-partitioned shuffle on the key + one sort —
+  * the same cost as the sort-merge join an engine with a native as-of
+  * operator would run; no range explosion, no per-row subqueries.
+  */
+object AsOf {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Join each left row to the latest right row with the same `key` and
+    * `rightTime <= leftTime`, appending right's `valueCol` as
+    * `<valueCol>_asof`. Inner semantics: left rows with no prior right
+    * row are dropped.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String, valueCol: String): DataFrame = {
+    val payloadT = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val vT = right.schema(valueCol).dataType
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(0).as("_r"),
+      lit(null).cast(vT).as("_v"), struct(left.columns.map(col): _*).as("_p"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(1).as("_r"),
+      col(valueCol).as("_v"), lit(null).cast(payloadT).as("_p"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_r").desc) // right first at equal time → inclusive
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("_match", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_r") === 0 && col("_match").isNotNull)
+      .select(col("_p.*"), col("_match").as(s"${valueCol}_asof"))
+  }
+
+  /** q38: each purchase event joined to the user's most recent signup
+    * at-or-before it (oracle: DuckDB's native ASOF JOIN).
+    */
+  def purchaseAfterSignup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    asofJoin(purchases, signups, "user_id", "ts", "ts", "signup_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("signup_ts_asof").as("signup_ts"))
+  }
+
+  val queries: Map[String, Q] = Map("q38_asof_join" -> purchaseAfterSignup)
+
+  val oracles: Map[String, String] = Map(
+    "q38_asof_join" ->
+      """SELECT a.event_id, a.user_id, a.ts, b.ts AS signup_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
+        |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)
+}
