@@ -32,6 +32,24 @@ object Scale {
       .agg(sum(col("pv")).cast("double").as("total"), sum(col("pc")).as("cnt"))
   }
 
+  /** Write a date-partitioned copy of orders (partitionBy year) and query
+    * one year: the scan must touch only that year's directory —
+    * `PartitionFilters` in the plan, the pruning that turns a 100 TB
+    * table into the slice a query actually reads.
+    */
+  def partitionPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-orders-by-year"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    }
+    s.read.parquet(path)
+      .where(col("o_year") === 1997)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Register bucketed copies of two tables and return the co-located
     * join: both sides pre-partitioned into the same bucket layout on the
     * join key, so the join itself needs NO shuffle (no Exchange in the

@@ -70,6 +70,22 @@ class MapReduceSpec extends SparkSpec {
     assert(out.collect().toSet === Set(2 -> 1L, 4 -> 6L))
   }
 
+  test("keys need only ordering + encodability (case-class key with custom Ordering)") {
+    // the reference contract requires only operator< on K2
+    // (MapReduceClient.h:22-26); the Spark engine requires Encoder, with
+    // grouping by encoded-value equality (SURVEY.md §7.5)
+    import MapReduceSpec.VKey
+    import spark.implicits._
+    implicit val ord: Ordering[VKey] = Ordering.by(k => (k.major, k.minor))
+    val input = spark.createDataset((1 to 40).map(i => (VKey(i % 3, i % 2), i.toLong)))
+    val out = MapReduce.run(input)(Iterator.single(_)) { (k, vs) =>
+      Iterator.single((k, vs.sum))
+    }.collect().toMap
+    val expected = (1 to 40).map(i => (VKey(i % 3, i % 2), i.toLong))
+      .groupBy(_._1).map { case (k, ps) => (k, ps.map(_._2).sum) }
+    assert(out === expected)
+  }
+
   test("reduce sees all values of a key exactly once, may emit many pairs") {
     import spark.implicits._
     val input = spark.createDataset((1 to 100).map(i => (i % 7, i.toLong)))
@@ -82,4 +98,9 @@ class MapReduceSpec extends SparkSpec {
     }.toSet
     assert(out.collect().toSet === expected)
   }
+}
+
+object MapReduceSpec {
+  /** Top-level so spark.implicits can derive its Encoder. */
+  final case class VKey(major: Int, minor: Int)
 }

@@ -26,6 +26,19 @@ class ScaleSpec extends SparkSpec {
     assert(out.head.getLong(2) === 10000L)
   }
 
+  test("partitioned scan prunes to the selected partition") {
+    val df = Scale.partitionPrunedScan(spark, sf)
+    val result = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition filters in scan:\n$plan")
+    val direct = Tables.orders(spark, sf)
+      .where(org.apache.spark.sql.functions.year(col("o_orderdate")) === 1997)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(result === direct)
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     // the tables are tiny, so Spark would broadcast and never exercise
     // the bucketed layout; disable broadcast to see the 100 TB plan shape
