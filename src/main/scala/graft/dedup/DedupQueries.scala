@@ -91,13 +91,25 @@ object DedupQueries {
       val rnd = new scala.util.Random(7L)
       Array.fill(numHashes)(rnd.nextLong())
     }
-    val dsh = shingles(Tables.documents(s, d)).cache()
+    // shingles are reduced to 64-bit hashes BEFORE the distinct, so every
+    // shuffle in this pipeline carries (long, long) rows instead of
+    // ~50-byte strings; a cross-shingle hash collision would need
+    // ~2^32 shingles per doc pair to matter (P ~ 1e-15 here)
+    val dsh = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 3 THEN
+          |  transform(sequence(1, size(ws) - 2),
+          |    i -> xxhash64(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))
+          |ELSE array() END""".stripMargin)).as("h"))
+      .distinct()
+      .cache()
 
-    // one base xxhash64 per shingle; the k-hash family is derived on the
+    // one base hash per shingle; the k-hash family is derived on the
     // reduce side with a splitmix64 mix in a tight loop — the only
     // shuffle carries |distinct (doc, shingle)| rows, not k times that.
     // Bands are emitted directly from the same group pass.
-    val hashed = dsh.select(col("doc_id"), xxhash64(col("s")).as("h")).as[(Long, Long)]
+    val hashed = dsh.as[(Long, Long)]
     val buckets = hashed.groupByKey(_._1)
       .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
         val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -125,11 +137,11 @@ object DedupQueries {
       .select("a_id", "b_id").distinct()
 
     // exact verification restricted to candidates (no all-pairs join):
-    // the b-side join is equi on (doc, shingle), so only matching
+    // the b-side join is equi on (doc, shingle-hash), so only matching
     // shingles flow, never the per-pair cross product
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val aSh = dsh.select(col("doc_id").as("a_id"), col("s").as("sa"))
-    val bSh = dsh.select(col("doc_id").as("b_id2"), col("s").as("sb"))
+    val aSh = dsh.select(col("doc_id").as("a_id"), col("h").as("sa"))
+    val bSh = dsh.select(col("doc_id").as("b_id2"), col("h").as("sb"))
     val cCnt = cands
       .join(aSh, Seq("a_id"))
       .join(bSh, col("b_id") === col("b_id2") && col("sa") === col("sb"))

@@ -106,6 +106,35 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the record id —
+    * duplicate events arriving within the watermark horizon are dropped,
+    * state for ids older than the watermark is reclaimed. The streaming
+    * form of `q40_dedup_exact` for an at-least-once ingest pipeline.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each purchase joined to signups of the
+    * same user within the preceding 2 hours. Both sides watermarked so
+    * join state is bounded — the streaming analog of the as-of/range
+    * join family.
+    */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops duplicate event ids; stream-stream join matches batch") {
+    // dedup: replay the file twice worth of duplicates via union is not
+    // possible on a file source, so drive it with the single replay and
+    // an in-batch duplicate check instead
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.dedupStream(stream).select("event_id"), "dedup_sink", "append")
+    val ids = spark.table("dedup_sink").collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length)
+    assert(ids.length === Tables.events(spark, sf).select("event_id").distinct().count())
+
+    val joined = Streams.purchaseSignupJoin(stream)
+    runToMemory(joined, "ssjoin_sink", "append")
+    val streamed = spark.table("ssjoin_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val batch = Streams.purchaseSignupJoin(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
