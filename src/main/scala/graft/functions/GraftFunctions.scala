@@ -13,5 +13,10 @@ object GraftFunctions {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i64", exprs => DotProductI64(exprs.head, exprs(1)), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_rows", exprs =>
+        TopKRows(exprs(0), exprs(1), exprs(2),
+          exprs(3).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
   }
 }

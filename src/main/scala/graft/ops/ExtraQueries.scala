@@ -122,7 +122,24 @@ object ExtraQueries {
       .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
       .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Exact per-group top-k via the native TypedImperativeAggregate
+    * ([[graft.functions.TopKRows]]): bounded k-element heap per group
+    * with map-side partial merge — O(n log k) instead of the window
+    * sort's O(n log n), and O(k) state per group. Output and oracle are
+    * identical to the window formulation (q14).
+    */
+  def topkAggregate: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("topk_rows(l_extendedprice, l_orderkey, l_linenumber, 3)").as("top"))
+      .select(col("l_returnflag"), explode(col("top")).as("t"))
+      .select(col("l_returnflag"), col("t.rn").as("rn"),
+        col("t.l_orderkey").as("l_orderkey"), col("t.l_linenumber").as("l_linenumber"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q39_topk_aggregate" -> topkAggregate,
     "q27_grouping_sets" -> groupingSets,
     "q28_sql_surface" -> sqlSurface,
     "q29_array_funcs" -> arrayFuncs,
@@ -132,6 +149,12 @@ object ExtraQueries {
     "q37_from_json" -> fromJson)
 
   val oracles: Map[String, String] = Map(
+    "q39_topk_aggregate" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn <= 3""".stripMargin,
     "q27_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
         |FROM lineitem

@@ -26,8 +26,12 @@ class JobProgressSpec extends SparkSpec {
       MapReduce.run(input)(i => Iterator((i % 100, 1L)))((k, vs) =>
         Iterator((k, vs.sum))).collect()
     } finally {
-      // one final snapshot after the blocking action returns (waitForJob)
-      Thread.sleep(50)
+      // listener events arrive on an async bus: wait (bounded) for the
+      // terminal state instead of assuming it landed already
+      var waited = 0
+      while (listener.state != JobState(JobStage.Reduce, 100f) && waited < 5000) {
+        Thread.sleep(10); waited += 10
+      }
       observed += listener.state
       polling = false
       poller.join()
