@@ -115,11 +115,12 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q47_blob_meta" ->
-      """SELECT doc_id AS media_id, length(text) AS n_bytes_m,
+      """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256
         |FROM documents""".stripMargin,
     "q48_frame_sample" ->
-      """SELECT media_id, frame_id, md5(substr(text, frame_id * 64 + 1, 64)) AS frame_md5
+      """SELECT media_id, CAST(frame_id AS INT) AS frame_id,
+        |  md5(substr(text, frame_id * 64 + 1, 64)) AS frame_md5
         |FROM (SELECT doc_id AS media_id, text,
         |        unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
         |      FROM documents)""".stripMargin)

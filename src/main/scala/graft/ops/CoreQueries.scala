@@ -364,7 +364,7 @@ object CoreQueries {
         |UNION ALL
         |SELECT 'any' AS tag, nk FROM (SELECT DISTINCT nk FROM (SELECT nk FROM c UNION ALL SELECT nk FROM s))""".stripMargin,
     "q14_window_rank" ->
-      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+      """SELECT l_returnflag, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
         |    row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
@@ -380,11 +380,11 @@ object CoreQueries {
     "q16_rollup_flags" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q17_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q18_scalar_string" ->
       """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS up5,

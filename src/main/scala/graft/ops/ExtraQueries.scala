@@ -138,7 +138,62 @@ object ExtraQueries {
         col("t.l_orderkey").as("l_orderkey"), col("t.l_linenumber").as("l_linenumber"))
   }
 
+  /** Multiset (bag) set operations — intersectAll / exceptAll keep
+    * duplicate multiplicities, unlike the set-semantics q13.
+    */
+  def setOpsAll: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+    c.intersectAll(su).select(lit("inter_all").as("tag"), col("nk"))
+      .union(c.exceptAll(su).select(lit("except_all").as("tag"), col("nk")))
+  }
+
+  /** Pivot: order counts by status spread across priority columns. */
+  def pivotStatus: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("1-URGENT", "p1").withColumnRenamed("2-HIGH", "p2")
+      .withColumnRenamed("3-MEDIUM", "p3").withColumnRenamed("4-NOT SPECIFIED", "p4")
+      .withColumnRenamed("5-LOW", "p5")
+      // a (status, priority) combo with no rows pivots to null; the
+      // conditional-aggregation oracle counts it as 0
+      .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+
+  /** Correlated + scalar subqueries through the SQL surface. */
+  def scalarSubquery: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_big
+        |FROM orders_sq
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders_sq)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** posexplode: tokens with their ordinal positions. */
+  def posExplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
+  /** Null semantics: nullif / coalesce / null-safe equality. */
+  def nullSemantics: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("rf_or_null"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("rf_or_null"), lit("defaulted")).as("rf_filled"),
+        (col("rf_or_null") <=> lit("A")).cast("int").as("is_a_nullsafe"),
+        col("rf_or_null").isNull.cast("int").as("was_n"))
+
   val queries: Map[String, Q] = Map(
+    "q49_setops_all" -> setOpsAll,
+    "q50_pivot" -> pivotStatus,
+    "q51_scalar_subquery" -> scalarSubquery,
+    "q52_posexplode" -> posExplode,
+    "q53_null_semantics" -> nullSemantics,
     "q39_topk_aggregate" -> topkAggregate,
     "q27_grouping_sets" -> groupingSets,
     "q28_sql_surface" -> sqlSurface,
@@ -149,8 +204,40 @@ object ExtraQueries {
     "q37_from_json" -> fromJson)
 
   val oracles: Map[String, String] = Map(
+    "q49_setops_all" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
+        |     s AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
+        |SELECT 'inter_all' AS tag, nk FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'except_all' AS tag, nk FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s)""".stripMargin,
+    "q50_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q51_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_big
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q52_posexplode" ->
+      """SELECT doc_id, u['i'] - 1 AS pos, u['w'] AS word
+        |FROM (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ws) + 1),
+        |          i -> {'i': i, 'w': ws[i]})) AS u
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents WHERE doc_id < 50))""".stripMargin,
+    "q53_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_returnflag, 'N'), 'defaulted') AS rf_filled,
+        |  CAST(nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' AS INT) AS is_a_nullsafe,
+        |  CAST(nullif(l_returnflag, 'N') IS NULL AS INT) AS was_n
+        |FROM lineitem""".stripMargin,
     "q39_topk_aggregate" ->
-      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+      """SELECT l_returnflag, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
         |    row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
@@ -171,8 +258,8 @@ object ExtraQueries {
         |HAVING count(*) >= 5""".stripMargin,
     "q29_array_funcs" ->
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_words,
-        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
         |  array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
         |  CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
         |  string_split(text, ' ')[1] AS first_word,

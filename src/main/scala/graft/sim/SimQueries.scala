@@ -162,7 +162,7 @@ object SimQueries {
          |    CAST(list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * b.qv[i])) AS DOUBLE)
          |      / (sqrt(CAST(qnrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) qcos
          |  FROM qs JOIN n b ON q_id <> b.vec_id)
-         |SELECT q_id, n_id, rank, qcos FROM (
+         |SELECT q_id, n_id, CAST(rank AS INT) AS rank, qcos FROM (
          |  SELECT q_id, n_id, qcos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id ASC) rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,

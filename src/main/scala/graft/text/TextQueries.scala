@@ -104,8 +104,8 @@ object TextQueries {
          |  SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
          |m AS (
          |  SELECT doc_id,
-         |    len(list_filter(ws, w -> w <> '')) n_tokens,
-         |    length(text) n_chars_m,
+         |    CAST(len(list_filter(ws, w -> w <> '')) AS INT) n_tokens,
+         |    CAST(length(text) AS INT) n_chars_m,
          |    len(list_filter(ws, w -> w IN ($stopList))) n_stop,
          |    list_sum(list_transform(ws, w -> CAST(length(w) AS BIGINT))) sum_len
          |  FROM t)
@@ -117,7 +117,7 @@ object TextQueries {
          |FROM m""".stripMargin,
     "q31_text_langid" -> {
       val counts = TextQueries.langMarkers.map { case (l, ms) =>
-        s"    len(list_filter(ws, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) c_$l"
+        s"    CAST(len(list_filter(ws, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) c_$l"
       }.mkString(",\n")
       val best = s"greatest(${TextQueries.langMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
       val cases = TextQueries.langMarkers.map { case (l, _) =>
@@ -134,8 +134,8 @@ object TextQueries {
     },
     "q32_token_count" ->
       """SELECT doc_id,
-        |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
         |FROM documents""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
