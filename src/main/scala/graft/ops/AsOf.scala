@@ -31,7 +31,7 @@ object AsOf {
     val vT = right.schema(valueCol).dataType
     val l = left.select(
       col(key).as("_k"), col(leftTime).as("_t"), lit(0).as("_r"),
-      lit(null).cast(vT).as("_v"), struct(left.columns.map(col): _*).as("_p"))
+      lit(null).cast(vT).as("_v"), struct(left.columns.toIndexedSeq.map(col): _*).as("_p"))
     val r = right.select(
       col(key).as("_k"), col(rightTime).as("_t"), lit(1).as("_r"),
       col(valueCol).as("_v"), lit(null).cast(payloadT).as("_p"))
