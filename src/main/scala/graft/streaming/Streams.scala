@@ -135,6 +135,21 @@ object Streams {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
   }
 
+  /** File sink with checkpointed exactly-once delivery: append the
+    * stream to parquet under `path`; the checkpoint makes restarts
+    * resume from the last committed offset instead of reprocessing
+    * (pinned by the restart test in StreamingSpec).
+    */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

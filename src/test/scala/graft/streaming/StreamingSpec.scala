@@ -62,6 +62,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("parquet sink with checkpoint delivers exactly once across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val out = s"$dir/data"
+    val ckpt = s"$dir/ckpt"
+    val stream = Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value")
+    Streams.toParquetSink(stream, out, ckpt).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === Tables.events(spark, sf).count())
+    // restart against the same checkpoint: nothing new to process, no dupes
+    Streams.toParquetSink(
+      Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value"),
+      out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() === n1)
+  }
+
+  test("rate source streams synthetic rows through the windowed transforms") {
+    import org.apache.spark.sql.functions._
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("timestamp").as("ts"), (col("value") % 5).as("user_id"),
+        lit("view").as("event_type"), col("value").cast("double").as("value"))
+    val agg = rate.groupBy(col("event_type")).count()
+    val q = agg.writeStream.format("memory").queryName("rate_sink")
+      .outputMode("complete").start()
+    try {
+      var waited = 0
+      while (spark.table("rate_sink").isEmpty && waited < 30000) {
+        Thread.sleep(200); waited += 200
+      }
+      assert(!spark.table("rate_sink").isEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
