@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -135,19 +135,22 @@ object Streams {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
   }
 
-  /** File sink with checkpointed exactly-once delivery: append the
-    * stream to parquet under `path`; the checkpoint makes restarts
-    * resume from the last committed offset instead of reprocessing
-    * (pinned by the restart test in StreamingSpec).
+  /** Checkpointed parquet file sink: append the stream under `path`;
+    * the checkpoint makes restarts resume from the last committed offset
+    * instead of reprocessing (pinned by the restart test in
+    * StreamingSpec). Delivery is exactly-once for readers that honor the
+    * sink's `_spark_metadata` commit log (Spark itself does); external
+    * readers that list part files directly can observe uncommitted files
+    * after a mid-batch crash.
     */
-  def toParquetSink(df: DataFrame, path: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -11,6 +11,8 @@ class MapFuncsSpec extends SparkSpec {
 
   test("map construction, lookup, keys/values, concat, transform_values") {
     val df = Tables.documents(spark, sf)
+      .where(size(split(col("text"), " ")) >= 5) // precondition for the 5-word slice
+      .orderBy("doc_id")
       .limit(10)
       .withColumn("ws", slice(split(col("text"), " "), 1, 5))
       .withColumn("m", map_from_arrays(

@@ -63,27 +63,36 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("parquet sink with checkpoint delivers exactly once across restarts") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-sink-").toString
-    val out = s"$dir/data"
-    val ckpt = s"$dir/ckpt"
-    val stream = Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value")
-    Streams.toParquetSink(stream, out, ckpt).awaitTermination()
-    val n1 = spark.read.parquet(out).count()
-    assert(n1 === Tables.events(spark, sf).count())
-    // restart against the same checkpoint: nothing new to process, no dupes
-    Streams.toParquetSink(
-      Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value"),
-      out, ckpt).awaitTermination()
-    assert(spark.read.parquet(out).count() === n1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-")
+    try {
+      val out = s"$dir/data"
+      val ckpt = s"$dir/ckpt"
+      val stream = Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value")
+      Streams.toParquetSink(stream, out, ckpt).awaitTermination()
+      val n1 = spark.read.parquet(out).count()
+      assert(n1 === Tables.events(spark, sf).count())
+      // restart against the same checkpoint: nothing new to process, no dupes
+      Streams.toParquetSink(
+        Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value"),
+        out, ckpt).awaitTermination()
+      assert(spark.read.parquet(out).count() === n1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
   }
 
-  test("rate source streams synthetic rows through the windowed transforms") {
+  test("rate source streams synthetic rows through the tumbling transform") {
     import org.apache.spark.sql.functions._
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", "500").load()
       .select(col("timestamp").as("ts"), (col("value") % 5).as("user_id"),
         lit("view").as("event_type"), col("value").cast("double").as("value"))
-    val agg = rate.groupBy(col("event_type")).count()
+    // drive the REAL windowed transform with a live (non-replay) source
+    val agg = Streams.tumbling(rate)
     val q = agg.writeStream.format("memory").queryName("rate_sink")
       .outputMode("complete").start()
     try {
@@ -92,6 +101,8 @@ class StreamingSpec extends SparkSpec {
         Thread.sleep(200); waited += 200
       }
       assert(!spark.table("rate_sink").isEmpty)
+      val r = spark.table("rate_sink").collect().head
+      assert(r.getString(1) === "view") // (ws, event_type, cnt, sum_value)
     } finally q.stop()
   }
 
