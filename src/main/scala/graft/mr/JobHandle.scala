@@ -33,18 +33,21 @@ final class JobHandle[R] private[mr] (
   /** Block until done — `waitForJob`. Idempotent. */
   def waitForJob(): R = Await.result(result, Duration.Inf)
 
-  /** `closeJobHandle`: wait, then detach the progress listener. */
-  def close(): R = {
-    val r = waitForJob()
-    JobProgress.detach(spark, listener)
-    r
-  }
+  /** `closeJobHandle`: wait, then detach the progress listener — the
+    * listener is released even when the job failed.
+    */
+  def close(): R =
+    try waitForJob()
+    finally JobProgress.detach(spark, listener)
 }
 
 object JobHandle {
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  /** `startMapReduceJob`: launch asynchronously, return the handle. */
+  /** `startMapReduceJob`: launch asynchronously under a unique job group
+    * (so the handle's progress listener sees only this job, even with
+    * concurrent submissions on the same session), return the handle.
+    */
   private[mr] def launch[I, K2, V2, K3, V3](input: Dataset[I])(
       map: I => IterableOnce[(K2, V2)])(
       reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
@@ -52,8 +55,14 @@ object JobHandle {
       ek: Encoder[K2],
       e3: Encoder[(K3, V3)]): JobHandle[Array[(K3, V3)]] = {
     val spark = input.sparkSession
-    val listener = JobProgress.attach(spark)
-    val fut = Future(MapReduce.run(input)(map)(reduce).collect())
+    val group = s"graft-mr-${java.util.UUID.randomUUID()}"
+    val listener = JobProgress.attach(spark, Some(group))
+    val fut = Future {
+      // setJobGroup is thread-local; the collect runs on this thread
+      spark.sparkContext.setJobGroup(group, "graft MapReduce job", interruptOnCancel = false)
+      try MapReduce.run(input)(map)(reduce).collect()
+      finally spark.sparkContext.clearJobGroup()
+    }
     new JobHandle(spark, listener, fut)
   }
 }

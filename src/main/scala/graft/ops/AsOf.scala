@@ -23,25 +23,32 @@ object AsOf {
   /** Join each left row to the latest right row with the same `key` and
     * `rightTime <= leftTime`, appending right's `valueCol` as
     * `<valueCol>_asof`. Inner semantics: left rows with no prior right
-    * row are dropped.
+    * row are dropped. The carried match is a struct wrapping the value,
+    * so a right row whose value IS null still matches (and yields null)
+    * rather than falling through to an older non-null row. If several
+    * right rows share one (key, time), which one matches is unspecified
+    * (mirroring the reference's unordered-output stance); pre-dedup the
+    * right side for full determinism.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String, valueCol: String): DataFrame = {
     val payloadT = org.apache.spark.sql.types.StructType(left.schema.fields)
     val vT = right.schema(valueCol).dataType
+    val wrapT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", vT)))
     val l = left.select(
       col(key).as("_k"), col(leftTime).as("_t"), lit(0).as("_r"),
-      lit(null).cast(vT).as("_v"), struct(left.columns.toIndexedSeq.map(col): _*).as("_p"))
+      lit(null).cast(wrapT).as("_v"), struct(left.columns.toIndexedSeq.map(col): _*).as("_p"))
     val r = right.select(
       col(key).as("_k"), col(rightTime).as("_t"), lit(1).as("_r"),
-      col(valueCol).as("_v"), lit(null).cast(payloadT).as("_p"))
+      struct(col(valueCol).as("v")).as("_v"), lit(null).cast(payloadT).as("_p"))
     val w = Window.partitionBy("_k")
       .orderBy(col("_t").asc, col("_r").desc) // right first at equal time → inclusive
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
       .withColumn("_match", last(col("_v"), ignoreNulls = true).over(w))
       .where(col("_r") === 0 && col("_match").isNotNull)
-      .select(col("_p.*"), col("_match").as(s"${valueCol}_asof"))
+      .select(col("_p.*"), col("_match.v").as(s"${valueCol}_asof"))
   }
 
   /** q38: each purchase event joined to the user's most recent signup

@@ -119,7 +119,7 @@ object ExtraQueries {
     graft.Tables.events(s, d)
       .select(from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
-      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .groupBy((col("k") % 10).as("k_mod")) // % (not pmod): matches the oracle's sign behavior on negative k
       .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
 
   /** Exact per-group top-k via the native TypedImperativeAggregate

@@ -38,7 +38,9 @@ object Scale {
     * table into the slice a query actually reads.
     */
   def partitionPrunedScan(s: SparkSession, d: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-orders-by-year"
+    // key the derived copy by the source dir so different datasets/sf
+    // never serve each other's data
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-orders-by-year-${math.abs(d.hashCode)}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
@@ -54,9 +56,11 @@ object Scale {
     * join: both sides pre-partitioned into the same bucket layout on the
     * join key, so the join itself needs NO shuffle (no Exchange in the
     * plan) — the pattern for repeatedly-joined 100 TB fact tables.
-    * Buckets are written once per (warehouse, sf) and reused.
+    * Buckets are written once per dataset dir and reused (table names
+    * embed the dir hash so different sfs never collide).
     */
   def bucketedJoin(s: SparkSession, d: String, buckets: Int = 8): DataFrame = {
+    val suffix = math.abs(d.hashCode).toString
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
         // the in-memory catalog forgets tables across JVMs but the
@@ -73,10 +77,10 @@ object Scale {
         df.write.bucketBy(buckets, key).sortBy(key)
           .mode("overwrite").format("parquet").saveAsTable(name)
       }
-    ensure("orders_bkt", Tables.orders(s, d), "o_custkey")
-    ensure("customer_bkt", Tables.customer(s, d), "c_custkey")
-    val o = s.table("orders_bkt")
-    val c = s.table("customer_bkt")
+    ensure(s"orders_bkt_$suffix", Tables.orders(s, d), "o_custkey")
+    ensure(s"customer_bkt_$suffix", Tables.customer(s, d), "c_custkey")
+    val o = s.table(s"orders_bkt_$suffix")
+    val c = s.table(s"customer_bkt_$suffix")
     c.join(o, c("c_custkey") === o("o_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"))

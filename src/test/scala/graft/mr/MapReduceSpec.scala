@@ -61,6 +61,21 @@ class MapReduceSpec extends SparkSpec {
     assert(out.toSet === golden)
   }
 
+  test("concurrent submits keep independent progress (job-group scoping)") {
+    import spark.implicits._
+    val a = MapReduce.submit(spark.createDataset(1 to 5000))(i => Iterator((i % 50, 1L)))(
+      (k, vs) => Iterator((k, vs.sum)))
+    val b = MapReduce.submit(spark.createDataset(1 to 5000))(i => Iterator((i % 25, 1L)))(
+      (k, vs) => Iterator((k, vs.sum)))
+    val outA = a.close()
+    val outB = b.close()
+    assert(outA.toMap === (1 to 5000).groupBy(_ % 50).map { case (k, v) => (k, v.size.toLong) })
+    assert(outB.toMap === (1 to 5000).groupBy(_ % 25).map { case (k, v) => (k, v.size.toLong) })
+    // each handle's machine terminated at its own (REDUCE, 100)
+    assert(a.state === JobState(JobStage.Reduce, 100f))
+    assert(b.state === JobState(JobStage.Reduce, 100f))
+  }
+
   test("map may emit zero pairs (filter) and many pairs (expand)") {
     import spark.implicits._
     val input = spark.createDataset(Seq(1, 2, 3, 4, 5))
