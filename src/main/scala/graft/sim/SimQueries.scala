@@ -128,6 +128,117 @@ object SimQueries {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** IVF coarse quantizer: k-means-lite centroids trained distributed
+    * (assignment in executor-side loops, means via one aggregation per
+    * iteration; only the k x dim centroid table — a few KB — ever touches
+    * the driver, exactly like MLlib's k-means). Deterministic init from
+    * hashed vec_ids.
+    */
+  private[sim] def ivfCentroids(emb: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                                k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+    import emb.sparkSession.implicits._
+    def meansOf(assigned: org.apache.spark.sql.Dataset[(Int, Array[Float])]): Array[Array[Double]] = {
+      val sums = assigned.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[Int, (Array[Double], Long)]
+        it.foreach { case (cell, e) =>
+          val (s, _) = acc.getOrElseUpdate(cell, (new Array[Double](dim), 0L))
+          var i = 0
+          val nd = math.min(dim, e.length)
+          while (i < nd) { s(i) += e(i); i += 1 }
+          acc(cell) = (s, acc(cell)._2 + 1)
+        }
+        acc.iterator.map { case (c, (s, n)) => (c, s, n) }
+      }.toDF("cell", "sum", "n")
+        .groupBy("cell")
+        .agg(expr("aggregate(collect_list(sum), " +
+          s"array_repeat(0D, $dim), (a, x) -> zip_with(a, x, (p, q) -> p + q))").as("sum"),
+          org.apache.spark.sql.functions.sum("n").as("n"))
+        .collect()
+      val out = Array.fill(k)(new Array[Double](dim))
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        var i = 0
+        while (i < dim) { out(cell)(i) = s(i) / n; i += 1 }
+      }
+      out
+    }
+    // init: cells = hash-partition of vec_ids (deterministic)
+    var centroids = meansOf(emb.map { case (id, e) =>
+      ((math.abs(mix64ForIvf(id)) % k).toInt, e)
+    })
+    (1 to iters).foreach { _ =>
+      val c = centroids
+      centroids = meansOf(emb.map { case (id, e) => (nearestCell(c, e), e) })
+    }
+    centroids
+  }
+
+  @inline private[sim] def mix64ForIvf(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Nearest centroid by cosine (centroid norms recomputed per call —
+    * k is tiny).
+    */
+  private[sim] def nearestCell(cs: Array[Array[Double]], e: Array[Float]): Int = {
+    var best = 0
+    var bestSim = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      var dot = 0.0; var nc = 0.0; var ne = 0.0
+      var i = 0
+      val nd = math.min(cs(c).length, e.length)
+      while (i < nd) { dot += cs(c)(i) * e(i); nc += cs(c)(i) * cs(c)(i); ne += e(i).toDouble * e(i); i += 1 }
+      val sim = if (nc == 0 || ne == 0) -2.0 else dot / math.sqrt(nc * ne)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF approximate top-5: assign every vector to its nearest of k
+    * centroids, probe the `nprobe` nearest cells per query, rank only
+    * within probed cells. The index build is one pass + `iters` k-means
+    * rounds; query cost is |probed cells| instead of n. (No oracle —
+    * approximate; recall pinned in SimSpec.)
+    */
+  def knnIvf: Q = (s, d) => {
+    import s.implicits._
+    val k = 16
+    val nprobe = 4
+    val dim = 64
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val cs = ivfCentroids(emb, k, dim, iters = 3)
+    val assigned = emb.map { case (id, e) => (id, nearestCell(cs, e)) }.toDF("vec_id", "cell")
+    val embDf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(_._1 % 100 == 0).flatMap { case (id, e) =>
+      // nprobe nearest cells for this query
+      val sims = cs.indices.map { c =>
+        (c, { var dot = 0.0; var nc = 0.0; var ne = 0.0; var i = 0
+              while (i < dim && i < e.length) { dot += cs(c)(i) * e(i); nc += cs(c)(i) * cs(c)(i); ne += e(i).toDouble * e(i); i += 1 }
+              if (nc == 0 || ne == 0) -2.0 else dot / math.sqrt(nc * ne) })
+      }.sortBy { case (c, sim) => (-sim, c) }.take(nprobe)
+      sims.iterator.map { case (c, _) => (id, c) }
+    }.toDF("q_id", "cell")
+    val cands = queries.join(assigned, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val scored = cands
+      .join(embDf.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(embDf.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cosineCol("qe", "ne").as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** Embedding near-dup candidates: all pairs with quantized cosine above
     * a (corpus-calibrated) threshold. Exact all-pairs here as the oracle
     * baseline; at scale the LSH bucketing above provides the candidates.
@@ -145,6 +256,7 @@ object SimQueries {
   val queries: Map[String, Q] = Map(
     "q45_knn_brute" -> knnBrute,
     "q46_knn_lsh" -> knnLsh,
+    "q54_knn_ivf" -> knnIvf,
     "q44_embedding_pairs" -> embeddingPairs)
 
   private val quantCte =

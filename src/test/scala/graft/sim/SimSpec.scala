@@ -15,6 +15,16 @@ class SimSpec extends SparkSpec {
     }
   }
 
+  test("ivf knn (nprobe=4 of 16 cells) achieves nontrivial recall vs brute force") {
+    val brute = SimQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimQueries.knnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    info(f"ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+  }
+
   test("lsh knn candidates achieve nontrivial recall vs brute force") {
     val brute = SimQueries.knnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
