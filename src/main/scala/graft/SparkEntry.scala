@@ -23,6 +23,7 @@ object SparkEntry {
     ops.CoreQueries.queries ++
       ops.ExtraQueries.queries ++
       ops.AsOf.queries ++
+      ops.RangeJoin.queries ++
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     ops.CoreQueries.oracles ++
       ops.ExtraQueries.oracles ++
       ops.AsOf.oracles ++
+      ops.RangeJoin.oracles ++
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++
