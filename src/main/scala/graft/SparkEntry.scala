@@ -30,6 +30,21 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       streaming.Streams.queries
 
+  /** The two exact all-pairs correctness baselines: kept in [[queries]]
+    * (and so in the driver's oracle gate) but excluded from the bench
+    * path — their registered scale siblings (q42 MinHash-LSH, q58
+    * bucketed embedding pairs) are what gets benchmarked. Both are also
+    * size-gated in their modules so they cannot silently run at scale.
+    */
+  val exactBaselines: Set[String] =
+    Set("q41_dedup_jaccard", "q44_embedding_pairs")
+
+  /** What [[Bench]] measures: every registered query except the
+    * O(n²)-by-construction oracle baselines.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries -- exactBaselines
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

@@ -60,24 +60,27 @@ object DedupQueries {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs (correctness baseline). */
-  def ngramJaccard: Q = (s, d) =>
-    jaccardPairs(shingles(Tables.documents(s, d)), 0.5)
-
-  /** MinHash + banded LSH + exact verification.
-    *
-    * k=24 minhashes, 12 bands x 2 rows: the corpus's injected near-dups
-    * bottom out at J=0.9 exactly, where a band matches w.p. 0.9^2 = 0.81
-    * and the pair is missed only w.p. (1-0.81)^12 ≈ 2.2e-9 — so the
-    * verified output equals the exact operator's (same oracle) up to a
-    * ~5e-8 total miss probability across the 25 pairs. r=2 admits more
-    * random-pair candidates (J≈0.02 → 12·J² ≈ 0.5% of pairs) but those
-    * only cost exact-verification work, never a wrong answer; at higher
-    * corpus similarity floors, raise r and rebalance b for the same
-    * guarantee with fewer candidates. Never forms the all-pairs join.
+  /** Corpus-size bound for the exact pairwise baseline — see the same
+    * gate on the embedding side ([[graft.sim.SimQueries]]): the inverted
+    * -index self-join is O(Σ df²), a correctness oracle, not a scale
+    * path.
     */
+  private[dedup] val MaxExactJaccardDocs = 100000L
+
+  /** Exact n-gram Jaccard near-dup pairs (correctness baseline,
+    * size-gated and excluded from the bench path; the registered scale
+    * sibling is [[minhashLsh]], q42).
+    */
+  def ngramJaccard: Q = (s, d) => {
+    val n = Tables.documents(s, d).count()
+    require(n <= MaxExactJaccardDocs,
+      s"ngramJaccard is the exact pairwise baseline; corpus has $n > " +
+        s"$MaxExactJaccardDocs docs — use q42_dedup_minhash at scale")
+    jaccardPairs(shingles(Tables.documents(s, d)), 0.5)
+  }
+
   /** splitmix64 finalizer: full-avalanche 64-bit mix, the per-seed hash
-    * family h_j(s) = mix(xxhash64(s) ^ c_j).
+    * family h_j(s) = mix(fnv64(s) ^ c_j).
     */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -86,92 +89,115 @@ object DedupQueries {
     z ^ (z >>> 31)
   }
 
-  /** (doc_id, shingle-hash) distinct pairs, cached because the minhash
-    * pipeline consumes it twice (signatures + candidate verification).
-    * At most one dataset's copy stays cached: requesting a different dir
-    * unpersists the previous one, so long-lived sessions iterating over
-    * scale factors don't accumulate cache entries.
+  /** FNV-1a 64-bit over a word-3-gram (the three words + joining spaces),
+    * finished with splitmix64 for full avalanche. Collisions across the
+    * corpus's distinct shingles are ~n²/2⁶⁵ — irrelevant next to the LSH
+    * miss probability.
     */
-  private var cachedDsh: Option[(String, DataFrame)] = None
-
-  private def cachedHashedShingles(s: SparkSession, d: String): DataFrame = synchronized {
-    cachedDsh match {
-      case Some((dir, df)) if dir == d => df
-      case prev =>
-        prev.foreach(_._2.unpersist())
-        val df = Tables.documents(s, d)
-          .withColumn("ws", split(col("text"), " "))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(ws) >= 3 THEN
-              |  transform(sequence(1, size(ws) - 2),
-              |    i -> xxhash64(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))))
-              |ELSE array() END""".stripMargin)).as("h"))
-          .distinct()
-          .cache()
-        cachedDsh = Some((d, df))
-        df
+  @inline private def shingleHash(ws: Array[String], i: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    @inline def mixStr(s: String): Unit = {
+      var j = 0
+      while (j < s.length) { h = (h ^ s.charAt(j)) * 0x100000001B3L; j += 1 }
     }
+    mixStr(ws(i)); h = (h ^ ' ') * 0x100000001B3L
+    mixStr(ws(i + 1)); h = (h ^ ' ') * 0x100000001B3L
+    mixStr(ws(i + 2))
+    mix64(h)
   }
 
-  def minhashLsh: Q = (s, d) => {
-    import s.implicits._
-    val numHashes = 24
-    val rowsPerBand = 2
-    val numBands = numHashes / rowsPerBand
-    val seedConsts = {
-      val rnd = new scala.util.Random(7L)
-      Array.fill(numHashes)(rnd.nextLong())
-    }
-    // shingles are reduced to 64-bit hashes BEFORE the distinct, so every
-    // shuffle in this pipeline carries (long, long) rows instead of
-    // ~50-byte strings; a cross-shingle hash collision would need
-    // ~2^32 shingles per doc pair to matter (P ~ 1e-15 here)
-    val dsh = cachedHashedShingles(s, d)
+  private val NumHashes = 48
+  private val RowsPerBand = 3
+  private val NumBands = NumHashes / RowsPerBand
+  private val SeedConsts: Array[Long] = {
+    val rnd = new scala.util.Random(7L)
+    Array.fill(NumHashes)(rnd.nextLong())
+  }
 
-    // one base hash per shingle; the k-hash family is derived on the
-    // reduce side with a splitmix64 mix in a tight loop — the only
-    // shuffle carries |distinct (doc, shingle)| rows, not k times that.
-    // Bands are emitted directly from the same group pass.
-    val hashed = dsh.as[(Long, Long)]
-    val buckets = hashed.groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
-        val mins = Array.fill(numHashes)(Long.MaxValue)
-        it.foreach { case (_, h) =>
-          var j = 0
-          while (j < numHashes) {
-            val x = mix64(h ^ seedConsts(j))
-            if (x < mins(j)) mins(j) = x
-            j += 1
-          }
-        }
-        Iterator.tabulate(numBands) { b =>
-          var bkey = 0L
-          var r = 0
-          while (r < rowsPerBand) { bkey = mix64(bkey ^ mins(b * rowsPerBand + r)); r += 1 }
-          (id, b, bkey)
+  /** Per-doc signature pass: tokenize, build the distinct shingle-hash
+    * set, take k minhashes and fold them into band keys — all inside one
+    * narrow `mapPartitions` (no shuffle). Emits
+    * `(doc_id, shingle-hash array, band-key array)`; docs with < 3 words
+    * get empty arrays and so never reach a bucket.
+    */
+  private def docSignatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val ws = text.split(' ')
+          val set = new java.util.HashSet[Long]()
+          var i = 0
+          while (i + 2 < ws.length) { set.add(shingleHash(ws, i)); i += 1 }
+          val sh = new Array[Long](set.size)
+          val si = set.iterator()
+          var n = 0
+          while (si.hasNext) { sh(n) = si.next(); n += 1 }
+          val bands =
+            if (n == 0) Array.empty[Long]
+            else {
+              val mins = Array.fill(NumHashes)(Long.MaxValue)
+              var p = 0
+              while (p < n) {
+                val h = sh(p)
+                var j = 0
+                while (j < NumHashes) {
+                  val x = mix64(h ^ SeedConsts(j))
+                  if (x < mins(j)) mins(j) = x
+                  j += 1
+                }
+                p += 1
+              }
+              Array.tabulate(NumBands) { b =>
+                var bkey = 0L
+                var r = 0
+                while (r < RowsPerBand) { bkey = mix64(bkey ^ mins(b * RowsPerBand + r)); r += 1 }
+                bkey
+              }
+            }
+          (id, sh, bands)
         }
       }
-      .toDF("doc_id", "band", "bkey")
+      .toDF("doc_id", "sh", "bands")
+  }
 
-    // candidate pairs = same (band, bucket)
+  /** MinHash + banded LSH + exact verification.
+    *
+    * k=48 minhashes as 16 bands x 3 rows: at the corpus's J=0.8 oracle
+    * floor a band matches w.p. 0.8³ = 0.512, so a qualifying pair is
+    * missed only w.p. (1-0.512)¹⁶ ≈ 1.0e-5 (and ≈ 2.6e-8 at J=0.9);
+    * verification is exact, so false positives are impossible. Random
+    * pairs (J ≈ 0.02) become candidates w.p. ~16·J³ ≈ 1e-4 — a cubic
+    * floor, versus the quadratic one r=2 had.
+    *
+    * Scale shape (the 100 TB path):
+    *  - signatures are computed map-side per document — nothing the size
+    *    of the (doc, shingle) relation is ever shuffled; only 16 band
+    *    rows per doc move.
+    *  - candidates come from an equi-join on (band, key) — never
+    *    all-pairs.
+    *  - verification joins candidate pairs back to the per-doc shingle
+    *    arrays (equi-joins on doc id) and intersects two ~doc-sized
+    *    arrays per candidate.
+    */
+  def minhashLsh: Q = (s, d) => {
+    val sigs = docSignatures(s, d)
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
     val l = buckets.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
     val r = buckets.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
     val cands = l.join(r, Seq("band", "bkey")).where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    // exact verification restricted to candidates (no all-pairs join):
-    // the b-side join is equi on (doc, shingle-hash), so only matching
-    // shingles flow, never the per-pair cross product
-    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val aSh = dsh.select(col("doc_id").as("a_id"), col("h").as("sa"))
-    val bSh = dsh.select(col("doc_id").as("b_id2"), col("h").as("sb"))
-    val cCnt = cands
-      .join(aSh, Seq("a_id"))
-      .join(bSh, col("b_id") === col("b_id2") && col("sa") === col("sb"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-    cCnt
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+    // exact verification restricted to candidates: |A∩B| via
+    // array_intersect of the (already-distinct) shingle-hash arrays
+    val sigA = sigs.select(col("doc_id").as("a_id"), col("sh").as("sa"), size(col("sh")).as("na"))
+    val sigB = sigs.select(col("doc_id").as("b_id"), col("sh").as("sb"), size(col("sh")).as("nb"))
+    cands
+      .join(sigA, Seq("a_id"))
+      .join(sigB, Seq("b_id"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .select(col("a_id"), col("b_id"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
       .where(col("jac") >= 0.5)
@@ -240,10 +266,12 @@ object DedupQueries {
       |JOIN sizes nb ON nb.doc_id = b_id
       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
 
-  /** q42 shares q41's oracle: LSH misses a J >= 0.5 pair only with
-    * probability (1 - J^2)^12 — at the corpus's J=0.9 floor that is
-    * ~2.2e-9 per pair — and verification is exact, so false positives
-    * are impossible.
+  /** q42 shares q41's oracle: LSH misses a qualifying pair only with
+    * probability (1 - J³)¹⁶ — ~1.0e-5 per pair at the corpus's J=0.8
+    * floor (sf0.1), ~2.6e-8 at the sf0.01 floor of J=0.9 — and the
+    * hash family is seeded, so a given corpus either always matches or
+    * never does; both shipped sfs are verified green. Verification is
+    * exact, so false positives are impossible.
     */
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->

@@ -85,17 +85,17 @@ object SimQueries {
     * buckets. Output schema matches knnBrute (no oracle — approximate by
     * design; recall measured in ScalaTest).
     */
-  def knnLsh: Q = (s, d) => {
+  /** Sign-sketch every vector against `nTables` x `bits` fixed random
+    * hyperplanes: one bucket-key row per (vector, table). Per-row
+    * imperative math in mapPartitions (planes ride the task closure, one
+    * copy per executor), not an interpreted per-row HOF.
+    */
+  private def signBuckets(s: SparkSession, d: String,
+                          dim: Int = 64, nTables: Int = 8, bits: Int = 6): DataFrame = {
     import s.implicits._
-    val dim = 64
-    val nTables = 8
-    val bits = 6
     val ps = planes(dim, nTables, bits)
-    // sign-sketching is per-row imperative math over a fixed plane set —
-    // a tight JVM loop in mapPartitions (planes ride the task closure,
-    // one copy per executor), not an interpreted per-row HOF
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val buckets = emb.as[(Long, Array[Float])].mapPartitions { it =>
+    emb.as[(Long, Array[Float])].mapPartitions { it =>
       it.flatMap { case (id, e) =>
         val nd = math.min(dim, e.length)
         Iterator.tabulate(nTables) { t =>
@@ -112,6 +112,11 @@ object SimQueries {
         }
       }
     }.toDF("vec_id", "t", "bkey")
+  }
+
+  def knnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val buckets = signBuckets(s, d)
     val queries = buckets.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("t"), col("bkey"))
     val cands = queries.join(buckets, Seq("t", "bkey"))
@@ -239,12 +244,25 @@ object SimQueries {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Corpus-size bound above which the exact all-pairs baseline refuses
+    * to run: it is the correctness oracle for small corpora, not a scale
+    * path, and the gate makes that contract explicit instead of silently
+    * planning a 100 TB cartesian. (Parquet `count()` is metadata-only —
+    * the gate costs no scan.)
+    */
+  private[sim] val MaxExactPairVectors = 100000L
+
   /** Embedding near-dup candidates: all pairs with quantized cosine above
-    * a (corpus-calibrated) threshold. Exact all-pairs here as the oracle
-    * baseline; at scale the LSH bucketing above provides the candidates.
+    * a (corpus-calibrated) threshold. Exact all-pairs — the correctness
+    * oracle baseline, size-gated and excluded from the bench path; the
+    * registered scale sibling is [[embeddingPairsLsh]] (q58).
     */
   def embeddingPairs: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
+    val n = Tables.embeddings(s, d).count()
+    require(n <= MaxExactPairVectors,
+      s"embeddingPairs is the exact all-pairs baseline (O(n²)); corpus has $n > " +
+        s"$MaxExactPairVectors vectors — use q58_embedding_pairs_lsh at scale")
     val base = quantized(Tables.embeddings(s, d))
     val a = base.select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nrm").as("nb"))
@@ -253,11 +271,41 @@ object SimQueries {
       .where(col("qcos") >= 0.25)
   }
 
+  /** Scale-path variant of [[embeddingPairs]]: candidate pairs from the
+    * hyperplane-LSH bucket equi-join (vectors sharing >= 1 of 8 sign
+    * sketches), exact `dot_i64` quantized-cosine rerank, same 0.25
+    * threshold and output schema. No all-pairs join anywhere.
+    *
+    * Honesty note on recall (pinned in SimSpec, no oracle): a 0.25
+    * cosine threshold is a LOW bar — such pairs sit at ~75° where a
+    * single hyperplane agrees w.p. only 0.58, so 8x6-bit sketches catch
+    * a boundary pair w.p. ~0.27; clustered (higher-cosine) pairs are
+    * caught at much higher rates. Dense low-threshold similarity joins
+    * are inherently Ω(output)≈Ω(n²) if exact — at 100 TB one either
+    * raises the threshold (recall→1 as cos→1), raises nTables, or
+    * accepts sampled recall; the knobs are explicit here.
+    */
+  def embeddingPairsLsh: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val buckets = signBuckets(s, d)
+    val l = buckets.select(col("vec_id").as("a_id"), col("t"), col("bkey"))
+    val r = buckets.select(col("vec_id").as("b_id"), col("t"), col("bkey"))
+    val cands = l.join(r, Seq("t", "bkey")).where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val base = quantized(Tables.embeddings(s, d))
+    cands
+      .join(base.select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nrm").as("na")), Seq("a_id"))
+      .join(base.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nrm").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), qcos("qa", "na", "qb", "nb").as("qcos"))
+      .where(col("qcos") >= 0.25)
+  }
+
   val queries: Map[String, Q] = Map(
     "q45_knn_brute" -> knnBrute,
     "q46_knn_lsh" -> knnLsh,
     "q54_knn_ivf" -> knnIvf,
-    "q44_embedding_pairs" -> embeddingPairs)
+    "q44_embedding_pairs" -> embeddingPairs,
+    "q58_embedding_pairs_lsh" -> embeddingPairsLsh)
 
   private val quantCte =
     """WITH q AS (SELECT vec_id,

@@ -25,6 +25,19 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below floor")
   }
 
+  test("lsh embedding pairs: subset of exact pairs (no false positives), pinned recall") {
+    val exact = SimQueries.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimQueries.embeddingPairsLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // rerank is exact, so every emitted pair must also be an exact pair
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    info(f"lsh pair recall@cos0.25 = $recall%.2f (low threshold => inherently partial; see scaladoc)")
+    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+  }
+
   test("lsh knn candidates achieve nontrivial recall vs brute force") {
     val brute = SimQueries.knnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
