@@ -24,6 +24,7 @@ object SparkEntry {
       ops.ExtraQueries.queries ++
       ops.AsOf.queries ++
       ops.RangeJoin.queries ++
+      ops.Scale.queries ++
       text.TextQueries.queries ++
       dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       ops.ExtraQueries.oracles ++
       ops.AsOf.oracles ++
       ops.RangeJoin.oracles ++
+      ops.Scale.oracles ++
       text.TextQueries.oracles ++
       dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++

@@ -62,6 +62,22 @@ object CoreQueries {
       .toDF("ch", "cnt")
   }
 
+  /** Same workload through [[MapReduce.runAggregate]] — Layer A's
+    * algebraic fast path: the reduce is declared as a commutative merge,
+    * so Spark applies partial (map-side) aggregation before the shuffle,
+    * which the reference's full flatMapGroups contract (q02) cannot.
+    * Registered with q01's oracle so the upgrade is itself
+    * correctness-gated and benched against both siblings.
+    */
+  def charCountMrFast: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("text").as[String]
+    MapReduce.runAggregate(docs) { text =>
+      text.groupBy(identity).iterator.map { case (c, cs) => (c.toString, cs.length.toLong) }
+    } { _ + _ }
+      .toDF("ch", "cnt")
+  }
+
   /** TPC-H Q1-style pricing summary: filter pushdown + hash aggregate. */
   def aggPricing: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -291,7 +307,8 @@ object CoreQueries {
     "q21_json_events" -> jsonEvents,
     "q22_word_count" -> wordCount,
     "q23_events_tumbling" -> eventsTumbling,
-    "q24_join_nonequi" -> joinNonEqui)
+    "q24_join_nonequi" -> joinNonEqui,
+    "q57_charcount_mr_fast" -> charCountMrFast)
 
   val oracles: Map[String, String] = Map(
     "q01_charcount_df" ->
@@ -299,6 +316,10 @@ object CoreQueries {
         |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
         |WHERE ch <> '' GROUP BY ch""".stripMargin,
     "q02_charcount_mr" ->
+      """SELECT ch, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+        |WHERE ch <> '' GROUP BY ch""".stripMargin,
+    "q57_charcount_mr_fast" ->
       """SELECT ch, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
         |WHERE ch <> '' GROUP BY ch""".stripMargin,

@@ -112,6 +112,27 @@ object ExtraQueries {
       .agg(count(lit(1)).as("n_cust"))
   }
 
+  /** JSON-lines connector coverage: round-trip the supplier dim through
+    * `spark.read.json` with an explicit schema (no inference pass — at
+    * scale inference is a second full read), then join-aggregate against
+    * nation. Mirrors q36's CSV shape; the JSON copy is rewritten
+    * deterministically per run. Doubles survive the text round-trip
+    * exactly (shortest-roundtrip printing), and the aggregate uses the
+    * decimal-cast sum so the oracle hash-compare is order-independent.
+    */
+  def jsonSource: Q = (s, d) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-supplier-json"
+    Tables.supplier(s, d).write.mode("overwrite").json(tmp)
+    val supplier = s.read
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      .json(tmp)
+    Tables.nation(s, d)
+      .join(supplier, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+  }
+
   /** Schema-full JSON parsing (`from_json`) of the events.props column —
     * the structured counterpart of q21's get_json_object path.
     */
@@ -201,7 +222,8 @@ object ExtraQueries {
     "q34_approx_distinct" -> approxDistinct,
     "q35_udaf_avg_cents" -> udafAvgCents,
     "q36_csv_source" -> csvSource,
-    "q37_from_json" -> fromJson)
+    "q37_from_json" -> fromJson,
+    "q56_json_source" -> jsonSource)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -274,6 +296,11 @@ object ExtraQueries {
     "q36_csv_source" ->
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q56_json_source" ->
+      """SELECT n_name, count(*) AS n_supp,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q37_from_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,

@@ -85,4 +85,31 @@ object Scale {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"))
   }
+
+  /** Registry forms of the scale techniques, each with an exact oracle:
+    * the salted aggregate must equal the plain group-by, the pruned scan
+    * must equal the predicate form, the bucketed (shuffle-free) join must
+    * equal the plain join — so the 100 TB mechanics are themselves
+    * correctness-gated, not just plan-pinned in ScaleSpec.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_salted_sum" -> ((s, d) =>
+      saltedSum(Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"))),
+    "q60_partition_pruned" -> (partitionPrunedScan(_, _)),
+    "q61_bucketed_join" -> (bucketedJoin(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q59_salted_sum" ->
+      """SELECT l_returnflag AS k,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q60_partition_pruned" ->
+      """SELECT o_orderstatus, count(*) AS cnt
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q61_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
 }
