@@ -17,15 +17,26 @@ object JobStage extends Enumeration {
   */
 final case class JobState(stage: JobStage.Value, percentage: Float)
 
-/** SparkListener adapter: stages that only produce shuffle output ↔ MAP
-  * (`MapReduceFramework.cpp:155-158`), the moment a shuffle-reading stage
-  * is submitted ↔ SHUFFLE (`cpp:100-133` runs between map completion and
-  * the first reduce call), shuffle-reading stages' task completion ↔
-  * REDUCE (`cpp:139-142`). Percentage is successfully-completed/total
-  * tasks of the phase — the same monotone contract as the reference's
-  * per-row counters (`cpp:85,187`) at task granularity, clamped
-  * non-decreasing (AQE may schedule several physical stages per phase)
-  * and to [0, 100] (task retries would otherwise overshoot).
+/** SparkListener adapter for the reference's phase machine:
+  *
+  *  - stages that WRITE shuffle output (`StageInfo.shuffleDepId` defined —
+  *    dependency metadata, not the old RDD-name heuristic) ↔ MAP
+  *    (`MapReduceFramework.cpp:155-158`); percentage = successful tasks /
+  *    total of the phase.
+  *  - the data movement between map and reduce ↔ SHUFFLE
+  *    (`cpp:100-133` runs between map completion and the first reduce
+  *    call, updating its own percentage as keys drain). Here the shuffle
+  *    read happens inside reduce-side tasks, so SHUFFLE percentage =
+  *    cumulative shuffle records READ by reduce-side tasks over records
+  *    WRITTEN by map-side tasks — a real 0→100 ramp, not a jump.
+  *  - reduce-side task completions after the shuffle read is fully
+  *    drained ↔ REDUCE (`cpp:139-142`).
+  *
+  * Percentages are clamped monotone non-decreasing within a stage and the
+  * stage strictly advances (AQE may schedule several physical stages per
+  * phase; task retries would otherwise overshoot). Every distinct state
+  * is also appended to [[history]], so tests can assert on transitions
+  * (e.g. an intermediate SHUFFLE observation) without racing a poller.
   *
   * When `jobGroup` is set, only jobs submitted under that Spark job group
   * are observed — [[MapReduce.submit]] tags each handle's job with a
@@ -35,20 +46,29 @@ final case class JobState(stage: JobStage.Value, percentage: Float)
   */
 final class JobProgressListener(jobGroup: Option[String] = None) extends SparkListener {
   @volatile private var current: JobState = JobState(JobStage.Undefined, 0f)
+  private val states = scala.collection.mutable.ArrayBuffer.empty[JobState]
   private val stageTasks = scala.collection.mutable.Map.empty[Int, (Int, Int)] // id -> (done, total)
-  private val stageReduceSide = scala.collection.mutable.Map.empty[Int, Boolean]
+  private val stageWritesShuffle = scala.collection.mutable.Map.empty[Int, Boolean]
   private val trackedStages = scala.collection.mutable.Set.empty[Int]
+  private var sawWriter = false
+  private var recordsWritten = 0L
+  private var recordsRead = 0L
 
   def state: JobState = current
+
+  /** Every distinct state the machine has passed through, in order. */
+  def history: List[JobState] = synchronized(states.toList)
 
   /** Never step the machine backwards: stage strictly advances, and the
     * percentage within a stage is clamped non-decreasing and to <= 100.
     */
   private def advance(stage: JobStage.Value, pct0: Float): Unit = {
     val pct = math.min(pct0, 100f)
-    if (stage.id > current.stage.id) current = JobState(stage, pct)
-    else if (stage.id == current.stage.id && pct > current.percentage)
+    if (stage.id > current.stage.id ||
+      (stage.id == current.stage.id && pct > current.percentage)) {
       current = JobState(stage, pct)
+      states += current
+    }
   }
 
   override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
@@ -59,15 +79,24 @@ final class JobProgressListener(jobGroup: Option[String] = None) extends SparkLi
   private def tracked(stageId: Int): Boolean =
     jobGroup.isEmpty || trackedStages.contains(stageId)
 
+  /** A stage that writes no shuffle output after some stage in the group
+    * has written one is reduce-side; a writer stage (or a stage of a
+    * shuffle-free job) is map-side.
+    */
+  private def reduceSide(stageId: Int): Boolean =
+    sawWriter && !stageWritesShuffle.getOrElse(stageId, false)
+
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = synchronized {
     val info = e.stageInfo
     if (!tracked(info.stageId)) return
-    // A stage whose RDD chain reads a shuffle is reduce-side; a stage
-    // that only produces shuffle output (or scans the source) is map-side.
-    val reduceSide = info.rddInfos.exists(_.name.toLowerCase.contains("shuffle"))
+    val writes = org.apache.spark.scheduler.GraftSchedulerAccess.writesShuffle(info)
     stageTasks(info.stageId) = (0, math.max(info.numTasks, 1))
-    stageReduceSide(info.stageId) = reduceSide
-    if (reduceSide) advance(JobStage.Shuffle, 100f)
+    stageWritesShuffle(info.stageId) = writes
+    if (writes) sawWriter = true
+    if (reduceSide(info.stageId))
+      // between map completion and reduce submission AQE has fully
+      // materialized the map output; the read-side ramp starts at 0
+      advance(JobStage.Shuffle, 0f)
     else advance(JobStage.Map, 0f)
   }
 
@@ -77,13 +106,22 @@ final class JobProgressListener(jobGroup: Option[String] = None) extends SparkLi
       val d = done + 1
       stageTasks(e.stageId) = (d, total)
       val pct = 100f * d / total
-      if (stageReduceSide.getOrElse(e.stageId, false)) advance(JobStage.Reduce, pct)
-      else advance(JobStage.Map, pct)
+      val metrics = Option(e.taskMetrics)
+      if (reduceSide(e.stageId)) {
+        metrics.foreach(m => recordsRead += m.shuffleReadMetrics.recordsRead)
+        if (recordsRead < recordsWritten)
+          // shuffle data still in flight: this is SHUFFLE progress
+          advance(JobStage.Shuffle, 100f * recordsRead / recordsWritten)
+        else advance(JobStage.Reduce, pct)
+      } else {
+        metrics.foreach(m => recordsWritten += m.shuffleWriteMetrics.recordsWritten)
+        advance(JobStage.Map, pct)
+      }
     }
   }
 
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
-    if (stageReduceSide.getOrElse(e.stageInfo.stageId, false))
+    if (reduceSide(e.stageInfo.stageId))
       advance(JobStage.Reduce, 100f)
   }
 }

@@ -34,14 +34,27 @@ import org.apache.spark.sql.{Dataset, Encoder}
   */
 object MapReduce {
 
+  /** The reference's explicit parallelism degree
+    * (`startMapReduceJob`'s `multiThreadLevel`,
+    * `MapReduceFramework.h:18-20`) mapped to Spark: n > 0 repartitions
+    * the input so the MAP phase runs exactly n tasks; n <= 0 (the
+    * default) keeps the source's own partitioning — the session decides,
+    * which is what a 100 TB deployment wants. Reduce-side width stays
+    * `spark.sql.shuffle.partitions` (the reference reuses its one thread
+    * pool for both phases; Spark sizes the phases independently).
+    * Results are independent of n — pinned by spec.
+    */
+  private def withLevel[I](input: Dataset[I], multiThreadLevel: Int): Dataset[I] =
+    if (multiThreadLevel > 0) input.repartition(multiThreadLevel) else input
+
   /** Full-generality job: flatMap → group-by-key → flatMapGroups. */
-  def run[I, K2, V2, K3, V3](input: Dataset[I])(
+  def run[I, K2, V2, K3, V3](input: Dataset[I], multiThreadLevel: Int = 0)(
       map: I => IterableOnce[(K2, V2)])(
       reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
       e2: Encoder[(K2, V2)],
       ek: Encoder[K2],
       e3: Encoder[(K3, V3)]): Dataset[(K3, V3)] =
-    input
+    withLevel(input, multiThreadLevel)
       .flatMap(map)                 // MAP + emit2 (cpp:84, 172-175)
       .groupByKey(_._1)             // SHUFFLE: group-by-key (cpp:100-133)
       .flatMapGroups((k: K2, it: Iterator[(K2, V2)]) => reduce(k, it.map(_._2)))
@@ -50,25 +63,25 @@ object MapReduce {
     * (`startMapReduceJob`/`getJobState`/`waitForJob`/`closeJobHandle`) —
     * see [[JobHandle]].
     */
-  def submit[I, K2, V2, K3, V3](input: Dataset[I])(
+  def submit[I, K2, V2, K3, V3](input: Dataset[I], multiThreadLevel: Int = 0)(
       map: I => IterableOnce[(K2, V2)])(
       reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
       e2: Encoder[(K2, V2)],
       ek: Encoder[K2],
       e3: Encoder[(K3, V3)]): JobHandle[Array[(K3, V3)]] =
-    JobHandle.launch(input)(map)(reduce)
+    JobHandle.launch(withLevel(input, multiThreadLevel))(map)(reduce)
 
   /** Algebraic fast path: when reduce is a commutative/associative merge,
     * run it as `reduceGroups` so Spark applies partial aggregation before
     * the shuffle (the upgrade over the reference the 100 TB target needs).
     */
-  def runAggregate[I, K2, V2](input: Dataset[I])(
+  def runAggregate[I, K2, V2](input: Dataset[I], multiThreadLevel: Int = 0)(
       map: I => IterableOnce[(K2, V2)])(
       merge: (V2, V2) => V2)(implicit
       e2: Encoder[(K2, V2)],
       ek: Encoder[K2],
       ev: Encoder[V2]): Dataset[(K2, V2)] =
-    input
+    withLevel(input, multiThreadLevel)
       .flatMap(map)
       .groupByKey(_._1)
       .mapValues(_._2)

@@ -50,4 +50,39 @@ class JobProgressSpec extends SparkSpec {
     assert(states.last.stage === JobStage.Reduce)
     assert(states.last.percentage === 100f)
   }
+
+  test("SHUFFLE reports intermediate percentage (reference cpp:104-107 contract)") {
+    import spark.implicits._
+    val listener = JobProgress.attach(spark)
+    // AQE would coalesce this tiny shuffle into one reduce task, which
+    // reads 100% of the map output at once — pin multiple reduce tasks
+    // so the mid-shuffle window exists to be observed
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // 4 shuffle partitions in the test session, 100 keys: each
+      // reduce-side task reads ~1/4 of the map output, so the first
+      // reduce task completions observe shuffle-read < shuffle-write
+      // and must be reported as SHUFFLE progress strictly inside (0,100)
+      val input = spark.createDataset(1 to 10000)
+      MapReduce.run(input)(i => Iterator((i % 100, 1L)))((k, vs) =>
+        Iterator((k, vs.sum))).collect()
+      var waited = 0
+      while (listener.state != JobState(JobStage.Reduce, 100f) && waited < 5000) {
+        Thread.sleep(10); waited += 10
+      }
+      val history = listener.history
+      val shuffle = history.filter(_.stage == JobStage.Shuffle)
+      assert(shuffle.exists(s => s.percentage > 0f && s.percentage < 100f),
+        s"no intermediate SHUFFLE state in $history")
+      // the machine still never steps backwards
+      val ids = history.map(_.stage.id)
+      assert(ids === ids.sorted)
+      assert(history.last === JobState(JobStage.Reduce, 100f))
+    } finally {
+      spark.conf.set(coalesceKey, prevCoalesce)
+      JobProgress.detach(spark, listener)
+    }
+  }
 }

@@ -76,6 +76,36 @@ class MapReduceSpec extends SparkSpec {
     assert(b.state === JobState(JobStage.Reduce, 100f))
   }
 
+  test("multiThreadLevel controls map parallelism; results are N-independent") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    import spark.implicits._
+    val input = spark.createDataset(1 to 5000)
+    def job(level: Int) =
+      MapReduce.run(input, level)(i => Iterator((i % 7, 1L)))((k, vs) =>
+        Iterator((k, vs.sum))).collect().toSet
+    // the reference contract: multiThreadLevel changes execution width,
+    // never the result (MapReduceFramework.h:18-20)
+    val base = job(0)
+    assert(job(1) === base)
+    assert(job(3) === base)
+    // the knob shows up as task counts: a shuffle-writing (map) stage
+    // with exactly `level` tasks exists
+    val widths = scala.collection.mutable.Set.empty[Int]
+    val probe = new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (org.apache.spark.scheduler.GraftSchedulerAccess.writesShuffle(e.stageInfo))
+          widths += e.stageInfo.numTasks
+    }
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      assert(job(3) === base)
+      // listener events are async: wait (bounded) for the stage to land
+      var waited = 0
+      while (!widths.contains(3) && waited < 5000) { Thread.sleep(10); waited += 10 }
+    } finally spark.sparkContext.removeSparkListener(probe)
+    assert(widths.contains(3), s"no 3-task map stage observed (saw $widths)")
+  }
+
   test("map may emit zero pairs (filter) and many pairs (expand)") {
     import spark.implicits._
     val input = spark.createDataset(Seq(1, 2, 3, 4, 5))

@@ -20,6 +20,30 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("stream progress adapter reaches the reference poll-loop terminal state") {
+    val stream = Streams.readEventsStream(spark, sf)
+    val q = Streams.tumbling(stream).writeStream
+      .format("memory")
+      .queryName("progress_sink")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val prog = StreamProgress.attach(spark, q)
+    val observed = scala.collection.mutable.ArrayBuffer.empty[graft.mr.JobState]
+    try {
+      while (q.isActive) { observed += prog.state; Thread.sleep(2) }
+      q.awaitTermination()
+      // caught up after a finite AvailableNow replay: the adapter must
+      // report the sample client's poll-loop exit state (REDUCE, 100)
+      assert(prog.state === graft.mr.JobState(graft.mr.JobStage.Reduce, 100f))
+      // anything observed mid-run is a valid machine state
+      observed.foreach(s => assert(s.percentage >= 0f && s.percentage <= 100f))
+    } finally {
+      prog.close()
+      q.stop()
+    }
+  }
+
   test("file-replayed tumbling windows equal the batch computation") {
     val stream = Streams.readEventsStream(spark, sf)
     runToMemory(Streams.tumbling(stream), "tumbling_sink")
