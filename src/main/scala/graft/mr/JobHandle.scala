@@ -44,25 +44,49 @@ final class JobHandle[R] private[mr] (
 object JobHandle {
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  /** `startMapReduceJob`: launch asynchronously under a unique job group
-    * (so the handle's progress listener sees only this job, even with
-    * concurrent submissions on the same session), return the handle.
+  /** Run any Spark action asynchronously under a unique job group (so the
+    * handle's progress listener sees only this job, even with concurrent
+    * submissions on the same session) and hand back the lifecycle handle.
+    */
+  private[mr] def launchAction[R](spark: SparkSession)(action: => R): JobHandle[R] = {
+    val group = s"graft-mr-${java.util.UUID.randomUUID()}"
+    val listener = JobProgress.attach(spark, Some(group))
+    val fut = Future {
+      // setJobGroup is thread-local; the action runs on this thread
+      spark.sparkContext.setJobGroup(group, "graft MapReduce job", interruptOnCancel = false)
+      try action
+      finally spark.sparkContext.clearJobGroup()
+    }
+    new JobHandle(spark, listener, fut)
+  }
+
+  /** `startMapReduceJob` with the reference's caller-owned output buffer
+    * semantics: the result array is the `OutputVec`.
     */
   private[mr] def launch[I, K2, V2, K3, V3](input: Dataset[I])(
       map: I => IterableOnce[(K2, V2)])(
       reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
       e2: Encoder[(K2, V2)],
       ek: Encoder[K2],
-      e3: Encoder[(K3, V3)]): JobHandle[Array[(K3, V3)]] = {
+      e3: Encoder[(K3, V3)]): JobHandle[Array[(K3, V3)]] =
+    launchAction(input.sparkSession)(MapReduce.run(input)(map)(reduce).collect())
+
+  /** Sink variant for outputs too large for driver memory: identical job,
+    * but the reduce output streams to a parquet directory executor-side
+    * (the reference's `OutputVec` is driver memory by contract,
+    * `MapReduceFramework.cpp:181-184` — fine at its scale, wrong at
+    * 100 TB). The handle resolves to the written row count.
+    */
+  private[mr] def launchWrite[I, K2, V2, K3, V3](input: Dataset[I], path: String)(
+      map: I => IterableOnce[(K2, V2)])(
+      reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
+      e2: Encoder[(K2, V2)],
+      ek: Encoder[K2],
+      e3: Encoder[(K3, V3)]): JobHandle[Long] = {
     val spark = input.sparkSession
-    val group = s"graft-mr-${java.util.UUID.randomUUID()}"
-    val listener = JobProgress.attach(spark, Some(group))
-    val fut = Future {
-      // setJobGroup is thread-local; the collect runs on this thread
-      spark.sparkContext.setJobGroup(group, "graft MapReduce job", interruptOnCancel = false)
-      try MapReduce.run(input)(map)(reduce).collect()
-      finally spark.sparkContext.clearJobGroup()
+    launchAction(spark) {
+      MapReduce.run(input)(map)(reduce).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).count()
     }
-    new JobHandle(spark, listener, fut)
   }
 }

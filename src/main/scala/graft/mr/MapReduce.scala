@@ -71,6 +71,19 @@ object MapReduce {
       e3: Encoder[(K3, V3)]): JobHandle[Array[(K3, V3)]] =
     JobHandle.launch(withLevel(input, multiThreadLevel))(map)(reduce)
 
+  /** [[submit]] with a parquet sink instead of the collect buffer — the
+    * output path for results that must not transit the driver. Same
+    * lifecycle handle; resolves to the written row count.
+    */
+  def submitWrite[I, K2, V2, K3, V3](input: Dataset[I], path: String,
+      multiThreadLevel: Int = 0)(
+      map: I => IterableOnce[(K2, V2)])(
+      reduce: (K2, Iterator[V2]) => IterableOnce[(K3, V3)])(implicit
+      e2: Encoder[(K2, V2)],
+      ek: Encoder[K2],
+      e3: Encoder[(K3, V3)]): JobHandle[Long] =
+    JobHandle.launchWrite(withLevel(input, multiThreadLevel), path)(map)(reduce)
+
   /** Algebraic fast path: when reduce is a commutative/associative merge,
     * run it as `reduceGroups` so Spark applies partial aggregation before
     * the shuffle (the upgrade over the reference the 100 TB target needs).

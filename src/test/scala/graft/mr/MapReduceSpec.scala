@@ -76,6 +76,20 @@ class MapReduceSpec extends SparkSpec {
     assert(b.state === JobState(JobStage.Reduce, 100f))
   }
 
+  test("submitWrite streams output to parquet with the same lifecycle") {
+    import spark.implicits._
+    val input = spark.createDataset(sampleInput)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-mr-sink-${System.nanoTime()}"
+    val handle = MapReduce.submitWrite(input, path) { s =>
+      s.groupBy(identity).iterator.map { case (c, cs) => (c.toString, cs.length.toLong) }
+    } { (ch, counts) => Iterator.single((ch, counts.sum)) }
+    val n = handle.close()
+    assert(n === golden.size)
+    val written = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(written === golden)
+  }
+
   test("multiThreadLevel controls map parallelism; results are N-independent") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     import spark.implicits._
