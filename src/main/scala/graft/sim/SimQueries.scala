@@ -78,7 +78,7 @@ object SimQueries {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** Hyperplane-LSH approximate top-5: 8 tables x 6-bit sign sketches
+  /** Hyperplane-LSH approximate top-5: 16 tables x 6-bit sign sketches
     * (64 buckets/table — sized so a few-thousand-vector corpus yields
     * tens of candidates per query; at larger n, raise `bits` ~log2(n)
     * to keep bucket occupancy constant). Rank only within matching
@@ -91,7 +91,7 @@ object SimQueries {
     * copy per executor), not an interpreted per-row HOF.
     */
   private def signBuckets(s: SparkSession, d: String,
-                          dim: Int = 64, nTables: Int = 8, bits: Int = 6): DataFrame = {
+                          dim: Int = 64, nTables: Int = 16, bits: Int = 6): DataFrame = {
     import s.implicits._
     val ps = planes(dim, nTables, bits)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -272,14 +272,14 @@ object SimQueries {
   }
 
   /** Scale-path variant of [[embeddingPairs]]: candidate pairs from the
-    * hyperplane-LSH bucket equi-join (vectors sharing >= 1 of 8 sign
+    * hyperplane-LSH bucket equi-join (vectors sharing >= 1 of 16 sign
     * sketches), exact `dot_i64` quantized-cosine rerank, same 0.25
     * threshold and output schema. No all-pairs join anywhere.
     *
     * Honesty note on recall (pinned in SimSpec, no oracle): a 0.25
     * cosine threshold is a LOW bar — such pairs sit at ~75° where a
-    * single hyperplane agrees w.p. only 0.58, so 8x6-bit sketches catch
-    * a boundary pair w.p. ~0.27; clustered (higher-cosine) pairs are
+    * single hyperplane agrees w.p. only 0.58, so 16x6-bit sketches catch
+    * a boundary pair w.p. ~0.47; clustered (higher-cosine) pairs are
     * caught at much higher rates. Dense low-threshold similarity joins
     * are inherently Ω(output)≈Ω(n²) if exact — at 100 TB one either
     * raises the threshold (recall→1 as cos→1), raises nTables, or
