@@ -26,6 +26,13 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall; missing ${jac.diff(sim)}")
   }
 
+  test("minhash plan never falls back to a nested-loop or cartesian join") {
+    val plan = DedupQueries.minhashLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val df = DedupQueries.exact(spark, sf)
     val total = graft.Tables.documents(spark, sf).count()

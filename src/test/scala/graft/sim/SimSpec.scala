@@ -38,6 +38,15 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.2f below floor")
   }
 
+  test("lsh pair/knn plans never fall back to a nested-loop or cartesian join") {
+    Seq(SimQueries.embeddingPairsLsh(spark, sf), SimQueries.knnLsh(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+        assert(!plan.contains("CartesianProduct"), plan)
+      }
+  }
+
   test("lsh knn candidates achieve nontrivial recall vs brute force") {
     val brute = SimQueries.knnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
