@@ -92,11 +92,38 @@ object TextQueries {
         lit(0L),
         (acc, x) => (acc * 31L + x) % 1000000007L).as("fp"))
 
+  /** The composed training-data pipeline, end to end: exact dedup (keep
+    * the smallest doc_id per distinct text) → language filter → token
+    * gate → per-source corpus statistics. One declarative plan, so
+    * Catalyst fuses the stages: the dedup is a semi-join against a hash
+    * aggregate, the filters run before the final aggregation, and the
+    * whole thing is two shuffles (dedup keys, source groups) regardless
+    * of corpus size.
+    */
+  def corpusPipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .where(col("lang") === "en")
+      .withColumn("n_tokens", size(filter(split(col("text"), " "), w => w =!= "")))
+      .where(col("n_tokens") >= 10)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
     "q32_token_count" -> tokenCount,
-    "q33_fingerprint" -> fingerprint)
+    "q33_fingerprint" -> fingerprint,
+    "q62_corpus_pipeline" -> corpusPipeline)
 
   val oracles: Map[String, String] = Map(
     "q30_text_quality" ->
@@ -143,5 +170,18 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q62_corpus_pipeline" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM keep) AND lang = 'en'),
+        |g AS (SELECT source, n_tokens FROM t WHERE n_tokens >= 10)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM g GROUP BY source""".stripMargin)
 }
