@@ -180,6 +180,11 @@ object DedupQueries {
     *  - verification joins candidate pairs back to the per-doc shingle
     *    arrays (equi-joins on doc id) and intersects two ~doc-sized
     *    arrays per candidate.
+    *  - exact-duplicate-heavy corpora: m identical texts form J=1 pairs
+    *    among themselves, so the OUTPUT is Ω(m²) by definition and the
+    *    candidate join pays the same order (×bands, deduped by the
+    *    distinct). At 100 TB, collapse identical texts first ([[exact]],
+    *    q40) and run near-dup over the distinct texts.
     */
   def minhashLsh: Q = (s, d) => {
     val sigs = docSignatures(s, d)

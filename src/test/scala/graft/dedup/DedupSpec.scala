@@ -26,6 +26,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall; missing ${jac.diff(sim)}")
   }
 
+  test("minhash == exact jaccard on a seeded synthetic corpus with edge cases") {
+    // independent of the driver corpus: 200 base docs + 20 injected
+    // near-dups at J >= 0.9 (where the 16x3 banding miss probability is
+    // ~2.6e-8/pair), plus the edge cases — empty text, 1- and 2-word
+    // docs (no shingles), exact duplicates
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11L)
+    val vocab = Array.tabulate(50)(i => s"w$i")
+    def doc(n: Int): String = Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Array.fill(200)(doc(40 + rnd.nextInt(20)))
+    val nearDups = bases.take(20).map { t =>
+      val ws = t.split(' '); ws(ws.length - 1) = "zz"; ws.mkString(" ")
+    }
+    val edge = Seq("", "one", "two words", bases(0), bases(1))
+    val all = (bases ++ nearDups ++ edge).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = spark.createDataFrame(all).toDF("doc_id", "text")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-prop-${System.nanoTime()}"
+    df.select(col("doc_id"), col("text"), lit("en").as("lang"),
+      lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exact = DedupQueries.ngramJaccard(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = DedupQueries.minhashLsh(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 20, s"expected injected near-dups, got ${exact.size}")
+    assert(lsh === exact)
+  }
+
   test("minhash plan never falls back to a nested-loop or cartesian join") {
     val plan = DedupQueries.minhashLsh(spark, sf)
       .queryExecution.executedPlan.toString
