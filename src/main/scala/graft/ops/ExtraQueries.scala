@@ -159,6 +159,33 @@ object ExtraQueries {
         col("t.l_orderkey").as("l_orderkey"), col("t.l_linenumber").as("l_linenumber"))
   }
 
+  /** Deterministic hash-based sampling — the reproducible alternative to
+    * `df.sample()` a training-data pipeline needs at scale: the sample is
+    * a pure function of the key (md5 hex prefix against a threshold), so
+    * it is stable across runs, engines, partitionings and cluster sizes,
+    * and composable (the same row is in or out everywhere). '1a'/'100' of
+    * the hex space ≈ 10.2%.
+    */
+  def hashSample: Q = (s, d) =>
+    Tables.orders(s, d)
+      .where(md5(col("o_orderkey").cast("string")) < "1a")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+
+  /** Exact interpolated percentiles (median / p90) — `percentile` is the
+    * exact sort-based aggregate (DuckDB: `quantile_cont`); the
+    * approximate sketch variant (`approx_percentile`, engine-specific
+    * like the HLL in q34) is accuracy-pinned in ExtraSpec instead.
+    */
+  def percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        count(lit(1)).as("cnt"))
+
   /** Multiset (bag) set operations — intersectAll / exceptAll keep
     * duplicate multiplicities, unlike the set-semantics q13.
     */
@@ -223,7 +250,9 @@ object ExtraQueries {
     "q35_udaf_avg_cents" -> udafAvgCents,
     "q36_csv_source" -> csvSource,
     "q37_from_json" -> fromJson,
-    "q56_json_source" -> jsonSource)
+    "q56_json_source" -> jsonSource,
+    "q63_hash_sample" -> hashSample,
+    "q64_percentiles" -> percentiles)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -297,6 +326,18 @@ object ExtraQueries {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q63_hash_sample" ->
+      """SELECT o_orderstatus, count(*) AS n_sampled,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q64_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q56_json_source" ->
       """SELECT n_name, count(*) AS n_supp,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

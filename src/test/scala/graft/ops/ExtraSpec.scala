@@ -13,6 +13,22 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands within a tight quantile band of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi"))
+      .collect()
+    rows.foreach { r =>
+      val ap = r.getDouble(2)
+      assert(ap >= r.getDouble(3) && ap <= r.getDouble(4),
+        s"approx p50 $ap outside [p45, p55] for ${r.getString(0)}")
+    }
+  }
+
   test("typed Aggregator equals the arithmetic it encodes") {
     val rows = ExtraQueries.udafAvgCents(spark, sf).collect()
     val byFlag = graft.Tables.lineitem(spark, sf)
