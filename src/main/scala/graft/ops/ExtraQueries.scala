@@ -186,6 +186,18 @@ object ExtraQueries {
         expr("percentile(l_extendedprice, 0.9)").as("p90"),
         count(lit(1)).as("cnt"))
 
+  /** Array aggregation: `collect_set` is order-nondeterministic under
+    * parallelism, so the deterministic (and oracle-able) form sorts the
+    * collected array — the pattern for any list-valued aggregate at
+    * scale.
+    */
+  def arrayAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        sort_array(collect_set(month(col("l_shipdate")))).as("ship_months"),
+        count(lit(1)).as("cnt"))
+
   /** Multiset (bag) set operations — intersectAll / exceptAll keep
     * duplicate multiplicities, unlike the set-semantics q13.
     */
@@ -252,7 +264,8 @@ object ExtraQueries {
     "q37_from_json" -> fromJson,
     "q56_json_source" -> jsonSource,
     "q63_hash_sample" -> hashSample,
-    "q64_percentiles" -> percentiles)
+    "q64_percentiles" -> percentiles,
+    "q65_array_agg" -> arrayAgg)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -326,6 +339,12 @@ object ExtraQueries {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q65_array_agg" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  list_sort(list(DISTINCT CAST(month(l_shipdate) AS INT))) AS ship_months,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q63_hash_sample" ->
       """SELECT o_orderstatus, count(*) AS n_sampled,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
