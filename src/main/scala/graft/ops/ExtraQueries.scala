@@ -186,6 +186,36 @@ object ExtraQueries {
         expr("percentile(l_extendedprice, 0.9)").as("p90"),
         count(lit(1)).as("cnt"))
 
+  /** Statistical aggregates (variance / stddev / correlation) in the
+    * engine-deterministic form: the built-ins accumulate running float
+    * moments whose merge order varies with partitioning, so they can
+    * never hash-match another engine. Instead the raw moments (Σx, Σx²,
+    * Σxy, n) are summed exactly in decimal — associative, partial-agg
+    * friendly — and the statistics derived from them in one identical
+    * double-arithmetic expression on both engines. (Built-in `stddev_pop`
+    * is pinned approx-equal to this form in ExtraSpec.)
+    */
+  def statsMoments: Q = (s, d) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"))
+    m.select(
+      col("l_returnflag"), col("n"),
+      (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+        .as("var_pop_qty"),
+      sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+        .as("stddev_pop_qty"),
+      (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+        .as("covar_pop_qty_price"))
+  }
+
   /** Array aggregation: `collect_set` is order-nondeterministic under
     * parallelism, so the deterministic (and oracle-able) form sorts the
     * collected array — the pattern for any list-valued aggregate at
@@ -265,7 +295,8 @@ object ExtraQueries {
     "q56_json_source" -> jsonSource,
     "q63_hash_sample" -> hashSample,
     "q64_percentiles" -> percentiles,
-    "q65_array_agg" -> arrayAgg)
+    "q65_array_agg" -> arrayAgg,
+    "q66_stats_moments" -> statsMoments)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -339,6 +370,19 @@ object ExtraQueries {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q66_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sxx / n - (sx / n) * (sx / n) AS var_pop_qty,
+        |  sqrt(sxx / n - (sx / n) * (sx / n)) AS stddev_pop_qty,
+        |  sxy / n - (sx / n) * (sy / n) AS covar_pop_qty_price
+        |FROM m""".stripMargin,
     "q65_array_agg" ->
       """SELECT l_returnflag,
         |  list_sort(list(DISTINCT l_linestatus)) AS statuses,

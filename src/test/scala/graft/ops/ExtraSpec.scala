@@ -29,6 +29,21 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("moment-form stddev agrees with the built-in to float tolerance") {
+    import org.apache.spark.sql.functions._
+    val moments = ExtraQueries.statsMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val builtin = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(stddev_pop(col("l_quantity")).as("sd")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(moments.keySet === builtin.keySet)
+    moments.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) <= 1e-6 * math.max(1.0, builtin(k)),
+        s"$k: moment $v vs builtin ${builtin(k)}")
+    }
+  }
+
   test("typed Aggregator equals the arithmetic it encodes") {
     val rows = ExtraQueries.udafAvgCents(spark, sf).collect()
     val byFlag = graft.Tables.lineitem(spark, sf)
