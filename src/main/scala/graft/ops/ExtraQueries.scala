@@ -174,9 +174,11 @@ object ExtraQueries {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
 
   /** Exact interpolated percentiles (median / p90) — `percentile` is the
-    * exact sort-based aggregate (DuckDB: `quantile_cont`); the
-    * approximate sketch variant (`approx_percentile`, engine-specific
-    * like the HLL in q34) is accuracy-pinned in ExtraSpec instead.
+    * exact sort-based aggregate (DuckDB: `quantile_cont`); it buffers a
+    * group's values, which is fine at dimension-group cardinality but
+    * not for billion-row groups — there the bounded-memory sketch
+    * `approx_percentile` is the 100 TB path (engine-specific like the
+    * HLL in q34, so accuracy-pinned in ExtraSpec rather than oracle'd).
     */
   def percentiles: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -185,6 +187,23 @@ object ExtraQueries {
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.9)").as("p90"),
         count(lit(1)).as("cnt"))
+
+  /** Latest-record-per-key compaction (CDC / upsert semantics): keep each
+    * user's most recent event by (ts, event_id) — `row_number` over a
+    * per-key descending window, the standard log-compaction shape. One
+    * shuffle on the key; WindowGroupLimit prunes each partition to the
+    * top row before the sort completes.
+    */
+  def latestPerKey: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("ts").as("latest_ts"), col("event_type").as("latest_type"))
+  }
 
   /** Statistical aggregates (variance / stddev / correlation) in the
     * engine-deterministic form: the built-ins accumulate running float
@@ -296,7 +315,8 @@ object ExtraQueries {
     "q63_hash_sample" -> hashSample,
     "q64_percentiles" -> percentiles,
     "q65_array_agg" -> arrayAgg,
-    "q66_stats_moments" -> statsMoments)
+    "q66_stats_moments" -> statsMoments,
+    "q67_latest_per_key" -> latestPerKey)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -370,6 +390,13 @@ object ExtraQueries {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q67_latest_per_key" ->
+      """SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+        |  event_type AS latest_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q66_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
