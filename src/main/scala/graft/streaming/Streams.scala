@@ -176,9 +176,28 @@ object Streams {
       }
   }
 
+  /** Batch-oracle forms of the remaining stream transforms — the same
+    * watermark + dropDuplicates / interval-join shapes StreamingSpec
+    * replays as streams (watermarks are no-ops in batch), so the oracle
+    * gate covers the streaming operators' semantics, not just their
+    * windowed-agg siblings. The dedup aggregates AFTER deduplication:
+    * which duplicate survives is engine-dependent, but the count of
+    * survivors per group is exact.
+    */
+  def dedupBatch: Q = (s, d) =>
+    Tables.events(s, d)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+
+  def intervalJoinBatch: Q = (s, d) => purchaseSignupJoin(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q25_session_window" -> sessionsBatch,
-    "q26_sliding_window" -> slidingBatch)
+    "q26_sliding_window" -> slidingBatch,
+    "q68_stream_dedup" -> dedupBatch,
+    "q69_interval_join" -> intervalJoinBatch)
 
   val oracles: Map[String, String] = Map(
     // gaps-and-islands: a session breaks when the gap is >= 30 minutes
@@ -208,5 +227,21 @@ object Streams {
         |    ts
         |  FROM events, (SELECT unnest(range(0, 4)) AS k))
         |WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
-        |GROUP BY ws, event_type""".stripMargin)
+        |GROUP BY ws, event_type""".stripMargin,
+    "q68_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the engine's data model is microsecond timestamps (Tables.events
+    // truncates the parquet nanos on load) — mirror that in the oracle so
+    // both engines evaluate the interval bounds on identical values
+    "q69_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id AS s_user, ts AS s_ts
+        |      FROM e WHERE event_type = 'signup')
+        |SELECT p_id, user_id, p_ts, s_ts
+        |FROM p JOIN s ON user_id = s_user
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin)
 }
