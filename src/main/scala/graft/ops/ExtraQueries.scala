@@ -271,6 +271,16 @@ object ExtraQueries {
       // conditional-aggregation oracle counts it as 0
       .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
 
+  /** Unpivot (melt): the inverse of [[pivotStatus]] — fold the per-
+    * priority count columns back into (priority, cnt) rows. Narrow,
+    * shuffle-free reshape on top of the pivoted aggregate.
+    */
+  def unpivotStatus: Q = (s, d) =>
+    pivotStatus(s, d).unpivot(
+      Array(col("o_orderstatus")),
+      Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
+      "priority", "cnt")
+
   /** Correlated + scalar subqueries through the SQL surface. */
   def scalarSubquery: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("orders_sq")
@@ -316,7 +326,8 @@ object ExtraQueries {
     "q64_percentiles" -> percentiles,
     "q65_array_agg" -> arrayAgg,
     "q66_stats_moments" -> statsMoments,
-    "q67_latest_per_key" -> latestPerKey)
+    "q67_latest_per_key" -> latestPerKey,
+    "q70_unpivot" -> unpivotStatus)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -390,6 +401,17 @@ object ExtraQueries {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q70_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus,
+        |    count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |    count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |    count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |    count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |    count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, priority, cnt
+        |FROM w UNPIVOT (cnt FOR priority IN (p1, p2, p3, p4, p5))""".stripMargin,
     "q67_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
         |  event_type AS latest_type
