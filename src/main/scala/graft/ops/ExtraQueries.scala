@@ -238,13 +238,20 @@ object ExtraQueries {
   /** Array aggregation: `collect_set` is order-nondeterministic under
     * parallelism, so the deterministic (and oracle-able) form sorts the
     * collected array — the pattern for any list-valued aggregate at
-    * scale.
+    * scale. The sorted arrays are emitted through `array_join` so the
+    * compared columns are flat strings: the correctness harness sorts
+    * result rows column-wise and cannot order array-typed cells.
     */
   def arrayAgg: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-        sort_array(collect_set(month(col("l_shipdate")))).as("ship_months"),
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        array_join(
+          sort_array(collect_set(month(col("l_shipdate"))))
+            .cast("array<string>"), ",")
+          .as("ship_months"),
         count(lit(1)).as("cnt"))
 
   /** Multiset (bag) set operations — intersectAll / exceptAll keep
@@ -434,8 +441,8 @@ object ExtraQueries {
         |FROM m""".stripMargin,
     "q65_array_agg" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
-        |  list_sort(list(DISTINCT CAST(month(l_shipdate) AS INT))) AS ship_months,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT CAST(month(l_shipdate) AS INT))), ',') AS ship_months,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q63_hash_sample" ->
