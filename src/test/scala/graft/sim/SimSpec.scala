@@ -34,8 +34,8 @@ class SimSpec extends SparkSpec {
     // rerank is exact, so every emitted pair must also be an exact pair
     assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(5)}")
     val recall = exact.count(lsh.contains).toDouble / exact.size
-    info(f"lsh pair recall@cos0.25 = $recall%.2f (low threshold => inherently partial; see scaladoc)")
-    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+    info(f"lsh pair recall@cos0.25 = $recall%.2f (Hamming-1 multi-probe; see scaladoc)")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
   }
 
   test("lsh pair/knn plans never fall back to a nested-loop or cartesian join") {
@@ -53,9 +53,7 @@ class SimSpec extends SparkSpec {
     val lsh = SimQueries.knnLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(lsh.contains).toDouble / brute.size
-    info(f"lsh recall@5 = $recall%.2f (candidates ranked by true cosine)")
-    // sign-sketch LSH on near-uniform vectors is approximate; just require
-    // it beats random chance by a wide margin (random recall ~5/500)
-    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+    info(f"lsh recall@5 = $recall%.2f (Hamming-1 multi-probed candidates, ranked by true cosine)")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
   }
 }
