@@ -177,8 +177,7 @@ object ExtraQueries {
     * exact sort-based aggregate (DuckDB: `quantile_cont`); it buffers a
     * group's values, which is fine at dimension-group cardinality but
     * not for billion-row groups — there the bounded-memory sketch
-    * `approx_percentile` is the 100 TB path (engine-specific like the
-    * HLL in q34, so accuracy-pinned in ExtraSpec rather than oracle'd).
+    * [[approxPercentiles]] (q73) is the registered 100 TB path.
     */
   def percentiles: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -186,6 +185,21 @@ object ExtraQueries {
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        count(lit(1)).as("cnt"))
+
+  /** Bounded-memory approximate percentiles — the registered 100 TB
+    * sibling of [[percentiles]]: `approx_percentile` (KLL-style sketch,
+    * mergeable partial aggregate; accuracy 1/10000 here) never buffers a
+    * group, so billion-row groups cost O(sketch) memory. Sketch results
+    * are engine-specific → rows-only check like q34's HLL; the error
+    * bound vs the exact q64 values is pinned in ExtraSpec.
+    */
+  def approxPercentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
         count(lit(1)).as("cnt"))
 
   /** Latest-record-per-key compaction (CDC / upsert semantics): keep each
@@ -304,6 +318,28 @@ object ExtraQueries {
       .where(col("doc_id") < 50)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
 
+  /** Map-type scalar functions, oracle-gated: build a word-index map per
+    * document (`map_from_arrays`), `map_filter` it, derive a lengths map
+    * with `transform_values`, append a constant entry with `map_concat`,
+    * then EXPLODE the map to flat (key, value) rows — Spark MAP and
+    * DuckDB MAP dialects diverge, but the exploded entry rows compare
+    * exactly (`element_at` on the lengths map supplies the third column;
+    * the concat'd entry has no length entry → null, exercising map-miss
+    * semantics). Supplementary semantics pins stay in MapFuncsSpec.
+    */
+  def mapFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(size(split(col("text"), lit(" "))) >= 5)
+      .withColumn("ws", slice(split(col("text"), " "), 1, 5))
+      .withColumn("m", map_from_arrays(
+        expr("transform(sequence(0, size(ws) - 1), i -> concat('w', i))"), col("ws")))
+      .withColumn("mf", expr("map_filter(m, (k, v) -> length(v) > 3)"))
+      .withColumn("mt", expr("transform_values(mf, (k, v) -> length(v))"))
+      .withColumn("m2", map_concat(col("mf"), map(lit("extra"), lit("xx"))))
+      .select(col("doc_id"), col("mt"), explode(col("m2")).as(Seq("k", "v")))
+      .select(col("doc_id"), col("k"), col("v"),
+        element_at(col("mt"), col("k")).as("vlen"))
+
   /** Null semantics: nullif / coalesce / null-safe equality. */
   def nullSemantics: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -334,7 +370,9 @@ object ExtraQueries {
     "q65_array_agg" -> arrayAgg,
     "q66_stats_moments" -> statsMoments,
     "q67_latest_per_key" -> latestPerKey,
-    "q70_unpivot" -> unpivotStatus)
+    "q70_unpivot" -> unpivotStatus,
+    "q72_map_funcs" -> mapFuncs,
+    "q73_approx_percentiles" -> approxPercentiles)
 
   val oracles: Map[String, String] = Map(
     "q49_setops_all" ->
@@ -419,6 +457,19 @@ object ExtraQueries {
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus, priority, cnt
         |FROM w UNPIVOT (cnt FOR priority IN (p1, p2, p3, p4, p5))""".stripMargin,
+    // map ops mirrored on flat rows: entries of the filtered 5-word index
+    // map plus the concat'd constant entry (no lengths entry -> NULL vlen)
+    "q72_map_funcs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |e AS (
+        |  SELECT doc_id, 'w' || CAST(i - 1 AS VARCHAR) AS k, ws[i] AS v
+        |  FROM w, (SELECT unnest(range(1, 6)) AS i)
+        |  WHERE length(ws[i]) > 3)
+        |SELECT doc_id, k, v, CAST(length(v) AS INT) AS vlen FROM e
+        |UNION ALL
+        |SELECT doc_id, 'extra' AS k, 'xx' AS v, NULL AS vlen FROM w""".stripMargin,
     "q67_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
         |  event_type AS latest_type

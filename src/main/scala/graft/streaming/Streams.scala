@@ -176,6 +176,48 @@ object Streams {
       }
   }
 
+  /** Oracle gate for [[runningTotals]] (the `flatMapGroupsWithState`
+    * surface): replay the events table through the REAL streaming
+    * operator with `Trigger.AvailableNow`, land every update in a
+    * parquet sink via `foreachBatch` (no driver collect — the scale
+    * shape), and reduce to the final state per user: update-mode
+    * emissions are cumulative, so the final state is the row with the
+    * largest `n_events` (strictly increasing — a key only emits when it
+    * received data). That final state must equal a plain batch
+    * groupBy/agg, which is the DuckDB oracle.
+    *
+    * Exactness: the stream accumulates `value` in arrival order as
+    * doubles; inputs are 2-decimal values, so the accumulated error is
+    * ~1e-12 and the final total is canonicalized through
+    * `decimal(18,2)` on both engines (the determinism pattern used
+    * throughout).
+    */
+  def statefulTotalsReplay: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val run = s"graft-stateful-${math.abs(d.hashCode)}-${replaySeq.incrementAndGet()}"
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), run)
+    val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
+    val evs = readEventsStream(s, d)
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+    val q = runningTotals(evs).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[UserTotals], _: Long) =>
+        batch.write.mode("append").parquet(sink): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    s.read.parquet(sink)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Batch-oracle forms of the remaining stream transforms — the same
     * watermark + dropDuplicates / interval-join shapes StreamingSpec
     * replays as streams (watermarks are no-ops in batch), so the oracle
@@ -197,7 +239,8 @@ object Streams {
     "q25_session_window" -> sessionsBatch,
     "q26_sliding_window" -> slidingBatch,
     "q68_stream_dedup" -> dedupBatch,
-    "q69_interval_join" -> intervalJoinBatch)
+    "q69_interval_join" -> intervalJoinBatch,
+    "q71_stateful_totals" -> statefulTotalsReplay)
 
   val oracles: Map[String, String] = Map(
     // gaps-and-islands: a session breaks when the gap is >= 30 minutes
@@ -243,5 +286,11 @@ object Streams {
         |      FROM e WHERE event_type = 'signup')
         |SELECT p_id, user_id, p_ts, s_ts
         |FROM p JOIN s ON user_id = s_user
-        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin)
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
+    // final flatMapGroupsWithState state after a full replay == batch agg
+    "q71_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY user_id""".stripMargin)
 }

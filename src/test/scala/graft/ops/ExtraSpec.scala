@@ -29,6 +29,18 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("q73 registered approx percentiles track q64 exact within 0.5% relative error") {
+    val exact = ExtraQueries.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ExtraQueries.approxPercentiles(spark, sf).collect().foreach { r =>
+      val (e50, e90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - e50) / e50 <= 0.005,
+        s"p50 approx=${r.getDouble(1)} exact=$e50 for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - e90) / e90 <= 0.005,
+        s"p90 approx=${r.getDouble(2)} exact=$e90 for ${r.getString(0)}")
+    }
+  }
+
   test("moment-form stddev agrees with the built-in to float tolerance") {
     import org.apache.spark.sql.functions._
     val moments = ExtraQueries.statsMoments(spark, sf).collect()
