@@ -53,11 +53,31 @@ final class JobProgressListener(jobGroup: Option[String] = None) extends SparkLi
   private var sawWriter = false
   private var recordsWritten = 0L
   private var recordsRead = 0L
+  private var lastBatchId: Option[String] = None
 
   def state: JobState = current
 
-  /** Every distinct state the machine has passed through, in order. */
+  /** Every distinct state the machine has passed through, in order.
+    * Cumulative across micro-batch resets, so a poller's frequency can
+    * never change what is recorded — the sequence is event-driven.
+    */
   def history: List[JobState] = synchronized(states.toList)
+
+  /** Re-arm the phase machine for a new job while keeping the listener
+    * (and its cumulative [[history]]) attached — called internally at
+    * each micro-batch boundary. Detaching/re-attaching instead would
+    * open a window where bus events are silently dropped.
+    */
+  private def resetMachine(): Unit = {
+    current = JobState(JobStage.Undefined, 0f)
+    states += current
+    stageTasks.clear()
+    stageWritesShuffle.clear()
+    trackedStages.clear()
+    sawWriter = false
+    recordsWritten = 0L
+    recordsRead = 0L
+  }
 
   /** Never step the machine backwards: stage strictly advances, and the
     * percentage within a stage is clamped non-decreasing and to <= 100.
@@ -72,8 +92,20 @@ final class JobProgressListener(jobGroup: Option[String] = None) extends SparkLi
   }
 
   override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
-    val group = Option(e.properties).flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
-    if (jobGroup.isEmpty || jobGroup == group) trackedStages ++= e.stageIds
+    val props = Option(e.properties)
+    val group = props.flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+    if (jobGroup.isEmpty || jobGroup == group) {
+      // Structured Streaming tags every micro-batch's jobs with its batch
+      // id (StreamExecution.BATCH_ID_KEY): a new id means a new logical
+      // MapReduce job, so the phase machine re-arms — event-driven, with
+      // the listener staying on the bus (no detach/attach event loss).
+      val batch = props.flatMap(p => Option(p.getProperty("streaming.sql.batchId")))
+      if (batch.isDefined && batch != lastBatchId) {
+        if (lastBatchId.isDefined) resetMachine()
+        lastBatchId = batch
+      }
+      trackedStages ++= e.stageIds
+    }
   }
 
   private def tracked(stageId: Int): Boolean =

@@ -272,6 +272,11 @@ object CoreQueries {
   /** Non-equi (range) join: each order joined to the count of more
     * expensive orders placed the same day — a theta join Catalyst plans
     * without a cross product thanks to the equi component on the date.
+    *
+    * SCALE NOTE: this is the registered theta-join demonstrator, but the
+    * join form grows O(Σ per-day²) with rows per day — at 100 TB use
+    * [[joinNonEquiWindow]] (q74), which computes the same answer with a
+    * single per-day sort.
     */
   def joinNonEqui: Q = (s, d) => {
     val a = Tables.orders(s, d).select(col("o_orderkey").as("a_key"),
@@ -281,6 +286,19 @@ object CoreQueries {
     a.join(b, a("a_date") === b("b_date") && b("b_price") > a("a_price"), "left")
       .groupBy("a_key")
       .agg(count(col("b_price")).as("n_pricier_same_day"))
+  }
+
+  /** The scale form of [[joinNonEqui]]: `rank() - 1` over a per-day
+    * descending-price window IS the count of strictly pricier same-day
+    * orders (rank assigns ties their minimum position). One sort per
+    * day-partition instead of a per-day quadratic self-join; shares
+    * q24's exact oracle.
+    */
+  def joinNonEquiWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderdate")).orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("a_key"),
+        (rank().over(w) - 1).cast("long").as("n_pricier_same_day"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -308,6 +326,7 @@ object CoreQueries {
     "q22_word_count" -> wordCount,
     "q23_events_tumbling" -> eventsTumbling,
     "q24_join_nonequi" -> joinNonEqui,
+    "q74_nonequi_window" -> joinNonEquiWindow,
     "q57_charcount_mr_fast" -> charCountMrFast)
 
   val oracles: Map[String, String] = Map(
@@ -442,6 +461,12 @@ object CoreQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q24_join_nonequi" ->
+      """SELECT a.o_orderkey AS a_key, count(b.o_totalprice) AS n_pricier_same_day
+        |FROM orders a LEFT JOIN orders b
+        |  ON a.o_orderdate = b.o_orderdate AND b.o_totalprice > a.o_totalprice
+        |GROUP BY a.o_orderkey""".stripMargin,
+    // q74 computes the same answer as q24 at one sort — same exact oracle
+    "q74_nonequi_window" ->
       """SELECT a.o_orderkey AS a_key, count(b.o_totalprice) AS n_pricier_same_day
         |FROM orders a LEFT JOIN orders b
         |  ON a.o_orderdate = b.o_orderdate AND b.o_totalprice > a.o_totalprice

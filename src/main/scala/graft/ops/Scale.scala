@@ -38,19 +38,27 @@ object Scale {
     * table into the slice a query actually reads.
     */
   def partitionPrunedScan(s: SparkSession, d: String): DataFrame = {
-    // key the derived copy by the source dir so different datasets/sf
-    // never serve each other's data
+    s.read.parquet(ensurePartitionedOrders(s, d))
+      .where(col("o_year") === 1997)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One-time, idempotent write of the date-partitioned orders copy;
+    * returns its path. Keyed by the source dir so different datasets/sf
+    * never serve each other's data. Split out of the query body so a
+    * benchmark can warm it up and measure only the pruned scan.
+    */
+  def ensurePartitionedOrders(s: SparkSession, d: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-orders-by-year-${math.abs(d.hashCode)}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
     }
-    s.read.parquet(path)
-      .where(col("o_year") === 1997)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("cnt"))
+    path
   }
+
 
   /** Register bucketed copies of two tables and return the co-located
     * join: both sides pre-partitioned into the same bucket layout on the
@@ -60,6 +68,20 @@ object Scale {
     * embed the dir hash so different sfs never collide).
     */
   def bucketedJoin(s: SparkSession, d: String, buckets: Int = 8): DataFrame = {
+    val suffix = ensureBucketedTables(s, d, buckets)
+    val o = s.table(s"orders_bkt_$suffix")
+    val c = s.table(s"customer_bkt_$suffix")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** One-time, idempotent registration of the bucketed table copies;
+    * returns the per-dataset name suffix. Split out of the query body so
+    * a benchmark can warm the writes up and measure only the
+    * exchange-free join.
+    */
+  def ensureBucketedTables(s: SparkSession, d: String, buckets: Int = 8): String = {
     val suffix = math.abs(d.hashCode).toString
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
@@ -79,11 +101,15 @@ object Scale {
       }
     ensure(s"orders_bkt_$suffix", Tables.orders(s, d), "o_custkey")
     ensure(s"customer_bkt_$suffix", Tables.customer(s, d), "c_custkey")
-    val o = s.table(s"orders_bkt_$suffix")
-    val c = s.table(s"customer_bkt_$suffix")
-    c.join(o, c("c_custkey") === o("o_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"))
+    suffix
+  }
+
+  /** Benchmark warmup hook: materialize every derived copy the scale
+    * queries read, so measured runs see only the query itself.
+    */
+  def warmDerived(s: SparkSession, d: String): Unit = {
+    ensurePartitionedOrders(s, d): Unit
+    ensureBucketedTables(s, d): Unit
   }
 
   /** Registry forms of the scale techniques, each with an exact oracle:

@@ -91,8 +91,14 @@ object SimQueries {
     * imperative math in mapPartitions (planes ride the task closure, one
     * copy per executor), not an interpreted per-row HOF.
     */
+  /** Sketch width shared by [[signBuckets]] and [[withProbes]]: the probe
+    * expansion flips exactly the bits the bucket key has, so the two must
+    * always agree — a single constant, not two defaults that can drift.
+    */
+  private val lshBits = 6
+
   private def signBuckets(s: SparkSession, d: String,
-                          dim: Int = 64, nTables: Int = 16, bits: Int = 6): DataFrame = {
+                          dim: Int = 64, nTables: Int = 16, bits: Int = lshBits): DataFrame = {
     import s.implicits._
     val ps = planes(dim, nTables, bits)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -123,7 +129,7 @@ object SimQueries {
     * boundary (p ≈ 0.57) that is 0.04 → 0.20 per table, ~0.97 over 16
     * tables, at a fixed 1+bits fan-out (7x here) with no all-pairs join.
     */
-  private def withProbes(buckets: DataFrame, bits: Int = 6): DataFrame =
+  private def withProbes(buckets: DataFrame, bits: Int = lshBits): DataFrame =
     buckets.select(col("vec_id"), col("t"),
       explode(array(col("bkey") +:
         (0 until bits).map(j => col("bkey").bitwiseXOR(lit(1L << j))): _*))

@@ -20,32 +20,31 @@ import graft.mr.{JobProgress, JobProgressListener, JobStage, JobState}
   * finite `Trigger.AvailableNow` replay.
   */
 final class StreamProgress private[streaming] (spark: SparkSession, q: StreamingQuery) {
-  private var listener: JobProgressListener =
+  // ONE listener for the query's whole lifetime: micro-batch boundaries
+  // re-arm the phase machine inside the listener (keyed on the jobs'
+  // `streaming.sql.batchId` property), so the getter below is a pure
+  // read — observed state can never depend on polling frequency, and no
+  // bus events are lost to a detach/attach window.
+  private val listener: JobProgressListener =
     JobProgress.attach(spark, Some(q.runId.toString))
-  private var seenBatch = -1L
 
   /** Snapshot — safe to call from any thread, including after the query
-    * terminated.
+    * terminated. Side-effect-free.
     */
-  def state: JobState = synchronized {
-    val lp = Option(q.lastProgress)
-    val caughtUp = lp.isDefined && !q.status.isTriggerActive && !q.status.isDataAvailable
-    if (caughtUp) JobState(JobStage.Reduce, 100f)
-    else {
-      lp.foreach { p =>
-        if (p.batchId > seenBatch) {
-          // batch boundary: a fresh machine for the new micro-batch job
-          seenBatch = p.batchId
-          JobProgress.detach(spark, listener)
-          listener = JobProgress.attach(spark, Some(q.runId.toString))
-        }
-      }
-      listener.state
-    }
+  def state: JobState = {
+    val caughtUp = q.lastProgress != null &&
+      !q.status.isTriggerActive && !q.status.isDataAvailable
+    if (caughtUp) JobState(JobStage.Reduce, 100f) else listener.state
   }
 
+  /** Event-driven record of every state the machine passed through,
+    * across all micro-batches — identical no matter how (or whether)
+    * `state` was polled.
+    */
+  def history: List[JobState] = listener.history
+
   /** `closeJobHandle` for the adapter: release the listener. */
-  def close(): Unit = synchronized(JobProgress.detach(spark, listener))
+  def close(): Unit = JobProgress.detach(spark, listener)
 }
 
 object StreamProgress {

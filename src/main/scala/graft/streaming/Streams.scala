@@ -195,8 +195,11 @@ object Streams {
   def statefulTotalsReplay: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val run = s"graft-stateful-${math.abs(d.hashCode)}-${replaySeq.incrementAndGet()}"
-    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), run)
+    // unique per process AND per call (createTempDirectory), so two JVMs
+    // replaying the same dataset can never share — and so corrupt — a
+    // checkpoint or append-mode sink; the directory is deleted below once
+    // the result is materialized
+    val base = java.nio.file.Files.createTempDirectory("graft-stateful-")
     val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
     val evs = readEventsStream(s, d)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
@@ -210,13 +213,21 @@ object Streams {
       .start()
     q.awaitTermination()
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
-    s.read.parquet(sink)
+    val result = s.read.parquet(sink)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("user_id"), col("n_events"),
         col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
+      // sever the lineage from the temp files (eager, distributed — the
+      // per-user final states are tiny next to the replayed stream), so
+      // the run directory can be removed before the caller consumes it
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+    result
   }
-
-  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Batch-oracle forms of the remaining stream transforms — the same
     * watermark + dropDuplicates / interval-join shapes StreamingSpec

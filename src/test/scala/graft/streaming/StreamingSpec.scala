@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.{SparkSpec, Tables}
@@ -38,6 +39,33 @@ class StreamingSpec extends SparkSpec {
       assert(prog.state === graft.mr.JobState(graft.mr.JobStage.Reduce, 100f))
       // anything observed mid-run is a valid machine state
       observed.foreach(s => assert(s.percentage >= 0f && s.percentage <= 100f))
+    } finally {
+      prog.close()
+      q.stop()
+    }
+  }
+
+  test("stream progress history is event-driven — recorded even with zero polling") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val agg = ms.toDF().groupBy((col("value") % 10).as("k")).count()
+    val q = agg.writeStream
+      .format("memory").queryName("poll_free_sink").outputMode("complete").start()
+    val prog = StreamProgress.attach(spark, q)
+    try {
+      // two micro-batches, and `state` is never polled while they run:
+      // the machine's transitions must be recorded all the same, because
+      // they are driven by bus events, not by the poller
+      ms.addData(1 to 100: _*); q.processAllAvailable()
+      ms.addData(101 to 200: _*); q.processAllAvailable()
+      val h = prog.history
+      assert(h.exists(_.stage == graft.mr.JobStage.Map))
+      assert(h.exists(_.stage == graft.mr.JobStage.Reduce))
+      // the second batch re-armed the machine internally (one Undefined
+      // marker per boundary) — the listener never left the bus
+      assert(h.count(_ == graft.mr.JobState(graft.mr.JobStage.Undefined, 0f)) >= 1)
+      assert(prog.state === graft.mr.JobState(graft.mr.JobStage.Reduce, 100f))
     } finally {
       prog.close()
       q.stop()
