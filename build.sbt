@@ -26,8 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g cap / 8g floor: the bench suite runs 70+ queries in one JVM at
+  // local[32]; a small or growing heap showed multi-second GC stalls
+  // that dominated individual query timings (the host has 128 GiB).
+  // MetaspaceSize is raised because every codegen'd query loads fresh
+  // generated classes — the default 21m threshold fires repeated
+  // "Metadata GC Threshold" full collections across a 76-query suite.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-Xms8g",
+  "-XX:MetaspaceSize=1g",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").toSeq)
 
 // run suites sequentially: they share one local SparkSession
 Test / parallelExecution := false

@@ -22,8 +22,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      .config("spark.local.dir", s"${Tables.scratchDir}/spark-local")
+      .config("spark.sql.warehouse.dir", s"${Tables.scratchDir}/warehouse")
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as long
       // nanos-since-epoch under this flag (converted in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

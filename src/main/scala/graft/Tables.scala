@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated star schema (TESTDATA.md).
@@ -25,6 +25,43 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fast local scratch space for derived table copies, stream sinks,
+    * and Spark local (shuffle/spill) dirs: tmpfs when the host has one,
+    * `java.io.tmpdir` otherwise. On this single-node testbed the virtio
+    * disk is the bottleneck — its write stalls showed up as multi-second
+    * windows across otherwise CPU-bound bench queries. A real cluster
+    * points `spark.local.dir` at executor-local NVMe; this is the same
+    * decision scaled to the test host.
+    */
+  lazy val scratchDir: String = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft"
+      else System.getProperty("java.io.tmpdir")
+    new java.io.File(base).mkdirs()
+    base
+  }
+
+  /** Fan a narrow scan out to the cluster's task width when the file
+    * layout cannot: a source of few unsplittable files (the test corpora
+    * are single one-row-group parquet files) starts every scan at
+    * parallelism ~1 no matter what `maxPartitionBytes` says, serializing
+    * whatever heavy operator sits on top. One cheap hash exchange on
+    * `key` buys that operator the whole cluster. At production scale —
+    * thousands of splittable files — the source is already at least as
+    * wide as `defaultParallelism` and this is a no-op by construction,
+    * so the helper is safe to leave in 100 TB plans. The explicit
+    * partition count keeps AQE from coalescing the small exchange back
+    * into one partition.
+    *
+    * Use it under compute-dominated operators (wide aggregates, sorts,
+    * per-row heavy functions); a scan-bound filter/projection gains
+    * nothing and should stay exchange-free.
+    */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= n) df else df.repartition(n, key)
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on session config
     * Spark either reads it natively or (with

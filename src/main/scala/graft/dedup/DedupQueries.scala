@@ -26,7 +26,9 @@ object DedupQueries {
     * no shingles.
     */
   private def shingles(docs: DataFrame): DataFrame =
-    docs
+    // fanOut: shingling is per-document compute — on the single-file
+    // test corpus the scan alone would pin it to one task
+    graft.Tables.fanOut(docs, col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(ws) >= 3 THEN

@@ -80,7 +80,9 @@ object CoreQueries {
 
   /** TPC-H Q1-style pricing summary: filter pushdown + hash aggregate. */
   def aggPricing: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // fanOut: the wide decimal partial-aggregate is compute-bound; on the
+    // single-file test corpus it would otherwise run in one task
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -186,7 +188,9 @@ object CoreQueries {
   def windowRank: Q = (s, d) => {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-    Tables.lineitem(s, d)
+    // fanOut: the partial WindowGroupLimit sorts BEFORE the window
+    // exchange — on a one-task scan that sort would be serial
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
@@ -205,7 +209,7 @@ object CoreQueries {
 
   /** Rollup with grouping id. */
   def rollupFlags: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
         grouping_id().as("gid"))

@@ -63,7 +63,7 @@ object ExtraQueries {
     * differ across engines; accuracy asserted in ExtraSpec instead).
     */
   def approxDistinct: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
@@ -180,12 +180,18 @@ object ExtraQueries {
     * [[approxPercentiles]] (q73) is the registered 100 TB path.
     */
   def percentiles: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // fanOut: the exact-percentile partial aggregate buffers and sorts
+    // values — compute-bound, so it must not run on a one-task scan
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .groupBy("l_returnflag")
+      // one percentile(col, array(...)) buffer serves both quantiles —
+      // two scalar percentile calls would buffer the column twice
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"),
         count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"),
+        col("cnt"))
 
   /** Bounded-memory approximate percentiles — the registered 100 TB
     * sibling of [[percentiles]]: `approx_percentile` (KLL-style sketch,
@@ -231,7 +237,7 @@ object ExtraQueries {
   def statsMoments: Q = (s, d) => {
     val x = col("l_quantity")
     val y = col("l_extendedprice")
-    val m = Tables.lineitem(s, d)
+    val m = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),

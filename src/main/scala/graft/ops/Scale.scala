@@ -50,7 +50,7 @@ object Scale {
     * benchmark can warm it up and measure only the pruned scan.
     */
   def ensurePartitionedOrders(s: SparkSession, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-orders-by-year-${math.abs(d.hashCode)}"
+    val path = s"${Tables.scratchDir}/graft-orders-by-year-${math.abs(d.hashCode)}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))

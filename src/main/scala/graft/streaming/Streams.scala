@@ -199,7 +199,8 @@ object Streams {
     // replaying the same dataset can never share — and so corrupt — a
     // checkpoint or append-mode sink; the directory is deleted below once
     // the result is materialized
-    val base = java.nio.file.Files.createTempDirectory("graft-stateful-")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-stateful-")
     val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
     val evs = readEventsStream(s, d)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]

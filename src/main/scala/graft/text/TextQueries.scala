@@ -118,12 +118,81 @@ object TextQueries {
         (sum(col("n_tokens").cast("long")).cast("double") / count(lit(1))).as("avg_tokens"))
   }
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * 3-grams that are repeats of an earlier 3-gram — high values flag
+    * boilerplate/spam for a training-data filter. Pure array HOFs;
+    * int/int double division so the ratio hash-matches DuckDB.
+    */
+  def repetition: Q = (s, d) =>
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 3)
+      .withColumn("grams", expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+          size(col("grams"))).as("rep_ratio"))
+
+  /** Per-source sampling budget: the deterministic top-5 documents per
+    * source in md5(doc_id) order — the stratified "N docs per domain"
+    * cut a corpus builder applies before mixing sources. Reproducible
+    * across engines and cluster sizes (hash order, full tie-break), one
+    * shuffle on `source`, and WindowGroupLimit keeps only 5 rows per
+    * group ahead of the exchange.
+    */
+  def stratifiedSample: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("source"), col("doc_id"), col("rk"))
+  }
+
+  /** Document-length histogram in 100-char bins — the size-distribution
+    * summary a pipeline reports per snapshot. Integer bin arithmetic on
+    * both engines.
+    */
+  def lengthHistogram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Corpus-level n-gram statistics: the 20 most frequent word bigrams
+    * (count desc, gram asc — fully deterministic cut). The shape of an
+    * n-gram LM count pass: explode → hash-agg (map-side partials) →
+    * TakeOrderedAndProject top-k.
+    */
+  def ngramCounts: Q = (s, d) =>
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
     "q32_token_count" -> tokenCount,
     "q33_fingerprint" -> fingerprint,
-    "q62_corpus_pipeline" -> corpusPipeline)
+    "q62_corpus_pipeline" -> corpusPipeline,
+    "q75_repetition" -> repetition,
+    "q76_stratified_sample" -> stratifiedSample,
+    "q77_length_histogram" -> lengthHistogram,
+    "q78_ngram_counts" -> ngramCounts)
 
   val oracles: Map[String, String] = Map(
     "q30_text_quality" ->
@@ -183,5 +252,33 @@ object TextQueries {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
-        |FROM g GROUP BY source""".stripMargin)
+        |FROM g GROUP BY source""".stripMargin,
+    "q75_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) grams
+        |      FROM words WHERE len(ws) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+        |FROM g""".stripMargin,
+    "q76_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
+    "q77_length_histogram" ->
+      """SELECT (n_chars // 100) * 100 AS bin_lo, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q78_ngram_counts" ->
+      """WITH words AS (SELECT string_split(text, ' ') ws FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |      FROM words WHERE len(ws) >= 2)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)
 }
