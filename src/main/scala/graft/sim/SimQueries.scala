@@ -236,7 +236,7 @@ object SimQueries {
   def knnIvf: Q = (s, d) => {
     import s.implicits._
     val k = 16
-    val nprobe = 4
+    val nprobe = 8
     val dim = 64
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]

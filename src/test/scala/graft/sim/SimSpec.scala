@@ -15,14 +15,15 @@ class SimSpec extends SparkSpec {
     }
   }
 
-  test("ivf knn (nprobe=4 of 16 cells) achieves nontrivial recall vs brute force") {
+  test("ivf knn (nprobe=8 of 16 cells) achieves pinned recall vs brute force") {
     val brute = SimQueries.knnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = SimQueries.knnIvf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
     info(f"ivf recall@5 = $recall%.2f")
-    assert(recall >= 0.2, f"recall $recall%.2f below floor")
+    // deterministic: seeded init + fixed Lloyd rounds on a fixed corpus
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
   }
 
   test("lsh embedding pairs: subset of exact pairs (no false positives), pinned recall") {
