@@ -218,25 +218,39 @@ object DedupQueries {
     */
   def simhash: Q = (s, d) => {
     import s.implicits._
-    val dsh = shingles(Tables.documents(s, d))
-    val hashed = dsh.select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // per-doc simhash: bit j set iff sum of (+1/-1 per shingle bit j) >= 0.
-    // Typed mapGroups with plain bit loops: the 64 x |shingles| inner loop
-    // is imperative per-group math, much faster than interpreted HOFs.
-    val sim = hashed.as[(Long, Long)].groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val counts = new Array[Int](64)
-        it.foreach { case (_, h) =>
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-            j += 1
+    // ONE narrow pass computes each doc's sketch from its text: shingle
+    // set, 64-bit shingle hashes, and the +1/-1 bit votes never leave
+    // the task — the only thing shuffled afterwards is (doc_id, sketch),
+    // one row per DOC, not per shingle (the q42 MinHash lesson applied).
+    // Docs with no 3-shingle (< 3 words) emit nothing, as before.
+    val sim = graft.Tables
+      .fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split(' ')
+          if (ws.length < 3) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[Long]()
+            val counts = new Array[Int](64)
+            var i = 0
+            while (i + 2 < ws.length) {
+              val h = shingleHash(ws, i)
+              if (seen.add(h)) {
+                var j = 0
+                while (j < 64) {
+                  if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            var sh = 0L
+            var j = 0
+            while (j < 64) { if (counts(j) >= 0) sh |= (1L << j); j += 1 }
+            Iterator.single((id, sh))
           }
         }
-        var sh = 0L
-        var j = 0
-        while (j < 64) { if (counts(j) >= 0) sh |= (1L << j); j += 1 }
-        (id, sh)
       }
       .toDF("doc_id", "sh")
     val chunks = sim.select(col("doc_id"), col("sh"),

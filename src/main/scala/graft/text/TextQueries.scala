@@ -170,7 +170,8 @@ object TextQueries {
     * n-gram LM count pass: explode → hash-agg (map-side partials) →
     * TakeOrderedAndProject top-k.
     */
-  def ngramCounts: Q = (s, d) =>
+  /** One exploded bigram row per adjacent word pair. */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .where(size(col("ws")) >= 2)
@@ -178,10 +179,26 @@ object TextQueries {
         """transform(sequence(1, size(ws) - 1),
           |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
         .as("gram"))
+
+  def ngramCounts: Q = (s, d) =>
+    bigrams(s, d)
       .groupBy("gram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(20)
+
+  /** Sketch-based sibling of [[ngramCounts]] — `approx_top_k`
+    * (DataSketches frequent-items): a mergeable bounded-memory partial
+    * aggregate, so the heavy-hitters pass needs ONE reduction of
+    * sketch-sized state no matter how many distinct n-grams the corpus
+    * holds — the 100 TB path where the exact groupBy's hash table would
+    * not fit. Rows-only (sketch tie order is engine-specific); TextSpec
+    * pins that the approx top-20 contains the exact top-10.
+    */
+  def ngramTopKSketch: Q = (s, d) =>
+    bigrams(s, d)
+      .select(explode(expr("approx_top_k(gram, 20)")).as("e"))
+      .select(col("e.item").as("gram"), col("e.count").as("cnt_est"))
 
   val queries: Map[String, Q] = Map(
     "q30_text_quality" -> quality,
@@ -192,7 +209,8 @@ object TextQueries {
     "q75_repetition" -> repetition,
     "q76_stratified_sample" -> stratifiedSample,
     "q77_length_histogram" -> lengthHistogram,
-    "q78_ngram_counts" -> ngramCounts)
+    "q78_ngram_counts" -> ngramCounts,
+    "q79_ngram_topk_sketch" -> ngramTopKSketch)
 
   val oracles: Map[String, String] = Map(
     "q30_text_quality" ->

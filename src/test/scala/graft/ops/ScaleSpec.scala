@@ -6,6 +6,31 @@ import graft.{SparkSpec, Tables}
 
 class ScaleSpec extends SparkSpec {
 
+  test("fanOut widens a single-file scan to cluster width and preserves rows") {
+    val li = Tables.lineitem(spark, sf)
+    val fanned = Tables.fanOut(li, col("l_orderkey"))
+    // the test corpora are single-file sources — fanOut must engage
+    assert(fanned.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(fanned.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    // pure repartition: same multiset of rows
+    assert(fanned.count() === li.count())
+    val a = fanned.groupBy("l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = li.groupBy("l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b)
+  }
+
+  test("fanOut is a no-op when the source already fills the cluster") {
+    // a many-file source stands in for the production layout: write the
+    // nation table as more files than defaultParallelism
+    val path = s"${Tables.scratchDir}/fanout-many-files"
+    Tables.nation(spark, sf).repartition(spark.sparkContext.defaultParallelism + 1)
+      .write.mode("overwrite").parquet(path)
+    val many = spark.read.parquet(path)
+    assert(Tables.fanOut(many, col("n_nationkey")) eq many)
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val li = Tables.lineitem(spark, sf)
     val salted = Scale.saltedSum(li, col("l_returnflag"), col("l_quantity"))
