@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductI64(exprs.head, exprs(1))))
+    // opt-in narrow-scan widening (spark.graft.widenNarrowScans.enabled)
+    ext.injectOptimizerRule(graft.plans.WidenNarrowScans(_))
   }
 }
