@@ -31,6 +31,38 @@ class ScaleSpec extends SparkSpec {
     assert(Tables.fanOut(many, col("n_nationkey")) eq many)
   }
 
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~99% of the rows, forced through a shuffle
+    // join (broadcast disabled) with thresholds scaled down to test size
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select((when(col("id") % 100 === 0, col("id") % 1000).otherwise(lit(0L)))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("dim"))
+      // global aggregate: a groupBy on the join key would let AQE veto
+      // the skew split (it would break the partitioning the aggregate
+      // needs); a distribution-free consumer keeps the split legal
+      // sum(payload) keeps the (poorly-compressing) payload column in
+      // the shuffle so the hot partition's bytes clear the threshold
+      val joined = left.join(right, "k")
+        .agg(sum(col("payload") * col("payload")).as("n"))
+      joined.collect() // materialize so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val li = Tables.lineitem(spark, sf)
     val salted = Scale.saltedSum(li, col("l_returnflag"), col("l_quantity"))
