@@ -318,6 +318,38 @@ object ExtraQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Value-range window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    * a 30-day trailing revenue sum per customer — set-based frame
+    * bounds, so the result is deterministic even when order dates tie
+    * (unlike a ROWS frame). Decimal-cast sum for the exact oracle.
+    */
+  def windowRangeFrame: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rf")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS sum_30d
+        |FROM orders_rf""".stripMargin)
+  }
+
+  /** LATERAL (correlated table) subquery: the per-row top-2 lookup a
+    * window can also express, written in the join form the SQL surface
+    * must support. Full tie-break (acctbal desc, name) keeps the LIMIT
+    * deterministic.
+    */
+  def lateralTopPerNation: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("nation_lt")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_lt n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_lt c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+  }
+
   /** posexplode: tokens with their ordinal positions. */
   def posExplode: Q = (s, d) =>
     Tables.documents(s, d)
@@ -378,9 +410,24 @@ object ExtraQueries {
     "q67_latest_per_key" -> latestPerKey,
     "q70_unpivot" -> unpivotStatus,
     "q72_map_funcs" -> mapFuncs,
-    "q73_approx_percentiles" -> approxPercentiles)
+    "q73_approx_percentiles" -> approxPercentiles,
+    "q80_window_range_frame" -> windowRangeFrame,
+    "q81_lateral_join" -> lateralTopPerNation)
 
   val oracles: Map[String, String] = Map(
+    "q80_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS sum_30d
+        |FROM orders""".stripMargin,
+    "q81_lateral_join" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin,
     "q49_setops_all" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
         |     s AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
