@@ -350,6 +350,37 @@ object ExtraQueries {
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
   }
 
+  /** Data-quality constraint audit — the QA pass a pipeline runs before
+    * publishing a snapshot, composed as ONE query of (check, violations)
+    * rows: null keys, duplicate primary keys, FK orphans (NOT EXISTS
+    * anti form), and reverse checks (orders_without_lineitems is nonzero
+    * at every shipped sf, so the audit is visibly live, not
+    * vacuously-zero).
+    */
+  def constraintAudit: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_ca")
+    Tables.customer(s, d).createOrReplaceTempView("customer_ca")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ca")
+    s.sql(
+      """SELECT 'orders_null_custkey' AS check_name, count(*) AS violations
+        |FROM orders_ca WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_dup_orderkey', count(*) FROM (
+        |  SELECT o_orderkey FROM orders_ca GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_fk_orphans', count(*) FROM orders_ca o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer_ca c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customers_without_orders', count(*) FROM customer_ca c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders_ca o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'orders_without_lineitems', count(*) FROM orders_ca o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem_ca l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin)
+  }
+
   /** posexplode: tokens with their ordinal positions. */
   def posExplode: Q = (s, d) =>
     Tables.documents(s, d)
@@ -412,7 +443,8 @@ object ExtraQueries {
     "q72_map_funcs" -> mapFuncs,
     "q73_approx_percentiles" -> approxPercentiles,
     "q80_window_range_frame" -> windowRangeFrame,
-    "q81_lateral_join" -> lateralTopPerNation)
+    "q81_lateral_join" -> lateralTopPerNation,
+    "q82_constraint_audit" -> constraintAudit)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -428,6 +460,22 @@ object ExtraQueries {
         |  SELECT c_name, c_acctbal FROM customer c
         |  WHERE c.c_nationkey = n.n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin,
+    "q82_constraint_audit" ->
+      """SELECT 'orders_null_custkey' AS check_name, count(*) AS violations
+        |FROM orders WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_dup_orderkey', count(*) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'orders_fk_orphans', count(*) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customers_without_orders', count(*) FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'orders_without_lineitems', count(*) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
+        .stripMargin,
     "q49_setops_all" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
         |     s AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
