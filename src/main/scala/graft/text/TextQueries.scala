@@ -200,6 +200,94 @@ object TextQueries {
       .select(explode(expr("approx_top_k(gram, 20)")).as("e"))
       .select(col("e.item").as("gram"), col("e.count").as("cnt_est"))
 
+  /** PII scrub — the redaction pass a training-data pipeline runs before
+    * publishing text. The shipped synthetic corpus carries no natural
+    * PII, so the query first derives a `raw` column by appending a
+    * deterministic contact block (email / phone / SSN-shaped, generated
+    * from doc_id+source), then masks all three pattern classes with
+    * regexp_replace — proving the scrub is live (n_redactions = 3 on
+    * every row, pinned by the exact oracle) rather than vacuously
+    * matching nothing. Pure codegen'd string expressions; one scan, no
+    * shuffle before the sink.
+    */
+  def piiRedact: Q = (s, d) => {
+    val raw = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" ssn "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(raw,
+          "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "\\+?1?-?555-[0-9]{4}-[0-9]{2}", "<PHONE>"),
+      "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>")
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), raw.as("raw"), clean.as("clean"))
+      .select(
+        col("doc_id"),
+        length(col("raw")).as("raw_len"),
+        length(col("clean")).as("clean_len"),
+        size(regexp_extract_all(col("clean"), lit("<EMAIL>|<PHONE>|<SSN>"), lit(0)))
+          .as("n_redactions"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
+  /** Benchmark decontamination — flag training documents sharing any
+    * word n-gram with a "benchmark" probe set (here: docs with
+    * doc_id % 97 == 0 stand in for an eval set that leaked into the
+    * corpus). Production uses 13-grams; this corpus draws from a ~40
+    * word vocabulary, so 4-grams give equivalent selectivity (cross-doc
+    * collisions exist at every sf — the check is visibly live). Scale
+    * shape: the probe side is benchmark-sized, so its distinct grams
+    * BROADCAST; the corpus side streams through explode → broadcast
+    * hash join → per-doc count — no all-pairs, no big-side shuffle
+    * before the final doc_id aggregation.
+    */
+  def decontaminate: Q = (s, d) => {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .where(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> array_join(slice(ws, i, 4), ' '))""".stripMargin))).as("gram"))
+    val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+    val bench = grams(docs.where(col("doc_id") % 97 === 0)).select("gram").distinct()
+    grams(docs)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .withColumn("is_benchmark", col("doc_id") % 97 === 0)
+  }
+
+  /** GPT-style sequence packing: per source, concatenate documents in
+    * doc_id order and split the token stream at a fixed budget (512
+    * tokens); a document's chunk is floor(start_offset / budget).
+    * Reported per (source, chunk): doc count, token mass, doc range —
+    * the packing manifest a pretraining loader consumes. One shuffle
+    * (window + aggregate share the `source` partitioning, so Catalyst
+    * reuses the exchange); the running sum is a streaming window frame,
+    * O(1) state per row.
+    */
+  def sequencePack: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens"))
+      .withColumn("prev", sum("n_tokens").over(w))
+      .withColumn("chunk_id", expr("coalesce(prev, 0) div 512"))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
@@ -210,7 +298,10 @@ object TextQueries {
     "q76_stratified_sample" -> stratifiedSample,
     "q77_length_histogram" -> lengthHistogram,
     "q78_ngram_counts" -> ngramCounts,
-    "q79_ngram_topk_sketch" -> ngramTopKSketch)
+    "q79_ngram_topk_sketch" -> ngramTopKSketch,
+    "q83_pii_redact" -> piiRedact,
+    "q84_decontaminate" -> decontaminate,
+    "q85_sequence_pack" -> sequencePack)
 
   val oracles: Map[String, String] = Map(
     "q30_text_quality" ->
@@ -298,5 +389,57 @@ object TextQueries {
         |        i -> ws[i] || ' ' || ws[i+1])) AS gram
         |      FROM words WHERE len(ws) >= 2)
         |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
-        |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin)
+        |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
+    "q83_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@' || source || '.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ssn ' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?1?-?555-[0-9]{4}-[0-9]{2}', '<PHONE>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS INT) AS raw_len,
+        |  CAST(length(clean) AS INT) AS clean_len,
+        |  CAST(len(regexp_extract_all(clean, '<EMAIL>|<PHONE>|<SSN>')) AS INT)
+        |    AS n_redactions,
+        |  md5(clean) AS clean_md5
+        |FROM scrub""".stripMargin,
+    "q84_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+        |    i -> list_aggregate(ws[i:i+3], 'string_agg', ' ')))) AS gram
+        |  FROM words WHERE len(ws) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_contaminated_grams,
+        |  (g.doc_id % 97 = 0) AS is_benchmark
+        |FROM grams g JOIN bench b USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+    "q85_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM toks)
+        |SELECT source, CAST(COALESCE(prev, 0) // 512 AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM off GROUP BY source, chunk_id""".stripMargin)
 }

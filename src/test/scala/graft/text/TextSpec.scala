@@ -30,4 +30,43 @@ class TextSpec extends SparkSpec {
     // the corpus contains docs with repeated 3-grams — signal is live
     assert(rs.exists(_.getDouble(3) > 0.0))
   }
+
+  test("PII scrub redacts all three injected pattern classes on every doc") {
+    val rs = TextQueries.piiRedact(spark, sf).collect()
+    assert(rs.length > 0)
+    rs.foreach { r =>
+      assert(r.getInt(3) === 3, s"doc ${r.getLong(0)}: expected 3 redactions")
+      // masked text is strictly shorter than raw (patterns are longer
+      // than their tags on every doc by construction)
+      assert(r.getInt(2) < r.getInt(1))
+    }
+  }
+
+  test("decontamination flags benchmark docs and at least one cross-doc leak") {
+    val rs = TextQueries.decontaminate(spark, sf).collect()
+    val flagged = rs.map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // every benchmark doc long enough to carry a 4-gram self-matches
+    assert(flagged.count(_._2) > 0)
+    // and the check catches real cross-document contamination, not just
+    // self-hits — the signal a decontamination pass exists for
+    assert(flagged.exists(!_._2), "no non-benchmark doc flagged")
+    // the bench probe side is benchmark-sized: it must broadcast
+    val plan = TextQueries.decontaminate(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join did not broadcast:\n$plan")
+  }
+
+  test("sequence packing covers every doc exactly once within budget chunks") {
+    val docs = graft.Tables.documents(spark, sf).count()
+    val rs = TextQueries.sequencePack(spark, sf).collect()
+    assert(rs.map(_.getLong(2)).sum === docs) // partition of the corpus
+    // chunks are contiguous per source: 0..maxChunk all present
+    rs.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.sameElements(0L until ids.length.toLong))
+    }
+    // a chunk's token mass stays near budget: every non-final chunk must
+    // have crossed the 512 boundary to close (start offsets partition on
+    // multiples of 512)
+    assert(rs.exists(_.getLong(1) > 0), "budget never overflowed — packing vacuous")
+  }
 }
