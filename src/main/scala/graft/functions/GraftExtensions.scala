@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductI64(exprs.head, exprs(1))))
     // opt-in narrow-scan widening (spark.graft.widenNarrowScans.enabled)
     ext.injectOptimizerRule(graft.plans.WidenNarrowScans(_))
+    // opt-in bucketed range-join rewrite (spark.graft.rangeJoin.bucketWidth)
+    ext.injectOptimizerRule(graft.plans.BucketedRangeJoin(_))
   }
 }

@@ -51,16 +51,41 @@ object RangeJoin {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
-  val queries: Map[String, Q] = Map("q55_range_join" -> priceBands)
+  /** Same bands, but written as the NATURAL range join — no manual
+    * bucketing in the query. The [[graft.plans.BucketedRangeJoin]]
+    * optimizer rule (width 5000, matching [[priceBands]]'s manual
+    * quantization) rewrites it to the bucketed equi form at plan time;
+    * BucketedRangeJoinSpec pins that no nested-loop join survives. Same
+    * oracle as q55: declared form and hand-bucketed form must agree
+    * exactly.
+    */
+  def priceBandsAuto: Q = (s, d) => {
+    import s.implicits._
+    graft.plans.BucketedRangeJoin.install(s)
+    s.conf.set(graft.plans.BucketedRangeJoin.WidthKey, "5000")
+    val bandDf = bands.toDF("band_name", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(bandDf, col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q55_range_join" -> priceBands,
+    "q86_range_join_rule" -> priceBandsAuto)
+
+  private def bandsOracle: String = {
+    val values = bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band_name, lo, hi) AS (VALUES $values)
+       |SELECT band_name, count(*) AS cnt,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM lineitem JOIN bands
+       |  ON l_extendedprice >= lo AND l_extendedprice < hi
+       |GROUP BY band_name""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
-    "q55_range_join" -> {
-      val values = bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
-      s"""WITH bands(band_name, lo, hi) AS (VALUES $values)
-         |SELECT band_name, count(*) AS cnt,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM lineitem JOIN bands
-         |  ON l_extendedprice >= lo AND l_extendedprice < hi
-         |GROUP BY band_name""".stripMargin
-    })
+    "q55_range_join" -> bandsOracle,
+    "q86_range_join_rule" -> bandsOracle)
 }
