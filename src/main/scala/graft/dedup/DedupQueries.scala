@@ -266,11 +266,57 @@ object DedupQueries {
       .where(col("hamming") <= 7)
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs — the step pair-dedup is
+    * for: transitive closure of the q42 edge set, so "A≈B, B≈C" keeps
+    * one document of {A,B,C}, not two. Distributed min-label
+    * propagation (the standard large-scale connected-components loop,
+    * cf. GraphX label propagation): every doc starts labeled with its
+    * own id; each round pulls the min label across its edges; converges
+    * in O(component diameter) rounds — near-dup clusters are shallow,
+    * so 2-3 rounds in practice. Each round is one equi-join shuffle;
+    * the driver sees only the changed-label count; lineage is cut per
+    * round with an eager localCheckpoint. Output: every doc with its
+    * cluster id (= min doc_id in the component), the cluster size, and
+    * the keep/drop verdict a dedup pass consumes.
+    *
+    * Oracle: DuckDB recursive-CTE reachability over the exact Jaccard
+    * edge set (same edges as q41/q42's shared oracle), min reachable id
+    * per doc.
+    */
+  def dupClusters: Q = (s, d) => {
+    val pairs = minhashLsh(s, d).select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val lbl = labels.select(col("doc_id").as("n"), col("label").as("l"))
+      val nbMin = edges.join(lbl, col("dst") === col("n"))
+        .groupBy(col("src")).agg(min("l").as("nb_min"))
+      val next = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.select(col("doc_id"), col("label"))
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> exact,
     "q41_dedup_jaccard" -> ngramJaccard,
     "q42_dedup_minhash" -> minhashLsh,
-    "q43_dedup_simhash" -> simhash)
+    "q43_dedup_simhash" -> simhash,
+    "q88_dup_clusters" -> dupClusters)
 
   private val jaccardOracle =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
@@ -300,5 +346,31 @@ object DedupQueries {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q41_dedup_jaccard" -> jaccardOracle,
-    "q42_dedup_minhash" -> jaccardOracle)
+    "q42_dedup_minhash" -> jaccardOracle,
+    "q88_dup_clusters" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes na ON na.doc_id = a_id
+        |  JOIN sizes nb ON nb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  (doc_id = cluster_id) AS is_keeper
+        |FROM comp""".stripMargin)
 }

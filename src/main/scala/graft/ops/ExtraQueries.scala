@@ -381,6 +381,33 @@ object ExtraQueries {
         |  SELECT 1 FROM lineitem_ca l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin)
   }
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, new SQL surface in Spark
+    * 4): generate the complete month spine between the corpus's first
+    * and last order month from a one-row anchor, then left-join the
+    * per-month order rollup onto it — the gap-free calendar backbone a
+    * reporting pipeline needs (a plain GROUP BY would silently drop
+    * empty months). 80 spine rows recurse from a single anchor row;
+    * the rollup joins on an integer month key.
+    */
+  def recursiveMonthSpine: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
+        |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
+        |  FROM orders_rc),
+        |months(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT m + 1 FROM months JOIN bounds ON m < hi)
+        |SELECT CAST(m div 12 AS INT) AS yr, m % 12 + 1 AS mo,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM months LEFT JOIN orders_rc
+        |  ON year(o_orderdate) * 12 + month(o_orderdate) - 1 = m
+        |GROUP BY m""".stripMargin)
+  }
+
   /** posexplode: tokens with their ordinal positions. */
   def posExplode: Q = (s, d) =>
     Tables.documents(s, d)
@@ -444,7 +471,8 @@ object ExtraQueries {
     "q73_approx_percentiles" -> approxPercentiles,
     "q80_window_range_frame" -> windowRangeFrame,
     "q81_lateral_join" -> lateralTopPerNation,
-    "q82_constraint_audit" -> constraintAudit)
+    "q82_constraint_audit" -> constraintAudit,
+    "q87_recursive_cte" -> recursiveMonthSpine)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -476,6 +504,21 @@ object ExtraQueries {
         |SELECT 'orders_without_lineitems', count(*) FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
         .stripMargin,
+    "q87_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
+        |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
+        |  FROM orders),
+        |months(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT m + 1 FROM months JOIN bounds ON m < hi)
+        |SELECT CAST(m // 12 AS INT) AS yr, CAST(m % 12 + 1 AS INT) AS mo,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM months LEFT JOIN orders
+        |  ON year(o_orderdate) * 12 + month(o_orderdate) - 1 = m
+        |GROUP BY m""".stripMargin,
     "q49_setops_all" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
         |     s AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)

@@ -67,4 +67,27 @@ class DedupSpec extends SparkSpec {
     val total = graft.Tables.documents(spark, sf).count()
     assert(df.selectExpr("sum(n_copies)").head.getLong(0) === total)
   }
+
+  test("dup clusters are the transitive closure of the near-dup pairs") {
+    val rows = DedupQueries.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === total) // every doc assigned exactly once
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // cluster id is the component minimum; keeper iff doc IS that minimum
+    rows.foreach { case (id, cl, _, keep) =>
+      assert(cl <= id)
+      assert(keep === (cl == id))
+    }
+    // both endpoints of every near-dup pair land in the same cluster
+    val pairs = DedupQueries.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(label(a) === label(b)) }
+    // cluster_size is consistent with the label assignment
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (id, cl, n, _) => assert(n === sizes(cl), s"doc $id") }
+    // dedup actually merges something
+    assert(sizes.values.exists(_ > 1))
+  }
 }
