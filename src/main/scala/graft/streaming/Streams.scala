@@ -176,6 +176,42 @@ object Streams {
       }
   }
 
+  /** [[runningTotals]] rebuilt on `transformWithState` (Spark 4's
+    * arbitrary-state API): per-user totals in a named `ValueState`
+    * inside a [[org.apache.spark.sql.streaming.StatefulProcessor]] —
+    * the successor surface to `flatMapGroupsWithState` with typed state
+    * variables, timers, and TTL. State here is one `UserTotals` per
+    * key, no TTL, no timers; semantics must be byte-identical to the
+    * GroupState form (both replays share q71's batch oracle).
+    */
+  class TotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotals(key, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Oracle gate for [[runningTotals]] (the `flatMapGroupsWithState`
     * surface): replay the events table through the REAL streaming
     * operator with `Trigger.AvailableNow`, land every update in a
@@ -192,7 +228,29 @@ object Streams {
     * `decimal(18,2)` on both engines (the determinism pattern used
     * throughout).
     */
-  def statefulTotalsReplay: Q = (s, d) => {
+  def statefulTotalsReplay: Q = (s, d) =>
+    replayToFinalTotals(s, d)(runningTotals)
+
+  /** q89: the same replay through [[runningTotalsTws]].
+    * `transformWithState` requires the RocksDB state store provider;
+    * set it for this query's run and restore the previous provider
+    * after (each replay uses a fresh checkpoint, so provider switches
+    * never cross a checkpoint's lifetime).
+    */
+  def statefulTotalsTwsReplay: Q = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try replayToFinalTotals(s, d)(runningTotalsTws)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def replayToFinalTotals(s: SparkSession, d: String)(
+      xform: Dataset[Ev] => Dataset[UserTotals]): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // unique per process AND per call (createTempDirectory), so two JVMs
@@ -204,7 +262,7 @@ object Streams {
     val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
     val evs = readEventsStream(s, d)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
-    val q = runningTotals(evs).writeStream
+    val q = xform(evs).writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[UserTotals], _: Long) =>
@@ -252,7 +310,16 @@ object Streams {
     "q26_sliding_window" -> slidingBatch,
     "q68_stream_dedup" -> dedupBatch,
     "q69_interval_join" -> intervalJoinBatch,
-    "q71_stateful_totals" -> statefulTotalsReplay)
+    "q71_stateful_totals" -> statefulTotalsReplay,
+    "q89_stateful_totals_tws" -> statefulTotalsTwsReplay)
+
+  // final flatMapGroupsWithState / transformWithState state after a full
+  // replay == batch agg (q71 and q89 must agree with it AND each other)
+  private val totalsOracle =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS total_value
+      |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // gaps-and-islands: a session breaks when the gap is >= 30 minutes
@@ -299,10 +366,6 @@ object Streams {
         |SELECT p_id, user_id, p_ts, s_ts
         |FROM p JOIN s ON user_id = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
-    // final flatMapGroupsWithState state after a full replay == batch agg
-    "q71_stateful_totals" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
-        |    AS total_value
-        |FROM events GROUP BY user_id""".stripMargin)
+    "q71_stateful_totals" -> totalsOracle,
+    "q89_stateful_totals_tws" -> totalsOracle)
 }

@@ -211,4 +211,35 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) === ((3L, 17.5)))
     assert(last(2L) === ((1L, 7.0)))
   }
+
+  test("transformWithState ValueState carries totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streams.Ev]
+      val q = Streams.runningTotalsTws(ms.toDS()).writeStream
+        .format("memory").queryName("totals_tws_sink").outputMode("update").start()
+      def ev(u: Long, min: Int, v: Double) =
+        Streams.Ev(u, Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), v)
+      ms.addData(ev(1, 1, 10.0), ev(1, 2, 5.0), ev(2, 3, 7.0))
+      q.processAllAvailable()
+      ms.addData(ev(1, 4, 2.5))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("totals_tws_sink").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      // batch 1 emitted (1 -> 2 events/15.0) BEFORE batch 2's state carry
+      assert(rows.contains((1L, (2L, 15.0))))
+      val last = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(last(1L) === ((3L, 17.5))) // state survived the batch boundary
+      assert(last(2L) === ((1L, 7.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
