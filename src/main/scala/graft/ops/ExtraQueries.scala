@@ -388,18 +388,23 @@ object ExtraQueries {
     * reporting pipeline needs (a plain GROUP BY would silently drop
     * empty months). 80 spine rows recurse from a single anchor row;
     * the rollup joins on an integer month key.
+    *
+    * The stop bound `hi` is carried INSIDE the recursion frame rather
+    * than joined from the `bounds` CTE each step: Spark's UnionLoop
+    * re-evaluates the recursive term's whole subtree per iteration, so
+    * a `JOIN bounds` would rescan and re-aggregate the orders table
+    * once per generated month (measured 20 s at sf0.1 — vs 0.5 s with
+    * the bound in the frame).
     */
   def recursiveMonthSpine: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("orders_rc")
     s.sql(
-      """WITH RECURSIVE bounds AS (
-        |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
-        |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
-        |  FROM orders_rc),
-        |months(m) AS (
-        |  SELECT lo FROM bounds
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1),
+        |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+        |  FROM orders_rc
         |  UNION ALL
-        |  SELECT m + 1 FROM months JOIN bounds ON m < hi)
+        |  SELECT m + 1, hi FROM months WHERE m < hi)
         |SELECT CAST(m div 12 AS INT) AS yr, m % 12 + 1 AS mo,
         |  count(o_orderkey) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -505,14 +510,12 @@ object ExtraQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
         .stripMargin,
     "q87_recursive_cte" ->
-      """WITH RECURSIVE bounds AS (
-        |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS lo,
-        |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS hi
-        |  FROM orders),
-        |months(m) AS (
-        |  SELECT lo FROM bounds
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT min(year(o_orderdate) * 12 + month(o_orderdate) - 1),
+        |         max(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+        |  FROM orders
         |  UNION ALL
-        |  SELECT m + 1 FROM months JOIN bounds ON m < hi)
+        |  SELECT m + 1, hi FROM months WHERE m < hi)
         |SELECT CAST(m // 12 AS INT) AS yr, CAST(m % 12 + 1 AS INT) AS mo,
         |  count(o_orderkey) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -109,6 +109,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // Spark's InjectRuntimeFilter: a selective filter on the build side
+    // becomes a bloom-filter semi-join reduction on the probe side — at
+    // 100 TB this skips most of the big table's rows before the shuffle.
+    // The default thresholds (10 GB probe-side scan) are sized for real
+    // clusters; lower them to see the 100 TB plan shape on test data,
+    // and disable broadcast so the join actually shuffles.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val sel = Tables.orders(spark, sf).where(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+      val joined = Tables.lineitem(spark, sf)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_items"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom-filter runtime filter on the probe side:\n$plan")
+      // the reduction is a filter, never a row change
+      val expect = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).where(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_items"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expect && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   private def bucketedJoinBody(): Unit = {
     val joined = Scale.bucketedJoin(spark, sf)
     val bucketed = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
