@@ -288,6 +288,34 @@ object TextQueries {
         max("doc_id").as("last_doc"))
   }
 
+  /** Source mixing — the step that turns per-source corpora into a
+    * pretraining mix: each source gets a token budget (weighted: here
+    * even-numbered sources are upsampled 3x), documents are taken in
+    * md5-hash order (random but reproducible across engines and cluster
+    * sizes) until the budget is spent, greedy by start offset exactly
+    * like [[sequencePack]]. Output is the per-source mixing manifest
+    * (docs taken, tokens taken, budget). One shuffle on `source`; the
+    * budget gate is a running-sum window, O(1) state per row.
+    */
+  def sourceMix: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens"))
+      .withColumn("budget",
+        when(substring(col("source"), -1, 1).cast("int") % 2 === 0, lit(1500L))
+          .otherwise(lit(500L)))
+      .withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .where(col("prev") < col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        max("budget").as("budget"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
@@ -301,7 +329,8 @@ object TextQueries {
     "q79_ngram_topk_sketch" -> ngramTopKSketch,
     "q83_pii_redact" -> piiRedact,
     "q84_decontaminate" -> decontaminate,
-    "q85_sequence_pack" -> sequencePack)
+    "q85_sequence_pack" -> sequencePack,
+    "q90_source_mix" -> sourceMix)
 
   val oracles: Map[String, String] = Map(
     "q30_text_quality" ->
@@ -441,5 +470,22 @@ object TextQueries {
         |SELECT source, CAST(COALESCE(prev, 0) // 512 AS BIGINT) AS chunk_id,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM off GROUP BY source, chunk_id""".stripMargin)
+        |FROM off GROUP BY source, chunk_id""".stripMargin,
+    "q90_source_mix" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS n_tokens,
+        |    CASE WHEN CAST(substring(source, -1, 1) AS INT) % 2 = 0
+        |      THEN 1500 ELSE 500 END AS budget
+        |  FROM documents),
+        |off AS (
+        |  SELECT source, n_tokens, budget,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM toks)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(max(budget) AS BIGINT) AS budget
+        |FROM off WHERE prev < budget GROUP BY source""".stripMargin)
 }
