@@ -295,14 +295,16 @@ object DedupQueries {
       val lbl = labels.select(col("doc_id").as("n"), col("label").as("l"))
       val nbMin = edges.join(lbl, col("dst") === col("n"))
         .groupBy(col("src")).agg(min("l").as("nb_min"))
+      // change detection rides the update join (shrank flag), so each
+      // round is ONE join + one count over the checkpointed result — no
+      // second old-vs-new join
       val next = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
         .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
+          (col("nb_min") < col("label")).as("shrank"))
         .localCheckpoint()
-      changed = next.select(col("doc_id"), col("label"))
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("shrank")).count()
+      labels = next.select("doc_id", "label")
       rounds += 1
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")

@@ -212,6 +212,78 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionOut(user_id: Long, start: java.sql.Timestamp,
+                              end: java.sql.Timestamp, n_events: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Timer-driven sessionization on `transformWithState` — the surface
+    * [[runningTotalsTws]] doesn't reach: EVENT-TIME TIMERS. A session
+    * closes two ways: a later event for the same key arrives past the
+    * gap (closed inline, in-batch), or no event ever comes — which only
+    * the watermark can prove. The processor registers a timer at
+    * `last + gap` after every batch; when the watermark crosses it,
+    * [[handleExpiredTimer]] emits the session and clears state — the
+    * idle-timeout every session-window engine needs, here as an explicit
+    * timer instead of `GroupStateTimeout.EventTimeTimeout`. Gap is 10
+    * minutes; timestamps are epoch millis inside the state.
+    */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val GapMs = 10 * 60 * 1000L
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def out(key: Long, st: SessionState): SessionOut =
+      SessionOut(key, new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.last), st.n)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st = if (session.exists()) session.get() else null
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        st =
+          if (st == null) SessionState(t, t, 1L)
+          else if (t < st.last + GapMs) SessionState(st.start, math.max(st.last, t), st.n + 1)
+          else { closed += out(key, st); SessionState(t, t, 1L) } // gap: close inline
+      }
+      if (st != null) {
+        session.update(st)
+        // re-arm the idle timeout at the session's current horizon
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.last + GapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists()) {
+        val st = session.get()
+        // the watermark has passed last + gap: nothing can extend this
+        // session any more — emit and drop the state
+        session.clear()
+        Iterator.single(out(key, st))
+      } else Iterator.empty
+  }
+
+  /** Sessionize an event stream with [[SessionProcessor]] (requires a
+    * watermark on `ts` — event-time timers fire off the watermark).
+    */
+  def sessionsTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Oracle gate for [[runningTotals]] (the `flatMapGroupsWithState`
     * surface): replay the events table through the REAL streaming
     * operator with `Trigger.AvailableNow`, land every update in a

@@ -1,0 +1,40 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Fleet-wide plan lint: EVERY registered query must plan without a
+  * cartesian product or nested-loop join — the two shapes that turn a
+  * 100 TB run into |L|x|R| work. Per-query specs pin the interesting
+  * plans individually; this audit guarantees no future query slips a
+  * quadratic join into the registry unnoticed.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries allowed to skip the audit: the stateful replays execute a
+    * real stream on invocation (their plans are audited by their own
+    * specs and their cost bounded by their oracles), and the two exact
+    * all-pairs baselines are size-gated, bench-excluded correctness
+    * oracles whose pairwise shape is their documented purpose.
+    */
+  private val skip: Set[String] = Set(
+    "q71_stateful_totals", "q89_stateful_totals_tws")
+
+  /** q45 brute kNN is |Q|x|corpus| BY DEFINITION (exact scores for a
+    * handful of broadcast query vectors over every row) — the
+    * BroadcastNestedLoopJoin over the tiny query side IS the right
+    * plan, and the ANN queries (q46/q54) are its scale siblings.
+    */
+  private val allowPairwise: Set[String] =
+    SparkEntry.exactBaselines + "q45_knn_brute"
+
+  test("no registered query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) || allowPairwise(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty, s"quadratic join shapes in:\n${offenders.mkString("\n")}")
+  }
+}

@@ -242,4 +242,44 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("transformWithState event-time timers close idle sessions at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streams.Ev]
+      val q = Streams.sessionsTws(ms.toDS()).writeStream
+        .format("memory").queryName("sessions_tws_sink").outputMode("append").start()
+      def ev(u: Long, hm: String, v: Double = 1.0) =
+        Streams.Ev(u, Timestamp.valueOf(s"2024-01-01 $hm:00"), v)
+      // batch 1: one session for user 1 (00:00, 00:05)
+      ms.addData(ev(1, "00:00"), ev(1, "00:05"))
+      q.processAllAvailable()
+      // batch 2: event past the 10-min gap -> closes session 1 INLINE and
+      // opens (01:00)
+      ms.addData(ev(1, "01:00"))
+      q.processAllAvailable()
+      // batches 3-4: another user's events march the watermark past
+      // 01:10, so user 1's idle session can only close via its TIMER
+      ms.addData(ev(2, "02:00"))
+      q.processAllAvailable()
+      ms.addData(ev(2, "02:30"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("sessions_tws_sink").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      // gap-closed in-batch
+      assert(rows.contains((1L, "2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0", 2L)))
+      // timer-closed at the watermark (no later event for user 1 exists)
+      assert(rows.contains((1L, "2024-01-01 01:00:00.0", "2024-01-01 01:00:00.0", 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
