@@ -381,6 +381,43 @@ object ExtraQueries {
         |  SELECT 1 FROM lineitem_ca l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin)
   }
 
+  /** Derived `doc_id \t text` fixture for the custom V2 source (one
+    * file per sfDir under the scratch dir, built once; texts are
+    * space-separated words, so tab/newline-free by construction).
+    */
+  private val tsvLock = new Object
+  def docsTsv(s: SparkSession, d: String): String = tsvLock.synchronized {
+    val dir = s"${Tables.scratchDir}/doclines-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    val txtDir = new java.io.File(dir, "txt")
+    def part = Option(txtDir.listFiles())
+      .flatMap(_.find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt")))
+    part.getOrElse {
+      Tables.documents(s, d)
+        .orderBy("doc_id")
+        .select(concat_ws("\t", col("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").text(txtDir.toString)
+      part.get
+    }.getAbsolutePath
+  }
+
+  /** Custom DataSourceV2 connector end to end
+    * ([[graft.sources.DocLinesSource]]): read the documents corpus from
+    * a raw `doc_id \t text` line file through byte-range splits with
+    * Hadoop text semantics and pruned columns, then aggregate a
+    * token-count histogram. The oracle computes the same histogram from
+    * the parquet table — any line lost or duplicated at a split
+    * boundary (16 splits cut the file at arbitrary byte offsets) shifts
+    * a bucket and fails the hash compare.
+    */
+  def customSourceHistogram: Q = (s, d) =>
+    s.read.format("graft.sources.DocLinesSource")
+      .option("path", docsTsv(s, d))
+      .option("partitions", "16")
+      .load()
+      .select(size(filter(split(col("text"), " "), w => w =!= "")).as("ws_tokens"))
+      .groupBy("ws_tokens")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Recursive CTE (SQL:1999 WITH RECURSIVE, new SQL surface in Spark
     * 4): generate the complete month spine between the corpus's first
     * and last order month from a one-row anchor, then left-join the
@@ -477,7 +514,8 @@ object ExtraQueries {
     "q80_window_range_frame" -> windowRangeFrame,
     "q81_lateral_join" -> lateralTopPerNation,
     "q82_constraint_audit" -> constraintAudit,
-    "q87_recursive_cte" -> recursiveMonthSpine)
+    "q87_recursive_cte" -> recursiveMonthSpine,
+    "q91_custom_source" -> customSourceHistogram)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -522,6 +560,11 @@ object ExtraQueries {
         |FROM months LEFT JOIN orders
         |  ON year(o_orderdate) * 12 + month(o_orderdate) - 1 = m
         |GROUP BY m""".stripMargin,
+    "q91_custom_source" ->
+      """SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT)
+        |    AS ws_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     "q49_setops_all" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
         |     s AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
