@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductI64(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordNgrams(exprs.head, exprs(1))))
     // opt-in narrow-scan widening (spark.graft.widenNarrowScans.enabled)
     ext.injectOptimizerRule(graft.plans.WidenNarrowScans(_))
     // opt-in bucketed range-join rewrite (spark.graft.rangeJoin.bucketWidth)

@@ -18,5 +18,7 @@ object GraftFunctions {
         TopKRows(exprs(0), exprs(1), exprs(2),
           exprs(3).eval().asInstanceOf[Int]).toAggregateExpression(),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgrams(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -37,6 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `select(text)` never materializes doc_id and vice versa — the
   *    pruned schema reaches the reader, which parses only what the
   *    query needs.
+  *
+  * Deliberate simplification: paths resolve through `java.io` (local
+  * filesystem), where a production connector would go through the
+  * Hadoop `FileSystem` API for HDFS/object stores. The split planning,
+  * line-ownership protocol, and pushdown plumbing — the parts that make
+  * a connector correct at scale — are exactly what that swap preserves.
   */
 class DocLinesSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

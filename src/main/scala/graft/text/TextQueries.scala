@@ -288,6 +288,25 @@ object TextQueries {
         max("doc_id").as("last_doc"))
   }
 
+  /** [[ngramCounts]] on the native `word_ngrams` generator
+    * ([[graft.functions.WordNgrams]]): grams stream out of the
+    * generator one row at a time instead of materializing each
+    * document's full gram array before explode — same answer (shares
+    * q78's oracle), flat per-task memory. The expression-surface triad
+    * completed: scalar (`dot_i64`), aggregate (`topk_rows`), generator
+    * (`word_ngrams`).
+    */
+  def ngramCountsGen: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", split(col("text"), " "))
+      .select(expr("word_ngrams(ws, 2)").as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(20)
+  }
+
   /** Source mixing — the step that turns per-source corpora into a
     * pretraining mix: each source gets a token budget (weighted: here
     * even-numbered sources are upsampled 3x), documents are taken in
@@ -330,7 +349,19 @@ object TextQueries {
     "q83_pii_redact" -> piiRedact,
     "q84_decontaminate" -> decontaminate,
     "q85_sequence_pack" -> sequencePack,
-    "q90_source_mix" -> sourceMix)
+    "q90_source_mix" -> sourceMix,
+    "q92_ngram_generator" -> ngramCountsGen)
+
+  /** q92 (native generator) shares q78's oracle: the gram multiset is
+    * byte-identical by construction.
+    */
+  private val bigramOracle =
+    """WITH words AS (SELECT string_split(text, ' ') ws FROM documents),
+      |g AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |        i -> ws[i] || ' ' || ws[i+1])) AS gram
+      |      FROM words WHERE len(ws) >= 2)
+      |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+      |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_text_quality" ->
@@ -412,13 +443,8 @@ object TextQueries {
       """SELECT (n_chars // 100) * 100 AS bin_lo, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
-    "q78_ngram_counts" ->
-      """WITH words AS (SELECT string_split(text, ' ') ws FROM documents),
-        |g AS (SELECT unnest(list_transform(range(1, len(ws)),
-        |        i -> ws[i] || ' ' || ws[i+1])) AS gram
-        |      FROM words WHERE len(ws) >= 2)
-        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
-        |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
+    "q78_ngram_counts" -> bigramOracle,
+    "q92_ngram_generator" -> bigramOracle,
     "q83_pii_redact" ->
       """WITH raw AS (
         |  SELECT doc_id,

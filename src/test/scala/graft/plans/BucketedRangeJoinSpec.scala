@@ -91,6 +91,25 @@ class BucketedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("integer and decimal probe types bucket correctly") {
+    import spark.implicits._
+    val l = Seq((1, 5), (2, 10), (3, 19), (4, 20), (5, 35)).toDF("id", "v")
+    val r = Seq(("x", 0, 20), ("y", 20, 40)).toDF("name", "lo", "hi")
+    val baseline = l.join(r, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "name").collect().map(x => (x.getInt(0), x.getString(1))).toSet
+    withRule(Some("6.0")) {
+      val df = l.join(r, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "name")
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.collect().map(x => (x.getInt(0), x.getString(1))).toSet === baseline)
+      // decimal probe against int interval bounds
+      val ld = l.select(col("id"), col("v").cast("decimal(10,2)").as("v"))
+      val dfd = ld.join(r, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "name")
+      assert(dfd.collect().map(x => (x.getInt(0), x.getString(1))).toSet === baseline)
+    }
+  }
+
   test("inclusive upper bounds keep boundary rows") {
     val incl = (l: DataFrame, r: DataFrame) =>
       l.join(r, col("v") >= col("lo") && col("v") <= col("hi"))
