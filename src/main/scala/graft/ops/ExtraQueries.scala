@@ -418,6 +418,27 @@ object ExtraQueries {
       .groupBy("ws_tokens")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** VARIANT (Spark 4's semi-structured type): `parse_json` once into a
+    * variant column, then typed `variant_get` extractions feeding an
+    * aggregate — the schemaless complement to q37's schema-full
+    * `from_json` (no StructType declared anywhere; the shredded binary
+    * encoding makes repeated path extraction cheap, which is the point
+    * of VARIANT over raw JSON strings at scale). Oracle: DuckDB JSON
+    * path extraction over the same props strings.
+    */
+  def variantJson: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("events_vr")
+    s.sql(
+      """WITH t AS (
+        |  SELECT event_type,
+        |    variant_get(parse_json(props), '$.k', 'long') AS k
+        |  FROM events_vr)
+        |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+        |  count(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM t GROUP BY event_type""".stripMargin)
+  }
+
   /** Recursive CTE (SQL:1999 WITH RECURSIVE, new SQL surface in Spark
     * 4): generate the complete month spine between the corpus's first
     * and last order month from a one-row anchor, then left-join the
@@ -515,7 +536,8 @@ object ExtraQueries {
     "q81_lateral_join" -> lateralTopPerNation,
     "q82_constraint_audit" -> constraintAudit,
     "q87_recursive_cte" -> recursiveMonthSpine,
-    "q91_custom_source" -> customSourceHistogram)
+    "q91_custom_source" -> customSourceHistogram,
+    "q93_variant_json" -> variantJson)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -565,6 +587,15 @@ object ExtraQueries {
         |    AS ws_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q93_variant_json" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM t GROUP BY event_type""".stripMargin,
     "q49_setops_all" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nk FROM customer),
         |     s AS (SELECT CAST(s_nationkey AS INT) AS nk FROM supplier)
