@@ -77,24 +77,74 @@ class DocLinesTable(properties: Map[String, String]) extends Table with Supports
 }
 
 class DocLinesScanBuilder(path: String, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = DocLines.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DocLinesScan(path, partitions, required)
+  /** Accept doc_id comparisons for READER-side evaluation (each split
+    * drops non-matching lines before materializing the text column) but
+    * return every filter as a residual so Spark re-checks — the same
+    * belt-and-braces contract the parquet source uses for row-group
+    * filters: pushdown is a performance promise, never a correctness
+    * dependency.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(DocLinesFilters.supported)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DocLinesScan(path, partitions, required, pushed)
+}
+
+/** doc_id predicate evaluation shared by the builder's support check and
+  * the reader's line gate.
+  */
+object DocLinesFilters {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("doc_id", _: java.lang.Number) => true
+    case GreaterThan("doc_id", _: java.lang.Number) => true
+    case GreaterThanOrEqual("doc_id", _: java.lang.Number) => true
+    case LessThan("doc_id", _: java.lang.Number) => true
+    case LessThanOrEqual("doc_id", _: java.lang.Number) => true
+    case In("doc_id", vs) => vs.forall(_.isInstanceOf[java.lang.Number])
+    case _ => false
+  }
+
+  def accept(f: Filter, id: Long): Boolean = f match {
+    case EqualTo("doc_id", v: java.lang.Number) => id == v.longValue()
+    case GreaterThan("doc_id", v: java.lang.Number) => id > v.longValue()
+    case GreaterThanOrEqual("doc_id", v: java.lang.Number) => id >= v.longValue()
+    case LessThan("doc_id", v: java.lang.Number) => id < v.longValue()
+    case LessThanOrEqual("doc_id", v: java.lang.Number) => id <= v.longValue()
+    case In("doc_id", vs) => vs.exists {
+      case v: java.lang.Number => v.longValue() == id
+      case _ => false
+    }
+    case _ => true // unknown filters pass; Spark re-checks everything
+  }
 }
 
 /** One byte range of the file; [[start]] inclusive, [[end]] exclusive. */
 case class DocLinesPartition(path: String, start: Long, end: Long) extends InputPartition
 
-class DocLinesScan(path: String, partitions: Int, required: StructType)
+class DocLinesScan(path: String, partitions: Int, required: StructType,
+                   filters: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"doclines $path, ${partitions} splits, schema=${required.simpleString}"
+    s"doclines $path, ${partitions} splits, schema=${required.simpleString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val len = new java.io.File(path).length()
@@ -106,20 +156,23 @@ class DocLinesScan(path: String, partitions: Int, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocLinesReaderFactory(required.fieldNames)
+    new DocLinesReaderFactory(required.fieldNames, filters)
 }
 
-class DocLinesReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class DocLinesReaderFactory(fields: Array[String],
+                            filters: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocLinesPartition]
-    new DocLinesReader(p, fields)
+    new DocLinesReader(p, fields, filters)
   }
 }
 
 /** Streams one split. Reads are single-pass and buffered; memory is one
   * line at a time regardless of split size.
   */
-class DocLinesReader(p: DocLinesPartition, fields: Array[String])
+class DocLinesReader(p: DocLinesPartition, fields: Array[String],
+                     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val in = new BufferedInputStream(new FileInputStream(p.path), 1 << 16)
   private var pos: Long = 0
@@ -148,26 +201,36 @@ class DocLinesReader(p: DocLinesPartition, fields: Array[String])
     buf.toByteArray
   }
 
+  private val needsId = filters.nonEmpty || fields.contains("doc_id")
+
   override def next(): Boolean = {
     // Hadoop LineRecordReader ownership: this split reads every line
     // whose first byte is <= end — INCLUDING one starting exactly at
     // `end` — because the next reader always discards the line it lands
     // in (its skip runs through the first newline at-or-after `end`).
     // `>= end` here would lose exactly those boundary lines.
-    if (pos > p.end) return false
-    val line = readLine()
-    if (line == null) return false
-    val tab = line.indexOf('\t'.toByte)
-    val values: Array[Any] = fields.map {
-      case "doc_id" =>
-        new String(line, 0, if (tab < 0) line.length else tab, "UTF-8").toLong
-      case "text" =>
-        if (tab < 0) UTF8String.EMPTY_UTF8
-        else UTF8String.fromBytes(line, tab + 1, line.length - tab - 1)
-      case other => throw new IllegalArgumentException(s"unknown column $other")
+    while (pos <= p.end) {
+      val line = readLine()
+      if (line == null) return false
+      val tab = line.indexOf('\t'.toByte)
+      val id =
+        if (needsId)
+          new String(line, 0, if (tab < 0) line.length else tab, "UTF-8").toLong
+        else 0L
+      // pushed filters gate the line BEFORE the text column exists
+      if (filters.forall(DocLinesFilters.accept(_, id))) {
+        val values: Array[Any] = fields.map {
+          case "doc_id" => id
+          case "text" =>
+            if (tab < 0) UTF8String.EMPTY_UTF8
+            else UTF8String.fromBytes(line, tab + 1, line.length - tab - 1)
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        }
+        row = InternalRow.fromSeq(values.toSeq)
+        return true
+      }
     }
-    row = InternalRow.fromSeq(values.toSeq)
-    true
+    false
   }
 
   override def get(): InternalRow = row

@@ -40,6 +40,20 @@ class DocLinesSpec extends SparkSpec {
     assert(read(1).rdd.getNumPartitions === 1)
   }
 
+  test("doc_id filters are pushed to the reader and results stay exact") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val expected = docs.where(col("doc_id") >= 10 && col("doc_id") < 25).count()
+    val filtered = read(5).where(col("doc_id") >= 10 && col("doc_id") < 25)
+    // the scan advertises the pushed predicates...
+    val scanDesc = filtered.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDesc.contains("PushedFilters") && scanDesc.contains("doc_id"), scanDesc)
+    // ...and row-level results are exact (Spark re-checks residuals)
+    assert(filtered.count() === expected && expected > 0)
+    // text-only projection with an id filter: pruning + pushdown compose
+    val texts = read(5).where(col("doc_id") === 10).select("text")
+    assert(texts.collect().length === 1)
+  }
+
   test("column pruning is pushed into the reader") {
     val leaf = read(4).select("text").queryExecution.executedPlan
       .collectLeaves().head
