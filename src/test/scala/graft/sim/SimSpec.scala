@@ -57,4 +57,21 @@ class SimSpec extends SparkSpec {
     info(f"lsh recall@5 = $recall%.2f (Hamming-1 multi-probed candidates, ranked by true cosine)")
     assert(recall >= 0.8, f"recall $recall%.2f below floor")
   }
+
+  test("semdedup drops are exact duplicates with >= 0.9 recall of the exact set") {
+    val sem = SimQueries.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    val total = graft.Tables.embeddings(spark, sf).count()
+    assert(sem.length.toLong === total) // one verdict per vector
+    val semDropped = sem.filter(_._2).map(_._1).toSet
+    val exactDropped = SimQueries.embeddingPairs(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    // precision 1.0 by construction: every drop is backed by an exact
+    // same-cell cosine comparison
+    assert(semDropped.subsetOf(exactDropped),
+      s"false drops: ${(semDropped -- exactDropped).take(5)}")
+    val recall = (semDropped & exactDropped).size.toDouble / exactDropped.size
+    info(f"semdedup drop recall = $recall%.2f (k=8 cells, dual assignment)")
+    assert(recall >= 0.9, f"recall $recall%.2f below floor")
+  }
 }
