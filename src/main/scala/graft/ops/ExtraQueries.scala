@@ -418,6 +418,30 @@ object ExtraQueries {
       .groupBy("ws_tokens")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** ORC round-trip — the third columnar/file format next to parquet,
+    * CSV (q36) and JSON (q56): lineitem is copied to ORC once per sfDir
+    * (scratch-cached), read back through `spark.read.orc`, and
+    * aggregated; the oracle computes the identical aggregate from the
+    * source parquet, so any loss or type drift in the ORC round-trip
+    * fails the hash. ORC scans support the same pushdown surface as
+    * parquet (PushedFilters verified in the plan dump).
+    */
+  private val orcLock = new Object
+  private def lineitemOrc(s: SparkSession, d: String): String = orcLock.synchronized {
+    val dir = s"${Tables.scratchDir}/orc-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/lineitem"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.lineitem(s, d).write.mode("overwrite").orc(dir)
+    dir
+  }
+
+  def orcSource: Q = (s, d) =>
+    s.read.orc(lineitemOrc(s, d))
+      .where(col("l_quantity") > 10)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        max(col("l_shipdate")).as("max_ship"))
+
   /** VARIANT (Spark 4's semi-structured type): `parse_json` once into a
     * variant column, then typed `variant_get` extractions feeding an
     * aggregate — the schemaless complement to q37's schema-full
@@ -537,7 +561,8 @@ object ExtraQueries {
     "q82_constraint_audit" -> constraintAudit,
     "q87_recursive_cte" -> recursiveMonthSpine,
     "q91_custom_source" -> customSourceHistogram,
-    "q93_variant_json" -> variantJson)
+    "q93_variant_json" -> variantJson,
+    "q95_orc_source" -> orcSource)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -587,6 +612,12 @@ object ExtraQueries {
         |    AS ws_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q95_orc_source" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q93_variant_json" ->
       """WITH t AS (
         |  SELECT event_type,
