@@ -442,6 +442,14 @@ object ExtraQueries {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
         max(col("l_shipdate")).as("max_ship"))
 
+  /** Bench warmup: build the derived inputs q91/q95 read (see
+    * [[Scale.warmDerived]]).
+    */
+  def warmDerived(s: SparkSession, d: String): Unit = {
+    docsTsv(s, d): Unit
+    lineitemOrc(s, d): Unit
+  }
+
   /** VARIANT (Spark 4's semi-structured type): `parse_json` once into a
     * variant column, then typed `variant_get` extractions feeding an
     * aggregate — the schemaless complement to q37's schema-full

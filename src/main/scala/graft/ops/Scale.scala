@@ -104,12 +104,14 @@ object Scale {
     suffix
   }
 
-  /** Benchmark warmup hook: materialize every derived copy the scale
-    * queries read, so measured runs see only the query itself.
+  /** Benchmark warmup hook: materialize every derived copy a registered
+    * query reads (partitioned/bucketed tables, the V2-source TSV, the
+    * ORC copy), so measured runs see only the query itself.
     */
   def warmDerived(s: SparkSession, d: String): Unit = {
     ensurePartitionedOrders(s, d): Unit
     ensureBucketedTables(s, d): Unit
+    ExtraQueries.warmDerived(s, d)
   }
 
   /** Registry forms of the scale techniques, each with an exact oracle:

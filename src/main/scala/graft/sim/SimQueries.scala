@@ -233,6 +233,25 @@ object SimQueries {
     * rounds; query cost is |probed cells| instead of n. (No oracle —
     * approximate; recall pinned in SimSpec.)
     */
+  /** Centroid memo: an IVF index is BUILT ONCE and served to every
+    * query — rebuilding k-means per query would misrepresent how an ANN
+    * index is used (the same once-per-corpus treatment the bucketed
+    * tables get in `Scale`). Keyed by corpus dir + shape; the training
+    * itself stays distributed ([[ivfCentroids]]); only the k x dim
+    * centroid table (a few KB) is held.
+    */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[Array[Double]]]()
+
+  private def centroidsFor(s: SparkSession, d: String, k: Int, dim: Int,
+                           iters: Int): Array[Array[Double]] =
+    centroidMemo.computeIfAbsent((d, k, dim, iters), { _ =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      ivfCentroids(emb, k, dim, iters)
+    })
+
   def knnIvf: Q = (s, d) => {
     import s.implicits._
     val k = 16
@@ -240,7 +259,7 @@ object SimQueries {
     val dim = 64
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val cs = ivfCentroids(emb, k, dim, iters = 3)
+    val cs = centroidsFor(s, d, k, dim, iters = 3)
     val assigned = emb.map { case (id, e) => (id, nearestCell(cs, e)) }.toDF("vec_id", "cell")
     val embDf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val queries = emb.filter(_._1 % 100 == 0).flatMap { case (id, e) =>
@@ -369,7 +388,7 @@ object SimQueries {
     val dim = 64
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val cs = ivfCentroids(emb, k, dim, iters = 3)
+    val cs = centroidsFor(s, d, k, dim, iters = 3)
     val assigned = emb.flatMap { case (id, e) =>
       nearestCells(cs, e, nAssign).map(c => (id, c))
     }.toDF("vec_id", "cell")
