@@ -442,6 +442,38 @@ object ExtraQueries {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
         max(col("l_shipdate")).as("max_ship"))
 
+  /** Dynamic partition overwrite — the warehouse write pattern behind
+    * every partitioned-table backfill: load orders partitioned by year,
+    * then INSERT OVERWRITE only the 1997 partition with a filtered
+    * subset. Under `partitionOverwriteMode=dynamic` the second write
+    * replaces exactly the partitions it produces rows for; a static
+    * overwrite would truncate the whole table. The final per-year
+    * rollup is the proof: 1997 shows only the filtered rows, every
+    * other year is untouched — both facts oracle-checked from the
+    * source table.
+    */
+  def dynamicPartitionOverwrite: Q = (s, d) => {
+    val path = s"${Tables.scratchDir}/dpo-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/orders"
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("yr"))
+    // full load: STATIC overwrite replaces the whole table (also resets
+    // any state a previous run left, keeping the query idempotent)
+    base.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("yr").parquet(path)
+    // backfill: DYNAMIC overwrite replaces only the partitions this
+    // write produces rows for — here exactly yr=1997
+    base.where(col("yr") === 1997 && col("o_totalprice") > 100000)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("yr").parquet(path)
+    s.read.parquet(path)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   /** Bench warmup: build the derived inputs q91/q95 read (see
     * [[Scale.warmDerived]]).
     */
@@ -570,7 +602,8 @@ object ExtraQueries {
     "q87_recursive_cte" -> recursiveMonthSpine,
     "q91_custom_source" -> customSourceHistogram,
     "q93_variant_json" -> variantJson,
-    "q95_orc_source" -> orcSource)
+    "q95_orc_source" -> orcSource,
+    "q96_dynamic_partition_overwrite" -> dynamicPartitionOverwrite)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -620,6 +653,12 @@ object ExtraQueries {
         |    AS ws_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q96_dynamic_partition_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) <> 1997 OR o_totalprice > 100000
+        |GROUP BY 1""".stripMargin,
     "q95_orc_source" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

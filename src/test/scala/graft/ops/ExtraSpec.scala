@@ -41,6 +41,23 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces only the backfilled partition") {
+    import org.apache.spark.sql.functions._
+    val result = ExtraQueries.dynamicPartitionOverwrite(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val source = graft.Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_totalprice") > 100000, 1)).as("n_filtered"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(result.keySet === source.keySet)
+    source.foreach { case (yr, (full, filtered)) =>
+      val expected = if (yr == 1997) filtered else full
+      assert(result(yr) === expected, s"yr=$yr")
+    }
+  }
+
   test("moment-form stddev agrees with the built-in to float tolerance") {
     import org.apache.spark.sql.functions._
     val moments = ExtraQueries.statsMoments(spark, sf).collect()
