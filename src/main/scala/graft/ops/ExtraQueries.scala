@@ -474,12 +474,118 @@ object ExtraQueries {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Binary-file ingestion — the multimodal ingest path: a corpus of
+    * raw blob files (here every 10th document's text bytes, one file
+    * per doc, written distributed via `foreachPartition` — no driver
+    * collect) read back through Spark's `binaryFile` source, which
+    * yields (path, modificationTime, length, content) rows. The query
+    * parses the doc id out of the file path, buckets it, and proves the
+    * bytes survived intact by counting distinct content digests; the
+    * oracle computes the identical aggregate from the parquet table, so
+    * a lost, duplicated or corrupted blob fails the hash.
+    */
+  private val blobLock = new Object
+  private def docBlobDir(s: SparkSession, d: String): String = blobLock.synchronized {
+    val dir = s"${Tables.scratchDir}/blobs-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/docs"
+    val done = new java.io.File(dir, "_SUCCESS")
+    if (!done.exists()) {
+      new java.io.File(dir).mkdirs()
+      Tables.documents(s, d)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          rows.forEachRemaining { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      done.createNewFile(): Unit
+    }
+    dir
+  }
+
+  def binaryFileSource: Q = (s, d) =>
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(docBlobDir(s, d))
+      .select(
+        (regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long") % 7)
+          .as("bucket"),
+        col("length"), md5(col("content")).as("digest"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("length")).as("total_bytes"),
+        countDistinct(col("digest")).as("n_distinct"))
+
+  /** Native XML source round-trip — the fifth file format next to
+    * parquet, CSV (q36), JSON (q56) and ORC (q95): orders is serialized
+    * to XML once per sfDir (`rowTag`-framed records), read back with an
+    * explicit schema (XML carries no types — untyped text is the
+    * format's defining hazard, so the read schema asserts them), and
+    * rolled up per year. The oracle computes the same rollup from the
+    * source parquet: any record framing or type-parse drift fails the
+    * hash.
+    */
+  private val xmlLock = new Object
+  private def ordersXml(s: SparkSession, d: String): String = xmlLock.synchronized {
+    val dir = s"${Tables.scratchDir}/xml-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/orders"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").option("rowTag", "order").xml(dir)
+    dir
+  }
+
+  def xmlSource: Q = (s, d) =>
+    // the writer emits DATE as an ISO timestamp-of-midnight (and ignores
+    // its dateFormat option), which the reader's default DATE parser
+    // rejects — and a field parse failure nulls the REST of the row, not
+    // just the field; the read-side dateFormat must match the writer's
+    // actual output
+    s.read.option("rowTag", "order")
+      .option("dateFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+        "o_orderdate DATE, o_orderpriority STRING")
+      .xml(ordersXml(s, d))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the join mode
+    * where NULL keys match each other instead of matching nothing, the
+    * semantics every SCD/merge pipeline needs for nullable business
+    * keys. Both sides derive a nullable key (`nullif`), so NULL groups
+    * genuinely exist and the plan stays a hash/sort-merge join on the
+    * null-safe key (a plain `=` would silently drop those rows — the
+    * count difference is what the oracle pins).
+    */
+  def nullSafeJoin: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(nullif(col("l_returnflag"), lit("N")).as("flag_key"),
+        col("l_quantity"))
+    val dims = Tables.lineitem(s, d)
+      .select(nullif(col("l_returnflag"), lit("N")).as("flag_key"),
+        col("l_extendedprice"))
+      .groupBy("flag_key")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").as("dim_price"))
+    items.join(dims, items("flag_key") <=> dims("flag_key"))
+      .groupBy(items("flag_key").as("flag_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        max(col("dim_price")).as("dim_price"))
+  }
+
   /** Bench warmup: build the derived inputs q91/q95 read (see
     * [[Scale.warmDerived]]).
     */
   def warmDerived(s: SparkSession, d: String): Unit = {
     docsTsv(s, d): Unit
     lineitemOrc(s, d): Unit
+    docBlobDir(s, d): Unit
+    ordersXml(s, d): Unit
   }
 
   /** VARIANT (Spark 4's semi-structured type): `parse_json` once into a
@@ -603,7 +709,10 @@ object ExtraQueries {
     "q91_custom_source" -> customSourceHistogram,
     "q93_variant_json" -> variantJson,
     "q95_orc_source" -> orcSource,
-    "q96_dynamic_partition_overwrite" -> dynamicPartitionOverwrite)
+    "q96_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
+    "q97_binary_source" -> binaryFileSource,
+    "q98_xml_source" -> xmlSource,
+    "q99_nullsafe_join" -> nullSafeJoin)
 
   val oracles: Map[String, String] = Map(
     "q80_window_range_frame" ->
@@ -658,6 +767,30 @@ object ExtraQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE year(o_orderdate) <> 1997 OR o_totalprice > 100000
+        |GROUP BY 1""".stripMargin,
+    "q97_binary_source" ->
+      """SELECT doc_id % 7 AS bucket, count(*) AS n_blobs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents WHERE doc_id % 10 = 0 GROUP BY 1""".stripMargin,
+    "q98_xml_source" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q99_nullsafe_join" ->
+      """WITH items AS (
+        |  SELECT nullif(l_returnflag, 'N') AS flag_key, l_quantity
+        |  FROM lineitem),
+        |dims AS (
+        |  SELECT nullif(l_returnflag, 'N') AS flag_key,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS dim_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT i.flag_key, count(*) AS n,
+        |  CAST(sum(CAST(i.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  max(d.dim_price) AS dim_price
+        |FROM items i JOIN dims d ON i.flag_key IS NOT DISTINCT FROM d.flag_key
         |GROUP BY 1""".stripMargin,
     "q95_orc_source" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
