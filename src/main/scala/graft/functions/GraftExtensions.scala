@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.WidenNarrowScans(_))
     // opt-in bucketed range-join rewrite (spark.graft.rangeJoin.bucketWidth)
     ext.injectOptimizerRule(graft.plans.BucketedRangeJoin(_))
+    // native as-of join physical planning (graft.plans.GraftAsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftAsOfJoinStrategy)
   }
 }

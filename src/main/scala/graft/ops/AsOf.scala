@@ -65,12 +65,35 @@ object AsOf {
         col("signup_ts_asof").as("signup_ts"))
   }
 
-  val queries: Map[String, Q] = Map("q38_asof_join" -> purchaseAfterSignup)
+  /** q100: q38 answered by the NATIVE as-of operator —
+    * [[graft.plans.GraftAsOfJoin]]'s logical node + injected strategy +
+    * single-merge-pass physical exec — against the same DuckDB ASOF
+    * oracle, so the custom-operator tier is correctness-gated, not just
+    * spec-pinned.
+    */
+  def purchaseAfterSignupNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    graft.plans.GraftAsOfJoin
+      .asofJoin(purchases, signups, "user_id", "s_user", "ts", "s_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("s_ts").as("signup_ts"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q38_asof_join" -> purchaseAfterSignup,
+    "q100_asof_native" -> purchaseAfterSignupNative)
+
+  private val asofOracle =
+    """SELECT a.event_id, a.user_id, a.ts, b.ts AS signup_ts
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
+      |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') b
+      |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q38_asof_join" ->
-      """SELECT a.event_id, a.user_id, a.ts, b.ts AS signup_ts
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a
-        |ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') b
-        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)
+    "q38_asof_join" -> asofOracle,
+    "q100_asof_native" -> asofOracle)
 }

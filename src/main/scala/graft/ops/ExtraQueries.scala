@@ -225,6 +225,28 @@ object ExtraQueries {
         col("ts").as("latest_ts"), col("event_type").as("latest_type"))
   }
 
+  /** q105: SCD2 (slowly-changing-dimension type 2) interval construction
+    * — the other half of the CDC story next to q67's latest-per-key
+    * compaction: every change event becomes a versioned row with a
+    * [valid_from, valid_to) validity window, `valid_to` carried from the
+    * key's NEXT event (`lead`), open (null / is_current) on the last.
+    * This is how a warehouse turns a change stream into point-in-time
+    * joinable history. Same scale shape as q67: one shuffle on the key,
+    * a single sort, O(1) window state per row (lead(1) is a
+    * streaming-friendly frame).
+    */
+  def scd2Intervals: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Statistical aggregates (variance / stddev / correlation) in the
     * engine-deterministic form: the built-ins accumulate running float
     * moments whose merge order varies with partitioning, so they can
@@ -699,6 +721,7 @@ object ExtraQueries {
     "q65_array_agg" -> arrayAgg,
     "q66_stats_moments" -> statsMoments,
     "q67_latest_per_key" -> latestPerKey,
+    "q105_scd2" -> scd2Intervals,
     "q70_unpivot" -> unpivotStatus,
     "q72_map_funcs" -> mapFuncs,
     "q73_approx_percentiles" -> approxPercentiles,
@@ -909,6 +932,13 @@ object ExtraQueries {
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1""".stripMargin,
+    "q105_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM events""".stripMargin,
     "q66_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

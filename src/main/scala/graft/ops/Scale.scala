@@ -114,17 +114,76 @@ object Scale {
     ExtraQueries.warmDerived(s, d)
   }
 
+  /** 16-bit-per-dimension Morton (Z-order) code: interleave the low 16
+    * bits of `a` (even positions) and `b` (odd positions) with the
+    * classic spread-bits ladder — pure 32-bit integer expressions, so it
+    * codegens on Spark and replays exactly in any engine. Sorting or
+    * range-partitioning a table by this code places rows close in BOTH
+    * dimensions into the same files/row groups, which is what turns
+    * 2-dimensional box predicates into file-level skipping at 100 TB
+    * (a single-column sort order can only tighten min/max stats for its
+    * leading column; Z-order tightens both at once).
+    */
+  def morton(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val m = x.bitwiseAND(lit(0xFFFF))
+      val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FF))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555))
+    }
+    // widen BEFORE the final shift: 0x55555555 << 1 overflows int32
+    // (Spark would wrap silently, DuckDB would raise — neither is the
+    // 32-bit Morton code)
+    spread(a).cast("long").bitwiseOR(shiftleft(spread(b).cast("long"), 1))
+  }
+
+  /** q104: Z-order locality audit over (l_partkey, l_suppkey). Each key
+    * is min/max-normalized into the 16-bit Morton domain with scalar
+    * subqueries (in-plan, integer-exact — no driver state), rows are
+    * Morton-coded, cut into 256 Z-ranges (the files a
+    * `repartitionByRange(zvalue)` write would produce), and each range
+    * reports its per-dimension min/max span. The payoff the numbers
+    * prove: every Z-range bounds BOTH key dimensions at ~1/16 of their
+    * domain (√256), so a box predicate on either or both keys prunes
+    * ~255/256 of such files by footer stats alone — versus a
+    * single-column sort where the second dimension's span per file stays
+    * the full domain. Exact integer arithmetic end to end, so the whole
+    * mechanic is oracle-gated like q59–q61.
+    */
+  def zorderBuckets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("li_z")
+    s.sql(
+      """SELECT CAST(l_partkey AS BIGINT) pk, CAST(l_suppkey AS BIGINT) sk,
+        |  (SELECT min(l_partkey) FROM li_z) pk_min,
+        |  (SELECT max(l_partkey) FROM li_z) pk_max,
+        |  (SELECT min(l_suppkey) FROM li_z) sk_min,
+        |  (SELECT max(l_suppkey) FROM li_z) sk_max
+        |FROM li_z""".stripMargin)
+      .withColumn("pk16",
+        expr("CAST((pk - pk_min) * 65535 div greatest(pk_max - pk_min, 1) AS INT)"))
+      .withColumn("sk16",
+        expr("CAST((sk - sk_min) * 65535 div greatest(sk_max - sk_min, 1) AS INT)"))
+      .withColumn("z", morton(col("pk16"), col("sk16")))
+      .groupBy(expr("z div 16777216").as("zrange")) // 2^24: 256 ranges over 2^32
+      .agg(count(lit(1)).as("n"),
+        min("pk").as("pk_lo"), max("pk").as("pk_hi"),
+        min("sk").as("sk_lo"), max("sk").as("sk_hi"))
+  }
+
   /** Registry forms of the scale techniques, each with an exact oracle:
     * the salted aggregate must equal the plain group-by, the pruned scan
     * must equal the predicate form, the bucketed (shuffle-free) join must
-    * equal the plain join — so the 100 TB mechanics are themselves
-    * correctness-gated, not just plan-pinned in ScaleSpec.
+    * equal the plain join, the Z-order ranges must bound both dimensions
+    * — so the 100 TB mechanics are themselves correctness-gated, not
+    * just plan-pinned in ScaleSpec.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_salted_sum" -> ((s, d) =>
       saltedSum(Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"))),
     "q60_partition_pruned" -> (partitionPrunedScan(_, _)),
-    "q61_bucketed_join" -> (bucketedJoin(_, _)))
+    "q61_bucketed_join" -> (bucketedJoin(_, _)),
+    "q104_zorder" -> (zorderBuckets(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q59_salted_sum" ->
@@ -139,5 +198,35 @@ object Scale {
     "q61_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+    // the same normalization + spread-bits ladder, staged per step; the
+    // final shift is widened to BIGINT exactly as the Spark side widens
+    // to long
+    "q104_zorder" ->
+      """WITH base AS (
+        |  SELECT CAST(l_partkey AS BIGINT) pk, CAST(l_suppkey AS BIGINT) sk,
+        |    (SELECT min(l_partkey) FROM lineitem) pk_min,
+        |    (SELECT max(l_partkey) FROM lineitem) pk_max,
+        |    (SELECT min(l_suppkey) FROM lineitem) sk_min,
+        |    (SELECT max(l_suppkey) FROM lineitem) sk_max
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT pk, sk,
+        |    CAST((pk - pk_min) * 65535 // greatest(pk_max - pk_min, 1) AS INT) pk16,
+        |    CAST((sk - sk_min) * 65535 // greatest(sk_max - sk_min, 1) AS INT) sk16
+        |  FROM base),
+        |m AS (SELECT pk, sk, pk16 & 65535 AS pm, sk16 & 65535 AS sm FROM k),
+        |a AS (SELECT pk, sk, (pm | (pm << 8)) & 16711935 AS p1,
+        |             (sm | (sm << 8)) & 16711935 AS s1 FROM m),
+        |b AS (SELECT pk, sk, (p1 | (p1 << 4)) & 252645135 AS p2,
+        |             (s1 | (s1 << 4)) & 252645135 AS s2 FROM a),
+        |c AS (SELECT pk, sk, (p2 | (p2 << 2)) & 858993459 AS p3,
+        |             (s2 | (s2 << 2)) & 858993459 AS s3 FROM b),
+        |e AS (SELECT pk, sk,
+        |        CAST((p3 | (p3 << 1)) & 1431655765 AS BIGINT) AS p4,
+        |        CAST((s3 | (s3 << 1)) & 1431655765 AS BIGINT) AS s4 FROM c)
+        |SELECT (p4 | (s4 << 1)) // 16777216 AS zrange, count(*) AS n,
+        |  min(pk) AS pk_lo, max(pk) AS pk_hi,
+        |  min(sk) AS sk_lo, max(sk) AS sk_hi
+        |FROM e GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlAccess, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Native as-of join — the full custom-operator tier: a logical plan
+  * node, a planner [[SparkStrategy]], and a physical [[SparkPlan]] that
+  * executes the join as ONE co-partitioned merge pass.
+  *
+  * The composed form ([[graft.ops.AsOf.asofJoin]]) answers the same
+  * query by union-tagging both sides and running `last(...) ignore
+  * nulls` over a window — correct and shuffle-bounded, but it pays for
+  * a union of BOTH full rows (every left row carries null right-payload
+  * slots through the sort and vice versa) and a window operator that
+  * materializes its frame machinery per row. This operator instead asks
+  * the planner for exactly what an as-of join needs —
+  * `ClusteredDistribution` on the key for both children plus per-child
+  * `(key, time)` sort orders — and then streams the two sorted
+  * iterators with a two-pointer merge: O(|L|+|R|) comparisons per
+  * partition, one buffered right row, zero per-row state beyond it.
+  * EnsureRequirements supplies the exchanges/sorts only when the
+  * children aren't already co-partitioned — inputs bucketed by the key
+  * join exchange-free, which the window form can never do (its union
+  * has no useful child partitioning).
+  *
+  * Spark itself has a catalyst `AsOfJoin` node (the pandas-on-Spark
+  * `merge_asof` surface) but REWRITES it into a regular join + `min_by`
+  * aggregation over every in-range pair — per-pair work the merge pass
+  * avoids. This is the (c)-tier "whole-operator semantics" extension
+  * point the build brief names: declared via a logical node, planned by
+  * an injected strategy (`GraftExtensions` /
+  * `spark.experimental.extraStrategies`), executed by a purpose-built
+  * physical operator.
+  *
+  * Semantics (mirrors the composed form and DuckDB `ASOF JOIN`,
+  * reference contract `MapReduceClient.h:61-64`'s all-values-per-key
+  * grouping): for each left row, the right row with the same key and
+  * the greatest `rightTime <= leftTime`; inner — unmatched left rows
+  * are dropped. Null keys and null times never match (three-valued
+  * comparison semantics). Among right rows tying on (key, time) the
+  * survivor is unspecified, as in the composed form.
+  */
+case class GraftAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends logical.BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs one or more equi keys, the same number on both sides")
+  require(leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    "as-of join key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): GraftAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[GraftAsOfJoin]] as [[GraftAsOfJoinExec]]; everything else
+  * falls through to Spark's own strategies.
+  */
+object GraftAsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftAsOfJoin(l, r, lk, rk, lt, rt) =>
+      GraftAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join. Requirements do the heavy lifting: both
+  * children hash-clustered on their keys (EnsureRequirements inserts
+  * compatible exchanges exactly as it does for sort-merge join) and
+  * sorted by (keys..., time) — after which each partition pair merges
+  * in a single forward pass. The right side needs ONE buffered row
+  * (the latest candidate at or before the current left time), because
+  * ascending left times within a key only ever move the candidate
+  * forward; keys advance monotonically on both sides so candidates
+  * invalidate themselves by comparison, never by bookkeeping.
+  */
+case class GraftAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics: Map[String, SQLMetric] =
+    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val (lOut, rOut) = (left.output, right.output)
+    val (lKeys, rKeys) = (leftKeys, rightKeys)
+    val (lTime, rTime) = (leftTime, rightTime)
+    val keyTypes = lKeys.map(_.dataType)
+    val timeTypes = Seq(lTime.dataType)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(timeTypes)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+
+      var rHead: InternalRow = null // right lookahead, not yet consumed
+      var matchKey: UnsafeRow = null // key of the buffered candidate (copied)
+      var matchRow: InternalRow = null // latest right row with rTime <= current lTime (copied)
+
+      // Advance the right side for the current left (key, time): consume
+      // right rows before the key, absorb same-key rows at-or-before the
+      // left time into the candidate, stop at the first row beyond either.
+      def advance(lKey: UnsafeRow, lTimeRow: UnsafeRow): Unit = {
+        var done = false
+        while (!done && (rHead != null || rIter.hasNext)) {
+          if (rHead == null) rHead = rIter.next()
+          val rKey = rKeyProj(rHead)
+          if (rKey.anyNull) rHead = null // null keys never match
+          else {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) rHead = null // behind every remaining left key
+            else if (c > 0) done = true // future key: keep as lookahead
+            else {
+              val rt = rTimeProj(rHead)
+              if (rt.isNullAt(0)) rHead = null // null time never matches
+              else if (timeOrd.compare(rt, lTimeRow) <= 0) {
+                matchRow = rHead.copy() // newer at-or-before row wins
+                matchKey = lKey.copy()
+                rHead = null
+              } else done = true // after the left time: lookahead
+            }
+          }
+        }
+      }
+
+      lIter.flatMap { l =>
+        val lKey = lKeyProj(l)
+        if (lKey.anyNull) Iterator.empty
+        else {
+          val lt = lTimeProj(l)
+          if (lt.isNullAt(0)) Iterator.empty
+          else {
+            advance(lKey, lt)
+            if (matchRow != null && keyOrd.compare(matchKey, lKey) == 0) {
+              numOutputRows += 1
+              Iterator.single[InternalRow](resultProj(joined(l, matchRow)))
+            } else Iterator.empty
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftAsOfJoin {
+  /** Idempotent runtime installation of the planner strategy (cluster
+    * deployments get it from
+    * `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GraftAsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftAsOfJoinStrategy
+
+  /** DataFrame-level API: join each left row to the latest right row
+    * with equal key and `rightTime <= leftTime` (inner). Output schema
+    * is `left.* ++ right.*` — give the right side distinct column names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    // Fresh exprIds on the right output: in a self-join both sides would
+    // otherwise expose the SAME attribute ids and the node's references
+    // would be ambiguous (the analyzer dedups this for built-in Join
+    // nodes; a custom node must do it itself).
+    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = logical.Project(aliases, rAnalyzed)
+    val rOut = aliases.map(_.toAttribute)
+    def find(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' in [${out.map(_.name).mkString(", ")}]"))
+    val node = GraftAsOfJoin(lPlan, rPlan,
+      Seq(find(lPlan.output, leftKey)), Seq(find(rOut, rightKey)),
+      find(lPlan.output, leftTime), find(rOut, rightTime))
+    GraftSqlAccess.ofRows(spark, node)
+  }
+}

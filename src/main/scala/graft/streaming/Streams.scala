@@ -135,6 +135,25 @@ object Streams {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
   }
 
+  /** CHAINED stateful operators — a stream-stream interval join feeding
+    * a downstream tumbling-window aggregation, two stateful operators in
+    * one streaming plan (supported in append mode since the multiple-
+    * stateful-operator work in Spark 3.5; the join's watermark
+    * propagates to the window operator). This is the shape of a real
+    * attribution pipeline: correlate purchases to recent signups, then
+    * roll the correlated pairs up per hour — all incremental, state
+    * bounded by the watermarks at BOTH stages. Batch form registered as
+    * q101 with an exact oracle; StreamingSpec replays the same transform
+    * as a stream.
+    */
+  def joinThenWindow(events: DataFrame): DataFrame =
+    purchaseSignupJoin(events)
+      .groupBy(window(col("p_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("s_ts")).as("last_signup"))
+      .select(col("w.start").as("ws"), col("n_pairs"), col("last_signup"))
+
+  def joinThenWindowBatch: Q = (s, d) => joinThenWindow(Tables.events(s, d))
+
   /** Checkpointed parquet file sink: append the stream under `path`;
     * the checkpoint makes restarts resume from the last committed offset
     * instead of reprocessing (pinned by the restart test in
@@ -383,7 +402,8 @@ object Streams {
     "q68_stream_dedup" -> dedupBatch,
     "q69_interval_join" -> intervalJoinBatch,
     "q71_stateful_totals" -> statefulTotalsReplay,
-    "q89_stateful_totals_tws" -> statefulTotalsTwsReplay)
+    "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
+    "q101_join_then_window" -> joinThenWindowBatch)
 
   // final flatMapGroupsWithState / transformWithState state after a full
   // replay == batch agg (q71 and q89 must agree with it AND each other)
@@ -439,5 +459,20 @@ object Streams {
         |FROM p JOIN s ON user_id = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
     "q71_stateful_totals" -> totalsOracle,
-    "q89_stateful_totals_tws" -> totalsOracle)
+    "q89_stateful_totals_tws" -> totalsOracle,
+    // q69's join rolled up per epoch-aligned hour (Spark's 1h window
+    // start == date_trunc('hour')); micros truncation as in q69
+    "q101_join_then_window" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id AS s_user, ts AS s_ts
+        |      FROM e WHERE event_type = 'signup'),
+        |j AS (SELECT p_ts, s_ts
+        |      FROM p JOIN s ON user_id = s_user
+        |        AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR)
+        |SELECT date_trunc('hour', p_ts) AS ws, count(*) AS n_pairs,
+        |  max(s_ts) AS last_signup
+        |FROM j GROUP BY 1""".stripMargin)
 }

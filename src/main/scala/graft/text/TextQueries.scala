@@ -335,6 +335,65 @@ object TextQueries {
         max("budget").as("budget"))
   }
 
+  /** Overlapping token-window chunking — the pass that turns documents
+    * into model-context-sized pieces for embedding/RAG pipelines: chunk
+    * windows of 64 tokens starting every 48 (16-token overlap), with a
+    * trailing window only when it contributes tokens the previous one
+    * didn't (the `st = 1 OR st <= n - 16` guard; the filter drops a
+    * suffix of the start sequence, so `posexplode`'s index stays
+    * `(start-1)/stride`). Everything is per-row array HOFs — no
+    * shuffle at all before whatever consumes the chunks; chunk identity
+    * is pinned by md5 over the joined window so the oracle proves the
+    * exact token spans, not just counts.
+    */
+  def chunk: Q = (s, d) => {
+    val (win, stride) = (64, 48)
+    Tables.documents(s, d)
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .withColumn("n", size(col("ws")))
+      .where(col("n") >= 1)
+      .withColumn("starts", expr(
+        s"filter(sequence(1, n, $stride), st -> st = 1 OR st <= n - ${win - stride})"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("starts")).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        expr(s"size(slice(ws, start, $win))").as("chunk_tokens"),
+        md5(expr(s"array_join(slice(ws, start, $win), ' ')")).as("chunk_md5"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf × idf. The idf factor is the integer-rational
+    * `(1e6 × N_docs) div df` instead of a float `ln(N/df)` — monotone
+    * in N/df, so the RANKING is the standard one, while every score
+    * stays exact 64-bit integer arithmetic that hash-matches any
+    * engine bit for bit (a float log differs in final ulps across
+    * libms, which an exact-hash oracle cannot tolerate; production can
+    * swap the expression). Scale shape: explode → per-(doc,term) count
+    * with map-side partials → term-level df (vocabulary-sized, tiny
+    * next to the corpus) joined back on `term` → per-doc top-3 as
+    * WindowGroupLimit. No driver-side state — N_docs is a scalar
+    * subquery inside the plan.
+    */
+  def tfidf: Q = (s, d) => {
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .createOrReplaceTempView("docs_tfidf")
+    s.sql(
+      """WITH terms AS (
+        |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS term
+        |  FROM docs_tfidf),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ((1000000 * (SELECT count(*) FROM docs_tfidf)) div df.df) AS score
+        |  FROM tf JOIN df ON tf.term = df.term),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score FROM ranked WHERE rk <= 3""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
@@ -350,7 +409,9 @@ object TextQueries {
     "q84_decontaminate" -> decontaminate,
     "q85_sequence_pack" -> sequencePack,
     "q90_source_mix" -> sourceMix,
-    "q92_ngram_generator" -> ngramCountsGen)
+    "q92_ngram_generator" -> ngramCountsGen,
+    "q102_chunking" -> chunk,
+    "q103_tfidf" -> tfidf)
 
   /** q92 (native generator) shares q78's oracle: the gram multiset is
     * byte-identical by construction.
@@ -513,5 +574,40 @@ object TextQueries {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(max(budget) AS BIGINT) AS budget
-        |FROM off WHERE prev < budget GROUP BY source""".stripMargin)
+        |FROM off WHERE prev < budget GROUP BY source""".stripMargin,
+    // DuckDB list slice ws[a:b] is 1-based inclusive (= Spark
+    // slice(ws, a, 64) for b = a+63); range(_,_,48) is end-exclusive
+    // like Spark's stepped sequence over ints
+    "q102_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= 1),
+        |st AS (
+        |  SELECT doc_id, ws, n,
+        |    unnest(list_filter(range(1, n + 1, 48),
+        |      st -> st = 1 OR st <= n - 16)) AS start
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS INT) AS chunk_id,
+        |  CAST(start AS INT) AS start,
+        |  CAST(len(ws[start:start+63]) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(ws[start:start+63], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
+    "q103_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ((1000000 * (SELECT count(*) FROM documents)) // df.df) AS score
+        |  FROM tf JOIN df USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, score
+        |FROM ranked WHERE rk <= 3""".stripMargin)
 }

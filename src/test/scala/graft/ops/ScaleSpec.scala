@@ -169,4 +169,24 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(bucketed === direct)
   }
+
+  test("Z-order ranges bound BOTH dimensions far tighter than a 1-D sort") {
+    val rows = Scale.zorderBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length > 100) // 256 ranges, some possibly empty
+    val (pkLo, pkHi) = (rows.map(_._3).min, rows.map(_._4).max)
+    val (skLo, skHi) = (rows.map(_._5).min, rows.map(_._6).max)
+    val (pkDom, skDom) = (pkHi - pkLo + 1, skHi - skLo + 1)
+    // weight per-range spans by row count: the mean file a box query
+    // probes must bound both dims well under the full domain (a 1-D
+    // pk-sort leaves every file's sk span at ~the full sk domain)
+    val n = rows.map(_._2).sum.toDouble
+    val meanPkSpan = rows.map(r => r._2 * (r._4 - r._3 + 1).toDouble).sum / n
+    val meanSkSpan = rows.map(r => r._2 * (r._6 - r._5 + 1).toDouble).sum / n
+    assert(meanPkSpan < pkDom / 8.0,
+      s"pk span $meanPkSpan vs domain $pkDom — no pk locality")
+    assert(meanSkSpan < skDom / 8.0,
+      s"sk span $meanSkSpan vs domain $skDom — no sk locality")
+  }
 }

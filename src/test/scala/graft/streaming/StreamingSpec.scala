@@ -114,6 +114,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("chained stateful operators: stream-stream join into windowed agg") {
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.joinThenWindow(stream), "chain_sink", "append")
+    val streamed = spark.table("chain_sink").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getTimestamp(2))).toSet
+    val batchRows = Streams.joinThenWindow(Tables.events(spark, sf)).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getTimestamp(2)))
+    val batch = batchRows.toSet
+    // append mode only finalizes windows the terminal watermark passed:
+    // streamed ⊆ batch, and every window a full watermark-delay older
+    // than the newest purchase must have been emitted
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val maxTs = batchRows.map(_._1.getTime).max
+    val mustHave = batch.filter(_._1.getTime + 2 * 3600 * 1000L <= maxTs)
+    assert(mustHave.subsetOf(streamed),
+      s"finalized windows missing: ${(mustHave -- streamed).take(3)}")
+  }
+
   test("parquet sink with checkpoint delivers exactly once across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-")
     try {

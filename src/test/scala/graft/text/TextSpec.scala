@@ -69,4 +69,46 @@ class TextSpec extends SparkSpec {
     // multiples of 512)
     assert(rs.exists(_.getLong(1) > 0), "budget never overflowed — packing vacuous")
   }
+
+  test("chunking covers every token with 16-token overlap between neighbors") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextQueries.chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    chunks.groupBy(_._1).foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // chunk ids dense from 0; starts at 1 + 48*k
+      sorted.zipWithIndex.foreach { case ((_, cid, start, _), i) =>
+        assert(cid === i && start === 1 + 48 * i)
+      }
+      // full coverage: last chunk must reach the final token
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 === docs(doc),
+        s"doc $doc: tokens ${docs(doc)} but last chunk ends at ${lastStart + lastLen - 1}")
+      // every non-final chunk is full-width (64), giving a 16-token overlap
+      sorted.init.foreach { case (_, _, _, len) => assert(len === 64) }
+    }
+    assert(chunks.nonEmpty && chunks.exists(_._2 > 0), "no multi-chunk docs — overlap untested")
+  }
+
+  test("tfidf ranks rarer terms above common ones at equal tf") {
+    val rs = TextQueries.tfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rs.nonEmpty)
+    rs.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length)) // rk dense from 1
+      // scores non-increasing in rank order
+      val byRank = rows.sortBy(_._2).map(_._6)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // idf monotonicity: within one doc, equal tf ⇒ the smaller df never
+    // scores lower
+    rs.groupBy(_._1).foreach { case (_, rows) =>
+      for (a <- rows; b <- rows if a._4 == b._4 && a._5 < b._5)
+        assert(a._6 >= b._6)
+    }
+  }
 }
