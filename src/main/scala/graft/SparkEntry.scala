@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreQueries.queries ++
       ops.ExtraQueries.queries ++
+      ops.AnalyticsQueries.queries ++
       ops.AsOf.queries ++
       ops.RangeJoin.queries ++
       ops.Scale.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.CoreQueries.oracles ++
       ops.ExtraQueries.oracles ++
+      ops.AnalyticsQueries.oracles ++
       ops.AsOf.oracles ++
       ops.RangeJoin.oracles ++
       ops.Scale.oracles ++

@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics and warehouse-maintenance operators over the event
+  * stream and star schema: step funnels, cohort retention, Pareto
+  * (skyline) frontier, MERGE-style CDC apply, bitmap activity masks, an
+  * inverted index, and a blocked edit-distance similarity join.
+  *
+  * These extend the reference's single map→shuffle→reduce pipeline
+  * (`MapReduceFramework.cpp:191-202`) the same way the rest of
+  * `graft.ops` does: each is a declarative Catalyst plan whose shuffles
+  * are keyed aggregations/joins (scale-safe at 100 TB), and each is
+  * oracle-gated against DuckDB with exact integer/decimal arithmetic —
+  * no float aggregate ever crosses the engine boundary un-cast.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered 3-step funnel with per-step 24 h conversion deadlines:
+    * first `view`, then the first `click` strictly after it (within
+    * 24 h), then the first `purchase` strictly after that click (within
+    * 24 h). Output: users surviving each stage.
+    *
+    * Shape at scale: three hash aggregations on `user_id` plus two
+    * user-keyed equi joins — every operator is partitioned by the same
+    * key, so AQE plans one exchange per side and nothing quadratic. The
+    * per-stage min-timestamp join beats a per-user event-list collect
+    * (the naive sessionize-then-scan form) because only one timestamp
+    * per user crosses each stage boundary.
+    */
+  def funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def stage(tpe: String): DataFrame = ev.where(col("event_type") === tpe)
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val ck = stage("click").join(v, "user_id")
+      .where(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = stage("purchase").join(ck, "user_id")
+      .where(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def level(ord: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("n_users"))
+    level(1, "view", v).unionAll(level(2, "click", ck)).unionAll(level(3, "purchase", p))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's first
+    * `signup` event; activity = distinct weeks with a `purchase`.
+    * Output: (cohort_week, week_offset) → retained users.
+    *
+    * Scale shape: one user-keyed aggregation for cohorts, one
+    * (user, week) distinct, one user-keyed join — all co-partitioned on
+    * `user_id`, then a tiny (weeks × weeks) final aggregate.
+    */
+  def retention: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+      .select(col("user_id"), date_trunc("week", col("t0")).cast("date").as("cohort_week"))
+    val active = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .distinct()
+    cohort.join(active, "user_id")
+      .where(col("act_week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(act_week, cohort_week) div 7 AS INT)").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Pareto (skyline) frontier over parts: minimize `p_retailprice`,
+    * maximize `p_size`. A part is dominated iff some part is no more
+    * expensive and no smaller, with at least one strict.
+    *
+    * The naive form is the O(n²) NOT EXISTS self-join (that stays as the
+    * oracle). The plan here is linear: aggregate to one row per distinct
+    * price (max size), one ordered pass computes the running max size of
+    * all strictly-cheaper prices, and the tiny price-level frontier
+    * table joins back to parts. The single-partition window runs over
+    * |distinct prices| rows — domain-bounded and orders of magnitude
+    * smaller than the table; at 100 TB the same two-pass trick nests
+    * (per-partition frontier, then frontier-of-frontiers) but the
+    * price-level aggregate already fits every realistic domain.
+    */
+  def paretoFrontier: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size")
+    val byPrice = p.groupBy("p_retailprice").agg(max("p_size").as("msize"))
+    val w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byPrice.withColumn("m_lt", max("msize").over(w))
+    p.join(broadcast(frontier), "p_retailprice")
+      .where(!(coalesce(col("m_lt") >= col("p_size"), lit(false)) ||
+        col("msize") > col("p_size")))
+      .select("p_partkey", "p_retailprice", "p_size")
+  }
+
+  /** MERGE-style CDC apply: the change feed is the latest urgent order
+    * per customer (deterministic latest: order date then key, exactly
+    * the q67 compaction pattern); status `F` means delete, anything else
+    * upserts the balance to that order's total price; customers without
+    * a change pass through unchanged. Full-outer join keeps the insert
+    * leg live even though this corpus has no orphan changes.
+    *
+    * Scale shape: window-compact the change feed (keyed shuffle), one
+    * full-outer equi join on the customer key — the standard distributed
+    * MERGE plan (Delta/Iceberg execute exactly this join under the
+    * hood).
+    */
+  def mergeApply: Q = (s, d) => {
+    val rk = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val changes = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .withColumn("rk", row_number().over(rk)).where(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderstatus").as("op_status"),
+        col("o_totalprice").as("new_bal"))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    cust.join(changes, col("c_custkey") === col("o_custkey"), "full_outer")
+      .where(col("o_custkey").isNull || col("op_status") =!= "F")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("op_status").isNull, lit("kept"))
+          .when(col("c_custkey").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"),
+        when(col("op_status").isNotNull, col("new_bal"))
+          .otherwise(col("c_acctbal")).as("balance"))
+  }
+
+  /** Per-user monthly activity bitmap: bit i set ⟺ active on day i+1,
+    * via `bit_or(1 << (day-1))` — the roaring-bitmap-style presence
+    * encoding at its integer-exact core. `n_days` pops the mask. One
+    * hash aggregation; 8 bytes of state per (user, month) regardless of
+    * event volume.
+    */
+  def activityBitmap: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), month(col("ts")).as("m"))
+      .agg(bit_or(expr("shiftleft(1L, dayofmonth(ts) - 1)")).as("mask"))
+      .withColumn("n_days", bit_count(col("mask")))
+
+  /** Inverted index over the documents table: term → document frequency
+    * + sorted posting list. `array_distinct` inside the per-document
+    * split keeps the explode emission at one (doc, term) per distinct
+    * term before the shuffle — the map-side dedup that makes the
+    * posting-list build linear in corpus token count. Sorted arrays keep
+    * the output deterministic (q65 rule).
+    */
+  def invertedIndex: Q = (s, d) =>
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** Blocked edit-distance similarity join: document pairs whose 80-char
+    * prefixes are within Levenshtein distance 8, candidate-blocked on
+    * the 12-char prefix (equi join — near-duplicate docs share their
+    * opening, so the block has high recall at a tiny candidate count;
+    * the sf0.01 corpus yields 86 candidate pairs for 500 docs). The
+    * quadratic distance computation only ever runs inside a block —
+    * the same blocking discipline as the MinHash band join (q42).
+    */
+  def editDistanceJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"),
+        substring(col("text"), 1, 12).as("blk"))
+    val a = docs.select(col("doc_id").as("a_id"), col("prefix").as("a_txt"), col("blk"))
+    val b = docs.select(col("doc_id").as("b_id"), col("prefix").as("b_txt"), col("blk"))
+    a.join(b, "blk")
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt")))
+      .where(col("dist") <= 8)
+      .select("a_id", "b_id", "dist")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q106_funnel" -> funnel,
+    "q107_retention" -> retention,
+    "q108_pareto" -> paretoFrontier,
+    "q109_merge_apply" -> mergeApply,
+    "q110_activity_bitmap" -> activityBitmap,
+    "q111_inverted_index" -> invertedIndex,
+    "q112_editdist_join" -> editDistanceJoin)
+
+  val oracles: Map[String, String] = Map(
+    "q106_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type='view' GROUP BY user_id),
+        |ck AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id=v.user_id
+        |       WHERE e.event_type='click' AND e.ts > v.t1
+        |         AND e.ts <= v.t1 + INTERVAL 24 HOURS GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN ck ON e.user_id=ck.user_id
+        |      WHERE e.event_type='purchase' AND e.ts > ck.t2
+        |        AND e.ts <= ck.t2 + INTERVAL 24 HOURS GROUP BY e.user_id)
+        |SELECT 1 AS stage_ord, 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM ck
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    "q107_retention" ->
+      """WITH cohort AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |                FROM events WHERE event_type='signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+        |        FROM events WHERE event_type='purchase')
+        |SELECT cohort_week,
+        |  CAST(CAST(date_diff('day', cohort_week, act_week) AS BIGINT) // 7 AS INT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM cohort JOIN act USING (user_id)
+        |WHERE act_week >= cohort_week GROUP BY 1, 2""".stripMargin,
+    "q108_pareto" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin,
+    "q109_merge_apply" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |chg AS (SELECT o_custkey, o_orderstatus AS op_status, o_totalprice AS new_bal
+        |        FROM latest WHERE rk = 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CASE WHEN op_status IS NULL THEN 'kept'
+        |       WHEN c_custkey IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action,
+        |  CASE WHEN op_status IS NOT NULL THEN new_bal ELSE c_acctbal END AS balance
+        |FROM customer FULL OUTER JOIN chg ON c_custkey = o_custkey
+        |WHERE o_custkey IS NULL OR op_status <> 'F'""".stripMargin,
+    "q110_activity_bitmap" ->
+      """SELECT user_id, CAST(month(ts) AS INT) AS m,
+        |  bit_or(1::BIGINT << (dayofmonth(ts) - 1)) AS mask,
+        |  CAST(bit_count(bit_or(1::BIGINT << (dayofmonth(ts) - 1))) AS INT) AS n_days
+        |FROM events GROUP BY user_id, month(ts)""".stripMargin,
+    "q111_inverted_index" ->
+      """WITH terms AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |FROM terms GROUP BY term""".stripMargin,
+    "q112_editdist_join" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(substr(a.text,1,80), substr(b.text,1,80)) AS INT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON substr(a.text,1,12) = substr(b.text,1,12) AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 8""".stripMargin)
+}

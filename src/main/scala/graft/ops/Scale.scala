@@ -152,14 +152,19 @@ object Scale {
     * mechanic is oracle-gated like q59–q61.
     */
   def zorderBuckets(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("li_z")
-    s.sql(
-      """SELECT CAST(l_partkey AS BIGINT) pk, CAST(l_suppkey AS BIGINT) sk,
-        |  (SELECT min(l_partkey) FROM li_z) pk_min,
-        |  (SELECT max(l_partkey) FROM li_z) pk_max,
-        |  (SELECT min(l_suppkey) FROM li_z) sk_min,
-        |  (SELECT max(l_suppkey) FROM li_z) sk_max
-        |FROM li_z""".stripMargin)
+    // Unique per-call view name, dropped after eager analysis — shared
+    // session state must not collide across concurrent queries.
+    val v = "li_z_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.lineitem(s, d).createOrReplaceTempView(v)
+    val base = s.sql(
+      s"""SELECT CAST(l_partkey AS BIGINT) pk, CAST(l_suppkey AS BIGINT) sk,
+        |  (SELECT min(l_partkey) FROM $v) pk_min,
+        |  (SELECT max(l_partkey) FROM $v) pk_max,
+        |  (SELECT min(l_suppkey) FROM $v) sk_min,
+        |  (SELECT max(l_suppkey) FROM $v) sk_max
+        |FROM $v""".stripMargin)
+    s.catalog.dropTempView(v)
+    base
       .withColumn("pk16",
         expr("CAST((pk - pk_min) * 65535 div greatest(pk_max - pk_min, 1) AS INT)"))
       .withColumn("sk16",

@@ -96,6 +96,15 @@ case class GraftAsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+  // The logical node checks these too, but an exec constructed or
+  // transformed directly must fail loudly rather than compare garbage
+  // through a natural ordering built from only the left-side types.
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs one or more equi keys, the same number on both sides")
+  require(leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    "as-of join key types must match pairwise")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -190,10 +199,11 @@ object GraftAsOfJoin {
     * deployments get it from
     * `spark.sql.extensions=graft.functions.GraftExtensions`).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(GraftAsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftAsOfJoinStrategy
+  }
 
   /** DataFrame-level API: join each left row to the latest right row
     * with equal key and `rightTime <= leftTime` (inner). Output schema
@@ -214,9 +224,13 @@ object GraftAsOfJoin {
     val rPlan = logical.Project(aliases, rAnalyzed)
     val rOut = aliases.map(_.toAttribute)
     def find(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"asofJoin: no column '$name' in [${out.map(_.name).mkString(", ")}]"))
+      out.filter(_.name == name) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' in [${out.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"asofJoin: ambiguous column '$name' (${many.size} matches); rename to be unique")
+      }
     val node = GraftAsOfJoin(lPlan, rPlan,
       Seq(find(lPlan.output, leftKey)), Seq(find(rOut, rightKey)),
       find(lPlan.output, leftTime), find(rOut, rightTime))

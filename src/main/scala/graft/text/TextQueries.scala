@@ -375,23 +375,29 @@ object TextQueries {
     * subquery inside the plan.
     */
   def tfidf: Q = (s, d) => {
+    // Unique per-call view name, dropped once the plan is analyzed —
+    // concurrent queries in one session (or a user view of the same
+    // name) must never collide with our scratch state.
+    val v = "docs_tfidf_" + java.util.UUID.randomUUID().toString.replace("-", "")
     Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-      .createOrReplaceTempView("docs_tfidf")
-    s.sql(
-      """WITH terms AS (
+      .createOrReplaceTempView(v)
+    val df = s.sql(
+      s"""WITH terms AS (
         |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS term
-        |  FROM docs_tfidf),
+        |  FROM $v),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |    tf.tf * ((1000000 * (SELECT count(*) FROM docs_tfidf)) div df.df) AS score
+        |    tf.tf * ((1000000 * (SELECT count(*) FROM $v)) div df.df) AS score
         |  FROM tf JOIN df ON tf.term = df.term),
         |ranked AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
         |  FROM scored)
         |SELECT doc_id, rk, term, tf, df, score FROM ranked WHERE rk <= 3""".stripMargin)
+    s.catalog.dropTempView(v) // sql() analyzed eagerly; the plan no longer needs it
+    df
   }
 
   val queries: Map[String, Q] = Map(
