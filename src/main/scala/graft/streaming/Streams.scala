@@ -154,6 +154,29 @@ object Streams {
 
   def joinThenWindowBatch: Q = (s, d) => joinThenWindow(Tables.events(s, d))
 
+  /** Stream-static dimension enrichment: the event stream equi-joined to
+    * a STATIC dim table (customer), then rolled up per (hour window,
+    * market segment). The static side is planned per micro-batch as an
+    * ordinary batch relation — Spark broadcasts it under the usual
+    * threshold, and it never holds join state (only the windowed agg
+    * keeps state, bounded by the watermark). This is the third join
+    * regime the streaming surface needs next to stream-stream (q69/q101)
+    * and stateless transforms: the canonical fact-stream × dim-table
+    * enrichment every event pipeline starts with.
+    */
+  def enrichWithSegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("c_mktsegment"), col("cnt"), col("sum_value"))
+
+  def enrichBatch: Q = (s, d) =>
+    enrichWithSegment(Tables.events(s, d), Tables.customer(s, d))
+
   /** Checkpointed parquet file sink: append the stream under `path`;
     * the checkpoint makes restarts resume from the last committed offset
     * instead of reprocessing (pinned by the restart test in
@@ -403,7 +426,8 @@ object Streams {
     "q69_interval_join" -> intervalJoinBatch,
     "q71_stateful_totals" -> statefulTotalsReplay,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
-    "q101_join_then_window" -> joinThenWindowBatch)
+    "q101_join_then_window" -> joinThenWindowBatch,
+    "q113_stream_static_enrich" -> enrichBatch)
 
   // final flatMapGroupsWithState / transformWithState state after a full
   // replay == batch agg (q71 and q89 must agree with it AND each other)
@@ -474,5 +498,10 @@ object Streams {
         |        AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR)
         |SELECT date_trunc('hour', p_ts) AS ws, count(*) AS n_pairs,
         |  max(s_ts) AS last_signup
-        |FROM j GROUP BY 1""".stripMargin)
+        |FROM j GROUP BY 1""".stripMargin,
+    "q113_stream_static_enrich" ->
+      """SELECT date_trunc('hour', ts) AS ws, c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin)
 }

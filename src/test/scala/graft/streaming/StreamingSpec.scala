@@ -132,6 +132,25 @@ class StreamingSpec extends SparkSpec {
       s"finalized windows missing: ${(mustHave -- streamed).take(3)}")
   }
 
+  test("stream-static enrichment join equals the batch computation") {
+    val stream = Streams.readEventsStream(spark, sf)
+    val dim = Tables.customer(spark, sf)
+    runToMemory(Streams.enrichWithSegment(stream, dim), "enrich_sink", "append")
+    val streamed = spark.table("enrich_sink").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batchRows = Streams.enrichWithSegment(Tables.events(spark, sf), dim).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = batchRows.toSet
+    // append finalizes only watermark-passed windows: streamed ⊆ batch,
+    // and every window older than (max ts - 1h delay - 1h width) must
+    // have been emitted
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val maxTs = batchRows.map(_._1.getTime).max
+    val mustHave = batch.filter(_._1.getTime + 2 * 3600 * 1000L <= maxTs)
+    assert(mustHave.subsetOf(streamed),
+      s"finalized windows missing: ${(mustHave -- streamed).take(3)}")
+  }
+
   test("parquet sink with checkpoint delivers exactly once across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-")
     try {
