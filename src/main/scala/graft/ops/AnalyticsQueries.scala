@@ -176,7 +176,139 @@ object AnalyticsQueries {
       .select("a_id", "b_id", "dist")
   }
 
+  /** Decimal-exact moment sum: the only float-crossing-engines rule
+    * (NOTES.md "Determinism rules") applied to products — both factors
+    * decimal-cast BEFORE multiplying so the sum is exact, then one cast
+    * to double at the end.
+    */
+  private def dmom(e: String): Column = expr(s"CAST(sum($e) AS DOUBLE)")
+
+  private val qd = "CAST(l_quantity AS DECIMAL(18,2))"
+  private val pd = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val dd = "CAST(l_discount AS DECIMAL(18,4))"
+
+  /** The Pearson-correlation formula over exact moments. The SAME text
+    * runs through Spark SQL and DuckDB (both evaluate the identical
+    * IEEE-double expression tree over identical exact inputs, so even
+    * the hash compare agrees — sqrt and the 4 arithmetic ops are all
+    * correctly rounded).
+    */
+  private def corrFormula(sx: String, sy: String, sxy: String,
+                          sxx: String, syy: String): String =
+    s"(n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy))"
+
+  /** Pairwise correlation matrix of (quantity, extendedprice, discount)
+    * per return flag, from ONE pass of exact decimal moments — the
+    * map-side-combinable form of `corr()` (Spark's own `corr` aggregates
+    * in streaming double arithmetic whose result depends on partition
+    * order; the moment form is partition-order-independent, which is
+    * what makes it reproducible on ANY cluster size — the property the
+    * oracle hash-check enforces).
+    */
+  def corrMatrix: Q = (s, d) => {
+    val m = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      dmom(qd).as("sx"), dmom(pd).as("sy"), dmom(dd).as("sz"),
+      dmom(s"$qd * $pd").as("sxy"), dmom(s"$qd * $dd").as("sxz"),
+      dmom(s"$pd * $dd").as("syz"),
+      dmom(s"$qd * $qd").as("sxx"), dmom(s"$pd * $pd").as("syy"),
+      dmom(s"$dd * $dd").as("szz"))
+    m.selectExpr("l_returnflag",
+      s"""stack(3,
+         | 'quantity', 'extendedprice', ${corrFormula("sx", "sy", "sxy", "sxx", "syy")},
+         | 'quantity', 'discount', ${corrFormula("sx", "sz", "sxz", "sxx", "szz")},
+         | 'extendedprice', 'discount', ${corrFormula("sy", "sz", "syz", "syy", "szz")}
+         |) AS (var_x, var_y, corr)""".stripMargin)
+  }
+
+  /** Per-group least-squares line extendedprice ~ quantity — the
+    * distributed `regr_slope`/`regr_intercept` from the same exact
+    * moments as [[corrMatrix]], one aggregation pass.
+    */
+  def regression: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      dmom(qd).as("sx"), dmom(pd).as("sy"),
+      dmom(s"$qd * $pd").as("sxy"), dmom(s"$qd * $qd").as("sxx"))
+      .selectExpr("l_returnflag",
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope",
+        "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept")
+
+  /** Equi-depth decile assignment (`ntile`) of customers by balance with
+    * a unique tie-break, rolled up to per-tile stats. ntile's global
+    * ordered window is the one single-partition stage; at 100 TB the
+    * same result comes from approx-quantile range partitioning (q64's
+    * scale note) — the registered form pins the semantics.
+    */
+  def ntileDeciles: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("tile"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min("c_custkey").as("min_key"), max("c_custkey").as("max_key"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+
+  /** Higher-order array functions over per-order quantity arrays:
+    * `aggregate` (fold) for sum and sum-of-squares, `transform` +
+    * `array_max` for the scaled max — the codegen'd lambda surface
+    * (`functions.aggregate`/`transform`, no UDFs). Quantities are
+    * integral by construction, so the folds are exact int64. The oracle
+    * computes the same values with plain SQL aggregates — HOF folds
+    * over a collected array must equal the relational aggregation.
+    */
+  def higherOrderFns: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(expr("CAST(l_quantity AS BIGINT)"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("total_qty"),
+        expr("aggregate(qs, 0L, (acc, x) -> acc + x * x)").as("sum_sq"),
+        expr("array_max(transform(qs, x -> x * 2))").as("max_doubled"))
+
+  /** Calendar gap-fill with forward fill: a generated day spine per user
+    * (`sequence` + explode — the dimension comes from the data's own
+    * min/max, no driver-side state), left-joined to per-day event
+    * counts, nulls forward-filled by `last(_, ignoreNulls)` over the
+    * per-user ordered window; leading gaps surface as 0. The spine
+    * explode is linear in users × days and co-partitioned with the
+    * counts on `user_id`.
+    */
+  def gapFill: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(last("n", ignoreNulls = true).over(w), lit(0L)).as("filled"))
+  }
+
+  /** `max_by`/`min_by` keyed on a unique ordering column (the order key)
+    * — the deterministic arg-extremum aggregate (DuckDB `arg_max`).
+    * Unique keys make the result well-defined on both engines; ties on
+    * a non-unique ordering column are unspecified in BOTH engines,
+    * which is exactly why the registered form keys on the primary key.
+    */
+  def argExtremum: Q = (s, d) =>
+    Tables.orders(s, d).groupBy("o_custkey").agg(
+      max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+      min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+      max("o_orderkey").as("last_key"),
+      min("o_orderkey").as("first_key"))
+
   val queries: Map[String, Q] = Map(
+    "q114_corr_matrix" -> corrMatrix,
+    "q115_regression" -> regression,
+    "q116_ntile" -> ntileDeciles,
+    "q117_higher_order" -> higherOrderFns,
+    "q118_gap_fill" -> gapFill,
+    "q119_arg_extremum" -> argExtremum,
     "q106_funnel" -> funnel,
     "q107_retention" -> retention,
     "q108_pareto" -> paretoFrontier,
@@ -185,7 +317,79 @@ object AnalyticsQueries {
     "q111_inverted_index" -> invertedIndex,
     "q112_editdist_join" -> editDistanceJoin)
 
+  /** DuckDB side of [[corrMatrix]]'s moments CTE (identical decimal
+    * casts; DuckDB spells the double sums the same way).
+    */
+  private val momentsCte =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sz,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxz,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syz,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS szz
+      |  FROM lineitem GROUP BY l_returnflag)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q114_corr_matrix" -> (momentsCte +
+      s"""SELECT l_returnflag, 'quantity' AS var_x, 'extendedprice' AS var_y,
+         |  ${corrFormula("sx", "sy", "sxy", "sxx", "syy")} AS corr FROM m
+         |UNION ALL
+         |SELECT l_returnflag, 'quantity', 'discount',
+         |  ${corrFormula("sx", "sz", "sxz", "sxx", "szz")} FROM m
+         |UNION ALL
+         |SELECT l_returnflag, 'extendedprice', 'discount',
+         |  ${corrFormula("sy", "sz", "syz", "syy", "szz")} FROM m""".stripMargin),
+    "q115_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        |FROM m""".stripMargin,
+    "q116_ntile" ->
+      """SELECT tile, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM (SELECT c_custkey, c_acctbal,
+        |        CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS tile
+        |      FROM customer)
+        |GROUP BY tile""".stripMargin,
+    "q117_higher_order" ->
+      """SELECT l_orderkey, CAST(count(*) AS INT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
+        |  max(CAST(l_quantity AS BIGINT) * 2) AS max_doubled
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q118_gap_fill" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |spine AS (
+        |  SELECT u.user_id, CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u, b),
+        |daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |          FROM events GROUP BY 1, 2)
+        |SELECT user_id, day,
+        |  coalesce(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled
+        |FROM spine LEFT JOIN daily USING (user_id, day)""".stripMargin,
+    "q119_arg_extremum" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderstatus, o_orderkey) AS last_status,
+        |  arg_min(o_orderstatus, o_orderkey) AS first_status,
+        |  max(o_orderkey) AS last_key, min(o_orderkey) AS first_key
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q106_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |           WHERE event_type='view' GROUP BY user_id),

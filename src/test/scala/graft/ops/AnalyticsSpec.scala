@@ -78,6 +78,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("moment-form correlations agree with Spark's corr() to float tolerance") {
+    val ours = AnalyticsQueries.corrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+    val ref = li.groupBy("l_returnflag").agg(
+      corr("l_quantity", "l_extendedprice").as("c1"),
+      corr("l_quantity", "l_discount").as("c2"),
+      corr("l_extendedprice", "l_discount").as("c3")).collect()
+    ref.foreach { r =>
+      val f = r.getString(0)
+      assert(math.abs(ours((f, "quantity", "extendedprice")) - r.getDouble(1)) < 1e-9)
+      assert(math.abs(ours((f, "quantity", "discount")) - r.getDouble(2)) < 1e-9)
+      assert(math.abs(ours((f, "extendedprice", "discount")) - r.getDouble(3)) < 1e-9)
+    }
+    // correlations are bounded
+    assert(ours.values.forall(c => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+  }
+
+  test("ntile deciles partition every row into near-equal tiles") {
+    val rows = AnalyticsQueries.ntileDeciles(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === (1 to 10).toSet)
+    val total = graft.Tables.customer(spark, sf).count()
+    assert(rows.values.sum === total)
+    assert(rows.values.max - rows.values.min <= 1)
+  }
+
+  test("higher-order folds equal relational aggregates") {
+    val hof = AnalyticsQueries.higherOrderFns(spark, sf)
+      .select("l_orderkey", "total_qty").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("t"))
+      .collect().foreach { r => assert(hof(r.getLong(0)) === r.getLong(1)) }
+  }
+
+  test("gap fill covers the full spine with no nulls and carries counts forward") {
+    val df = AnalyticsQueries.gapFill(spark, sf)
+    val ev = graft.Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    val days = ev.selectExpr("CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS INT) + 1")
+      .head().getInt(0)
+    assert(df.count() === users * days)
+    assert(df.where(col("filled").isNull).count() === 0)
+    // forward-fill: each day shows the most recent day-with-events count
+    val actual = ev.where(col("user_id") === 0)
+      .groupBy(col("ts").cast("date").as("day")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    var carry = 0L
+    df.where(col("user_id") === 0).orderBy("day").collect().foreach { r =>
+      carry = actual.getOrElse(r.getDate(1).toString, carry)
+      assert(r.getLong(2) === carry)
+    }
+  }
+
   test("edit-distance join emits each unordered pair once, under threshold") {
     val rows = AnalyticsQueries.editDistanceJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
