@@ -277,10 +277,17 @@ object AnalyticsQueries {
     */
   def gapFill: Q = (s, d) => {
     val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
-    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    // The calendar bounds are ONE row (a distributed min/max agg); fetch
+    // them and inline as literals rather than joining them on. The
+    // 1-row-to-driver transfer is the same sanctioned shape as the IVF
+    // centroid fetch, and it keeps the spine build join-free (a
+    // crossJoin here plans as BroadcastNestedLoopJoin, which the
+    // suite-wide plan lint rightly rejects everywhere else).
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi")).head()
+    val (lo, hi) = (bounds.getDate(0), bounds.getDate(1))
     val spine = ev.select("user_id").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .select(col("user_id"),
+        explode(expr(s"sequence(DATE'$lo', DATE'$hi', interval 1 day)")).as("day"))
     val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
