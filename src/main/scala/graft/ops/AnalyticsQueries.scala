@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 import graft.Tables
 
@@ -235,19 +236,51 @@ object AnalyticsQueries {
         "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept")
 
   /** Equi-depth decile assignment (`ntile`) of customers by balance with
-    * a unique tie-break, rolled up to per-tile stats. ntile's global
-    * ordered window is the one single-partition stage; at 100 TB the
-    * same result comes from approx-quantile range partitioning (q64's
-    * scale note) — the registered form pins the semantics.
+    * a unique tie-break, rolled up to per-tile stats.
+    *
+    * `ntile(10) OVER (ORDER BY ...)` plans a single-partition window —
+    * the whole table through one task, dead at 100 TB. This computes the
+    * identical tiles distributed: `repartitionByRange` on the ordering
+    * key (Spark's sampled range exchange — the same machinery a global
+    * sort uses), per-partition row counts (one tiny job; the range
+    * shuffle files are reused, not recomputed), then each task assigns
+    * exact global ranks from its partition's offset and the closed-form
+    * ntile arithmetic (first `n mod k` tiles get `ceil(n/k)` rows). The
+    * only driver-side state is one count per partition. Output is
+    * independent of where the sampled range bounds fall because the
+    * ordering key is made unique by the `c_custkey` tie-break.
     */
-  def ntileDeciles: Q = (s, d) =>
-    Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(10).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("tile"))
+  def ntileDeciles: Q = (s, d) => {
+    val k = 10
+    val ranged = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions("c_acctbal", "c_custkey")
+    val rows = ranged.rdd
+    val sizes = rows.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val (q, rem) = (n / k, n % k)
+    val tiled = rows.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row =>
+        r += 1
+        // rank r (1-based) -> ntile: tiles 1..rem hold q+1 rows, rest q.
+        // q == 0 keeps the else-branch unreachable (rem*(q+1) == n).
+        val tile =
+          if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+          else rem + (r - rem * (q + 1) - 1) / q + 1
+        Row.fromSeq(row.toSeq :+ tile.toInt)
+      }
+    }
+    s.createDataFrame(tiled, ranged.schema.add("tile", IntegerType))
       .groupBy("tile")
       .agg(count(lit(1)).as("n"),
         min("c_custkey").as("min_key"), max("c_custkey").as("max_key"),
         expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_bal"))
+  }
 
   /** Higher-order array functions over per-order quantity arrays:
     * `aggregate` (fold) for sum and sum-of-squares, `transform` +
