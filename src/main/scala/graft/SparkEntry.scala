@@ -23,6 +23,8 @@ object SparkEntry {
     ops.CoreQueries.queries ++
       ops.ExtraQueries.queries ++
       ops.AnalyticsQueries.queries ++
+      ops.BehaviorQueries.queries ++
+      ops.GraphQueries.queries ++
       ops.AsOf.queries ++
       ops.RangeJoin.queries ++
       ops.Scale.queries ++
@@ -54,6 +56,8 @@ object SparkEntry {
     ops.CoreQueries.oracles ++
       ops.ExtraQueries.oracles ++
       ops.AnalyticsQueries.oracles ++
+      ops.BehaviorQueries.oracles ++
+      ops.GraphQueries.oracles ++
       ops.AsOf.oracles ++
       ops.RangeJoin.oracles ++
       ops.Scale.oracles ++

@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral / time-series operators over the event log, plus a
+  * one-pass data profiler: gaps-and-islands sessionization, exact
+  * integer-arithmetic outlier detection, Markov transition counts, a
+  * rolling 7-day distinct-user window, and per-column profiling.
+  *
+  * Like the rest of `graft.ops` these generalize the reference's one
+  * map→shuffle→reduce pipeline (`MapReduceFramework.cpp:191-202`) into
+  * declarative Catalyst plans: every shuffle is a keyed aggregation,
+  * window, or equi join (no cartesian/BNLJ anywhere — PlanAuditSpec
+  * lints this), and every oracle crosses the engine boundary in exact
+  * integer/decimal arithmetic or engine-identical timestamp micros.
+  */
+object BehaviorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gaps-and-islands sessionization: a new session starts when a user
+    * is idle > 30 minutes. Output: per (user, session ordinal) event
+    * count, bounds, and exact microsecond duration.
+    *
+    * Scale shape: ONE hash exchange on `user_id` feeds both the lag
+    * window and the running-sum window (same partitioning + ordering, so
+    * Catalyst plans a single sort), and the final group-by is
+    * partition-local after the window — per-user state never leaves its
+    * partition. The streaming sibling is q25's session window; this is
+    * the batch/backfill form. Skewed power users are bounded by their
+    * own event counts, not the corpus (no per-user collect).
+    */
+  def sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select("user_id", "ts", "event_id")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .withColumn("duration_us",
+        unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+  }
+
+  /** Exact z-score outlier detection without a single float: flag
+    * events whose value sits more than 2 population standard deviations
+    * from their event-type mean, counted per type.
+    *
+    * `z > 2  ⇔  (x·n − S)² > 4·(n·Q − S²)` with x = cents, S = Σx,
+    * Q = Σx² — the float inequality cleared of divisions and square
+    * roots, so both engines evaluate it in exact wide-integer
+    * arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT) and the oracle is
+    * bit-exact, unlike any stddev()-based formulation.
+    *
+    * Scale shape: one partial+final aggregate for the per-type moments
+    * (a handful of rows), broadcast back over the events scan — a
+    * single pass over the fact table plus a broadcast, no self-join.
+    */
+  def anomaly: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)").as("x"))
+    val stats = base.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("s"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("q"))
+    val dev = col("x") * col("n") - col("s")
+    base.join(broadcast(stats), "event_type")
+      .where(dev * dev > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_outliers"), max(col("x").cast("long")).as("max_cents"))
+  }
+
+  /** First-order Markov transitions between consecutive event types per
+    * user: count each (prev → next) bigram and its probability in exact
+    * parts-per-million (integer division, so the oracle hash-matches —
+    * a float ratio would not).
+    *
+    * Scale shape: the lag window shuffles once on `user_id`; the bigram
+    * count is a map-side-combinable aggregate on a tiny key space
+    * (|types|²), and the per-prev totals join back as a broadcast.
+    */
+  def transitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cnt = Tables.events(s, d)
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("prev_type").agg(sum("n").as("total"))
+    cnt.join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(n * 1000000) div total").as("ppm"))
+  }
+
+  /** Rolling 7-day distinct users per active day — the exact form of
+    * the classic "L7" engagement metric. Distinct windowed counts have
+    * no incremental window form (distinct doesn't subtract), so the
+    * scalable exact plan is contribute-and-aggregate: each (user, day)
+    * fact contributes to the 7 target days it can influence via
+    * `explode(sequence(...))`, then one hash aggregation per target day
+    * counts distinct users. A bounded 7× fan-out of a deduplicated
+    * user-day table (already ≪ the event table) beats a range
+    * self-join (quadratic in active days) and needs no window state;
+    * the 100 TB approximate sibling would swap countDistinct for HLL
+    * sketch-merge (q34's mechanic). The equi join against the distinct
+    * active-day set drops target days with no activity.
+    */
+  def rollingDistinct: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("target_day")).distinct()
+    ud.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("target_day"))
+      .join(days, "target_day")
+      .groupBy("target_day")
+      .agg(countDistinct("user_id").as("u7"))
+  }
+
+  /** One-pass per-column profiler over `orders`: row count, non-null
+    * count, exact distinct count, and min/max rendered to strings with
+    * per-type care (dates via DATE cast, money via DECIMAL(18,2) — the
+    * two representations both engines print identically; raw
+    * double/timestamp renderings would not hash-match).
+    *
+    * Scale shape: ONE scan. The six exact distinct aggregates share it
+    * via Expand (6× row multiplication before partial aggregation) —
+    * the standard Spark plan for multi-distinct, still one pass over
+    * the fact table; the approximate sibling at 100 TB swaps in HLL
+    * (q34). The `stack` unpivot runs on the single aggregated row.
+    */
+  def profile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def stats(i: Int, c: org.apache.spark.sql.Column) = Seq(
+      count(c).as(s"nn$i"), countDistinct(c).as(s"nd$i"),
+      min(c).cast("string").as(s"mn$i"), max(c).cast("string").as(s"mx$i"))
+    val cols =
+      stats(1, col("o_orderkey")) ++ stats(2, col("o_custkey")) ++
+      stats(3, col("o_orderstatus")) ++
+      stats(4, col("o_totalprice").cast("decimal(18,2)")) ++
+      stats(5, col("o_orderdate").cast("date")) ++
+      stats(6, col("o_orderpriority"))
+    o.agg(count(lit(1)).as("n_rows"), cols: _*)
+      .selectExpr("n_rows",
+        """stack(6,
+          |  'o_orderkey', nn1, nd1, mn1, mx1,
+          |  'o_custkey', nn2, nd2, mn2, mx2,
+          |  'o_orderstatus', nn3, nd3, mn3, mx3,
+          |  'o_totalprice', nn4, nd4, mn4, mx4,
+          |  'o_orderdate', nn5, nd5, mn5, mx5,
+          |  'o_orderpriority', nn6, nd6, mn6, mx6
+          |) AS (col_name, n_nonnull, n_distinct, min_repr, max_repr)""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q120_sessionize" -> sessionize,
+    "q121_anomaly" -> anomaly,
+    "q122_transitions" -> transitions,
+    "q123_rolling_distinct" -> rollingDistinct,
+    "q124_profile" -> profile)
+
+  val oracles: Map[String, String] = Map(
+    "q120_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |                    OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q121_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, count(*) AS n_outliers, CAST(max(b.x) AS BIGINT) AS max_cents
+        |FROM b JOIN st USING (event_type)
+        |WHERE (b.x * st.n - st.s) * (b.x * st.n - st.s) > 4 * (st.n * st.q - st.s * st.s)
+        |GROUP BY b.event_type""".stripMargin,
+    "q122_transitions" ->
+      """WITH bi AS (
+        |  SELECT prev_type, event_type AS next_type FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL),
+        |cnt AS (SELECT prev_type, next_type, count(*) AS n FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(n) AS total FROM cnt GROUP BY 1)
+        |SELECT cnt.prev_type, cnt.next_type, cnt.n,
+        |  (cnt.n * 1000000) // CAST(tot.total AS BIGINT) AS ppm
+        |FROM cnt JOIN tot USING (prev_type)""".stripMargin,
+    "q123_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS target_day FROM ud),
+        |x AS (
+        |  SELECT ud.user_id,
+        |    CAST(unnest(generate_series(CAST(ud.day AS TIMESTAMP),
+        |                                CAST(ud.day AS TIMESTAMP) + INTERVAL 6 DAY,
+        |                                INTERVAL 1 DAY)) AS DATE) AS target_day
+        |  FROM ud)
+        |SELECT x.target_day, count(DISTINCT x.user_id) AS u7
+        |FROM x JOIN days USING (target_day)
+        |GROUP BY 1""".stripMargin,
+    "q124_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        |    count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        |    count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+        |    min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+        |    count(o_totalprice) AS nn4,
+        |    count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS nd4,
+        |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn4,
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx4,
+        |    count(o_orderdate) AS nn5, count(DISTINCT CAST(o_orderdate AS DATE)) AS nd5,
+        |    CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn5,
+        |    CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx5,
+        |    count(o_orderpriority) AS nn6, count(DISTINCT o_orderpriority) AS nd6,
+        |    min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+        |  FROM orders)
+        |SELECT n_rows, 'o_orderkey' AS col_name, nn1 AS n_nonnull, nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM a
+        |UNION ALL SELECT n_rows, 'o_custkey', nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT n_rows, 'o_orderstatus', nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT n_rows, 'o_totalprice', nn4, nd4, mn4, mx4 FROM a
+        |UNION ALL SELECT n_rows, 'o_orderdate', nn5, nd5, mn5, mx5 FROM a
+        |UNION ALL SELECT n_rows, 'o_orderpriority', nn6, nd6, mn6, mx6 FROM a""".stripMargin)
+}

@@ -776,7 +776,7 @@ object ExtraQueries {
         |  SELECT m + 1, hi FROM months WHERE m < hi)
         |SELECT CAST(m // 12 AS INT) AS yr, CAST(m % 12 + 1 AS INT) AS mo,
         |  count(o_orderkey) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM months LEFT JOIN orders
         |  ON year(o_orderdate) * 12 + month(o_orderdate) - 1 = m
         |GROUP BY m""".stripMargin,
@@ -787,7 +787,7 @@ object ExtraQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q96_dynamic_partition_overwrite" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE year(o_orderdate) <> 1997 OR o_totalprice > 100000
         |GROUP BY 1""".stripMargin,
@@ -798,7 +798,7 @@ object ExtraQueries {
         |FROM documents WHERE doc_id % 10 = 0 GROUP BY 1""".stripMargin,
     "q98_xml_source" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  count(DISTINCT o_orderpriority) AS n_prio
         |FROM orders GROUP BY 1""".stripMargin,
     "q99_nullsafe_join" ->
@@ -807,17 +807,17 @@ object ExtraQueries {
         |  FROM lineitem),
         |dims AS (
         |  SELECT nullif(l_returnflag, 'N') AS flag_key,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |      AS dim_price
         |  FROM lineitem GROUP BY 1)
         |SELECT i.flag_key, count(*) AS n,
-        |  CAST(sum(CAST(i.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(CAST(sum(CAST(i.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty,
         |  max(d.dim_price) AS dim_price
         |FROM items i JOIN dims d ON i.flag_key IS NOT DISTINCT FROM d.flag_key
         |GROUP BY 1""".stripMargin,
     "q95_orc_source" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  max(l_shipdate) AS max_ship
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -874,7 +874,7 @@ object ExtraQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q28_sql_surface" ->
       """SELECT o_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -893,7 +893,7 @@ object ExtraQueries {
         |FROM documents""".stripMargin,
     "q35_udaf_avg_cents" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE)
         |    / count(*) / 100.0 AS avg_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
@@ -942,10 +942,10 @@ object ExtraQueries {
     "q66_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  sxx / n - (sx / n) * (sx / n) AS var_pop_qty,

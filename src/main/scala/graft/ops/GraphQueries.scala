@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the co-purchase graph (parts that appear in the
+  * same order are linked): exact triangle counting and an integer-exact
+  * PageRank. Together with q88's connected components these cover the
+  * iterative-graph family a training-data pipeline leans on (community
+  * detection for dedup clusters, influence ranking for source
+  * weighting).
+  *
+  * Both queries are pure relational plans — keyed equi joins +
+  * aggregations, the reference's map→shuffle→reduce cycle
+  * (`MapReduceFramework.cpp:191-202`) iterated — and both are
+  * oracle-gated in exact integer arithmetic.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct undirected co-purchase edges (u < v), from a self-join of
+    * lineitem on the order key. Per-order fan-out is bounded by order
+    * size (≤ 7 items in this schema), so the join output is linear in
+    * lineitem, not quadratic in parts.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** Exact triangle count via DEGREE-ORDERED edge orientation — the
+    * standard scale-out trick: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * only from each node's oriented out-neighbors, and close them
+    * against the oriented edge set. Each triangle is counted exactly
+    * once, and the wedge count drops from Σ deg(v)² (quadratic in the
+    * hub degree — fatal on skewed graphs) to O(m^1.5): a hub of degree
+    * d contributes wedges only through the ≤ √(2m) neighbors that
+    * outrank it, so a 100 TB social-graph-shaped input stays bounded
+    * where the naive self-join explodes. All three joins are keyed equi
+    * joins (source node, then (endpoint, endpoint) pair), shuffled on
+    * their keys.
+    */
+  def triangles: Q = (s, d) => {
+    val e = copurchaseEdges(s, d)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient: src = endpoint with smaller (deg, id), dst = the other.
+    // ddeg (the dst's degree) rides along because the wedge pair below
+    // must be ordered by the SAME (deg, id) total order the edges are
+    // oriented by — ordering it by node id alone silently drops every
+    // triangle whose closing edge runs against id order (caught by
+    // GraphSpec's brute-force replay).
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    wedges.join(oriented.as("e3"),
+        col("a") === col("e3.src") && col("b") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** PageRank, 3 iterations, in EXACT integer arithmetic: ranks scaled
+    * by 10⁶, damping 0.85 as `85 · x div 100`, contributions as
+    * `rank div degree` — every operation an integer truncating
+    * division both engines implement identically, so the fixed point
+    * after 3 iterations hash-matches DuckDB exactly (a float PageRank
+    * never would across engines).
+    *
+    * Scale shape per iteration: the (small) rank table joins the edge
+    * table on `src` and aggregates on `dst` — edges shuffle once per
+    * key and the plan re-derives the same hash partitioning each
+    * iteration; on a long-lived cluster job the edge DataFrame would be
+    * persisted pre-partitioned by `src` so only node-sized rank tables
+    * move per iteration. The symmetric graph has no dangling nodes by
+    * construction (every node's out-degree = its degree > 0).
+    */
+  def pagerank: Q = (s, d) => {
+    val e = copurchaseEdges(s, d)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val withDeg = edges.join(deg, "src")
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      rank = withDeg
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("pr div odeg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("in_sum"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(85 * in_sum) div 100")).as("pr"))
+    }
+    rank
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q125_triangles" -> triangles,
+    "q126_pagerank" -> pagerank)
+
+  /** Shared oracle CTEs: the same edge derivation in DuckDB. */
+  private val edgeCte =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q125_triangles" -> (edgeCte +
+      """, deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |eo AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddeg
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v)
+        |SELECT count(*) AS n_triangles
+        |FROM eo e1 JOIN eo e2
+        |  ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+        |JOIN eo e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin),
+    "q126_pagerank" -> (edgeCte +
+      """, edges AS (
+        |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (
+        |  SELECT dst AS node,
+        |    150000 + (85 * CAST(sum(pr // odeg) AS BIGINT)) // 100 AS pr
+        |  FROM edges JOIN deg USING (src) JOIN r0 ON r0.node = edges.src
+        |  GROUP BY dst),
+        |r2 AS (
+        |  SELECT dst AS node,
+        |    150000 + (85 * CAST(sum(pr // odeg) AS BIGINT)) // 100 AS pr
+        |  FROM edges JOIN deg USING (src) JOIN r1 ON r1.node = edges.src
+        |  GROUP BY dst),
+        |r3 AS (
+        |  SELECT dst AS node,
+        |    150000 + (85 * CAST(sum(pr // odeg) AS BIGINT)) // 100 AS pr
+        |  FROM edges JOIN deg USING (src) JOIN r2 ON r2.node = edges.src
+        |  GROUP BY dst)
+        |SELECT node, pr FROM r3""".stripMargin))
+}

@@ -419,11 +419,40 @@ object Streams {
 
   def intervalJoinBatch: Q = (s, d) => purchaseSignupJoin(Tables.events(s, d))
 
+  /** LEFT OUTER stream-stream interval join — q69's shape with outer
+    * semantics: every purchase emits, signup columns null when no
+    * signup landed in the preceding 2 hours. In streaming this is a
+    * genuinely different operator regime from the inner join: the null
+    * rows can only be emitted once the watermark passes the join range
+    * (the row is provably unmatched), so results trail the watermark —
+    * StreamingSpec replays this transform as a stream and checks both
+    * the matched and the late-emitted null rows against this batch
+    * form. State stays bounded by the same two watermarks as q69.
+    */
+  def purchaseSignupLeftOuter(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"),
+        "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
+  def intervalJoinOuterBatch: Q = (s, d) =>
+    purchaseSignupLeftOuter(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q25_session_window" -> sessionsBatch,
     "q26_sliding_window" -> slidingBatch,
     "q68_stream_dedup" -> dedupBatch,
     "q69_interval_join" -> intervalJoinBatch,
+    "q127_interval_join_outer" -> intervalJoinOuterBatch,
     "q71_stateful_totals" -> statefulTotalsReplay,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -481,6 +510,17 @@ object Streams {
         |      FROM e WHERE event_type = 'signup')
         |SELECT p_id, user_id, p_ts, s_ts
         |FROM p JOIN s ON user_id = s_user
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
+    // q69 with outer semantics: unmatched purchases keep null signup
+    "q127_interval_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id AS s_user, ts AS s_ts
+        |      FROM e WHERE event_type = 'signup')
+        |SELECT p_id, user_id, p_ts, s_ts
+        |FROM p LEFT JOIN s ON user_id = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
     "q71_stateful_totals" -> totalsOracle,
     "q89_stateful_totals_tws" -> totalsOracle,

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariant pins for the behavioral operators (exact values are gated
+  * by the DuckDB oracle; these explain the semantics when a hash breaks).
+  */
+class BehaviorSpec extends SparkSpec {
+
+  test("sessionize: ordinals dense from 1, durations non-negative, events conserved") {
+    val out = BehaviorQueries.sessionize(spark, sf).cache()
+    try {
+      // per-user session ordinals are 1..k with no gaps
+      val bad = out.groupBy("user_id")
+        .agg(count(lit(1)).as("k"), min("session_seq").as("lo"), max("session_seq").as("hi"))
+        .where(col("lo") =!= 1L || col("hi") =!= col("k"))
+      assert(bad.count() === 0)
+      assert(out.where(col("duration_us") < 0).count() === 0)
+      // every event lands in exactly one session
+      val total = out.agg(sum("n_events")).head().getLong(0)
+      assert(total === Tables.events(spark, sf).count())
+    } finally { out.unpersist(): Unit }
+  }
+
+  test("sessionize: consecutive sessions of one user are separated by > 30 minutes") {
+    val out = BehaviorQueries.sessionize(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_seq")
+    val gaps = out
+      .withColumn("prev_end", lag("end_ts", 1).over(w))
+      .where(col("prev_end").isNotNull)
+      .where(unix_micros(col("start_ts")) - unix_micros(col("prev_end")) <= 30L * 60 * 1000000)
+    assert(gaps.count() === 0)
+  }
+
+  test("anomaly: flags exactly the strict-2-sigma exceeders of each type") {
+    val ev = Tables.events(spark, sf).where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byType = ev.groupBy(_._1)
+    val expected = byType.map { case (t, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / n
+      t -> xs.count(x => (x - mean) * (x - mean) > 4 * variance).toLong
+    }.filter(_._2 > 0)
+    val got = BehaviorQueries.anomaly(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("transitions: ppm near-normalizes per prev_type and counts conserve") {
+    val out = BehaviorQueries.transitions(spark, sf).cache()
+    try {
+      // Σ ppm per prev_type lands in (1e6 - |fanout|, 1e6] — each integer
+      // division truncates strictly less than one ppm
+      val sums = out.groupBy("prev_type")
+        .agg(sum("ppm").as("p"), count(lit(1)).as("k")).collect()
+      sums.foreach { r =>
+        val (p, k) = (r.getLong(1), r.getLong(2))
+        assert(p <= 1000000L && p > 1000000L - k, s"${r.getString(0)}: $p with $k branches")
+      }
+      // bigram total = events - one first-event per user
+      val nBigrams = out.agg(sum("n")).head().getLong(0)
+      val ev = Tables.events(spark, sf)
+      assert(nBigrams ===
+        ev.count() - ev.select("user_id").distinct().count())
+    } finally { out.unpersist(): Unit }
+  }
+
+  test("rolling distinct: L7 >= L1 per day and matches a brute-force window") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val expected = days.map { d =>
+      d -> ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && ed.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = BehaviorQueries.rollingDistinct(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got === expected)
+    val l1 = ud.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._1).distinct.length.toLong }
+    l1.foreach { case (d, n) => assert(got(d) >= n) }
+  }
+
+  test("profile: one row per column, distinct <= nonnull <= rows, min <= max") {
+    val rows = BehaviorQueries.profile(spark, sf).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getString(1)).toSet === Set(
+      "o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    rows.foreach { r =>
+      val (nRows, nn, nd) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(nd <= nn && nn <= nRows, s"${r.getString(1)}: $nd/$nn/$nRows")
+      assert(r.getString(4) <= r.getString(5) ||
+        // numeric strings compare numerically in the engines, not lexically
+        BigDecimal(r.getString(4)) <= BigDecimal(r.getString(5)))
+    }
+  }
+}

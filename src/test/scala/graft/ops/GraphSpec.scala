@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Local-recomputation pins for the graph operators: both are exact
+  * integer algorithms, so a driver-side replay on the collected edge
+  * list must agree bit-for-bit, independent of the DuckDB oracle.
+  */
+class GraphSpec extends SparkSpec {
+
+  private lazy val edges: Array[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet.toArray
+  }
+
+  test("triangle count equals a brute-force adjacency-set count") {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val brute = edges.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v) // w above both endpoints: count once
+    }.sum.toLong
+    val got = GraphQueries.triangles(spark, sf).head().getLong(0)
+    assert(got === brute && got > 0)
+  }
+
+  test("pagerank replays exactly with local integer arithmetic") {
+    val out = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val deg = out.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    var pr = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 3) {
+      val in = out.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }
+    }
+    val got = GraphQueries.pagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // ranks live in the damped band: floor 150000, and total mass stays
+    // within the scaled node count (truncating divisions only lose mass)
+    assert(got.values.forall(_ >= 150000L))
+    assert(got.values.sum <= got.size * 1000000L)
+  }
+}

@@ -132,6 +132,36 @@ class StreamingSpec extends SparkSpec {
       s"finalized windows missing: ${(mustHave -- streamed).take(3)}")
   }
 
+  test("left-outer stream-stream join: matches emit eagerly, nulls after the watermark") {
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.purchaseSignupLeftOuter(stream), "ssouter_sink", "append")
+    val streamed = spark.table("ssouter_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    val batchRows = Streams.purchaseSignupLeftOuter(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    val batch = batchRows.toSet
+    // matched rows emit as soon as both sides arrive — all of them land
+    assert(streamed.filter(_._4.isDefined) === batch.filter(_._4.isDefined))
+    // null rows emit only once the watermark proves no signup can match:
+    // streamed ⊆ batch, and every purchase older than (terminal watermark
+    // − join range) must have its outer row
+    val streamedNulls = streamed.filter(_._4.isEmpty)
+    assert(streamedNulls.subsetOf(batch.filter(_._4.isEmpty)))
+    // terminal watermark = min over the two inputs of (max event time −
+    // 1 h delay); an outer row is provably emittable once that watermark
+    // clears p_ts + 2 h (the join range) — purchases can outrun signups,
+    // so the purchase-side max alone overstates the watermark
+    val ev = Tables.events(spark, sf).groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.max("ts").as("m")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    val wmTerminal = math.min(ev("purchase"), ev("signup")) - 3600 * 1000L
+    val mustHave = batch.filter(r =>
+      r._4.isEmpty && r._3.getTime + 2 * 3600 * 1000L < wmTerminal)
+    assert(mustHave.subsetOf(streamedNulls),
+      s"${mustHave.size} overdue outer rows, ${(mustHave -- streamedNulls).size} missing")
+    assert(streamedNulls.nonEmpty, "corpus has purchases with no preceding signup")
+  }
+
   test("stream-static enrichment join equals the batch computation") {
     val stream = Streams.readEventsStream(spark, sf)
     val dim = Tables.customer(spark, sf)
