@@ -25,6 +25,8 @@ object SparkEntry {
       ops.AnalyticsQueries.queries ++
       ops.BehaviorQueries.queries ++
       ops.GraphQueries.queries ++
+      ops.SubqueryQueries.queries ++
+      ops.SnapshotQueries.queries ++
       ops.AsOf.queries ++
       ops.RangeJoin.queries ++
       ops.Scale.queries ++
@@ -58,6 +60,8 @@ object SparkEntry {
       ops.AnalyticsQueries.oracles ++
       ops.BehaviorQueries.oracles ++
       ops.GraphQueries.oracles ++
+      ops.SubqueryQueries.oracles ++
+      ops.SnapshotQueries.oracles ++
       ops.AsOf.oracles ++
       ops.RangeJoin.oracles ++
       ops.Scale.oracles ++

@@ -183,14 +183,53 @@ object Scale {
     * — so the 100 TB mechanics are themselves correctness-gated, not
     * just plan-pinned in ScaleSpec.
     */
+  /** Skew-salted equi JOIN — q59's mechanic applied to a join instead of
+    * an aggregate. A hot fact key turns sort-merge/hash join into one
+    * straggler task; salting spreads it: the fact side draws a uniform
+    * salt in [0, salts), the dimension side replicates each row once per
+    * salt (`explode(sequence(...))`), and the join runs on
+    * `(key, salt)` — the hot key's probe rows now land on `salts` tasks.
+    * Replication multiplies the dimension shuffle by `salts`, which is
+    * the right trade exactly when the dimension is orders of magnitude
+    * smaller than the skewed fact table (here: orders vs lineitem).
+    * AQE's skew-join split (pinned in ScaleSpec) is the runtime cousin;
+    * explicit salting is the plan-level form that also works where AQE
+    * can't see the skew (first shuffle, streaming joins).
+    *
+    * The aggregate after the join makes the result salt-independent, so
+    * the whole mechanic is oracle-checked against the plain join.
+    */
+  def saltedJoin(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("_salt"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("_salt") === dim("_salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum("qty").cast("double").as("total_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_salted_sum" -> ((s, d) =>
       saltedSum(Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"))),
     "q60_partition_pruned" -> (partitionPrunedScan(_, _)),
     "q61_bucketed_join" -> (bucketedJoin(_, _)),
-    "q104_zorder" -> (zorderBuckets(_, _)))
+    "q104_zorder" -> (zorderBuckets(_, _)),
+    "q131_salted_join" -> (saltedJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // the plain join the salted plan must equal
+    "q131_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q59_salted_sum" ->
       """SELECT l_returnflag AS k,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,

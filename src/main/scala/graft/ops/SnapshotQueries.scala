@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Table-maintenance operators — the mechanics that keep a 100 TB
+  * warehouse current without recomputing it: incremental (partial-merge)
+  * aggregate maintenance, snapshot diffing, and schema-evolution reads.
+  *
+  * The reference recomputes everything per job
+  * (`MapReduceFramework.cpp:191-202` has no notion of prior state);
+  * these queries show the Spark-native upgrade paths, each exactly
+  * checkable against a full recompute — the invariant that MAKES
+  * incremental maintenance trustworthy.
+  */
+object SnapshotQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: String) =
+    (col(c).cast("decimal(18,2)") * 100).cast("long")
+
+  /** Incremental aggregate maintenance: a materialized per-priority
+    * aggregate is kept as MERGEABLE partials (count + decimal sum), so
+    * refreshing with a new epoch is `union → re-aggregate` over a
+    * handful of partial rows — never a rescan of history. The query
+    * computes base partials (orders before 1997), delta partials (the
+    * rest), merges, and finalizes; the oracle is the full recompute, so
+    * the merge path is proven equal to the rescan it replaces.
+    *
+    * This is the algebraic-aggregate property (SURVEY §2.1 row 9's
+    * partial+final split) applied across TIME instead of across tasks —
+    * the same mechanic Spark uses inside one job, reused for
+    * incremental view maintenance. Works for any commutative monoid
+    * (count/sum/min/max/HLL sketches); exact percentiles and distincts
+    * don't merge, which is why their scale siblings are sketches
+    * (q34/q73).
+    */
+  def incrementalAgg: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority"),
+      // complementary predicates via coalesce: a null date (none in the
+      // corpora, but the split must not silently drop rows) lands in
+      // the delta, not nowhere
+      coalesce(year(col("o_orderdate")) <= 1996, lit(false)).as("is_base"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("price").as("psum"))
+    partials(o.where(col("is_base")))
+      .unionByName(partials(o.where(!col("is_base"))))
+      .groupBy("o_orderpriority")
+      .agg(sum("cnt").as("n"),
+        sum("psum").cast("double").as("total"))
+  }
+
+  /** Snapshot diff — the batch CDC primitive: given yesterday's and
+    * today's snapshot of a keyed table, classify every key as
+    * added / removed / changed / unchanged in ONE full outer join, no
+    * per-key history. Today's snapshot is derived deterministically
+    * (drop keys ≡0 mod 97, restate status on keys ≡0 mod 5, insert
+    * offset copies of keys ≡0 mod 101) so both engines can rebuild it;
+    * the output is the per-action count plus an exact key checksum.
+    *
+    * Scale shape: one shuffle on the key co-partitions both snapshots;
+    * the classification is a projection. This is the engine-level core
+    * of MERGE/CDC systems — q67 (latest-per-key), q105 (SCD2) and q109
+    * (MERGE apply) consume its classifications.
+    */
+  def snapshotDiff: Q = (s, d) => {
+    val old = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents("o_totalprice").as("c"))
+    val today = old.where(pmod(col("k"), lit(97)) =!= 0)
+      .withColumn("st", when(pmod(col("k"), lit(5)) === 0, lit("X")).otherwise(col("st")))
+      .unionByName(
+        old.where(pmod(col("k"), lit(101)) === 0)
+          .select((col("k") + 100000000L).as("k"), lit("N").as("st"), col("c")))
+    old.select(col("k"), col("st").as("st_a"), col("c").as("c_a"))
+      .join(today.select(col("k"), col("st").as("st_b"), col("c").as("c_b")),
+        Seq("k"), "full_outer")
+      .withColumn("action",
+        when(col("st_b").isNull, "removed")
+          .when(col("st_a").isNull, "added")
+          .when(col("st_a") =!= col("st_b") || col("c_a") =!= col("c_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n"), sum("k").as("key_sum"))
+  }
+
+  /** Schema evolution: two parquet epochs with different schemas (the
+    * second adds `o_orderpriority`) written by this query, read back as
+    * ONE table via `mergeSchema` — missing columns null-fill, exactly
+    * like a production lake where old files predate a column. The
+    * aggregate buckets legacy rows under 'LEGACY', and the oracle
+    * recomputes the same result from the source table, so a dropped or
+    * misaligned column fails the hash.
+    *
+    * At 100 TB, schema merging is a FOOTER-level operation (Spark reads
+    * parquet footers, not data, to union schemas) — the full-data cost
+    * is unchanged; pinning the union schema in the table catalog removes
+    * even the footer scan.
+    */
+  def schemaEvolution: Q = (s, d) => {
+    val root = s"${Tables.scratchDir}/evo-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/orders"
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), cents("o_totalprice").as("cents"),
+      col("o_orderpriority"),
+      coalesce(year(col("o_orderdate")) <= 1996, lit(false)).as("is_legacy"))
+    o.where(col("is_legacy")).select("o_orderkey", "cents")
+      .write.mode("overwrite").parquet(s"$root/epoch=1")
+    o.where(!col("is_legacy")).select("o_orderkey", "cents", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$root/epoch=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$root/epoch=1", s"$root/epoch=2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q130_incremental_agg" -> incrementalAgg,
+    "q134_snapshot_diff" -> snapshotDiff,
+    "q135_schema_evolution" -> schemaEvolution)
+
+  val oracles: Map[String, String] = Map(
+    // the full recompute the merge path must equal
+    "q130_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q134_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |today AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'X' ELSE st END AS st, c
+        |  FROM old WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, 'N', c FROM old WHERE k % 101 = 0),
+        |diff AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.k IS NULL THEN 'added'
+        |         WHEN a.st <> b.st OR a.c <> b.c THEN 'changed'
+        |         ELSE 'unchanged' END AS action
+        |  FROM old a FULL OUTER JOIN today b ON a.k = b.k)
+        |SELECT action, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM diff GROUP BY action""".stripMargin,
+    "q135_schema_evolution" ->
+      """SELECT CASE WHEN coalesce(year(o_orderdate) <= 1996, FALSE)
+        |            THEN 'LEGACY' ELSE o_orderpriority END AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin)
+}

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -419,6 +419,54 @@ object Streams {
 
   def intervalJoinBatch: Q = (s, d) => purchaseSignupJoin(Tables.events(s, d))
 
+  /** `dropDuplicatesWithinWatermark` — streaming dedup with BOUNDED
+    * state, the operator q68's plain `dropDuplicates` cannot be at
+    * 100 TB/day: plain streaming dedup keeps state for every key ever
+    * seen, while within-watermark dedup expires a key's state once the
+    * watermark passes it, trading "exactly once ever" for "exactly once
+    * within the dedup horizon" — the contract at-least-once sources
+    * (producer retries, client re-sends) actually need, with state
+    * proportional to the horizon instead of all of history.
+    *
+    * The operator refuses batch execution outright, so the oracle gate
+    * replays it as a REAL stream (q71's harness shape: foreachBatch →
+    * parquet, no driver collect). The staged source is one file, so
+    * `AvailableNow` runs ONE micro-batch; the watermark is 0 throughout
+    * a first batch, no state expires mid-batch, and the replay equals
+    * exact dedup — deterministically, independent of event spacing.
+    * The multi-batch semantics (in-horizon duplicate dropped,
+    * post-expiry re-send surviving) are pinned in StreamingSpec where
+    * the batch boundaries are controlled.
+    */
+  def dedupWithinWatermarkReplay: Q = (s, d) => {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-ddww-")
+    val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
+    val q = readEventsStream(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sink): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint(true) // sever lineage so the temp sink can go
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+    result
+  }
+
   /** LEFT OUTER stream-stream interval join — q69's shape with outer
     * semantics: every purchase emits, signup columns null when no
     * signup landed in the preceding 2 hours. In streaming this is a
@@ -453,6 +501,7 @@ object Streams {
     "q68_stream_dedup" -> dedupBatch,
     "q69_interval_join" -> intervalJoinBatch,
     "q127_interval_join_outer" -> intervalJoinOuterBatch,
+    "q133_dedup_within_watermark" -> dedupWithinWatermarkReplay,
     "q71_stateful_totals" -> statefulTotalsReplay,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -496,6 +545,12 @@ object Streams {
         |WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
         |GROUP BY ws, event_type""".stripMargin,
     "q68_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    // batch form of within-watermark dedup IS exact dedup (watermarks
+    // are no-ops in batch) — the bounded-state semantics are pinned by
+    // StreamingSpec's replay
+    "q133_dedup_within_watermark" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
     // the engine's data model is microsecond timestamps (Tables.events

@@ -189,4 +189,22 @@ class ScaleSpec extends SparkSpec {
     assert(meanSkSpan < skDom / 8.0,
       s"sk span $meanSkSpan vs domain $skDom — no sk locality")
   }
+
+  test("salted join equals the plain join and matches every fact row once") {
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Scale.saltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted.nonEmpty && salted === plain)
+    // replication is exact: the salted plan neither drops nor double-
+    // counts fact rows (each fact row meets its dim row at exactly one
+    // salt value)
+    val factRows = Tables.lineitem(spark, sf).count()
+    assert(salted.toSeq.map(_._2).sum === factRows)
+  }
 }

@@ -349,4 +349,37 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("dropDuplicatesWithinWatermark drops in-horizon dups, re-admits after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val deduped = ms.toDS()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream
+      .format("memory").queryName("ddww_sink").outputMode("append").start()
+    def ev(u: Long, hm: String) =
+      Streams.Ev(u, Timestamp.valueOf(s"2024-01-01 $hm:00"), 1.0)
+    // batch 1: user 1 first-seen, then an in-horizon duplicate; user 2
+    // advances the max event time
+    ms.addData(ev(1, "00:00"), ev(1, "00:10"), ev(2, "00:10"))
+    q.processAllAvailable()
+    // batch 2: push the watermark to 01:30 (> 00:00 + 30min), expiring
+    // user 1's dedup state; user 2's own state still covers this event
+    // (watermark during batch 2 is still 23:40 of the prior day)
+    ms.addData(ev(2, "02:00"))
+    q.processAllAvailable()
+    // batch 3: user 1 re-sent AFTER its state expired — must re-admit
+    // (the bounded-state trade-off plain dropDuplicates never makes)
+    ms.addData(ev(1, "02:30"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ddww_sink").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(rows === Set(
+      (1L, "2024-01-01 00:00:00.0"),
+      (2L, "2024-01-01 00:10:00.0"),
+      (1L, "2024-01-01 02:30:00.0")))
+  }
 }
