@@ -342,7 +342,70 @@ object AnalyticsQueries {
       max("o_orderkey").as("last_key"),
       min("o_orderkey").as("first_key"))
 
+  /** Time-series downsampling to OHLC candles: per (event_type, day)
+    * the first (open), highest, lowest, and last (close) value — the
+    * canonical resample step for metrics/financial pipelines. First and
+    * last need a TOTAL order: `(ts, event_id)` with the unique id as
+    * tiebreak (the corpora carry cross-user same-microsecond events, so
+    * ts alone would be engine-dependent). One hash exchange on
+    * `(event_type, day)` + one sort serve the ranking windows AND the
+    * final aggregate; values are exact cents.
+    *
+    * At 100 TB, daily candles over a keyed stream are the append-only
+    * incremental case: each new day touches only its own partition, and
+    * the aggregate's partials merge (max/min/first-by-rank), so the
+    * backfill and the nightly increment run the same plan (q130's
+    * partial-merge mechanic).
+    */
+  def ohlc: Q = (s, d) => {
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(full))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === 1, col("cents"))).as("open"),
+        max("cents").as("high"),
+        min("cents").as("low"),
+        max(when(col("rn") === col("cnt"), col("cents"))).as("close"))
+  }
+
+  /** Mergeable distinct-count sketches — THE 100 TB mechanic for
+    * distinct users: exact distincts don't merge (q12's shuffle carries
+    * every key), but Datasketches HLL partials do. Per (event_type, day)
+    * sketches union-merge per event_type, and the merged estimate must
+    * equal the directly-built sketch's estimate bit-for-bit (same
+    * lgConfigK, associative merge — pinned in AnalyticsSpec along with
+    * a ±5% error bound vs the exact count carried alongside).
+    *
+    * This is q130's partial-merge pattern applied to a non-algebraic
+    * aggregate via sketching: daily sketches persist, any date-range
+    * distinct-user query is a union of partials — no re-scan. Driver
+    * check is rows-only (DuckDB has no Datasketches HLL); the estimate
+    * column is deterministic for a fixed corpus.
+    */
+  def hllMergeDaily: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val direct = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est_direct"),
+        countDistinct(col("user_id")).as("exact"))
+    merged.join(direct, "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_ohlc" -> ohlc,
+    "q137_hll_merge" -> hllMergeDaily,
     "q114_corr_matrix" -> corrMatrix,
     "q115_regression" -> regression,
     "q116_ntile" -> ntileDeciles,
@@ -377,6 +440,26 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical micros ordering on both engines (Spark reads the nanos
+    // column truncated to micros; the oracle truncates explicitly), with
+    // event_id as the total-order tiebreak
+    "q136_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+        |    date_trunc('microseconds', ts) AS uts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |x AS (
+        |  SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY uts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, day) AS cnt
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n,
+        |  max(CASE WHEN rn = 1 THEN cents END) AS open,
+        |  max(cents) AS high, min(cents) AS low,
+        |  max(CASE WHEN rn = cnt THEN cents END) AS close
+        |FROM x GROUP BY event_type, day""".stripMargin,
     "q114_corr_matrix" -> (momentsCte +
       s"""SELECT l_returnflag, 'quantity' AS var_x, 'extendedprice' AS var_y,
          |  ${corrFormula("sx", "sy", "sxy", "sxx", "syy")} AS corr FROM m

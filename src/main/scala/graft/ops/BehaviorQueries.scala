@@ -141,7 +141,10 @@ object BehaviorQueries {
     * (q34). The `stack` unpivot runs on the single aggregated row.
     */
   def profile: Q = (s, d) => {
-    val o = Tables.orders(s, d)
+    // 6 count-distincts in one aggregate plan an Expand (7× row
+    // multiplier) INSIDE the scan stage — on a single-file source that
+    // whole multiply-and-partial-agg runs in one task; fan out first
+    val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
     def stats(i: Int, c: org.apache.spark.sql.Column) = Seq(
       count(c).as(s"nn$i"), countDistinct(c).as(s"nd$i"),
       min(c).cast("string").as(s"mn$i"), max(c).cast("string").as(s"mx$i"))

@@ -400,7 +400,29 @@ object TextQueries {
     df
   }
 
+  /** Corpus vocabulary statistics per source: vocabulary size (distinct
+    * words), hapax legomena (words seen exactly once — the tail that
+    * dominates real vocabularies and drives tokenizer OOV decisions),
+    * and type-token ratio in exact ppm. Two-level aggregation: the
+    * (source, word) term counts are map-side-combinable partials, the
+    * source-level rollup is vocabulary-sized — the corpus itself is
+    * scanned once and never re-shuffled at corpus size.
+    */
+  def vocabStats: Q = (s, d) => {
+    val words = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("word"))
+    words.groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("(vocab * 1000000) div n_tokens").as("ttr_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q138_vocab_stats" -> vocabStats,
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
     "q32_token_count" -> tokenCount,
@@ -431,6 +453,18 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_vocab_stats" ->
+      """WITH words AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |tc AS (SELECT source, word, count(*) AS n FROM words GROUP BY source, word)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  count(*) * 1000000 // CAST(sum(n) AS BIGINT) AS ttr_ppm
+        |FROM tc GROUP BY source""".stripMargin,
     "q30_text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split(text, ' ') ws FROM documents),

@@ -139,4 +139,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall { case (a, b, d) => a < b && d <= 8 })
     assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
   }
+
+  test("OHLC candles match a driver-side replay of one group") {
+    val candles = AnalyticsQueries.ohlc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(candles.nonEmpty)
+    candles.foreach { case (_, _, (n, open, high, low, close)) =>
+      assert(n > 0 && high >= low)
+      assert(open >= low && open <= high && close >= low && close <= high)
+    }
+    // replay the largest group from the raw rows, ordered by (ts, id)
+    val (et, day, _) = candles.maxBy(_._3._1)
+    val raw = graft.Tables.events(spark, sf)
+      .where(col("value").isNotNull && col("event_type") === et &&
+        to_date(col("ts")) === lit(day))
+      .select(col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => ((r.getTimestamp(0).getTime, r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val expect = (raw.length.toLong, raw.head._2, raw.map(_._2).max,
+      raw.map(_._2).min, raw.last._2)
+    assert(candles.find(c => c._1 == et && c._2 == day).get._3 === expect)
+  }
+
+  test("HLL sketch merge is associative and lands within 5% of exact") {
+    val rows = AnalyticsQueries.hllMergeDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, merged, direct, exact) =>
+      // same lgConfigK + associative union: the merged daily partials
+      // must summarize the same multiset the direct sketch saw
+      assert(merged === direct, s"$et: merged $merged != direct $direct")
+      assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+        s"$et: estimate $merged vs exact $exact")
+    }
+  }
 }

@@ -111,4 +111,25 @@ class TextSpec extends SparkSpec {
         assert(a._6 >= b._6)
     }
   }
+
+  test("vocabulary stats match a driver-side replay of one source") {
+    val rows = TextQueries.vocabStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (tokens, vocab, hapax, ttr) =>
+      assert(vocab <= tokens && hapax <= vocab)
+      assert(ttr === vocab * 1000000L / tokens)
+    }
+    val src = rows.keys.min
+    val words = graft.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("source") === src)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val counts = words.groupBy(identity).view.mapValues(_.length)
+    val expect = (words.length.toLong, counts.size.toLong,
+      counts.values.count(_ == 1).toLong,
+      counts.size.toLong * 1000000L / words.length)
+    assert(rows(src) === expect)
+  }
 }
