@@ -701,7 +701,40 @@ object ExtraQueries {
         (col("rf_or_null") <=> lit("A")).cast("int").as("is_a_nullsafe"),
         col("rf_or_null").isNull.cast("int").as("was_n"))
 
+  /** ANSI error-safe evaluation — `try_cast` / `try_divide` / `try_add`:
+    * malformed input and division-by-zero become NULL instead of a task
+    * abort. The dirty column is derived deterministically (one in
+    * three keys yields a non-numeric string), so both engines face the
+    * same garbage; DuckDB mirrors `try_divide` with an explicit
+    * zero-guard CASE (same NULL semantics). At 100 TB this is the
+    * difference between one bad row poisoning a 6-hour job and a
+    * countable `n_bad` column — the ingestion-hardening surface next to
+    * q82's constraint audit.
+    */
+  def trySafety: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        // ~1/3 of rows become non-numeric garbage, deterministically
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("x"), col("o_orderkey"))).otherwise(col("o_orderkey").cast("string"))
+          .as("dirty"),
+        (col("o_orderkey") % 7).as("den"))
+      .select(col("o_orderpriority"),
+        expr("try_cast(dirty AS BIGINT)").as("parsed"),
+        expr("try_divide(o_orderkey, den)").as("ratio"),
+        // BIGINT max - 5 + (key mod 10): overflows (→ NULL) iff mod > 5
+        expr("try_add(CAST(9223372036854775802 AS BIGINT), CAST(o_orderkey % 10 AS BIGINT))")
+          .as("overflowed"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count("parsed").as("n_parsed"),
+        sum("parsed").as("sum_parsed"),
+        count("ratio").as("n_divided"),
+        sum(col("ratio").isNull.cast("long")).as("n_div_zero"),
+        count("overflowed").as("n_overflow_ok"))
+
   val queries: Map[String, Q] = Map(
+    "q139_try_safety" -> trySafety,
     "q49_setops_all" -> setOpsAll,
     "q50_pivot" -> pivotStatus,
     "q51_scalar_subquery" -> scalarSubquery,
@@ -862,6 +895,29 @@ object ExtraQueries {
         |  CAST(nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' AS INT) AS is_a_nullsafe,
         |  CAST(nullif(l_returnflag, 'N') IS NULL AS INT) AS was_n
         |FROM lineitem""".stripMargin,
+    // try_divide / try_add mirrored with explicit guards (DuckDB errors
+    // on real overflow/zero-division instead of yielding NULL)
+    "q139_try_safety" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+        |         ELSE CAST(o_orderkey AS VARCHAR) END AS dirty,
+        |    o_orderkey % 7 AS den
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_orderpriority,
+        |    TRY_CAST(dirty AS BIGINT) AS parsed,
+        |    CASE WHEN den = 0 THEN NULL
+        |         ELSE CAST(o_orderkey AS DOUBLE) / den END AS ratio,
+        |    CASE WHEN o_orderkey % 10 <= 5
+        |         THEN 9223372036854775802 + (o_orderkey % 10) END AS overflowed
+        |  FROM b)
+        |SELECT o_orderpriority, count(*) AS n, count(parsed) AS n_parsed,
+        |  CAST(sum(parsed) AS BIGINT) AS sum_parsed,
+        |  count(ratio) AS n_divided,
+        |  CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+        |  count(overflowed) AS n_overflow_ok
+        |FROM t GROUP BY o_orderpriority""".stripMargin,
     "q39_topk_aggregate" ->
       """SELECT l_returnflag, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,

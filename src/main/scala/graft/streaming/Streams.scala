@@ -495,6 +495,33 @@ object Streams {
   def intervalJoinOuterBatch: Q = (s, d) =>
     purchaseSignupLeftOuter(Tables.events(s, d))
 
+  /** FULL OUTER stream-stream interval join — completes q69/q127's join
+    * triple: matched pairs emit eagerly; a purchase with no in-range
+    * signup emits null signup columns once the watermark proves none
+    * can arrive; a signup whose 2-hour forward window closes with no
+    * purchase emits null purchase columns the same way. Both unmatched
+    * directions are watermark-gated, so state stays bounded on both
+    * sides — the regime a reconciliation pipeline (every record from
+    * EITHER feed must surface) runs in.
+    */
+  def purchaseSignupFullOuter(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"),
+        "full_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("s_user"), col("s_ts"))
+  }
+
+  def intervalJoinFullOuterBatch: Q = (s, d) =>
+    purchaseSignupFullOuter(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q25_session_window" -> sessionsBatch,
     "q26_sliding_window" -> slidingBatch,
@@ -502,6 +529,7 @@ object Streams {
     "q69_interval_join" -> intervalJoinBatch,
     "q127_interval_join_outer" -> intervalJoinOuterBatch,
     "q133_dedup_within_watermark" -> dedupWithinWatermarkReplay,
+    "q140_interval_join_full" -> intervalJoinFullOuterBatch,
     "q71_stateful_totals" -> statefulTotalsReplay,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -576,6 +604,18 @@ object Streams {
         |      FROM e WHERE event_type = 'signup')
         |SELECT p_id, user_id, p_ts, s_ts
         |FROM p LEFT JOIN s ON user_id = s_user
+        |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
+    // q127 with FULL semantics: signups with no purchase in their
+    // forward window surface too (null purchase columns)
+    "q140_interval_join_full" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id AS s_user, ts AS s_ts
+        |      FROM e WHERE event_type = 'signup')
+        |SELECT p_id, user_id, p_ts, s_user, s_ts
+        |FROM p FULL OUTER JOIN s ON user_id = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
     "q71_stateful_totals" -> totalsOracle,
     "q89_stateful_totals_tws" -> totalsOracle,

@@ -84,4 +84,29 @@ class ExtraSpec extends SparkSpec {
       assert(r.getDouble(1) === expected)
     }
   }
+
+  test("try_* functions null out garbage, zero division, and overflow — never abort") {
+    val row = spark.sql(
+      """SELECT try_cast('x42' AS BIGINT) AS bad_parse,
+        |  try_cast('42' AS BIGINT) AS good_parse,
+        |  try_divide(10, 0) AS div_zero,
+        |  try_divide(10, 4) AS div_ok,
+        |  try_add(CAST(9223372036854775807 AS BIGINT), CAST(1 AS BIGINT)) AS overflow,
+        |  try_add(CAST(9223372036854775806 AS BIGINT), CAST(1 AS BIGINT)) AS no_overflow
+        |""".stripMargin).collect()(0)
+    assert(row.isNullAt(0) && row.getLong(1) === 42L)
+    assert(row.isNullAt(2) && row.getDouble(3) === 2.5)
+    assert(row.isNullAt(4) && row.getLong(5) === Long.MaxValue)
+    // the registered query's garbage fraction is live: every priority
+    // group must see parse failures AND zero-division rows
+    val q = ExtraQueries.trySafety(spark, sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (n, nParsed, nDivided, nDivZero, nOverflowOk) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nParsed > 0 && nParsed < n) // some parsed, some garbage
+      assert(nDivZero > 0 && nDivided + nDivZero === n)
+      assert(nOverflowOk > 0 && nOverflowOk < n) // both overflow regimes live
+    }
+  }
 }

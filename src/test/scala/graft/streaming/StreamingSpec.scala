@@ -162,6 +162,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamedNulls.nonEmpty, "corpus has purchases with no preceding signup")
   }
 
+  test("full-outer stream-stream join emits both unmatched directions") {
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.purchaseSignupFullOuter(stream), "ssfull_sink", "append")
+    val streamed = spark.table("ssfull_sink").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(4)))).toSet
+    val batch = Streams.purchaseSignupFullOuter(Tables.events(spark, sf)).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(4)))).toSet
+    // matched pairs all land; unmatched rows are watermark-gated, so
+    // streamed ⊆ batch with BOTH null directions represented
+    val matched = (s: Set[(Option[Long], Option[Long], Option[java.sql.Timestamp], Option[java.sql.Timestamp])]) =>
+      s.filter(r => r._1.isDefined && r._2.isDefined)
+    assert(matched(streamed) === matched(batch))
+    assert(streamed.subsetOf(batch))
+    assert(streamed.exists(r => r._1.isDefined && r._2.isEmpty),
+      "no purchase-side outer rows emitted")
+    assert(streamed.exists(r => r._1.isEmpty && r._2.isDefined),
+      "no signup-side outer rows emitted")
+  }
+
   test("stream-static enrichment join equals the batch computation") {
     val stream = Streams.readEventsStream(spark, sf)
     val dim = Tables.customer(spark, sf)
