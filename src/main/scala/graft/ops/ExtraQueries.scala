@@ -712,7 +712,7 @@ object ExtraQueries {
     * q82's constraint audit.
     */
   def trySafety: Q = (s, d) =>
-    Tables.orders(s, d)
+    Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
       .select(col("o_orderpriority"), col("o_orderkey"),
         // ~1/3 of rows become non-numeric garbage, deterministically
         when(col("o_orderkey") % 3 === 0,
