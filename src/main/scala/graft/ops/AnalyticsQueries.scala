@@ -207,7 +207,10 @@ object AnalyticsQueries {
     * oracle hash-check enforces).
     */
   def corrMatrix: Q = (s, d) => {
-    val m = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+    // 9 wide-decimal moment aggregates: compute-bound — fan the
+    // single-file scan out to task width first
+    val m = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
+      .groupBy("l_returnflag").agg(
       count(lit(1)).cast("double").as("n"),
       dmom(qd).as("sx"), dmom(pd).as("sy"), dmom(dd).as("sz"),
       dmom(s"$qd * $pd").as("sxy"), dmom(s"$qd * $dd").as("sxz"),
@@ -227,7 +230,8 @@ object AnalyticsQueries {
     * moments as [[corrMatrix]], one aggregation pass.
     */
   def regression: Q = (s, d) =>
-    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+    Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
+      .groupBy("l_returnflag").agg(
       count(lit(1)).cast("double").as("n"),
       dmom(qd).as("sx"), dmom(pd).as("sy"),
       dmom(s"$qd * $pd").as("sxy"), dmom(s"$qd * $qd").as("sxx"))
