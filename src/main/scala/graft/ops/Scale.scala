@@ -207,7 +207,11 @@ object Scale {
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
-    fact.join(dim,
+    // shuffle_hash hint: at test scale the replicated dim would still
+    // broadcast, and a broadcast join has no shuffle skew to spread —
+    // the hint pins the shuffled regime salting exists for (at 100 TB
+    // the dim wouldn't broadcast in the first place)
+    fact.join(dim.hint("shuffle_hash"),
         fact("l_orderkey") === dim("o_orderkey") && fact("_salt") === dim("_salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),

@@ -421,7 +421,36 @@ object TextQueries {
         expr("(vocab * 1000000) div n_tokens").as("ttr_ppm"))
   }
 
+  /** Quality-weighted data selection with epoch upsampling — the
+    * curriculum step between scoring (q30/q75) and mixing (q90): score
+    * each doc by type-token ratio (exact ppm), drop the low-quality
+    * tail, and UPSAMPLE the top bins by emitting one manifest row per
+    * training epoch (`explode(sequence(1, weight))` — the repeated-pass
+    * list a trainer actually consumes). Equi-width ppm bins, not
+    * ntile: bin assignment is a per-row projection with no global sort
+    * (q116 shows the distributed-ntile mechanic where true equi-depth
+    * is required). One scan; the rollup is map-side combinable.
+    */
+  def qualityUpsample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("words"),
+        size(array_distinct(col("ws"))).cast("long").as("dwords"))
+      .where(col("words") > 0)
+      .withColumn("ppm", expr("dwords * 1000000 div words"))
+      .withColumn("bin", least(lit(9L), expr("ppm div 100000")))
+      .withColumn("weight",
+        when(col("bin") >= 7, 3L).when(col("bin") >= 5, 1L).otherwise(0L))
+      .where(col("weight") > 0)
+      .select(col("source"), col("bin"), col("words"),
+        explode(expr("sequence(1L, weight)")).as("epoch"))
+      .groupBy("source", "bin", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("n_tokens"))
+
   val queries: Map[String, Q] = Map(
+    "q141_quality_upsample" -> qualityUpsample,
     "q138_vocab_stats" -> vocabStats,
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
@@ -453,6 +482,29 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q141_quality_upsample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS words,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))
+        |      AS BIGINT) AS dwords
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, words,
+        |    least(9, (dwords * 1000000 // words) // 100000) AS bin
+        |  FROM t WHERE words > 0),
+        |w AS (
+        |  SELECT source, bin, words,
+        |    CASE WHEN bin >= 7 THEN 3 WHEN bin >= 5 THEN 1 ELSE 0 END AS weight
+        |  FROM b),
+        |e AS (
+        |  SELECT source, bin, words,
+        |    CAST(unnest(range(1, weight + 1)) AS BIGINT) AS epoch
+        |  FROM w WHERE weight > 0)
+        |SELECT source, CAST(bin AS BIGINT) AS bin, epoch,
+        |  count(*) AS n_docs, CAST(sum(words) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY source, bin, epoch""".stripMargin,
     "q138_vocab_stats" ->
       """WITH words AS (
         |  SELECT source,

@@ -198,7 +198,12 @@ class ScaleSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-    val salted = Scale.saltedJoin(spark, sf).collect()
+    val saltedDf = Scale.saltedJoin(spark, sf)
+    // the demo only demonstrates anything in the SHUFFLED join regime —
+    // a broadcast join has no shuffle skew to spread
+    assert(saltedDf.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
+      saltedDf.queryExecution.sparkPlan.toString)
+    val salted = saltedDf.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted.nonEmpty && salted === plain)
     // replication is exact: the salted plan neither drops nor double-

@@ -132,4 +132,22 @@ class TextSpec extends SparkSpec {
       counts.size.toLong * 1000000L / words.length)
     assert(rows(src) === expect)
   }
+
+  test("quality upsampling drops the tail and replicates top bins per epoch") {
+    val rows = TextQueries.qualityUpsample(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+    val bins = rows.map(_._1._2).toSet
+    assert(bins.forall(_ >= 5), s"low-quality bin leaked: $bins")
+    assert(bins.exists(_ >= 7) && bins.exists(b => b >= 5 && b < 7),
+      s"both weight tiers must be live: $bins")
+    // upsampled bins: identical doc/token counts in every epoch 1..3
+    rows.groupBy { case ((src, bin, _), _) => (src, bin) }.foreach {
+      case ((_, bin), grp) =>
+        val epochs = grp.map(_._1._3).sorted.toSeq
+        if (bin >= 7) assert(epochs === Seq(1L, 2L, 3L))
+        else assert(epochs === Seq(1L))
+        assert(grp.map(_._2).distinct.length === 1,
+          "epoch replicas must be identical")
+    }
+  }
 }
