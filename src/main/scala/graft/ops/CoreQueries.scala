@@ -106,7 +106,9 @@ object CoreQueries {
   def joinRevenueBySegment: Q = (s, d) => {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
-    val l = Tables.lineitem(s, d)
+    // the probe side of both broadcast joins: fan the single-file scan
+    // out so the join+partial-agg stage runs at task width
+    val l = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy("c_mktsegment")

@@ -109,13 +109,14 @@ object GraphQueries {
     val edges = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
-    // cache(), not localCheckpoint: lazy — the first iteration pays a
-    // near-free write-through while computing, the next two read the
-    // cached blocks, and no up-front materialization job runs
-    // (localCheckpoint was measured SLOWER: it pays storage eagerly and
-    // forfeits ReusedExchange during its own build). A long-lived
-    // cluster job would persist the edges bucketed by src across runs.
-    val withDeg = edges.join(deg, "src").cache()
+    // deliberately NOT materialized: all three iterations reference an
+    // identical derivation subplan and Spark's ReusedExchange shares it.
+    // Both cache() (bench-min 7.0 s — InMemoryRelation blocks AQE's
+    // join planning) and localCheckpoint (5.7 s — eager storage, reuse
+    // forfeited) measured SLOWER than plain re-reference (4.4 s) in the
+    // bench regime. A long-lived cluster job would persist the edges
+    // bucketed by src across runs — a different lifetime than one query.
+    val withDeg = edges.join(deg, "src")
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       rank = withDeg
