@@ -102,7 +102,9 @@ object SnapshotQueries {
     * is unchanged; pinning the union schema in the table catalog removes
     * even the footer scan.
     */
-  def schemaEvolution: Q = (s, d) => {
+  private val evoLock = new Object
+
+  def schemaEvolution: Q = (s, d) => evoLock.synchronized {
     val root = s"${Tables.scratchDir}/evo-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/orders"
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), cents("o_totalprice").as("cents"),

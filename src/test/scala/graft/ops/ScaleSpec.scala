@@ -200,9 +200,12 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     val saltedDf = Scale.saltedJoin(spark, sf)
     // the demo only demonstrates anything in the SHUFFLED join regime —
-    // a broadcast join has no shuffle skew to spread
-    assert(saltedDf.queryExecution.sparkPlan.toString.contains("ShuffledHashJoin"),
-      saltedDf.queryExecution.sparkPlan.toString)
+    // a broadcast join has no shuffle skew to spread. Collect the node
+    // structurally (plan-string formats drift; ADVICE r6).
+    val shuffledJoins = saltedDf.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.nonEmpty, saltedDf.queryExecution.sparkPlan.toString)
     val salted = saltedDf.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted.nonEmpty && salted === plain)
