@@ -407,7 +407,41 @@ object AnalyticsQueries {
     merged.join(direct, "event_type")
   }
 
+  /** Share-of-total (ratio-to-report): each priority's revenue as an
+    * exact ppm share of the grand total. The unpartitioned window runs
+    * AFTER the aggregation, over group-count rows — the safe place for
+    * a global window (a per-row global window would be the classic
+    * single-task trap; here the aggregate reduced the table first).
+    */
+  def shareOfTotal: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .withColumn("share_ppm",
+        expr("cents_sum * 1000000 div sum(cents_sum) OVER ()"))
+
+  /** Deterministic mode: the most frequent return flag per line status,
+    * ties broken by the smaller flag value (built-in `mode()` leaves
+    * ties unspecified on BOTH engines, so the registered form derives
+    * it from counts + a total-order rank — same two-aggregation shape,
+    * fully reproducible).
+    */
+  def modeDeterministic: Q = (s, d) => {
+    val w = Window.partitionBy("l_linestatus")
+      .orderBy(col("cnt").desc, col("l_returnflag").asc)
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus", "l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_linestatus"), col("l_returnflag").as("mode_flag"), col("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_share_of_total" -> shareOfTotal,
+    "q143_mode" -> modeDeterministic,
     "q136_ohlc" -> ohlc,
     "q137_hll_merge" -> hllMergeDaily,
     "q114_corr_matrix" -> corrMatrix,
@@ -444,6 +478,22 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_share_of_total" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents_sum
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, cents_sum,
+        |  cents_sum * 1000000 // CAST(sum(cents_sum) OVER () AS BIGINT) AS share_ppm
+        |FROM a""".stripMargin,
+    "q143_mode" ->
+      """SELECT l_linestatus, l_returnflag AS mode_flag, cnt FROM (
+        |  SELECT l_linestatus, l_returnflag, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_linestatus
+        |                       ORDER BY count(*) DESC, l_returnflag ASC) AS rk
+        |  FROM lineitem GROUP BY l_linestatus, l_returnflag)
+        |WHERE rk = 1""".stripMargin,
     // identical micros ordering on both engines (Spark reads the nanos
     // column truncated to micros; the oracle truncates explicitly), with
     // event_id as the total-order tiebreak

@@ -164,6 +164,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(candles.find(c => c._1 == et && c._2 == day).get._3 === expect)
   }
 
+  test("share-of-total ppm sums to one million minus floor dust") {
+    val rows = AnalyticsQueries.shareOfTotal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (_, cents, ppm) =>
+      assert(ppm === cents * 1000000L / total)
+    }
+    val ppmSum = rows.map(_._3).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length)
+  }
+
+  test("deterministic mode equals a driver-side argmax with the same tie-break") {
+    val got = AnalyticsQueries.modeDeterministic(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val counts = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_linestatus", "l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).map { case (st, grp) =>
+      val best = grp.minBy(t => (-t._3, t._2))
+      st -> (best._2, best._3)
+    }
+    assert(got === expect && got.nonEmpty)
+  }
+
   test("HLL sketch merge is associative and lands within 5% of exact") {
     val rows = AnalyticsQueries.hllMergeDaily(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
