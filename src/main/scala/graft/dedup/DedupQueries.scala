@@ -313,7 +313,27 @@ object DedupQueries {
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
+  /** Cross-source contamination matrix: [[minhashLsh]]'s verified
+    * near-dup pairs rolled up per unordered source pair — which corpus
+    * sources share (near-)duplicate documents, the provenance question
+    * behind source weighting (q90) and decontamination (q84). Two
+    * doc-id-keyed joins attach sources to the pair stream; the rollup
+    * key space is |sources|². The exact checksum makes the oracle pin
+    * the PAIRS, not just the counts.
+    */
+  def sourceOverlap: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashLsh(s, d).select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_id") + col("b_id")).as("pair_checksum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_source_overlap" -> sourceOverlap,
     "q40_dedup_exact" -> exact,
     "q41_dedup_jaccard" -> ngramJaccard,
     "q42_dedup_minhash" -> minhashLsh,
@@ -343,6 +363,31 @@ object DedupQueries {
     * exact, so false positives are impossible.
     */
   val oracles: Map[String, String] = Map(
+    // jaccardOracle's pair stream rolled up per unordered source pair
+    // (same LSH-completeness argument as q42 — see the q42 note)
+    "q144_source_overlap" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes na ON na.doc_id = a_id
+        |  JOIN sizes nb ON nb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS source_a,
+        |  greatest(sa.source, sb.source) AS source_b,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+        |FROM pairs
+        |JOIN src sa ON sa.doc_id = a_id
+        |JOIN src sb ON sb.doc_id = b_id
+        |GROUP BY 1, 2""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies

@@ -733,8 +733,30 @@ object ExtraQueries {
         sum(col("ratio").isNull.cast("long")).as("n_div_zero"),
         count("overflowed").as("n_overflow_ok"))
 
+  /** Deterministic train/val/test split manifest — q63's md5-threshold
+    * mechanic as an exhaustive PARTITION: every doc lands in exactly
+    * one split by the first hex chars of md5(doc_id) ('cccc'→80%,
+    * 'e666'→90%; lexicographic compare on fixed-width lowercase hex IS
+    * the numeric compare), so the split is reproducible across engines,
+    * runs, and cluster sizes, and survives re-ingestion — the property
+    * random()-based splits silently lose. The rollup carries a key
+    * checksum, so the oracle pins the MEMBERSHIP, not just the sizes;
+    * SplitSpec-style disjointness/coverage follow from it arithmetically.
+    */
+  def splitManifest: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("h") < "cccc", "train")
+          .when(col("h") < "e666", "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("doc_id").as("id_checksum"))
+
   val queries: Map[String, Q] = Map(
     "q139_try_safety" -> trySafety,
+    "q145_split_manifest" -> splitManifest,
     "q49_setops_all" -> setOpsAll,
     "q50_pivot" -> pivotStatus,
     "q51_scalar_subquery" -> scalarSubquery,
@@ -895,6 +917,17 @@ object ExtraQueries {
         |  CAST(nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' AS INT) AS is_a_nullsafe,
         |  CAST(nullif(l_returnflag, 'N') IS NULL AS INT) AS was_n
         |FROM lineitem""".stripMargin,
+    "q145_split_manifest" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM t GROUP BY source, split""".stripMargin,
     // try_divide / try_add mirrored with explicit guards (DuckDB errors
     // on real overflow/zero-division instead of yielding NULL)
     "q139_try_safety" ->

@@ -90,4 +90,16 @@ class DedupSpec extends SparkSpec {
     // dedup actually merges something
     assert(sizes.values.exists(_ > 1))
   }
+
+  test("source-overlap matrix accounts for every near-dup pair exactly once") {
+    val rows = DedupQueries.sourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), _) => assert(a <= b) } // unordered key canonical
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val nPairs = DedupQueries.minhashLsh(spark, sf).count()
+    assert(rows.map(_._2._1).sum === nPairs) // partition of the pair stream
+    assert(rows.exists { case ((a, b), _) => a != b },
+      "cross-source contamination must be visible on this corpus")
+  }
 }

@@ -85,6 +85,21 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("split manifest partitions the corpus with stable ~80/10/10 shares") {
+    val docs = graft.Tables.documents(spark, sf)
+    val total = docs.count()
+    val idSum = docs.agg(org.apache.spark.sql.functions.sum("doc_id")).collect()(0).getLong(0)
+    val rows = ExtraQueries.splitManifest(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+    // exhaustive + disjoint: doc counts and id checksums both total out
+    assert(rows.map(_._2).sum === total)
+    assert(rows.map(_._3).sum === idSum)
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    val train = bySplit("train").toDouble / total
+    assert(train > 0.7 && train < 0.9, s"train share $train")
+  }
+
   test("try_* functions null out garbage, zero division, and overflow — never abort") {
     val row = spark.sql(
       """SELECT try_cast('x42' AS BIGINT) AS bad_parse,
