@@ -555,6 +555,9 @@ object ExtraQueries {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderdate"), col("o_orderpriority"))
+        // several files, not one: XML is not splittable within a file,
+        // so the fixture's file count IS the read-side parallelism
+        .repartition(8)
         .write.mode("overwrite").option("rowTag", "order").xml(dir)
     dir
   }
