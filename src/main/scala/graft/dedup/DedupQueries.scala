@@ -332,8 +332,32 @@ object DedupQueries {
         sum(col("a_id") + col("b_id")).as("pair_checksum"))
   }
 
+  /** Split-leakage audit — the evaluation-integrity question: how many
+    * verified near-dup pairs STRADDLE the q145 train/val/test split?
+    * A test doc with a near-duplicate in train inflates eval scores
+    * exactly like benchmark contamination (q84), but from WITHIN the
+    * corpus; the fix is splitting by q88's cluster id instead of raw
+    * doc id. The count per unordered split pair (with a checksum
+    * pinning membership) quantifies the leak; same md5-threshold split
+    * rule as q145, same pair stream as q42.
+    */
+  def splitLeakage: Q = (s, d) => {
+    val split = Tables.documents(s, d).select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 4) < "cccc", "train")
+        .when(substring(md5(col("doc_id").cast("string")), 1, 4) < "e666", "val")
+        .otherwise("test").as("split"))
+    minhashLsh(s, d).select(col("a_id"), col("b_id"))
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("pa")), Seq("a_id"))
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("pb")), Seq("b_id"))
+      .groupBy(least(col("pa"), col("pb")).as("split_a"),
+        greatest(col("pa"), col("pb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_id") + col("b_id")).as("pair_checksum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q144_source_overlap" -> sourceOverlap,
+    "q147_split_leakage" -> splitLeakage,
     "q40_dedup_exact" -> exact,
     "q41_dedup_jaccard" -> ngramJaccard,
     "q42_dedup_minhash" -> minhashLsh,
@@ -363,6 +387,35 @@ object DedupQueries {
     * exact, so false positives are impossible.
     */
   val oracles: Map[String, String] = Map(
+    // the pair stream crossed with q145's split rule
+    "q147_split_leakage" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes na ON na.doc_id = a_id
+        |  JOIN sizes nb ON nb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT least(sa.split, sb.split) AS split_a,
+        |  greatest(sa.split, sb.split) AS split_b,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+        |FROM pairs
+        |JOIN sp sa ON sa.doc_id = a_id
+        |JOIN sp sb ON sb.doc_id = b_id
+        |GROUP BY 1, 2""".stripMargin,
     // jaccardOracle's pair stream rolled up per unordered source pair
     // (same LSH-completeness argument as q42 — see the q42 note)
     "q144_source_overlap" ->

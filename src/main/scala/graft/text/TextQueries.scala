@@ -449,8 +449,40 @@ object TextQueries {
       .groupBy("source", "bin", "epoch")
       .agg(count(lit(1)).as("n_docs"), sum("words").as("n_tokens"))
 
+  /** Dataset card — the corpus datasheet in one pass: doc/source/lang
+    * counts, token and char totals, the exact-duplicate rate, and the
+    * char-length median, emitted as (metric, value) rows. ONE aggregate
+    * over one scan (the three count-distincts ride the same Expand);
+    * the output is datasheet-sized regardless of corpus size — this is
+    * the summary every released dataset ships, as a query instead of a
+    * notebook.
+    */
+  def datasetCard: Q = (s, d) =>
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(expr("filter(split(text, ' '), w -> w != '')")).cast("long").as("words"),
+        md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum("words").as("n_tokens"),
+        sum("n_chars").as("n_chars_total"),
+        (count(lit(1)) - countDistinct("h")).as("n_exact_dup_docs"),
+        floor(expr("percentile(n_chars, 0.5)")).cast("long").as("p50_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .selectExpr(
+        """stack(9,
+          |  'n_docs', n_docs, 'n_sources', n_sources, 'n_langs', n_langs,
+          |  'n_tokens', n_tokens, 'n_chars_total', n_chars_total,
+          |  'n_exact_dup_docs', n_exact_dup_docs, 'p50_chars', p50_chars,
+          |  'min_chars', min_chars, 'max_chars', max_chars
+          |) AS (metric, value)""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "q141_quality_upsample" -> qualityUpsample,
+    "q146_dataset_card" -> datasetCard,
     "q138_vocab_stats" -> vocabStats,
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
@@ -482,6 +514,32 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q146_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS words,
+        |    md5(text) AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs,
+        |    CAST(sum(words) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        |    count(*) - count(DISTINCT h) AS n_exact_dup_docs,
+        |    CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50_chars,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM base)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |UNION ALL SELECT 'n_sources', n_sources FROM a
+        |UNION ALL SELECT 'n_langs', n_langs FROM a
+        |UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        |UNION ALL SELECT 'n_chars_total', n_chars_total FROM a
+        |UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a
+        |UNION ALL SELECT 'p50_chars', p50_chars FROM a
+        |UNION ALL SELECT 'min_chars', min_chars FROM a
+        |UNION ALL SELECT 'max_chars', max_chars FROM a""".stripMargin,
     "q141_quality_upsample" ->
       """WITH t AS (
         |  SELECT doc_id, source,

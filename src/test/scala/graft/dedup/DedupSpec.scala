@@ -102,4 +102,17 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists { case ((a, b), _) => a != b },
       "cross-source contamination must be visible on this corpus")
   }
+
+  test("split-leakage audit partitions the pair stream by split pair") {
+    val rows = DedupQueries.splitLeakage(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), _) => assert(a <= b) }
+    val nPairs = DedupQueries.minhashLsh(spark, sf).count()
+    assert(rows.map(_._2).sum === nPairs)
+    // the raw doc-id split leaks on this corpus — the motivating fact
+    // (cluster-id splitting, q88, is the fix)
+    assert(rows.exists { case ((a, b), _) => a != b },
+      "expected cross-split near-dup pairs under a doc-id split")
+  }
 }

@@ -133,6 +133,18 @@ class TextSpec extends SparkSpec {
     assert(rows(src) === expect)
   }
 
+  test("dataset card metrics agree with independent corpus counts") {
+    val card = TextQueries.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+    assert(card("n_docs") === docs.count())
+    assert(card("n_sources") === docs.select("source").distinct().count())
+    assert(card("n_langs") === docs.select("lang").distinct().count())
+    assert(card("min_chars") <= card("p50_chars") &&
+      card("p50_chars") <= card("max_chars"))
+    assert(card("n_exact_dup_docs") >= 0 && card("n_tokens") > card("n_docs"))
+  }
+
   test("quality upsampling drops the tail and replicates top bins per epoch") {
     val rows = TextQueries.qualityUpsample(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
