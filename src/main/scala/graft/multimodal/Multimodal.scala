@@ -109,9 +109,26 @@ object Multimodal {
         md5(expr(s"substring(text, frame_id * $fb + 1, $fb)").cast("binary")).as("frame_md5"))
   }
 
+  /** Frame-level dedup — the video-pipeline primitive document-level
+    * dedup (q40) can't express: identical FRAMES recur across different
+    * media items (intros, stills, silence), and storage/training both
+    * want one copy. One hash aggregation over [[frameSample]]'s frame
+    * stream; the keeper is the smallest (media_id, frame_id) encoded as
+    * one orderable key. Only duplicated frames surface, so the output
+    * is duplicate-sized, not corpus-sized.
+    */
+  def frameDedup: Q = (s, d) =>
+    frameSample(s, d)
+      .groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("media_id").as("n_media"),
+        min(col("media_id") * 100000L + col("frame_id")).as("keeper_key"))
+      .where(col("n_copies") > 1)
+
   val queries: Map[String, Q] = Map(
     "q47_blob_meta" -> blobMeta,
-    "q48_frame_sample" -> frameSample)
+    "q48_frame_sample" -> frameSample,
+    "q148_frame_dedup" -> frameDedup)
 
   val oracles: Map[String, String] = Map(
     "q47_blob_meta" ->
@@ -123,5 +140,17 @@ object Multimodal {
         |  md5(substr(text, frame_id * 64 + 1, 64)) AS frame_md5
         |FROM (SELECT doc_id AS media_id, text,
         |        unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
-        |      FROM documents)""".stripMargin)
+        |      FROM documents)""".stripMargin,
+    // q48's frame stream, aggregated per content hash
+    "q148_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT media_id, frame_id,
+        |    md5(substr(text, frame_id * 64 + 1, 64)) AS frame_md5
+        |  FROM (SELECT doc_id AS media_id, text,
+        |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
+        |        FROM documents))
+        |SELECT frame_md5, count(*) AS n_copies,
+        |  count(DISTINCT media_id) AS n_media,
+        |  CAST(min(media_id * 100000 + frame_id) AS BIGINT) AS keeper_key
+        |FROM f GROUP BY frame_md5 HAVING count(*) > 1""".stripMargin)
 }

@@ -23,4 +23,19 @@ class MultimodalSpec extends SparkSpec {
     val bytes = Array.tabulate(10)(_.toByte)
     assert(Multimodal.StubCodec.resize(bytes, 3).toSeq === Seq[Byte](0, 3, 6, 9))
   }
+
+  test("frame dedup surfaces only duplicated frames, keeper is the earliest") {
+    val frames = Multimodal.frameSample(spark, sf).collect()
+      .map(r => (r.getString(2), r.getLong(0) * 100000L + r.getInt(1)))
+    val byHash = frames.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = Multimodal.frameDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty, "corpus must contain duplicated frames")
+    rows.foreach { case (h, n, keeper) =>
+      assert(n === byHash(h).length.toLong && n > 1)
+      assert(keeper === byHash(h).min)
+    }
+    // completeness: every hash with >1 occurrence is reported
+    assert(rows.length === byHash.count(_._2.length > 1))
+  }
 }
