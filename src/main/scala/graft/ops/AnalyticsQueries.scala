@@ -439,7 +439,27 @@ object AnalyticsQueries {
       .select(col("l_linestatus"), col("l_returnflag").as("mode_flag"), col("cnt"))
   }
 
+  /** Period-over-period deltas — the reporting primitive behind every
+    * "up X% MoM" number: monthly revenue per priority, each month's
+    * absolute and exact-ppm change vs the prior month (`lag` over the
+    * month series; first month stays null on both engines). Aggregate
+    * first, window after — the lag runs over month-count rows.
+    */
+  def periodOverPeriod: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .select(col("o_orderpriority"), col("month"), col("cents"),
+        (col("cents") - col("prev_cents")).as("delta_cents"),
+        expr("(cents - prev_cents) * 1000000 div prev_cents").as("change_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q149_period_over_period" -> periodOverPeriod,
     "q142_share_of_total" -> shareOfTotal,
     "q143_mode" -> modeDeterministic,
     "q136_ohlc" -> ohlc,
@@ -478,6 +498,17 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q149_period_over_period" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, cents,
+        |  cents - lag(cents, 1) OVER w AS delta_cents,
+        |  (cents - lag(cents, 1) OVER w) * 1000000 // lag(cents, 1) OVER w AS change_ppm
+        |FROM m
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)""".stripMargin,
     "q142_share_of_total" ->
       """WITH a AS (
         |  SELECT o_orderpriority, count(*) AS n,

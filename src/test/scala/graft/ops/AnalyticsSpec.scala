@@ -176,6 +176,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length)
   }
 
+  test("period-over-period deltas reconstruct the running series") {
+    val rows = AnalyticsQueries.periodOverPeriod(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1._1).foreach { case (_, series) =>
+      val sorted = series.sortBy(_._1._2)
+      assert(sorted.head._2._2.isEmpty) // first month has no prior
+      sorted.sliding(2).foreach {
+        case Array((_, (prev, _)), (_, (cur, Some(delta)))) =>
+          assert(delta === cur - prev)
+        case _ => fail("non-first month missing its delta")
+      }
+    }
+    // declines exist, so the signed integer-division path is exercised
+    assert(rows.exists(_._2._2.exists(_ < 0)))
+  }
+
   test("deterministic mode equals a driver-side argmax with the same tie-break") {
     val got = AnalyticsQueries.modeDeterministic(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
