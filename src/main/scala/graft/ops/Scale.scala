@@ -218,7 +218,32 @@ object Scale {
         sum("qty").cast("double").as("total_qty"))
   }
 
+  /** Small-file compaction planner — the table-maintenance step every
+    * large lake runs continuously: pack files (here: `documents` rows as
+    * the file inventory, `n_chars` as bytes) into ~target-size output
+    * groups, sequentially in key order. bin = start-offset div target
+    * over a per-source cumulative sum — one window plus one aggregate,
+    * no driver-side loop, and the plan output is #bins-sized rather than
+    * #files-sized, so planning 100 M files is still one distributed
+    * pass. (First-fit-decreasing packs marginally tighter but its bins
+    * depend on global order; offset binning is deterministic, locality-
+    * preserving, and stable under appends — which is why production
+    * compactors use it.)
+    */
+  def compactionPlan(s: SparkSession, d: String, target: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .withColumn("end_off", sum("n_chars").over(w))
+      .withColumn("bin", expr(s"(end_off - n_chars) div $target"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
       saltedSum(Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"))),
     "q60_partition_pruned" -> (partitionPrunedScan(_, _)),
@@ -227,6 +252,16 @@ object Scale {
     "q131_salted_join" -> (saltedJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q151_compaction_plan" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        |  FROM documents)
+        |SELECT source, (end_off - n_chars) // 2048 AS bin,
+        |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM t GROUP BY 1, 2""".stripMargin,
     // the plain join the salted plan must equal
     "q131_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -480,7 +480,37 @@ object TextQueries {
           |  'min_chars', min_chars, 'max_chars', max_chars
           |) AS (metric, value)""".stripMargin)
 
+  /** Deterministic weighted sampling — Sequential Poisson Sampling
+    * (Ohlsson 1998), the probability-proportional-to-size draw a data-
+    * mixing pipeline uses to favor long/high-quality documents without
+    * a random number generator: priority = u div w, where u is a
+    * uniform 60-bit integer derived from the doc key's md5 and w is the
+    * weight (chars here; tokens or a quality score in practice). The
+    * k smallest priorities per source are the sample, so inclusion odds
+    * scale ~with w, yet the draw is a pure function of the key — stable
+    * across runs, engines, partitionings and cluster sizes, composable
+    * with q63's unweighted sibling. Integer division keeps both engines
+    * bit-identical (no float log/exp in the priority). The per-source
+    * top-k is a window here; at 100 TB the same selection runs as a
+    * heap partial aggregate (q39's `topk_rows` shape) — k survivors per
+    * partition, no per-source full sort.
+    */
+  def weightedSample: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("priority", "doc_id")
+    Tables.documents(s, d)
+      .where(col("n_chars") > 0)
+      .withColumn("u",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("priority", expr("u div n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"),
+        col("priority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_weighted_sample" -> weightedSample,
     "q141_quality_upsample" -> qualityUpsample,
     "q146_dataset_card" -> datasetCard,
     "q138_vocab_stats" -> vocabStats,
@@ -514,6 +544,18 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q150_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      // n_chars AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, priority,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY priority, doc_id) AS INT) AS rn
+        |  FROM t)
+        |SELECT source, rn, doc_id, n_chars, priority FROM r WHERE rn <= 10""".stripMargin,
     "q146_dataset_card" ->
       """WITH base AS (
         |  SELECT source, lang, n_chars,

@@ -215,4 +215,32 @@ class ScaleSpec extends SparkSpec {
     val factRows = Tables.lineitem(spark, sf).count()
     assert(salted.toSeq.map(_._2).sum === factRows)
   }
+
+  test("compaction plan equals a driver-side greedy offset binning") {
+    val target = 2048L
+    val got = Scale.compactionPlan(spark, sf, target).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).flatMap { case (src, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).map { case (_, id, n) =>
+        val bin = off / target; off += n; (src, bin, id, n)
+      }.groupBy { case (_, bin, _, _) => bin }.map { case (bin, grp) =>
+        (src, bin) -> (grp.length.toLong, grp.map(_._4).sum,
+          grp.map(_._3).min, grp.map(_._3).max)
+      }
+    }
+    assert(got === want)
+    // bins cover contiguous, non-overlapping doc_id ranges per source
+    got.toSeq.groupBy(_._1._1).foreach { case (_, bins) =>
+      bins.sortBy(_._1._2).sliding(2).foreach {
+        case Seq((_, (_, _, _, lastA)), (_, (_, _, firstB, _))) =>
+          assert(lastA < firstB)
+        case _ =>
+      }
+    }
+  }
 }

@@ -145,6 +145,36 @@ class TextSpec extends SparkSpec {
     assert(card("n_exact_dup_docs") >= 0 && card("n_tokens") > card("n_docs"))
   }
 
+  test("weighted sample is the k smallest PPS priorities and skews long") {
+    val got = TextQueries.weightedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // recompute every priority independently: 60-bit md5 prefix div weight
+    def prio(id: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) / w
+    }
+    got.foreach { case (_, _, id, w, p) => assert(p === prio(id, w)) }
+    // per source: exactly the 10 smallest (priority, doc_id) of the corpus
+    val all = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val want = rows.map { case (_, id, w) => (prio(id, w), id) }
+        .sorted.take(10).map(_._2).toSeq
+      val sel = got.filter(_._1 == src).sortBy(_._2).map(_._3).toSeq
+      assert(sel === want, s"selection mismatch for $src")
+    }
+    // PPS bias: long documents are favored, so the sample mean exceeds
+    // the corpus mean (371.9 vs 306.3 at sf0.001 — wide margin)
+    val sampMean = got.map(_._4).sum.toDouble / got.length
+    val popMean = all.map(_._3).sum.toDouble / all.length
+    assert(sampMean > popMean)
+  }
+
   test("quality upsampling drops the tail and replicates top bins per epoch") {
     val rows = TextQueries.qualityUpsample(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
