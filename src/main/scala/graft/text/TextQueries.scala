@@ -509,7 +509,52 @@ object TextQueries {
         col("priority"))
   }
 
+  /** BM25 keyword scoring — the retrieval scorer between q103's TF-IDF
+    * and a neural ranker, in EXACT integer arithmetic: with rational
+    * k1 = 6/5 and b = 3/4, and avgdl kept as the exact fraction
+    * total_tokens/N, the classic
+    * `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` reduces to ONE
+    * integer division `idf · 44·tf·T div (20·tf·T + 6·T + 18·dl·N)`
+    * (T = corpus tokens, dl = doc length), so both engines agree
+    * bit-for-bit — no float in the plan. idf is q103's integer family
+    * (`1000·N div df`; the log-idf of textbook BM25 cannot be exact
+    * across engines). Magnitudes: numerator ≤ idf·44·tf·T ≈ 1.3e17 at
+    * sf1-scale corpora — inside BIGINT; a 100 TB corpus widens the
+    * two products to DECIMAL(38,0) and keeps the same plan. Top-3
+    * terms per doc, ties broken by term; same shuffle shape as q103
+    * (terms → tf → df join → per-doc window).
+    */
+  def bm25: Q = (s, d) => {
+    val v = "docs_bm25_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .createOrReplaceTempView(v)
+    val df = s.sql(
+      s"""WITH terms AS (
+        |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS term
+        |  FROM $v),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (((1000 * c.n) div df.df) * 44 * tf.tf * c.t)
+        |      div (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n) AS score_mil
+        |  FROM tf
+        |  JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_mil DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score_mil FROM ranked WHERE rk <= 3""".stripMargin)
+    s.catalog.dropTempView(v)
+    df
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_bm25" -> bm25,
     "q150_weighted_sample" -> weightedSample,
     "q141_quality_upsample" -> qualityUpsample,
     "q146_dataset_card" -> datasetCard,
@@ -544,6 +589,29 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q152_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST((((1000 * c.n) // df.df) * 44 * tf.tf * c.t)
+        |      // (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n) AS BIGINT)
+        |      AS score_mil
+        |  FROM tf
+        |  JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN c),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_mil DESC, term ASC) AS INT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score_mil FROM ranked WHERE rk <= 3""".stripMargin,
     "q150_weighted_sample" ->
       """WITH t AS (
         |  SELECT source, doc_id, n_chars,

@@ -145,6 +145,29 @@ class TextSpec extends SparkSpec {
     assert(card("n_exact_dup_docs") >= 0 && card("n_tokens") > card("n_docs"))
   }
 
+  test("bm25 equals a driver-side BigInt replay of the rational formula") {
+    val got = TextQueries.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (id, w) -> g.length.toLong } }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val dl = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val n = BigInt(docs.length); val t = BigInt(dl.values.sum)
+    val want = docs.flatMap { case (id, _) => tf.collect {
+      case ((d, w), f) if d == id =>
+        val idf = (BigInt(1000) * n) / BigInt(dfm(w))
+        val score = (idf * 44 * f * t) /
+          (BigInt(20) * f * t + 6 * t + BigInt(18) * dl(id) * n)
+        (w, f, dfm(w), score.toLong)
+    }.toSeq.sortBy { case (w, _, _, sc) => (-sc, w) }.take(3).zipWithIndex
+      .map { case (row, i) => (id, i + 1) -> row } }.toMap
+    assert(got === want)
+  }
+
   test("weighted sample is the k smallest PPS priorities and skews long") {
     val got = TextQueries.weightedSample(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
