@@ -458,7 +458,49 @@ object AnalyticsQueries {
         expr("(cents - prev_cents) * 1000000 div prev_cents").as("change_ppm"))
   }
 
+  /** Linear interpolation resample — q118's gap fill carries the LAST
+    * observation forward; this carries the TREND: each user's missing
+    * days between their first and last active day get
+    * `prev + (next − prev) · (day − prev_day) div (next_day − prev_day)`
+    * in exact integer cents (both engines truncate integer division
+    * toward zero — negative slopes included, same guarantee q149
+    * leans on). The bracketing observations come from two one-pass
+    * IGNORE NULLS windows over the per-user spine (no self-join per
+    * gap); the spine itself is per-user `sequence(min_day, max_day)`
+    * exploded after the aggregate, so endpoints are always observed and
+    * every gap is bracketed. The daily observation is max(cents) — the
+    * interpolation mechanics, not the pick, are the operator.
+    */
+  def interpolate: Q = (s, d) => {
+    val obs = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "day").agg(max("cents").as("v"))
+    val spine = obs.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        last("v", ignoreNulls = true).over(back).as("pv"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(back).as("pd"),
+        first("v", ignoreNulls = true).over(fwd).as("nv"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(fwd).as("nd"))
+      .select(col("user_id"), col("day"), col("v").isNotNull.as("is_obs"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + expr(
+            "((nv - pv) * datediff(day, pd)) div datediff(nd, pd)"))
+          .as("cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_interpolate" -> interpolate,
     "q149_period_over_period" -> periodOverPeriod,
     "q142_share_of_total" -> shareOfTotal,
     "q143_mode" -> modeDeterministic,
@@ -498,6 +540,33 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q153_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) :: DATE AS day
+        |  FROM obs GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.day, o.v,
+        |    last_value(o.v IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN o.v IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER back AS pd,
+        |    first_value(o.v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN o.v IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER fwd AS nd
+        |  FROM spine s LEFT JOIN obs o USING (user_id, day)
+        |  WINDOW back AS (PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fwd AS (PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, v IS NOT NULL AS is_obs,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + ((nv - pv) * date_diff('day', pd, day))
+        |      // date_diff('day', pd, nd) END AS cents
+        |FROM j""".stripMargin,
     "q149_period_over_period" ->
       """WITH m AS (
         |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -176,6 +176,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length)
   }
 
+  test("interpolation matches a driver-side replay and brackets every gap") {
+    val rows = AnalyticsQueries.interpolate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(_._4 != 0 || true))
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2.toEpochDay)
+      // contiguous daily spine, observed endpoints
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2.toEpochDay === a._2.toEpochDay + 1)
+        case _ =>
+      }
+      assert(sorted.head._3 && sorted.last._3)
+      // each interpolated day equals the exact integer lerp of its
+      // bracketing observations
+      val obsIdx = sorted.zipWithIndex.filter(_._1._3).map(_._2)
+      sorted.zipWithIndex.filterNot(_._1._3).foreach { case ((_, d, _, got), i) =>
+        val lo = obsIdx.filter(_ < i).max; val hi = obsIdx.filter(_ > i).min
+        val (pv, pd) = (sorted(lo)._4, sorted(lo)._2.toEpochDay)
+        val (nv, nd) = (sorted(hi)._4, sorted(hi)._2.toEpochDay)
+        val want = pv + ((nv - pv) * (d.toEpochDay - pd)) / (nd - pd)
+        assert(got === want)
+      }
+    }
+    // gaps exist at this sf, so the lerp path is actually exercised
+    assert(rows.exists(!_._3))
+  }
+
   test("period-over-period deltas reconstruct the running series") {
     val rows = AnalyticsQueries.periodOverPeriod(spark, sf).collect()
       .map(r => ((r.getString(0), r.getDate(1).toString),
