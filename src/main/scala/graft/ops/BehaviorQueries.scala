@@ -166,7 +166,33 @@ object BehaviorQueries {
           |) AS (col_name, n_nonnull, n_distinct, min_repr, max_repr)""".stripMargin)
   }
 
+  /** Event-path pattern matching — MATCH_RECOGNIZE-lite: each user's
+    * full history collapses to one ordered `type>type>…` path string
+    * (one aggregate; the sort is per-group over collected structs, no
+    * window pass), and sequence questions become regexes over it:
+    * did the journey START with signup, did an error burst (3+ in a
+    * row) occur, did a purchase recover right after an error. The
+    * path column doubles as the audit trail. At 100 TB the per-user
+    * path is bounded by per-user history (hundreds of events), not
+    * corpus size, and the aggregate is the same one shuffle as any
+    * groupBy — patterns that only need counts should still use q106's
+    * funnel (no string materialization).
+    */
+  def eventPaths: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ">").as("path"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"), col("path"),
+        col("path").rlike("^signup").as("starts_signup"),
+        col("path").rlike("error>error>error").as("error_burst"),
+        col("path").rlike("purchase>error>purchase").as("recovered"))
+
   val queries: Map[String, Q] = Map(
+    "q154_event_paths" -> eventPaths,
     "q120_sessionize" -> sessionize,
     "q121_anomaly" -> anomaly,
     "q122_transitions" -> transitions,
@@ -174,6 +200,17 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q154_event_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, path,
+        |  regexp_matches(path, '^signup') AS starts_signup,
+        |  regexp_matches(path, 'error>error>error') AS error_burst,
+        |  regexp_matches(path, 'purchase>error>purchase') AS recovered
+        |FROM p""".stripMargin,
     "q120_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

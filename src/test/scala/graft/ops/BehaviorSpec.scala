@@ -102,4 +102,30 @@ class BehaviorSpec extends SparkSpec {
         BigDecimal(r.getString(4)) <= BigDecimal(r.getString(5)))
     }
   }
+
+  test("event paths replay the per-user ordered history and live flags") {
+    val got = BehaviorQueries.eventPaths(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    val want = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).map { case (u, evs) =>
+        u -> evs.sortBy(e => (e._2, e._3)).map(_._4).mkString(">")
+      }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (u, path) =>
+      val (n, p, sgn, burst, rec) = got(u)
+      assert(p === path && n === path.split(">").length.toLong)
+      assert(sgn === path.startsWith("signup"))
+      assert(burst === path.contains("error>error>error"))
+      assert(rec === path.contains("purchase>error>purchase"))
+    }
+    // every flag fires for someone and abstains for someone at this sf
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+    assert(got.values.exists(_._5) && got.values.exists(!_._5))
+  }
 }
