@@ -499,7 +499,43 @@ object AnalyticsQueries {
           .as("cents"))
   }
 
+  /** RFM segmentation — the classic customer scoring: recency (days
+    * since last order), frequency (order count) and monetary (lifetime
+    * cents), each binned 1–5 by its EXACT quintile breakpoints
+    * (`percentile`, the same bit-for-bit `quantile_cont` parity q64
+    * pins). The thresholds are ONE aggregate row fetched and inlined as
+    * literals (the sanctioned q118/IVF shape — a crossJoin would plan
+    * the BroadcastNestedLoopJoin the suite lint rejects), so scoring is
+    * a scan-local projection: no window, no global sort — at 100 TB the
+    * only shuffles are the per-customer aggregate and the one-row
+    * threshold pass. Bins are value-based (ties share a bin), direction
+    * uniform (1 = low), segment = r·100 + f·10 + m.
+    */
+  def rfm: Q = (s, d) => {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val maxD = Tables.orders(s, d)
+      .agg(max(col("o_orderdate").cast("date")).cast("string")).head().getString(0)
+    val cust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(datediff(lit(maxD).cast("date"), max(col("o_orderdate").cast("date")))
+        .cast("long").as("recency"),
+        count(lit(1)).as("freq"), sum(cents).as("monetary"))
+    val qs = "array(0.2, 0.4, 0.6, 0.8)"
+    val t = cust.selectExpr(s"percentile(recency, $qs) AS tr",
+        s"percentile(freq, $qs) AS tf", s"percentile(monetary, $qs) AS tm")
+      .head()
+    def bin(c: String, th: Seq[Double]) =
+      th.map(x => when(col(c) > lit(x), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    def ths(i: Int) = t.getSeq[Double](i)
+    cust.select(col("o_custkey"), col("recency"), col("freq"), col("monetary"),
+        bin("recency", ths(0)).as("r_bin"), bin("freq", ths(1)).as("f_bin"),
+        bin("monetary", ths(2)).as("m_bin"))
+      .withColumn("segment",
+        col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_rfm" -> rfm,
     "q153_interpolate" -> interpolate,
     "q149_period_over_period" -> periodOverPeriod,
     "q142_share_of_total" -> shareOfTotal,
@@ -540,6 +576,35 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q155_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS BIGINT)
+        |      AS recency,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS tr,
+        |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,
+        |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm
+        |  FROM cust),
+        |b AS (
+        |  SELECT o_custkey, recency, freq, monetary,
+        |    CAST(1 + CAST(recency > tr[1] AS INT) + CAST(recency > tr[2] AS INT)
+        |      + CAST(recency > tr[3] AS INT) + CAST(recency > tr[4] AS INT)
+        |      AS INT) AS r_bin,
+        |    CAST(1 + CAST(freq > tf[1] AS INT) + CAST(freq > tf[2] AS INT)
+        |      + CAST(freq > tf[3] AS INT) + CAST(freq > tf[4] AS INT)
+        |      AS INT) AS f_bin,
+        |    CAST(1 + CAST(monetary > tm[1] AS INT) + CAST(monetary > tm[2] AS INT)
+        |      + CAST(monetary > tm[3] AS INT) + CAST(monetary > tm[4] AS INT)
+        |      AS INT) AS m_bin
+        |  FROM cust CROSS JOIN t)
+        |SELECT *, CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS segment
+        |FROM b""".stripMargin,
     "q153_interpolate" ->
       """WITH obs AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -176,6 +176,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length)
   }
 
+  test("rfm bins replay the interpolated quintile thresholds exactly") {
+    val rows = AnalyticsQueries.rfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    // Spark `percentile` linear interpolation: index p*(n-1) between
+    // order statistics
+    def thresholds(vs: Seq[Long]): Seq[Double] = {
+      val s = vs.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val i = p * (s.length - 1)
+        val (lo, hi) = (math.floor(i).toInt, math.ceil(i).toInt)
+        s(lo) + (i - lo) * (s(hi) - s(lo))
+      }
+    }
+    def bin(v: Long, th: Seq[Double]) = 1 + th.count(v > _)
+    val (tr, tf, tm) = (thresholds(rows.map(_._2)), thresholds(rows.map(_._3)),
+      thresholds(rows.map(_._4)))
+    rows.foreach { case (_, rec, fr, mon, rb, fb, mb, seg) =>
+      assert(rb === bin(rec, tr) && fb === bin(fr, tf) && mb === bin(mon, tm))
+      assert(seg === rb * 100 + fb * 10 + mb)
+    }
+    // monetary quintiles are balanced-ish: every bin is inhabited
+    (1 to 5).foreach(b => assert(rows.exists(_._7 == b), s"empty m_bin $b"))
+  }
+
   test("interpolation matches a driver-side replay and brackets every gap") {
     val rows = AnalyticsQueries.interpolate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getBoolean(2), r.getLong(3)))
