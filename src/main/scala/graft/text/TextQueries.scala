@@ -528,6 +528,14 @@ object TextQueries {
     val v = "docs_bm25_" + java.util.UUID.randomUUID().toString.replace("-", "")
     Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .createOrReplaceTempView(v)
+    // corpus totals (N docs, T tokens) are ONE aggregate row — fetched
+    // and inlined as literals (the q118 shape): a `CROSS JOIN c` would
+    // plan the BroadcastNestedLoopJoin the fleet-wide plan lint rejects
+    val totals = s.sql(
+      s"""SELECT count(*) AS n,
+         |  sum(size(filter(split(text, ' '), w -> w != ''))) AS t
+         |FROM $v""".stripMargin).head()
+    val (n, t) = (totals.getLong(0), totals.getLong(1))
     val df = s.sql(
       s"""WITH terms AS (
         |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS term
@@ -535,15 +543,13 @@ object TextQueries {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
         |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |c AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |    (((1000 * c.n) div df.df) * 44 * tf.tf * c.t)
-        |      div (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n) AS score_mil
+        |    (((1000L * ${n}L) div df.df) * 44 * tf.tf * ${t}L)
+        |      div (20 * tf.tf * ${t}L + 6 * ${t}L + 18 * dl.dl * ${n}L) AS score_mil
         |  FROM tf
         |  JOIN df ON tf.term = df.term
-        |  JOIN dl ON tf.doc_id = dl.doc_id
-        |  CROSS JOIN c),
+        |  JOIN dl ON tf.doc_id = dl.doc_id),
         |ranked AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY score_mil DESC, term ASC) AS rk
