@@ -428,7 +428,75 @@ object SimQueries {
     sims.sortBy { case (c, sm) => (-sm, c) }.take(m).map(_._1)
   }
 
+  /** Two-stage hybrid retrieval — the production search shape: a cheap
+    * LEXICAL stage (q152's integer-exact BM25, summed over the query
+    * document's terms) nominates 50 candidates; an exact VECTOR stage
+    * (quantized cosine to the query's embedding, `doc_id = vec_id` by
+    * corpus convention) reranks them to a top-10. Query-by-example with
+    * doc 0. The query's term set and quantized embedding are single-row
+    * fetches inlined as literals (the q118 shape — no one-row cross
+    * join, no BNLJ), so at 100 TB the lexical stage is the same
+    * shuffles as q152 plus a broadcast IN-filter, and the vector stage
+    * touches exactly 50 embedding rows via an equi join. Both scores
+    * ride along: `bm25_mil` (integer) and `qcos` (IEEE-identical
+    * double from exact int64 dot products, q45's guarantee).
+    */
+  def hybridSearch: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val qid = 0L
+    val qtext = Tables.documents(s, d).where(col("doc_id") === qid)
+      .select("text").head().getString(0)
+    val qterms = qtext.split(" ").filter(_.nonEmpty).distinct.sorted
+    val inList = qterms.map(t => s"'${t}'").mkString(", ")
+    val v = "docs_hyb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .createOrReplaceTempView(v)
+    val totals = s.sql(
+      s"""SELECT count(*) AS n,
+         |  sum(size(filter(split(text, ' '), w -> w != ''))) AS t
+         |FROM $v""".stripMargin).head()
+    val (n, t) = (totals.getLong(0), totals.getLong(1))
+    val cand = s.sql(
+      s"""WITH terms AS (
+        |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS term
+        |  FROM $v),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  sum((((1000L * ${n}L) div df.df) * 44 * tf.tf * ${t}L)
+        |    div (20 * tf.tf * ${t}L + 6 * ${t}L + 18 * dl.dl * ${n}L))
+        |    AS bm25_mil
+        |FROM tf
+        |JOIN df ON tf.term = df.term
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |WHERE tf.term IN ($inList) AND tf.doc_id != $qid
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25_mil DESC, doc_id
+        |LIMIT 50""".stripMargin)
+    s.catalog.dropTempView(v)
+    // query embedding: one quantized row fetched through the SAME
+    // quantized() expression the candidate side uses — bit-identical by
+    // construction (a driver-side re-implementation of round() would
+    // have to match Spark's BigDecimal semantics by luck)
+    val qrow = quantized(Tables.embeddings(s, d))
+      .where(col("vec_id") === qid).select("qv", "nrm").head()
+    val qv = qrow.getSeq[Long](0)
+    val qnrm = qrow.getLong(1)
+    val qvLit = qv.mkString("array(", "L, ", "L)")
+    val emb = quantized(Tables.embeddings(s, d))
+    val w = Window.orderBy(col("qcos").desc, col("doc_id").asc)
+    cand.join(emb, cand("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("bm25_mil"),
+        (expr(s"dot_i64($qvLit, qv)").cast("double") /
+          (sqrt(lit(qnrm).cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(w))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_hybrid_search" -> hybridSearch,
     "q45_knn_brute" -> knnBrute,
     "q46_knn_lsh" -> knnLsh,
     "q54_knn_ivf" -> knnIvf,
@@ -444,6 +512,48 @@ object SimQueries {
       |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q156_hybrid_search" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+         |    AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |qt AS (SELECT DISTINCT term FROM terms WHERE doc_id = 0),
+         |cand AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum((((1000 * c.n) // df.df) * 44 * tf.tf * c.t)
+         |      // (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n)) AS BIGINT)
+         |      AS bm25_mil
+         |  FROM tf
+         |  JOIN qt ON tf.term = qt.term
+         |  JOIN df ON tf.term = df.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN c
+         |  WHERE tf.doc_id <> 0
+         |  GROUP BY tf.doc_id
+         |  ORDER BY bm25_mil DESC, tf.doc_id
+         |  LIMIT 50),
+         |qz AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, qv,
+         |    list_sum(list_transform(qv, x -> x * x)) nrm FROM qz),
+         |qn AS (SELECT qv, nrm FROM nn WHERE vec_id = 0),
+         |rr AS (
+         |  SELECT cand.doc_id, cand.bm25_mil,
+         |    CAST(list_sum(list_transform(range(1, len(qn.qv) + 1),
+         |        i -> qn.qv[i] * nn.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(nn.nrm AS DOUBLE)))
+         |      AS qcos
+         |  FROM cand JOIN nn ON cand.doc_id = nn.vec_id CROSS JOIN qn)
+         |SELECT doc_id, bm25_mil, qcos,
+         |  CAST(row_number() OVER (ORDER BY qcos DESC, doc_id) AS INT) AS rank
+         |FROM rr
+         |ORDER BY qcos DESC, doc_id
+         |LIMIT 10""".stripMargin,
     "q45_knn_brute" ->
       s"""$quantCte,
          |qs AS (SELECT vec_id q_id, qv qqv, nrm qnrm FROM n WHERE vec_id % 100 = 0),

@@ -74,4 +74,27 @@ class SimSpec extends SparkSpec {
     info(f"semdedup drop recall = $recall%.2f (k=8 cells, dual assignment)")
     assert(recall >= 0.9, f"recall $recall%.2f below floor")
   }
+
+  test("hybrid search: lexical gate feeds the vector rerank, both live") {
+    val rows = SimQueries.hybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.map(_._4).sorted.toSeq === (1 to 10))
+    assert(!rows.exists(_._1 == 0L)) // the query doc never retrieves itself
+    // ranked by cosine (the SECOND stage), descending with id tie-break
+    val byRank = rows.sortBy(_._4)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    case _ => }
+    // lexical gate: every hit shares a term with the query doc
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+      .toMap
+    val q = docs(0L)
+    rows.foreach { case (id, bm, _, _) =>
+      assert((docs(id) & q).nonEmpty && bm > 0, s"doc $id passed without overlap")
+    }
+    // the rerank REORDERS: cosine order differs from bm25 order
+    assert(byRank.map(_._2).toSeq != byRank.map(_._2).sortBy(-(_: Long)).toSeq)
+  }
 }
