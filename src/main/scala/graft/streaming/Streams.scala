@@ -522,7 +522,34 @@ object Streams {
   def intervalJoinFullOuterBatch: Q = (s, d) =>
     purchaseSignupFullOuter(Tables.events(s, d))
 
+  /** LEFT SEMI stream-stream interval join — q69's predicate as a
+    * FILTER: a purchase emits (once, with no signup columns) iff a
+    * same-user signup landed in its 2-hour lookback. Completes the
+    * inner/left/full/semi join matrix. Same bounded two-watermark state
+    * as q69, but multiple matching signups never duplicate the purchase
+    * — the "qualified events only" feed an activation pipeline
+    * consumes without a downstream dedup.
+    */
+  def purchaseSignupSemi(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"),
+        "left_semi")
+      .select(col("p_id"), col("user_id"), col("p_ts"))
+  }
+
+  def intervalJoinSemiBatch: Q = (s, d) =>
+    purchaseSignupSemi(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q157_interval_join_semi" -> intervalJoinSemiBatch,
     "q25_session_window" -> sessionsBatch,
     "q26_sliding_window" -> slidingBatch,
     "q68_stream_dedup" -> dedupBatch,
@@ -544,6 +571,13 @@ object Streams {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q157_interval_join_semi" ->
+      """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events s
+        |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |    AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 2 HOUR)""".stripMargin,
     // gaps-and-islands: a session breaks when the gap is >= 30 minutes
     // (Spark merges an event only while ts < previous-event ts + gap);
     // session end = last ts + gap

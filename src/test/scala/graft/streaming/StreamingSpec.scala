@@ -132,6 +132,28 @@ class StreamingSpec extends SparkSpec {
       s"finalized windows missing: ${(mustHave -- streamed).take(3)}")
   }
 
+  test("left-semi stream-stream join: qualified purchases only, no duplicates") {
+    val stream = Streams.readEventsStream(spark, sf)
+    runToMemory(Streams.purchaseSignupSemi(stream), "sssemi_sink", "append")
+    val streamedRows = spark.table("sssemi_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val streamed = streamedRows.toSet
+    // one emission per qualified purchase even with several matches
+    assert(streamedRows.length === streamed.size)
+    val batch = Streams.purchaseSignupSemi(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    // streamed ⊆ batch always; purchases old enough that the terminal
+    // watermark closed their join window must all be present
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val ev = Tables.events(spark, sf).groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.max("ts").as("m")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    val wmTerminal = math.min(ev("purchase"), ev("signup")) - 3600 * 1000L
+    val mustHave = batch.filter(_._3.getTime + 2 * 3600 * 1000L < wmTerminal)
+    assert(mustHave.subsetOf(streamed),
+      s"closed-window purchases missing: ${(mustHave -- streamed).take(3)}")
+  }
+
   test("left-outer stream-stream join: matches emit eagerly, nulls after the watermark") {
     val stream = Streams.readEventsStream(spark, sf)
     runToMemory(Streams.purchaseSignupLeftOuter(stream), "ssouter_sink", "append")
