@@ -120,12 +120,47 @@ object SnapshotQueries {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
   }
 
+  /** Range-digest table checksums — the migration/replication validator:
+    * per key-range bucket, a row count plus two ORDER-INDEPENDENT
+    * digests (`bit_xor` of a 60-bit md5 row hash, and a modular sum of
+    * the same hash) over a canonical integer projection of each row
+    * (keys + exact cents — never raw floats, whose formatting is
+    * engine-specific). Comparing two copies of a 100 TB table becomes
+    * comparing #buckets tiny rows, and a mismatch names the key range
+    * to re-copy. Commutative digests mean no sort anywhere: one scan,
+    * one hash-aggregate; the modular sum stays overflow-free at any
+    * bucket size (hash mod 1e9+7, summed over ≤ billions of rows).
+    */
+  def rangeDigest: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents("l_quantity").as("qc"), cents("l_extendedprice").as("pc"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat_ws('|', l_orderkey, l_linenumber, qc, pc)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("bucket", expr("l_orderkey div 2000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("digest_xor"),
+        sum(col("h") % 1000000007L).as("digest_sum"))
+
   val queries: Map[String, Q] = Map(
+    "q158_range_digest" -> rangeDigest,
     "q130_incremental_agg" -> incrementalAgg,
     "q134_snapshot_diff" -> snapshotDiff,
     "q135_schema_evolution" -> schemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    "q158_range_digest" ->
+      """WITH h AS (
+        |  SELECT l_orderkey // 2000 AS bucket,
+        |    CAST('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |      CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS digest_xor,
+        |  CAST(sum(h % 1000000007) AS BIGINT) AS digest_sum
+        |FROM h GROUP BY bucket""".stripMargin,
     // the full recompute the merge path must equal
     "q130_incremental_agg" ->
       """SELECT o_orderpriority, count(*) AS n,

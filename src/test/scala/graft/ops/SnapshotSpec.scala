@@ -44,4 +44,31 @@ class SnapshotSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum === total) // union of epochs is lossless
     assert(rows.keySet.size > 1) // the evolved epoch contributes real groups
   }
+
+  test("range digest equals a driver-side replay and flags any row change") {
+    val got = SnapshotQueries.rangeDigest(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), s"${r.getLong(0)}|${r.getInt(1)}|${r.getLong(2)}|${r.getLong(3)}"))
+    val want = rows.groupBy(_._1 / 2000).map { case (b, grp) =>
+      val hs = grp.map(g => h60(g._2))
+      b -> (grp.length.toLong, hs.reduce(_ ^ _), hs.map(_ % 1000000007L).sum)
+    }
+    assert(got === want)
+    // sensitivity: perturbing one row's cents moves that bucket's digests
+    val (b0, s0) = rows.head
+    val changed = h60(s0.dropRight(1) + (s0.last.asDigit + 1) % 10)
+    val (_, x0, m0) = want(b0 / 2000)
+    assert((x0 ^ h60(s0) ^ changed) != x0)
+    assert(m0 - h60(s0) % 1000000007L + changed % 1000000007L != m0)
+  }
 }
