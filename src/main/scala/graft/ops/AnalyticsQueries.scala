@@ -534,7 +534,136 @@ object AnalyticsQueries {
         col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
   }
 
+  /** Market-basket co-occurrence mining — the association-rule primitive
+    * (support / confidence / lift) over order baskets: which brand pairs
+    * ship together more often than chance. Baskets are the distinct
+    * (order, brand) pairs; candidate pairs come from a basket self-join
+    * keyed on the order key, so the expansion is bounded by the square
+    * of the basket width (~4 brands/order here), never by the table.
+    * The 2.2%-of-orders support floor (inside the observed support range
+    * at every sf, so the pruning is LIVE — it drops roughly the bottom
+    * half of pairs, never none and never all) prunes noise pairs BEFORE
+    * the stats joins. All three scores are exact ppm integers: lift's
+    * `n_pair · N · 10⁶` peaks ≈ 2e16 at sf0.1 — inside BIGINT; a 100 TB
+    * corpus widens that one product to DECIMAL(38,0), same plan. The
+    * brand-count join sides are brand-cardinality-sized (tiny —
+    * broadcast). N (orders with a basket) is one aggregate row inlined
+    * as a literal, the sanctioned q118 shape.
+    */
+  def basketPairs: Q = (s, d) => {
+    val baskets = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = baskets.select("l_orderkey").distinct().count()
+    val counts = baskets.groupBy("p_brand").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.toDF("l_orderkey", "b1")
+      .join(baskets.toDF("l_orderkey", "b2"), "l_orderkey")
+      .where(col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") * lit(1000000L) >= lit(nOrders) * lit(22000L))
+    pairs
+      .join(broadcast(counts.select(col("p_brand").as("b1"), col("n_item").as("n_b1"))), "b1")
+      .join(broadcast(counts.select(col("p_brand").as("b2"), col("n_item").as("n_b2"))), "b2")
+      .select(col("b1"), col("b2"), col("n_pair"), col("n_b1"), col("n_b2"),
+        expr(s"n_pair * 1000000L div ${nOrders}L").as("support_ppm"),
+        expr("n_pair * 1000000L div n_b1").as("confidence_ppm"),
+        expr(s"n_pair * ${nOrders}L * 1000000L div (n_b1 * n_b2)").as("lift_ppm"))
+  }
+
+  /** Time-weighted average (TWAP) over each user's irregular event
+    * series: each observation holds until the next one, so the mean is
+    * `Σ vᵢ·Δtᵢ div Σ Δtᵢ` — NOT the row mean, which over-weights bursts.
+    * Exact integers end to end: cents × whole-second holds (`unix
+    * micros div 10⁶` — both engines floor non-negative epochs the same
+    * way); the order is made total by the (ts, event_id) tie-break the
+    * q136 OHLC oracle established. One window sort per user for the
+    * `lead`, one aggregation — both partitioned on `user_id`, nothing
+    * global. Same-second-only users (zero span) are excluded on both
+    * sides rather than divided by zero.
+    */
+  def twap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("t", expr("unix_micros(ts) div 1000000L"))
+      .withColumn("dt", lead("t", 1).over(w) - col("t"))
+      .where(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_holds"), sum("dt").as("span_secs"),
+        sum(expr("cents * dt")).as("weighted_cents_secs"))
+      .where(col("span_secs") > 0)
+      .withColumn("twap_cents",
+        expr("weighted_cents_secs div span_secs"))
+  }
+
+  /** Chi-squared test of independence between customer segment and
+    * order priority — the categorical-correlation audit a feature
+    * pipeline runs before trusting a crosstab. Per-cell contribution
+    * `(O−E)²/E` with `E = rowTot·colTot/N` is computed WITHOUT floats:
+    * multiply through by `N` → `(O·N − rt·ct)² · 10⁶ div (rt·ct·N)` in
+    * DECIMAL(38,0) (the squared term peaks ~1e22 at sf0.1 — beyond
+    * BIGINT, inside 38 digits), so both engines agree bit-for-bit; the
+    * statistic is the sum of the 25 contributions. Row/column/grand
+    * totals come from windows over the CELL table (cardinality =
+    * |segments|·|priorities|), the safe place for unpartitioned windows
+    * — the raw join never sees a window.
+    */
+  def chiSquare: Q = (s, d) => {
+    val cells = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rt", sum("o").over(Window.partitionBy("c_mktsegment")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("o_orderpriority")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+      .withColumn("contrib_ppm", expr(
+        """((cast(o as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)
+          | * (cast(o as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)
+          | * 1000000) div (cast(rt as decimal(38,0)) * ct * n)""".stripMargin))
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("o"),
+        col("rt"), col("ct"), col("contrib_ppm"))
+  }
+
+  /** EWMA-style trailing smoother with binary weights — the time-series
+    * denoiser: each event's smoothed value is the weight-2^(7−k) average
+    * of its last ≤8 observations (`wₖ = 2⁷⁻ᵏ` ≈ the α=½ EWMA truncated
+    * at 8 taps). Binary weights keep it EXACT in int64 — the float
+    * `α(1−α)ᵏ` recursion can never hash-match across engines, this
+    * does: `Σ vₖ·2⁷⁻ᵏ div Σ 2⁷⁻ᵏ` over the taps that exist (series
+    * heads use the weights present, no padding bias). All 7 lags share
+    * ONE window sort per user; output is per-event, co-partitioned with
+    * the source.
+    */
+  def ewmaSmooth: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val lagged = (1 until 8).foldLeft(base) { (df, k) =>
+      df.withColumn(s"v$k", lag(col("cents"), k).over(w))
+    }
+    def wt(k: Int): Long = 1L << (7 - k)
+    val num = (1 until 8)
+      .map(k => expr(s"coalesce(v$k, 0L) * ${wt(k)}L"))
+      .foldLeft(expr(s"cents * ${wt(0)}L"))(_ + _)
+    val den = (1 until 8)
+      .map(k => expr(s"if(v$k is null, 0L, ${wt(k)}L)"))
+      .foldLeft(expr(s"${wt(0)}L"))(_ + _)
+    lagged.withColumn("num", num).withColumn("den", den)
+      .select(col("user_id"), col("ts"), col("event_id"), col("cents"),
+        expr("num div den").as("ewma_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q159_basket_pairs" -> basketPairs,
+    "q160_twap" -> twap,
+    "q161_chi_square" -> chiSquare,
+    "q162_ewma" -> ewmaSmooth,
     "q155_rfm" -> rfm,
     "q153_interpolate" -> interpolate,
     "q149_period_over_period" -> periodOverPeriod,
@@ -576,6 +705,84 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q159_basket_pairs" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+        |cnt AS (SELECT p_brand, count(*) AS n_item FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p_brand AS b1, b.p_brand AS b2, count(*) AS n_pair
+        |  FROM baskets a JOIN baskets b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, n_pair, c1.n_item AS n_b1, c2.n_item AS n_b2,
+        |  n_pair * 1000000 // (SELECT n_orders FROM n) AS support_ppm,
+        |  n_pair * 1000000 // c1.n_item AS confidence_ppm,
+        |  n_pair * (SELECT n_orders FROM n) * 1000000
+        |    // (c1.n_item * c2.n_item) AS lift_ppm
+        |FROM pairs
+        |JOIN cnt c1 ON b1 = c1.p_brand
+        |JOIN cnt c2 ON b2 = c2.p_brand
+        |WHERE n_pair * 1000000 >= (SELECT n_orders FROM n) * 22000""".stripMargin,
+    "q160_twap" ->
+      """WITH holds AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) // 1000000 AS t,
+        |    lead(epoch_us(ts) // 1000000, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts) // 1000000 AS dt
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_holds, sum(dt) AS span_secs,
+        |  sum(cents * dt) AS weighted_cents_secs,
+        |  sum(cents * dt) // sum(dt) AS twap_cents
+        |FROM holds WHERE dt IS NOT NULL
+        |GROUP BY user_id HAVING sum(dt) > 0""".stripMargin,
+    "q161_chi_square" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, o_orderpriority, o,
+        |  sum(o) OVER (PARTITION BY c_mktsegment) AS rt,
+        |  sum(o) OVER (PARTITION BY o_orderpriority) AS ct,
+        |  CAST(((CAST(o AS HUGEINT) * sum(o) OVER ()
+        |      - CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS HUGEINT)
+        |        * sum(o) OVER (PARTITION BY o_orderpriority))
+        |    * (CAST(o AS HUGEINT) * sum(o) OVER ()
+        |      - CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS HUGEINT)
+        |        * sum(o) OVER (PARTITION BY o_orderpriority))
+        |    * 1000000)
+        |   // (CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS HUGEINT)
+        |      * sum(o) OVER (PARTITION BY o_orderpriority)
+        |      * sum(o) OVER ()) AS BIGINT) AS contrib_ppm
+        |FROM cells""".stripMargin,
+    "q162_ewma" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |lagged AS (
+        |  SELECT user_id, ts, event_id, cents,
+        |    lag(cents, 1) OVER w AS v1, lag(cents, 2) OVER w AS v2,
+        |    lag(cents, 3) OVER w AS v3, lag(cents, 4) OVER w AS v4,
+        |    lag(cents, 5) OVER w AS v5, lag(cents, 6) OVER w AS v6,
+        |    lag(cents, 7) OVER w AS v7
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, ts, event_id, cents,
+        |  (cents * 128 + coalesce(v1, 0) * 64 + coalesce(v2, 0) * 32
+        |   + coalesce(v3, 0) * 16 + coalesce(v4, 0) * 8 + coalesce(v5, 0) * 4
+        |   + coalesce(v6, 0) * 2 + coalesce(v7, 0) * 1)
+        |  // (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+        |   + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+        |   + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+        |   + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+        |   + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+        |   + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+        |   + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END) AS ewma_cents
+        |FROM lagged""".stripMargin,
     "q155_rfm" ->
       """WITH cust AS (
         |  SELECT o_custkey,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -757,7 +757,48 @@ object ExtraQueries {
         sum("n_chars").as("n_chars"),
         sum("doc_id").as("id_checksum"))
 
+  /** Schema-reconciling union (`unionByName` with
+    * `allowMissingColumns=true`) — the compute-side half of q135's
+    * schema-evolution story: two epochs of the same feed with drifted
+    * projections (columns added, dropped, REORDERED) align by NAME, not
+    * position, and each side's missing columns null-fill. A positional
+    * `union` would silently mis-bind the reordered columns; this is the
+    * operator a multi-epoch 100 TB ingest actually needs, and it is a
+    * zero-shuffle plan — two scans and a concat.
+    */
+  def unionByNameEvolution: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val epochA = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val epochB = o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey"))
+    epochA.unionByName(epochB, allowMissingColumns = true)
+  }
+
+  /** Label encoding — the StringIndexer-style categorical→id manifest a
+    * feature pipeline ships next to its training data: per column, the
+    * distinct values with contiguous ids assigned by (frequency desc,
+    * value asc) so the encoding is deterministic and id 0 is always the
+    * modal value. The window runs over the DISTINCT-VALUE table
+    * (category-cardinality-sized — aggregate first, window after), so
+    * a 100 TB fact table costs one hash aggregation per column; the
+    * encode itself is then a broadcast-join of this manifest.
+    */
+  def labelEncode: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    def enc(c: String): DataFrame =
+      p.groupBy(col(c).as("value")).agg(count(lit(1)).as("n"))
+        .select(lit(c).as("column_name"), col("value"), col("n"))
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("n").desc, col("value"))
+    enc("p_type").unionAll(enc("p_brand"))
+      .withColumn("id", row_number().over(w) - 1)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_union_by_name" -> unionByNameEvolution,
+    "q165_label_encode" -> labelEncode,
     "q139_try_safety" -> trySafety,
     "q145_split_manifest" -> splitManifest,
     "q49_setops_all" -> setOpsAll,
@@ -796,6 +837,25 @@ object ExtraQueries {
     "q99_nullsafe_join" -> nullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q164_union_by_name" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  NULL AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderstatus, o_orderpriority, o_orderkey
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q165_label_encode" ->
+      """WITH vals AS (
+        |  SELECT 'p_type' AS column_name, p_type AS value, count(*) AS n
+        |  FROM part GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'p_brand' AS column_name, p_brand AS value, count(*) AS n
+        |  FROM part GROUP BY 2)
+        |SELECT column_name, value, n,
+        |  CAST(row_number() OVER (PARTITION BY column_name
+        |    ORDER BY n DESC, value ASC) - 1 AS INT) AS id
+        |FROM vals""".stripMargin,
     "q80_window_range_frame" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -559,7 +559,26 @@ object TextQueries {
     df
   }
 
+  /** Feature hashing (the hashing trick) — the fixed-width featurizer
+    * that needs NO vocabulary pass: every token is mapped straight to
+    * `md5₆₀(token) mod 32` and counted, yielding each document's sparse
+    * 32-bucket term-frequency vector as (doc_id, bucket, cnt) rows.
+    * One explode + one hash aggregation — embarrassingly parallel, no
+    * dictionary broadcast, no OOV problem; the md5-prefix bucket is
+    * q150's cross-engine-deterministic integer family, so the oracle is
+    * exact. At 100 TB the shape is unchanged: the aggregation key
+    * (doc_id, bucket) inherits the corpus partitioning.
+    */
+  def featureHash: Q = (s, d) =>
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("term"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint) % 32"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, Q] = Map(
+    "q163_feature_hash" -> featureHash,
     "q152_bm25" -> bm25,
     "q150_weighted_sample" -> weightedSample,
     "q141_quality_upsample" -> qualityUpsample,
@@ -595,6 +614,15 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q163_feature_hash" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 32 AS bucket,
+        |  count(*) AS cnt
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "q152_bm25" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))

@@ -260,6 +260,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("basket pairs: support floor is live and scores are internally consistent") {
+    val rows = AnalyticsQueries.basketPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val nBrands = graft.Tables.part(spark, sf)
+      .select("p_brand").distinct().count()
+    val allPairs = nBrands * (nBrands - 1) / 2
+    assert(rows.length < allPairs, "support floor pruned nothing")
+    rows.foreach { case (b1, b2, nPair, nB1, nB2, _, conf, _) =>
+      assert(b1 < b2, "pairs must be canonically ordered")
+      assert(nPair <= nB1 && nPair <= nB2, "pair count exceeds item count")
+      assert(conf <= 1000000L, "confidence above 1")
+    }
+  }
+
+  test("twap matches a per-user brute-force recompute") {
+    import java.sql.Timestamp
+    val got = AnalyticsQueries.twap(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val events = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Timestamp](1), r.getLong(2), r.getLong(3)))
+    val brute = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      val holds = sorted.zip(sorted.tail).map { case (a, b) =>
+        val dt = b._2.getTime / 1000 - a._2.getTime / 1000
+        (a._4, dt)
+      }
+      val span = holds.map(_._2).sum
+      if (holds.nonEmpty && span > 0)
+        Some(u -> (holds.length.toLong, span,
+          holds.map { case (c, dt) => c * dt }.sum / span))
+      else None
+    }
+    assert(got === brute)
+  }
+
+  test("chi-square: cell grid is complete and contributions are non-negative") {
+    val rows = AnalyticsQueries.chiSquare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0L, "a squared deviation went negative")
+      assert(r.getLong(3) <= n && r.getLong(4) <= n)
+    }
+    // row totals must be consistent: per-segment rt equals the sum of
+    // that segment's cells
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(2)).sum === cells.head.getLong(3))
+    }
+  }
+
+  test("ewma equals the binary-weight brute recompute per user") {
+    val got = AnalyticsQueries.ewmaSmooth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val perUser = got.toSeq.groupBy(_._1._1)
+    // series heads: an isolated first observation smooths to itself
+    val events = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    events.groupBy(_._1).foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).toIndexedSeq
+      sorted.zipWithIndex.foreach { case (e, i) =>
+        val taps = (0 until math.min(8, i + 1))
+          .map(k => (sorted(i - k)._4, 1L << (7 - k)))
+        val expect = taps.map { case (v, w) => v * w }.sum / taps.map(_._2).sum
+        assert(got((u, e._3)) === ((e._4, expect)),
+          s"user $u event ${e._3}: ewma mismatch")
+      }
+    }
+  }
+
   test("HLL sketch merge is associative and lands within 5% of exact") {
     val rows = AnalyticsQueries.hllMergeDaily(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -112,6 +112,41 @@ class ExtraSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.getLong(1) === 42L)
     assert(row.isNullAt(2) && row.getDouble(3) === 2.5)
     assert(row.isNullAt(4) && row.getLong(5) === Long.MaxValue)
+  }
+
+  test("unionByName aligns drifted epochs by name and null-fills both ways") {
+    val rows = ExtraQueries.unionByNameEvolution(spark, sf).collect()
+    val total = graft.Tables.orders(spark, sf).count()
+    assert(rows.length.toLong === total)
+    rows.foreach { r =>
+      val key = r.getLong(r.fieldIndex("o_orderkey"))
+      val centsNull = r.isNullAt(r.fieldIndex("cents"))
+      val statusNull = r.isNullAt(r.fieldIndex("o_orderstatus"))
+      // epoch A (even keys) carries cents, epoch B (odd keys) status —
+      // by-name alignment means each side's missing column is null
+      assert(centsNull === (key % 2 == 1), s"key $key cents null=$centsNull")
+      assert(statusNull === (key % 2 == 0), s"key $key status null=$statusNull")
+      assert(!r.isNullAt(r.fieldIndex("o_orderpriority")))
+    }
+  }
+
+  test("label encoding assigns contiguous ids with the modal value at 0") {
+    val rows = ExtraQueries.labelEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq("p_brand", "p_type"))
+    rows.groupBy(_._1).foreach { case (colName, grp) =>
+      assert(grp.map(_._4).sorted.toSeq === (0 until grp.length),
+        s"$colName ids not contiguous")
+      val byId = grp.sortBy(_._4)
+      assert(byId.head._3 === grp.map(_._3).max, s"$colName id 0 not modal")
+      // deterministic: frequency desc, then value asc
+      byId.zip(byId.tail).foreach { case (a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      }
+    }
+  }
+
+  test("try-safety query's garbage fraction is live across every priority group") {
     // the registered query's garbage fraction is live: every priority
     // group must see parse failures AND zero-division rows
     val q = ExtraQueries.trySafety(spark, sf).collect()

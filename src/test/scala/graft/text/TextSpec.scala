@@ -215,4 +215,24 @@ class TextSpec extends SparkSpec {
           "epoch replicas must be identical")
     }
   }
+
+  test("feature hashing conserves token mass and stays inside the bucket range") {
+    val rows = TextQueries.featureHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 32 },
+      "bucket outside [0, 32)")
+    // hashing is feature-dim reduction, not sampling: the per-doc bucket
+    // counts must sum to exactly the doc's whitespace token count
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expect = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "cast(size(filter(split(text, ' '), w -> w != '')) as long) as n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    assert(got === expect)
+    // 32 buckets over a ~40-word vocabulary: collisions are guaranteed,
+    // so distinct buckets per doc must be < distinct tokens overall
+    assert(rows.map(_._2).distinct.length <= 32)
+  }
 }
