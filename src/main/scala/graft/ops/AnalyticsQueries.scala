@@ -659,7 +659,84 @@ object AnalyticsQueries {
         expr("num div den").as("ewma_cents"))
   }
 
+  /** Exact weighted median (robust central tendency): per return flag,
+    * the lower weighted median of extended price in cents, weighted by
+    * quantity — the smallest value v where the cumulative weight of all
+    * values ≤ v reaches half the total weight. Unlike the float
+    * `percentile(col, 0.5, weight)` this is integer-exact on both
+    * engines (2·cumw ≥ tot avoids any division at all).
+    *
+    * Scale shape: the table first collapses to one row per DISTINCT
+    * (group, value) — the cumulative window then runs over
+    * value-cardinality rows, not table rows, and the two windows share
+    * one sort. At 100 TB the distinct-value aggregate is the same keyed
+    * shuffle as any groupBy; the window input stays domain-bounded.
+    */
+  def weightedMedian: Q = (s, d) => {
+    val per = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"))
+      .groupBy("l_returnflag", "cents").agg(sum("qty").as("w"))
+    val cumW = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy("l_returnflag")
+    per
+      .withColumn("cumw", sum("w").over(cumW))
+      .withColumn("tot", sum("w").over(totW))
+      .where(col("cumw") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("cents").as("wmedian_cents"), max("tot").as("total_weight"))
+  }
+
+  /** Winsorized mean (outlier-robust mean): per return flag, clamp
+    * extended-price cents to the [p05, p95] discrete quantiles, then the
+    * exact integer mean of the clamped values. The quantile is the
+    * LOWER discrete quantile — smallest value whose cumulative count
+    * reaches ⌈q·n⌉ — computed with the same cumulative-count window on
+    * both engines (no float interpolation anywhere, so the clamped sum
+    * is bit-exact).
+    *
+    * Scale shape: quantiles come from the distinct-value cumulative
+    * window (domain-bounded, as q167); the resulting |groups|-row bounds
+    * table broadcast-joins back to the fact scan, and the clamped mean
+    * is one partial+final hash aggregate over it.
+    */
+  def winsorizedMean: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val per = base.groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy("l_returnflag")
+    val cum = per
+      .withColumn("cumn", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+    val bounds = cum
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("cumn") * 100 >= col("n") * 5, col("cents")))
+          .as("p05_cents"),
+        min(when(col("cumn") * 100 >= col("n") * 95, col("cents")))
+          .as("p95_cents"))
+    base.join(broadcast(bounds), "l_returnflag")
+      .withColumn("clamped",
+        greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        max("p05_cents").as("p05_cents"), max("p95_cents").as("p95_cents"),
+        sum("clamped").as("winsor_sum_cents"))
+      .withColumn("winsor_mean_cents",
+        expr("winsor_sum_cents div n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q167_weighted_median" -> weightedMedian,
+    "q172_winsorized_mean" -> winsorizedMean,
     "q159_basket_pairs" -> basketPairs,
     "q160_twap" -> twap,
     "q161_chi_square" -> chiSquare,
@@ -705,6 +782,51 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q167_weighted_median" ->
+      """WITH per AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, cents,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM per)
+        |SELECT l_returnflag, min(cents) AS wmedian_cents,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM cum WHERE cumw * 2 >= tot
+        |GROUP BY l_returnflag""".stripMargin,
+    "q172_winsorized_mean" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT l_returnflag, cents, count(*) AS c
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, cents,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM per),
+        |bounds AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cumn * 100 >= n * 5 THEN cents END) AS p05_cents,
+        |    min(CASE WHEN cumn * 100 >= n * 95 THEN cents END) AS p95_cents
+        |  FROM cum GROUP BY l_returnflag)
+        |SELECT b.l_returnflag, count(*) AS n,
+        |  max(p05_cents) AS p05_cents, max(p95_cents) AS p95_cents,
+        |  sum(greatest(least(b.cents, p95_cents), p05_cents))
+        |    AS winsor_sum_cents,
+        |  sum(greatest(least(b.cents, p95_cents), p05_cents)) // count(*)
+        |    AS winsor_mean_cents
+        |FROM base b JOIN bounds USING (l_returnflag)
+        |GROUP BY b.l_returnflag""".stripMargin,
     "q159_basket_pairs" ->
       """WITH baskets AS (
         |  SELECT DISTINCT l_orderkey, p_brand

@@ -191,8 +191,136 @@ object BehaviorQueries {
         col("path").rlike("error>error>error").as("error_burst"),
         col("path").rlike("purchase>error>purchase").as("recovered"))
 
+  /** Interval union (merge-overlapping-intervals): each event opens a
+    * 30-minute activity interval; overlapping/adjacent intervals per user
+    * merge into maximal "activity blocks". Output: per (user, block)
+    * event count and exact microsecond bounds/coverage — the canonical
+    * coverage-time primitive (uptime, ad exposure, session stitching
+    * with fixed TTL).
+    *
+    * Classic islands via running max of interval ends: a row starts a
+    * new block iff its start exceeds the max end of ALL previous
+    * intervals (not just the immediately preceding one — intervals can
+    * nest, so `lag(e)` alone is wrong). Scale shape: one hash exchange
+    * on `user_id` feeds both windows (same partitioning + ordering = one
+    * sort), and the final group-by is partition-local. A merged block is
+    * contiguous by construction, so coverage = max(end) − min(start).
+    */
+  def intervalMerge: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(1800L * 1000000L))
+      .withColumn("max_prev_e",
+        max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_block",
+        when(col("max_prev_e").isNull || col("s_us") > col("max_prev_e"), 1L)
+          .otherwise(0L))
+      .withColumn("block_seq",
+        sum("new_block").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "block_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("s_us").as("start_us"), max("e_us").as("end_us"))
+      .withColumn("coverage_us", col("end_us") - col("start_us"))
+  }
+
+  /** Top-20 three-step journey patterns: the most frequent consecutive
+    * (event, next, next-next) type trigrams across all user histories —
+    * the n-gram generalization of q122's Markov transitions, and the
+    * shape a sequence-model pipeline mines for prompt/path templates.
+    *
+    * Scale shape: two `lead`s share ONE per-user sort (identical window
+    * spec), the trigram count is a 125-key hash aggregate (|types|³
+    * bounded, corpus-size independent), and top-20 plans as
+    * TakeOrderedAndProject — nothing global-sorts the event table.
+    * Deterministic tie-break: count desc, then the path itself.
+    */
+  def journeyTrigrams: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent `view`/`click` touchpoint within a 7-day lookback, or
+    * `direct` when none qualifies — the conversion-credit operator every
+    * marketing warehouse runs nightly. `last(..., ignoreNulls)` over the
+    * preceding-rows frame carries the latest touch's timestamp AND type
+    * from the SAME row (both columns null-gate on one condition), so no
+    * self-join against the touch stream is needed.
+    *
+    * Scale shape: one user-keyed sort feeds both carry columns, then a
+    * filter — the whole operator is a single window pass over the event
+    * log, per-user state bounded by history length.
+    */
+  def lastTouchAttribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchTs = when(col("event_type").isin("view", "click"), col("t_us"))
+    val touchTp = when(col("event_type").isin("view", "click"), col("event_type"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("touch_us", last(touchTs, ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(touchTp, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("touch_us").isNotNull &&
+          col("t_us") - col("touch_us") <= lit(604800000000L))
+      .select(col("event_id"), col("user_id"),
+        when(col("attributed"), col("touch_type")).otherwise("direct")
+          .as("credit"),
+        when(col("attributed"),
+          expr("(t_us - touch_us) div 1000000L")).as("latency_secs"))
+  }
+
+  /** Distribution drift (total variation distance): splits the event
+    * log into two calendar epochs (day-of-month ≤ 15 vs rest) and
+    * reports, per event type, TVD = Σ|p₁−p₂|/2 over 20-unit value
+    * buckets — the exact-integer drift gate an ML monitoring pipeline
+    * runs between training and serving windows (PSI needs a log, which
+    * no integer arithmetic can cross engines; TVD is the float-free
+    * member of the same family). Shares are exact ppm by construction.
+    *
+    * Scale shape: one hash aggregation to (type, epoch, bin) cells,
+    * then windows/joins over the CELL table (|types|·|bins|·2 rows) —
+    * the raw log is touched exactly once.
+    */
+  def driftTvd: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("epoch"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 2000")
+          .as("bin"))
+      .groupBy("event_type", "epoch", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("tot",
+        sum("n").over(Window.partitionBy("event_type", "epoch")))
+      .withColumn("ppm", expr("(n * 1000000L) div tot"))
+    cells
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("epoch") === 0, col("ppm")).otherwise(0L)).as("p0"),
+        sum(when(col("epoch") === 1, col("ppm")).otherwise(0L)).as("p1"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bins"),
+        expr("sum(abs(p0 - p1)) div 2").as("tvd_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q154_event_paths" -> eventPaths,
+    "q166_interval_merge" -> intervalMerge,
+    "q171_journey_trigrams" -> journeyTrigrams,
+    "q173_attribution" -> lastTouchAttribution,
+    "q174_drift_tvd" -> driftTvd,
     "q120_sessionize" -> sessionize,
     "q121_anomaly" -> anomaly,
     "q122_transitions" -> transitions,
@@ -200,6 +328,84 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q173_attribution" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_us,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch_type
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN touch_us IS NOT NULL
+        |         AND t_us - touch_us <= 604800000000 THEN touch_type
+        |       ELSE 'direct' END AS credit,
+        |  CASE WHEN touch_us IS NOT NULL
+        |         AND t_us - touch_us <= 604800000000
+        |       THEN (t_us - touch_us) // 1000000 END AS latency_secs
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q174_drift_tvd" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS epoch,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2000 AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, epoch, bin, count(*) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT event_type, bin, epoch,
+        |    (n * 1000000) // sum(n) OVER (PARTITION BY event_type, epoch)
+        |      AS ppm
+        |  FROM c),
+        |pv AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN epoch = 0 THEN ppm ELSE 0 END) AS p0,
+        |    sum(CASE WHEN epoch = 1 THEN ppm ELSE 0 END) AS p1
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_bins,
+        |  CAST(sum(abs(p0 - p1)) // 2 AS BIGINT) AS tvd_ppm
+        |FROM pv GROUP BY event_type""".stripMargin,
+    "q166_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 1800000000 AS e_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s_us, e_us,
+        |    max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_e
+        |  FROM iv),
+        |b AS (
+        |  SELECT user_id, s_us, e_us,
+        |    sum(CASE WHEN max_prev_e IS NULL OR s_us > max_prev_e
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS block_seq
+        |  FROM m)
+        |SELECT user_id, CAST(block_seq AS BIGINT) AS block_seq,
+        |  count(*) AS n_events, min(s_us) AS start_us, max(e_us) AS end_us,
+        |  max(e_us) - min(s_us) AS coverage_us
+        |FROM b GROUP BY user_id, block_seq""".stripMargin,
+    "q171_journey_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3
+        |LIMIT 20""".stripMargin,
     "q154_event_paths" ->
       """WITH p AS (
         |  SELECT user_id,

@@ -796,9 +796,72 @@ object ExtraQueries {
       .withColumn("id", row_number().over(w) - 1)
   }
 
+  /** Sequence-gap detection (missing-id ranges): the top-20 largest gaps
+    * in the key sequence of OPEN orders — the data-integrity audit that
+    * finds dropped batches / unassigned ranges in an id space. The dense
+    * 0..N−1 order keyspace filtered to one status yields real gaps at
+    * every sf.
+    *
+    * A naive `lead(key) OVER (ORDER BY key)` is a single-partition
+    * global sort — a driver-sized bottleneck at 100 TB. This plan
+    * buckets the keyspace (`key div 4096`): in-bucket gaps come from a
+    * per-bucket `lead` (hash-partitioned window, corpus-wide parallel),
+    * and gaps that CROSS bucket boundaries come from a `lead` over the
+    * bucket-level min/max table — thousands of rows, not billions.
+    * Absent (fully missing) buckets fall out of the boundary pass
+    * automatically because `lead` skips to the next bucket that exists.
+    * Union, then top-20 via TakeOrderedAndProject.
+    */
+  def sequenceGaps: Q = (s, d) => {
+    val keys = Tables.orders(s, d)
+      .where(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("bucket", expr("k div 4096"))
+    val inBucket = keys
+      .withColumn("nxt",
+        lead("k", 1).over(Window.partitionBy("bucket").orderBy("k")))
+      .where(col("nxt") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    val bucketSpan = keys.groupBy("bucket")
+      .agg(min("k").as("bmin"), max("k").as("bmax"))
+    val boundary = bucketSpan
+      .withColumn("next_min",
+        lead("bmin", 1).over(Window.orderBy("bucket")))
+      .where(col("next_min") - col("bmax") > 1)
+      .select((col("bmax") + 1).as("gap_start"),
+        (col("next_min") - 1).as("gap_end"))
+    inBucket.unionAll(boundary)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+      .orderBy(col("gap_len").desc, col("gap_start"))
+      .limit(20)
+  }
+
+  /** k-anonymity audit (k=5): quasi-identifier groups — (nation,
+    * market segment, account-balance kilo-bucket) — small enough to
+    * re-identify a member. The privacy gate a training-data release runs
+    * before shipping user-derived tables; risky rows here feed either
+    * suppression or coarser bucketing. Bucketing is integer-exact: cents
+    * shifted by +100000 (acctbal ≥ −999.99 ⇒ nonnegative) then `div`
+    * 100000, so truncation-vs-floor division never diverges between
+    * engines on negative balances.
+    *
+    * Scale shape: one hash aggregation on the QI key, then a filter —
+    * the audit costs exactly one groupBy at any corpus size.
+    */
+  def kAnonymity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)" +
+          " + 100000) div 100000").as("bal_kilo"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_kilo")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") < 5)
+
   val queries: Map[String, Q] = Map(
     "q164_union_by_name" -> unionByNameEvolution,
     "q165_label_encode" -> labelEncode,
+    "q168_sequence_gaps" -> sequenceGaps,
+    "q169_k_anonymity" -> kAnonymity,
     "q139_try_safety" -> trySafety,
     "q145_split_manifest" -> splitManifest,
     "q49_setops_all" -> setOpsAll,
@@ -837,6 +900,25 @@ object ExtraQueries {
     "q99_nullsafe_join" -> nullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q168_sequence_gaps" ->
+      """WITH k AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |g AS (
+        |  SELECT k + 1 AS gap_start,
+        |    lead(k) OVER (ORDER BY k) - 1 AS gap_end
+        |  FROM k)
+        |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+        |FROM g WHERE gap_end >= gap_start
+        |ORDER BY gap_len DESC, gap_start
+        |LIMIT 20""".stripMargin,
+    "q169_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    + 100000) // 100000 AS bal_kilo,
+        |  count(*) AS n_members
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 5""".stripMargin,
     "q164_union_by_name" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

@@ -130,7 +130,48 @@ object GraphQueries {
     rank
   }
 
+  /** Multi-source BFS, 3 hops: minimum hop distance from the seed set
+    * (every 500th part) over the THINNED co-purchase graph (both
+    * endpoints bought in bulk, `l_quantity ≥ 45` — the full graph's
+    * 120-avg-degree makes 2 hops span everything, which would leave
+    * hops 3+ structurally dead). The reachability/blast-radius
+    * primitive (recall expansion from labeled seeds, contamination
+    * spread) that complements q88's components, q125's triangles and
+    * q126's PageRank.
+    *
+    * Scale shape: classic frontier iteration — each hop is one equi
+    * join (frontier ⋈ edges, keyed on the node) plus a left-anti
+    * against the visited set; the frontier, not the graph, bounds each
+    * round's shuffle. Fixed depth 3 = three keyed joins, no driver
+    * loop over data (only the 3-step plan construction).
+    */
+  def bfsHops: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_partkey")
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val sources = Tables.part(s, d)
+      .where(col("p_partkey") % 500 === 0)
+      .select(col("p_partkey").as("node"))
+    var visited = sources.withColumn("dist", lit(0L))
+    var frontier = sources
+    for (hop <- 1 to 3) {
+      val next = frontier.join(und, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+      visited = visited.unionAll(next.withColumn("dist", lit(hop.toLong)))
+      frontier = next
+    }
+    visited
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_bfs_hops" -> bfsHops,
     "q125_triangles" -> triangles,
     "q126_pagerank" -> pagerank)
 
@@ -143,6 +184,28 @@ object GraphQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q175_bfs_hops" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |d0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+        |d1 AS (
+        |  SELECT DISTINCT v AS node FROM und JOIN d0 ON und.u = d0.node
+        |  WHERE v NOT IN (SELECT node FROM d0)),
+        |d2 AS (
+        |  SELECT DISTINCT v AS node FROM und JOIN d1 ON und.u = d1.node
+        |  WHERE v NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1)),
+        |d3 AS (
+        |  SELECT DISTINCT v AS node FROM und JOIN d2 ON und.u = d2.node
+        |  WHERE v NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1
+        |                  UNION SELECT node FROM d2))
+        |SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+        |UNION ALL SELECT node, 1 FROM d1
+        |UNION ALL SELECT node, 2 FROM d2
+        |UNION ALL SELECT node, 3 FROM d3""".stripMargin,
     "q125_triangles" -> (edgeCte +
       """, deg AS (
         |  SELECT n, count(*) AS d

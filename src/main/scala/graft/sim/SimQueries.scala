@@ -495,8 +495,85 @@ object SimQueries {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Reciprocal-rank fusion — the OTHER standard hybrid-search
+    * combinator next to q156's gate-then-rerank: the lexical (BM25) and
+    * vector (exact quantized cosine) systems each nominate an
+    * independent top-50 RANKING, and fusion scores candidates by
+    * `Σ 1e6 div (60 + rank)` — rank-based, so the two systems'
+    * incomparable score scales never need calibration (the reason RRF
+    * is the production default). k=60 per Cormack & Clarke; integer
+    * division keeps the fused score exact across engines.
+    *
+    * Scale shape: the lexical leg is q152's aggregation shuffles + a
+    * broadcast IN-filter on the query's terms; the vector leg is one
+    * broadcast-query scan ranked by TakeOrderedAndProject (q45's
+    * shape, one query row); the fusion join touches ≤100 rows. Ranks
+    * are deterministic: score desc, doc_id asc on both legs.
+    */
+  def rrfFusion: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val qid = 0L
+    val qtext = Tables.documents(s, d).where(col("doc_id") === qid)
+      .select("text").head().getString(0)
+    val inList = qtext.split(" ").filter(_.nonEmpty).distinct.sorted
+      .map(t => s"'${t}'").mkString(", ")
+    val v = "docs_rrf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .createOrReplaceTempView(v)
+    val totals = s.sql(
+      s"""SELECT count(*) AS n,
+         |  sum(size(filter(split(text, ' '), w -> w != ''))) AS t
+         |FROM $v""".stripMargin).head()
+    val (n, t) = (totals.getLong(0), totals.getLong(1))
+    val lex = s.sql(
+      s"""WITH terms AS (
+        |  SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS term
+        |  FROM $v),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |cand AS (
+        |  SELECT tf.doc_id,
+        |    sum((((1000L * ${n}L) div df.df) * 44 * tf.tf * ${t}L)
+        |      div (20 * tf.tf * ${t}L + 6 * ${t}L + 18 * dl.dl * ${n}L))
+        |      AS bm25_mil
+        |  FROM tf
+        |  JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  WHERE tf.term IN ($inList) AND tf.doc_id != $qid
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, cast(row_number() OVER (
+        |    ORDER BY bm25_mil DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        |FROM cand ORDER BY lex_rank LIMIT 50""".stripMargin)
+    s.catalog.dropTempView(v)
+    val qrow = quantized(Tables.embeddings(s, d))
+      .where(col("vec_id") === qid).select("qv", "nrm").head()
+    val qvLit = qrow.getSeq[Long](0).mkString("array(", "L, ", "L)")
+    val qnrm = qrow.getLong(1)
+    val vec = quantized(Tables.embeddings(s, d))
+      .where(col("vec_id") =!= qid)
+      .select(col("vec_id").as("doc_id"),
+        (expr(s"dot_i64($qvLit, qv)").cast("double") /
+          (sqrt(lit(qnrm).cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("doc_id").asc).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("qcos").desc, col("doc_id").asc))
+          .cast("long").as("vec_rank"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + vec_rank)"), lit(0L)))
+    fused
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc).limit(10)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf_ppm").desc, col("doc_id").asc))
+          .cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q156_hybrid_search" -> hybridSearch,
+    "q170_rrf_fusion" -> rrfFusion,
     "q45_knn_brute" -> knnBrute,
     "q46_knn_lsh" -> knnLsh,
     "q54_knn_ivf" -> knnIvf,
@@ -512,6 +589,59 @@ object SimQueries {
       |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q170_rrf_fusion" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+         |    AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |qt AS (SELECT DISTINCT term FROM terms WHERE doc_id = 0),
+         |cand AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum((((1000 * c.n) // df.df) * 44 * tf.tf * c.t)
+         |      // (20 * tf.tf * c.t + 6 * c.t + 18 * dl.dl * c.n)) AS BIGINT)
+         |      AS bm25_mil
+         |  FROM tf
+         |  JOIN qt ON tf.term = qt.term
+         |  JOIN df ON tf.term = df.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN c
+         |  WHERE tf.doc_id <> 0
+         |  GROUP BY tf.doc_id),
+         |lex AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      ORDER BY bm25_mil DESC, doc_id ASC) AS lex_rank
+         |    FROM cand) WHERE lex_rank <= 50),
+         |q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, qv,
+         |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q),
+         |q0 AS (SELECT qv AS qqv, nrm AS qnrm FROM nn WHERE vec_id = 0),
+         |vscored AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    CAST(list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * b.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(qnrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS qcos
+         |  FROM nn b CROSS JOIN q0 WHERE b.vec_id <> 0),
+         |vec AS (
+         |  SELECT doc_id, vec_rank FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      ORDER BY qcos DESC, doc_id ASC) AS vec_rank
+         |    FROM vscored) WHERE vec_rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rank, v.vec_rank,
+         |    coalesce(1000000 // (60 + l.lex_rank), 0)
+         |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_ppm
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank, rrf_ppm,
+         |  row_number() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) AS fused_rank
+         |FROM fused
+         |ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q156_hybrid_search" ->
       s"""WITH terms AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))

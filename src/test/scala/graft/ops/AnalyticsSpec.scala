@@ -353,4 +353,58 @@ class AnalyticsSpec extends SparkSpec {
         s"$et: estimate $merged vs exact $exact")
     }
   }
+
+  test("weighted median equals the brute cumulative-weight scan per flag") {
+    val got = AnalyticsQueries.weightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as long) as cents",
+        "cast(cast(l_quantity as decimal(18,2)) as long) as qty")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    rows.groupBy(_._1).foreach { case (flag, vs) =>
+      val sorted = vs.map(v => (v._2, v._3)).sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val median = sorted.collectFirst {
+        case (c, w) if { cum += w; cum * 2 >= tot } => c
+      }.get
+      assert(got(flag) === ((median, tot)), s"flag $flag")
+      // the defining property: weight on either strict side < half
+      val below = sorted.takeWhile(_._1 < median).map(_._2).sum
+      val above = sorted.dropWhile(_._1 <= median).map(_._2).sum
+      assert(below * 2 < tot && above * 2 <= tot)
+    }
+  }
+
+  test("winsorized mean equals the brute clamp and sits inside [p05,p95]") {
+    val got = AnalyticsQueries.winsorizedMean(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    rows.groupBy(_._1).foreach { case (flag, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def quant(pct: Long): Long = {
+        var cum = 0L
+        sorted.collectFirst {
+          case c if { cum += 1; cum * 100 >= n * pct } => c
+        }.get
+      }
+      val (p05, p95) = (quant(5), quant(95))
+      val clampSum = sorted.map(c => math.max(p05, math.min(p95, c))).sum
+      val (gn, g05, g95, gsum, gmean) = got(flag)
+      assert((gn, g05, g95, gsum) === ((n, p05, p95, clampSum)), s"flag $flag")
+      assert(gmean >= p05 && gmean <= p95, "winsorized mean escaped bounds")
+      // clamping is live at this sf: some value actually moved
+      assert(vs.exists(v => v._2 < p05 || v._2 > p95))
+    }
+  }
 }

@@ -128,4 +128,115 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
     assert(got.values.exists(_._5) && got.values.exists(!_._5))
   }
+
+  test("interval merge equals a per-user sweep-line recompute") {
+    val got = BehaviorQueries.intervalMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as s", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ttl = 1800L * 1000000L
+    val want = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(e => (e._2, e._3)).map(_._2)
+      // sweep line: extend the open block while the next start is inside it
+      val blocks = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, s) => acc match {
+          case (bs, be, n) :: rest if s <= be =>
+            (bs, math.max(be, s + ttl), n + 1) :: rest
+          case _ => (s, s + ttl, 1L) :: acc
+        }
+      }.reverse
+      blocks.zipWithIndex.map { case ((bs, be, n), i) =>
+        (u, i + 1L) -> (n, bs, be, be - bs)
+      }
+    }
+    assert(got === want)
+    // merged blocks of one user never overlap (the defining invariant)
+    got.groupBy(_._1._1).foreach { case (_, bs) =>
+      val spans = bs.toSeq.sortBy(_._1._2).map(v => (v._2._2, v._2._3))
+      spans.zip(spans.tail).foreach { case ((_, e1), (s2, _)) =>
+        assert(s2 > e1, "adjacent merged blocks overlap")
+      }
+    }
+    // merging is live at this sf: some block holds more than one event
+    assert(got.values.exists(_._1 > 1L))
+  }
+
+  test("journey trigrams equal the brute per-user sliding window, top-20") {
+    val got = BehaviorQueries.journeyTrigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as t", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.length == 3)
+        // arrays compare by reference — tuple-ize before grouping
+        .map(w => (w(0), w(1), w(2)))
+    }.groupBy(identity).map { case (tri, hits) => tri -> hits.length.toLong }
+    val want = counts.toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }
+      .take(20)
+    assert(got.toSeq === want)
+  }
+
+  test("attribution credits the latest 7-day touch, else direct") {
+    val got = BehaviorQueries.lastTouchAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as t", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.collect {
+        case ((_, t, id, "purchase"), i) =>
+          val touch = sorted.take(i).reverse
+            .find(e => e._4 == "view" || e._4 == "click")
+          touch match {
+            case Some((_, tt, _, tp)) if t - tt <= 604800000000L =>
+              id -> (tp, (t - tt) / 1000000L)
+            case _ => id -> ("direct", -1L)
+          }
+      }
+    }.toMap
+    assert(got === want)
+    // both outcomes live: some purchases attributed, some direct
+    assert(got.values.exists(_._1 != "direct") &&
+      got.values.exists(_._1 == "direct"))
+  }
+
+  test("drift TVD equals the brute two-epoch histogram compare, in [0, 1e6]") {
+    val got = BehaviorQueries.driftTvd(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .where(col("value").isNotNull)
+      .selectExpr("event_type", "dayofmonth(ts) as dom",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) div 2000 as bin")
+      .collect()
+      .map(r => (r.getString(0), if (r.getInt(1) <= 15) 0 else 1, r.getLong(2)))
+    val want = evs.groupBy(_._1).map { case (tpe, rows) =>
+      val tot = Array(0L, 1L).map(e => rows.count(_._2 == e).toLong)
+      val byBin = rows.groupBy(_._3).map { case (bin, hits) =>
+        val ppm = Array(0, 1).map(e =>
+          if (tot(e) == 0) 0L
+          else hits.count(_._2 == e).toLong * 1000000L / tot(e))
+        bin -> ppm
+      }
+      val tvd = byBin.values.map(p => math.abs(p(0) - p(1))).sum / 2
+      tpe -> (byBin.size.toLong, tvd)
+    }
+    assert(got === want)
+    got.values.foreach { case (bins, tvd) =>
+      assert(bins > 0 && tvd >= 0L && tvd <= 1000000L)
+    }
+    // drift is nonzero somewhere (the halves are different samples)
+    assert(got.values.exists(_._2 > 0L))
+  }
 }

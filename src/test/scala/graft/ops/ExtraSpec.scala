@@ -159,4 +159,47 @@ class ExtraSpec extends SparkSpec {
       assert(nOverflowOk > 0 && nOverflowOk < n) // both overflow regimes live
     }
   }
+
+  test("sequence gaps: bucketed plan equals the brute single-sort recompute") {
+    // sf0.01: sf0.001's 1500-key space fits one 4096-bucket, which would
+    // leave the boundary leg structurally unexercised
+    val sf = "/root/testdata/sf0.01"
+    val got = ExtraQueries.sequenceGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = graft.Tables.orders(spark, sf)
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val want = keys.zip(keys.tail)
+      .collect { case (a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1) }
+      .sortBy { case (s, _, len) => (-len, s) }
+      .take(20)
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+    // the bucketed form exercised BOTH legs at this sf: at least one
+    // reported gap crosses a 4096-bucket boundary, at least one doesn't
+    assert(want.exists { case (s, e, _) => s / 4096 != e / 4096 } ||
+      keys.zip(keys.tail).exists { case (a, b) => b - a > 1 && a / 4096 != b / 4096 },
+      "no cross-bucket gap at this sf — boundary leg untested")
+    assert(want.exists { case (s, e, _) => s / 4096 == e / 4096 },
+      "no in-bucket gap at this sf — in-bucket leg untested")
+  }
+
+  test("k-anonymity: flags exactly the sub-k QI groups") {
+    // sf0.01: the 150-customer sf0.001 corpus has NO group reaching k=5,
+    // which would make the "audit flags a strict subset" claim vacuous
+    val sf = "/root/testdata/sf0.01"
+    val got = ExtraQueries.kAnonymity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val groups = graft.Tables.customer(spark, sf)
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) + 100000)" +
+          " div 100000 as bal_kilo")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val risky = groups.filter(_._2 < 5)
+    assert(got === risky && got.nonEmpty)
+    // the audit must not be vacuous: some groups are safe at this sf
+    assert(groups.values.exists(_ >= 5), "every group risky — k too high")
+  }
 }

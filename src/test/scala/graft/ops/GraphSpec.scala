@@ -47,4 +47,36 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_ >= 150000L))
     assert(got.values.sum <= got.size * 1000000L)
   }
+
+  test("bfs hop distances replay a driver-side frontier expansion") {
+    val li = Tables.lineitem(spark, sf)
+      .where(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thinEdges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = thinEdges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sources = Tables.part(spark, sf)
+      .where(col("p_partkey") % 500 === 0)
+      .collect().map(_.getLong(0)).toSet
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    for (hop <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> hop.toLong)
+      frontier = next
+    }
+    val got = GraphQueries.bfsHops(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    // every hop frontier is live at this sf, and the graph has
+    // unreached nodes (otherwise the depth bound tests nothing)
+    (0L to 3L).foreach(h => assert(got.values.count(_ == h) > 0, s"hop $h dead"))
+    val allNodes = Tables.part(spark, sf).count()
+    assert(got.size < allNodes, "BFS swallowed the whole graph")
+  }
 }

@@ -97,4 +97,31 @@ class SimSpec extends SparkSpec {
     // the rerank REORDERS: cosine order differs from bm25 order
     assert(byRank.map(_._2).toSeq != byRank.map(_._2).sortBy(-(_: Long)).toSeq)
   }
+
+  test("rrf fusion: scores recompute from the leg ranks, ordering consistent") {
+    val rows = SimQueries.rrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._5).sorted.toSeq === (1L to 10L))
+    assert(!rows.exists(_._1 == 0L)) // query doc never retrieves itself
+    rows.foreach { case (id, lex, vec, rrf, _) =>
+      val expect =
+        (if (lex > 0) 1000000L / (60L + lex) else 0L) +
+          (if (vec > 0) 1000000L / (60L + vec) else 0L)
+      assert(rrf === expect, s"doc $id rrf score drifted from its ranks")
+      assert(lex > 0 || vec > 0, s"doc $id fused from no ranking")
+      assert(lex <= 50 && vec <= 50)
+    }
+    // fused order: rrf desc with doc_id tie-break
+    val byRank = rows.sortBy(_._5)
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ =>
+    }
+    // consensus wins: docs ranked by BOTH systems are live in the top-10
+    assert(rows.exists(r => r._2 > 0 && r._3 > 0))
+  }
 }
