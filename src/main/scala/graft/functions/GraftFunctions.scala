@@ -20,5 +20,15 @@ object GraftFunctions {
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgrams(exprs.head, exprs(1)), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_build", exprs =>
+        KllBuildSketch(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_merge", exprs =>
+        KllMergeSketch(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -667,11 +667,43 @@ object AnalyticsQueries {
     * engines (2·cumw ≥ tot avoids any division at all).
     *
     * Scale shape: the table first collapses to one row per DISTINCT
-    * (group, value) — the cumulative window then runs over
-    * value-cardinality rows, not table rows, and the two windows share
-    * one sort. At 100 TB the distinct-value aggregate is the same keyed
-    * shuffle as any groupBy; the window input stays domain-bounded.
+    * (group, value) (one keyed shuffle), then [[cumWeights]] computes
+    * the running weight with the two-level distributed prefix sum —
+    * wide in-bucket windows + a tiny bucket-offset pass — so NO task
+    * ever sorts a whole group (a plain cumulative window would run one
+    * task per return flag at every scale).
     */
+  /** Distributed cumulative weights — the two-level prefix-sum that
+    * keeps a running total PARALLEL: a naive
+    * `sum() OVER (PARTITION BY group ORDER BY value)` sorts each
+    * group in ONE task (3 tasks total here, one per return flag — the
+    * single-partition-window trap at any scale). Instead: (1) in-bucket
+    * running sums run wide, partitioned by (group, value div 2¹⁶);
+    * (2) bucket totals prefix-sum on the |groups|·|buckets| table
+    * (hundreds of rows — trivially small); (3) the per-value running
+    * total is bucket-offset + in-bucket cumulative, reassembled via a
+    * broadcast join. Input `per`: one row per distinct (group, value)
+    * with weight `w`; output adds `cumw` (inclusive running weight) and
+    * `tot` (group total).
+    */
+  private[ops] def cumWeights(per: DataFrame, grp: String,
+      bucketWidth: Long = 65536L): DataFrame = {
+    val withB = per.withColumn("bucket", expr(s"cents div $bucketWidth"))
+    val bkt = withB.groupBy(grp, "bucket").agg(sum("w").as("bw"))
+    val prevB = Window.partitionBy(grp).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bkt
+      .withColumn("offset", coalesce(sum("bw").over(prevB), lit(0L)))
+      .withColumn("tot", sum("bw").over(Window.partitionBy(grp)))
+      .select(col(grp), col("bucket"), col("offset"), col("tot"))
+    val inB = Window.partitionBy(grp, "bucket").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB
+      .withColumn("incum", sum("w").over(inB))
+      .join(broadcast(offsets), Seq(grp, "bucket"))
+      .withColumn("cumw", col("offset") + col("incum"))
+  }
+
   def weightedMedian: Q = (s, d) => {
     val per = Tables.lineitem(s, d)
       .select(col("l_returnflag"),
@@ -679,12 +711,7 @@ object AnalyticsQueries {
           .cast("long").as("cents"),
         col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"))
       .groupBy("l_returnflag", "cents").agg(sum("qty").as("w"))
-    val cumW = Window.partitionBy("l_returnflag").orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val totW = Window.partitionBy("l_returnflag")
-    per
-      .withColumn("cumw", sum("w").over(cumW))
-      .withColumn("tot", sum("w").over(totW))
+    cumWeights(per, "l_returnflag")
       .where(col("cumw") * 2 >= col("tot"))
       .groupBy("l_returnflag")
       .agg(min("cents").as("wmedian_cents"), max("tot").as("total_weight"))
@@ -698,10 +725,11 @@ object AnalyticsQueries {
     * both engines (no float interpolation anywhere, so the clamped sum
     * is bit-exact).
     *
-    * Scale shape: quantiles come from the distinct-value cumulative
-    * window (domain-bounded, as q167); the resulting |groups|-row bounds
-    * table broadcast-joins back to the fact scan, and the clamped mean
-    * is one partial+final hash aggregate over it.
+    * Scale shape: quantiles come from the same two-level distributed
+    * prefix sum as q167 ([[cumWeights]] — no single-task group sort);
+    * the resulting |groups|-row bounds table broadcast-joins back to
+    * the fact scan, and the clamped mean is one partial+final hash
+    * aggregate over it.
     */
   def winsorizedMean: Q = (s, d) => {
     val base = Tables.lineitem(s, d)
@@ -709,19 +737,13 @@ object AnalyticsQueries {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"))
     val per = base.groupBy("l_returnflag", "cents")
-      .agg(count(lit(1)).as("c"))
-    val cumW = Window.partitionBy("l_returnflag").orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val totW = Window.partitionBy("l_returnflag")
-    val cum = per
-      .withColumn("cumn", sum("c").over(cumW))
-      .withColumn("n", sum("c").over(totW))
-    val bounds = cum
+      .agg(count(lit(1)).as("w"))
+    val bounds = cumWeights(per, "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
-        min(when(col("cumn") * 100 >= col("n") * 5, col("cents")))
+        min(when(col("cumw") * 100 >= col("tot") * 5, col("cents")))
           .as("p05_cents"),
-        min(when(col("cumn") * 100 >= col("n") * 95, col("cents")))
+        min(when(col("cumw") * 100 >= col("tot") * 95, col("cents")))
           .as("p95_cents"))
     base.join(broadcast(bounds), "l_returnflag")
       .withColumn("clamped",
@@ -734,9 +756,120 @@ object AnalyticsQueries {
         expr("winsor_sum_cents div n"))
   }
 
+  /** MAD robust outliers: flag values whose absolute deviation from the
+    * per-type median exceeds 3× the median absolute deviation — the
+    * robust sibling of q121's 2σ z-score (one far outlier inflates a
+    * stddev until it hides every other outlier; the median/MAD pair is
+    * breakdown-resistant). Both medians are the LOWER median, so the
+    * whole chain is integer-exact.
+    *
+    * Scale shape: two [[cumWeights]] cascades (each: keyed distinct
+    * aggregate + wide two-level prefix sum), each reduced to a
+    * |types|-row table that broadcast-joins back to the fact scan —
+    * the raw log is scanned twice, never sorted whole.
+    */
+  def madOutliers: Q = (s, d) => {
+    val b = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val med = cumWeights(
+      b.groupBy("event_type", "cents").agg(count(lit(1)).as("w")),
+      "event_type", 4096L)
+      .where(col("cumw") * 2 >= col("tot"))
+      .groupBy("event_type").agg(min("cents").as("med_cents"))
+    val dev = b.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("cents") - col("med_cents")))
+    val mad = cumWeights(
+      dev.groupBy(col("event_type"), col("dv").as("cents"))
+        .agg(count(lit(1)).as("w")),
+      "event_type", 4096L)
+      .where(col("cumw") * 2 >= col("tot"))
+      .groupBy("event_type").agg(min("cents").as("mad_cents"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dv") > col("mad_cents") * 3, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"))
+  }
+
+  /** Cohort LTV curve: per signup-week cohort, weekly purchase revenue
+    * and its running total by week offset — the lifetime-value ramp
+    * (q107's retention counts upgraded to exact revenue cents).
+    *
+    * Scale shape: one user-keyed aggregate for cohorts, one user-keyed
+    * join + (cohort, offset) aggregate for revenue cells; the running
+    * total then cumulates over the CELL table (|cohorts|·|weeks| rows —
+    * the safe place for a cumulative window, no prefix-sum machinery
+    * needed because the window input is aggregate-sized).
+    */
+  def ltvCurve: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+      .select(col("user_id"),
+        date_trunc("week", col("t0")).cast("date").as("cohort_week"))
+    val cells = ev.where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .where(col("ts") >= col("cohort_week").cast("timestamp"))
+      .groupBy(col("cohort_week"),
+        expr("cast(datediff(date_trunc('week', ts), cohort_week) div 7 as bigint)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("rev_cents"))
+    cells.withColumn("cum_rev_cents",
+      sum("rev_cents").over(Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Mergeable quantile sketches (KLL, k=200): per-day sketches of the
+    * event values union-merge to the global per-type quantile summary —
+    * q137's HLL daily-merge pattern, for percentiles. This is the
+    * 100 TB incremental path q64/q73 point at: yesterday's sketches
+    * never get recomputed, today's partition adds one bounded-size
+    * sketch, and the merge is a few-KB reduce. Rows-only (KLL
+    * compaction is randomized); rank-error tolerance and the
+    * merge-vs-direct agreement are pinned in AnalyticsSpec.
+    *
+    * The sketch aggregates are native `TypedImperativeAggregate`s
+    * ([[graft.functions.KllBuildSketch]]/[[graft.functions.KllMergeSketch]]
+    * — live heap sketch between rows, serialize only at shuffle
+    * boundaries); estimate extraction is a driver-side UDF over the
+    * |types| result blobs (cold path by construction).
+    */
+  def kllQuantiles: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.fanOut(Tables.events(s, d), col("event_id"))
+      .where(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("kll_build(cents, 200)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("kll_merge(sk, 200)").as("msk"),
+        count(lit(1)).as("n_days"))
+    val direct = ev.groupBy("event_type")
+      .agg(expr("kll_build(cents, 200)").as("dsk"), count(lit(1)).as("n"))
+    val ranks = Array(0.25, 0.5, 0.75, 0.9, 0.99)
+    val quantiles = udf { (blob: Array[Byte]) =>
+      val sk = org.apache.datasketches.kll.KllLongsSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(blob))
+      ranks.map(r => sk.getQuantile(r))
+    }
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n"), col("n_days"),
+        quantiles(col("msk")).as("merged_q"),
+        quantiles(col("dsk")).as("direct_q"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q167_weighted_median" -> weightedMedian,
     "q172_winsorized_mean" -> winsorizedMean,
+    "q176_mad_outliers" -> madOutliers,
+    "q177_ltv_curve" -> ltvCurve,
+    "q178_kll_quantiles" -> kllQuantiles,
     "q159_basket_pairs" -> basketPairs,
     "q160_twap" -> twap,
     "q161_chi_square" -> chiSquare,
@@ -782,6 +915,63 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q176_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT event_type, cents, count(*) AS w FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM per),
+        |med AS (
+        |  SELECT event_type, min(cents) AS med_cents
+        |  FROM cum WHERE cumw * 2 >= tot GROUP BY event_type),
+        |dev AS (
+        |  SELECT b.event_type, b.cents, abs(b.cents - med_cents) AS dv,
+        |    med_cents
+        |  FROM b JOIN med USING (event_type)),
+        |dper AS (SELECT event_type, dv, count(*) AS w FROM dev GROUP BY 1, 2),
+        |dcum AS (
+        |  SELECT event_type, dv,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY dv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM dper),
+        |mad AS (
+        |  SELECT event_type, min(dv) AS mad_cents
+        |  FROM dcum WHERE cumw * 2 >= tot GROUP BY event_type)
+        |SELECT dev.event_type, count(*) AS n,
+        |  sum(CASE WHEN dv > mad_cents * 3 THEN 1 ELSE 0 END) AS n_outliers,
+        |  max(dev.med_cents) AS med_cents, max(mad.mad_cents) AS mad_cents
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type""".stripMargin,
+    "q177_ltv_curve" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |cells AS (
+        |  SELECT c.cohort_week,
+        |    CAST(date_diff('day', c.cohort_week,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    count(*) AS n_purchases,
+        |    sum(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev_cents
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= CAST(c.cohort_week AS TIMESTAMP)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_purchases, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_cents
+        |FROM cells""".stripMargin,
     "q167_weighted_median" ->
       """WITH per AS (
         |  SELECT l_returnflag,

@@ -857,11 +857,45 @@ object ExtraQueries {
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") < 5)
 
+  /** Median imputation — the feature-repair pass an ML pipeline runs
+    * before training: null measurements fill with their group's median.
+    * The corpus ships no nulls, so (q139's derived-garbage pattern) a
+    * deterministic 1-in-7 of values is nulled first (`event_id % 7`),
+    * then imputed with the per-type LOWER median of the surviving
+    * values — integer-exact on both engines, no interpolation. Output
+    * audits the repair: rows, imputed count, the imputed value, and
+    * the post-repair checksum.
+    *
+    * Scale shape: the median comes from [[AnalyticsQueries.cumWeights]]
+    * (wide two-level prefix sum, no single-task group sort); the
+    * |types|-row median table broadcast-joins back to the scan.
+    */
+  def medianImpute: Q = (s, d) => {
+    val b = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null))
+          .otherwise((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+    val med = AnalyticsQueries.cumWeights(
+      b.where(col("cents").isNotNull)
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("w")),
+      "event_type", 4096L)
+      .where(col("cumw") * 2 >= col("tot"))
+      .groupBy("event_type").agg(min("cents").as("med_cents"))
+    b.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        max("med_cents").as("med_cents"),
+        sum(coalesce(col("cents"), col("med_cents"))).as("sum_final_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q164_union_by_name" -> unionByNameEvolution,
     "q165_label_encode" -> labelEncode,
     "q168_sequence_gaps" -> sequenceGaps,
     "q169_k_anonymity" -> kAnonymity,
+    "q179_median_impute" -> medianImpute,
     "q139_try_safety" -> trySafety,
     "q145_split_manifest" -> splitManifest,
     "q49_setops_all" -> setOpsAll,
@@ -900,6 +934,31 @@ object ExtraQueries {
     "q99_nullsafe_join" -> nullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q179_median_impute" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END AS cents
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type, cents, count(*) AS w
+        |  FROM b WHERE cents IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM per),
+        |med AS (
+        |  SELECT event_type, min(cents) AS med_cents
+        |  FROM cum WHERE cumw * 2 >= tot GROUP BY event_type)
+        |SELECT b.event_type, count(*) AS n_rows,
+        |  sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+        |  max(med_cents) AS med_cents,
+        |  sum(coalesce(b.cents, med_cents)) AS sum_final_cents
+        |FROM b JOIN med USING (event_type)
+        |GROUP BY b.event_type""".stripMargin,
     "q168_sequence_gaps" ->
       """WITH k AS (
         |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),

@@ -354,6 +354,71 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kll quantile estimates land within 5% rank error, merged and direct") {
+    val ranks = Array(0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = AnalyticsQueries.kllQuantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4)))
+    assert(got.nonEmpty)
+    val vals = graft.Tables.events(spark, sf)
+      .where(col("value").isNotNull)
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (tpe, n, nDays, mergedQ, directQ) =>
+      val sorted = vals(tpe)
+      assert(n === sorted.length.toLong && nDays > 1)
+      for (est <- Seq(mergedQ, directQ); (q, r) <- est.zip(ranks)) {
+        val trueRank = sorted.count(_ <= q).toDouble / sorted.length
+        assert(math.abs(trueRank - r) <= 0.05,
+          s"$tpe rank($q)=$trueRank target $r")
+      }
+    }
+  }
+
+  test("mad outliers match the brute median/MAD recompute per type") {
+    val got = AnalyticsQueries.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vals = graft.Tables.events(spark, sf)
+      .where(col("value").isNotNull)
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet === vals.keySet)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((sorted.length - 1) / 2) // smallest x with 2·rank(x) ≥ n
+    }
+    vals.foreach { case (tpe, xs) =>
+      val med = lowerMedian(xs.toSeq)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)).toSeq)
+      val nOut = xs.count(x => math.abs(x - med) > 3 * mad).toLong
+      assert(got(tpe) === ((xs.length.toLong, nOut, med, mad)), s"type $tpe")
+      // robust gate is live but not degenerate (the long-tailed value
+      // distribution makes ~15% of a small group exceed 3 MAD)
+      assert(nOut > 0 && nOut < xs.length / 2)
+    }
+  }
+
+  test("ltv curve: running totals reconcile with per-cell revenue") {
+    val rows = AnalyticsQueries.ltvCurve(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val ordered = cells.sortBy(_._2)
+      assert(ordered.map(_._2).distinct.length === ordered.length)
+      var cum = 0L
+      ordered.foreach { case (_, off, n, rev, cumRev) =>
+        cum += rev
+        assert(off >= 0 && n > 0 && cumRev === cum)
+      }
+    }
+  }
+
   test("weighted median equals the brute cumulative-weight scan per flag") {
     val got = AnalyticsQueries.weightedMedian(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

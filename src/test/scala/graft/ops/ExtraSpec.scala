@@ -183,6 +183,28 @@ class ExtraSpec extends SparkSpec {
       "no in-bucket gap at this sf — in-bucket leg untested")
   }
 
+  test("median impute: nulls filled with the surviving lower median") {
+    val got = ExtraQueries.medianImpute(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    evs.groupBy(_._1).foreach { case (tpe, rows) =>
+      val (nulled, kept) = rows.partition(_._2 % 7 == 0)
+      val sorted = kept.map(_._3).sorted
+      val med = sorted((sorted.length - 1) / 2)
+      val expectSum = kept.map(_._3).sum + nulled.length * med
+      assert(got(tpe) ===
+        ((rows.length.toLong, nulled.length.toLong, med, expectSum)),
+        s"type $tpe")
+      // the derived-null fraction is live in every group
+      assert(nulled.nonEmpty && kept.nonEmpty)
+    }
+  }
+
   test("k-anonymity: flags exactly the sub-k QI groups") {
     // sf0.01: the 150-customer sf0.001 corpus has NO group reaching k=5,
     // which would make the "audit flags a strict subset" claim vacuous
