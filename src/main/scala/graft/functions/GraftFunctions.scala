@@ -26,6 +26,9 @@ object GraftFunctions {
           exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_build", exprs =>
+        ThetaBuildSketch(exprs.head).toAggregateExpression(), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_merge", exprs =>
         KllMergeSketch(exprs.head,
           exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),

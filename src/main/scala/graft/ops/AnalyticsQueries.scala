@@ -864,7 +864,83 @@ object AnalyticsQueries {
         quantiles(col("dsk")).as("direct_q"))
   }
 
+  /** Audience overlap via theta sketches: |users(A) ∩ users(B)| for
+    * every event-type pair — the set-ALGEBRA question HLL (q137) cannot
+    * answer (HLL unions only; theta sketches intersect). One bounded
+    * sketch per type replaces the exact distinct-intersection join; at
+    * 100 TB the sketch aggregation is one keyed shuffle of KB-sized
+    * state, and the pair algebra runs on |types| collected blobs driver
+    * -side (cold path — the same aggregate-sized-collect rule as q54's
+    * centroids). The exact intersection rides along as an equi
+    * self-join on user for the error pin: rows-only (theta estimates
+    * are randomized), accuracy pinned in AnalyticsSpec.
+    */
+  def audienceOverlap: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    // high-value audiences (value ≥ 150): every user touches every
+    // event type in this corpus, so the UNFILTERED pairwise overlap is
+    // degenerately |users|; the value gate keeps each audience a proper,
+    // varying subset at every sf (27–43 of 150 users at sf0.01)
+    val ev = Tables.fanOut(Tables.events(s, d), col("event_id"))
+      .where(col("value") >= 150)
+      .select("event_type", "user_id")
+    val blobs = ev.groupBy("event_type")
+      .agg(expr("theta_build(user_id)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+    val est = (for {
+      (ta, ba) <- blobs; (tb, bb) <- blobs if ta < tb
+    } yield (ta, tb, math.round(
+      graft.functions.ThetaSketchAgg.intersectEstimate(ba, bb))))
+      .toSeq.toDF("type_a", "type_b", "est_overlap")
+    val ut = ev.distinct()
+    val exact = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.join(broadcast(est), Seq("type_a", "type_b"))
+  }
+
+  /** Equi-depth (equi-height) histogram — the optimizer-statistics /
+    * data-profiling sibling of q77's equi-WIDTH histogram: 10 bins of
+    * (near-)equal row count over order totals, boundaries at the exact
+    * lower-discrete deciles. Equi-depth is what cost-based optimizers
+    * store (ANALYZE ... FOR COLUMNS) because equal-width bins collapse
+    * under skew.
+    *
+    * Scale shape: decile boundaries come from [[cumWeights]] (wide
+    * two-level prefix sum), reduce to NINE values fetched driver-side
+    * and inlined as literals (the q118 shape — no one-row cross join,
+    * no BNLJ); binning is then a scan-local projection + one hash
+    * aggregate. Ties go to the lower bin (`>` against each boundary)
+    * identically on both engines.
+    */
+  def equidepthHistogram: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val per = base.withColumn("g", lit("all"))
+      .groupBy("g", "cents").agg(count(lit(1)).as("w"))
+    val boundCols = (1 to 9).map(i =>
+      min(when(col("cumw") * 10 >= col("tot") * i, col("cents"))).as(s"b$i"))
+    val bounds = cumWeights(per, "g")
+      .groupBy("g").agg(boundCols.head, boundCols.tail: _*)
+      .head()
+    val bs = (1 to 9).map(i => bounds.getLong(i))
+    val binExpr = bs.map(b => s"(case when cents > ${b}L then 1 else 0 end)")
+      .mkString(" + ")
+    base
+      .withColumn("bin", expr(s"cast($binExpr as bigint)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min("cents").as("min_cents"),
+        max("cents").as("max_cents"), sum("cents").as("sum_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_audience_overlap" -> audienceOverlap,
+    "q182_equidepth_histogram" -> equidepthHistogram,
     "q167_weighted_median" -> weightedMedian,
     "q172_winsorized_mean" -> winsorizedMean,
     "q176_mad_outliers" -> madOutliers,
@@ -915,6 +991,43 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q182_equidepth_histogram" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders),
+        |per AS (SELECT cents, count(*) AS w FROM base GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    sum(w) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER () AS tot
+        |  FROM per),
+        |b AS (
+        |  SELECT
+        |    min(CASE WHEN cumw * 10 >= tot * 1 THEN cents END) AS b1,
+        |    min(CASE WHEN cumw * 10 >= tot * 2 THEN cents END) AS b2,
+        |    min(CASE WHEN cumw * 10 >= tot * 3 THEN cents END) AS b3,
+        |    min(CASE WHEN cumw * 10 >= tot * 4 THEN cents END) AS b4,
+        |    min(CASE WHEN cumw * 10 >= tot * 5 THEN cents END) AS b5,
+        |    min(CASE WHEN cumw * 10 >= tot * 6 THEN cents END) AS b6,
+        |    min(CASE WHEN cumw * 10 >= tot * 7 THEN cents END) AS b7,
+        |    min(CASE WHEN cumw * 10 >= tot * 8 THEN cents END) AS b8,
+        |    min(CASE WHEN cumw * 10 >= tot * 9 THEN cents END) AS b9
+        |  FROM cum)
+        |SELECT CAST((CASE WHEN cents > b1 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b3 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b5 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b7 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |  count(*) AS n_rows, min(cents) AS min_cents,
+        |  max(cents) AS max_cents, sum(cents) AS sum_cents
+        |FROM base CROSS JOIN b
+        |GROUP BY 1""".stripMargin,
     "q176_mad_outliers" ->
       """WITH b AS (
         |  SELECT event_type,

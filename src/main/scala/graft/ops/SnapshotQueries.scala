@@ -143,13 +143,56 @@ object SnapshotQueries {
         expr("bit_xor(h)").as("digest_xor"),
         sum(col("h") % 1000000007L).as("digest_sum"))
 
+  /** Incremental JOIN-view maintenance — q130's aggregate IVM upgraded
+    * to a two-sided join view: the revenue-per-segment view over
+    * orders ⋈ customers is maintained from epoch deltas on BOTH sides
+    * by the textbook delta-join expansion
+    * `ΔA⋈C₀ ∪ A₀⋈ΔC ∪ ΔA⋈ΔC` merged into the old view partials —
+    * the plan every materialized-view engine (Delta Live Tables,
+    * Materialize) executes under the hood. Epochs split by key parity
+    * so both deltas are live at every sf.
+    *
+    * Scale shape: four keyed equi joins, each touching one delta (at
+    * production scale ΔA, ΔC ≪ A, C, so the three delta terms are the
+    * only new work — yesterday's A₀⋈C₀ partials are a stored table,
+    * computed here only because the oracle needs the full answer).
+    */
+  def deltaJoinView: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), cents("o_totalprice").as("c"),
+        (col("o_orderkey") % 2 === 0).as("is_base"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_custkey") % 2 === 0).as("is_base"))
+    def view(ord: DataFrame, cu: DataFrame): DataFrame =
+      ord.join(cu, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sum("c").as("rev"))
+    val (o0, dO) = (o.where(col("is_base")), o.where(!col("is_base")))
+    val (c0, dC) = (cust.where(col("is_base")), cust.where(!col("is_base")))
+    view(o0, c0)
+      .unionByName(view(dO, c0))
+      .unionByName(view(o0, dC))
+      .unionByName(view(dO, dC))
+      .groupBy("c_mktsegment")
+      .agg(sum("cnt").as("n_orders"), sum("rev").as("rev_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_delta_join_view" -> deltaJoinView,
     "q158_range_digest" -> rangeDigest,
     "q130_incremental_agg" -> incrementalAgg,
     "q134_snapshot_diff" -> snapshotDiff,
     "q135_schema_evolution" -> schemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    // the full join recompute the four-term delta expansion must equal
+    "q181_delta_join_view" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q158_range_digest" ->
       """WITH h AS (
         |  SELECT l_orderkey // 2000 AS bucket,

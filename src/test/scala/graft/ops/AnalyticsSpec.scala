@@ -419,6 +419,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("theta overlap estimates are exact below sketch capacity and live") {
+    val rows = AnalyticsQueries.audienceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10) // all 5-choose-2 type pairs live
+    val universe = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { case (ta, tb, est, exact) =>
+      assert(ta < tb)
+      // audiences here are far below theta's k=4096 entries, where the
+      // sketch stores the raw hash set: estimates must be EXACT
+      assert(est === exact, s"($ta,$tb): est $est != exact $exact")
+      assert(exact > 0 && exact < universe, s"($ta,$tb) overlap degenerate")
+    }
+  }
+
+  test("equi-depth histogram: 10 contiguous bins of near-equal depth") {
+    val rows = AnalyticsQueries.equidepthHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    val n = rows.map(_._2).sum
+    rows.foreach { case (bin, cnt, _, _) =>
+      // equi-depth: every bin within 2x of the ideal decile population
+      assert(cnt * 10 <= 2 * n && cnt * 20 >= n, s"bin $bin depth $cnt of $n")
+    }
+    // bins tile the value axis without overlap
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hiA), (_, _, loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+  }
+
   test("weighted median equals the brute cumulative-weight scan per flag") {
     val got = AnalyticsQueries.weightedMedian(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -71,4 +71,24 @@ class SnapshotSpec extends SparkSpec {
     assert((x0 ^ h60(s0) ^ changed) != x0)
     assert(m0 - h60(s0) % 1000000007L + changed % 1000000007L != m0)
   }
+
+  test("delta-join view: every delta term is live and the merge is exact") {
+    val got = SnapshotQueries.deltaJoinView(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = graft.Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as long) as c",
+        "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cust = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = orders.groupBy(o => cust(o._1)).map { case (seg, os) =>
+      seg -> (os.length.toLong, os.map(_._2).sum)
+    }
+    assert(got === want)
+    // the parity epochs that drive the four-term expansion are all live
+    assert(orders.exists(_._3 % 2 == 0) && orders.exists(_._3 % 2 == 1))
+    assert(cust.keys.exists(_ % 2 == 0) && cust.keys.exists(_ % 2 == 1))
+  }
 }
