@@ -938,9 +938,82 @@ object AnalyticsQueries {
         max("cents").as("max_cents"), sum("cents").as("sum_cents"))
   }
 
+  /** Hierarchical contribution shares: revenue by (region, nation) with
+    * each nation's exact-ppm share of its region and each region's
+    * share of the total — the drill-down contribution report OLAP
+    * frontends build on rollups, with the shares computed at the right
+    * level instead of leaving ratio math to the client.
+    *
+    * Scale shape: the 4-way star join broadcasts the dims; the three
+    * aggregation levels (nation, region, grand) are grouping-set-sized
+    * tables, and the share joins touch only those — all window-free,
+    * every division integer.
+    */
+  def rollupShares: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val byNation = rev.groupBy("region", "nation")
+      .agg(sum("cents").as("rev_cents"))
+    val byRegion = byNation.groupBy("region")
+      .agg(sum("rev_cents").as("region_cents"))
+    val total = byRegion.agg(sum("region_cents").as("total_cents"))
+      .head().getLong(0)
+    byNation.join(broadcast(byRegion), "region")
+      .select(col("region"), col("nation"), col("rev_cents"),
+        expr("rev_cents * 1000000L div region_cents")
+          .as("share_of_region_ppm"),
+        expr(s"region_cents * 1000000L div ${total}L")
+          .as("region_share_ppm"))
+  }
+
+  /** Embedding drift audit: per source, the squared distance between
+    * the source's mean embedding and the corpus mean — the vector-space
+    * sibling of q174's histogram TVD (is one ingest source drifting
+    * away from the corpus centroid?). Everything stays integer-exact:
+    * vectors quantize through the q45 family's `round(x·10⁴)`, and the
+    * distance is computed on the common-denominator NUMERATOR
+    * `Σ_d (s_src[d]·n_corpus − s_corp[d]·n_src)²` in DECIMAL(38,0) —
+    * the per-source mean is never divided, so truncation-vs-floor on
+    * negative sums can't diverge between engines.
+    *
+    * Scale shape: posexplode to (doc, dim, val) rows — 64× the vector
+    * count, embarrassingly parallel — then one (source, dim) aggregate;
+    * the drift math runs on |sources|·64 rows.
+    */
+  def embeddingDrift: Q = (s, d) => {
+    val dims = Tables.embeddings(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")))
+      .toDF("source", "dim", "qv")
+    val bySrc = dims.groupBy("source", "dim")
+      .agg(sum("qv").as("s_src"), count(lit(1)).as("n_src"))
+    val corpus = dims.groupBy("dim")
+      .agg(sum("qv").as("s_corp"), count(lit(1)).as("n_corp"))
+    bySrc.join(broadcast(corpus), "dim")
+      .withColumn("diff", expr(
+        "cast(s_src as decimal(38,0)) * n_corp - cast(s_corp as decimal(38,0)) * n_src"))
+      .groupBy("source")
+      .agg(max("n_src").as("n_docs"),
+        sum(expr("diff * diff")).as("drift_num"),
+        max(expr("cast(n_src as decimal(38,0)) * n_corp")).as("drift_den"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q180_audience_overlap" -> audienceOverlap,
     "q182_equidepth_histogram" -> equidepthHistogram,
+    "q184_rollup_shares" -> rollupShares,
+    "q185_embedding_drift" -> embeddingDrift,
     "q167_weighted_median" -> weightedMedian,
     "q172_winsorized_mean" -> winsorizedMean,
     "q176_mad_outliers" -> madOutliers,
@@ -991,6 +1064,51 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q184_rollup_shares" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |by_nation AS (
+        |  SELECT region, nation, sum(cents) AS rev_cents
+        |  FROM rev GROUP BY 1, 2),
+        |by_region AS (
+        |  SELECT region, sum(rev_cents) AS region_cents
+        |  FROM by_nation GROUP BY 1),
+        |total AS (SELECT sum(region_cents) AS total_cents FROM by_region)
+        |SELECT region, nation, rev_cents,
+        |  rev_cents * 1000000 // region_cents AS share_of_region_ppm,
+        |  region_cents * 1000000 // (SELECT total_cents FROM total)
+        |    AS region_share_ppm
+        |FROM by_nation JOIN by_region USING (region)""".stripMargin,
+    "q185_embedding_drift" ->
+      """WITH raw AS (
+        |  SELECT d.source,
+        |    unnest(generate_series(1, len(e.embedding))) AS dimx,
+        |    unnest(list_transform(e.embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))) AS qv
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |x AS (SELECT source, dimx - 1 AS dim, qv FROM raw),
+        |by_src AS (
+        |  SELECT source, dim, sum(qv) AS s_src, count(*) AS n_src
+        |  FROM x GROUP BY 1, 2),
+        |corp AS (
+        |  SELECT dim, sum(qv) AS s_corp, count(*) AS n_corp
+        |  FROM x GROUP BY 1),
+        |diffs AS (
+        |  SELECT source, n_src, n_corp,
+        |    CAST(s_src AS HUGEINT) * n_corp
+        |      - CAST(s_corp AS HUGEINT) * n_src AS diff
+        |  FROM by_src JOIN corp USING (dim))
+        |SELECT source, max(n_src) AS n_docs,
+        |  CAST(sum(diff * diff) AS DECIMAL(38,0)) AS drift_num,
+        |  CAST(max(CAST(n_src AS HUGEINT) * n_corp) AS DECIMAL(38,0))
+        |    AS drift_den
+        |FROM diffs GROUP BY source""".stripMargin,
     "q182_equidepth_histogram" ->
       """WITH base AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -890,12 +890,43 @@ object ExtraQueries {
         sum(coalesce(col("cents"), col("med_cents"))).as("sum_final_cents"))
   }
 
+  /** Keyset (cursor) pagination — page 3 of the order feed ordered by
+    * (date, key): the cursor is the last row of page 2, and the page
+    * is `WHERE (date, key) > cursor ORDER BY ... LIMIT 100`. This is
+    * the scalable pagination contract: OFFSET must scan-and-discard
+    * every earlier row on every request (O(offset) per page — fatal on
+    * a 100 TB feed), while the keyset predicate pushes into the scan
+    * and the page plans as filter + TakeOrderedAndProject. The cursor
+    * fetch itself is a 200-row TakeOrderedAndProject (driver-side
+    * inline-literal, q118 shape).
+    */
+  def keysetPagination: Q = (s, d) => {
+    val ordered = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cursor = ordered.orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(200).collect().last
+    // getAs[Any]: the session may surface timestamps as either
+    // java.sql.Timestamp or java.time.LocalDateTime (java8 datetime
+    // API); lit() accepts both
+    val (cd, ck) = (cursor.getAs[Any](2), cursor.getLong(0))
+    ordered
+      .where(col("o_orderdate") > lit(cd) ||
+        (col("o_orderdate") === lit(cd) && col("o_orderkey") > ck))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q164_union_by_name" -> unionByNameEvolution,
     "q165_label_encode" -> labelEncode,
     "q168_sequence_gaps" -> sequenceGaps,
     "q169_k_anonymity" -> kAnonymity,
     "q179_median_impute" -> medianImpute,
+    "q183_keyset_pagination" -> keysetPagination,
     "q139_try_safety" -> trySafety,
     "q145_split_manifest" -> splitManifest,
     "q49_setops_all" -> setOpsAll,
@@ -934,6 +965,16 @@ object ExtraQueries {
     "q99_nullsafe_join" -> nullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    "q183_keyset_pagination" ->
+      """WITH cur AS (
+        |  SELECT o_orderdate AS cd, o_orderkey AS ck FROM orders
+        |  ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 199)
+        |SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders, cur
+        |WHERE o_orderdate > cd
+        |   OR (o_orderdate = cd AND o_orderkey > ck)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
     "q179_median_impute" ->
       """WITH b AS (
         |  SELECT event_type, event_id,

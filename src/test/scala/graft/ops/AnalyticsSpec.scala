@@ -451,6 +451,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rollup shares: each level's ppm shares sum to 1e6 minus truncation") {
+    val rows = AnalyticsQueries.rollupShares(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val sum = ns.map(_._4).sum
+      // integer ppm truncates: the nation shares of a region sum to at
+      // most 1e6 and lose < 1 ppm per nation
+      assert(sum <= 1000000L && sum > 1000000L - ns.length,
+        s"$region shares sum $sum")
+      // one region share per region, consistent across its rows
+      assert(ns.map(_._5).distinct.length === 1)
+    }
+    val regionShares = rows.groupBy(_._1).map(_._2.head._5)
+    val rsum = regionShares.sum
+    assert(rsum <= 1000000L && rsum > 1000000L - regionShares.size)
+  }
+
+  test("embedding drift equals the brute centroid recompute per source") {
+    val got = AnalyticsQueries.embeddingDrift(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger))).toMap
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint)) qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val dim = vecs.head._2.length
+    val corpSum = Array.tabulate(dim)(i => BigInt(vecs.map(_._2(i)).sum))
+    val nCorp = vecs.length
+    vecs.groupBy(v => src(v._1)).foreach { case (source, vs) =>
+      val sSrc = Array.tabulate(dim)(i => BigInt(vs.map(_._2(i)).sum))
+      val num = (0 until dim).map { i =>
+        val diff = sSrc(i) * nCorp - corpSum(i) * vs.length
+        diff * diff
+      }.sum
+      assert(got(source) ===
+        ((vs.length.toLong, num, BigInt(vs.length) * nCorp)), source)
+    }
+    // drift is live: sources differ from the corpus centroid
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("weighted median equals the brute cumulative-weight scan per flag") {
     val got = AnalyticsQueries.weightedMedian(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -205,6 +205,21 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("keyset pagination returns exactly the third page of the full sort") {
+    val page = ExtraQueries.keysetPagination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(2).toString))
+    val full = graft.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "cast(o_orderdate as date) as d",
+        // ISO timestamp strings sort chronologically (o_orderdate is
+        // TIMESTAMP_NTZ, which unix_micros refuses)
+        "cast(o_orderdate as string) as t")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2)))
+      .sortBy(r => (r._3, r._1))
+    val want = full.slice(200, 300).map(r => (r._1, r._2))
+    assert(page.toSeq === want.toSeq)
+    assert(page.length === 100)
+  }
+
   test("k-anonymity: flags exactly the sub-k QI groups") {
     // sf0.01: the 150-customer sf0.001 corpus has NO group reaching k=5,
     // which would make the "audit flags a strict subset" claim vacuous
