@@ -1009,11 +1009,49 @@ object AnalyticsQueries {
         max(expr("cast(n_src as decimal(38,0)) * n_corp")).as("drift_den"))
   }
 
+  /** Funnel time-to-convert distribution: for each funnel transition
+    * (view→click, click→purchase under q106's 24 h deadlines), the
+    * latency distribution — count, min, lower-median, lower-p90, max in
+    * whole seconds. The "how fast do users move" question next to
+    * q106's "how many survive"; exact integers end to end (lower
+    * discrete quantiles, never interpolation).
+    *
+    * Scale shape: q106's per-stage min-timestamp joins (user-keyed),
+    * then quantiles of the per-user latencies via [[cumWeights]] — the
+    * wide prefix sum, not a per-transition single-task sort.
+    */
+  def funnelLatency: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def stage(tpe: String): DataFrame = ev.where(col("event_type") === tpe)
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val ck = stage("click").join(v, "user_id")
+      .where(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t2"), max("t1").as("t1"))
+    val p = stage("purchase").join(ck.select("user_id", "t2"), "user_id")
+      .where(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+      .join(ck.select("user_id", "t2"), "user_id")
+    val lat = ck.select(lit("view_to_click").as("transition"),
+        expr("(unix_micros(t2) - unix_micros(t1)) div 1000000L").as("secs"))
+      .unionByName(p.select(lit("click_to_purchase").as("transition"),
+        expr("(unix_micros(t3) - unix_micros(t2)) div 1000000L").as("secs")))
+    val per = lat.groupBy(col("transition"), col("secs").as("cents"))
+      .agg(count(lit(1)).as("w"))
+    cumWeights(per, "transition", 4096L)
+      .groupBy("transition")
+      .agg(max("tot").as("n_users"),
+        min("cents").as("min_secs"),
+        min(when(col("cumw") * 2 >= col("tot"), col("cents"))).as("med_secs"),
+        min(when(col("cumw") * 10 >= col("tot") * 9, col("cents"))).as("p90_secs"),
+        max("cents").as("max_secs"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q180_audience_overlap" -> audienceOverlap,
     "q182_equidepth_histogram" -> equidepthHistogram,
     "q184_rollup_shares" -> rollupShares,
     "q185_embedding_drift" -> embeddingDrift,
+    "q187_funnel_latency" -> funnelLatency,
     "q167_weighted_median" -> weightedMedian,
     "q172_winsorized_mean" -> winsorizedMean,
     "q176_mad_outliers" -> madOutliers,
@@ -1064,6 +1102,42 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q187_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |ck AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, max(v.t1) AS t1
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN ck USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > ck.t2
+        |    AND e.ts <= ck.t2 + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT 'view_to_click' AS transition,
+        |    (epoch_us(t2) - epoch_us(t1)) // 1000000 AS secs FROM ck
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |    (epoch_us(p.t3) - epoch_us(ck.t2)) // 1000000
+        |  FROM p JOIN ck USING (user_id)),
+        |per AS (SELECT transition, secs, count(*) AS w FROM lat GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT transition, secs,
+        |    sum(w) OVER (PARTITION BY transition ORDER BY secs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY transition) AS tot
+        |  FROM per)
+        |SELECT transition, CAST(max(tot) AS BIGINT) AS n_users,
+        |  min(secs) AS min_secs,
+        |  min(CASE WHEN cumw * 2 >= tot THEN secs END) AS med_secs,
+        |  min(CASE WHEN cumw * 10 >= tot * 9 THEN secs END) AS p90_secs,
+        |  max(secs) AS max_secs
+        |FROM cum GROUP BY transition""".stripMargin,
     "q184_rollup_shares" ->
       """WITH rev AS (
         |  SELECT r_name AS region, n_name AS nation,

@@ -315,12 +315,33 @@ object BehaviorQueries {
         expr("sum(abs(p0 - p1)) div 2").as("tvd_ppm"))
   }
 
+  /** Calendar activity heatmap: the (day-of-week × hour) grid every ops
+    * dashboard opens with — events, distinct users, and exact purchase
+    * revenue per cell. Day-of-week is pinned to Spark's 1=Sunday…7
+    * convention (DuckDB's `dayofweek` is 0-based — the oracle shifts).
+    *
+    * Scale shape: one hash aggregation to a ≤168-cell grid; the
+    * distinct-user count is the only rollup-heavy part and it shuffles
+    * on the same grid key.
+    */
+  def activityHeatmap: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"),
+        col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("purchase_cents"))
+
   val queries: Map[String, Q] = Map(
     "q154_event_paths" -> eventPaths,
     "q166_interval_merge" -> intervalMerge,
     "q171_journey_trigrams" -> journeyTrigrams,
     "q173_attribution" -> lastTouchAttribution,
     "q174_drift_tvd" -> driftTvd,
+    "q186_activity_heatmap" -> activityHeatmap,
     "q120_sessionize" -> sessionize,
     "q121_anomaly" -> anomaly,
     "q122_transitions" -> transitions,
@@ -328,6 +349,16 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q186_activity_heatmap" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hr,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        ELSE 0 END) AS purchase_cents
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
     "q173_attribution" ->
       """WITH w AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,

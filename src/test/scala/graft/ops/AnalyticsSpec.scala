@@ -451,6 +451,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnel latency: ordered quantiles and counts match the funnel stages") {
+    val lat = AnalyticsQueries.funnelLatency(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(lat.keySet === Set("view_to_click", "click_to_purchase"))
+    lat.values.foreach { case (n, mn, med, p90, mx) =>
+      assert(n > 0 && mn <= med && med <= p90 && p90 <= mx)
+      assert(mn >= 0, "negative latency")
+      assert(mx <= 86400, "latency beyond the 24h funnel deadline")
+    }
+    // the latency populations are exactly the funnel's surviving stages
+    val funnel = AnalyticsQueries.funnel(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(lat("view_to_click")._1 === funnel("click"))
+    assert(lat("click_to_purchase")._1 === funnel("purchase"))
+  }
+
   test("rollup shares: each level's ppm shares sum to 1e6 minus truncation") {
     val rows = AnalyticsQueries.rollupShares(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

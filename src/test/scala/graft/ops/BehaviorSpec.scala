@@ -184,6 +184,21 @@ class BehaviorSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("activity heatmap tiles the full week grid and conserves events") {
+    val rows = BehaviorQueries.activityHeatmap(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._2._1).sum === total, "events not conserved")
+    rows.foreach { case ((dow, hr), (n, users, cents)) =>
+      assert(dow >= 1 && dow <= 7 && hr >= 0 && hr <= 23)
+      assert(users <= n && cents >= 0)
+    }
+    // a month of traffic lights (nearly) every (dow, hour) cell even at
+    // the 1000-event spec sf — empty cells are simply absent rows
+    assert(rows.length >= 160 && rows.length <= 168)
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate cells")
+  }
+
   test("attribution credits the latest 7-day touch, else direct") {
     val got = BehaviorQueries.lastTouchAttribution(spark, sf).collect()
       .map(r => r.getLong(0) ->
