@@ -705,7 +705,7 @@ object AnalyticsQueries {
   }
 
   def weightedMedian: Q = (s, d) => {
-    val per = Tables.lineitem(s, d)
+    val per = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .select(col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"),
@@ -732,7 +732,7 @@ object AnalyticsQueries {
     * aggregate over it.
     */
   def winsorizedMean: Q = (s, d) => {
-    val base = Tables.lineitem(s, d)
+    val base = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .select(col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"))
@@ -769,7 +769,8 @@ object AnalyticsQueries {
     * the raw log is scanned twice, never sorted whole.
     */
   def madOutliers: Q = (s, d) => {
-    val b = Tables.events(s, d).where(col("value").isNotNull)
+    val b = Tables.fanOut(Tables.events(s, d), col("event_id"))
+      .where(col("value").isNotNull)
       .select(col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
     val med = cumWeights(

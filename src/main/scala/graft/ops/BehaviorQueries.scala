@@ -335,7 +335,41 @@ object BehaviorQueries {
         sum(when(col("event_type") === "purchase", col("cents"))
           .otherwise(0L)).as("purchase_cents"))
 
+  /** FIFO event matching (ordered reconciliation): each user's k-th
+    * `click` pairs with their k-th `purchase` — the rank-equality join
+    * that implements first-in-first-out matching (trade/fill
+    * reconciliation, request/response pairing) WITHOUT any iterative
+    * queue simulation: `row_number` per (user, type) on both sides,
+    * then an equi join on (user, k). Signed lag stays in raw
+    * microseconds — summing before any division means
+    * truncation-vs-floor on negative lags never arises.
+    *
+    * Scale shape: the two rank windows and the join all key on
+    * `user_id` — one exchange feeds everything; per-user work is
+    * bounded by that user's history.
+    */
+  def fifoMatch: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("t_us", "event_id")
+    val ranked = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("k", row_number().over(w))
+    val clicks = ranked.where(col("event_type") === "click")
+      .select(col("user_id"), col("k"), col("t_us").as("click_us"))
+    val buys = ranked.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("k"), col("t_us").as("buy_us"))
+    val matched = clicks.join(buys, Seq("user_id", "k"))
+    matched.groupBy("user_id")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("buy_us") - col("click_us")).as("sum_lag_us"),
+        sum(when(col("buy_us") >= col("click_us"), 1L).otherwise(0L))
+          .as("n_in_order"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_fifo_match" -> fifoMatch,
     "q154_event_paths" -> eventPaths,
     "q166_interval_merge" -> intervalMerge,
     "q171_journey_trigrams" -> journeyTrigrams,
@@ -349,6 +383,22 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q188_fifo_match" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT user_id, k, t_us AS click_us FROM ranked
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT user_id, k, t_us AS buy_us FROM ranked
+        |      WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_matched,
+        |  sum(buy_us - click_us) AS sum_lag_us,
+        |  sum(CASE WHEN buy_us >= click_us THEN 1 ELSE 0 END)
+        |    AS n_in_order
+        |FROM c JOIN b USING (user_id, k)
+        |GROUP BY user_id""".stripMargin,
     "q186_activity_heatmap" ->
       """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
         |  CAST(hour(ts) AS INT) AS hr,

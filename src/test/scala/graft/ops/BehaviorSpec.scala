@@ -184,6 +184,31 @@ class BehaviorSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("fifo match pairs k-th click with k-th purchase per user") {
+    val got = BehaviorQueries.fifoMatch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val evs = graft.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as t", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val clicks = rows.filter(_._2 == "click").sortBy(e => (e._3, e._4)).map(_._3)
+      val buys = rows.filter(_._2 == "purchase").sortBy(e => (e._3, e._4)).map(_._3)
+      val pairs = clicks.zip(buys)
+      if (pairs.isEmpty) None
+      else Some(u -> (pairs.length.toLong,
+        pairs.map { case (c, b) => b - c }.sum,
+        pairs.count { case (c, b) => b >= c }.toLong))
+    }
+    assert(got === want)
+    // both match outcomes are live: some lags run negative (purchase
+    // stream ahead of clicks) and some positive
+    assert(got.values.exists(_._2 < 0) || got.values.exists(v => v._3 < v._1))
+    assert(got.values.exists(v => v._3 > 0))
+  }
+
   test("activity heatmap tiles the full week grid and conserves events") {
     val rows = BehaviorQueries.activityHeatmap(spark, sf).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
