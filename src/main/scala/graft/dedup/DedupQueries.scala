@@ -81,6 +81,55 @@ object DedupQueries {
     jaccardPairs(shingles(Tables.documents(s, d)), 0.5)
   }
 
+  /** Prefix-filtering exact set-similarity join (AllPairs/PPJoin family):
+    * the EXACT scale path for Jaccard near-dup pairs — same answer as
+    * [[ngramJaccard]] (it shares q41's oracle verbatim), none of q42's
+    * probabilistic miss, and none of q41's O(Σ df²) inverted-index blowup.
+    *
+    * Each doc's shingles are ordered by global document frequency
+    * (rarest first, shingle text as tie-break — one total order shared by
+    * every doc); for Jaccard τ = 0.5 only the first
+    * `n - ceil(τ·n) + 1 = n div 2 + 1` shingles (the PREFIX) can witness
+    * a qualifying pair: if J(A,B) ≥ τ, the smallest common shingle in
+    * that order provably lands inside both prefixes. Candidates are the
+    * equi join on prefix shingles only (plus the |A| ≤ |B|/τ size
+    * filter), then exact verification via `array_intersect` on the full
+    * per-doc shingle sets.
+    *
+    * Scale shape: the candidate join touches the RAREST half of each
+    * doc's shingles — exactly the ones with small df — so the Σ df²
+    * explosion of the naive inverted index (dominated by the most common
+    * shingles) is gone, while the result stays bit-identical. This is the
+    * published AllPairs/PPJoin design (Bayardo et al., WWW'07) expressed
+    * as two keyed shuffles + one window; no LSH tuning, no recall knob.
+    */
+  def prefixJaccard: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dsh = shingles(Tables.documents(s, d))
+    val dfreq = dsh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = dsh.join(dfreq, "s")
+      .withColumn("i", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked.where(col("i") <= col("n") / 2 + 1)
+    val cand = prefix.select(col("doc_id").as("a_id"), col("s"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("s"), col("n").as("nb")), "s")
+      .where(col("a_id") < col("b_id") &&
+        col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na"))
+      .select("a_id", "b_id").distinct()
+    val sets = dsh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
+      .where(col("jac") >= 0.5)
+  }
+
   /** splitmix64 finalizer: full-avalanche 64-bit mix, the per-seed hash
     * family h_j(s) = mix(fnv64(s) ^ c_j).
     */
@@ -360,6 +409,7 @@ object DedupQueries {
     "q147_split_leakage" -> splitLeakage,
     "q40_dedup_exact" -> exact,
     "q41_dedup_jaccard" -> ngramJaccard,
+    "q190_prefix_jaccard" -> prefixJaccard,
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhash,
     "q88_dup_clusters" -> dupClusters)
@@ -446,6 +496,9 @@ object DedupQueries {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "q41_dedup_jaccard" -> jaccardOracle,
+    // exact by construction (prefix filtering is lossless at τ = 0.5):
+    // shares the brute-force oracle verbatim
+    "q190_prefix_jaccard" -> jaccardOracle,
     "q42_dedup_minhash" -> jaccardOracle,
     "q88_dup_clusters" ->
       """WITH RECURSIVE

@@ -33,5 +33,20 @@ object GraftFunctions {
         KllMergeSketch(exprs.head,
           exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
       "built-in")
+    // Spark ships Bloom-filter build/probe expressions for its automatic
+    // runtime-filter rewrite but keeps them out of the public function
+    // registry; surfacing them lets queries hand-build the classic
+    // bloom-semi-join pushdown (build over the small filtered dim, probe
+    // in the fact scan BEFORE the shuffle). Input must be xxhash64 longs.
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head).toAggregateExpression(),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
   }
 }

@@ -51,6 +51,55 @@ object AsOf {
       .select(col("_p.*"), col("_match.v").as(s"${valueCol}_asof"))
   }
 
+  /** Forward as-of join — the time-mirrored sibling of [[asofJoin]]:
+    * each left row matches the EARLIEST right row with the same `key`
+    * and `rightTime >= leftTime` (inclusive). Same single-shuffle
+    * union-tag design, with the window frame flipped to
+    * `(currentRow, unboundedFollowing)` and left rows sorting before
+    * right rows at equal timestamps so the at-time match is inclusive.
+    * Inner semantics: left rows with no following right row are dropped.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String, valueCol: String): DataFrame = {
+    val payloadT = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val vT = right.schema(valueCol).dataType
+    val wrapT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", vT)))
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(0).as("_r"),
+      lit(null).cast(wrapT).as("_v"), struct(left.columns.toIndexedSeq.map(col): _*).as("_p"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(1).as("_r"),
+      struct(col(valueCol).as("v")).as("_v"), lit(null).cast(payloadT).as("_p"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_r").asc) // left first at equal time → inclusive
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.union(r)
+      .withColumn("_match", first(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_r") === 0 && col("_match").isNotNull)
+      .select(col("_p.*"), col("_match.v").as(s"${valueCol}_next"))
+  }
+
+  /** q192: each click joined to the user's NEXT purchase at-or-after it
+    * — time-to-next-conversion, the canonical forward-as-of question.
+    * Times cross the engine boundary as epoch MICROSECONDS on both sides
+    * (Spark truncates the parquet nanos at load; the oracle projects
+    * `epoch_us` before its ASOF join) so sub-microsecond ordering can
+    * never split the engines.
+    */
+  def clickToNextPurchase: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        unix_micros(col("ts")).as("buy_us"))
+    asofJoinForward(clicks, buys, "user_id", "t_us", "t_us", "buy_us")
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("buy_us_next").as("buy_us"),
+        (col("buy_us_next") - col("t_us")).as("wait_us"))
+  }
+
   /** q38: each purchase event joined to the user's most recent signup
     * at-or-before it (oracle: DuckDB's native ASOF JOIN).
     */
@@ -85,7 +134,8 @@ object AsOf {
 
   val queries: Map[String, Q] = Map(
     "q38_asof_join" -> purchaseAfterSignup,
-    "q100_asof_native" -> purchaseAfterSignupNative)
+    "q100_asof_native" -> purchaseAfterSignupNative,
+    "q192_asof_forward" -> clickToNextPurchase)
 
   private val asofOracle =
     """SELECT a.event_id, a.user_id, a.ts, b.ts AS signup_ts
@@ -95,5 +145,15 @@ object AsOf {
 
   val oracles: Map[String, String] = Map(
     "q38_asof_join" -> asofOracle,
-    "q100_asof_native" -> asofOracle)
+    "q100_asof_native" -> asofOracle,
+    // DuckDB's ASOF generalizes to the forward direction: `a.t <= b.t`
+    // picks the smallest b.t at-or-after each left time
+    "q192_asof_forward" ->
+      """SELECT a.event_id, a.user_id, a.t_us, b.t_us AS buy_us,
+        |  b.t_us - a.t_us AS wait_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT user_id, epoch_us(ts) AS t_us FROM events
+        |           WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.t_us <= b.t_us""".stripMargin)
 }

@@ -757,6 +757,41 @@ object ExtraQueries {
         sum("n_chars").as("n_chars"),
         sum("doc_id").as("id_checksum"))
 
+  /** Stratified k-fold assignment (k = 5): within each stratum (source)
+    * docs are ordered by a salted md5 and dealt round-robin into folds —
+    * so every fold holds exactly ⌈n/k⌉ or ⌊n/k⌋ docs of each stratum,
+    * the balance guarantee the md5-THRESHOLD split (q145) inherently
+    * can't give (its fold sizes are binomial). Deterministic across
+    * engines, runs, and cluster sizes; the checksum pins membership.
+    *
+    * Scale shape: the per-stratum rank is the q167-family two-level
+    * prefix sum, NOT one window per stratum — in-bucket ranks (bucket =
+    * first hex char, a prefix of the hash order, so bucket-major order
+    * IS hash order) run as 16 parallel windows per stratum, and the
+    * bucket offsets prefix-sum over the tiny |strata|×16 count table
+    * before a broadcast join reassembles the global rank. A plain
+    * `row_number() OVER (PARTITION BY source ...)` would run ONE task
+    * per stratum at any scale.
+    */
+  def kfoldAssign: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("h", md5(concat(lit("fold:"), col("doc_id").cast("string"))))
+      .withColumn("bkt", expr("conv(substring(h, 1, 1), 16, 10)").cast("long"))
+    val inBucket = docs.withColumn("rb", row_number().over(
+      w.partitionBy("source", "bkt").orderBy("h", "doc_id")))
+    val offsets = docs.groupBy("source", "bkt").agg(count(lit(1)).as("nb"))
+      .withColumn("off", coalesce(sum("nb").over(
+        w.partitionBy("source").orderBy("bkt")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "off")
+    inBucket.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("fold", expr("cast((off + rb - 1) % 5 as bigint)"))
+      .groupBy("source", "fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("doc_id").as("id_checksum"))
+  }
+
   /** Schema-reconciling union (`unionByName` with
     * `allowMissingColumns=true`) — the compute-side half of q135's
     * schema-evolution story: two epochs of the same feed with drifted
@@ -929,6 +964,7 @@ object ExtraQueries {
     "q183_keyset_pagination" -> keysetPagination,
     "q139_try_safety" -> trySafety,
     "q145_split_manifest" -> splitManifest,
+    "q193_kfold" -> kfoldAssign,
     "q49_setops_all" -> setOpsAll,
     "q50_pivot" -> pivotStatus,
     "q51_scalar_subquery" -> scalarSubquery,
@@ -1162,6 +1198,18 @@ object ExtraQueries {
         |  CAST(nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' AS INT) AS is_a_nullsafe,
         |  CAST(nullif(l_returnflag, 'N') IS NULL AS INT) AS was_n
         |FROM lineitem""".stripMargin,
+    // the two-level distributed rank must equal the plain per-stratum
+    // window: the oracle keeps the naive form
+    "q193_kfold" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST((rn - 1) % 5 AS BIGINT) AS fold,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM t GROUP BY source, fold""".stripMargin,
     "q145_split_manifest" ->
       """WITH t AS (
         |  SELECT source, doc_id, n_chars,

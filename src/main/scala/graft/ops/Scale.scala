@@ -242,7 +242,50 @@ object Scale {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Hand-built Bloom-semi-join pushdown: build a Bloom filter over the
+    * join keys of the small filtered dimension (~1% of orders), probe it
+    * in the fact scan BEFORE the join's shuffle, then run the exact equi
+    * join to discard the false positives. This is the rewrite Spark's
+    * own `InjectRuntimeFilter` performs when its size thresholds fire —
+    * written out explicitly (via the same Catalyst `BloomFilterAggregate`
+    * / `BloomFilterMightContain` expressions, surfaced by
+    * [[graft.functions.GraftFunctions]]) so it also applies where the
+    * optimizer can't see it: thresholds tuned for clusters, streaming
+    * joins, or a probe side behind a non-join operator.
+    *
+    * Scale shape: the ~1.5k-key dimension aggregates into ONE ~1 MB
+    * bloom bitmap shipped as a scalar-subquery broadcast; at 100 TB the
+    * probe drops ~99% of fact rows at the scan, so the join exchange
+    * shuffles 1% of the bytes the plain plan would. The final join makes
+    * the result exact, so the whole mechanic is oracle-gated against the
+    * plain join (same pattern as q59/q131's salting).
+    */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (vo, vl) = ("ord_bf_" + sfx, "li_bf_" + sfx)
+    Tables.orders(s, d).createOrReplaceTempView(vo)
+    Tables.lineitem(s, d).createOrReplaceTempView(vl)
+    val df = s.sql(
+      s"""WITH dim AS (
+        |  SELECT o_orderkey, o_orderpriority FROM $vo
+        |  WHERE o_totalprice > 494000),
+        |pre AS (
+        |  SELECT l_orderkey, l_quantity FROM $vl
+        |  WHERE bloom_might_contain(
+        |    (SELECT bloom_agg(xxhash64(o_orderkey)) FROM dim),
+        |    xxhash64(l_orderkey)))
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM pre JOIN dim ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+    s.catalog.dropTempView(vo)
+    s.catalog.dropTempView(vl)
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
       saltedSum(Tables.lineitem(s, d), col("l_returnflag"), col("l_quantity"))),
@@ -252,6 +295,15 @@ object Scale {
     "q131_salted_join" -> (saltedJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // the plain join the bloom-pushdown plan must equal exactly (the
+    // final equi join removes every bloom false positive)
+    "q189_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 494000
+        |GROUP BY o_orderpriority""".stripMargin,
     "q151_compaction_plan" ->
       """WITH t AS (
         |  SELECT source, doc_id, n_chars,

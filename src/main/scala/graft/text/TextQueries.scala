@@ -421,6 +421,33 @@ object TextQueries {
         expr("(vocab * 1000000) div n_tokens").as("ttr_ppm"))
   }
 
+  /** Tokenizer-vocabulary coverage audit: fix a reference vocabulary
+    * (here the corpus's global top-20 words by frequency, word text as
+    * the deterministic tie-break — standing in for a real tokenizer's
+    * vocab file) and measure, per source, how many token OCCURRENCES
+    * fall outside it (out-of-vocabulary, exact ppm). The per-source OOV
+    * rate is the number a tokenizer/vocab decision is actually judged
+    * by; [[vocabStats]]'s hapax/TTR describe the corpus itself.
+    *
+    * Scale shape: one explode feeds both the frequency aggregate and
+    * the coverage rollup; the vocabulary is vocabulary-sized (top-k via
+    * TakeOrderedAndProject) and broadcast to the coverage join, so the
+    * corpus is never re-shuffled at token granularity.
+    */
+  def vocabCoverage: Q = (s, d) => {
+    val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(20)
+      .select(col("t"), lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tokens"))
+  }
+
   /** Quality-weighted data selection with epoch upsampling — the
     * curriculum step between scoring (q30/q75) and mixing (q90): score
     * each doc by type-token ratio (exact ppm), drop the low-quality
@@ -584,6 +611,7 @@ object TextQueries {
     "q141_quality_upsample" -> qualityUpsample,
     "q146_dataset_card" -> datasetCard,
     "q138_vocab_stats" -> vocabStats,
+    "q191_vocab_coverage" -> vocabCoverage,
     "q30_text_quality" -> quality,
     "q31_text_langid" -> langId,
     "q32_token_count" -> tokenCount,
@@ -707,6 +735,22 @@ object TextQueries {
         |SELECT source, CAST(bin AS BIGINT) AS bin, epoch,
         |  count(*) AS n_docs, CAST(sum(words) AS BIGINT) AS n_tokens
         |FROM e GROUP BY source, bin, epoch""".stripMargin,
+    "q191_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, 1 AS iv FROM (
+        |    SELECT t, count(*) AS cnt FROM toks GROUP BY t
+        |    ORDER BY cnt DESC, t ASC LIMIT 20)),
+        |j AS (SELECT toks.source, vocab.iv
+        |      FROM toks LEFT JOIN vocab ON toks.t = vocab.t)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS oov_ppm
+        |FROM j GROUP BY source""".stripMargin,
     "q138_vocab_stats" ->
       """WITH words AS (
         |  SELECT source,

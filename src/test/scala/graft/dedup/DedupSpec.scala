@@ -55,6 +55,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("prefix-filtering join is exact: identical pairs AND scores to brute force") {
+    val exact = DedupQueries.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pj = DedupQueries.prefixJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(pj === exact)
+    val plan = DedupQueries.prefixJaccard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("minhash plan never falls back to a nested-loop or cartesian join") {
     val plan = DedupQueries.minhashLsh(spark, sf)
       .queryExecution.executedPlan.toString

@@ -16,6 +16,35 @@ class AsOfSpec extends SparkSpec {
     assert(out === Set((1L, 10L, "a", "r5"), (1L, 20L, "b", "r20")))
   }
 
+  test("forward asof matches earliest at-or-after, inclusive at equal time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 1L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 4L, "r4"))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asofJoinForward(left, right, "k", "t", "rt", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    // (1,10)->r10 (inclusive); (1,20) has no following row -> dropped;
+    // (2,5): r4 is BEFORE it -> dropped; (3,1): no right rows at all
+    assert(out === Set((1L, 10L, "a", "r10")))
+  }
+
+  test("forward asof on the corpus equals a brute per-row scan") {
+    val got = AsOf.clickToNextPurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000 +
+          (r.getTimestamp(3).getNanos / 1000) % 1000))
+    val buys = ev.filter(_._3 == "purchase").groupBy(_._2)
+    val want = ev.filter(_._3 == "click").flatMap { case (id, u, _, t) =>
+      buys.getOrElse(u, Array.empty).map(_._4).filter(_ >= t).sorted.headOption
+        .map(bt => (id, u, t, bt, bt - t))
+    }.toSet
+    assert(got.nonEmpty && got === want)
+  }
+
   test("a matching right row with a NULL value yields NULL, not an older value") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")

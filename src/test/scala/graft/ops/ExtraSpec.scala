@@ -220,6 +220,26 @@ class ExtraSpec extends SparkSpec {
     assert(page.length === 100)
   }
 
+  test("k-fold: per-stratum fold sizes balanced within 1, partition exact") {
+    val rows = ExtraQueries.kfoldAssign(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exhaustive partition: per-source doc counts and id checksums add up
+    val bySrc = rows.groupBy(_._1)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val folds = bySrc(src)
+      assert(folds.map(_._3).sum === ds.length.toLong)
+      assert(folds.map(_._4).sum === ds.map(_._2).sum)
+      // round-robin deal: max and min fold size differ by at most 1
+      val sizes = folds.map(_._3)
+      assert(folds.map(_._2).sorted.toSeq === (0L until 5L),
+        s"$src must populate all 5 folds")
+      assert(sizes.max - sizes.min <= 1, s"$src sizes ${sizes.toSeq}")
+    }
+  }
+
   test("k-anonymity: flags exactly the sub-k QI groups") {
     // sf0.01: the 150-customer sf0.001 corpus has NO group reaching k=5,
     // which would make the "audit flags a strict subset" claim vacuous

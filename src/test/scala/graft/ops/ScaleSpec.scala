@@ -216,6 +216,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq.map(_._2).sum === factRows)
   }
 
+  test("bloom join probes the filter at the fact scan and equals the plain join") {
+    val df = Scale.bloomJoin(spark, sf)
+    // the probe must sit on the lineitem (fact) side of the plan, i.e.
+    // the bloom prunes BEFORE the join — not after it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("bloom_filter_agg"), plan)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).where(col("o_totalprice") > 494000),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === plain)
+  }
+
   test("compaction plan equals a driver-side greedy offset binning") {
     val target = 2048L
     val got = Scale.compactionPlan(spark, sf, target).collect()

@@ -216,6 +216,29 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage: OOV is exactly the token mass outside the global top-20") {
+    val got = TextQueries.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // brute replay: global top-20 by (count desc, token), then per-source
+    // occurrence counts outside it
+    val toks = graft.Tables.documents(spark, sf)
+      .selectExpr("source", "explode(filter(split(text, ' '), w -> w != '')) as t")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val top20 = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val want = toks.groupBy(_._1).map { case (src, ts) =>
+      val n = ts.length.toLong
+      val oov = ts.count(t => !top20(t._2)).toLong
+      (src, n, oov, oov * 1000000L / n)
+    }.toSet
+    assert(got.toSet === want)
+    // the 31-word synthetic vocab leaves 11 words OOV — the audit must
+    // not be vacuous in either direction
+    assert(got.exists(_._3 > 0), "no OOV mass anywhere")
+    assert(got.forall { case (_, n, oov, _) => oov < n }, "all-OOV source")
+  }
+
   test("feature hashing conserves token mass and stays inside the bucket range") {
     val rows = TextQueries.featureHash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
