@@ -1047,7 +1047,76 @@ object AnalyticsQueries {
         max("cents").as("max_secs"))
   }
 
+  /** Mann–Whitney U rank-sum test (the nonparametric two-sample
+    * location test): does the `1-URGENT` order-price distribution
+    * stochastically dominate `5-LOW`? All statistics are exact
+    * integers: prices cross the engine boundary as DECIMAL-cast cents,
+    * and tied ranks — normally fractional averages — are carried
+    * DOUBLED (2·avg-rank = 2·(cum−w) + w + 1 is always an integer), so
+    * `ra_x2`/`u_a_x2`/`u_b_x2` hash-match bit-for-bit where a float
+    * rank sum could not.
+    *
+    * Scale shape: the fact table collapses to one row per DISTINCT
+    * price (one keyed shuffle), and the global rank comes from
+    * [[cumWeights]]'s two-level distributed prefix sum — in-bucket
+    * windows run wide and only the ~|cents|/2¹⁶ bucket-total table is
+    * ever prefix-summed in one task. A plain `rank() OVER (ORDER BY
+    * price)` would global-sort the table through ONE task at any scale.
+    */
+  def mannWhitney: Q = (s, d) => {
+    val base = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("is_a"))
+    val per = base.groupBy("cents")
+      .agg(sum("is_a").as("na"), sum(lit(1L) - col("is_a")).as("nb"),
+        count(lit(1)).as("w"))
+      .withColumn("grp", lit("all"))
+    cumWeights(per, "grp")
+      .withColumn("r2",
+        lit(2L) * (col("cumw") - col("w")) + col("w") + lit(1L))
+      .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+        sum(col("na") * col("r2")).as("ra_x2"))
+      .withColumn("u_a_x2",
+        col("ra_x2") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("u_b_x2",
+        lit(2L) * col("n_a") * col("n_b") - col("u_a_x2"))
+  }
+
+  /** Benford first-digit audit: the distribution of leading digits of
+    * order totals (in exact cents) vs Benford's-law expectation — the
+    * classic fabricated-data / corrupted-ingest screen. The expected
+    * ppm per digit (⌊log₁₀(1+1/d)·10⁶⌋) is a 9-row literal table
+    * inlined IDENTICALLY on both engines, so no transcendental function
+    * ever crosses the engine boundary; observed shares are exact
+    * integer ppm.
+    *
+    * Scale shape: one partial+final hash aggregate to 9 rows; the share
+    * window and expectation join run on the 9-row table. The leading
+    * digit comes from the integer's decimal string — total-order exact
+    * on both engines (no float log10).
+    */
+  def benford: Q = (s, d) => {
+    import s.implicits._
+    val exp = Seq(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L).toDF("digit", "exp_ppm")
+    Tables.orders(s, d)
+      .select(substring(
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("obs_ppm", expr(
+        "n * 1000000L div sum(n) over ()"))
+      .join(broadcast(exp), Seq("digit"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_mann_whitney" -> mannWhitney,
+    "q196_benford" -> benford,
     "q180_audience_overlap" -> audienceOverlap,
     "q182_equidepth_histogram" -> equidepthHistogram,
     "q184_rollup_shares" -> rollupShares,
@@ -1103,6 +1172,46 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the two-level distributed rank must equal the plain global
+    // cumulative window; doubled ranks keep tie-averages integral
+    "q195_mann_whitney" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |per AS (
+        |  SELECT cents, CAST(sum(is_a) AS BIGINT) AS na,
+        |    CAST(sum(1 - is_a) AS BIGINT) AS nb, count(*) AS w
+        |  FROM f GROUP BY cents),
+        |r AS (
+        |  SELECT na, nb,
+        |    2 * (sum(w) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w)
+        |      + w + 1 AS r2
+        |  FROM per),
+        |t AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(na * r2) AS BIGINT) AS ra_x2
+        |  FROM r)
+        |SELECT n_a, n_b, ra_x2,
+        |  ra_x2 - n_a * (n_a + 1) AS u_a_x2,
+        |  2 * n_a * n_b - (ra_x2 - n_a * (n_a + 1)) AS u_b_x2
+        |FROM t""".stripMargin,
+    "q196_benford" ->
+      """WITH exp(digit, exp_ppm) AS (VALUES
+        |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |obs AS (
+        |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT obs.digit, obs.n,
+        |  obs.n * 1000000 // sum(obs.n) OVER () AS obs_ppm,
+        |  CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+        |  abs(obs.n * 1000000 // sum(obs.n) OVER () - exp.exp_ppm) AS dev_ppm
+        |FROM obs JOIN exp ON obs.digit = exp.digit""".stripMargin,
     "q187_funnel_latency" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

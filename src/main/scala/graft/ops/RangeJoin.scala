@@ -71,9 +71,73 @@ object RangeJoin {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Merged activity sessions for one event type: each event opens a
+    * 5-minute interval; overlapping intervals per (user, type) merge
+    * into maximal blocks (q166's running-max islands, tighter TTL).
+    * Output: one `[s_us, e_us]` interval row per session.
+    */
+  private def sessions(s: SparkSession, d: String, tpe: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    Tables.events(s, d).where(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(300L * 1000000L))
+      .withColumn("max_prev_e",
+        max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("max_prev_e").isNull || col("s_us") > col("max_prev_e"), 1L)
+          .otherwise(0L))
+      .withColumn("blk",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "blk")
+      .agg(min("s_us").as("s_us"), max("e_us").as("e_us"))
+      .select("user_id", "s_us", "e_us")
+  }
+
+  /** q194: interval × interval OVERLAP join with BOTH sides large — the
+    * generalization of q55's point-in-range join that neither an equi
+    * join nor the BETWEEN rewrite covers: all (view-session,
+    * purchase-session) pairs whose time intervals intersect, aggregated
+    * to concurrent-activity stats per day. The canonical form of
+    * "which browsing bursts coincided with buying bursts", ad-exposure
+    * overlap, and conflict detection.
+    *
+    * Scale shape (the published partition-overlap-join design): the
+    * time axis is cut into 1-hour cells; each interval explodes into
+    * the cells it covers (bounded by interval length — merged 5-min
+    * sessions stay minutes long), candidates come from the cell EQUI
+    * join, and a pair is counted exactly once WITHOUT a distinct: only
+    * in the cell containing the overlap start (`greatest(a.s, b.s)`).
+    * A naive theta join is |A|×|B| nested-loop; this is one keyed
+    * shuffle per side. The exact overlap predicate runs as a residual
+    * filter, so the cell width is pure performance tuning — the answer
+    * never changes.
+    */
+  def intervalOverlap: Q = (s, d) => {
+    val cellW = 3600L * 1000000L
+    def cells(df: DataFrame, p: String): DataFrame = df
+      .select(col("user_id").as(s"${p}_user"),
+        col("s_us").as(s"${p}_s"), col("e_us").as(s"${p}_e"))
+      .withColumn("cell", explode(expr(
+        s"sequence(${p}_s div ${cellW}L, ${p}_e div ${cellW}L)")))
+    cells(sessions(s, d, "view"), "a")
+      .join(cells(sessions(s, d, "purchase"), "b"), Seq("cell"))
+      .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .where(col("cell") ===
+        expr(s"greatest(a_s, b_s) div ${cellW}L"))
+      .select(
+        expr("greatest(a_s, b_s) div 86400000000L").as("day"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("ov_us"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_pairs"), sum("ov_us").as("overlap_us"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_range_join" -> priceBands,
-    "q86_range_join_rule" -> priceBandsAuto)
+    "q86_range_join_rule" -> priceBandsAuto,
+    "q194_interval_overlap" -> intervalOverlap)
 
   private def bandsOracle: String = {
     val values = bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
@@ -87,5 +151,37 @@ object RangeJoin {
 
   val oracles: Map[String, String] = Map(
     "q55_range_join" -> bandsOracle,
-    "q86_range_join_rule" -> bandsOracle)
+    "q86_range_join_rule" -> bandsOracle,
+    // the cell-bucketed plan must equal the naive inequality join; the
+    // oracle keeps the theta form (DuckDB plans it as an IEJoin)
+    "q194_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS s_us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT user_id, event_type, event_id, s_us,
+        |    s_us + 300000000 AS e_us,
+        |    CASE WHEN s_us > coalesce(max(s_us + 300000000) OVER (
+        |        PARTITION BY user_id, event_type ORDER BY s_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_type, s_us, e_us,
+        |    sum(brk) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+        |  FROM m),
+        |ses AS (
+        |  SELECT user_id, event_type, blk,
+        |    min(s_us) AS s_us, max(e_us) AS e_us
+        |  FROM g GROUP BY user_id, event_type, blk)
+        |SELECT greatest(a.s_us, b.s_us) // 86400000000 AS day,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+        |    AS BIGINT) AS overlap_us
+        |FROM (SELECT * FROM ses WHERE event_type = 'view') a
+        |JOIN (SELECT * FROM ses WHERE event_type = 'purchase') b
+        |  ON a.s_us <= b.e_us AND b.s_us <= a.e_us
+        |GROUP BY 1""".stripMargin)
 }

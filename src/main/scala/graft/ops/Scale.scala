@@ -284,7 +284,41 @@ object Scale {
     df
   }
 
+  /** Zone-map (min/max data-skipping) audit: bucket the event stream
+    * into day "zones" — the granularity a time-ordered ingest lays files
+    * out at — compute each zone's min/max timestamp statistics, and
+    * classify every zone against a query predicate
+    * (`ts ∈ [Jan 10 12:00, Jan 20 06:00)`) as `skip` (no row can
+    * match — the scan never opens it), `full` (every row matches — the
+    * predicate needn't even be evaluated), or `partial` (boundary zones
+    * that need the row-level filter). Output per class: zone count and
+    * row count — exactly the scan-pruning arithmetic a 100 TB engine
+    * does with parquet row-group stats, surfaced as a query so the
+    * skipping benefit is measurable per predicate.
+    *
+    * Scale shape: one partial+final hash aggregate to |zones| rows; the
+    * classification is a projection over that tiny table. All bounds
+    * are exact epoch microseconds on both engines.
+    */
+  def zoneMapAudit(s: SparkSession, d: String): DataFrame = {
+    val lo = "unix_micros(timestamp'2024-01-10 12:00:00')"
+    val hi = "unix_micros(timestamp'2024-01-20 06:00:00')"
+    Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("t_us"))
+      .withColumn("zone", expr("t_us div 86400000000L"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"),
+        min("t_us").as("zmin"), max("t_us").as("zmax"))
+      .withColumn("cls",
+        when(expr(s"zmax < $lo OR zmin >= $hi"), "skip")
+          .when(expr(s"zmin >= $lo AND zmax < $hi"), "full")
+          .otherwise("partial"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_zones"), sum("n_rows").as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_zonemap_audit" -> (zoneMapAudit(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -295,6 +329,22 @@ object Scale {
     "q131_salted_join" -> (saltedJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q198_zonemap_audit" ->
+      """WITH z AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS zone,
+        |    count(*) AS n_rows,
+        |    min(epoch_us(ts)) AS zmin, max(epoch_us(ts)) AS zmax
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT CASE
+        |    WHEN zmax < epoch_us(TIMESTAMP '2024-01-10 12:00:00')
+        |      OR zmin >= epoch_us(TIMESTAMP '2024-01-20 06:00:00') THEN 'skip'
+        |    WHEN zmin >= epoch_us(TIMESTAMP '2024-01-10 12:00:00')
+        |      AND zmax < epoch_us(TIMESTAMP '2024-01-20 06:00:00') THEN 'full'
+        |    ELSE 'partial' END AS cls, n_rows
+        |  FROM z)
+        |SELECT cls, count(*) AS n_zones, CAST(sum(n_rows) AS BIGINT) AS n_rows
+        |FROM c GROUP BY cls""".stripMargin,
     // the plain join the bloom-pushdown plan must equal exactly (the
     // final equi join removes every bloom false positive)
     "q189_bloom_join" ->

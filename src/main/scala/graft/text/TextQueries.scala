@@ -604,7 +604,76 @@ object TextQueries {
         expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint) % 32"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Phrase search via a positional inverted index: find every document
+    * containing the exact consecutive phrase "fast table", with match
+    * count and first match position — the primitive behind exact-phrase
+    * retrieval and n-gram decontamination at position granularity
+    * (q111's inverted index stores only doc-level postings; positions
+    * are what make PHRASES answerable without rescanning text).
+    *
+    * Scale shape: one posexplode feeds both term branches; each branch
+    * filter-pushes its term, so the self-join joins two TERM-SIZED
+    * posting lists on (doc, position) — an equi join keyed by document,
+    * never a text rescan or a cartesian. Positions are 1-based on both
+    * engines (Spark posexplode is 0-based and shifts; DuckDB
+    * generate_subscripts is 1-based natively).
+    */
+  def phraseSearch: Q = (s, d) => {
+    val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), w -> w != '')")))
+      .toDF("doc_id", "pos", "w")
+    val a = toks.where(col("w") === "fast").select(col("doc_id"), col("pos"))
+    val b = toks.where(col("w") === "table")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        (min("pos") + lit(1)).cast("long").as("first_pos"))
+  }
+
+  /** Posting-list delta-compression audit: per source, the exact bit
+    * cost of gap-encoding the sorted doc_id posting list (Elias-style:
+    * ⌈log₂ gap⌉+1 bits = the binary-string length of each gap) vs raw
+    * 64-bit ids — the number an inverted-index/retrieval layout decision
+    * is judged by.
+    *
+    * Scale shape: the q168 bucketed-lag pattern — NO per-source
+    * single-task sort. In-bucket gaps (`doc_id div 256`) come from a
+    * wide (source, bucket)-partitioned lag; each bucket's FIRST gap
+    * reaches back to the previous bucket's max via a prefix-max over
+    * the tiny |sources|×|buckets| bounds table (absent buckets fall out
+    * automatically). The oracle keeps the naive single-window form —
+    * same answer, different plan.
+    */
+  def postingBits: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bw = 256L
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("bkt", expr(s"doc_id div ${bw}L"))
+    val inB = docs.withColumn("prev", lag("doc_id", 1).over(
+      Window.partitionBy("source", "bkt").orderBy("doc_id")))
+    val bounds = docs.groupBy("source", "bkt")
+      .agg(max("doc_id").as("bmax"))
+      .withColumn("prev_bmax", lag("bmax", 1).over(
+        Window.partitionBy("source").orderBy("bkt")))
+      .select("source", "bkt", "prev_bmax")
+    inB.join(broadcast(bounds), Seq("source", "bkt"))
+      .withColumn("gap",
+        col("doc_id") - coalesce(col("prev"), col("prev_bmax"), lit(0L)))
+      .withColumn("bits", length(bin(col("gap"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) * 64L).as("raw_bits"),
+        sum("bits").as("gap_bits"))
+      .withColumn("savings_ppm",
+        expr("(raw_bits - gap_bits) * 1000000L div raw_bits"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_phrase_search" -> phraseSearch,
+    "q199_posting_bits" -> postingBits,
     "q163_feature_hash" -> featureHash,
     "q152_bm25" -> bm25,
     "q150_weighted_sample" -> weightedSample,
@@ -642,6 +711,31 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q197_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w,
+        |    generate_subscripts(
+        |      list_filter(string_split(text, ' '), w -> w <> ''), 1) AS pos
+        |  FROM documents)
+        |SELECT a.doc_id, count(*) AS n_matches,
+        |  CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'fast' AND b.w = 'table'
+        |GROUP BY a.doc_id""".stripMargin,
+    // the bucketed-lag plan must equal the naive per-source window
+    "q199_posting_bits" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    doc_id - coalesce(lag(doc_id) OVER (
+        |      PARTITION BY source ORDER BY doc_id), 0) AS gap
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) * 64 AS raw_bits,
+        |  CAST(sum(length(bin(gap))) AS BIGINT) AS gap_bits,
+        |  (count(*) * 64 - CAST(sum(length(bin(gap))) AS BIGINT))
+        |    * 1000000 // (count(*) * 64) AS savings_ppm
+        |FROM g GROUP BY source""".stripMargin,
     "q163_feature_hash" ->
       """WITH terms AS (
         |  SELECT doc_id,

@@ -569,4 +569,43 @@ class AnalyticsSpec extends SparkSpec {
       assert(vs.exists(v => v._2 < p05 || v._2 > p95))
     }
   }
+
+  test("mann-whitney doubled-U equals a driver-side rank computation") {
+    val row = AnalyticsQueries.mannWhitney(spark, sf).collect().head
+    val (nA, nB, raX2, uAX2, uBX2) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val vals = graft.Tables.orders(spark, sf)
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .selectExpr("cast(cast(o_totalprice as decimal(18,2)) * 100 as long)",
+        "o_orderpriority = '1-URGENT'")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val sorted = vals.sortBy(_._1)
+    // doubled average rank per tie-group keeps everything integral
+    val r2ByVal = sorted.map(_._1).zipWithIndex.groupBy(_._1)
+      .map { case (v, idx) => (v, idx.map(_._2 + 1L).sum * 2 / idx.length) }
+    val wantRaX2 = vals.filter(_._2).map(v => r2ByVal(v._1)).sum
+    val wantNA = vals.count(_._2).toLong
+    val wantNB = vals.length - wantNA
+    assert((nA, nB) === (wantNA, wantNB))
+    assert(raX2 === wantRaX2)
+    assert(uAX2 === wantRaX2 - wantNA * (wantNA + 1))
+    assert(uAX2 + uBX2 === 2 * wantNA * wantNB)
+    // both samples are live and U is inside its range
+    assert(wantNA > 0 && wantNB > 0)
+    assert(uAX2 >= 0 && uAX2 <= 2 * wantNA * wantNB)
+  }
+
+  test("benford: shares sum to ~1e6 and deviations replay from raw counts") {
+    val rows = AnalyticsQueries.benford(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted.toSeq === (1L to 9L), "all nine digits live")
+    val total = rows.map(_._2).sum
+    rows.foreach { case (_, n, obsPpm, expPpm, devPpm) =>
+      assert(obsPpm === n * 1000000L / total)
+      assert(devPpm === math.abs(obsPpm - expPpm))
+    }
+    // floor-divided shares sum to at most 1e6 (and close to it)
+    val s = rows.map(_._3).sum
+    assert(s <= 1000000L && s > 1000000L - 9)
+  }
 }

@@ -263,4 +263,24 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("zone-map audit: all three classes live, partition exact, replayable") {
+    val got = Scale.zoneMapAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("skip", "full", "partial"),
+      s"predicate must produce all three zone classes: $got")
+    val ev = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) as t").collect().map(_.getLong(0))
+    val lo = java.time.Instant.parse("2024-01-10T12:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-20T06:00:00Z").toEpochMilli * 1000L
+    val want = ev.groupBy(_ / 86400000000L).values.map { zs =>
+      val (zmin, zmax) = (zs.min, zs.max)
+      val cls =
+        if (zmax < lo || zmin >= hi) "skip"
+        else if (zmin >= lo && zmax < hi) "full"
+        else "partial"
+      (cls, zs.size.toLong)
+    }.groupBy(_._1).map { case (c, xs) => (c, (xs.size.toLong, xs.map(_._2).sum)) }
+    assert(got === want.toMap)
+  }
 }

@@ -258,4 +258,40 @@ class TextSpec extends SparkSpec {
     // so distinct buckets per doc must be < distinct tokens overall
     assert(rows.map(_._2).distinct.length <= 32)
   }
+
+  test("phrase search equals a brute sliding-window scan") {
+    val got = TextQueries.phraseSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val hits = ws.indices.dropRight(1)
+        .filter(i => ws(i) == "fast" && ws(i + 1) == "table")
+      if (hits.isEmpty) None
+      else Some((id, hits.size.toLong, hits.head + 1L)) // 1-based
+    }.toSet
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("posting bits: bucketed gap encoding equals the naive per-source scan") {
+    // doc_ids cross the 256 bucket boundary at every sf, so BOTH legs
+    // of the bucketed lag (in-bucket + boundary reach-back) run
+    val d = sf
+    val got = TextQueries.postingBits(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val docs = graft.Tables.documents(spark, d)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(docs.map(_._2).max > 256L, "corpus must span several buckets")
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val ids = ds.map(_._2).sorted
+      val gaps = ids.head +: ids.sliding(2).map(p => p(1) - p(0)).toArray
+      val bits = gaps.map(g => java.lang.Long.toBinaryString(g).length.toLong).sum
+      val raw = ids.length * 64L
+      (src, ids.length.toLong, raw, bits, (raw - bits) * 1000000L / raw)
+    }.toSet
+    assert(got === want)
+  }
 }
