@@ -105,20 +105,28 @@ object DedupQueries {
     */
   def prefixJaccard: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // shingle strings are hashed to 64 bits at the source (q42's verify
+    // trick) and NEVER shuffled as text: df-rank ties break on the hash
+    // (any shared total order works), and the exact verify intersects
+    // hash arrays — 8 bytes/shingle through every exchange
     val dsh = shingles(Tables.documents(s, d))
-    val dfreq = dsh.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = dsh.join(dfreq, "s")
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dfreq = dsh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = dsh.join(dfreq, "h")
       .withColumn("i", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // the full per-doc sets reuse ranked's doc_id partitioning (the
+    // window already shuffled+sorted by doc_id — the aggregate is
+    // partition-local, no extra exchange, no second shingle pass)
+    val sets = ranked.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("sh"), max("n").as("n"))
     val prefix = ranked.where(col("i") <= col("n") / 2 + 1)
-    val cand = prefix.select(col("doc_id").as("a_id"), col("s"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("s"), col("n").as("nb")), "s")
+    val cand = prefix.select(col("doc_id").as("a_id"), col("h"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("h"), col("n").as("nb")), "h")
       .where(col("a_id") < col("b_id") &&
         col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na"))
       .select("a_id", "b_id").distinct()
-    val sets = dsh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("s"))).as("sh"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha"),
         col("n").as("na")), "a_id")
