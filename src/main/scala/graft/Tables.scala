@@ -63,15 +63,17 @@ object Tables {
     if (df.inputFiles.length >= n) df else df.repartition(n, key)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on session config
-    * Spark either reads it natively or (with
-    * spark.sql.legacy.parquet.nanosAsLong=true) as a long of
-    * nanos-since-epoch. Normalize to a microsecond TimestampType column
-    * either way.
+  /** `events.ts` has shipped in two parquet layouts across corpus
+    * generations: TIMESTAMP(NANOS) — which Spark only reads under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, as a nanos-since-epoch
+    * long — and TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+    * reads natively as TIMESTAMP_NTZ. Normalize either to a session-zone
+    * `TimestampType` column: the session runs UTC, so the NTZ wall clock
+    * and the instant coincide (matching DuckDB's naive-timestamp
+    * `epoch_us`), and every downstream `unix_micros`/window/watermark
+    * sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Spark rejects TIMESTAMP(NANOS) parquet columns outright unless this
-    // legacy conf maps them to long (runtime-settable session conf).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
@@ -79,6 +81,9 @@ object Tables {
         // integer division: double `/` loses precision on epoch-nanos
         // magnitudes (1.7e18 exceeds double's 53-bit mantissa)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

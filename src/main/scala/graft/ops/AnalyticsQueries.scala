@@ -1114,7 +1114,120 @@ object AnalyticsQueries {
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
   }
 
+  /** Gini coefficient of customer spend per market segment — the
+    * standard inequality/concentration measure, in exact ppm (0 =
+    * perfectly equal, →1e6 as one customer approaches everything).
+    * Over values sorted ascending with ranks i=1..n:
+    * `G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)`. Tied values contribute
+    * identically whatever their order inside the tie, so the rank sum
+    * of a distinct value's block is closed-form —
+    * `w·(cumw−w) + w·(w+1)/2` — and Σi·xᵢ needs only the cumulative
+    * weight, never a per-row rank.
+    *
+    * Scale shape: per-customer spend is one orders aggregation; the
+    * distribution then collapses to distinct (segment, cents) rows and
+    * [[cumWeights]] supplies `cumw` via the two-level distributed
+    * prefix sum — no single-task per-group sort anywhere (the naive
+    * `row_number()` form the oracle uses runs one task per segment at
+    * any scale). Final products run in DECIMAL(38,0): Σi·x·1e6 clears
+    * int64 at warehouse scale.
+    */
+  def gini: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("cents"))
+    val per = spend
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("w"))
+    cumWeights(per, "c_mktsegment")
+      .withColumn("ranksum", expr("w * (cumw - w) + (w * (w + 1)) div 2"))
+      .groupBy("c_mktsegment")
+      .agg(max("tot").as("n"),
+        sum(expr("cents * w")).as("spend_cents"),
+        // the rank-weighted sum clears int64 at warehouse scale
+        sum(expr("cast(cents as decimal(38,0)) * ranksum")).as("sum_ix"))
+      .withColumn("gini_ppm", expr(
+        """(2 * sum_ix - (n + 1) * cast(spend_cents as decimal(38,0)))
+          | * 1000000 div (cast(n as decimal(38,0)) * spend_cents)""".stripMargin))
+      .select(col("c_mktsegment"), col("n"), col("spend_cents"), col("gini_ppm"))
+  }
+
+  /** ABC (Pareto) classification: brands ranked by revenue, classified
+    * by cumulative revenue share — A carries the first 70%, B to 90%,
+    * C the tail. The running share is exact ppm (DECIMAL(38,0)
+    * numerator — total-cents·1e6 clears int64 already at sf1).
+    *
+    * Scale shape: the fact scan collapses to one |brands|-row
+    * aggregate (broadcast part-dim join feeds it), and the
+    * unpartitioned cumulative window runs over THAT aggregate — 25
+    * rows here, bounded by brand cardinality at any data scale, so the
+    * single-task global sort is safe by construction (same rule as
+    * q142/q165: windows over aggregate-sized tables only).
+    */
+  def abcClasses: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(sum("cents").as("cents"))
+    val ord = Window.orderBy(col("cents").desc, col("p_brand").asc)
+    rev
+      .withColumn("cum_cents",
+        sum("cents").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total",
+        sum("cents").over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_ppm",
+        expr("cast(cum_cents as decimal(38,0)) * 1000000 div total"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= 700000, "A")
+          .when(col("cum_ppm") <= 900000, "B").otherwise("C"))
+      .select(col("p_brand"), col("cents"), col("cum_ppm"), col("abc_class"))
+  }
+
+  /** Herfindahl–Hirschman index per region: supplier revenue shares in
+    * exact ppm, HHI = Σ shareᵢ² scaled back to ppm (1e6 = monopoly;
+    * shares truncate identically on both engines before squaring, so
+    * the sum is bit-exact). The antitrust-screening concentration
+    * number next to q200's Gini.
+    *
+    * Scale shape: the fact table collapses to per-supplier totals in
+    * one keyed aggregation; everything after runs on supplier-count
+    * rows — region totals via a tiny re-aggregation broadcast back,
+    * no window over the fact scan, no join wider than the dim tables.
+    */
+  def hhi: Q = (s, d) => {
+    val dims = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, d).select("n_nationkey", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).select("r_regionkey", "r_name"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+    val per = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("l_suppkey").agg(sum("cents").as("cents"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+    val rtot = per.groupBy("r_name")
+      .agg(sum("cents").as("rtot"), count(lit(1)).as("n_suppliers"))
+    per.join(broadcast(rtot), "r_name")
+      .withColumn("share_ppm",
+        expr("cast(cents as decimal(38,0)) * 1000000 div rtot"))
+      .groupBy("r_name")
+      .agg(max("n_suppliers").as("n_suppliers"),
+        // decimal product: Σ share² over many suppliers clears int64
+        expr("sum(cast(share_ppm as decimal(38,0)) * share_ppm) div 1000000")
+          .as("hhi_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q200_gini" -> gini,
+    "q201_abc_classes" -> abcClasses,
+    "q202_hhi" -> hhi,
     "q195_mann_whitney" -> mannWhitney,
     "q196_benford" -> benford,
     "q180_audience_overlap" -> audienceOverlap,
@@ -1172,6 +1285,58 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // naive row_number Gini — same integers as the closed-form tie-block
+    // rank sums the Spark side derives from cumWeights
+    "q200_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, o_custkey) AS i
+        |  FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS spend_cents,
+        |  CAST((2 * sum(CAST(i AS HUGEINT) * cents)
+        |      - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000000
+        |    // (CAST(count(*) AS HUGEINT) * CAST(sum(cents) AS HUGEINT)) AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY c_mktsegment""".stripMargin,
+    "q201_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand)
+        |SELECT p_brand, cents,
+        |  CAST(CAST(sum(cents) OVER w AS HUGEINT) * 1000000
+        |    // CAST(sum(cents) OVER () AS HUGEINT) AS BIGINT) AS cum_ppm,
+        |  CASE WHEN CAST(sum(cents) OVER w AS HUGEINT) * 1000000
+        |           // CAST(sum(cents) OVER () AS HUGEINT) <= 700000 THEN 'A'
+        |       WHEN CAST(sum(cents) OVER w AS HUGEINT) * 1000000
+        |           // CAST(sum(cents) OVER () AS HUGEINT) <= 900000 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM rev
+        |WINDOW w AS (ORDER BY cents DESC, p_brand
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q202_hhi" ->
+      """WITH per AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_suppkey),
+        |j AS (
+        |  SELECT r_name, cents FROM per
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |t AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS rtot,
+        |        count(*) AS n_suppliers FROM j GROUP BY r_name),
+        |sh AS (SELECT j.r_name,
+        |         CAST(CAST(cents AS HUGEINT) * 1000000 // rtot AS BIGINT) AS share_ppm,
+        |         n_suppliers
+        |       FROM j JOIN t ON j.r_name = t.r_name)
+        |SELECT r_name, max(n_suppliers) AS n_suppliers,
+        |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM sh GROUP BY r_name""".stripMargin,
     // the two-level distributed rank must equal the plain global
     // cumulative window; doubled ranks keep tie-averages integral
     "q195_mann_whitney" ->

@@ -368,7 +368,61 @@ object BehaviorQueries {
           .as("n_in_order"))
   }
 
+  /** DAU/MAU stickiness per calendar month — the engagement ratio
+    * product teams track: average daily active users over monthly
+    * active users, in exact ppm (`Σdau·1e6 div (n_days·mau)` — the
+    * integer form of avg(DAU)/MAU; no float division crosses the
+    * engine boundary). Days are observed activity days, so a month
+    * with quiet days reports the average over its active days only.
+    *
+    * Scale shape: one distinct over (user, day) — a keyed aggregate on
+    * the event stream — then everything else runs on day- and
+    * month-cardinality rows. No windows, no joins wider than
+    * |months| rows.
+    */
+  def stickiness: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("month"),
+        col("ts").cast("date").as("day"))
+      .distinct()
+    val dau = daily.groupBy("month", "day").agg(count(lit(1)).as("dau"))
+    val mdau = dau.groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val mau = daily.select("user_id", "month").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    mdau.join(mau, "month")
+      .withColumn("stickiness_ppm",
+        expr("sum_dau * 1000000 div (n_days * mau)"))
+  }
+
+  /** New-vs-returning weekly actives: each active week a user is
+    * either new (this is their first-ever active week) or returning.
+    * The growth-accounting split behind every WAU chart.
+    *
+    * Scale shape: distinct (user, week) activity + a user-keyed min
+    * aggregate, joined back co-partitioned on `user_id` — both sides
+    * hash to the same exchange, then a |weeks|-row final aggregate.
+    */
+  def newVsReturning: Q = (s, d) => {
+    val weeks = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min("week").as("first_week"))
+    weeks.join(first, "user_id")
+      .groupBy("week")
+      .agg(
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("week") > col("first_week"), 1L).otherwise(0L))
+          .as("returning_users"),
+        count(lit(1)).as("active_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_stickiness" -> stickiness,
+    "q204_new_returning" -> newVsReturning,
     "q188_fifo_match" -> fifoMatch,
     "q154_event_paths" -> eventPaths,
     "q166_interval_merge" -> intervalMerge,
@@ -383,6 +437,35 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q203_stickiness" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('month', ts) AS DATE) AS month,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT month, day, count(*) AS dau FROM daily GROUP BY 1, 2),
+        |m AS (SELECT month, count(*) AS n_days,
+        |        CAST(sum(dau) AS BIGINT) AS sum_dau FROM dau GROUP BY month),
+        |mau AS (SELECT month, count(*) AS mau
+        |        FROM (SELECT DISTINCT user_id,
+        |                CAST(date_trunc('month', ts) AS DATE) AS month
+        |              FROM events) GROUP BY month)
+        |SELECT m.month, n_days, sum_dau, mau,
+        |  CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT) AS stickiness_ppm
+        |FROM m JOIN mau USING (month)""".stripMargin,
+    "q204_new_returning" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS first_week
+        |      FROM weeks GROUP BY user_id)
+        |SELECT week,
+        |  CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN week > first_week THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users,
+        |  count(*) AS active_users
+        |FROM weeks JOIN f USING (user_id) GROUP BY week""".stripMargin,
     "q188_fifo_match" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS t_us,

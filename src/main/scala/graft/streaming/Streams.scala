@@ -25,12 +25,15 @@ object Streams {
   type Q = (SparkSession, String) => DataFrame
 
   /** events schema for the streaming file source (file sources need an
-    * explicit schema). `ts` arrives as nanos-since-epoch (the parquet is
-    * TIMESTAMP(NANOS), read under nanosAsLong).
+    * explicit schema). The corpus ships `ts` as parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; the
+    * stream reader casts it to the session-zone TimestampType right
+    * after the scan (UTC session, so the instant is unchanged),
+    * mirroring `Tables.events`.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -42,7 +45,6 @@ object Streams {
     */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
     val staged = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft-events-${math.abs(src.toString.hashCode)}")
@@ -52,7 +54,7 @@ object Streams {
     s.readStream
       .schema(eventsRawSchema)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling 1-hour windows with a 1-hour watermark: count + exact sum

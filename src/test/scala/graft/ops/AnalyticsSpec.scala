@@ -608,4 +608,75 @@ class AnalyticsSpec extends SparkSpec {
     val s = rows.map(_._3).sum
     assert(s <= 1000000L && s > 1000000L - 9)
   }
+
+  test("gini equals the brute sorted-rank formula per segment") {
+    val out = AnalyticsQueries.gini(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val spend = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("cents"))
+      .join(graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "cents").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.keySet === spend.map(_._1).toSet)
+    spend.groupBy(_._1).foreach { case (seg, xs) =>
+      val v = xs.map(_._2).sorted
+      val n = BigInt(v.length)
+      val sumX = v.map(BigInt(_)).sum
+      val sumIx = v.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val g = ((2 * sumIx - (n + 1) * sumX) * 1000000) / (n * sumX)
+      val (qn, qs, qg) = out(seg)
+      assert(qn === v.length, s"$seg n")
+      assert(BigInt(qs) === sumX, s"$seg spend")
+      assert(BigInt(qg) === g, s"$seg gini")
+      assert(qg >= 0L && qg < 1000000L)
+    }
+  }
+
+  test("abc classes: cumulative share monotone, thresholds honored, all classes live") {
+    val rows = AnalyticsQueries.abcClasses(spark, sf)
+      .orderBy(col("cents").desc, col("p_brand")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    var prev = 0L
+    rows.foreach { case (brand, _, cum, cls) =>
+      assert(cum >= prev, s"$brand cum_ppm not monotone")
+      prev = cum
+      val want = if (cum <= 700000) "A" else if (cum <= 900000) "B" else "C"
+      assert(cls === want, s"$brand class")
+    }
+    assert(rows.last._3 === 1000000L, "final cumulative share is exactly 1e6")
+    assert(rows.map(_._4).toSet === Set("A", "B", "C"), "all three classes live")
+  }
+
+  test("hhi equals the brute share-square sum and respects its bounds") {
+    val out = AnalyticsQueries.hhi(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val per = graft.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("l_suppkey").agg(sum("c").as("cents"))
+      .join(graft.Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Tables.nation(spark, sf).select("n_nationkey", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, sf).select("r_regionkey", "r_name"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "cents").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    per.groupBy(_._1).foreach { case (region, xs) =>
+      val cents = xs.map(_._2)
+      val rtot = BigInt(cents.sum)
+      val shares = cents.map(c => BigInt(c) * 1000000 / rtot)
+      val hhi = shares.map(s => s * s).sum / 1000000
+      val (qn, qh) = out(region)
+      assert(qn === cents.length, s"$region n_suppliers")
+      assert(BigInt(qh) === hhi, s"$region hhi")
+      // equal shares floor 1e6/n (minus truncation slack); monopoly tops at 1e6
+      assert(qh >= 1000000L / qn - qn && qh <= 1000000L)
+    }
+  }
 }

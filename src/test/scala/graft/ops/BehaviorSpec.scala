@@ -279,4 +279,42 @@ class BehaviorSpec extends SparkSpec {
     // drift is nonzero somewhere (the halves are different samples)
     assert(got.values.exists(_._2 > 0L))
   }
+
+  test("stickiness equals the brute daily/monthly distinct replay, bounded by 1e6") {
+    val out = BehaviorQueries.stickiness(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val daily = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "cast(date_trunc('month', ts) as date) as m",
+        "cast(ts as date) as day")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDate(2).toString))
+    assert(out.keySet === daily.map(_._2).toSet)
+    daily.groupBy(_._2).foreach { case (month, xs) =>
+      val dau = xs.groupBy(_._3).map { case (_, us) => us.map(_._1).distinct.size.toLong }
+      val nDays = dau.size.toLong
+      val sumDau = dau.sum
+      val mau = xs.map(_._1).distinct.size.toLong
+      val ppm = sumDau * 1000000L / (nDays * mau)
+      val (qd, qs, qm, qp) = out(month)
+      assert((qd, qs, qm, qp) === ((nDays, sumDau, mau, ppm)), s"month $month")
+      assert(qp > 0L && qp <= 1000000L)
+    }
+  }
+
+  test("new+returning equals active each week; firsts are counted exactly once") {
+    val rows = BehaviorQueries.newVsReturning(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (wk, nw, ret, act) =>
+      assert(nw + ret === act, s"week $wk split does not sum")
+    }
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === totalUsers,
+      "every user is new in exactly one week")
+    // the earliest week is all-new by construction
+    val first = rows.minBy(_._1)
+    assert(first._3 === 0L, "returning users in the first week")
+  }
 }
