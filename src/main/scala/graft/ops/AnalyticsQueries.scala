@@ -1224,7 +1224,55 @@ object AnalyticsQueries {
           .as("hhi_ppm"))
   }
 
+  /** Quantile normalization across sources: each document's length is
+    * replaced by the GLOBAL distribution's value at the same quantile
+    * position it holds within its own source — the cross-source
+    * feature-alignment transform (microarray normalization, score
+    * calibration between graders, mixing corpora whose length profiles
+    * drift). Deciles keep it exact: a doc's source decile is the
+    * lower-discrete decile of its length within the source; its
+    * normalized value is the global lower-discrete decile boundary of
+    * that decile (decile 10 → the global max).
+    *
+    * Scale shape: per-source decile assignment comes from
+    * [[cumWeights]] over distinct (source, len) rows — domain-bounded
+    * like q167, no per-row rank — joined back co-keyed on
+    * (source, len). The ten global boundaries reduce driver-side and
+    * inline as literals (the q182/q118 shape), so the rewrite is a
+    * scan-local CASE projection: no one-row cross join, no BNLJ.
+    */
+  def quantileNorm: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("cents"))
+    // global decile boundaries: b1..b9 lower-discrete, b10 = max
+    val gper = base.withColumn("g", lit("all"))
+      .groupBy("g", "cents").agg(count(lit(1)).as("w"))
+    val gBoundCols = (1 to 9).map(i =>
+      min(when(col("cumw") * 10 >= col("tot") * i, col("cents"))).as(s"b$i")) :+
+      max(col("cents")).as("b10")
+    val gb = cumWeights(gper, "g")
+      .groupBy("g").agg(gBoundCols.head, gBoundCols.tail: _*)
+      .head()
+    val bs = (1 to 10).map(i => gb.getLong(i))
+    // per-source decile of each distinct length
+    val decExpr = (1 to 9)
+      .map(i => s"(case when cumw * 10 > tot * $i then 1 else 0 end)")
+      .mkString("1 + ", " + ", "")
+    val dec = cumWeights(
+      base.groupBy("source", "cents").agg(count(lit(1)).as("w")), "source")
+      .withColumn("src_decile", expr(s"cast($decExpr as bigint)"))
+      .select("source", "cents", "src_decile")
+    val normExpr = (1 to 10)
+      .map(i => s"when src_decile = $i then ${bs(i - 1)}L")
+      .mkString("case ", " ", " end")
+    base.join(dec, Seq("source", "cents"))
+      .select(col("doc_id"), col("source"), col("cents").as("len"),
+        col("src_decile"), expr(normExpr).as("norm_len"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_quantile_norm" -> quantileNorm,
     "q200_gini" -> gini,
     "q201_abc_classes" -> abcClasses,
     "q202_hhi" -> hhi,
@@ -1285,6 +1333,45 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // naive window form: RANGE frame counts ties inclusively, matching
+    // cumWeights over distinct values; boundary join mirrors the
+    // inlined literals
+    "q205_quantile_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, len,
+        |    count(*) OVER (PARTITION BY source ORDER BY len
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    count(*) OVER (PARTITION BY source) AS tot
+        |  FROM d),
+        |g AS (
+        |  SELECT len,
+        |    count(*) OVER (ORDER BY len
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum,
+        |    count(*) OVER () AS gtot
+        |  FROM d),
+        |gb AS (
+        |  SELECT i, min(len) AS b
+        |  FROM g CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i)
+        |  WHERE gcum * 10 >= gtot * i GROUP BY i
+        |  UNION ALL SELECT 10, max(len) FROM d),
+        |dd AS (
+        |  SELECT doc_id, source, len,
+        |    CAST(1 + (CASE WHEN cumw*10 > tot*1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*4 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*5 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*6 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*7 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*8 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS src_decile
+        |  FROM s)
+        |SELECT doc_id, source, len, src_decile, b AS norm_len
+        |FROM dd JOIN gb ON gb.i = dd.src_decile""".stripMargin,
     // naive row_number Gini — same integers as the closed-form tie-block
     // rank sums the Spark side derives from cumWeights
     "q200_gini" ->

@@ -128,6 +128,31 @@ object BehaviorQueries {
       .agg(countDistinct("user_id").as("u7"))
   }
 
+  /** The sketch sibling [[rollingDistinct]]'s scaladoc promises: rolling
+    * 7-day distinct users via mergeable HLL sketches. Each day
+    * aggregates ONCE into a sketch; the rolling union then ships
+    * 7·|days| sketch blobs instead of 7·|user-days| rows — at 100 TB
+    * that is the difference between re-shuffling the user stream per
+    * window position and merging kilobyte partials (q130/q137's
+    * partial-merge economics applied to a frame). Same
+    * contribute-and-aggregate shape as the exact form, so target days
+    * with no activity drop out identically.
+    *
+    * Rows-only for the driver (DuckDB has no Datasketches HLL);
+    * BehaviorSpec pins the estimate against the exact q123 within 5%.
+    */
+  def rollingDistinctSketch: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    daily.select(col("sk"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("target_day"))
+      .join(daily.select(col("day").as("target_day")), "target_day")
+      .groupBy("target_day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("u7_est"))
+  }
+
   /** One-pass per-column profiler over `orders`: row count, non-null
     * count, exact distinct count, and min/max rendered to strings with
     * per-type care (dates via DATE cast, money via DECIMAL(18,2) — the
@@ -423,6 +448,7 @@ object BehaviorQueries {
   val queries: Map[String, Q] = Map(
     "q203_stickiness" -> stickiness,
     "q204_new_returning" -> newVsReturning,
+    "q206_rolling_sketch" -> rollingDistinctSketch,
     "q188_fifo_match" -> fifoMatch,
     "q154_event_paths" -> eventPaths,
     "q166_interval_merge" -> intervalMerge,

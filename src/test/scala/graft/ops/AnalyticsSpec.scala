@@ -609,6 +609,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - 9)
   }
 
+  test("quantile norm: deciles partition each source; norm_len is the global decile boundary") {
+    val rows = AnalyticsQueries.quantileNorm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val lens = rows.map(_._3).sorted
+    // global lower-discrete decile boundaries, brute
+    val n = lens.length
+    def bound(i: Int): Long =
+      if (i == 10) lens.last
+      else lens.find(v => lens.count(_ <= v) * 10 >= n.toLong * i).get
+    rows.foreach { case (id, src, len, dec, norm) =>
+      assert(dec >= 1 && dec <= 10, s"doc $id decile")
+      assert(norm === bound(dec.toInt), s"doc $id norm_len")
+    }
+    // within each source, deciles are monotone in length
+    rows.groupBy(_._2).foreach { case (src, xs) =>
+      val sorted = xs.sortBy(_._3)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 <= b._4, s"$src deciles not monotone in length")
+      }
+    }
+    // every document survives
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === total)
+  }
+
   test("gini equals the brute sorted-rank formula per segment") {
     val out = AnalyticsQueries.gini(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -280,6 +280,19 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L))
   }
 
+  test("rolling sketch estimate tracks the exact rolling distinct within 5%") {
+    val exact = BehaviorQueries.rollingDistinct(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val est = BehaviorQueries.rollingDistinctSketch(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet, "sketch and exact cover the same days")
+    est.foreach { case (day, e) =>
+      val x = exact(day)
+      assert(e > 0 && math.abs(e - x).toDouble / x <= 0.05,
+        s"day $day: est $e vs exact $x")
+    }
+  }
+
   test("stickiness equals the brute daily/monthly distinct replay, bounded by 1e6") {
     val out = BehaviorQueries.stickiness(spark, sf).collect()
       .map(r => r.getDate(0).toString ->
