@@ -445,7 +445,81 @@ object BehaviorQueries {
         count(lit(1)).as("active_users"))
   }
 
+  /** Join-key skew diagnostic: per event type, the log2-bucketed
+    * frequency histogram of per-user event counts — how many keys
+    * carry 1 row, 2–3, 4–7, … — plus each bucket's row mass. This is
+    * the planning query behind every salting/AQE-skew decision (q59/
+    * q131 APPLY the mitigation; this measures whether it's needed and
+    * how hot the head is). `length(bin(freq)) - 1` is floor(log2) in
+    * pure integer arithmetic on both engines — no float log.
+    *
+    * Scale shape: one keyed aggregation to (type, user) counts, then a
+    * second hash aggregate to |types|·|buckets| rows. Nothing else.
+    */
+  def keySkewHistogram: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("bucket", expr("cast(length(bin(freq)) - 1 as int)"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("freq").as("n_rows"),
+        min("freq").as("min_freq"), max("freq").as("max_freq"))
+  }
+
+  /** Incremental sessionization: sessionize each time epoch
+    * independently, then merge ONLY the epoch-boundary seams — and get
+    * bit-identical results to re-sessionizing all history. This is the
+    * incremental-view-maintenance answer for a non-algebraic windowed
+    * operator (q130 did it for algebraic aggregates): yesterday's
+    * sessions are never recomputed; a nightly run sessionizes the new
+    * epoch and re-islands the per-user session INTERVALS, of which
+    * only the boundary pair can fuse. 6-hour idle gap (visit blocks);
+    * epochs split at 2024-01-16T00:00Z.
+    *
+    * Correctness: per-user sessions are disjoint, time-ordered
+    * intervals, and the epoch split is a time cut — so `lag(e_us)` IS
+    * the running max (the q166 nesting hazard can't arise) and one
+    * islands pass over session intervals reproduces the full
+    * computation exactly. Counts sum across fused parts.
+    *
+    * Scale shape: each epoch's sessionize is q120's one-exchange plan
+    * over that epoch only; the merge pass runs over session-count
+    * rows, not events. The oracle sessionizes all history in one pass.
+    */
+  def incrementalSessions: Q = (s, d) => {
+    val gapUs = 6L * 3600L * 1000000L
+    val boundaryUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+    def sessionize(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      df.withColumn("prev", lag("t_us", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("t_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("blk", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "blk")
+        .agg(count(lit(1)).as("n_events"),
+          min("t_us").as("s_us"), max("t_us").as("e_us"))
+    }
+    val parts = sessionize(ev.where(col("t_us") < boundaryUs))
+      .unionAll(sessionize(ev.where(col("t_us") >= boundaryUs)))
+    val w2 = Window.partitionBy("user_id").orderBy("s_us")
+    parts
+      .withColumn("prev_e", lag("e_us", 1).over(w2))
+      .withColumn("brk",
+        when(col("prev_e").isNull || col("s_us") - col("prev_e") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(sum("n_events").as("n_events"),
+        min("s_us").as("s_us"), max("e_us").as("e_us"))
+      .withColumn("dur_us", col("e_us") - col("s_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q207_key_skew" -> keySkewHistogram,
+    "q208_incremental_sessions" -> incrementalSessions,
     "q203_stickiness" -> stickiness,
     "q204_new_returning" -> newVsReturning,
     "q206_rolling_sketch" -> rollingDistinctSketch,
@@ -463,6 +537,34 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q207_key_skew" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id, count(*) AS freq
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(length(bin(freq)) - 1 AS INT) AS bucket,
+        |  count(*) AS n_keys, CAST(sum(freq) AS BIGINT) AS n_rows,
+        |  min(freq) AS min_freq, max(freq) AS max_freq
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    // the oracle sessionizes ALL history in one pass — the registered
+    // epoch-split-and-merge plan must reproduce it bit-identically
+    "q208_incremental_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+        |x AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |b AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(t_us) AS s_us, max(t_us) AS e_us,
+        |  max(t_us) - min(t_us) AS dur_us
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q203_stickiness" ->
       """WITH daily AS (
         |  SELECT DISTINCT user_id,

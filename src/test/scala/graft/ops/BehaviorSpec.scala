@@ -280,6 +280,58 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L))
   }
 
+  test("key skew histogram conserves keys and rows; buckets bound their frequencies") {
+    val rows = BehaviorQueries.keySkewHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, bucket, nKeys, nRows, mn, mx) =>
+      assert((1L << bucket) <= mn && mx < (1L << (bucket + 1)),
+        s"$tpe bucket $bucket holds [$mn,$mx]")
+      assert(nKeys <= nRows)
+    }
+    val totalRows = rows.map(_._4).sum
+    assert(totalRows === graft.Tables.events(spark, sf).count())
+    val totalKeys = rows.map(_._3).sum
+    val distinctPairs = graft.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().count()
+    assert(totalKeys === distinctPairs)
+  }
+
+  test("incremental sessionization equals the one-pass form; boundary merges live at sf0.01") {
+    // sf0.01: the epoch seam has real cross-boundary sessions (none
+    // exist at the tiny spec sf — 14 users straddle the cut here)
+    val sf01 = "/root/testdata/sf0.01"
+    val got = BehaviorQueries.incrementalSessions(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // brute one-pass sessionize on the driver
+    val ev = graft.Tables.events(spark, sf01)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 6L * 3600L * 1000000L
+    var want = Map.empty[(Long, Long), (Long, Long, Long, Long)]
+    var crossBoundary = 0
+    val boundary = 1705363200000000L
+    ev.groupBy(_._1).foreach { case (user, xs) =>
+      val sorted = xs.sortBy(r => (r._3, r._2)).map(_._3)
+      var sid = 0L
+      var block = Vector.empty[Long]
+      def flush(): Unit = if (block.nonEmpty) {
+        want += (user, sid) -> (block.length.toLong, block.head, block.last,
+          block.last - block.head)
+        if (block.head < boundary && block.last >= boundary) crossBoundary += 1
+      }
+      sorted.foreach { t =>
+        if (block.nonEmpty && t - block.last <= gap) block = block :+ t
+        else { flush(); sid += 1; block = Vector(t) } // first brk ⇒ sid 1
+      }
+      flush()
+    }
+    assert(got === want)
+    assert(crossBoundary > 0, "no session spans the epoch boundary at sf0.01")
+  }
+
   test("rolling sketch estimate tracks the exact rolling distinct within 5%") {
     val exact = BehaviorQueries.rollingDistinct(spark, sf).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
