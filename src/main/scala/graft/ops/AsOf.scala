@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,10 +132,55 @@ object AsOf {
         col("s_ts").as("signup_ts"))
   }
 
+  /** q209: NEAREST-event join — each click matched to the user's
+    * purchase closest in time in EITHER direction, completing the as-of
+    * family (q38 backward, q192 forward): the sensor-alignment /
+    * "which transaction does this click belong to" primitive.
+    * Semantics: the backward candidate is at-or-before (a same-micro
+    * purchase counts as lag 0 before), the forward candidate strictly
+    * after; the smaller |lag| wins and the backward side wins exact
+    * cross-direction ties. Output lag is SIGNED raw micros (negative =
+    * purchase preceded the click) — no division, so trunc-vs-floor on
+    * negatives never arises (q188's rule).
+    *
+    * Scale shape: ONE user-keyed exchange + sort over the union of the
+    * two event streams serves all four window reads (both directions ×
+    * (time, id)); no self-join, no per-pair expansion — the same
+    * one-sort economics as the window as-of, now bidirectional.
+    */
+  def nearestPurchase: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("r"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("r").asc, col("event_id").asc)
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    def buyCol(c: Column): Column = when(col("r") === 0, c)
+    ev
+      .withColumn("pt", last(buyCol(col("t")), ignoreNulls = true).over(prevW))
+      .withColumn("pid", last(buyCol(col("event_id")), ignoreNulls = true).over(prevW))
+      .withColumn("nt", first(buyCol(col("t")), ignoreNulls = true).over(nextW))
+      .withColumn("nid", first(buyCol(col("event_id")), ignoreNulls = true).over(nextW))
+      .where(col("r") === 1 && (col("pt").isNotNull || col("nt").isNotNull))
+      .withColumn("take_prev",
+        col("nt").isNull || (col("pt").isNotNull &&
+          col("t") - col("pt") <= col("nt") - col("t")))
+      .select(col("user_id"), col("event_id"), col("t").as("t_click_us"),
+        when(col("take_prev"), col("pid")).otherwise(col("nid")).as("buy_event_id"),
+        (when(col("take_prev"), col("pt")).otherwise(col("nt")) - col("t"))
+          .as("lag_us"),
+        when(col("take_prev"), lit("before")).otherwise(lit("after"))
+          .as("direction"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q38_asof_join" -> purchaseAfterSignup,
     "q100_asof_native" -> purchaseAfterSignupNative,
-    "q192_asof_forward" -> clickToNextPurchase)
+    "q192_asof_forward" -> clickToNextPurchase,
+    "q209_nearest_event" -> nearestPurchase)
 
   private val asofOracle =
     """SELECT a.event_id, a.user_id, a.ts, b.ts AS signup_ts
@@ -155,5 +200,33 @@ object AsOf {
         |      WHERE event_type = 'click') a
         |ASOF JOIN (SELECT user_id, epoch_us(ts) AS t_us FROM events
         |           WHERE event_type = 'purchase') b
-        |  ON a.user_id = b.user_id AND a.t_us <= b.t_us""".stripMargin)
+        |  ON a.user_id = b.user_id AND a.t_us <= b.t_us""".stripMargin,
+    // the same union-sort windows, purchases ordered before clicks at
+    // equal (t) via r so at-or-before/strictly-after splits identically
+    "q209_nearest_event" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS r
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, event_id, t, r,
+        |    last_value(CASE WHEN r = 0 THEN t END IGNORE NULLS)
+        |      OVER (wp ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |    last_value(CASE WHEN r = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (wp ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid,
+        |    first_value(CASE WHEN r = 0 THEN t END IGNORE NULLS)
+        |      OVER (wp ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+        |    first_value(CASE WHEN r = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (wp ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nid
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t, r, event_id))
+        |SELECT user_id, event_id, t AS t_click_us,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL AND t - pt <= nt - t)
+        |    THEN pid ELSE nid END AS buy_event_id,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL AND t - pt <= nt - t)
+        |    THEN pt - t ELSE nt - t END AS lag_us,
+        |  CASE WHEN nt IS NULL OR (pt IS NOT NULL AND t - pt <= nt - t)
+        |    THEN 'before' ELSE 'after' END AS direction
+        |FROM w
+        |WHERE r = 1 AND (pt IS NOT NULL OR nt IS NOT NULL)""".stripMargin)
 }

@@ -45,6 +45,36 @@ class AsOfSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("nearest-event join equals a brute both-direction scan with before-wins ties") {
+    val got = AsOf.nearestPurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val buysByUser = ev.filter(_._3 == "purchase").groupBy(_._2)
+    val want = ev.filter(_._3 == "click").flatMap { case (cid, u, _, ct) =>
+      val buys = buysByUser.getOrElse(u, Array.empty)
+      // at-or-before candidate: latest (t, id); strictly-after: earliest
+      val prev = buys.filter(_._4 <= ct)
+        .sortBy(b => (b._4, b._1)).lastOption
+      val next = buys.filter(_._4 > ct)
+        .sortBy(b => (b._4, b._1)).headOption
+      (prev, next) match {
+        case (None, None) => None
+        case (Some(p), None) => Some((u, cid, ct, p._1, p._4 - ct, "before"))
+        case (None, Some(n)) => Some((u, cid, ct, n._1, n._4 - ct, "after"))
+        case (Some(p), Some(n)) =>
+          if (ct - p._4 <= n._4 - ct) Some((u, cid, ct, p._1, p._4 - ct, "before"))
+          else Some((u, cid, ct, n._1, n._4 - ct, "after"))
+      }
+    }.toSet
+    assert(got.nonEmpty && got === want)
+    // both directions live
+    assert(got.exists(_._6 == "before") && got.exists(_._6 == "after"))
+    assert(got.exists(_._5 < 0), "some nearest purchase precedes its click")
+  }
+
   test("a matching right row with a NULL value yields NULL, not an older value") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")
