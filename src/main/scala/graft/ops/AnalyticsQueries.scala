@@ -1271,7 +1271,59 @@ object AnalyticsQueries {
         col("src_decile"), expr(normExpr).as("norm_len"))
   }
 
+  /** Decile lift chart (gains table): rank users by an activity score,
+    * cut into score deciles (top decile first), and report each
+    * decile's responder rate plus CUMULATIVE lift over the base rate —
+    * the standard offline evaluation of a targeting model, in exact
+    * ppm. Score = total event count; responder = user with ≥1
+    * purchase. Lift_ppm of the top-k deciles =
+    * (cum_responders·total_users·1e6) div (cum_users·total_responders).
+    *
+    * Scale shape: one user-keyed aggregation, then the score
+    * distribution collapses to distinct score values and [[cumWeights]]
+    * (on the NEGATED score — the helper orders ascending) assigns
+    * lower-discrete deciles without any per-row rank; the cumulative
+    * windows run over the 10-row decile table. Ties share a decile on
+    * both engines by construction.
+    */
+  def liftChart: Q = (s, d) => {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("resp"))
+    val dist = users.groupBy("score")
+      .agg(count(lit(1)).as("w"), sum("resp").as("r"))
+      .withColumn("g", lit("all"))
+      .withColumn("cents", -col("score")) // helper sorts ascending
+    val decExpr = (1 to 9)
+      .map(i => s"(case when cumw * 10 > tot * $i then 1 else 0 end)")
+      .mkString("1 + ", " + ", "")
+    val byDecile = cumWeights(dist, "g")
+      .withColumn("decile", expr(s"cast($decExpr as bigint)"))
+      .groupBy("decile")
+      .agg(sum("w").as("n_users"), sum("r").as("responders"))
+    val ord = Window.orderBy("decile")
+    byDecile
+      .withColumn("cum_users",
+        sum("n_users").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_resp",
+        sum("responders").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot_users",
+        sum("n_users").over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot_resp",
+        sum("responders").over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("decile"), col("n_users"), col("responders"),
+        expr("responders * 1000000 div n_users").as("resp_ppm"),
+        // decimal: cum_resp·tot_users·1e6 clears int64 at warehouse scale
+        expr("""(cast(cum_resp as decimal(38,0)) * tot_users * 1000000)
+               | div (cast(cum_users as decimal(38,0)) * tot_resp)""".stripMargin)
+          .as("cum_lift_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_lift_chart" -> liftChart,
     "q205_quantile_norm" -> quantileNorm,
     "q200_gini" -> gini,
     "q201_abc_classes" -> abcClasses,
@@ -1333,6 +1385,45 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q210_lift_chart" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT score, count(*) AS w, CAST(sum(resp) AS BIGINT) AS r
+        |  FROM u GROUP BY score),
+        |c AS (
+        |  SELECT score, w, r,
+        |    sum(w) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER () AS tot
+        |  FROM s),
+        |dd AS (
+        |  SELECT r, w,
+        |    CAST(1 + (CASE WHEN cumw*10 > tot*1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*4 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*5 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*6 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*7 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*8 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cumw*10 > tot*9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS decile
+        |  FROM c),
+        |g AS (SELECT decile, CAST(sum(w) AS BIGINT) AS n_users,
+        |        CAST(sum(r) AS BIGINT) AS responders FROM dd GROUP BY decile)
+        |SELECT decile, n_users, responders,
+        |  CAST(responders * 1000000 // n_users AS BIGINT) AS resp_ppm,
+        |  CAST((CAST(sum(responders) OVER wd AS HUGEINT)
+        |        * CAST(sum(n_users) OVER () AS HUGEINT) * 1000000)
+        |    // (CAST(sum(n_users) OVER wd AS HUGEINT)
+        |        * CAST(sum(responders) OVER () AS HUGEINT)) AS BIGINT)
+        |    AS cum_lift_ppm
+        |FROM g
+        |WINDOW wd AS (ORDER BY decile
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // naive window form: RANGE frame counts ties inclusively, matching
     // cumWeights over distinct values; boundary join mirrors the
     // inlined literals

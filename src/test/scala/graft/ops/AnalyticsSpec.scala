@@ -609,6 +609,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - 9)
   }
 
+  test("lift chart conserves users/responders and ends at lift exactly 1e6") {
+    val rows = AnalyticsQueries.liftChart(spark, sf)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length === rows.length)
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val responders = graft.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === users, "user conservation")
+    assert(rows.map(_._3).sum === responders, "responder conservation")
+    rows.foreach { case (d, n, r, ppm, _) =>
+      assert(d >= 1 && d <= 10)
+      assert(r <= n && ppm === r * 1000000L / n)
+    }
+    // the full-population cumulative lift is 1e6 by definition
+    assert(rows.last._5 === 1000000L)
+  }
+
   test("quantile norm: deciles partition each source; norm_len is the global decile boundary") {
     val rows = AnalyticsQueries.quantileNorm(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
