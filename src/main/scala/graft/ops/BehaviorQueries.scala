@@ -308,6 +308,45 @@ object BehaviorQueries {
           expr("(t_us - touch_us) div 1000000L")).as("latency_secs"))
   }
 
+  /** Attribution-model comparison: every purchase credited under BOTH
+    * first-touch and last-touch (7-day lookback) in one pass, then the
+    * 2-D credit matrix (counts + revenue cents per (first, last) pair,
+    * `direct` when no touch qualifies) — the query a marketing team
+    * runs before switching models, showing exactly how much credit
+    * moves. Both models share one RANGE frame
+    * `[t−7d, t]` over the user's stream, so their `direct` sets
+    * coincide by construction; within the window `first()` and
+    * `last(ignoreNulls)` pick the two ends.
+    *
+    * Determinism: the RANGE frame orders by `t_us` alone (SQL allows
+    * one ordering expression for RANGE); the corpus has no same-user
+    * same-microsecond pairs at any sf (verified — the q67 rule), so
+    * peer order can never differ between engines.
+    *
+    * Scale shape: ONE user-keyed sort serves all four carry columns;
+    * the credit matrix is a ≤9-row aggregate on top.
+    */
+  def attributionCompare: Q = (s, d) => {
+    val lookbackUs = 604800000000L
+    val w = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-lookbackUs, 0)
+    val touchTp = when(col("event_type").isin("view", "click"), col("event_type"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .withColumn("first_touch", first(touchTp, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touchTp, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch"), lit("direct")).as("first_credit"),
+        coalesce(col("last_touch"), lit("direct")).as("last_credit"),
+        col("cents"))
+      .groupBy("first_credit", "last_credit")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+  }
+
   /** Distribution drift (total variation distance): splits the event
     * log into two calendar epochs (day-of-month ≤ 15 vs rest) and
     * reports, per event type, TVD = Σ|p₁−p₂|/2 over 20-unit value
@@ -518,6 +557,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q211_attribution_compare" -> attributionCompare,
     "q207_key_skew" -> keySkewHistogram,
     "q208_incremental_sessions" -> incrementalSessions,
     "q203_stickiness" -> stickiness,
@@ -537,6 +577,30 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q211_attribution_compare" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t_us,
+        |    coalesce(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0)
+        |      AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, cents,
+        |    first_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (wp RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (wp RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |      AS last_touch
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t_us))
+        |SELECT coalesce(first_touch, 'direct') AS first_credit,
+        |  coalesce(last_touch, 'direct') AS last_credit,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
     "q207_key_skew" ->
       """WITH f AS (
         |  SELECT event_type, user_id, count(*) AS freq

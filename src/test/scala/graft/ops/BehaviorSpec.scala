@@ -280,6 +280,35 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L))
   }
 
+  test("attribution compare equals a brute two-model replay and conserves purchases") {
+    val got = BehaviorQueries.attributionCompare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as t",
+        "coalesce(cast(cast(value as decimal(18,2)) * 100 as bigint), 0L) as cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lookback = 604800000000L
+    var want = Map.empty[(String, String), (Long, Long)]
+    ev.groupBy(_._1).foreach { case (_, xs) =>
+      val touches = xs.filter(e => e._2 == "view" || e._2 == "click").sortBy(_._3)
+      xs.filter(_._2 == "purchase").foreach { case (_, _, t, cents) =>
+        val in = touches.filter(e => e._3 >= t - lookback && e._3 <= t)
+        val key =
+          if (in.isEmpty) ("direct", "direct")
+          else (in.head._2, in.last._2)
+        val (n, c) = want.getOrElse(key, (0L, 0L))
+        want += key -> (n + 1, c + cents)
+      }
+    }
+    assert(got === want)
+    val purchases = ev.count(_._2 == "purchase").toLong
+    assert(got.values.map(_._1).sum === purchases)
+    // the comparison is informative: the two models disagree somewhere
+    assert(got.keys.exists(k => k._1 != k._2), "first and last touch never differ")
+  }
+
   test("key skew histogram conserves keys and rows; buckets bound their frequencies") {
     val rows = BehaviorQueries.keySkewHistogram(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
