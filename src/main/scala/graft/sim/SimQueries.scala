@@ -571,7 +571,72 @@ object SimQueries {
           .cast("long"))
   }
 
+  /** MMR (maximal marginal relevance) diversified re-ranking: from the
+    * exact-cosine top-20 candidates for the query embedding, greedily
+    * select 5 results maximizing `relevance − max-similarity-to-
+    * already-selected` (λ = ½ scaled ×2 — rank-equivalent, one
+    * subtraction). The standard diversification step after retrieval
+    * (RAG context assembly, SERP diversity) next to q156's
+    * gate-then-rerank and q170's fusion.
+    *
+    * Determinism: relevance and pairwise similarity are exact int64
+    * dots over quantized vectors converted once to IEEE doubles; both
+    * engines then run the identical sqrt/divide/subtract sequence
+    * (correctly-rounded IEEE ops — q45's proven rule), and every
+    * selection step tie-breaks (score desc, doc_id asc).
+    *
+    * Scale shape: relevance is one broadcast-query scan ranked by
+    * TakeOrderedAndProject (q45's shape); the greedy runs driver-side
+    * over the 20-candidate matrix — the q54/q180 aggregate-sized-
+    * collect rule, O(k²) doubles on the driver, never the corpus. The
+    * DuckDB oracle replays the same greedy as 5 unrolled
+    * argmax-with-exclusion CTE steps.
+    */
+  def mmrRerank: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val qid = 0L
+    val emb = quantized(Tables.embeddings(s, d))
+    val qrow = emb.where(col("vec_id") === qid).select("qv", "nrm").head()
+    val qvLit = qrow.getSeq[Long](0).mkString("array(", "L, ", "L)")
+    val qnrm = qrow.getLong(1)
+    val cands = emb.where(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        (expr(s"dot_i64($qvLit, qv)").cast("double") /
+          (sqrt(lit(qnrm).cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+      .collect()
+    val ids = cands.map(_.getLong(0))
+    val qvs = cands.map(_.getSeq[Long](1).toArray)
+    val nrms = cands.map(_.getLong(2))
+    val rels = cands.map(_.getDouble(3))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val sim = Array.tabulate(ids.length, ids.length) { (i, j) =>
+      dot(qvs(i), qvs(j)).toDouble /
+        (math.sqrt(nrms(i).toDouble) * math.sqrt(nrms(j).toDouble))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (selected.length < 5) {
+      val best = ids.indices.filterNot(selected.contains)
+        .map { i =>
+          val ms = if (selected.isEmpty) 0.0 else selected.map(sim(i)).max
+          (rels(i) - ms, ids(i), i)
+        }
+        .minBy { case (score, id, _) => (-score, id) }._3
+      selected += best
+    }
+    import s.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (i, r) => (r + 1, ids(i), rels(i)) }
+      .toDF("rank", "doc_id", "rel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q212_mmr_rerank" -> mmrRerank,
     "q156_hybrid_search" -> hybridSearch,
     "q170_rrf_fusion" -> rrfFusion,
     "q45_knn_brute" -> knnBrute,
@@ -589,6 +654,54 @@ object SimQueries {
       |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same greedy, unrolled: each step is argmax(rel − max sim to
+    // the selected set) with (score desc, doc_id) tie-break
+    "q212_mmr_rerank" ->
+      s"""$quantCte,
+         |qq AS (SELECT qv qqv, nrm qnrm FROM n WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT b.vec_id AS doc_id, b.qv, b.nrm,
+         |    CAST(list_sum(list_transform(range(1, len(qqv) + 1),
+         |        i -> qqv[i] * b.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(qnrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+         |      AS rel
+         |  FROM n b CROSS JOIN qq WHERE b.vec_id <> 0
+         |  ORDER BY rel DESC, doc_id LIMIT 20),
+         |sim AS (
+         |  SELECT a.doc_id ai, b.doc_id bi,
+         |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         |        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) s
+         |  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+         |s1 AS (SELECT doc_id, rel FROM cand ORDER BY rel DESC, doc_id LIMIT 1),
+         |p2 AS (SELECT c.doc_id, c.rel,
+         |         (SELECT max(s) FROM sim WHERE sim.ai = c.doc_id
+         |            AND sim.bi IN (SELECT doc_id FROM s1)) AS ms
+         |       FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM s1)),
+         |s2 AS (SELECT doc_id, rel FROM p2 ORDER BY rel - ms DESC, doc_id LIMIT 1),
+         |sel2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+         |p3 AS (SELECT c.doc_id, c.rel,
+         |         (SELECT max(s) FROM sim WHERE sim.ai = c.doc_id
+         |            AND sim.bi IN (SELECT doc_id FROM sel2)) AS ms
+         |       FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel2)),
+         |s3 AS (SELECT doc_id, rel FROM p3 ORDER BY rel - ms DESC, doc_id LIMIT 1),
+         |sel3 AS (SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM s3),
+         |p4 AS (SELECT c.doc_id, c.rel,
+         |         (SELECT max(s) FROM sim WHERE sim.ai = c.doc_id
+         |            AND sim.bi IN (SELECT doc_id FROM sel3)) AS ms
+         |       FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel3)),
+         |s4 AS (SELECT doc_id, rel FROM p4 ORDER BY rel - ms DESC, doc_id LIMIT 1),
+         |sel4 AS (SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM s4),
+         |p5 AS (SELECT c.doc_id, c.rel,
+         |         (SELECT max(s) FROM sim WHERE sim.ai = c.doc_id
+         |            AND sim.bi IN (SELECT doc_id FROM sel4)) AS ms
+         |       FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel4)),
+         |s5 AS (SELECT doc_id, rel FROM p5 ORDER BY rel - ms DESC, doc_id LIMIT 1)
+         |SELECT CAST(1 AS INT) AS rank, doc_id, rel FROM s1
+         |UNION ALL SELECT 2, doc_id, rel FROM s2
+         |UNION ALL SELECT 3, doc_id, rel FROM s3
+         |UNION ALL SELECT 4, doc_id, rel FROM s4
+         |UNION ALL SELECT 5, doc_id, rel FROM s5""".stripMargin,
     "q170_rrf_fusion" ->
       s"""WITH terms AS (
          |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))

@@ -124,4 +124,20 @@ class SimSpec extends SparkSpec {
     // consensus wins: docs ranked by BOTH systems are live in the top-10
     assert(rows.exists(r => r._2 > 0 && r._3 > 0))
   }
+
+  test("mmr rerank: rank 1 is argmax relevance, set is distinct, diversification is live") {
+    val rows = SimQueries.mmrRerank(spark, sf).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 5)
+    assert(rows.map(_._2).distinct.length === 5, "selected docs are distinct")
+    assert(rows.map(_._1).toSeq === (1 to 5), "ranks are 1..5")
+    // rank 1 is the plain relevance argmax
+    assert(rows.head._3 === rows.map(_._3).max)
+    // the greedy must diverge from plain top-5-by-relevance somewhere:
+    // either a non-top-5 doc is selected or the order is not rel-desc
+    val relOrdered = rows.map(_._3).toSeq
+    assert((relOrdered != relOrdered.sorted.reverse) ||
+      (rows.map(_._2).toSet != rows.sortBy(-_._3).map(_._2).toSet),
+      "MMR degenerated to plain top-k (no diversification observed)")
+  }
 }
