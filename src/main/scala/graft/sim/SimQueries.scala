@@ -635,7 +635,43 @@ object SimQueries {
       .toDF("rank", "doc_id", "rel")
   }
 
+  /** Semantic decontamination: flag corpus documents whose embedding is
+    * too close (cosine ≥ 0.35) to ANY benchmark-set embedding — the
+    * vector sibling of q84's n-gram decontamination, catching
+    * paraphrased eval leakage that token overlap misses. Benchmark =
+    * the q45 query set (vec_id % 100 == 0); output = flagged doc, its
+    * nearest benchmark item (ties → smaller id), and the max
+    * similarity.
+    *
+    * Scale shape: the benchmark side is tiny and broadcast — the
+    * |B|×|corpus| scoring scan is the SAME deliberate shape as q45's
+    * brute kNN (exact scores against a handful of query vectors), with
+    * q46/q58's LSH bucketing as the documented scale path when |B|
+    * grows. Exact int64 dots → IEEE doubles, so the oracle matches
+    * bit-for-bit.
+    */
+  def semanticDecontam: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val emb = quantized(Tables.embeddings(s, d))
+    val bench = broadcast(emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("bench_id"), col("qv").as("bqv"),
+        col("nrm").as("bnrm")))
+    val corpus = emb.where(col("vec_id") % 100 =!= 0)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("bench_id").asc)
+    corpus.crossJoin(bench)
+      .select(col("vec_id"), col("bench_id"),
+        (expr("dot_i64(qv, bqv)").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("bnrm").cast("double"))))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1 && col("sim") >= 0.35)
+      .select(col("vec_id").as("doc_id"), col("bench_id"),
+        col("sim").as("max_sim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_semantic_decontam" -> semanticDecontam,
     "q212_mmr_rerank" -> mmrRerank,
     "q156_hybrid_search" -> hybridSearch,
     "q170_rrf_fusion" -> rrfFusion,
@@ -654,6 +690,24 @@ object SimQueries {
       |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q213_semantic_decontam" ->
+      s"""$quantCte,
+         |b AS (SELECT vec_id bench_id, qv bqv, nrm bnrm FROM n
+         |      WHERE vec_id % 100 = 0),
+         |c AS (SELECT * FROM n WHERE vec_id % 100 <> 0),
+         |scored AS (
+         |  SELECT c.vec_id, b.bench_id,
+         |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+         |        i -> c.qv[i] * b.bqv[i])) AS DOUBLE)
+         |      / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(b.bnrm AS DOUBLE)))
+         |      AS sim
+         |  FROM c CROSS JOIN b),
+         |r AS (SELECT vec_id, bench_id, sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY sim DESC, bench_id ASC) rk
+         |      FROM scored)
+         |SELECT vec_id AS doc_id, bench_id, sim AS max_sim
+         |FROM r WHERE rk = 1 AND sim >= 0.35""".stripMargin,
     // the same greedy, unrolled: each step is argmax(rel − max sim to
     // the selected set) with (score desc, doc_id) tie-break
     "q212_mmr_rerank" ->

@@ -19,13 +19,14 @@ class PlanAuditSpec extends SparkSpec {
   private val skip: Set[String] = Set(
     "q71_stateful_totals", "q89_stateful_totals_tws")
 
-  /** q45 brute kNN is |Q|x|corpus| BY DEFINITION (exact scores for a
-    * handful of broadcast query vectors over every row) — the
-    * BroadcastNestedLoopJoin over the tiny query side IS the right
-    * plan, and the ANN queries (q46/q54) are its scale siblings.
+  /** q45 brute kNN and q213 semantic decontamination are |Q|x|corpus|
+    * BY DEFINITION (exact scores against a handful of broadcast
+    * query/benchmark vectors over every row) — the
+    * BroadcastNestedLoopJoin over the tiny broadcast side IS the right
+    * plan, and the ANN queries (q46/q54/q58) are the scale siblings.
     */
   private val allowPairwise: Set[String] =
-    SparkEntry.exactBaselines + "q45_knn_brute"
+    SparkEntry.exactBaselines + "q45_knn_brute" + "q213_semantic_decontam"
 
   test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

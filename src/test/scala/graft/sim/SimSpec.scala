@@ -125,6 +125,32 @@ class SimSpec extends SparkSpec {
     assert(rows.exists(r => r._2 > 0 && r._3 > 0))
   }
 
+  test("semantic decontamination equals a brute max-sim replay; both classes live") {
+    val got = SimQueries.semanticDecontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val all = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint)) as qv")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def nrm(a: Array[Long]): Double = math.sqrt(dot(a, a).toDouble)
+    val bench = all.filter(_._1 % 100 == 0)
+    val corpus = all.filter(_._1 % 100 != 0)
+    val want = corpus.flatMap { case (id, v) =>
+      val scored = bench.map { case (bid, bv) =>
+        (dot(v, bv).toDouble / (nrm(v) * nrm(bv)), bid)
+      }
+      val (ms, mb) = scored.minBy { case (s2, b) => (-s2, b) }
+      if (ms >= 0.35) Some(id -> (mb, ms)) else None
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no contaminated docs at the 0.35 threshold")
+    assert(got.size < corpus.length, "threshold flags the whole corpus")
+  }
+
   test("mmr rerank: rank 1 is argmax relevance, set is distinct, diversification is live") {
     val rows = SimQueries.mmrRerank(spark, sf).orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
