@@ -138,6 +138,46 @@ object DedupQueries {
       .where(col("jac") >= 0.5)
   }
 
+  /** Incremental dedup ingest: near-dup pairs (exact Jaccard ≥ 0.5)
+    * that involve a NEW document (ingest batch = doc_id % 3 == 0 —
+    * live both ways at every sf), classified `new_old` (duplicate of
+    * something already in the corpus → drop the new copy) vs `new_new`
+    * (duplicates within the batch → keep one). This is the nightly
+    * form of q41/q42: the old×old quadrant is NEVER recomputed — a
+    * production run probes the batch's shingles against the stored
+    * inverted index (here rebuilt, since the sandbox has no persisted
+    * state; the probe-side economics are what the plan shows: only
+    * batch shingles drive the join).
+    *
+    * Scale shape: batch-shingles equi-join the corpus index on the
+    * shingle key; (least, greatest, shingle) distinct canonicalizes
+    * direction so within-batch pairs count once; sizes broadcast back.
+    * Work is O(batch shingles · df) instead of the full corpus
+    * quadrant — the q130/q181 partial-maintenance economics applied to
+    * dedup.
+    */
+  def incrementalDedup: Q = (s, d) => {
+    val dsh = shingles(Tables.documents(s, d))
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val newSh = dsh.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("nid"), col("s"))
+    val allSh = dsh.select(col("doc_id").as("oid"), col("s"))
+    val inter = newSh.join(allSh, Seq("s"))
+      .where(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("a_id"),
+        greatest(col("nid"), col("oid")).as("b_id"), col("s"))
+      .distinct()
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"),
+        when(col("a_id") % 3 === 0 && col("b_id") % 3 === 0, "new_new")
+          .otherwise("new_old").as("kind"))
+      .where(col("jac") >= 0.5)
+  }
+
   /** splitmix64 finalizer: full-avalanche 64-bit mix, the per-seed hash
     * family h_j(s) = mix(fnv64(s) ^ c_j).
     */
@@ -418,6 +458,7 @@ object DedupQueries {
     "q40_dedup_exact" -> exact,
     "q41_dedup_jaccard" -> ngramJaccard,
     "q190_prefix_jaccard" -> prefixJaccard,
+    "q214_incremental_dedup" -> incrementalDedup,
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhash,
     "q88_dup_clusters" -> dupClusters)
@@ -507,6 +548,14 @@ object DedupQueries {
     // exact by construction (prefix filtering is lossless at τ = 0.5):
     // shares the brute-force oracle verbatim
     "q190_prefix_jaccard" -> jaccardOracle,
+    // the full pair set filtered to pairs touching the ingest batch —
+    // what the incremental plan computes without the old×old quadrant
+    "q214_incremental_dedup" ->
+      s"""SELECT a_id, b_id, jac,
+         |  CASE WHEN a_id % 3 = 0 AND b_id % 3 = 0 THEN 'new_new'
+         |       ELSE 'new_old' END AS kind
+         |FROM ($jaccardOracle)
+         |WHERE a_id % 3 = 0 OR b_id % 3 = 0""".stripMargin,
     "q42_dedup_minhash" -> jaccardOracle,
     "q88_dup_clusters" ->
       """WITH RECURSIVE

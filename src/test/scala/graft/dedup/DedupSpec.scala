@@ -128,4 +128,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists { case ((a, b), _) => a != b },
       "expected cross-split near-dup pairs under a doc-id split")
   }
+
+  test("incremental dedup equals the full pair set filtered to the ingest batch") {
+    val full = DedupQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = DedupQueries.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getString(3)))
+      .toMap
+    val want = full.view.filterKeys { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      .map { case (k @ (a, b), j) =>
+        k -> (j, if (a % 3 == 0 && b % 3 == 0) "new_new" else "new_old")
+      }.toMap
+    assert(got === want)
+    // batch-vs-corpus AND within-batch duplicates are both observed
+    assert(got.values.exists(_._2 == "new_old"))
+    assert(got.values.exists(_._2 == "new_new"))
+    // no old×old pair leaks into the incremental result
+    assert(got.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
+  }
 }
