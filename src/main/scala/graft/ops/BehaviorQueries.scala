@@ -50,6 +50,30 @@ object BehaviorQueries {
         unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
   }
 
+  /** Daily session-quality report over [[sessionize]]'s 30-minute
+    * sessions: per session-start day, session count, bounce share
+    * (single-event sessions, the metric every web-analytics dashboard
+    * leads with) in exact ppm, mean events per session, and mean
+    * duration in whole seconds — integer division on both engines.
+    *
+    * Scale shape: q120's one-exchange sessionization feeds a
+    * |days|-row aggregate; nothing touches the raw log twice.
+    */
+  def sessionQuality: Q = (s, d) => {
+    sessionize(s, d)
+      .select(col("start_ts").cast("date").as("day"),
+        col("n_events"), col("duration_us"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"),
+        sum("n_events").as("events"),
+        sum("duration_us").as("dur_us"))
+      .select(col("day"), col("n_sessions"), col("bounces"),
+        expr("bounces * 1000000 div n_sessions").as("bounce_ppm"),
+        expr("events div n_sessions").as("mean_events"),
+        expr("(dur_us div n_sessions) div 1000000").as("mean_dur_secs"))
+  }
+
   /** Exact z-score outlier detection without a single float: flag
     * events whose value sits more than 2 population standard deviations
     * from their event-type mean, counted per type.
@@ -557,6 +581,7 @@ object BehaviorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q215_session_quality" -> sessionQuality,
     "q211_attribution_compare" -> attributionCompare,
     "q207_key_skew" -> keySkewHistogram,
     "q208_incremental_sessions" -> incrementalSessions,
@@ -577,6 +602,35 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    "q215_session_quality" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |                    OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM g),
+        |ses AS (
+        |  SELECT CAST(min(ts) AS DATE) AS day, count(*) AS n_events,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM s GROUP BY user_id, session_seq),
+        |agg AS (
+        |  SELECT day, count(*) AS n_sessions,
+        |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bounces,
+        |    CAST(sum(n_events) AS BIGINT) AS events,
+        |    CAST(sum(dur_us) AS BIGINT) AS dur_us
+        |  FROM ses GROUP BY day)
+        |SELECT day, n_sessions, bounces,
+        |  CAST(bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm,
+        |  CAST(events // n_sessions AS BIGINT) AS mean_events,
+        |  CAST((dur_us // n_sessions) // 1000000 AS BIGINT) AS mean_dur_secs
+        |FROM agg""".stripMargin,
     "q211_attribution_compare" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS t_us,

@@ -280,6 +280,21 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L))
   }
 
+  test("session quality conserves sessions and derives its ratios exactly") {
+    val rows = BehaviorQueries.sessionQuality(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, n, b, ppm, _, _) =>
+      assert(b <= n, s"$day bounces exceed sessions")
+      assert(ppm === b * 1000000L / n, s"$day bounce_ppm")
+    }
+    val sessions = BehaviorQueries.sessionize(spark, sf).count()
+    assert(rows.map(_._2).sum === sessions, "session conservation")
+    assert(rows.exists(_._3 > 0), "no bounces observed")
+    assert(rows.exists(r => r._3 < r._2), "every session bounced")
+  }
+
   test("attribution compare equals a brute two-model replay and conserves purchases") {
     val got = BehaviorQueries.attributionCompare(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
