@@ -112,6 +112,51 @@ object ExtraQueries {
       .agg(count(lit(1)).as("n_cust"))
   }
 
+  /** Malformed-input robustness (PERMISSIVE CSV): parse a fixture that
+    * mixes clean region rows with three broken lines — a type failure,
+    * an over-long row, an under-short row (Spark flags token-count
+    * mismatch in EITHER direction as malformed) — then triage the
+    * corrupt records by the raw line the `columnNameOfCorruptRecord`
+    * column preserves: comma count distinguishes type failures from
+    * arity failures. The dirty-ingest accounting every production
+    * loader runs before q139's try_* functions even apply: nothing
+    * aborts, every input line lands in exactly one class.
+    *
+    * The fixture is rewritten deterministically per run; the oracle
+    * pins the classification arithmetic against the parquet dim.
+    * `.cache()` is the documented requirement for filtering on the
+    * corrupt-record column (dim-sized here).
+    */
+  def csvMalformed: Q = (s, d) => {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(Tables.scratchDir, "graft-region-badcsv")
+    Files.createDirectories(dir)
+    val clean = Tables.region(s, d)
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => s"${r.getLong(0)},${r.getString(1)}")
+    val lines = clean ++ Seq("not_an_int,BADKEY", "4,too,many,fields", "7")
+    Files.write(dir.resolve("part-0.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val parsed = s.read
+      .schema("r_regionkey BIGINT, r_name STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir.toString)
+      .cache()
+    val commas = size(split(col("_corrupt"), ",")) - 1
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt").isNotNull && commas === 1, 1L)
+        .otherwise(0L)).as("n_bad_type"),
+      sum(when(col("_corrupt").isNotNull && commas =!= 1, 1L)
+        .otherwise(0L)).as("n_bad_arity"),
+      sum(when(col("_corrupt").isNull, col("r_regionkey")).otherwise(0L))
+        .as("key_sum"))
+  }
+
   /** JSON-lines connector coverage: round-trip the supplier dim through
     * `spark.read.json` with an explicit schema (no inference pass — at
     * scale inference is a second full read), then join-aggregate against
@@ -977,6 +1022,7 @@ object ExtraQueries {
     "q34_approx_distinct" -> approxDistinct,
     "q35_udaf_avg_cents" -> udafAvgCents,
     "q36_csv_source" -> csvSource,
+    "q216_csv_malformed" -> csvMalformed,
     "q37_from_json" -> fromJson,
     "q56_json_source" -> jsonSource,
     "q63_hash_sample" -> hashSample,
@@ -1283,6 +1329,16 @@ object ExtraQueries {
       """SELECT n_name, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // the classification arithmetic pinned against the parquet dim:
+    // clean region rows + 1 type-failure line + 2 arity-failure lines
+    "q216_csv_malformed" ->
+      """SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_clean,
+        |  CAST(3 AS BIGINT) AS n_corrupt,
+        |  CAST(1 AS BIGINT) AS n_bad_type,
+        |  CAST(2 AS BIGINT) AS n_bad_arity,
+        |  CAST(sum(r_regionkey) AS BIGINT) AS key_sum
+        |FROM region""".stripMargin,
     "q70_unpivot" ->
       """WITH w AS (
         |  SELECT o_orderstatus,

@@ -259,4 +259,19 @@ class ExtraSpec extends SparkSpec {
     // the audit must not be vacuous: some groups are safe at this sf
     assert(groups.values.exists(_ >= 5), "every group risky — k too high")
   }
+
+  test("malformed CSV triage partitions every input line exactly once") {
+    val r = ExtraQueries.csvMalformed(spark, sf).head()
+    val (nRows, nClean, nCorrupt, nBadType, nBadArity, keySum) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    assert(nClean + nCorrupt === nRows, "every line lands in one class")
+    assert(nBadType + nBadArity === nCorrupt, "corrupt subtypes partition")
+    assert(nCorrupt === 3L && nBadType === 1L && nBadArity === 2L)
+    val regions = graft.Tables.region(spark, sf)
+    assert(nClean === regions.count())
+    assert(keySum ===
+      regions.selectExpr("cast(sum(cast(r_regionkey as bigint)) as bigint)")
+        .head().getLong(0))
+  }
 }
