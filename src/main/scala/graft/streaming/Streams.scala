@@ -200,6 +200,23 @@ object Streams {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Windowed counts intended for UPDATE output mode: each micro-batch
+    * re-emits ONLY the windows it changed, with the window's new
+    * cumulative aggregate — the mode a live dashboard sink consumes
+    * (append would wait for the watermark to close each window;
+    * complete would re-emit every window every batch). The spec pins
+    * the contract: counts per window are monotone across emissions,
+    * unchanged windows are NOT re-emitted, and the last emission per
+    * window equals the batch recompute.
+    */
+  def windowedCountsUpdate(events: Dataset[Ev]): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("cnt"), col("sum_value"))
+
   /** Incremental whole-group reduce: per-user running totals carried in
     * GroupState across micro-batches — the streaming port of the
     * reference's reduce-sees-all-values contract.

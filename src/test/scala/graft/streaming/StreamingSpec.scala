@@ -324,6 +324,36 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) === ((1L, 7.0)))
   }
 
+  test("update mode re-emits only changed windows; last emission equals batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.windowedCountsUpdate(ms.toDS()).writeStream
+      .format("memory").queryName("upd_sink").outputMode("update").start()
+    def ev(min: Int, v: Double) =
+      Streams.Ev(1L, Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), v)
+    def snapshot(): Seq[(Timestamp, Long, Double)] =
+      spark.table("upd_sink").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch 1: windows 00:00 and 00:10
+    ms.addData(ev(1, 10.0), ev(2, 5.0), ev(11, 7.0))
+    q.processAllAvailable()
+    val b1 = snapshot()
+    // batch 2: touches ONLY window 00:10 (update) and opens 00:20
+    ms.addData(ev(12, 3.0), ev(21, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val b2 = snapshot().diff(b1)
+    def w(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    assert(b1.toSet === Set((w(0), 2L, 15.0), (w(10), 1L, 7.0)))
+    // the unchanged 00:00 window is NOT re-emitted in batch 2
+    assert(b2.toSet === Set((w(10), 2L, 10.0), (w(20), 1L, 1.0)))
+    // last emission per window == full batch recompute; counts monotone
+    val last = (b1 ++ b2).groupBy(_._1).map { case (k, rs) => k -> rs.last }
+    assert(last(w(0))._2 === 2L && last(w(10))._2 === 2L && last(w(20))._2 === 1L)
+    assert(b1.find(_._1 === w(10)).get._2 < b2.find(_._1 === w(10)).get._2)
+  }
+
   test("transformWithState ValueState carries totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
