@@ -178,6 +178,54 @@ object DedupQueries {
       .where(col("jac") >= 0.5)
   }
 
+  /** Data-refinery manifest: the composed keep/drop decision for every
+    * training-corpus document with its FIRST failing gate as the
+    * reason, in fixed priority order — `near_dup` (larger side of an
+    * exact-verified Jaccard ≥ 0.5 pair, via the scale-safe prefix-
+    * filtering join), `contaminated` (shares a 4-gram with the
+    * benchmark probe set — q84's rule), `low_quality` (< 30 tokens),
+    * else `kept`. This is the q62 pipeline graduated to a per-document
+    * audit manifest: the artifact a curation run actually ships, with
+    * every drop attributable. (Exact-dup is NOT a gate: this corpus
+    * has no byte-identical pairs below sf0.1, and J=1 pairs land in
+    * `near_dup` anyway.)
+    *
+    * Scale shape: each gate is an existing scale-shaped operator
+    * (q190's two keyed shuffles; q84's broadcast probe join; a
+    * projection); the manifest assembles them with two left joins on
+    * `doc_id`. All four reasons are live at every sf.
+    */
+  def refinery: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val nearDup = prefixJaccard(s, d)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("nd", lit(1))
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .where(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> array_join(slice(ws, i, 4), ' '))""".stripMargin))).as("gram"))
+    val fdocs = Tables.fanOut(docs, col("doc_id"))
+    val bench = grams(fdocs.where(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    val contaminated = grams(fdocs.where(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), Seq("gram"))
+      .select("doc_id").distinct()
+      .withColumn("ct", lit(1))
+    docs.where(col("doc_id") % 97 =!= 0)
+      .withColumn("n_tokens",
+        size(filter(split(col("text"), " "), w => w =!= "")))
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("nd") === 1, "near_dup")
+          .when(col("ct") === 1, "contaminated")
+          .when(col("n_tokens") < 30, "low_quality")
+          .otherwise("kept").as("reason"))
+  }
+
   /** splitmix64 finalizer: full-avalanche 64-bit mix, the per-seed hash
     * family h_j(s) = mix(fnv64(s) ^ c_j).
     */
@@ -459,6 +507,7 @@ object DedupQueries {
     "q41_dedup_jaccard" -> ngramJaccard,
     "q190_prefix_jaccard" -> prefixJaccard,
     "q214_incremental_dedup" -> incrementalDedup,
+    "q217_refinery" -> refinery,
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhash,
     "q88_dup_clusters" -> dupClusters)
@@ -548,6 +597,42 @@ object DedupQueries {
     // exact by construction (prefix filtering is lossless at τ = 0.5):
     // shares the brute-force oracle verbatim
     "q190_prefix_jaccard" -> jaccardOracle,
+    // each gate replayed from its proven oracle fragment, assembled
+    // with the same first-failing-gate priority
+    "q217_refinery" ->
+      """WITH jw AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |jsh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM jw),
+        |jdsh AS (SELECT DISTINCT doc_id, s FROM jsh),
+        |jsz AS (SELECT doc_id, count(*) n FROM jdsh GROUP BY 1),
+        |jint AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |         FROM jdsh a JOIN jdsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT b_id AS doc_id
+        |       FROM jint JOIN jsz na ON a_id = na.doc_id
+        |                 JOIN jsz nb ON b_id = nb.doc_id
+        |       WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+        |w2 AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') ws
+        |       FROM documents),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+        |              i -> list_aggregate(ws[i:i+3], 'string_agg', ' ')))) AS gram
+        |          FROM w2 WHERE len(ws) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |ct AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+        |       WHERE g.doc_id % 97 <> 0),
+        |tk AS (SELECT doc_id, source,
+        |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n
+        |       FROM documents)
+        |SELECT tk.doc_id, tk.source,
+        |  CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+        |       WHEN tk.n < 30 THEN 'low_quality'
+        |       ELSE 'kept' END AS reason
+        |FROM tk
+        |LEFT JOIN nd ON tk.doc_id = nd.doc_id
+        |LEFT JOIN ct ON tk.doc_id = ct.doc_id
+        |WHERE tk.doc_id % 97 <> 0""".stripMargin,
     // the full pair set filtered to pairs touching the ingest batch —
     // what the incremental plan computes without the old×old quadrant
     "q214_incremental_dedup" ->

@@ -129,6 +129,25 @@ class DedupSpec extends SparkSpec {
       "expected cross-split near-dup pairs under a doc-id split")
   }
 
+  test("refinery manifest covers every training doc once with first-failing-gate reasons") {
+    val rows = DedupQueries.refinery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val corpus = graft.Tables.documents(spark, sf)
+      .where("doc_id % 97 != 0").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === corpus, "manifest covers the training corpus")
+    assert(rows.length === corpus.size, "one verdict per document")
+    val byReason = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    Seq("near_dup", "contaminated", "low_quality", "kept").foreach { r =>
+      assert(byReason.getOrElse(r, 0) > 0, s"reason $r is dead")
+    }
+    // priority: every b-side of a verified pair (in corpus) reads near_dup
+    val bIds = DedupQueries.prefixJaccard(spark, sf).collect()
+      .map(_.getLong(1)).toSet.intersect(corpus)
+    val nearDup = rows.filter(_._2 == "near_dup").map(_._1).toSet
+    assert(nearDup === bIds)
+  }
+
   test("incremental dedup equals the full pair set filtered to the ingest batch") {
     val full = DedupQueries.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
