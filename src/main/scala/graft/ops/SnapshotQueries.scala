@@ -178,7 +178,40 @@ object SnapshotQueries {
       .agg(sum("cnt").as("n_orders"), sum("rev").as("rev_cents"))
   }
 
+  /** Right-to-erasure impact audit: given a deterministic forget-set of
+    * users (user_id % 13 — the erasure request queue), count the rows
+    * each table would lose, INCLUDING the cascade (lineitem rows reach
+    * the subject only through their orders). The pre-flight report a
+    * GDPR/CCPA deletion job emits before touching anything: per table,
+    * rows to purge and distinct subjects represented.
+    *
+    * Scale shape: the forget-set is an aggregate-sized dimension
+    * broadcast into per-table semi-join-shaped probes; the cascade is
+    * one extra keyed join through orders. Output is |tables| rows.
+    */
+  def erasureAudit: Q = (s, d) => {
+    val forget = Tables.events(s, d).select("user_id").distinct()
+      .where(col("user_id") % 13 === 0)
+    def report(tbl: String, df: DataFrame, subject: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(subject)).as("n_subjects"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_subjects"))
+    val ev = Tables.events(s, d).join(broadcast(forget), "user_id")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(forget), col("c_custkey") === col("user_id"))
+    val ord = Tables.orders(s, d)
+      .join(broadcast(forget), col("o_custkey") === col("user_id"))
+    val li = Tables.lineitem(s, d)
+      .join(ord.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    report("events", ev, "user_id")
+      .unionAll(report("customer", cust, "c_custkey"))
+      .unionAll(report("orders", ord, "o_custkey"))
+      .unionAll(report("lineitem", li, "o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_erasure_audit" -> erasureAudit,
     "q181_delta_join_view" -> deltaJoinView,
     "q158_range_digest" -> rangeDigest,
     "q130_incremental_agg" -> incrementalAgg,
@@ -186,6 +219,21 @@ object SnapshotQueries {
     "q135_schema_evolution" -> schemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    "q218_erasure_audit" ->
+      """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+        |SELECT 'events' AS tbl, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_subjects
+        |FROM events JOIN f USING (user_id)
+        |UNION ALL
+        |SELECT 'customer', count(*), count(DISTINCT c_custkey)
+        |FROM customer JOIN f ON c_custkey = user_id
+        |UNION ALL
+        |SELECT 'orders', count(*), count(DISTINCT o_custkey)
+        |FROM orders JOIN f ON o_custkey = user_id
+        |UNION ALL
+        |SELECT 'lineitem', count(*), count(DISTINCT o_custkey)
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN f ON o_custkey = user_id""".stripMargin,
     // the full join recompute the four-term delta expansion must equal
     "q181_delta_join_view" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

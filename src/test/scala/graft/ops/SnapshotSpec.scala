@@ -91,4 +91,20 @@ class SnapshotSpec extends SparkSpec {
     assert(orders.exists(_._3 % 2 == 0) && orders.exists(_._3 % 2 == 1))
     assert(cust.keys.exists(_ % 2 == 0) && cust.keys.exists(_ % 2 == 1))
   }
+
+  test("erasure audit: cascade subjects consistent, forget-set fully represented") {
+    val rows = SnapshotQueries.erasureAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("events", "customer", "orders", "lineitem"))
+    val forget = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().where("user_id % 13 = 0").count()
+    assert(forget > 0, "forget-set empty at this sf")
+    // every forget user appears in events (the set is drawn from events)
+    assert(rows("events")._2 === forget)
+    // customer purges exactly one row per matched subject
+    assert(rows("customer")._1 === rows("customer")._2)
+    // the cascade cannot reach more subjects than place orders
+    assert(rows("lineitem")._2 <= rows("orders")._2)
+    rows.values.foreach { case (n, s2) => assert(n >= s2) }
+  }
 }
