@@ -198,6 +198,25 @@ object CoreQueries {
       .select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
   }
 
+  /** Tied ranking semantics: top-3 part SIZES per brand keeping ALL
+    * tied parts — `dense_rank` (no gaps) next to `rank` (gaps after
+    * ties) over the same sort, the two tie policies q14's `row_number`
+    * deliberately avoids. Sizes repeat heavily within a brand, so the
+    * tie paths are live at every sf and `rk_gap > rk_dense` is
+    * observable wherever a tie precedes.
+    *
+    * Scale shape: identical to q14 — partial WindowGroupLimit prunes
+    * to each brand's top sizes before the window exchange.
+    */
+  def windowRankTies: Q = (s, d) => {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+    Tables.fanOut(Tables.part(s, d), col("p_partkey"))
+      .withColumn("rk_dense", dense_rank().over(w))
+      .withColumn("rk_gap", rank().over(w))
+      .where(col("rk_dense") <= 3)
+      .select("p_brand", "p_partkey", "p_size", "rk_dense", "rk_gap")
+  }
+
   /** Analytic window: running total + lag over each customer's orders. */
   def windowRunning: Q = (s, d) => {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -322,6 +341,7 @@ object CoreQueries {
     "q12_count_distinct" -> countDistinctSupp,
     "q13_setops" -> setOps,
     "q14_window_rank" -> windowRank,
+    "q219_window_rank_ties" -> windowRankTies,
     "q15_window_running" -> windowRunning,
     "q16_rollup_flags" -> rollupFlags,
     "q17_cube_orders" -> cubeOrders,
@@ -415,6 +435,15 @@ object CoreQueries {
         |    row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
         |  FROM lineitem) WHERE rn <= 3""".stripMargin,
+    "q219_window_rank_ties" ->
+      """SELECT p_brand, p_partkey, p_size,
+        |  CAST(rk_dense AS INT) AS rk_dense, CAST(rk_gap AS INT) AS rk_gap
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_size,
+        |    dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)
+        |      AS rk_dense,
+        |    rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rk_gap
+        |  FROM part) WHERE rk_dense <= 3""".stripMargin,
     "q15_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey

@@ -210,7 +210,35 @@ object SnapshotQueries {
       .unionAll(report("lineitem", li, "o_custkey"))
   }
 
+  /** Open-order aging report: orders still open (status 'O') bucketed
+    * by age in 30-day bins against the corpus's latest order date —
+    * the receivables/backlog aging table every operations dashboard
+    * carries, with exact open-value cents per bucket.
+    *
+    * Scale shape: the reference date is a single-row aggregate fetched
+    * driver-side and inlined as a literal (q156's rule — a one-row
+    * cross join would plan a BNLJ); the report is then one pushed
+    * filter + one hash aggregate to |buckets| rows. `o_orderdate` is
+    * TIMESTAMP_NTZ — fetched via the DATE cast (q183's lesson:
+    * unix_micros/getTimestamp refuse NTZ).
+    */
+  def orderAging: Q = (s, d) => {
+    val ref = Tables.orders(s, d)
+      .selectExpr("cast(max(o_orderdate) as date) as m").head().getDate(0)
+    Tables.orders(s, d).where(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"),
+        expr(s"cast(datediff(date'$ref', cast(o_orderdate as date)) as bigint)")
+          .as("age_days"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .withColumn("bucket", expr("age_days div 30"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("open_cents"),
+        min("age_days").as("min_age"), max("age_days").as("max_age"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q220_order_aging" -> orderAging,
     "q218_erasure_audit" -> erasureAudit,
     "q181_delta_join_view" -> deltaJoinView,
     "q158_range_digest" -> rangeDigest,
@@ -219,6 +247,19 @@ object SnapshotQueries {
     "q135_schema_evolution" -> schemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    "q220_order_aging" ->
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders)
+        |SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), m) // 30
+        |    AS BIGINT) AS bucket,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS open_cents,
+        |  CAST(min(date_diff('day', CAST(o_orderdate AS DATE), m)) AS BIGINT)
+        |    AS min_age,
+        |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE), m)) AS BIGINT)
+        |    AS max_age
+        |FROM orders CROSS JOIN ref
+        |WHERE o_orderstatus = 'O' GROUP BY 1""".stripMargin,
     "q218_erasure_audit" ->
       """WITH f AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
         |SELECT 'events' AS tbl, count(*) AS n_rows,

@@ -260,6 +260,22 @@ class ExtraSpec extends SparkSpec {
     assert(groups.values.exists(_ >= 5), "every group risky — k too high")
   }
 
+  test("tied ranking: dense ranks contiguous, gap ranks jump after ties") {
+    val rows = CoreQueries.windowRankTies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (brand, xs) =>
+      val denses = xs.map(_._3).distinct.sorted
+      assert(denses === (1 to denses.max), s"$brand dense ranks have gaps")
+      // within one dense rank every size is identical
+      xs.groupBy(_._3).foreach { case (_, ys) =>
+        assert(ys.map(_._2).distinct.length === 1)
+      }
+    }
+    // ties exist somewhere, and after a tie the gap rank exceeds the dense rank
+    assert(rows.exists(r => r._4 > r._3), "no tie ever observed")
+  }
+
   test("malformed CSV triage partitions every input line exactly once") {
     val r = ExtraQueries.csvMalformed(spark, sf).head()
     val (nRows, nClean, nCorrupt, nBadType, nBadArity, keySum) =

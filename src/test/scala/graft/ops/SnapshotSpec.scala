@@ -92,6 +92,21 @@ class SnapshotSpec extends SparkSpec {
     assert(cust.keys.exists(_ % 2 == 0) && cust.keys.exists(_ % 2 == 1))
   }
 
+  test("order aging buckets partition the open orders with consistent age bounds") {
+    val rows = SnapshotQueries.orderAging(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, n, cents, mn, mx) =>
+      assert(mn >= bucket * 30 && mx < (bucket + 1) * 30,
+        s"bucket $bucket holds ages [$mn,$mx]")
+      assert(n > 0 && cents > 0 && mn <= mx)
+    }
+    val open = graft.Tables.orders(spark, sf)
+      .where("o_orderstatus = 'O'").count()
+    assert(rows.map(_._2).sum === open, "every open order lands in one bucket")
+    assert(rows.length > 1, "aging spread covers multiple buckets")
+  }
+
   test("erasure audit: cascade subjects consistent, forget-set fully represented") {
     val rows = SnapshotQueries.erasureAudit(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
