@@ -1322,7 +1322,48 @@ object AnalyticsQueries {
           .as("cum_lift_ppm"))
   }
 
+  /** Order-fulfilment SLA report: days from order date to the order's
+    * LAST line-item ship date (the order is only done when its slowest
+    * line ships), summarized per priority as min / median / p90 / max
+    * whole days with lower-discrete quantiles — the operations-SLA
+    * sibling of q187's funnel latency, on the star schema instead of
+    * the event stream.
+    *
+    * Scale shape: one order-keyed aggregation rolls line items up to
+    * orders; the latency distribution collapses to distinct
+    * (priority, days) rows and [[cumWeights]] supplies the cumulative
+    * counts via the two-level distributed prefix sum — no single-task
+    * per-priority sort.
+    *
+    * Corpus note: the synthetic generator draws ship dates
+    * independently of order dates, so SIGNED day deltas (including
+    * negatives) are expected here; the quantile mechanics are
+    * sign-indifferent and the report reads normally on causally
+    * ordered data.
+    */
+  def fulfilmentLatency: Q = (s, d) => {
+    val shipped = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate").cast("date")).as("shipped"))
+    val lat = Tables.orders(s, d)
+      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("cast(datediff(shipped, cast(o_orderdate as date)) as bigint)")
+          .as("cents"))
+    val per = lat.groupBy("o_orderpriority", "cents")
+      .agg(count(lit(1)).as("w"))
+    cumWeights(per, "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(max("tot").as("n_orders"),
+        min("cents").as("min_days"),
+        min(when(col("cumw") * 2 >= col("tot"), col("cents"))).as("med_days"),
+        min(when(col("cumw") * 10 >= col("tot") * 9, col("cents")))
+          .as("p90_days"),
+        max("cents").as("max_days"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q221_fulfilment_latency" -> fulfilmentLatency,
     "q210_lift_chart" -> liftChart,
     "q205_quantile_norm" -> quantileNorm,
     "q200_gini" -> gini,
@@ -1385,6 +1426,25 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q221_fulfilment_latency" ->
+      """WITH sh AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS shipped
+        |            FROM lineitem GROUP BY 1),
+        |lat AS (SELECT o_orderpriority,
+        |          CAST(date_diff('day', CAST(o_orderdate AS DATE), shipped)
+        |            AS BIGINT) AS v
+        |        FROM orders JOIN sh ON o_orderkey = l_orderkey),
+        |per AS (SELECT o_orderpriority, v, count(*) AS w FROM lat GROUP BY 1, 2),
+        |c AS (SELECT o_orderpriority, v, w,
+        |        sum(w) OVER (PARTITION BY o_orderpriority ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |        sum(w) OVER (PARTITION BY o_orderpriority) AS tot
+        |      FROM per)
+        |SELECT o_orderpriority, CAST(max(tot) AS BIGINT) AS n_orders,
+        |  min(v) AS min_days,
+        |  min(CASE WHEN cumw * 2 >= tot THEN v END) AS med_days,
+        |  min(CASE WHEN cumw * 10 >= tot * 9 THEN v END) AS p90_days,
+        |  max(v) AS max_days
+        |FROM c GROUP BY 1""".stripMargin,
     "q210_lift_chart" ->
       """WITH u AS (
         |  SELECT user_id, count(*) AS score,

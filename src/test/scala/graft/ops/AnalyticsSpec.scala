@@ -609,6 +609,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - 9)
   }
 
+  test("fulfilment latency: quantiles ordered, orders conserved per priority") {
+    val rows = AnalyticsQueries.fulfilmentLatency(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, (n, mn, med, p90, mx)) =>
+      assert(n > 0)
+      assert(mn <= med && med <= p90 && p90 <= mx, s"$p quantiles out of order")
+    }
+    // q82 established some orders have NO line items — those drop out
+    val ordersWithItems = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf)
+          .select("l_orderkey").distinct(),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .count()
+    assert(rows.map(_._2._1).sum === ordersWithItems,
+      "every order with line items gets a slowest-line ship date")
+  }
+
   test("lift chart conserves users/responders and ends at lift exactly 1e6") {
     val rows = AnalyticsQueries.liftChart(spark, sf)
       .orderBy("decile").collect()
