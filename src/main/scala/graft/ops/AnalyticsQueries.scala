@@ -1362,7 +1362,35 @@ object AnalyticsQueries {
         max("cents").as("max_days"))
   }
 
+  /** Maximum drawdown of the daily-revenue series per month: the
+    * largest peak-to-current decline (running max of daily revenue
+    * minus the day's revenue), in exact cents — the
+    * volatility/risk-style metric finance dashboards put next to the
+    * q149 deltas. Running max is order-dependent, so it exercises the
+    * cumulative-extremum window q15/q142's running SUMS cannot.
+    *
+    * Scale shape: the fact table collapses to one row per day first;
+    * both windows (running max, and the month partition for the final
+    * aggregate) run over the |days| table and share one sort.
+    */
+  def revenueDrawdown: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderdate").cast("date").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("month", "day").agg(sum("c").as("cents"))
+    val w = Window.partitionBy("month").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("peak", max("cents").over(w))
+      .withColumn("dd", col("peak") - col("cents"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"), max("peak").as("peak_cents"),
+        max("dd").as("max_drawdown_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_revenue_drawdown" -> revenueDrawdown,
     "q221_fulfilment_latency" -> fulfilmentLatency,
     "q210_lift_chart" -> liftChart,
     "q205_quantile_norm" -> quantileNorm,
@@ -1426,6 +1454,21 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q222_revenue_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |x AS (
+        |  SELECT month, cents,
+        |    max(cents) OVER (PARTITION BY month ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily)
+        |SELECT month, count(*) AS n_days, max(peak) AS peak_cents,
+        |  max(peak - cents) AS max_drawdown_cents
+        |FROM x GROUP BY month""".stripMargin,
     "q221_fulfilment_latency" ->
       """WITH sh AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS shipped
         |            FROM lineitem GROUP BY 1),

@@ -609,6 +609,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - 9)
   }
 
+  test("revenue drawdown equals a brute running-max replay per month") {
+    val got = AnalyticsQueries.revenueDrawdown(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val daily = graft.Tables.orders(spark, sf)
+      .selectExpr("cast(date_trunc('month', o_orderdate) as date) as m",
+        "cast(o_orderdate as date) as day",
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as long) as c")
+      .groupBy("m", "day")
+      .agg(org.apache.spark.sql.functions.sum("c").as("cents"))
+      .collect().map(r => (r.getDate(0).toString, r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (m, xs) =>
+      val series = xs.sortBy(_._2).map(_._3)
+      var peak = Long.MinValue; var dd = 0L
+      series.foreach { v => peak = math.max(peak, v); dd = math.max(dd, peak - v) }
+      m -> (series.length.toLong, series.max, dd)
+    }
+    assert(got === want)
+    assert(got.values.exists(_._3 > 0L), "no drawdown anywhere")
+  }
+
   test("fulfilment latency: quantiles ordered, orders conserved per priority") {
     val rows = AnalyticsQueries.fulfilmentLatency(spark, sf).collect()
       .map(r => r.getString(0) ->
