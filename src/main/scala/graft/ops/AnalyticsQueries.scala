@@ -1389,7 +1389,38 @@ object AnalyticsQueries {
         max("dd").as("max_drawdown_cents"))
   }
 
+  /** Peak concurrency per day: each event opens a 5-minute activity
+    * interval; the sweep-line (+1 at open, −1 at close, running net)
+    * gives the number of simultaneously-active intervals at every
+    * boundary, reported as the daily maximum — the load-planning
+    * number behind capacity dashboards, exact.
+    *
+    * Scale shape: the sweep's running net IS a prefix sum, so it runs
+    * through [[cumWeights]] with SIGNED weights (+1/−1 endpoint deltas
+    * merged per distinct timestamp) — the two-level distributed form,
+    * no single global sort task. The sweep is global (cross-midnight
+    * intervals carry), and the |endpoints| table then aggregates to
+    * per-day maxima. Simultaneous opens/closes at one microsecond
+    * merge into one net delta on both engines, so boundary semantics
+    * can never diverge.
+    */
+  def peakConcurrency: Q = (s, d) => {
+    val ttl = 300L * 1000000L
+    val ev = Tables.events(s, d).select(unix_micros(col("ts")).as("t"))
+    val ends = ev.select((col("t") + ttl).as("cents"), lit(-1L).as("delta"))
+    val per = ev.select(col("t").as("cents"), lit(1L).as("delta"))
+      .unionAll(ends)
+      .groupBy("cents").agg(sum("delta").as("w"))
+      .withColumn("g", lit("all"))
+    cumWeights(per, "g")
+      .withColumn("day", expr("cents div 86400000000L"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_boundaries"),
+        max("cumw").as("peak_concurrency"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_peak_concurrency" -> peakConcurrency,
     "q222_revenue_drawdown" -> revenueDrawdown,
     "q221_fulfilment_latency" -> fulfilmentLatency,
     "q210_lift_chart" -> liftChart,
@@ -1454,6 +1485,20 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // naive global cumulative sweep — same merged endpoint deltas
+    "q223_peak_concurrency" ->
+      """WITH ep AS (
+        |  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) + 300000000, -1 FROM events),
+        |per AS (SELECT t, CAST(sum(delta) AS BIGINT) AS w FROM ep GROUP BY t),
+        |c AS (SELECT t,
+        |        sum(w) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |      FROM per)
+        |SELECT t // 86400000000 AS day, count(*) AS n_boundaries,
+        |  CAST(max(cumw) AS BIGINT) AS peak_concurrency
+        |FROM c GROUP BY 1""".stripMargin,
     "q222_revenue_drawdown" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

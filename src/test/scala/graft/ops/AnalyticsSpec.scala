@@ -609,6 +609,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - 9)
   }
 
+  test("peak concurrency equals a brute global sweep-line replay") {
+    val got = AnalyticsQueries.peakConcurrency(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ts = graft.Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) as t").collect().map(_.getLong(0))
+    val ttl = 300L * 1000000L
+    val deltas = (ts.map(_ -> 1L) ++ ts.map(t => (t + ttl) -> -1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var cum = 0L
+    val want = deltas.map { case (t, w) => cum += w; (t / 86400000000L, cum) }
+      .groupBy(_._1).map { case (day, xs) =>
+        day -> (xs.length.toLong, xs.map(_._2).max)
+      }
+    assert(got === want)
+    assert(got.values.exists(_._2 > 1L), "no overlapping activity anywhere")
+  }
+
   test("revenue drawdown equals a brute running-max replay per month") {
     val got = AnalyticsQueries.revenueDrawdown(spark, sf).collect()
       .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3)))
