@@ -80,6 +80,12 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","runs":$passes,""" +
       s""""agg":"min","n_queries":${results.size},"queries":$compact,"sf":"$sfDir"}""")
+    // truncation-proof trailer: the big line above grows with the
+    // registry and r07 lost its head (the total) to the driver's ~2000
+    // -char tail capture. The LAST line always survives a tail, so
+    // repeat the headline numbers in a tiny terminal record.
+    println(s"""{"metric":"total_tail","value":${s3(total)},"unit":"sec",""" +
+      s""""runs":$passes,"agg":"min","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -146,15 +146,18 @@ object AnalyticsQueries {
     * + sorted posting list. `array_distinct` inside the per-document
     * split keeps the explode emission at one (doc, term) per distinct
     * term before the shuffle — the map-side dedup that makes the
-    * posting-list build linear in corpus token count. Sorted arrays keep
-    * the output deterministic (q65 rule).
+    * posting-list build linear in corpus token count. The posting list
+    * ships as a sorted comma-joined STRING, not an array — the q65 rule:
+    * array output columns crash the driver's pandas sort (unhashable
+    * ndarray), so every registered query's final schema is flat.
     */
   def invertedIndex: Q = (s, d) =>
     Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("term"))
       .groupBy("term")
-      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
 
   /** Blocked edit-distance similarity join: document pairs whose 80-char
     * prefixes are within Levenshtein distance 8, candidate-blocked on
@@ -854,10 +857,12 @@ object AnalyticsQueries {
     val direct = ev.groupBy("event_type")
       .agg(expr("kll_build(cents, 200)").as("dsk"), count(lit(1)).as("n"))
     val ranks = Array(0.25, 0.5, 0.75, 0.9, 0.99)
+    // comma-joined string, not Array[Long]: array output columns crash
+    // the driver's pandas sort (q65 rule — flat final schemas only)
     val quantiles = udf { (blob: Array[Byte]) =>
       val sk = org.apache.datasketches.kll.KllLongsSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(blob))
-      ranks.map(r => sk.getQuantile(r))
+      ranks.map(r => sk.getQuantile(r)).mkString(",")
     }
     merged.join(direct, "event_type")
       .select(col("event_type"), col("n"), col("n_days"),
@@ -975,15 +980,17 @@ object AnalyticsQueries {
           .as("region_share_ppm"))
   }
 
-  /** Embedding drift audit: per source, the squared distance between
-    * the source's mean embedding and the corpus mean — the vector-space
-    * sibling of q174's histogram TVD (is one ingest source drifting
-    * away from the corpus centroid?). Everything stays integer-exact:
-    * vectors quantize through the q45 family's `round(x·10⁴)`, and the
-    * distance is computed on the common-denominator NUMERATOR
-    * `Σ_d (s_src[d]·n_corpus − s_corp[d]·n_src)²` in DECIMAL(38,0) —
-    * the per-source mean is never divided, so truncation-vs-floor on
-    * negative sums can't diverge between engines.
+  /** Embedding drift audit: per source, the L1 distance (in ppm of a
+    * quantized unit) between the source's mean embedding and the corpus
+    * mean — the vector-space sibling of q174's histogram TVD (is one
+    * ingest source drifting away from the corpus centroid?). Everything
+    * stays integer-exact: vectors quantize through the q45 family's
+    * `round(x·10⁴)`; each dimension's mean difference is the
+    * common-denominator quotient `|s_src·n_corp − s_corp·n_src|·10⁶ div
+    * (n_src·n_corp)` — abs BEFORE the integer division, so floor (DuckDB
+    * `//`) and truncate (Spark `div`) agree, and the per-dim value is
+    * ≤ 2·10¹⁰, so the 64-dim sum sits comfortably in BIGINT on both
+    * engines (no HUGEINT/DECIMAL output — driver hash is type-sensitive).
     *
     * Scale shape: posexplode to (doc, dim, val) rows — 64× the vector
     * count, embarrassingly parallel — then one (source, dim) aggregate;
@@ -1002,12 +1009,11 @@ object AnalyticsQueries {
     val corpus = dims.groupBy("dim")
       .agg(sum("qv").as("s_corp"), count(lit(1)).as("n_corp"))
     bySrc.join(broadcast(corpus), "dim")
-      .withColumn("diff", expr(
-        "cast(s_src as decimal(38,0)) * n_corp - cast(s_corp as decimal(38,0)) * n_src"))
+      .withColumn("adiff_ppm", expr(
+        "abs(s_src * n_corp - s_corp * n_src) * 1000000L div (n_src * n_corp)"))
       .groupBy("source")
       .agg(max("n_src").as("n_docs"),
-        sum(expr("diff * diff")).as("drift_num"),
-        max(expr("cast(n_src as decimal(38,0)) * n_corp")).as("drift_den"))
+        sum("adiff_ppm").as("drift_l1_ppm"))
   }
 
   /** Funnel time-to-convert distribution: for each funnel transition
@@ -1699,9 +1705,10 @@ object AnalyticsQueries {
         |    count(*) AS n
         |  FROM orders GROUP BY 1)
         |SELECT obs.digit, obs.n,
-        |  obs.n * 1000000 // sum(obs.n) OVER () AS obs_ppm,
+        |  CAST(obs.n * 1000000 // sum(obs.n) OVER () AS BIGINT) AS obs_ppm,
         |  CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
-        |  abs(obs.n * 1000000 // sum(obs.n) OVER () - exp.exp_ppm) AS dev_ppm
+        |  CAST(abs(obs.n * 1000000 // sum(obs.n) OVER () - exp.exp_ppm)
+        |    AS BIGINT) AS dev_ppm
         |FROM obs JOIN exp ON obs.digit = exp.digit""".stripMargin,
     "q187_funnel_latency" ->
       """WITH v AS (
@@ -1755,10 +1762,11 @@ object AnalyticsQueries {
         |  SELECT region, sum(rev_cents) AS region_cents
         |  FROM by_nation GROUP BY 1),
         |total AS (SELECT sum(region_cents) AS total_cents FROM by_region)
-        |SELECT region, nation, rev_cents,
-        |  rev_cents * 1000000 // region_cents AS share_of_region_ppm,
-        |  region_cents * 1000000 // (SELECT total_cents FROM total)
-        |    AS region_share_ppm
+        |SELECT region, nation, CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(rev_cents * 1000000 // region_cents AS BIGINT)
+        |    AS share_of_region_ppm,
+        |  CAST(region_cents * 1000000 // (SELECT total_cents FROM total)
+        |    AS BIGINT) AS region_share_ppm
         |FROM by_nation JOIN by_region USING (region)""".stripMargin,
     "q185_embedding_drift" ->
       """WITH raw AS (
@@ -1775,14 +1783,13 @@ object AnalyticsQueries {
         |  SELECT dim, sum(qv) AS s_corp, count(*) AS n_corp
         |  FROM x GROUP BY 1),
         |diffs AS (
-        |  SELECT source, n_src, n_corp,
-        |    CAST(s_src AS HUGEINT) * n_corp
-        |      - CAST(s_corp AS HUGEINT) * n_src AS diff
+        |  SELECT source, n_src,
+        |    CAST(abs(CAST(s_src AS BIGINT) * n_corp
+        |        - CAST(s_corp AS BIGINT) * n_src) * 1000000
+        |      // (n_src * n_corp) AS BIGINT) AS adiff_ppm
         |  FROM by_src JOIN corp USING (dim))
-        |SELECT source, max(n_src) AS n_docs,
-        |  CAST(sum(diff * diff) AS DECIMAL(38,0)) AS drift_num,
-        |  CAST(max(CAST(n_src AS HUGEINT) * n_corp) AS DECIMAL(38,0))
-        |    AS drift_den
+        |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+        |  CAST(sum(adiff_ppm) AS BIGINT) AS drift_l1_ppm
         |FROM diffs GROUP BY source""".stripMargin,
     "q182_equidepth_histogram" ->
       """WITH base AS (
@@ -1818,7 +1825,7 @@ object AnalyticsQueries {
         |  + (CASE WHEN cents > b8 THEN 1 ELSE 0 END)
         |  + (CASE WHEN cents > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
         |  count(*) AS n_rows, min(cents) AS min_cents,
-        |  max(cents) AS max_cents, sum(cents) AS sum_cents
+        |  max(cents) AS max_cents, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM base CROSS JOIN b
         |GROUP BY 1""".stripMargin,
     "q176_mad_outliers" ->
@@ -1851,7 +1858,8 @@ object AnalyticsQueries {
         |  SELECT event_type, min(dv) AS mad_cents
         |  FROM dcum WHERE cumw * 2 >= tot GROUP BY event_type)
         |SELECT dev.event_type, count(*) AS n,
-        |  sum(CASE WHEN dv > mad_cents * 3 THEN 1 ELSE 0 END) AS n_outliers,
+        |  CAST(sum(CASE WHEN dv > mad_cents * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
         |  max(dev.med_cents) AS med_cents, max(mad.mad_cents) AS mad_cents
         |FROM dev JOIN mad USING (event_type)
         |GROUP BY dev.event_type""".stripMargin,
@@ -1872,7 +1880,8 @@ object AnalyticsQueries {
         |  WHERE e.event_type = 'purchase'
         |    AND e.ts >= CAST(c.cohort_week AS TIMESTAMP)
         |  GROUP BY 1, 2)
-        |SELECT cohort_week, week_offset, n_purchases, rev_cents,
+        |SELECT cohort_week, week_offset, n_purchases,
+        |  CAST(rev_cents AS BIGINT) AS rev_cents,
         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
         |    ORDER BY week_offset
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -1917,10 +1926,10 @@ object AnalyticsQueries {
         |  FROM cum GROUP BY l_returnflag)
         |SELECT b.l_returnflag, count(*) AS n,
         |  max(p05_cents) AS p05_cents, max(p95_cents) AS p95_cents,
-        |  sum(greatest(least(b.cents, p95_cents), p05_cents))
-        |    AS winsor_sum_cents,
-        |  sum(greatest(least(b.cents, p95_cents), p05_cents)) // count(*)
-        |    AS winsor_mean_cents
+        |  CAST(sum(greatest(least(b.cents, p95_cents), p05_cents))
+        |    AS BIGINT) AS winsor_sum_cents,
+        |  CAST(sum(greatest(least(b.cents, p95_cents), p05_cents)) // count(*)
+        |    AS BIGINT) AS winsor_mean_cents
         |FROM base b JOIN bounds USING (l_returnflag)
         |GROUP BY b.l_returnflag""".stripMargin,
     "q159_basket_pairs" ->
@@ -1952,9 +1961,10 @@ object AnalyticsQueries {
         |      PARTITION BY user_id ORDER BY ts, event_id)
         |      - epoch_us(ts) // 1000000 AS dt
         |  FROM events)
-        |SELECT user_id, count(*) AS n_holds, sum(dt) AS span_secs,
-        |  sum(cents * dt) AS weighted_cents_secs,
-        |  sum(cents * dt) // sum(dt) AS twap_cents
+        |SELECT user_id, count(*) AS n_holds,
+        |  CAST(sum(dt) AS BIGINT) AS span_secs,
+        |  CAST(sum(cents * dt) AS BIGINT) AS weighted_cents_secs,
+        |  CAST(sum(cents * dt) // sum(dt) AS BIGINT) AS twap_cents
         |FROM holds WHERE dt IS NOT NULL
         |GROUP BY user_id HAVING sum(dt) > 0""".stripMargin,
     "q161_chi_square" ->
@@ -1963,8 +1973,8 @@ object AnalyticsQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
         |SELECT c_mktsegment, o_orderpriority, o,
-        |  sum(o) OVER (PARTITION BY c_mktsegment) AS rt,
-        |  sum(o) OVER (PARTITION BY o_orderpriority) AS ct,
+        |  CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS rt,
+        |  CAST(sum(o) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS ct,
         |  CAST(((CAST(o AS HUGEINT) * sum(o) OVER ()
         |      - CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS HUGEINT)
         |        * sum(o) OVER (PARTITION BY o_orderpriority))
@@ -2210,7 +2220,8 @@ object AnalyticsQueries {
         |  SELECT DISTINCT doc_id,
         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
         |  FROM documents)
-        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |SELECT term, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM terms GROUP BY term""".stripMargin,
     "q112_editdist_join" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -723,9 +723,9 @@ object BehaviorQueries {
         |b AS (SELECT user_id, k, t_us AS buy_us FROM ranked
         |      WHERE event_type = 'purchase')
         |SELECT user_id, count(*) AS n_matched,
-        |  sum(buy_us - click_us) AS sum_lag_us,
-        |  sum(CASE WHEN buy_us >= click_us THEN 1 ELSE 0 END)
-        |    AS n_in_order
+        |  CAST(sum(buy_us - click_us) AS BIGINT) AS sum_lag_us,
+        |  CAST(sum(CASE WHEN buy_us >= click_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_order
         |FROM c JOIN b USING (user_id, k)
         |GROUP BY user_id""".stripMargin,
     "q186_activity_heatmap" ->
@@ -733,9 +733,9 @@ object BehaviorQueries {
         |  CAST(hour(ts) AS INT) AS hr,
         |  count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  sum(CASE WHEN event_type = 'purchase'
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
         |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |        ELSE 0 END) AS purchase_cents
+        |        ELSE 0 END) AS BIGINT) AS purchase_cents
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
     "q173_attribution" ->

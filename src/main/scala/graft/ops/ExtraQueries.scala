@@ -1077,9 +1077,11 @@ object ExtraQueries {
         |  SELECT event_type, min(cents) AS med_cents
         |  FROM cum WHERE cumw * 2 >= tot GROUP BY event_type)
         |SELECT b.event_type, count(*) AS n_rows,
-        |  sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+        |  CAST(sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_imputed,
         |  max(med_cents) AS med_cents,
-        |  sum(coalesce(b.cents, med_cents)) AS sum_final_cents
+        |  CAST(sum(coalesce(b.cents, med_cents)) AS BIGINT)
+        |    AS sum_final_cents
         |FROM b JOIN med USING (event_type)
         |GROUP BY b.event_type""".stripMargin,
     "q168_sequence_gaps" ->

@@ -360,7 +360,7 @@ object Scale {
         |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
         |  FROM documents)
-        |SELECT source, (end_off - n_chars) // 2048 AS bin,
+        |SELECT source, CAST((end_off - n_chars) // 2048 AS BIGINT) AS bin,
         |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM t GROUP BY 1, 2""".stripMargin,

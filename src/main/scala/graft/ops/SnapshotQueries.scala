@@ -278,8 +278,8 @@ object SnapshotQueries {
     // the full join recompute the four-term delta expansion must equal
     "q181_delta_join_view" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |    AS rev_cents
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS rev_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q158_range_digest" ->

@@ -71,7 +71,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("inverted index: df equals posting length, postings strictly increasing") {
     AnalyticsQueries.invertedIndex(spark, sf).collect().foreach { r =>
-      val postings = r.getSeq[Long](2)
+      val postings = r.getString(2).split(",").map(_.toLong).toSeq
       assert(postings.length.toLong === r.getLong(1))
       assert(postings.zip(postings.tail).forall { case (a, b) => a < b },
         s"postings not strictly sorted for term ${r.getString(0)}")
@@ -358,7 +358,8 @@ class AnalyticsSpec extends SparkSpec {
     val ranks = Array(0.25, 0.5, 0.75, 0.9, 0.99)
     val got = AnalyticsQueries.kllQuantiles(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getSeq[Long](3), r.getSeq[Long](4)))
+        r.getString(3).split(",").map(_.toLong).toSeq,
+        r.getString(4).split(",").map(_.toLong).toSeq))
     assert(got.nonEmpty)
     val vals = graft.Tables.events(spark, sf)
       .where(col("value").isNotNull)
@@ -490,9 +491,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("embedding drift equals the brute centroid recompute per source") {
     val got = AnalyticsQueries.embeddingDrift(spark, sf).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
-          BigInt(r.getDecimal(3).toBigInteger))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val src = graft.Tables.documents(spark, sf)
       .select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -505,12 +504,11 @@ class AnalyticsSpec extends SparkSpec {
     val nCorp = vecs.length
     vecs.groupBy(v => src(v._1)).foreach { case (source, vs) =>
       val sSrc = Array.tabulate(dim)(i => BigInt(vs.map(_._2(i)).sum))
-      val num = (0 until dim).map { i =>
-        val diff = sSrc(i) * nCorp - corpSum(i) * vs.length
-        diff * diff
+      val l1ppm = (0 until dim).map { i =>
+        ((sSrc(i) * nCorp - corpSum(i) * vs.length).abs * 1000000) /
+          (BigInt(vs.length) * nCorp)
       }.sum
-      assert(got(source) ===
-        ((vs.length.toLong, num, BigInt(vs.length) * nCorp)), source)
+      assert(got(source) === ((vs.length.toLong, l1ppm.toLong)), source)
     }
     // drift is live: sources differ from the corpus centroid
     assert(got.values.exists(_._2 > 0))

@@ -38,4 +38,25 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"quadratic join shapes in:\n${offenders.mkString("\n")}")
   }
+
+  /** The q65/q111 rule, mechanized: the driver's correctness harness
+    * sorts result rows in pandas, and an array/map/struct output column
+    * throws `unhashable type: numpy.ndarray` — a harness crash, not a
+    * mismatch. Every registered query must ship a FLAT final schema
+    * (join arrays into strings before returning).
+    */
+  test("no registered query's final schema contains an array/map/struct column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .flatMap { case (name, fn) =>
+        val bad = fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+        }
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty, s"non-flat output columns in:\n${offenders.mkString("\n")}")
+  }
 }

@@ -27,6 +27,20 @@ def norm(rows):
         out.append(tuple(rr))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
+def type_class(t):
+    """Collapse DuckDB types into pandas-rendering equivalence classes."""
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "DOUBLE":
+        return "float64"
+    if t == "FLOAT":
+        return "float32"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+
 def close(a, b):
     if a == b:
         return True
@@ -61,6 +75,30 @@ def main(sf_dir, out_dir):
             continue
         if spark_cols != duck_cols:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
+            n_fail += 1
+            continue
+        # Driver parity: the driver's hash renders values through pandas.
+        # Calibrated against CORRECTNESS_r07: every hash-red row had a
+        # HUGEINT or DECIMAL output column (pandas renders those as
+        # object/Decimal vs int64 — hash diverges even when values are
+        # equal), and array columns crash the driver's sort (unhashable
+        # numpy.ndarray). Int-width skew (INTEGER vs BIGINT) hashed green.
+        spark_t = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        duck_t = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+        type_bad = []
+        for c in spark_cols:
+            st, dt = spark_t[c], duck_t[c]
+            if "[]" in st or "[]" in dt or st.startswith("STRUCT") \
+                    or dt.startswith("STRUCT"):
+                type_bad.append(f"{c}: ARRAY/STRUCT column (spark={st}, "
+                                f"duck={dt}) crashes the driver harness")
+            elif "HUGEINT" in st + dt or "DECIMAL" in st + dt:
+                type_bad.append(f"{c}: driver-unsafe type spark={st} duck={dt}"
+                                f" (cast to BIGINT/DOUBLE on both sides)")
+            elif type_class(st) != type_class(dt):
+                type_bad.append(f"{c}: spark={st} duck={dt}")
+        if type_bad:
+            print(f"FAIL {name}: type skew — " + "; ".join(type_bad))
             n_fail += 1
             continue
         s, dk = norm(spark), norm(duck)
