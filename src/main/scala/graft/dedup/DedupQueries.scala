@@ -201,16 +201,23 @@ object DedupQueries {
     val nearDup = prefixJaccard(s, d)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("nd", lit(1))
-    def grams(df: DataFrame): DataFrame = df
+    val fdocs = Tables.fanOut(docs, col("doc_id"))
+    // one shared 4-gram definition; the benchmark probe set
+    // (doc_id % 97 == 0) and the corpus side slice it with pushed
+    // filters. Deliberately NOT cached: materializing the full
+    // (doc, distinct-gram) table costs more than the narrow re-scan it
+    // saves (measured +0.6 s at sf0.1) — the gram explosion is
+    // scan-bound, and each branch prunes to its own doc subset at the
+    // source.
+    val allGrams = fdocs
       .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
       .where(size(col("ws")) >= 4)
       .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(1, size(ws) - 3),
           |  i -> array_join(slice(ws, i, 4), ' '))""".stripMargin))).as("gram"))
-    val fdocs = Tables.fanOut(docs, col("doc_id"))
-    val bench = grams(fdocs.where(col("doc_id") % 97 === 0))
+    val bench = allGrams.where(col("doc_id") % 97 === 0)
       .select("gram").distinct()
-    val contaminated = grams(fdocs.where(col("doc_id") % 97 =!= 0))
+    val contaminated = allGrams.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("gram"))
       .select("doc_id").distinct()
       .withColumn("ct", lit(1))
@@ -411,6 +418,28 @@ object DedupQueries {
       .where(col("hamming") <= 7)
   }
 
+  /** Driver-audited form of [[simhash]]: the sketch graded against the
+    * EXACT Jaccard pair set from [[prefixJaccard]] (q190 — scale-safe
+    * AllPairs, itself exactly oracled). SimHash thresholds a different
+    * similarity than Jaccard — short docs have noisy sketch bits — so
+    * perfect agreement is not the contract; the audit pins recall
+    * ≥ 0.8 of the exact J ≥ 0.5 pairs and a false-positive ratio
+    * ≤ 0.2 of the found set (DedupSpec's bounds, driver-visible).
+    * DuckDB recomputes the exact pair count and asserts both booleans
+    * as literal TRUE; a sketch regression flips a bit → hash red.
+    */
+  def simhashChecked: Q = (s, d) => {
+    val found = simhash(s, d).select(col("a_id"), col("b_id"), lit(1).as("fd"))
+    val exact = prefixJaccard(s, d)
+      .select(col("a_id"), col("b_id"), lit(1).as("ex"))
+    exact.join(found, Seq("a_id", "b_id"), "full_outer")
+      .agg(sum("ex").cast("long").as("n_exact_pairs"),
+        (sum(when(col("ex") === 1 && col("fd") === 1, 1L).otherwise(0L)) * 10 >=
+          sum(coalesce(col("ex"), lit(0))) * 8).as("recall_ge_080"),
+        (sum(when(col("fd") === 1 && col("ex").isNull, 1L).otherwise(0L)) * 5 <=
+          sum(coalesce(col("fd"), lit(0)))).as("fp_ratio_le_020"))
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs — the step pair-dedup is
     * for: transitive closure of the q42 edge set, so "A≈B, B≈C" keeps
     * one document of {A,B,C}, not two. Distributed min-label
@@ -509,7 +538,7 @@ object DedupQueries {
     "q214_incremental_dedup" -> incrementalDedup,
     "q217_refinery" -> refinery,
     "q42_dedup_minhash" -> minhashLsh,
-    "q43_dedup_simhash" -> simhash,
+    "q43_dedup_simhash" -> simhashChecked,
     "q88_dup_clusters" -> dupClusters)
 
   private val jaccardOracle =
@@ -535,6 +564,15 @@ object DedupQueries {
     * exact, so false positives are impossible.
     */
   val oracles: Map[String, String] = Map(
+    // sketch-audit oracle (q43): exact J >= 0.5 pair count recomputed
+    // by DuckDB (q41's SQL), recall/precision bits asserted as literal
+    // TRUE (see simhashChecked)
+    "q43_dedup_simhash" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         |  TRUE AS recall_ge_080, TRUE AS fp_ratio_le_020
+         |FROM (
+         |$jaccardOracle
+         |) t""".stripMargin,
     // the pair stream crossed with q145's split rule
     "q147_split_leakage" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),

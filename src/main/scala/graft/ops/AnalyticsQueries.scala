@@ -393,9 +393,9 @@ object AnalyticsQueries {
     *
     * This is q130's partial-merge pattern applied to a non-algebraic
     * aggregate via sketching: daily sketches persist, any date-range
-    * distinct-user query is a union of partials — no re-scan. Driver
-    * check is rows-only (DuckDB has no Datasketches HLL); the estimate
-    * column is deterministic for a fixed corpus.
+    * distinct-user query is a union of partials — no re-scan. DuckDB
+    * has no Datasketches HLL, so the raw estimates can't be oracled;
+    * the registered driver form is [[hllMergeDailyChecked]].
     */
   def hllMergeDaily: Q = (s, d) => {
     val ev = Tables.events(s, d)
@@ -409,6 +409,20 @@ object AnalyticsQueries {
         countDistinct(col("user_id")).as("exact"))
     merged.join(direct, "event_type")
   }
+
+  /** Driver-audited form of [[hllMergeDaily]]: the two sketch CONTRACTS
+    * as exact oracle booleans — (a) the union of daily partials equals
+    * the directly-built sketch (associativity: same lgConfigK, same
+    * multiset), (b) the estimate lands within 5% of the exact distinct
+    * (lgK=14 → rsd ~0.8%, so 5% ≈ 6σ). DuckDB asserts both as literal
+    * TRUE next to its own exact count; any sketch regression flips a
+    * bit and the driver hash goes red.
+    */
+  def hllMergeDailyChecked: Q = (s, d) =>
+    hllMergeDaily(s, d).select(col("event_type"), col("exact"),
+      (col("est_merged") === col("est_direct")).as("merge_associative"),
+      (abs(col("est_merged") - col("exact")) <= col("exact") * lit(0.05))
+        .as("est_within_5pct"))
 
   /** Share-of-total (ratio-to-report): each priority's revenue as an
     * exact ppm share of the grand total. The unpartitioned window runs
@@ -870,6 +884,45 @@ object AnalyticsQueries {
         quantiles(col("dsk")).as("direct_q"))
   }
 
+  /** Driver-audited form of [[kllQuantiles]]: a RANK check per estimate
+    * (q73's trick). Each of the five quantiles from BOTH the merged and
+    * the directly-built sketch is graded by counting rows ≤ the
+    * returned value against its target rank ±5% (the AnalyticsSpec
+    * bound; KLL k=200 guarantees ~1.65% single-sided) — one filtered
+    * re-aggregation against the broadcast 5·|types|-row estimate table,
+    * no exact sort anywhere. DuckDB recomputes the exact row/day counts
+    * and asserts the two audit booleans as literal TRUE.
+    */
+  def kllQuantilesChecked: Q = (s, d) => {
+    val sk = kllQuantiles(s, d)
+    // re-align the flat comma-joined estimates with their target ranks
+    val z = sk.select(col("event_type"), col("n"), col("n_days"),
+        posexplode(expr(
+          """zip_with(split(merged_q, ','), split(direct_q, ','),
+            |  (m, dd) -> struct(cast(m as bigint) as mq, cast(dd as bigint) as dq))"""
+            .stripMargin)).as(Seq("pos", "p")))
+      .select(col("event_type"), col("n"), col("n_days"), col("pos"),
+        col("p.mq").as("mq"), col("p.dq").as("dq"),
+        element_at(expr("array(25L, 50L, 75L, 90L, 99L)"), col("pos") + 1)
+          .as("r100"))
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    ev.join(broadcast(z), "event_type")
+      .groupBy("event_type", "pos")
+      .agg(max("n").as("n"), max("n_days").as("n_days"), max("r100").as("r100"),
+        sum(when(col("cents") <= col("mq"), 1L).otherwise(0L)).as("le_m"),
+        sum(when(col("cents") <= col("dq"), 1L).otherwise(0L)).as("le_d"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("n_days").as("n_days"),
+        min(col("le_m") * 100 >= (col("r100") - 5) * col("n") &&
+          col("le_m") * 100 <= (col("r100") + 5) * col("n"))
+          .as("merged_ranks_ok"),
+        min(col("le_d") * 100 >= (col("r100") - 5) * col("n") &&
+          col("le_d") * 100 <= (col("r100") + 5) * col("n"))
+          .as("direct_ranks_ok"))
+  }
+
   /** Audience overlap via theta sketches: |users(A) ∩ users(B)| for
     * every event-type pair — the set-ALGEBRA question HLL (q137) cannot
     * answer (HLL unions only; theta sketches intersect). One bounded
@@ -878,8 +931,9 @@ object AnalyticsQueries {
     * state, and the pair algebra runs on |types| collected blobs driver
     * -side (cold path — the same aggregate-sized-collect rule as q54's
     * centroids). The exact intersection rides along as an equi
-    * self-join on user for the error pin: rows-only (theta estimates
-    * are randomized), accuracy pinned in AnalyticsSpec.
+    * self-join on user for the error pin; accuracy pinned in
+    * AnalyticsSpec, and the registered driver form is
+    * [[audienceOverlapChecked]].
     */
   def audienceOverlap: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
@@ -908,6 +962,21 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("exact_overlap"))
     exact.join(broadcast(est), Seq("type_a", "type_b"))
   }
+
+  /** Driver-audited form of [[audienceOverlap]]: theta-sketch set
+    * algebra graded against the exact intersection. Below the sketch's
+    * k=4096 capacity theta stores the raw hash set, so estimates are
+    * exact here; the audit bound still allows max(2, 5%) slack so the
+    * bit keeps meaning once a bigger corpus pushes the sketch into
+    * estimation mode. DuckDB recomputes the exact overlap and asserts
+    * the bound as literal TRUE.
+    */
+  def audienceOverlapChecked: Q = (s, d) =>
+    audienceOverlap(s, d).select(col("type_a"), col("type_b"),
+      col("exact_overlap"),
+      (abs(col("est_overlap") - col("exact_overlap")) <=
+        greatest(lit(2.0), col("exact_overlap") * lit(0.05)))
+        .as("theta_within_5pct"))
 
   /** Equi-depth (equi-height) histogram — the optimizer-statistics /
     * data-profiling sibling of q77's equi-WIDTH histogram: 10 bins of
@@ -1436,7 +1505,7 @@ object AnalyticsQueries {
     "q202_hhi" -> hhi,
     "q195_mann_whitney" -> mannWhitney,
     "q196_benford" -> benford,
-    "q180_audience_overlap" -> audienceOverlap,
+    "q180_audience_overlap" -> audienceOverlapChecked,
     "q182_equidepth_histogram" -> equidepthHistogram,
     "q184_rollup_shares" -> rollupShares,
     "q185_embedding_drift" -> embeddingDrift,
@@ -1445,7 +1514,7 @@ object AnalyticsQueries {
     "q172_winsorized_mean" -> winsorizedMean,
     "q176_mad_outliers" -> madOutliers,
     "q177_ltv_curve" -> ltvCurve,
-    "q178_kll_quantiles" -> kllQuantiles,
+    "q178_kll_quantiles" -> kllQuantilesChecked,
     "q159_basket_pairs" -> basketPairs,
     "q160_twap" -> twap,
     "q161_chi_square" -> chiSquare,
@@ -1456,7 +1525,7 @@ object AnalyticsQueries {
     "q142_share_of_total" -> shareOfTotal,
     "q143_mode" -> modeDeterministic,
     "q136_ohlc" -> ohlc,
-    "q137_hll_merge" -> hllMergeDaily,
+    "q137_hll_merge" -> hllMergeDailyChecked,
     "q114_corr_matrix" -> corrMatrix,
     "q115_regression" -> regression,
     "q116_ntile" -> ntileDeciles,
@@ -1491,6 +1560,29 @@ object AnalyticsQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sketch-audit oracles (q137, q178, q180): DuckDB has no
+    // Datasketches, so it recomputes the EXACT reference columns and
+    // asserts the accuracy booleans as literal TRUE — the Spark side
+    // computes them for real, so a sketch regression flips a bit and
+    // the driver hash goes red (see the *Checked scaladocs)
+    "q137_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact,
+        |  TRUE AS merge_associative, TRUE AS est_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
+    "q178_kll_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  TRUE AS merged_ranks_ok, TRUE AS direct_ranks_ok
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+    "q180_audience_overlap" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE value >= 150)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS exact_overlap, TRUE AS theta_within_5pct
+        |FROM hv a JOIN hv b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     // naive global cumulative sweep — same merged endpoint deltas
     "q223_peak_concurrency" ->
       """WITH ep AS (

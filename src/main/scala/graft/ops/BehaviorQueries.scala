@@ -162,8 +162,9 @@ object BehaviorQueries {
     * contribute-and-aggregate shape as the exact form, so target days
     * with no activity drop out identically.
     *
-    * Rows-only for the driver (DuckDB has no Datasketches HLL);
-    * BehaviorSpec pins the estimate against the exact q123 within 5%.
+    * DuckDB has no Datasketches HLL, so the raw estimate can't be
+    * oracled; BehaviorSpec pins it against the exact q123 within 5%,
+    * and the registered driver form is [[rollingDistinctSketchChecked]].
     */
   def rollingDistinctSketch: Q = (s, d) => {
     val daily = Tables.events(s, d)
@@ -176,6 +177,21 @@ object BehaviorQueries {
       .groupBy("target_day")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("u7_est"))
   }
+
+  /** Driver-audited form of [[rollingDistinctSketch]]: the sketch
+    * estimate graded per day against the exact [[rollingDistinct]]
+    * (both run — the audit is the BehaviorSpec 5% pin, driver-visible).
+    * lgK=14 → rsd ~0.8%, so the 5% bound sits ~6σ out; DuckDB
+    * recomputes the exact rolling distinct and asserts the bound as
+    * literal TRUE. An equi join on the day column — both sides are
+    * |active days| aggregate-sized.
+    */
+  def rollingDistinctSketchChecked: Q = (s, d) =>
+    rollingDistinct(s, d)
+      .join(rollingDistinctSketch(s, d), "target_day")
+      .select(col("target_day"), col("u7").as("u7_exact"),
+        (abs(col("u7_est") - col("u7")) <= col("u7") * lit(0.05))
+          .as("est_within_5pct"))
 
   /** One-pass per-column profiler over `orders`: row count, non-null
     * count, exact distinct count, and min/max rendered to strings with
@@ -587,7 +603,7 @@ object BehaviorQueries {
     "q208_incremental_sessions" -> incrementalSessions,
     "q203_stickiness" -> stickiness,
     "q204_new_returning" -> newVsReturning,
-    "q206_rolling_sketch" -> rollingDistinctSketch,
+    "q206_rolling_sketch" -> rollingDistinctSketchChecked,
     "q188_fifo_match" -> fifoMatch,
     "q154_event_paths" -> eventPaths,
     "q166_interval_merge" -> intervalMerge,
@@ -602,6 +618,21 @@ object BehaviorQueries {
     "q124_profile" -> profile)
 
   val oracles: Map[String, String] = Map(
+    // sketch-audit oracle (q206): exact rolling distinct recomputed by
+    // DuckDB (q123's SQL), accuracy boolean asserted as literal TRUE
+    "q206_rolling_sketch" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS target_day FROM ud),
+        |x AS (
+        |  SELECT ud.user_id,
+        |    CAST(unnest(generate_series(CAST(ud.day AS TIMESTAMP),
+        |                                CAST(ud.day AS TIMESTAMP) + INTERVAL 6 DAY,
+        |                                INTERVAL 1 DAY)) AS DATE) AS target_day
+        |  FROM ud)
+        |SELECT x.target_day, count(DISTINCT x.user_id) AS u7_exact,
+        |  TRUE AS est_within_5pct
+        |FROM x JOIN days USING (target_day)
+        |GROUP BY 1""".stripMargin,
     "q215_session_quality" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -59,14 +59,38 @@ object ExtraQueries {
         element_at(col("ws"), 1).as("first_word"),
         element_at(col("ws"), -1).as("last_word"))
 
-  /** HLL approximate count-distinct (no oracle — sketch implementations
-    * differ across engines; accuracy asserted in ExtraSpec instead).
+  /** HLL approximate count-distinct next to the exact count. rsd 0.015
+    * (2¹³ registers) keeps the registered 5% audit bound ~4σ out.
+    *
+    * Shape: dedup FIRST (one (flag, partkey) hash aggregate), then
+    * count + sketch the distinct keys. HLL is duplicate-insensitive,
+    * so the estimate is identical — but putting both aggregates in ONE
+    * `agg` would plan Spark's distinct rewrite with an HLL buffer per
+    * (flag, partkey) intermediate group: ~20k × 64 KB of sketch
+    * partials through the shuffle (measured 5× slower at sf0.1).
+    *
+    * Sketch estimates are engine-specific, so the raw estimate column
+    * can't hash-match a DuckDB oracle; the registered driver form is
+    * [[approxDistinctChecked]].
     */
   def approxDistinct: Q = (s, d) =>
     Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"),
+        count(lit(1)).as("exact_parts"))
+
+  /** Driver-audited form of [[approxDistinct]] — the sketch-accuracy
+    * contract as an EXACT oracle row: the estimate itself is engine
+    * -specific, but "the estimate lands within 5% of exact" is a
+    * deterministic boolean the DuckDB oracle asserts as literal TRUE.
+    * A sketch regression flips the bit and the driver's hash goes red —
+    * a real correctness gate, not a rows-only count.
+    */
+  def approxDistinctChecked: Q = (s, d) =>
+    approxDistinct(s, d).select(col("l_returnflag"), col("exact_parts"),
+      (abs(col("approx_parts") - col("exact_parts")) <=
+        col("exact_parts") * lit(0.05)).as("approx_within_5pct"))
 
   /** Typed Aggregator: exact average price in integer cents — the
     * buffer is (sum_cents: Long, n: Long), so the aggregation is
@@ -128,16 +152,25 @@ object ExtraQueries {
     * corrupt-record column (dim-sized here).
     */
   def csvMalformed: Q = (s, d) => {
-    import java.nio.file.{Files, Paths}
-    val dir = Paths.get(Tables.scratchDir, "graft-region-badcsv")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // per-dataset scratch dir (path-hash suffix, the readEventsStream
+    // pattern) + write-then-atomic-rename: two concurrent sessions
+    // (bench and verify) can otherwise interleave a write with a read
+    // of a partially written fixture
+    val dir = Paths.get(Tables.scratchDir,
+      s"graft-region-badcsv-${math.abs(Paths.get(d).toAbsolutePath.toString.hashCode)}")
     Files.createDirectories(dir)
     val clean = Tables.region(s, d)
       .select(col("r_regionkey").cast("long"), col("r_name"))
       .collect().sortBy(_.getLong(0))
       .map(r => s"${r.getLong(0)},${r.getString(1)}")
     val lines = clean ++ Seq("not_an_int,BADKEY", "4,too,many,fields", "7")
-    Files.write(dir.resolve("part-0.csv"),
-      lines.mkString("\n").getBytes("UTF-8"))
+    // dot-prefixed temp name: Spark's file listing skips hidden files,
+    // so a concurrent reader can never pick up the half-written temp
+    val tmp = Files.createTempFile(dir, ".part-0", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("part-0.csv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val parsed = s.read
       .schema("r_regionkey BIGINT, r_name STRING, _corrupt STRING")
       .option("mode", "PERMISSIVE")
@@ -242,8 +275,9 @@ object ExtraQueries {
     * sibling of [[percentiles]]: `approx_percentile` (KLL-style sketch,
     * mergeable partial aggregate; accuracy 1/10000 here) never buffers a
     * group, so billion-row groups cost O(sketch) memory. Sketch results
-    * are engine-specific → rows-only check like q34's HLL; the error
-    * bound vs the exact q64 values is pinned in ExtraSpec.
+    * are engine-specific; the error bound vs the exact q64 values is
+    * pinned in ExtraSpec and the registered driver form is
+    * [[approxPercentilesChecked]].
     */
   def approxPercentiles: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -252,6 +286,31 @@ object ExtraQueries {
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
         expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
         count(lit(1)).as("cnt"))
+
+  /** Driver-audited form of [[approxPercentiles]]: a RANK check, not a
+    * value check. `approx_percentile` returns a real element whose rank
+    * is within 1/accuracy = 1e-4 of the target, so counting rows ≤ the
+    * returned value (one filtered re-aggregation against the broadcast
+    * 3-row sketch output — no sort, no exact-percentile group buffer)
+    * must land inside a generous ±0.01 rank band. The booleans are
+    * deterministic TRUEs the DuckDB oracle asserts; a sketch regression
+    * flips them. Cheaper AND stronger at scale than re-deriving exact
+    * percentiles: two scans total, both whole-stage-codegen aggregates.
+    */
+  def approxPercentilesChecked: Q = (s, d) => {
+    val sk = approxPercentiles(s, d)
+    Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      .join(broadcast(sk), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(max("cnt").as("cnt"),
+        sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") <= col("p90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("l_returnflag"), col("cnt"),
+        (col("le50") * 100 >= col("cnt") * 49 &&
+          col("le50") * 100 <= col("cnt") * 51).as("p50_rank_ok"),
+        (col("le90") * 100 >= col("cnt") * 89 &&
+          col("le90") * 100 <= col("cnt") * 91).as("p90_rank_ok"))
+  }
 
   /** Latest-record-per-key compaction (CDC / upsert semantics): keep each
     * user's most recent event by (ts, event_id) — `row_number` over a
@@ -1019,7 +1078,7 @@ object ExtraQueries {
     "q27_grouping_sets" -> groupingSets,
     "q28_sql_surface" -> sqlSurface,
     "q29_array_funcs" -> arrayFuncs,
-    "q34_approx_distinct" -> approxDistinct,
+    "q34_approx_distinct" -> approxDistinctChecked,
     "q35_udaf_avg_cents" -> udafAvgCents,
     "q36_csv_source" -> csvSource,
     "q216_csv_malformed" -> csvMalformed,
@@ -1033,7 +1092,7 @@ object ExtraQueries {
     "q105_scd2" -> scd2Intervals,
     "q70_unpivot" -> unpivotStatus,
     "q72_map_funcs" -> mapFuncs,
-    "q73_approx_percentiles" -> approxPercentiles,
+    "q73_approx_percentiles" -> approxPercentilesChecked,
     "q80_window_range_frame" -> windowRangeFrame,
     "q81_lateral_join" -> lateralTopPerNation,
     "q82_constraint_audit" -> constraintAudit,
@@ -1047,6 +1106,17 @@ object ExtraQueries {
     "q99_nullsafe_join" -> nullSafeJoin)
 
   val oracles: Map[String, String] = Map(
+    // sketch-audit oracles (q34, q73): the exact columns are recomputed
+    // by DuckDB; the accuracy booleans are deterministic TRUEs — see the
+    // *Checked scaladocs (a sketch regression flips the bit → hash red)
+    "q34_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q73_approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS cnt, TRUE AS p50_rank_ok,
+        |  TRUE AS p90_rank_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q183_keyset_pagination" ->
       """WITH cur AS (
         |  SELECT o_orderdate AS cd, o_orderkey AS ck FROM orders

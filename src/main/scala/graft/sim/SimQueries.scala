@@ -154,6 +154,28 @@ object SimQueries {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Shared ANN audit: grade an approximate top-5 against [[knnBrute]]
+    * — the driver-visible form of SimSpec's recall pin. The approximate
+    * index runs in FULL (candidate generation + rerank, the actual
+    * workload); its (q_id, n_id) set is then left-joined onto the
+    * exact brute top-5 and reduced to one row: the query-set size and
+    * pair count (both recomputed exactly by the DuckDB oracle) plus a
+    * recall ≥ 0.75 boolean the oracle asserts as literal TRUE (SimSpec
+    * keeps the tighter 0.8 pin; the driver floor leaves headroom for
+    * corpus regeneration). An ANN regression flips the bit → hash red.
+    */
+  private def knnAudit(approx: DataFrame, brute: DataFrame): DataFrame =
+    brute.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), lit(1).as("fd")),
+        Seq("q_id", "n_id"), "left")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_eval_pairs"),
+        (coalesce(sum(col("fd")), lit(0L)) * 4 >= count(lit(1)) * 3)
+          .as("recall_ge_075"))
+
+  /** Driver-audited form of [[knnLsh]] (see [[knnAudit]]). */
+  def knnLshChecked: Q = (s, d) => knnAudit(knnLsh(s, d), knnBrute(s, d))
+
   /** IVF coarse quantizer: k-means-lite centroids trained distributed
     * (assignment in executor-side loops, means via one aggregation per
     * iteration; only the k x dim centroid table — a few KB — ever touches
@@ -284,6 +306,9 @@ object SimQueries {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Driver-audited form of [[knnIvf]] (see [[knnAudit]]). */
+  def knnIvfChecked: Q = (s, d) => knnAudit(knnIvf(s, d), knnBrute(s, d))
+
   /** Corpus-size bound above which the exact all-pairs baseline refuses
     * to run: it is the correctness oracle for small corpora, not a scale
     * path, and the gate makes that contract explicit instead of silently
@@ -355,6 +380,38 @@ object SimQueries {
       .where(col("qcos") >= 0.25)
   }
 
+  /** Driver-audited form of [[embeddingPairsLsh]]: ANCHORED recall —
+    * the scale-correct way to grade a similarity join without the
+    * O(n²) exact set. A bounded, deterministic anchor sample
+    * (`vec_id % 10 == 0 AND vec_id < 10000`, ≤ 1000 vectors at any
+    * corpus size) gets its EXACT qualifying pairs from one broadcast
+    * probe (anchors × corpus — linear, the q45 shape); the full LSH
+    * pair join then must cover ≥ 75% of them (measured 0.93 overall;
+    * SimSpec keeps the tighter pins). DuckDB recomputes the exact
+    * anchor-pair count with the same integer-quantized cosine and
+    * asserts the recall boolean as literal TRUE.
+    */
+  def embeddingPairsLshChecked: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val base = quantized(Tables.embeddings(s, d))
+    val anchors = broadcast(base
+      .where(col("vec_id") % 10 === 0 && col("vec_id") < 10000)
+      .select(col("vec_id").as("x_id"), col("qv").as("qx"), col("nrm").as("nx")))
+    val exactPairs = anchors
+      .join(base.select(col("vec_id").as("y_id"), col("qv").as("qy"),
+        col("nrm").as("ny")), col("x_id") =!= col("y_id"))
+      .where(qcos("qx", "nx", "qy", "ny") >= 0.25)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    val lsh = embeddingPairsLsh(s, d)
+      .select(col("a_id"), col("b_id"), lit(1).as("fd"))
+    exactPairs.join(lsh, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_anchor_pairs"),
+        (coalesce(sum(col("fd")), lit(0L)) * 4 >= count(lit(1)) * 3)
+          .as("anchor_recall_ge_075"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     * scoped to k-means clusters — the third member of the embedding
     * dedup family next to the exact baseline (q44) and the LSH pair
@@ -413,6 +470,44 @@ object SimQueries {
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("d"), lit(false)).as("is_dropped"))
+  }
+
+  /** Driver-audited form of [[semDedup]], anchored like
+    * [[embeddingPairsLshChecked]]: for the bounded anchor sample the
+    * EXACT drop verdict ("has a smaller-id partner at qcos ≥ 0.25") is
+    * one broadcast probe; the audit pins (a) precision — every
+    * anchored semdedup drop is backed by a true partner (1.0 by
+    * construction: drops come from an exact same-cell comparison) —
+    * and (b) anchored drop recall ≥ 0.85 (cross-cell pairs are the
+    * only loss mode; measured 0.96 with dual-cell assignment, SimSpec
+    * pins 0.9). DuckDB recomputes the anchor count and the exact
+    * number of anchor duplicates, and asserts both booleans TRUE.
+    */
+  def semDedupChecked: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val base = quantized(Tables.embeddings(s, d))
+    val anchors = broadcast(base
+      .where(col("vec_id") % 10 === 0 && col("vec_id") < 10000)
+      .select(col("vec_id").as("x_id"), col("qv").as("qx"), col("nrm").as("nx")))
+    // exact verdict per anchor: any SMALLER-id partner above threshold
+    // (the threshold lives IN the join condition so anchors with no
+    // qualifying partner keep their null row instead of vanishing)
+    val exact = anchors
+      .join(base.select(col("vec_id").as("y_id"), col("qv").as("qy"),
+        col("nrm").as("ny")),
+        col("y_id") < col("x_id") && qcos("qx", "nx", "qy", "ny") >= 0.25,
+        "left")
+      .groupBy("x_id")
+      .agg(max(col("y_id").isNotNull).as("exact_dup"))
+    val sem = semDedup(s, d)
+      .select(col("vec_id").as("x_id"), col("is_dropped"))
+    exact.join(sem, Seq("x_id"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_anchor_dups"),
+        min(!col("is_dropped") || col("exact_dup")).as("drops_are_true_dups"),
+        (sum(when(col("exact_dup") && col("is_dropped"), 1L).otherwise(0L)) * 100 >=
+          sum(when(col("exact_dup"), 1L).otherwise(0L)) * 85)
+          .as("anchor_recall_ge_085"))
   }
 
   /** The `m` nearest centroids by cosine (deterministic tie-break on
@@ -676,11 +771,11 @@ object SimQueries {
     "q156_hybrid_search" -> hybridSearch,
     "q170_rrf_fusion" -> rrfFusion,
     "q45_knn_brute" -> knnBrute,
-    "q46_knn_lsh" -> knnLsh,
-    "q54_knn_ivf" -> knnIvf,
+    "q46_knn_lsh" -> knnLshChecked,
+    "q54_knn_ivf" -> knnIvfChecked,
     "q44_embedding_pairs" -> embeddingPairs,
-    "q58_embedding_pairs_lsh" -> embeddingPairsLsh,
-    "q94_semdedup" -> semDedup)
+    "q58_embedding_pairs_lsh" -> embeddingPairsLshChecked,
+    "q94_semdedup" -> semDedupChecked)
 
   private val quantCte =
     """WITH q AS (SELECT vec_id,
@@ -690,6 +785,51 @@ object SimQueries {
       |    list_sum(list_transform(qv, x -> x * x)) nrm FROM q)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // ANN-audit oracles (q46, q54, q58, q94): DuckDB recomputes the
+    // exact query/anchor-set sizes (and, for the pair audits, the exact
+    // qualifying-pair counts with the same integer-quantized cosine)
+    // and asserts the recall/precision booleans as literal TRUE — the
+    // Spark side computes them for real against knnBrute / anchored
+    // broadcast probes, so an ANN regression flips a bit → hash red
+    "q46_knn_lsh" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q54_knn_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q58_embedding_pairs_lsh" ->
+      s"""$quantCte,
+         |a AS (SELECT vec_id, qv, nrm FROM n
+         |      WHERE vec_id % 10 = 0 AND vec_id < 10000),
+         |p AS (SELECT DISTINCT least(a.vec_id, b.vec_id) a_id,
+         |        greatest(a.vec_id, b.vec_id) b_id
+         |      FROM a JOIN n b ON a.vec_id <> b.vec_id
+         |      WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         |            i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |          / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+         |          >= 0.25)
+         |SELECT CAST(count(*) AS BIGINT) AS n_anchor_pairs,
+         |  TRUE AS anchor_recall_ge_075
+         |FROM p""".stripMargin,
+    "q94_semdedup" ->
+      s"""$quantCte,
+         |a AS (SELECT vec_id, qv, nrm FROM n
+         |      WHERE vec_id % 10 = 0 AND vec_id < 10000),
+         |dup AS (SELECT a.vec_id,
+         |          max(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) d
+         |        FROM a LEFT JOIN n b
+         |          ON b.vec_id < a.vec_id
+         |         AND CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         |               i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+         |             / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+         |             >= 0.25
+         |        GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+         |  CAST(sum(d) AS BIGINT) AS n_anchor_dups,
+         |  TRUE AS drops_are_true_dups, TRUE AS anchor_recall_ge_085
+         |FROM dup""".stripMargin,
     "q213_semantic_decontam" ->
       s"""$quantCte,
          |b AS (SELECT vec_id bench_id, qv bqv, nrm bnrm FROM n

@@ -25,19 +25,22 @@ object Streams {
   type Q = (SparkSession, String) => DataFrame
 
   /** events schema for the streaming file source (file sources need an
-    * explicit schema). The corpus ships `ts` as parquet
-    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; the
-    * stream reader casts it to the session-zone TimestampType right
-    * after the scan (UTC session, so the instant is unchanged),
-    * mirroring `Tables.events`.
+    * explicit schema), parameterized on the `ts` physical layout. The
+    * corpus has shipped `ts` both as parquet TIMESTAMP(NANOS) (reads as
+    * LongType under `nanosAsLong`) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ, and it regenerates between
+    * rounds — so the stream does NOT hardcode one layout: a one-off
+    * batch read of the staged file decides ([[readEventsStream]]),
+    * exactly mirroring `Tables.events`' branch.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** File-source replay of the events table as a stream. The source is a
     * single parquet file but file stream sources monitor directories, so
@@ -51,10 +54,21 @@ object Streams {
     Files.createDirectories(staged)
     val link = staged.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)
-    s.readStream
-      .schema(eventsRawSchema)
+    // derive the ts layout from the staged parquet itself (a metadata
+    // -only batch read), then normalize the same way Tables.events does:
+    // NANOS → nanosAsLong + integer-division to micros; NTZ → cast to
+    // the session-zone TimestampType (UTC session, instant unchanged)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(staged.toString).schema("ts").dataType
+    val raw = s.readStream
+      .schema(eventsRawSchema(tsType))
       .parquet(staged.toString)
-      .withColumn("ts", col("ts").cast(TimestampType))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour windows with a 1-hour watermark: count + exact sum

@@ -192,13 +192,35 @@ object TextQueries {
     * aggregate, so the heavy-hitters pass needs ONE reduction of
     * sketch-sized state no matter how many distinct n-grams the corpus
     * holds — the 100 TB path where the exact groupBy's hash table would
-    * not fit. Rows-only (sketch tie order is engine-specific); TextSpec
-    * pins that the approx top-20 contains the exact top-10.
+    * not fit. Sketch tie order is engine-specific, so the raw top-20
+    * can't be oracled; TextSpec pins that the approx top-20 contains
+    * the exact top-10, and the registered driver form is
+    * [[ngramTopKSketchChecked]].
     */
   def ngramTopKSketch: Q = (s, d) =>
     bigrams(s, d)
       .select(explode(expr("approx_top_k(gram, 20)")).as("e"))
       .select(col("e.item").as("gram"), col("e.count").as("cnt_est"))
+
+  /** Driver-audited form of [[ngramTopKSketch]]: the frequent-items
+    * guarantee as exact oracle bits — every exact top-10 heavy hitter
+    * (count desc, gram asc — the q78 deterministic cut) must appear in
+    * the sketch's top-20 with its estimate within 1% of the true count.
+    * One row; DuckDB recomputes the top-10 cardinality and asserts the
+    * two booleans as literal TRUE. The exact side is q78's own
+    * hash-agg + top-k (already oracled) — the audit join touches 10
+    * rows against a 20-row sketch output.
+    */
+  def ngramTopKSketchChecked: Q = (s, d) => {
+    val sk = ngramTopKSketch(s, d)
+    val top10 = bigrams(s, d).groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc).limit(10)
+    top10.join(sk, Seq("gram"), "left")
+      .agg(count(lit(1)).as("n_top10"),
+        min(col("cnt_est").isNotNull).as("top10_covered"),
+        min(coalesce(abs(col("cnt_est") - col("cnt")) * 100 <= col("cnt"),
+          lit(false))).as("top10_est_within_1pct"))
+  }
 
   /** PII scrub — the redaction pass a training-data pipeline runs before
     * publishing text. The shipped synthetic corpus carries no natural
@@ -690,7 +712,7 @@ object TextQueries {
     "q76_stratified_sample" -> stratifiedSample,
     "q77_length_histogram" -> lengthHistogram,
     "q78_ngram_counts" -> ngramCounts,
-    "q79_ngram_topk_sketch" -> ngramTopKSketch,
+    "q79_ngram_topk_sketch" -> ngramTopKSketchChecked,
     "q83_pii_redact" -> piiRedact,
     "q84_decontaminate" -> decontaminate,
     "q85_sequence_pack" -> sequencePack,
@@ -711,6 +733,17 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sketch-audit oracle (q79): heavy-hitter coverage + estimate
+    // accuracy asserted as literal TRUEs next to the exact top-10
+    // cardinality (see ngramTopKSketchChecked)
+    "q79_ngram_topk_sketch" ->
+      """WITH words AS (SELECT string_split(text, ' ') ws FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |      FROM words WHERE len(ws) >= 2)
+        |SELECT CAST(least(10, count(DISTINCT gram)) AS BIGINT) AS n_top10,
+        |  TRUE AS top10_covered, TRUE AS top10_est_within_1pct
+        |FROM g""".stripMargin,
     "q197_phrase_search" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -24,6 +24,12 @@ class DedupSpec extends SparkSpec {
     val recall = jac.count(sim.contains).toDouble / jac.size
     info(f"simhash recall of jaccard>=0.5 pairs = $recall%.2f")
     assert(recall >= 0.8, s"recall $recall; missing ${jac.diff(sim)}")
+    // registered driver form renders the same bounds as TRUE bits
+    val audit = DedupQueries.simhashChecked(spark, sf).collect()
+    assert(audit.length === 1)
+    assert(audit.head.getLong(0) === jac.size.toLong)
+    assert(audit.head.getBoolean(1) && audit.head.getBoolean(2),
+      s"simhash audit red: ${audit.head}")
   }
 
   test("minhash == exact jaccard on a seeded synthetic corpus with edge cases") {

@@ -352,6 +352,11 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(merged - exact).toDouble / exact <= 0.05,
         s"$et: estimate $merged vs exact $exact")
     }
+    // registered driver form renders the same two contracts as TRUE bits
+    AnalyticsQueries.hllMergeDailyChecked(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"audit bit red for ${r.getString(0)}")
+    }
   }
 
   test("kll quantile estimates land within 5% rank error, merged and direct") {
@@ -375,6 +380,11 @@ class AnalyticsSpec extends SparkSpec {
         assert(math.abs(trueRank - r) <= 0.05,
           s"$tpe rank($q)=$trueRank target $r")
       }
+    }
+    // registered driver form: the distributed rank audit agrees
+    AnalyticsQueries.kllQuantilesChecked(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"rank audit red for ${r.getString(0)}")
     }
   }
 
@@ -432,6 +442,10 @@ class AnalyticsSpec extends SparkSpec {
       // sketch stores the raw hash set: estimates must be EXACT
       assert(est === exact, s"($ta,$tb): est $est != exact $exact")
       assert(exact > 0 && exact < universe, s"($ta,$tb) overlap degenerate")
+    }
+    // registered driver form renders the bound as a TRUE bit per pair
+    AnalyticsQueries.audienceOverlapChecked(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3), s"audit bit red for ${r.getString(0)}/${r.getString(1)}")
     }
   }
 

@@ -296,6 +296,16 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("attribution compare equals a brute two-model replay and conserves purchases") {
+    // corpus invariant the RANGE-frame determinism rests on: no two
+    // same-user events share a microsecond (the frame orders by t_us
+    // alone, so a tie would make first/last touch engine-dependent).
+    // A regeneration that introduces ties must break HERE, loudly,
+    // instead of as a flaky downstream hash mismatch.
+    val ties = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as t_us")
+      .groupBy("user_id", "t_us").count()
+      .where(col("count") > 1).count()
+    assert(ties === 0L, s"$ties same-user same-microsecond event pairs")
     val got = BehaviorQueries.attributionCompare(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
@@ -387,6 +397,11 @@ class BehaviorSpec extends SparkSpec {
       assert(e > 0 && math.abs(e - x).toDouble / x <= 0.05,
         s"day $day: est $e vs exact $x")
     }
+    // registered driver form renders the same bound as a TRUE bit
+    BehaviorQueries.rollingDistinctSketchChecked(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getBoolean(2), s"audit bit red for ${r.getDate(0)}")
+      }
   }
 
   test("stickiness equals the brute daily/monthly distinct replay, bounded by 1e6") {

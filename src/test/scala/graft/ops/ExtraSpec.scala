@@ -4,12 +4,16 @@ import graft.SparkSpec
 
 class ExtraSpec extends SparkSpec {
 
-  test("approx_count_distinct is within its 5% default error of exact") {
+  test("approx_count_distinct (rsd 0.01) is within 5% of exact; audit row agrees") {
     ExtraQueries.approxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
+      assert(math.abs(approx - exact) / exact <= 0.05,
         s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+    // the registered driver form must render the same bound as TRUE
+    ExtraQueries.approxDistinctChecked(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2), s"audit bit red for ${r.getString(0)}")
     }
   }
 
@@ -38,6 +42,11 @@ class ExtraSpec extends SparkSpec {
         s"p50 approx=${r.getDouble(1)} exact=$e50 for ${r.getString(0)}")
       assert(math.abs(r.getDouble(2) - e90) / e90 <= 0.005,
         s"p90 approx=${r.getDouble(2)} exact=$e90 for ${r.getString(0)}")
+    }
+    // registered driver form: rank-band audit bits must come out TRUE
+    ExtraQueries.approxPercentilesChecked(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"rank audit red for ${r.getString(0)}")
     }
   }
 

@@ -23,10 +23,16 @@ class PlanAuditSpec extends SparkSpec {
     * BY DEFINITION (exact scores against a handful of broadcast
     * query/benchmark vectors over every row) — the
     * BroadcastNestedLoopJoin over the tiny broadcast side IS the right
-    * plan, and the ANN queries (q46/q54/q58) are the scale siblings.
+    * plan. The four registered ANN AUDIT forms (q46/q54/q58/q94)
+    * embed the same sanctioned shape: their approximate core is pinned
+    * BNLJ-free by SimSpec's plan test, and the audit stage grades it
+    * against knnBrute / a bounded anchored broadcast probe (≤ 1000
+    * anchors by construction — linear, not quadratic, in the corpus).
     */
   private val allowPairwise: Set[String] =
-    SparkEntry.exactBaselines + "q45_knn_brute" + "q213_semantic_decontam"
+    SparkEntry.exactBaselines + "q45_knn_brute" + "q213_semantic_decontam" +
+      "q46_knn_lsh" + "q54_knn_ivf" + "q58_embedding_pairs_lsh" +
+      "q94_semdedup"
 
   test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -75,6 +75,18 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.2f below floor")
   }
 
+  test("registered ANN audit forms render their recall/precision pins as TRUE bits") {
+    val lsh = SimQueries.knnLshChecked(spark, sf).collect().head
+    assert(lsh.getLong(0) > 0 && lsh.getBoolean(2), s"knnLsh audit red: $lsh")
+    val ivf = SimQueries.knnIvfChecked(spark, sf).collect().head
+    assert(ivf.getBoolean(2), s"knnIvf audit red: $ivf")
+    val pairs = SimQueries.embeddingPairsLshChecked(spark, sf).collect().head
+    assert(pairs.getLong(0) > 0 && pairs.getBoolean(1), s"pair audit red: $pairs")
+    val sem = SimQueries.semDedupChecked(spark, sf).collect().head
+    assert(sem.getLong(1) > 0 && sem.getBoolean(2) && sem.getBoolean(3),
+      s"semdedup audit red: $sem")
+  }
+
   test("hybrid search: lexical gate feeds the vector rerank, both live") {
     val rows = SimQueries.hybridSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

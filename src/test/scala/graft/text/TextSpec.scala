@@ -16,6 +16,11 @@ class TextSpec extends SparkSpec {
       assert(approx.contains(gram), s"missing heavy hitter $gram")
       assert(approx(gram) === cnt, s"count drift for $gram")
     }
+    // registered driver form renders the same guarantee as TRUE bits
+    val audit = TextQueries.ngramTopKSketchChecked(spark, sf).collect()
+    assert(audit.length === 1)
+    assert(audit.head.getLong(0) === 10L &&
+      audit.head.getBoolean(1) && audit.head.getBoolean(2))
   }
 
   test("repetition ratio is 1 - distinct/total and bounded [0, 1)") {
