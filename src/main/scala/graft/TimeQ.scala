@@ -21,7 +21,10 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val picked = names.map(n => n -> SparkEntry.queries(n))
+    // time what Bench times: the production bench form where one is
+    // registered, the exact-baseline fallback otherwise
+    val picked = names.map(n =>
+      n -> SparkEntry.benchQueries.getOrElse(n, SparkEntry.queries(n)))
     val times = (1 to passes).map { _ =>
       picked.map { case (_, fn) =>
         val t0 = System.nanoTime()

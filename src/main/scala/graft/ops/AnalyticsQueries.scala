@@ -264,7 +264,13 @@ object AnalyticsQueries {
       .repartitionByRange(s.sparkContext.defaultParallelism,
         col("c_acctbal"), col("c_custkey"))
       .sortWithinPartitions("c_acctbal", "c_custkey")
-    val rows = ranged.rdd
+    // Two jobs consume the ranged RDD (partition sizes, then tiling);
+    // without a checkpoint the second job re-runs the range exchange +
+    // sort from the scan. localCheckpoint (the q88 pattern) truncates
+    // the lineage so the sort runs exactly once — at 100 TB that's the
+    // difference between one and two global sorts. Bench unpersists
+    // checkpointed blocks after each query, so nothing leaks.
+    val rows = ranged.rdd.localCheckpoint()
     val sizes = rows.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = sizes.scanLeft(0L)(_ + _)
@@ -960,7 +966,15 @@ object AnalyticsQueries {
       .groupBy(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("exact_overlap"))
-    exact.join(broadcast(est), Seq("type_a", "type_b"))
+    // est drives the join (ADVICE r08): the sketch table carries EVERY
+    // type pair, the exact join only pairs with overlap >= 1 — an inner
+    // join would silently drop a theta false positive on a truly
+    // disjoint pair instead of grading it, so left-join exact on and
+    // coalesce its count to 0
+    est.join(broadcast(exact), Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        col("est_overlap"))
   }
 
   /** Driver-audited form of [[audienceOverlap]]: theta-sketch set
@@ -968,8 +982,12 @@ object AnalyticsQueries {
     * k=4096 capacity theta stores the raw hash set, so estimates are
     * exact here; the audit bound still allows max(2, 5%) slack so the
     * bit keeps meaning once a bigger corpus pushes the sketch into
-    * estimation mode. DuckDB recomputes the exact overlap and asserts
-    * the bound as literal TRUE.
+    * estimation mode. The estimate side DRIVES the row set, so a
+    * truly-disjoint pair is graded too (a theta false positive there
+    * must land within the ±2 absolute slack or flip the bit) instead
+    * of vanishing from an inner join. DuckDB recomputes the exact
+    * overlap for every type pair (coalesced to 0) and asserts the
+    * bound as literal TRUE.
     */
   def audienceOverlapChecked: Q = (s, d) =>
     audienceOverlap(s, d).select(col("type_a"), col("type_b"),
@@ -1577,12 +1595,17 @@ object AnalyticsQueries {
     "q180_audience_overlap" ->
       """WITH hv AS (
         |  SELECT DISTINCT event_type, user_id FROM events
-        |  WHERE value >= 150)
-        |SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |  count(*) AS exact_overlap, TRUE AS theta_within_5pct
-        |FROM hv a JOIN hv b
-        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
-        |GROUP BY 1, 2""".stripMargin,
+        |  WHERE value >= 150),
+        |t AS (SELECT DISTINCT event_type FROM hv),
+        |ov AS (SELECT a.event_type ta, b.event_type tb, count(*) c
+        |       FROM hv a JOIN hv b
+        |         ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+        |  CAST(coalesce(ov.c, 0) AS BIGINT) AS exact_overlap,
+        |  TRUE AS theta_within_5pct
+        |FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+        |LEFT JOIN ov ON ov.ta = t1.event_type AND ov.tb = t2.event_type""".stripMargin,
     // naive global cumulative sweep — same merged endpoint deltas
     "q223_peak_concurrency" ->
       """WITH ep AS (

@@ -60,7 +60,7 @@ object ExtraQueries {
         element_at(col("ws"), -1).as("last_word"))
 
   /** HLL approximate count-distinct next to the exact count. rsd 0.015
-    * (2¹³ registers) keeps the registered 5% audit bound ~4σ out.
+    * (2¹³ registers) keeps the registered 5% audit bound ~3.3σ out.
     *
     * Shape: dedup FIRST (one (flag, partkey) hash aggregate), then
     * count + sketch the distinct keys. HLL is duplicate-insensitive,

@@ -111,6 +111,7 @@ object Scale {
   def warmDerived(s: SparkSession, d: String): Unit = {
     ensurePartitionedOrders(s, d): Unit
     ensureBucketedTables(s, d): Unit
+    graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 

@@ -98,10 +98,23 @@ object SimQueries {
   private val lshBits = 6
 
   private def signBuckets(s: SparkSession, d: String,
-                          dim: Int = 64, nTables: Int = 16, bits: Int = lshBits): DataFrame = {
+                          dim: Int = 64, nTables: Int = 16, bits: Int = lshBits): DataFrame =
+    signBucketsOf(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      dim, nTables, bits)
+
+  /** [[signBuckets]] over an arbitrary (vec_id, embedding) frame — lets a
+    * caller sketch a PRE-FILTERED side (e.g. q213's benchmark subset) so
+    * the filter reaches the parquet scan instead of sketching the whole
+    * corpus and discarding 99% of the rows afterwards (a Dataset
+    * mapPartitions is a filter barrier — Catalyst cannot push a predicate
+    * below it).
+    */
+  private def signBucketsOf(embIn: DataFrame,
+                            dim: Int = 64, nTables: Int = 16, bits: Int = lshBits): DataFrame = {
+    val s = embIn.sparkSession
     import s.implicits._
     val ps = planes(dim, nTables, bits)
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     emb.as[(Long, Array[Float])].mapPartitions { it =>
       it.flatMap { case (id, e) =>
         val nd = math.min(dim, e.length)
@@ -163,9 +176,19 @@ object SimQueries {
     * recall ≥ 0.75 boolean the oracle asserts as literal TRUE (SimSpec
     * keeps the tighter 0.8 pin; the driver floor leaves headroom for
     * corpus regeneration). An ANN regression flips the bit → hash red.
+    *
+    * The brute reference is ANCHORED (q_id < 100000, the q58/q94
+    * bound): the audit's exact side stays a ≤ 1000-query broadcast
+    * probe — linear in the corpus — at any scale, instead of growing
+    * quadratically with the 1%-of-corpus query set (ADVICE r08). The
+    * cap is a no-op on current testdata (max vec_id 2000) so the
+    * graded pair set is unchanged; the filter reaches the brute plan's
+    * query-side scan, so the capped reference never scores the
+    * uncapped queries.
     */
   private def knnAudit(approx: DataFrame, brute: DataFrame): DataFrame =
-    brute.select(col("q_id"), col("n_id"))
+    brute.where(col("q_id") < 100000)
+      .select(col("q_id"), col("n_id"))
       .join(approx.select(col("q_id"), col("n_id"), lit(1).as("fd")),
         Seq("q_id", "n_id"), "left")
       .agg(countDistinct(col("q_id")).as("n_queries"),
@@ -730,20 +753,20 @@ object SimQueries {
       .toDF("rank", "doc_id", "rel")
   }
 
-  /** Semantic decontamination: flag corpus documents whose embedding is
-    * too close (cosine ≥ 0.35) to ANY benchmark-set embedding — the
-    * vector sibling of q84's n-gram decontamination, catching
-    * paraphrased eval leakage that token overlap misses. Benchmark =
-    * the q45 query set (vec_id % 100 == 0); output = flagged doc, its
-    * nearest benchmark item (ties → smaller id), and the max
-    * similarity.
+  /** Semantic decontamination, EXACT reference form: flag corpus
+    * documents whose embedding is too close (cosine ≥ 0.35) to ANY
+    * benchmark-set embedding — the vector sibling of q84's n-gram
+    * decontamination, catching paraphrased eval leakage that token
+    * overlap misses. Benchmark = the q45 query set (vec_id % 100 == 0);
+    * output = flagged doc, its nearest benchmark item (ties → smaller
+    * id), and the max similarity.
     *
-    * Scale shape: the benchmark side is tiny and broadcast — the
-    * |B|×|corpus| scoring scan is the SAME deliberate shape as q45's
-    * brute kNN (exact scores against a handful of query vectors), with
-    * q46/q58's LSH bucketing as the documented scale path when |B|
-    * grows. Exact int64 dots → IEEE doubles, so the oracle matches
-    * bit-for-bit.
+    * This is the |B|×|corpus| broadcast probe (the sanctioned q45
+    * shape) — correct while |B| stays small, quadratic as it grows. The
+    * REGISTERED q213 plan is [[semanticDecontamLsh]] (bucketed, no
+    * pairwise scan), driver-audited against an anchored slice of this
+    * exact form by [[semanticDecontamChecked]]; this function remains
+    * the small-|B| exact path and the spec's replay target.
     */
   def semanticDecontam: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
@@ -765,8 +788,94 @@ object SimQueries {
         col("sim").as("max_sim"))
   }
 
+  /** Semantic decontamination, SCALE form (the registered q213 plan):
+    * hyperplane-LSH bucketing replaces the |B|×|corpus| probe. Both
+    * sides sketch from PRUNED scans ([[signBucketsOf]] — the benchmark
+    * side reads 1% of the table), the benchmark buckets get Hamming-1
+    * multi-probes and broadcast into a bucket equi-join, and only the
+    * collided (doc, bench) candidates pay an exact `dot_i64` cosine.
+    * Per corpus row the work is its bucket collisions, not |B| dots —
+    * at 100 TB with a growing benchmark set this is the plan that
+    * survives. Precision is 1.0 by construction (the rerank is exact,
+    * so a flag implies a true ≥ 0.35 neighbor); recall is the LSH
+    * catch rate — at the 0.35 boundary (θ ≈ 69.5°, p ≈ 0.61) a
+    * Hamming-1 probed 6-bit table hits w.p. ≈ 0.25, → ≈ 0.99 over 16
+    * tables, and higher above the boundary. Approximation caveat: a
+    * flagged doc's reported (bench_id, max_sim) is the argmax over
+    * CANDIDATES, which can differ from the global argmax when the true
+    * nearest benchmark item never collided but another ≥-threshold one
+    * did. Plan pinned BNLJ-free in SimSpec; recall/precision
+    * driver-audited by [[semanticDecontamChecked]].
+    */
+  def semanticDecontamLsh: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val benchBuckets = withProbes(signBucketsOf(emb.where(col("vec_id") % 100 === 0)))
+      .select(col("vec_id").as("bench_id"), col("t"), col("bkey"))
+    val corpusBuckets = signBucketsOf(emb.where(col("vec_id") % 100 =!= 0))
+    val cands = corpusBuckets.join(broadcast(benchBuckets), Seq("t", "bkey"))
+      .select(col("vec_id"), col("bench_id")).distinct()
+    val corpusQ = quantized(Tables.embeddings(s, d).where(col("vec_id") % 100 =!= 0))
+    val benchQ = broadcast(
+      quantized(Tables.embeddings(s, d).where(col("vec_id") % 100 === 0))
+        .select(col("vec_id").as("bench_id"), col("qv").as("bqv"), col("nrm").as("bnrm")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("bench_id").asc)
+    cands.join(corpusQ, Seq("vec_id"))
+      .join(benchQ, Seq("bench_id"))
+      .select(col("vec_id"), col("bench_id"),
+        (expr("dot_i64(qv, bqv)").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("bnrm").cast("double"))))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1 && col("sim") >= 0.35)
+      .select(col("vec_id").as("doc_id"), col("bench_id"),
+        col("sim").as("max_sim"))
+  }
+
+  /** Driver-audited form of [[semanticDecontamLsh]], anchored like
+    * [[embeddingPairsLshChecked]]: the bounded anchor sample
+    * (`vec_id % 10 == 0 AND vec_id < 10000`, benchmark ids excluded —
+    * ≤ 900 anchors at any corpus size) gets its EXACT contamination
+    * verdict from one anchors × benchmark broadcast probe (linear, the
+    * q45 shape); the full LSH plan then must (a) flag only truly
+    * contaminated anchors (precision 1.0 by construction — exact
+    * rerank) and (b) cover ≥ 75% of the exactly-flagged anchors.
+    * DuckDB recomputes the anchor and exact-flag counts with the same
+    * integer-quantized cosine and asserts both booleans TRUE; SimSpec
+    * keeps tighter pins.
+    */
+  def semanticDecontamChecked: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val base = quantized(Tables.embeddings(s, d))
+    val anchors = base
+      .where(col("vec_id") % 10 === 0 && col("vec_id") < 10000 &&
+        col("vec_id") % 100 =!= 0)
+      .select(col("vec_id").as("x_id"), col("qv").as("qx"), col("nrm").as("nx"))
+    val bench = broadcast(base.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("bench_id"), col("qv").as("bqv"),
+        col("nrm").as("bnrm")))
+    // threshold in the join condition: anchors with no contaminating
+    // benchmark neighbor keep their null row instead of vanishing
+    val exact = anchors
+      .join(bench, qcos("qx", "nx", "bqv", "bnrm") >= 0.35, "left")
+      .groupBy("x_id")
+      .agg(max(col("bench_id").isNotNull).as("exact_flag"))
+    val lsh = semanticDecontamLsh(s, d)
+      .select(col("doc_id").as("x_id"), lit(true).as("lsh_flag"))
+    exact.join(lsh, Seq("x_id"), "left")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("exact_flag"), 1L).otherwise(0L)).as("n_anchor_flagged"),
+        min(!coalesce(col("lsh_flag"), lit(false)) || col("exact_flag"))
+          .as("flags_are_true"),
+        (sum(when(col("exact_flag") && coalesce(col("lsh_flag"), lit(false)), 1L)
+          .otherwise(0L)) * 4 >=
+          sum(when(col("exact_flag"), 1L).otherwise(0L)) * 3)
+          .as("anchor_recall_ge_075"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q213_semantic_decontam" -> semanticDecontam,
+    "q213_semantic_decontam" -> semanticDecontamChecked,
     "q212_mmr_rerank" -> mmrRerank,
     "q156_hybrid_search" -> hybridSearch,
     "q170_rrf_fusion" -> rrfFusion,
@@ -794,11 +903,11 @@ object SimQueries {
     "q46_knn_lsh" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075
-        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
     "q54_knn_ivf" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075
-        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
     "q58_embedding_pairs_lsh" ->
       s"""$quantCte,
          |a AS (SELECT vec_id, qv, nrm FROM n
@@ -830,24 +939,30 @@ object SimQueries {
          |  CAST(sum(d) AS BIGINT) AS n_anchor_dups,
          |  TRUE AS drops_are_true_dups, TRUE AS anchor_recall_ge_085
          |FROM dup""".stripMargin,
+    // q213 audit oracle: DuckDB recomputes the exact anchored
+    // contamination verdicts (same integer-quantized cosine) and
+    // asserts the precision/recall booleans as literal TRUE — the
+    // Spark side computes them for real against the anchored exact
+    // probe, so an LSH regression flips a bit → hash red
     "q213_semantic_decontam" ->
       s"""$quantCte,
+         |a AS (SELECT vec_id, qv, nrm FROM n
+         |      WHERE vec_id % 10 = 0 AND vec_id < 10000
+         |        AND vec_id % 100 <> 0),
          |b AS (SELECT vec_id bench_id, qv bqv, nrm bnrm FROM n
          |      WHERE vec_id % 100 = 0),
-         |c AS (SELECT * FROM n WHERE vec_id % 100 <> 0),
-         |scored AS (
-         |  SELECT c.vec_id, b.bench_id,
-         |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
-         |        i -> c.qv[i] * b.bqv[i])) AS DOUBLE)
-         |      / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(b.bnrm AS DOUBLE)))
-         |      AS sim
-         |  FROM c CROSS JOIN b),
-         |r AS (SELECT vec_id, bench_id, sim,
-         |        row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY sim DESC, bench_id ASC) rk
-         |      FROM scored)
-         |SELECT vec_id AS doc_id, bench_id, sim AS max_sim
-         |FROM r WHERE rk = 1 AND sim >= 0.35""".stripMargin,
+         |fl AS (SELECT a.vec_id,
+         |         max(CASE WHEN b.bench_id IS NOT NULL THEN 1 ELSE 0 END) f
+         |       FROM a LEFT JOIN b
+         |         ON CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         |              i -> a.qv[i] * b.bqv[i])) AS DOUBLE)
+         |            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.bnrm AS DOUBLE)))
+         |            >= 0.35
+         |       GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+         |  CAST(sum(f) AS BIGINT) AS n_anchor_flagged,
+         |  TRUE AS flags_are_true, TRUE AS anchor_recall_ge_075
+         |FROM fl""".stripMargin,
     // the same greedy, unrolled: each step is argmax(rel − max sim to
     // the selected set) with (score desc, doc_id) tie-break
     "q212_mmr_rerank" ->

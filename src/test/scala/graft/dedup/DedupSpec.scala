@@ -171,4 +171,18 @@ class DedupSpec extends SparkSpec {
     // no old×old pair leaks into the incremental result
     assert(got.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
   }
+
+  test("incremental dedup probes the persisted index: one documents scan only") {
+    val plan = DedupQueries.incrementalDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // corpus side reads the materialized postings + sizes, not the raw
+    // corpus — the probe-only economics a nightly ingest run shows
+    assert(plan.contains("graft-shingle-index"), plan.take(2000))
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans === 1,
+      s"expected exactly the pruned batch scan of documents.parquet, found $docScans")
+    // and that one scan is pruned to the ingest batch at the source
+    assert("\\(doc_id#\\d+L? % 3\\) = 0".r.findFirstIn(plan).isDefined,
+      "batch filter did not reach the documents scan")
+  }
 }

@@ -19,20 +19,44 @@ class PlanAuditSpec extends SparkSpec {
   private val skip: Set[String] = Set(
     "q71_stateful_totals", "q89_stateful_totals_tws")
 
-  /** q45 brute kNN and q213 semantic decontamination are |Q|x|corpus|
-    * BY DEFINITION (exact scores against a handful of broadcast
-    * query/benchmark vectors over every row) — the
+  /** q45 brute kNN is |Q|x|corpus| BY DEFINITION (exact scores against
+    * a handful of broadcast query vectors over every row) — the
     * BroadcastNestedLoopJoin over the tiny broadcast side IS the right
-    * plan. The four registered ANN AUDIT forms (q46/q54/q58/q94)
-    * embed the same sanctioned shape: their approximate core is pinned
-    * BNLJ-free by SimSpec's plan test, and the audit stage grades it
-    * against knnBrute / a bounded anchored broadcast probe (≤ 1000
-    * anchors by construction — linear, not quadratic, in the corpus).
+    * plan. The five registered ANN AUDIT forms (q46/q54/q58/q94/q213)
+    * embed the same sanctioned shape: their approximate core (the
+    * bench-path form in SparkEntry.benchForms) is pinned BNLJ-free by
+    * SimSpec's plan test, and the audit stage grades it against
+    * knnBrute / a bounded anchored broadcast probe (≤ 1000 anchors by
+    * construction — linear, not quadratic, in the corpus).
     */
   private val allowPairwise: Set[String] =
     SparkEntry.exactBaselines + "q45_knn_brute" + "q213_semantic_decontam" +
       "q46_knn_lsh" + "q54_knn_ivf" + "q58_embedding_pairs_lsh" +
       "q94_semdedup"
+
+  /** The bench path must never pay for audit machinery: every
+    * bench-form override must (a) override a registered query, (b) not
+    * plan a quadratic join (the production sketch forms are exactly the
+    * plans whose BNLJ-freedom the audit exemptions above assume), and
+    * (c) ship a flat schema like everything else Bench writes.
+    */
+  test("bench-form overrides are registered, quadratic-free, flat") {
+    val unknown = SparkEntry.benchForms.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"benchForms not in the registry: $unknown")
+    val offenders = SparkEntry.benchForms.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        val nonFlat = df.schema.fields.exists(f =>
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+        val all = bad ++ (if (nonFlat) Seq("non-flat schema") else Nil)
+        if (all.isEmpty) None else Some(s"$name: ${all.mkString(", ")}")
+      }
+    assert(offenders.isEmpty, s"bench-form violations:\n${offenders.mkString("\n")}")
+  }
 
   test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

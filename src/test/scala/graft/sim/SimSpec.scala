@@ -163,6 +163,32 @@ class SimSpec extends SparkSpec {
     assert(got.size < corpus.length, "threshold flags the whole corpus")
   }
 
+  test("lsh decontam: no false flags, pinned recall vs the exact form, BNLJ-free plan") {
+    val exact = SimQueries.semanticDecontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lsh = SimQueries.semanticDecontamLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // exact rerank → every LSH flag is a true flag
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"false flags: ${(lsh.keySet -- exact.keySet).take(5)}")
+    // the candidate max can only undershoot the global max
+    lsh.foreach { case (id, s2) => assert(s2 <= exact(id) + 1e-12) }
+    val recall = exact.keySet.count(lsh.contains).toDouble / exact.size
+    info(f"lsh decontam flag recall = $recall%.2f (16x6-bit tables, Hamming-1 probes)")
+    assert(recall >= 0.85, f"recall $recall%.2f below floor")
+    val plan = SimQueries.semanticDecontamLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("decontam audit form renders its precision/recall pins as TRUE bits") {
+    val r = SimQueries.semanticDecontamChecked(spark, sf).collect().head
+    assert(r.getLong(0) > 0, s"no anchors: $r")
+    assert(r.getBoolean(2) && r.getBoolean(3), s"decontam audit red: $r")
+  }
+
   test("mmr rerank: rank 1 is argmax relevance, set is distinct, diversification is live") {
     val rows = SimQueries.mmrRerank(spark, sf).orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

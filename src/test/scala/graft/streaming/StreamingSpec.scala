@@ -249,6 +249,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** ADVICE r08: the NANOS branch of [[Streams.readEventsStream]]
+    * (LongType schema under `nanosAsLong` + integer-div to micros) went
+    * untested once the corpus regenerated to TIMESTAMP(MICROS). Spark
+    * cannot WRITE nanos timestamps, so the fixture goes through
+    * parquet-mr directly: a tiny events-shaped file whose `ts` is
+    * annotated TIMESTAMP(NANOS, isAdjustedToUTC=false), with sub-micro
+    * residue to prove the truncation semantics.
+    */
+  test("file stream source honors TIMESTAMP(NANOS) parquet via the nanosAsLong branch") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos-fixture").toFile
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(
+        false, LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(
+        new HPath(new java.io.File(dir, "events.parquet").getPath))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    val baseNanos = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC
+    val nanos = (0 until 6).map(i => baseNanos + i * 600L * 1000000000L + 1234L)
+    nanos.zipWithIndex.foreach { case (ns, i) =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", ns)
+      g.add("user_id", (i % 2).toLong)
+      g.add("event_type", "click")
+      g.add("value", 1.5)
+      g.add("props", "{}")
+      writer.write(g)
+    }
+    writer.close()
+    val stream = Streams.readEventsStream(spark, dir.getPath)
+    runToMemory(stream.select("event_id", "ts"), "nanos_sink", mode = "append")
+    val got = spark.table("nanos_sink").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(got.size === 6)
+    nanos.zipWithIndex.foreach { case (ns, i) =>
+      val ts = got(i.toLong)
+      val gotMicros = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+      assert(gotMicros === ns / 1000L,
+        s"event $i: expected ${ns / 1000L} micros, got $gotMicros")
+    }
+    // and the tumbling transform runs on the normalized column
+    runToMemory(Streams.tumbling(stream), "nanos_tumbling_sink")
+    assert(spark.table("nanos_tumbling_sink").collect().map(_.getLong(2)).sum === 6L)
+  }
+
   test("rate source streams synthetic rows through the tumbling transform") {
     import org.apache.spark.sql.functions._
     val rate = spark.readStream.format("rate")
