@@ -45,7 +45,7 @@ object SparkEntry {
   val exactBaselines: Set[String] =
     Set("q41_dedup_jaccard", "q44_embedding_pairs")
 
-  /** Bench-path overrides for the 13 sketch/ANN queries whose REGISTERED
+  /** Bench-path overrides for the 14 sketch/ANN queries whose REGISTERED
     * form is the self-auditing `*Checked` variant (sketch + exact
     * reference + accuracy booleans, so the DuckDB oracle can hash-gate
     * an approximate operator). The audit recomputation is a correctness
@@ -60,6 +60,7 @@ object SparkEntry {
     "q43_dedup_simhash" -> dedup.DedupQueries.simhash,
     "q46_knn_lsh" -> sim.SimQueries.knnLsh,
     "q54_knn_ivf" -> sim.SimQueries.knnIvf,
+    "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,
     "q79_ngram_topk_sketch" -> text.TextQueries.ngramTopKSketch,

@@ -533,6 +533,189 @@ object SimQueries {
           .as("anchor_recall_ge_085"))
   }
 
+  /** Unit-normalize an embedding (zero vectors stay zero): on the unit
+    * sphere cosine ordering == dot ordering, which is what lets the PQ
+    * asymmetric-distance lookup approximate cosine with plain partial
+    * dot products.
+    */
+  @inline private def unit(e: Array[Float], dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    var n2 = 0.0
+    var i = 0
+    val nd = math.min(dim, e.length)
+    while (i < nd) { n2 += e(i).toDouble * e(i); i += 1 }
+    if (n2 > 0) {
+      val inv = 1.0 / math.sqrt(n2)
+      i = 0
+      while (i < nd) { v(i) = e(i) * inv; i += 1 }
+    }
+    v
+  }
+
+  /** Product-quantization codebooks: `m` subspaces of `subDim` dims,
+    * `k` centroids each, trained by per-subspace L2 k-means over the
+    * UNIT-normalized corpus — every subspace trains in the SAME pass
+    * (one mapPartitions emits (subspace, cell) partial sums; one
+    * aggregation per Lloyd round), so the build is `iters + 1` linear
+    * scans regardless of m. Deterministic: hashed-id init, smaller-cell
+    * tie-breaks, empty cells keep their previous centroid. Only the
+    * m × k × subDim codebook (a few KB) ever reaches the driver — the
+    * same contract as [[ivfCentroids]].
+    */
+  private[sim] def pqCodebooks(emb: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                               m: Int, subDim: Int, k: Int,
+                               iters: Int): Array[Array[Array[Double]]] = {
+    import emb.sparkSession.implicits._
+    val dim = m * subDim
+    var cb: Array[Array[Array[Double]]] = null
+    (0 to iters).foreach { _ =>
+      val cur = cb
+      val sums = emb.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map
+          .empty[(Int, Int), (Array[Double], Long)]
+        it.foreach { case (id, e) =>
+          val v = unit(e, dim)
+          var j = 0
+          while (j < m) {
+            val cell =
+              if (cur == null) (math.abs(mix64ForIvf(id * 131 + j)) % k).toInt
+              else nearestSubCell(cur(j), v, j * subDim, subDim)
+            val (s0, _) = acc.getOrElseUpdate((j, cell),
+              (new Array[Double](subDim), 0L))
+            var i = 0
+            while (i < subDim) { s0(i) += v(j * subDim + i); i += 1 }
+            acc((j, cell)) = (s0, acc((j, cell))._2 + 1)
+            j += 1
+          }
+        }
+        acc.iterator.map { case ((j, c), (s0, n)) => (j, c, s0, n) }
+      }.toDF("j", "cell", "sum", "n")
+        .groupBy("j", "cell")
+        .agg(expr("aggregate(collect_list(sum), " +
+          s"array_repeat(0D, $subDim), (a, x) -> zip_with(a, x, (p, q) -> p + q))").as("sum"),
+          org.apache.spark.sql.functions.sum("n").as("n"))
+        .collect()
+      val next = Array.tabulate(m, k) { (j, c) =>
+        if (cb == null) new Array[Double](subDim) else cb(j)(c)
+      }
+      sums.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1)
+        val s0 = r.getSeq[Double](2); val n = r.getLong(3).toDouble
+        next(j)(c) = Array.tabulate(subDim)(i => s0(i) / n)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Nearest sub-centroid by L2 over one subspace slice (ties → smaller
+    * cell index).
+    */
+  @inline private[sim] def nearestSubCell(cs: Array[Array[Double]],
+                                          v: Array[Double], off: Int,
+                                          subDim: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d2 = 0.0
+      var i = 0
+      while (i < subDim) {
+        val diff = cs(c)(i) - v(off + i)
+        d2 += diff * diff
+        i += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  private def pqCodebooksFor(s: SparkSession, d: String, m: Int, subDim: Int,
+                             k: Int, iters: Int): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent((d, m, subDim, k, iters), { _ =>
+      import s.implicits._
+      pqCodebooks(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])], m, subDim, k, iters)
+    })
+
+  /** IVF-PQ approximate top-5 — the FAISS-style memory-bound ANN scale
+    * path next to LSH (q46) and plain IVF (q54): every vector is stored
+    * as ONE byte per subspace (8 codes here vs 256 floats), so at
+    * 100 TB the searched index is ~1/128th the raw embedding bytes and
+    * the per-candidate distance is `m` table lookups instead of a
+    * 64-dim dot product.
+    *
+    * Index: coarse quantizer = the q54 IVF centroids (hard cell
+    * assignment bounds the searched candidates); payload = 8×32 PQ
+    * codes of the unit-normalized vector ([[pqCodebooks]]). Query:
+    * probe the 8 nearest cells; each query row carries its 8×32
+    * asymmetric-distance lookup table (partial dots of the query's
+    * unit sub-vectors against every sub-centroid — 256 doubles), so
+    * the candidate score is a codegen'd HOF fold of `m` element_at
+    * lookups; the ADC top-100 then pays an exact float-cosine rerank
+    * (the q46 trick) and emits the top-5 in knnBrute's schema.
+    * Candidates appear once (hard cell assignment), so there is no
+    * distinct anywhere; the cell join broadcasts the tiny probe side.
+    * Recall vs brute pinned in SimSpec; driver-audited by
+    * [[knnPqChecked]].
+    */
+  def knnPq: Q = (s, d) => {
+    import s.implicits._
+    val m = 8; val subDim = 8; val k = 32; val dim = 64
+    val coarseK = 16; val nprobe = 8; val rerank = 100
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val coarse = centroidsFor(s, d, coarseK, dim, iters = 3)
+    val cb = pqCodebooksFor(s, d, m, subDim, k, iters = 3)
+    val assigned = emb.map { case (id, e) =>
+      val v = unit(e, dim)
+      val codes = Array.tabulate(m)(j => nearestSubCell(cb(j), v, j * subDim, subDim))
+      (id, nearestCell(coarse, e), codes)
+    }.toDF("vec_id", "cell", "codes")
+    val queries = emb.filter(_._1 % 100 == 0).flatMap { case (id, e) =>
+      val v = unit(e, dim)
+      val lut = new Array[Double](m * k)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) { acc += cb(j)(c)(i) * v(j * subDim + i); i += 1 }
+          lut(j * k + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      nearestCells(coarse, e, nprobe).map(c => (id, c, lut))
+    }.toDF("q_id", "cell", "lut")
+    val scored = broadcast(queries).join(assigned, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr(s"aggregate(sequence(0, ${m - 1}), 0D, " +
+          s"(acc, j) -> acc + element_at(lut, j * $k + element_at(codes, j + 1) + 1))")
+          .as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id").asc)
+    val cands = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= rerank)
+      .select("q_id", "n_id")
+    val embDf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val reranked = cands
+      .join(embDf.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(embDf.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cosineCol("qe", "ne").as("sim"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    reranked.withColumn("rank", row_number().over(w2)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Driver-audited form of [[knnPq]] (see [[knnAudit]]). */
+  def knnPqChecked: Q = (s, d) => knnAudit(knnPq(s, d), knnBrute(s, d))
+
   /** The `m` nearest centroids by cosine (deterministic tie-break on
     * cell index) — [[nearestCell]] generalized for overlap assignment.
     */
@@ -882,6 +1065,7 @@ object SimQueries {
     "q45_knn_brute" -> knnBrute,
     "q46_knn_lsh" -> knnLshChecked,
     "q54_knn_ivf" -> knnIvfChecked,
+    "q224_knn_pq" -> knnPqChecked,
     "q44_embedding_pairs" -> embeddingPairs,
     "q58_embedding_pairs_lsh" -> embeddingPairsLshChecked,
     "q94_semdedup" -> semDedupChecked)
@@ -905,6 +1089,10 @@ object SimQueries {
         |  TRUE AS recall_ge_075
         |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
     "q54_knn_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
+    "q224_knn_pq" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075
         |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,

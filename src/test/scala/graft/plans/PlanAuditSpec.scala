@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   /** q45 brute kNN is |Q|x|corpus| BY DEFINITION (exact scores against
     * a handful of broadcast query vectors over every row) — the
     * BroadcastNestedLoopJoin over the tiny broadcast side IS the right
-    * plan. The five registered ANN AUDIT forms (q46/q54/q58/q94/q213)
+    * plan. The six registered ANN AUDIT forms (q46/q54/q224/q58/q94/q213)
     * embed the same sanctioned shape: their approximate core (the
     * bench-path form in SparkEntry.benchForms) is pinned BNLJ-free by
     * SimSpec's plan test, and the audit stage grades it against
@@ -31,8 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val allowPairwise: Set[String] =
     SparkEntry.exactBaselines + "q45_knn_brute" + "q213_semantic_decontam" +
-      "q46_knn_lsh" + "q54_knn_ivf" + "q58_embedding_pairs_lsh" +
-      "q94_semdedup"
+      "q46_knn_lsh" + "q54_knn_ivf" + "q224_knn_pq" +
+      "q58_embedding_pairs_lsh" + "q94_semdedup"
 
   /** The bench path must never pay for audit machinery: every
     * bench-form override must (a) override a registered query, (b) not
