@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -111,19 +111,56 @@ class EventLogTable(properties: Map[String, String]) extends Table with Supports
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new EventLogScan(path)
+      override def build(): Scan = new EventLogScan(path,
+        Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+          .orElse(properties.get("maxRecordsPerTrigger").map(_.toLong)))
     }
 }
 
-class EventLogScan(dir: String) extends Scan {
+class EventLogScan(dir: String, maxPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = EventLog.Schema
   override def description(): String = s"eventlog $dir"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EventLogMicroBatchStream(dir)
+    new EventLogMicroBatchStream(dir, maxPerTrigger)
 }
 
-class EventLogMicroBatchStream(dir: String) extends MicroBatchStream {
+class EventLogMicroBatchStream(dir: String, maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val topic = new java.io.File(dir).getName
+
+  /** Kafka's `maxOffsetsPerTrigger`, via the DSv2 admission-control
+    * contract: when a ReadMaxRows limit is in force, the batch end is
+    * capped at `start + maxRows` NEW records, allocated across
+    * partitions in index order (deterministic; a broker-backed source
+    * would pro-rate on lag, same protocol). Spark then drains the
+    * backlog over SEVERAL bounded micro-batches instead of one
+    * unbounded catch-up batch — the knob that keeps recovery from a
+    * long outage from planning a cluster-sized first batch.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = EventLog.partitionFiles(dir).map(EventLog.recordCount)
+    val from = start.asInstanceOf[EventLogOffset].offsets
+    limit match {
+      case mr: ReadMaxRows =>
+        var budget = mr.maxRows()
+        EventLogOffset(avail.zipWithIndex.map { case (end, i) =>
+          val s0 = if (i < from.length) from(i) else 0L
+          val take = math.min(math.max(0L, end - s0), budget)
+          budget -= take
+          s0 + take
+        })
+      case _ => EventLogOffset(avail)
+    }
+  }
+
+  /** The true log head, independent of any read limit — what progress
+    * reporting shows as backlog.
+    */
+  override def reportLatestOffset(): Offset =
+    EventLogOffset(EventLog.partitionFiles(dir).map(EventLog.recordCount))
 
   /** Earliest everything — used only when the checkpoint has no offset
     * log yet; afterwards Spark replays/resumes from the checkpointed

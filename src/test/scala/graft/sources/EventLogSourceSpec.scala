@@ -79,6 +79,30 @@ class EventLogSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxRecordsPerTrigger drains the backlog in bounded micro-batches") {
+    val dir = Files.createTempDirectory("graft-topic3-")
+    append(dir, 0, (0 until 5).map(i => s"k$i\tv$i"): _*)
+    append(dir, 1, (0 until 5).map(i => s"j$i\tw$i"): _*)
+    val q = spark.readStream.format("graft.sources.EventLogSource")
+      .option("path", dir.toString)
+      .option("maxRecordsPerTrigger", "3")
+      .load()
+      .writeStream.format("memory")
+      .queryName("eventlog_sink_d").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = collected("eventlog_sink_d")
+      assert(rows.size === 10, s"expected all 10 records, got ${rows.size}")
+      assert(rows.map(r => (r._2, r._3)).size === 10, "duplicate (partition, offset)")
+      // the 10-record backlog must have arrived in >= 4 batches of <= 3
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 4,
+        s"backlog drained in ${batches.length} batches, admission control inert")
+      batches.foreach(p => assert(p.numInputRows <= 3,
+        s"batch exceeded the 3-record limit: ${p.numInputRows}"))
+    } finally q.stop()
+  }
+
   test("half-written records stay invisible until their newline commits") {
     val dir = Files.createTempDirectory("graft-topic2-")
     append(dir, 0, "k0\tv0")
