@@ -206,6 +206,43 @@ object DedupQueries {
       .where(col("jac") >= 0.5)
   }
 
+  /** Exact substring duplication (Lee et al. 2022, arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"): doc
+    * pairs sharing at least one EXACT 15-token window, with the count
+    * of shared distinct windows — the signal that catches verbatim
+    * boilerplate/quotation reuse that whole-document Jaccard (q41/q190)
+    * dilutes away: two long documents sharing one copied paragraph can
+    * sit at J ≈ 0.05 and still poison a training set with a memorized
+    * span.
+    *
+    * Scale shape: each doc explodes into its rolling 15-token windows,
+    * hashed to 8 bytes AT THE SOURCE (`xxhash64` inside the transform
+    * lambda — window text never shuffles) and deduped per doc; pairs
+    * are one equi-join on the hash + one count aggregate. Unlike
+    * single-shingle inverted indexes, 15-token windows are almost
+    * always df ≤ 2 (only true verbatim reuse repeats a span that long),
+    * so Σ df² stays near-linear; at 100 TB a df cap on the window table
+    * (drop windows with df above a boilerplate bound before the join —
+    * licence headers, templates) bounds the worst case explicitly.
+    * Oracle joins the window STRINGS — the hash join must agree exactly
+    * (64-bit collisions are the q190-sanctioned risk).
+    */
+  def substringDedup: Q = (s, d) => {
+    val W = 15
+    val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(ws) - ${W - 1}),
+           |  i -> xxhash64(array_join(slice(ws, i, $W), ' ')))""".stripMargin)))
+        .as("h"))
+    wins.select(col("doc_id").as("a_id"), col("h"))
+      .join(wins.select(col("doc_id").as("b_id"), col("h")), "h")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Data-refinery manifest: the composed keep/drop decision for every
     * training-corpus document with its FIRST failing gate as the
     * reason, in fixed priority order — `near_dup` (larger side of an
@@ -568,6 +605,7 @@ object DedupQueries {
     "q217_refinery" -> refinery,
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhashChecked,
+    "q225_substring_dedup" -> substringDedup,
     "q88_dup_clusters" -> dupClusters)
 
   private val jaccardOracle =
@@ -593,6 +631,21 @@ object DedupQueries {
     * exact, so false positives are impossible.
     */
   val oracles: Map[String, String] = Map(
+    // exact: DuckDB joins the window STRINGS where Spark joins their
+    // 64-bit hashes — agreement is the no-collision guarantee
+    "q225_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 13),
+        |      i -> array_to_string(ws[i:i+14], ' '))) AS win
+        |  FROM t WHERE len(ws) >= 15),
+        |d AS (SELECT DISTINCT doc_id, win FROM w)
+        |SELECT a.doc_id a_id, b.doc_id b_id,
+        |  count(*) AS n_shared_windows
+        |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // sketch-audit oracle (q43): exact J >= 0.5 pair count recomputed
     // by DuckDB (q41's SQL), recall/precision bits asserted as literal
     // TRUE (see simhashChecked)

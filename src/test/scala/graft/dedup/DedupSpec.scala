@@ -172,6 +172,29 @@ class DedupSpec extends SparkSpec {
     assert(got.keys.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
   }
 
+  test("substring dedup equals a brute 15-token-window recompute; pairs are live") {
+    val got = DedupQueries.substringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val W = 15
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val wins = docs.map { case (id, ws) =>
+      id -> ws.sliding(W).filter(_.length == W).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, wa) <- wins; (b, wb) <- wins if a < b
+      shared = (wa & wb).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no verbatim 15-token reuse in the corpus")
+    // shared-window counts vary (not a degenerate 1-per-pair signal)
+    assert(got.values.toSet.size > 1, "all pairs share the same window count")
+    // corpus note, not an invariant: this generator builds near-dups BY
+    // span copying, so here every verbatim span lives inside a Jaccard
+    // pair — in the wild the signals diverge (one copied paragraph in
+    // otherwise-different docs sits far below J=0.5)
+  }
+
   test("incremental dedup probes the persisted index: one documents scan only") {
     val plan = DedupQueries.incrementalDedup(spark, sf)
       .queryExecution.executedPlan.toString
