@@ -243,6 +243,49 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Shared-span LOCALIZATION — [[substringDedup]] graduated from "these
+    * docs share a window" to "this is the longest verbatim run": for
+    * every pair sharing ≥ 1 exact 15-token window, the length in tokens
+    * of their longest common substring plus the total window-match
+    * count. The span length is what a curation pipeline actually cuts
+    * on (a 15-token echo is quotation; a 200-token run is a licence
+    * block or a mirrored article).
+    *
+    * The trick is all relational — no per-pair DP: a common substring
+    * of M ≥ 15 tokens is EXACTLY a run of M-14 consecutive window
+    * matches along one diagonal (pa - pb constant), so longest-common-
+    * substring reduces to gaps-and-islands over the match table: group
+    * runs by (pair, diagonal, pa - row_number), then
+    * `max(run) + 14`. One windowed rank over the matches (already
+    * keyed by pair) and one aggregate — the q208 island machinery
+    * pointed at plagiarism spans. DedupSpec proves the reduction by
+    * recomputing true LCS with quadratic DP per flagged pair.
+    */
+  def substringSpans: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val W = 15
+    val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(ws) - ${W - 1}),
+           |  i -> xxhash64(array_join(slice(ws, i, $W), ' ')))""".stripMargin))
+        .as(Seq("pos", "h")))
+    val m = wins.select(col("doc_id").as("a_id"), col("pos").as("pa"), col("h"))
+      .join(wins.select(col("doc_id").as("b_id"), col("pos").as("pb"), col("h")), "h")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "pa", "pb")
+    val wDiag = Window.partitionBy(col("a_id"), col("b_id"), col("pa") - col("pb"))
+      .orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(wDiag))
+      .groupBy(col("a_id"), col("b_id"),
+        (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("a_id", "b_id")
+      .agg((max("len") + lit(W - 1)).cast("long").as("max_span_tokens"),
+        sum("len").as("n_window_matches"))
+  }
+
   /** Data-refinery manifest: the composed keep/drop decision for every
     * training-corpus document with its FIRST failing gate as the
     * reason, in fixed priority order — `near_dup` (larger side of an
@@ -606,6 +649,7 @@ object DedupQueries {
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhashChecked,
     "q225_substring_dedup" -> substringDedup,
+    "q226_substring_spans" -> substringSpans,
     "q88_dup_clusters" -> dupClusters)
 
   private val jaccardOracle =
@@ -646,6 +690,30 @@ object DedupQueries {
         |  count(*) AS n_shared_windows
         |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // exact: the gaps-and-islands LCS reduction replayed relationally
+    // (positions via struct unnest; 1-based there vs 0-based posexplode
+    // is diag/grp-invariant)
+    "q226_substring_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |w0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 13),
+        |      i -> {'pos': i, 'win': array_to_string(ws[i:i+14], ' ')})) AS u
+        |  FROM t WHERE len(ws) >= 15),
+        |w AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM w0),
+        |m AS (SELECT a.doc_id a_id, b.doc_id b_id, a.pos pa, b.pos pb
+        |      FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |r AS (SELECT a_id, b_id, pa, pb,
+        |        pa - row_number() OVER (
+        |          PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS grp
+        |      FROM m),
+        |runs AS (SELECT a_id, b_id, count(*) AS len
+        |         FROM r GROUP BY a_id, b_id, pa - pb, grp)
+        |SELECT a_id, b_id,
+        |  CAST(max(len) + 14 AS BIGINT) AS max_span_tokens,
+        |  CAST(sum(len) AS BIGINT) AS n_window_matches
+        |FROM runs GROUP BY 1, 2""".stripMargin,
     // sketch-audit oracle (q43): exact J >= 0.5 pair count recomputed
     // by DuckDB (q41's SQL), recall/precision bits asserted as literal
     // TRUE (see simhashChecked)

@@ -195,6 +195,43 @@ class DedupSpec extends SparkSpec {
     // otherwise-different docs sits far below J=0.5)
   }
 
+  test("substring spans equal true longest-common-substring DP per flagged pair") {
+    val got = DedupQueries.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    // independent verification: quadratic-DP longest common token
+    // substring — the islands reduction must reproduce it exactly for
+    // every flagged pair (and flag exactly the pairs with LCS >= 15)
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      best
+    }
+    got.foreach { case ((a, b), (span, nMatches)) =>
+      val true_lcs = lcs(docs(a), docs(b))
+      assert(span === true_lcs.toLong,
+        s"pair ($a,$b): islands span $span != DP LCS $true_lcs")
+      assert(span >= 15L && nMatches >= span - 14)
+    }
+    // completeness: the flagged pair set is exactly q225's
+    val flat = DedupQueries.substringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet === flat)
+    // localization is live: at least one pair's span exceeds the window
+    assert(got.values.exists(_._1 > 15L), "no span longer than one window")
+  }
+
   test("incremental dedup probes the persisted index: one documents scan only") {
     val plan = DedupQueries.incrementalDedup(spark, sf)
       .queryExecution.executedPlan.toString
