@@ -652,21 +652,27 @@ object SimQueries {
     * Index: coarse quantizer = the q54 IVF centroids (hard cell
     * assignment bounds the searched candidates); payload = 8×32 PQ
     * codes of the unit-normalized vector ([[pqCodebooks]]). Query:
-    * probe the 8 nearest cells; each query row carries its 8×32
+    * probe the 10 nearest cells; each query row carries its 8×32
     * asymmetric-distance lookup table (partial dots of the query's
     * unit sub-vectors against every sub-centroid — 256 doubles), so
     * the candidate score is a codegen'd HOF fold of `m` element_at
-    * lookups; the ADC top-100 then pays an exact float-cosine rerank
+    * lookups; the ADC top-200 then pays an exact float-cosine rerank
     * (the q46 trick) and emits the top-5 in knnBrute's schema.
     * Candidates appear once (hard cell assignment), so there is no
     * distinct anywhere; the cell join broadcasts the tiny probe side.
     * Recall vs brute pinned in SimSpec; driver-audited by
     * [[knnPqChecked]].
     */
-  def knnPq: Q = (s, d) => {
+  def knnPq: Q = knnPqTuned()
+
+  /** [[knnPq]] with the knobs exposed for recall/cost sweeps (Scratch)
+    * and spec experiments; the public operator pins the shipped tuning.
+    */
+  private[graft] def knnPqTuned(m: Int = 8, subDim: Int = 8, k: Int = 32,
+                                nprobe: Int = 10, rerank: Int = 200): Q = (s, d) => {
     import s.implicits._
-    val m = 8; val subDim = 8; val k = 32; val dim = 64
-    val coarseK = 16; val nprobe = 8; val rerank = 100
+    val dim = m * subDim
+    val coarseK = 16
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val coarse = centroidsFor(s, d, coarseK, dim, iters = 3)

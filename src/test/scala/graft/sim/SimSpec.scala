@@ -81,10 +81,11 @@ class SimSpec extends SparkSpec {
     val pq = SimQueries.knnPq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.count(pq.contains).toDouble / brute.size
-    info(f"ivf-pq recall@5 = $recall%.2f (nprobe=8, ADC top-100 reranked exactly)")
-    // deterministic: hashed-id init + fixed Lloyd rounds on a fixed corpus.
-    // 0.84 measured == plain IVF's ceiling: the ADC cut + exact rerank
-    // lose NOTHING beyond the shared coarse quantizer at this depth
+    info(f"ivf-pq recall@5 = $recall%.2f (nprobe=10, ADC top-200 reranked exactly)")
+    // deterministic: hashed-id init + fixed Lloyd rounds on a fixed
+    // corpus. Knobs swept at sf0.1 (Scratch sweep, r09): nprobe is the
+    // binding constraint, not the ADC cut — 0.88/0.92/0.86 measured at
+    // sf0.001/0.01/0.1 with nprobe=10, rerank=200
     assert(recall >= 0.8, f"recall $recall%.2f below floor")
     val pqAudit = SimQueries.knnPqChecked(spark, sf).collect().head
     assert(pqAudit.getLong(0) > 0 && pqAudit.getBoolean(2), s"pq audit red: $pqAudit")
