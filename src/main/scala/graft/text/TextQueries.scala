@@ -693,7 +693,50 @@ object TextQueries {
         expr("(raw_bits - gap_bits) * 1000000L div raw_bits"))
   }
 
+  /** Bigram language-model quality scoring — the CCNet/KenLM-style
+    * corpus filter: train an add-one-smoothed bigram LM on the corpus
+    * itself, then score every document by its average smoothed bigram
+    * probability `P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + |V|)`. Low
+    * scores mark text the corpus LM finds unpredictable (noise, rare
+    * boilerplate, wrong-language spans); high scores mark repetitive/
+    * templated text — both tails are what a curation pass inspects.
+    *
+    * Integer-exact by doctrine (the q152 BM25 pattern): probabilities
+    * are fixed-point ppm via integer division — no logs, no floats, so
+    * DuckDB replays bit-for-bit. The arithmetic mean of probabilities
+    * stands in for perplexity's geometric mean; for thresholding at
+    * fixed window size the tails it exposes are the same, and the
+    * trade buys an exact oracle on a transcendental-free plan.
+    *
+    * Scale shape: bigram and context counts are each ONE hash
+    * aggregate; scoring joins each doc's bigram stream to the two count
+    * tables on their keys (keyed shuffles — the LM is corpus-sized, so
+    * no broadcast); |V| is a scalar inlined as a literal (the q118
+    * shape). Nothing quadratic, nothing driver-side but two scalars.
+    */
+  def lmScore: Q = (s, d) => {
+    val toks = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    val big = toks.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+    big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .select(col("doc_id"),
+        expr(s"(cb + 1) * 1000000L div (cu + ${vocab}L)").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p) div count(1)").as("avg_p_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_lm_score" -> lmScore,
     "q197_phrase_search" -> phraseSearch,
     "q199_posting_bits" -> postingBits,
     "q163_feature_hash" -> featureHash,
@@ -733,6 +776,26 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q227_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS w FROM t),
+        |v AS (SELECT count(DISTINCT w) AS vs FROM tok),
+        |b0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS u
+        |  FROM t),
+        |b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM b0),
+        |cb AS (SELECT w1, w2, count(*) c FROM b GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) c FROM b GROUP BY 1),
+        |sc AS (SELECT b.doc_id,
+        |    ((cb.c + 1) * 1000000) // (cu.c + v.vs) AS p
+        |  FROM b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  JOIN cu ON b.w1 = cu.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p) // count(*) AS BIGINT) AS avg_p_ppm
+        |FROM sc GROUP BY 1""".stripMargin,
     // sketch-audit oracle (q79): heavy-hitter coverage + estimate
     // accuracy asserted as literal TRUEs next to the exact top-10
     // cardinality (see ngramTopKSketchChecked)

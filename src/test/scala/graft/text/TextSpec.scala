@@ -299,4 +299,29 @@ class TextSpec extends SparkSpec {
     }.toSet
     assert(got === want)
   }
+
+  test("bigram LM scores equal an independent smoothed-count recompute; tails live") {
+    val got = TextQueries.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val vocab = docs.flatMap(_._2).distinct.length.toLong
+    val allBigrams = docs.flatMap { case (_, ws) => ws.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val cb = allBigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cu = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val want = docs.filter(_._2.length >= 2).map { case (id, ws) =>
+      val ps = ws.sliding(2).filter(_.length == 2).map { p =>
+        (cb((p(0), p(1))) + 1L) * 1000000L / (cu(p(0)) + vocab)
+      }.toArray
+      id -> (ps.length.toLong, ps.sum / ps.length)
+    }.toMap
+    assert(got === want)
+    // the filter signal is live: scores spread (the synthetic corpus is
+    // homogeneous — ~25% min-to-max spread here; real web text spreads
+    // orders of magnitude)
+    val scores = got.values.map(_._2)
+    assert(scores.toSet.size > 10, "degenerate LM: scores collapsed")
+    assert(scores.min * 5 < scores.max * 4, "scores flat: no ranking signal")
+  }
 }
