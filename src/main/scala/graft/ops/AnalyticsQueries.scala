@@ -1482,6 +1482,43 @@ object AnalyticsQueries {
         max("dd").as("max_drawdown_cents"))
   }
 
+  /** Rolling z-score anomaly detection on the daily revenue series —
+    * the pipeline-health monitor next to q222's drawdown: a day is
+    * anomalous when its revenue deviates more than 3σ from its own
+    * trailing 30-day baseline (current day excluded; the first 30 days
+    * carry no verdict). Entirely INTEGER arithmetic: with x the day's
+    * revenue (quantized to thousands of dollars), s1/s2 the trailing
+    * window's sum and sum-of-squares, `z² > 9` rewrites exactly as
+    * `(30x − s1)² > 9·(30·s2 − s1²)` — no division, no sqrt, no
+    * floats, so the oracle replays bit-for-bit and quadratic terms fit
+    * int64 with orders of headroom (rev_k ≈ 2.3e4 at sf0.1 →
+    * (30·rev_k)² ≈ 5e11; even 1000× data stays < 2⁶³).
+    *
+    * Scale shape: the fact table collapses to ONE row per day first
+    * (hash aggregate — the only pass over row-scale data); the rolling
+    * window then runs over the bounded daily series (|days| is
+    * calendar-bounded regardless of fact rows — a few thousand rows at
+    * ANY corpus size), where a global-ordered frame is the correct
+    * plan, not a scale hazard.
+    */
+  def anomalyDays: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr(
+        "cast(sum(cast(o_totalprice as decimal(18,2)) * 100) as bigint) div 100000")
+        .as("rev_k"))
+    val win = Window.orderBy("day").rowsBetween(-30, -1)
+    daily.select(col("day"), col("rev_k"),
+        count(lit(1)).over(win).as("n"),
+        sum("rev_k").over(win).as("s1"),
+        sum(expr("rev_k * rev_k")).over(win).as("s2"))
+      .where(col("n") === 30 &&
+        expr("(30*rev_k - s1)*(30*rev_k - s1) > 9*(30*s2 - s1*s1)"))
+      .select(col("day"), col("rev_k"),
+        expr("s1 div 30").as("baseline_avg_k"),
+        expr("30*rev_k > s1").as("is_high"))
+  }
+
   /** Peak concurrency per day: each event opens a 5-minute activity
     * interval; the sweep-line (+1 at open, −1 at close, running net)
     * gives the number of simultaneously-active intervals at every
@@ -1515,6 +1552,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "q223_peak_concurrency" -> peakConcurrency,
     "q222_revenue_drawdown" -> revenueDrawdown,
+    "q228_anomaly_days" -> anomalyDays,
     "q221_fulfilment_latency" -> fulfilmentLatency,
     "q210_lift_chart" -> liftChart,
     "q205_quantile_norm" -> quantileNorm,
@@ -1620,6 +1658,23 @@ object AnalyticsQueries {
         |SELECT t // 86400000000 AS day, count(*) AS n_boundaries,
         |  CAST(max(cumw) AS BIGINT) AS peak_concurrency
         |FROM c GROUP BY 1""".stripMargin,
+    "q228_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      // 100000 AS rev_k
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, rev_k,
+        |    count(*) OVER win AS n,
+        |    CAST(sum(rev_k) OVER win AS BIGINT) AS s1,
+        |    CAST(sum(rev_k * rev_k) OVER win AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT day, rev_k, s1 // 30 AS baseline_avg_k,
+        |  30 * rev_k > s1 AS is_high
+        |FROM w
+        |WHERE n = 30
+        |  AND (30*rev_k - s1)*(30*rev_k - s1) > 9*(30*s2 - s1*s1)""".stripMargin,
     "q222_revenue_drawdown" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -796,4 +796,39 @@ class AnalyticsSpec extends SparkSpec {
       assert(qh >= 1000000L / qn - qn && qh <= 1000000L)
     }
   }
+
+  test("anomaly days equal a brute trailing-window z-score recompute") {
+    val got = AnalyticsQueries.anomalyDays(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val daily = graft.Tables.orders(spark, sf)
+      .selectExpr("cast(o_orderdate as date) as day",
+        "cast(o_totalprice as decimal(18,2)) * 100 as c")
+      .collect().groupBy(_.getDate(0).toString)
+      .map { case (day, rows) =>
+        day -> rows.map(r => BigInt(r.getDecimal(1).unscaledValue())).sum / 100 / 100000
+      }.toSeq.sortBy(_._1).map { case (d, r) => (d, r.toLong) }
+    val want = daily.indices.flatMap { i =>
+      if (i < 30) None
+      else {
+        val (day, x) = daily(i)
+        val win = daily.slice(i - 30, i).map(_._2)
+        val (s1, s2) = (win.sum, win.map(v => v * v).sum)
+        val dev = 30 * x - s1
+        if (dev * dev > 9 * (30 * s2 - s1 * s1))
+          Some(day -> (x, s1 / 30, dev > 0))
+        else None
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no 3-sigma revenue days in the corpus")
+    // the integer rewrite is exactly z^2 > 9: spot-check one flagged day
+    // against the float z-score
+    val (day, (x, _, _)) = got.head
+    val i = daily.indexWhere(_._1 == day)
+    val win = daily.slice(i - 30, i).map(_._2.toDouble)
+    val mu = win.sum / 30
+    val sigma = math.sqrt(win.map(v => (v - mu) * (v - mu)).sum / 30)
+    assert(math.abs(x - mu) > 3 * sigma - 1e-6)
+  }
 }
