@@ -79,4 +79,33 @@ class GraphSpec extends SparkSpec {
     val allNodes = Tables.part(spark, sf).count()
     assert(got.size < allNodes, "BFS swallowed the whole graph")
   }
+
+  test("graph iterations read the materialized edge list, not the fact table") {
+    // walk the OPTIMIZED LOGICAL tree: the physical plan hides its
+    // scans behind AQE wrappers and truncates its toString
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+    // the derived-artifact economics (q214's pattern): traversal reads
+    // the edge parquet; the lineitem self-join ran once at ensureEdges
+    // time and never appears in the iteration's own plan
+    val pr = scanPaths(GraphQueries.pagerank(spark, sf))
+    assert(pr.exists(_.contains("graft-copurchase-edges")), pr.toString)
+    assert(!pr.exists(_.contains("lineitem")),
+      s"fact-table scan leaked back into the pagerank plan: $pr")
+    // triangles eagerly localCheckpoints its oriented edges at
+    // construction, so its optimized plan bottoms out at LogicalRDD —
+    // the edge scan already ran (from the materialized parquet, like
+    // pagerank's); the observable pin left is that NO scan of any kind
+    // survives into the iteration plan
+    val tri = GraphQueries.triangles(spark, sf)
+    assert(scanPaths(tri).isEmpty && !tri.queryExecution.optimizedPlan
+      .toString.contains("lineitem"))
+  }
 }
