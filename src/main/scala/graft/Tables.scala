@@ -42,6 +42,22 @@ object Tables {
     base
   }
 
+  /** Cache key for derived artifacts (bucketed/partitioned copies, the
+    * shingle index, the edge list): fingerprints the source parquet's
+    * identity AND content (path + per-file length + mtime), so a corpus
+    * REGENERATION at the same path — which the driver does between
+    * rounds — invalidates every derived copy instead of silently
+    * serving stale data. A real lakehouse gets this from table-format
+    * snapshot ids; file length+mtime is the local-filesystem stand-in.
+    */
+  def datasetTag(d: String, tables: String*): String = {
+    val sig = tables.sorted.map { t =>
+      val f = new java.io.File(s"$d/$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }.mkString(s"$d|", "|", "")
+    math.abs(sig.hashCode).toString
+  }
+
   /** Fan a narrow scan out to the cluster's task width when the file
     * layout cannot: a source of few unsplittable files (the test corpora
     * are single one-row-group parquet files) starts every scan at

@@ -141,8 +141,9 @@ object DedupQueries {
   /** One-time, idempotent materialization of the corpus shingle index —
     * the persisted state an incremental dedup pipeline maintains between
     * ingests: the (doc_id, shingle) postings plus the per-doc distinct
-    * shingle counts the Jaccard denominator needs. Keyed by the source
-    * dir so different datasets/sf never serve each other's data; split
+    * shingle counts the Jaccard denominator needs. Keyed by the corpus
+    * content fingerprint (`Tables.datasetTag`) so different datasets/sfs
+    * never serve each other's data and a regeneration invalidates; split
     * out of [[incrementalDedup]] (and warmed by `Scale.warmDerived`) so
     * the probe query's plan shows the production economics: the ingest
     * job READS the index, it does not re-shingle the corpus. At 100 TB
@@ -151,7 +152,7 @@ object DedupQueries {
     * index-side shuffle too.
     */
   def ensureShingleIndex(s: SparkSession, d: String): String = {
-    val path = s"${Tables.scratchDir}/graft-shingle-index-${math.abs(d.hashCode)}"
+    val path = s"${Tables.scratchDir}/graft-shingle-index-${Tables.datasetTag(d, "documents")}"
     if (!new java.io.File(s"$path/postings", "_SUCCESS").exists() ||
         !new java.io.File(s"$path/sizes", "_SUCCESS").exists()) {
       shingles(Tables.documents(s, d))

@@ -513,7 +513,7 @@ object ExtraQueries {
     */
   private val tsvLock = new Object
   def docsTsv(s: SparkSession, d: String): String = tsvLock.synchronized {
-    val dir = s"${Tables.scratchDir}/doclines-${d.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    val dir = s"${Tables.scratchDir}/doclines-${Tables.datasetTag(d, "documents")}"
     val txtDir = new java.io.File(dir, "txt")
     def part = Option(txtDir.listFiles())
       .flatMap(_.find(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt")))
@@ -554,7 +554,7 @@ object ExtraQueries {
     */
   private val orcLock = new Object
   private def lineitemOrc(s: SparkSession, d: String): String = orcLock.synchronized {
-    val dir = s"${Tables.scratchDir}/orc-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/lineitem"
+    val dir = s"${Tables.scratchDir}/orc-${Tables.datasetTag(d, "lineitem")}/lineitem"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.lineitem(s, d).write.mode("overwrite").orc(dir)
     dir
@@ -612,7 +612,7 @@ object ExtraQueries {
     */
   private val blobLock = new Object
   private def docBlobDir(s: SparkSession, d: String): String = blobLock.synchronized {
-    val dir = s"${Tables.scratchDir}/blobs-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/docs"
+    val dir = s"${Tables.scratchDir}/blobs-${Tables.datasetTag(d, "documents")}/docs"
     val done = new java.io.File(dir, "_SUCCESS")
     if (!done.exists()) {
       new java.io.File(dir).mkdirs()
@@ -654,7 +654,7 @@ object ExtraQueries {
     */
   private val xmlLock = new Object
   private def ordersXml(s: SparkSession, d: String): String = xmlLock.synchronized {
-    val dir = s"${Tables.scratchDir}/xml-${d.replaceAll("[^a-zA-Z0-9.]", "_")}/orders"
+    val dir = s"${Tables.scratchDir}/xml-${Tables.datasetTag(d, "orders")}/orders"
     if (!new java.io.File(dir, "_SUCCESS").exists())
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

@@ -29,14 +29,15 @@ object GraphQueries {
     * job persists the edges across runs" lifetime the pagerank
     * scaladoc's cache measurements pointed at: a derived corpus
     * artifact like the bucketed tables (`Scale.ensureBucketedTables`)
-    * and the q214 shingle index, built once per dataset dir, warmed by
+    * and the q214 shingle index, built once per dataset fingerprint
+    * (`Tables.datasetTag` — regeneration invalidates), warmed by
     * `Scale.warmDerived`, and READ by the iterations — so the graph
     * operators measure traversal, not re-derivation, and a 100 TB run
     * pays the fact-table self-join exactly once across its whole graph
     * workload.
     */
   def ensureEdges(s: SparkSession, d: String): String = {
-    val path = s"${Tables.scratchDir}/graft-copurchase-edges-${math.abs(d.hashCode)}"
+    val path = s"${Tables.scratchDir}/graft-copurchase-edges-${Tables.datasetTag(d, "lineitem")}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       li.as("a").join(li.as("b"),

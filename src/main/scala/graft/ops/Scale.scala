@@ -45,12 +45,14 @@ object Scale {
   }
 
   /** One-time, idempotent write of the date-partitioned orders copy;
-    * returns its path. Keyed by the source dir so different datasets/sf
-    * never serve each other's data. Split out of the query body so a
+    * returns its path. Keyed by the source dataset's content fingerprint
+    * (`Tables.datasetTag`) so different datasets/sfs never serve each
+    * other's data AND a corpus regeneration at the same path
+    * invalidates the copy. Split out of the query body so a
     * benchmark can warm it up and measure only the pruned scan.
     */
   def ensurePartitionedOrders(s: SparkSession, d: String): String = {
-    val path = s"${Tables.scratchDir}/graft-orders-by-year-${math.abs(d.hashCode)}"
+    val path = s"${Tables.scratchDir}/graft-orders-by-year-${Tables.datasetTag(d, "orders")}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
@@ -64,8 +66,9 @@ object Scale {
     * join: both sides pre-partitioned into the same bucket layout on the
     * join key, so the join itself needs NO shuffle (no Exchange in the
     * plan) — the pattern for repeatedly-joined 100 TB fact tables.
-    * Buckets are written once per dataset dir and reused (table names
-    * embed the dir hash so different sfs never collide).
+    * Buckets are written once per dataset and reused (table names embed
+    * the dataset content fingerprint, so sfs never collide and corpus
+    * regeneration invalidates).
     */
   def bucketedJoin(s: SparkSession, d: String, buckets: Int = 8): DataFrame = {
     val suffix = ensureBucketedTables(s, d, buckets)
@@ -82,7 +85,7 @@ object Scale {
     * exchange-free join.
     */
   def ensureBucketedTables(s: SparkSession, d: String, buckets: Int = 8): String = {
-    val suffix = math.abs(d.hashCode).toString
+    val suffix = Tables.datasetTag(d, "orders", "customer")
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
         // the in-memory catalog forgets tables across JVMs but the
