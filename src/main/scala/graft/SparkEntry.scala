@@ -67,6 +67,7 @@ object SparkEntry {
     "q94_semdedup" -> sim.SimQueries.semDedup,
     "q213_semantic_decontam" -> sim.SimQueries.semanticDecontamLsh,
     "q137_hll_merge" -> ops.AnalyticsQueries.hllMergeDaily,
+    "q231_cms_frequency" -> ops.AnalyticsQueries.cmsFrequency,
     "q178_kll_quantiles" -> ops.AnalyticsQueries.kllQuantiles,
     "q180_audience_overlap" -> ops.AnalyticsQueries.audienceOverlap,
     "q206_rolling_sketch" -> ops.BehaviorQueries.rollingDistinctSketch)

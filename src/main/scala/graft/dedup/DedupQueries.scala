@@ -639,9 +639,65 @@ object DedupQueries {
         sum(col("a_id") + col("b_id")).as("pair_checksum"))
   }
 
+  /** Cluster-aware train/val/test split — the FIX q147's leakage audit
+    * motivates: assign the md5-threshold split (q145's rule and
+    * cut-points) to the q88 CLUSTER id instead of the raw doc id, so
+    * every near-dup cluster lands whole in one split and no verified
+    * near-dup pair can straddle a split boundary BY CONSTRUCTION
+    * (DedupSpec pins the straddle count at literal zero). Same manifest
+    * shape as q145 (per source×split doc/char counts + membership
+    * checksum), so the two are directly comparable; the split-share
+    * drift between them is the size-biased cluster effect (big
+    * clusters move together).
+    *
+    * Scale shape: [[dupClusters]]'s bounded label propagation, one
+    * doc-keyed equi-join to attach source/chars, split assignment
+    * scan-local, one hash aggregation. Nothing quadratic, no new
+    * shuffle key.
+    */
+  def clusterSplit: Q = (s, d) => {
+    val cl = dupClusters(s, d).select("doc_id", "cluster_id")
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(cl, Seq("doc_id"))
+      .withColumn("h", substring(md5(col("cluster_id").cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("h") < "cccc", "train")
+          .when(col("h") < "e666", "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("doc_id").as("id_checksum"))
+  }
+
+  /** Quality-ranked canonical selection per duplicate cluster — the
+    * keep/drop verdict production dedup actually ships: q88 keeps the
+    * MIN-id doc (the label-propagation fixed point), but a data
+    * refinery keeps the highest-QUALITY representative; here the
+    * longest doc (n_chars desc, doc_id asc tie-break — deterministic
+    * total order). Output restricted to multi-doc clusters, i.e. the
+    * rows where the verdict differs from "keep everything".
+    *
+    * Scale shape: the ranking window partitions by cluster_id over
+    * ONLY the multi-doc-cluster rows — partition sizes are near-dup
+    * cluster sizes (shallow and small by construction; an
+    * exact-dup-heavy corpus collapses via q40 first, the minhashLsh
+    * scaladoc's rule), so no single-task window over row-scale data.
+    */
+  def clusterCanonical: Q = (s, d) => {
+    val cl = dupClusters(s, d).where(col("cluster_size") > 1)
+      .select("doc_id", "cluster_id", "cluster_size")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    cl.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+        col("cluster_size"), (col("rk") === 1).as("is_canonical"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q144_source_overlap" -> sourceOverlap,
     "q147_split_leakage" -> splitLeakage,
+    "q229_cluster_split" -> clusterSplit,
+    "q230_cluster_canonical" -> clusterCanonical,
     "q40_dedup_exact" -> exact,
     "q41_dedup_jaccard" -> ngramJaccard,
     "q190_prefix_jaccard" -> prefixJaccard,
@@ -667,6 +723,33 @@ object DedupQueries {
       |JOIN sizes na ON na.doc_id = a_id
       |JOIN sizes nb ON nb.doc_id = b_id
       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
+
+  /** Shared DuckDB backbone for the cluster-level oracles (q88, q229,
+    * q230): exact Jaccard edge set → recursive reachability →
+    * connected components as `comp(doc_id, cluster_id)`.
+    */
+  private val clusterCte =
+    """WITH RECURSIVE
+      |words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+      |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+      |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM inter
+      |  JOIN sizes na ON na.doc_id = a_id
+      |  JOIN sizes nb ON nb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   /** q42 shares q41's oracle: LSH misses a qualifying pair only with
     * probability (1 - J³)¹⁶ — ~1.0e-5 per pair at the corpus's J=0.8
@@ -832,29 +915,36 @@ object DedupQueries {
          |WHERE a_id % 3 = 0 OR b_id % 3 = 0""".stripMargin,
     "q42_dedup_minhash" -> jaccardOracle,
     "q88_dup_clusters" ->
-      """WITH RECURSIVE
-        |words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
-        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-        |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
-        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
-        |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM inter
-        |  JOIN sizes na ON na.doc_id = a_id
-        |  JOIN sizes nb ON nb.doc_id = b_id
-        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |          UNION ALL SELECT b_id, a_id FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+      s"""$clusterCte
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |  (doc_id = cluster_id) AS is_keeper
-        |FROM comp""".stripMargin)
+        |FROM comp""".stripMargin,
+    // q145's split rule applied to the q88 cluster id — the manifest
+    // shape (and cut-points) of q145, the cluster closure of q88
+    "q229_cluster_split" ->
+      s"""$clusterCte
+        |SELECT dd.source,
+        |  CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(dd.n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(dd.doc_id) AS BIGINT) AS id_checksum
+        |FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q230_cluster_canonical" ->
+      s"""$clusterCte,
+        |sized AS (
+        |  SELECT doc_id, cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM comp),
+        |ranked AS (
+        |  SELECT s.cluster_id, s.doc_id, d.n_chars, s.cluster_size,
+        |    row_number() OVER (PARTITION BY s.cluster_id
+        |      ORDER BY d.n_chars DESC, s.doc_id) AS rk
+        |  FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+        |  WHERE s.cluster_size > 1)
+        |SELECT cluster_id, doc_id, n_chars, cluster_size,
+        |  (rk = 1) AS is_canonical
+        |FROM ranked""".stripMargin)
 }

@@ -430,6 +430,70 @@ object AnalyticsQueries {
       (abs(col("est_merged") - col("exact")) <= col("exact") * lit(0.05))
         .as("est_within_5pct"))
 
+  /** Count-Min sketch frequency estimates — the mergeable FREQUENCY
+    * member of the sketch family next to HLL (distinct, q137), KLL
+    * (quantiles, q178), theta (set ops, q180) and approx-top-k (q79):
+    * a depth×width (4×1024) grid of counters answering "how often did
+    * key k appear?" within ε·N (ε ≈ e/width) from kilobytes of state,
+    * independent of key cardinality. Expressed RELATIONALLY — the
+    * Spark-first form: the sketch IS the bounded (r, c) → count cell
+    * table, built by ONE hash aggregation (map-side partials are
+    * ≤ depth·width cells each, and cell tables merge by summing —
+    * exactly what the final aggregation does, so the sketch is
+    * mergeable across partitions/days for free); a probe's estimate is
+    * the MIN over its depth cells — an equi-join on (r, c) against the
+    * ≤ 4096-row (auto-broadcast) cell table plus a depth-row group-min
+    * per key. Every operator codegens; the 100 TB shape is one scan +
+    * one 4096-key shuffle. Hashes are deterministic (xxhash64 with the
+    * row index mixed in), estimates one-sided: est ≥ true always,
+    * because every occurrence of k lands in all `depth` of k's cells.
+    */
+  private val cmsDepth = 4
+  private val cmsWidth = 1024
+
+  private def cmsHashed(df: DataFrame, key: String): DataFrame =
+    df.select(col(key), explode(expr(s"sequence(0, ${cmsDepth - 1})")).as("r"))
+      .withColumn("c", pmod(xxhash64(col("r"), col(key)), lit(cmsWidth)))
+
+  /** The sketch build + bounded-anchor probe (production form, benched):
+    * part-key frequencies estimated for the deterministic q58-style
+    * anchor set (l_partkey % 97 = 0 AND < 100000 → ≤ 1031 probes at any
+    * scale). Inner join suffices: a probed key that occurs has all its
+    * cells present.
+    */
+  def cmsFrequency: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_partkey")
+    val cells = cmsHashed(li, "l_partkey")
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+    val probes = li
+      .where(col("l_partkey") % 97 === 0 && col("l_partkey") < 100000)
+      .distinct()
+    cmsHashed(probes, "l_partkey")
+      .join(cells, Seq("r", "c"))
+      .groupBy("l_partkey").agg(min("n").as("est_n"))
+  }
+
+  /** Driver-audited form of [[cmsFrequency]] (registered): per probe
+    * key, the exact count plus the two CMS contracts as oracle
+    * booleans — (a) one-sidedness, est ≥ exact (deterministic, by
+    * construction); (b) the ε·N error bound, est − exact ≤ e·N/width
+    * (the textbook Markov bound; holds per row-hash with prob 1−1/e,
+    * and the min over 4 seeded rows clears it with wide margin on this
+    * corpus — verified at every shipped sf). DuckDB recomputes the
+    * exact counts and asserts both booleans literal TRUE.
+    */
+  def cmsFrequencyChecked: Q = (s, d) => {
+    val streamN = Tables.lineitem(s, d).count()
+    val epsBound = (2718L * streamN) / (1000L * cmsWidth)
+    val exact = Tables.lineitem(s, d)
+      .where(col("l_partkey") % 97 === 0 && col("l_partkey") < 100000)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+    cmsFrequency(s, d).join(exact, Seq("l_partkey"))
+      .select(col("l_partkey"), col("exact_n"),
+        (col("est_n") >= col("exact_n")).as("ge_ok"),
+        (col("est_n") - col("exact_n") <= lit(epsBound)).as("le_ok"))
+  }
+
   /** Share-of-total (ratio-to-report): each priority's revenue as an
     * exact ppm share of the grand total. The unpartitioned window runs
     * AFTER the aggregation, over group-count rows — the safe place for
@@ -1582,6 +1646,7 @@ object AnalyticsQueries {
     "q143_mode" -> modeDeterministic,
     "q136_ohlc" -> ohlc,
     "q137_hll_merge" -> hllMergeDailyChecked,
+    "q231_cms_frequency" -> cmsFrequencyChecked,
     "q114_corr_matrix" -> corrMatrix,
     "q115_regression" -> regression,
     "q116_ntile" -> ntileDeciles,
@@ -1625,6 +1690,12 @@ object AnalyticsQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact,
         |  TRUE AS merge_associative, TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q231_cms_frequency" ->
+      """SELECT l_partkey, count(*) AS exact_n,
+        |  TRUE AS ge_ok, TRUE AS le_ok
+        |FROM lineitem
+        |WHERE l_partkey % 97 = 0 AND l_partkey < 100000
+        |GROUP BY 1""".stripMargin,
     "q178_kll_quantiles" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -245,4 +245,52 @@ class DedupSpec extends SparkSpec {
     assert("\\(doc_id#\\d+L? % 3\\) = 0".r.findFirstIn(plan).isDefined,
       "batch filter did not reach the documents scan")
   }
+
+  test("cluster-aware split: zero straddling near-dup pairs, totals match q145") {
+    import org.apache.spark.sql.functions._
+    // the doc -> split map q229 aggregates: split assigned by CLUSTER id
+    val split = DedupQueries.dupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("h", substring(md5(col("cluster_id").cast("string")), 1, 4))
+      .withColumn("split", when(col("h") < "cccc", "train")
+        .when(col("h") < "e666", "val").otherwise("test"))
+      .select("doc_id", "split")
+    val pairs = DedupQueries.minhashLsh(spark, sf).select("a_id", "b_id")
+    assert(pairs.count() > 0, "corpus should contain near-dup pairs")
+    // the invariant the operator exists for: no verified near-dup pair
+    // straddles a split boundary — leakage is structurally impossible
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("pa")), Seq("a_id"))
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("pb")), Seq("b_id"))
+      .where(col("pa") =!= col("pb")).count()
+    assert(straddle === 0L, s"$straddle near-dup pairs straddle the cluster split")
+    // same doc universe as the raw-id manifest: the two agree in total
+    def totals(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum("n_docs").as("d"), sum("n_chars").as("c"), sum("id_checksum").as("k"))
+      .collect()(0)
+    assert(totals(DedupQueries.clusterSplit(spark, sf)) ===
+      totals(graft.ops.ExtraQueries.splitManifest(spark, sf)))
+  }
+
+  test("cluster canonical keeps exactly the longest doc per multi-doc cluster") {
+    import org.apache.spark.sql.functions._
+    val out = DedupQueries.clusterCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.nonEmpty, "corpus should contain multi-doc clusters")
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.length >= 2 && rows.length === rows.head._4.toInt,
+        s"cluster $cid: ${rows.length} rows vs size ${rows.head._4}")
+      val canon = rows.filter(_._5)
+      assert(canon.length === 1, s"cluster $cid: ${canon.length} canonicals")
+      // the canonical is the (n_chars desc, doc_id asc) argmax
+      val best = rows.map(r => (-r._3, r._2)).min
+      assert((-canon.head._3, canon.head._2) === best,
+        s"cluster $cid: canonical ${canon.head} != best $best")
+    }
+    // output clusters are exactly q88's multi-doc clusters
+    val q88multi = DedupQueries.dupClusters(spark, sf)
+      .where(col("cluster_size") > 1)
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet === q88multi)
+  }
 }

@@ -359,6 +359,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch estimates are one-sided within eps*N, full probe coverage") {
+    val n = graft.Tables.lineitem(spark, sf).count()
+    val epsBound = (2718L * n) / (1000L * 1024L)
+    val exact = graft.Tables.lineitem(spark, sf)
+      .where(col("l_partkey") % 97 === 0 && col("l_partkey") < 100000)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = AnalyticsQueries.cmsFrequency(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    // every anchored key that occurs gets an estimate (probe coverage),
+    // and each estimate is one-sided (>= exact: every occurrence lands
+    // in all 4 of the key's cells) within the e*N/width Markov bound
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"key $k: est $e < exact ${exact(k)}")
+      assert(e - exact(k) <= epsBound,
+        s"key $k: excess ${e - exact(k)} > bound $epsBound")
+    }
+    // registered driver form renders the same contracts as TRUE bits
+    AnalyticsQueries.cmsFrequencyChecked(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"cms audit bit red for key ${r.getLong(0)}")
+    }
+  }
+
   test("kll quantile estimates land within 5% rank error, merged and direct") {
     val ranks = Array(0.25, 0.5, 0.75, 0.9, 0.99)
     val got = AnalyticsQueries.kllQuantiles(spark, sf).collect()
