@@ -115,6 +115,7 @@ object Scale {
     ensurePartitionedOrders(s, d): Unit
     ensureBucketedTables(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
+    graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }

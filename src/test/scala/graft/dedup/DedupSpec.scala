@@ -270,6 +270,14 @@ class DedupSpec extends SparkSpec {
       .collect()(0)
     assert(totals(DedupQueries.clusterSplit(spark, sf)) ===
       totals(graft.ops.ExtraQueries.splitManifest(spark, sf)))
+    // the registered plan PROBES the materialized cluster map — label
+    // propagation runs once per corpus version, not once per consumer:
+    // one documents scan (source/chars join), no shingling in the plan
+    val plan = DedupQueries.clusterSplit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-dup-clusters"), plan.take(2000))
+    assert("documents\\.parquet".r.findAllIn(plan).size === 1,
+      "expected exactly the source/chars documents scan")
   }
 
   test("cluster canonical keeps exactly the longest doc per multi-doc cluster") {
