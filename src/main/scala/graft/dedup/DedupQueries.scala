@@ -244,6 +244,41 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Per-document memorization-risk exposure — the DOC-level rollup of
+    * [[substringDedup]]'s window machinery: for every doc (≥ 15
+    * tokens), how many of its distinct 15-token windows appear
+    * verbatim in at least one OTHER document, as a count and an exact
+    * ppm share. This is the per-example score a curation pipeline
+    * thresholds on (Lee et al. 2022 measure exactly this exposure);
+    * the pair view (q225) says WHO shares, this says HOW MUCH of each
+    * doc is shared — a doc that is 80% verbatim reuse is a removal
+    * candidate even if each counterpart pair looks small.
+    *
+    * Scale shape: windows hash to 8 bytes at the source (text never
+    * shuffles), ONE hash aggregation computes per-window document
+    * frequency, one equi-join on the hash carries df back to the
+    * window stream, one doc-keyed aggregation rolls up — all linear,
+    * no pair materialization at all (strictly cheaper than q225: this
+    * form never pays Σ df²).
+    */
+  def memorizationRisk: Q = (s, d) => {
+    val W = 15
+    val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(ws) - ${W - 1}),
+           |  i -> xxhash64(array_join(slice(ws, i, $W), ' ')))""".stripMargin)))
+        .as("h"))
+    val docFreq = wins.groupBy("h").agg(count(lit(1)).as("df"))
+    wins.join(docFreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_windows"))
+      .withColumn("shared_ppm",
+        expr("n_shared_windows * 1000000 div n_windows"))
+  }
+
   /** Shared-span LOCALIZATION — [[substringDedup]] graduated from "these
     * docs share a window" to "this is the longest verbatim run": for
     * every pair sharing ≥ 1 exact 15-token window, the length in tokens
@@ -727,6 +762,7 @@ object DedupQueries {
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhashChecked,
     "q225_substring_dedup" -> substringDedup,
+    "q232_memorization_risk" -> memorizationRisk,
     "q226_substring_spans" -> substringSpans,
     "q88_dup_clusters" -> dupClusters)
 
@@ -795,6 +831,25 @@ object DedupQueries {
         |  count(*) AS n_shared_windows
         |FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // doc-level rollup of the same window relation: df per window
+    // string, exposure count + exact ppm per doc (both engines
+    // truncate the nonnegative integer division identically)
+    "q232_memorization_risk" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws) - 13),
+        |      i -> array_to_string(ws[i:i+14], ' '))) AS win
+        |  FROM t WHERE len(ws) >= 15),
+        |d AS (SELECT DISTINCT doc_id, win FROM w),
+        |df AS (SELECT win, count(*) AS df FROM d GROUP BY 1)
+        |SELECT d.doc_id, count(*) AS n_windows,
+        |  count(*) FILTER (df.df >= 2) AS n_shared_windows,
+        |  CAST(count(*) FILTER (df.df >= 2) * 1000000 // count(*)
+        |    AS BIGINT) AS shared_ppm
+        |FROM d JOIN df ON d.win = df.win
+        |GROUP BY 1""".stripMargin,
     // exact: the gaps-and-islands LCS reduction replayed relationally
     // (positions via struct unnest; 1-based there vs 0-based posexplode
     // is diag/grp-invariant)

@@ -280,6 +280,22 @@ class DedupSpec extends SparkSpec {
       "expected exactly the source/chars documents scan")
   }
 
+  test("memorization risk agrees with the q225 pair view doc-for-doc") {
+    val risk = DedupQueries.memorizationRisk(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(risk.nonEmpty)
+    // a doc is exposed iff it appears in at least one q225 pair
+    val pairDocs = DedupQueries.substringDedup(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val exposed = risk.filter(_._2._2 > 0).keySet
+    assert(exposed === pairDocs,
+      s"exposed ${exposed.size} vs pair docs ${pairDocs.size}")
+    assert(exposed.nonEmpty, "corpus should contain verbatim reuse")
+    risk.foreach { case (id, (n, shared, ppm)) =>
+      assert(shared <= n && ppm === shared * 1000000L / n, s"doc $id")
+    }
+  }
+
   test("cluster canonical keeps exactly the longest doc per multi-doc cluster") {
     import org.apache.spark.sql.functions._
     val out = DedupQueries.clusterCanonical(spark, sf).collect()
