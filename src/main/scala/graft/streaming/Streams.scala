@@ -435,6 +435,121 @@ object Streams {
     result
   }
 
+  /** Per-batch keyed delta for the upsert sink: the batch reduced to
+    * one row per user — the latest event (max (t_us, event_id) total
+    * order, carrying its type) plus additive running aggregates. Both
+    * halves merge associatively across batches: `last` by struct max,
+    * counts/sums by addition — so batch arrival order cannot change
+    * the final snapshot.
+    */
+  def upsertDelta(batch: DataFrame): DataFrame =
+    batch.groupBy("user_id").agg(
+      max(struct(col("t_us"), col("event_id"), col("event_type"))).as("last"),
+      count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+      .select(col("user_id"), col("last.t_us").as("last_us"),
+        col("last.event_id").as("last_id"),
+        col("last.event_type").as("last_type"),
+        col("n_events"), col("total_cents"))
+
+  /** Streaming MERGE/upsert sink — the CDC APPLY path `foreachBatch`
+    * exists for: each micro-batch's keyed delta ([[upsertDelta]])
+    * merges into a keyed snapshot table with (a) last-writer-wins by
+    * the (t_us, event_id) total order for the current-state columns,
+    * (b) additive merge for the running aggregates, (c) an IDEMPOTENCE
+    * guard — foreachBatch delivery is at-least-once, so a re-delivered
+    * batch id must be a no-op (per-batch manifest marker), and (d)
+    * SNAPSHOT VERSIONING — each merge writes a new version dir and
+    * flips a CURRENT pointer by atomic rename, so a concurrent reader
+    * never sees a half-written table. Sandbox stand-in for a lakehouse
+    * `MERGE INTO` + snapshot commit: at 100 TB the same foreachBatch
+    * body calls the table format's MERGE (partition/file-scoped
+    * rewrite; the manifest is its transaction log). The keyed snapshot
+    * here is |users|-sized — aggregate-scale, so even the full rewrite
+    * per batch is bounded.
+    */
+  def mergeIntoSnapshot(s: SparkSession, root: java.nio.file.Path,
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val marker = root.resolve(s"_applied-$batchId")
+    if (Files.exists(marker)) return // at-least-once re-delivery: no-op
+    val delta = upsertDelta(batch)
+    val merged = currentSnapshot(s, root) match {
+      case None => delta
+      case Some(c) =>
+        def pack(df: DataFrame, tag: String): DataFrame = df.select(
+          col("user_id"),
+          struct(col("last_us"), col("last_id"), col("last_type")).as(s"l_$tag"),
+          col("n_events").as(s"n_$tag"), col("total_cents").as(s"c_$tag"))
+        pack(c, "cur").join(pack(delta, "new"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            when(col("l_cur").isNull, col("l_new"))
+              .when(col("l_new").isNull, col("l_cur"))
+              .when(col("l_new") > col("l_cur"), col("l_new"))
+              .otherwise(col("l_cur")).as("l"),
+            (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("c_cur"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+              .as("total_cents"))
+          .select(col("user_id"), col("l.last_us").as("last_us"),
+            col("l.last_id").as("last_id"), col("l.last_type").as("last_type"),
+            col("n_events"), col("total_cents"))
+    }
+    merged.write.mode("overwrite").parquet(root.resolve(s"v$batchId").toString)
+    val tmp = Files.createTempFile(root, ".current", ".tmp")
+    Files.write(tmp, s"v$batchId".getBytes("UTF-8"))
+    Files.move(tmp, root.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.createFile(marker): Unit
+  }
+
+  /** The snapshot the CURRENT pointer names, if any commit happened. */
+  def currentSnapshot(s: SparkSession, root: java.nio.file.Path): Option[DataFrame] = {
+    val ptr = root.resolve("CURRENT")
+    if (java.nio.file.Files.exists(ptr))
+      Some(s.read.parquet(root.resolve(new String(
+        java.nio.file.Files.readAllBytes(ptr), "UTF-8")).toString))
+    else None
+  }
+
+  /** q233: the upsert sink replayed as a real multi-batch stream. The
+    * source stages the events feed as 3 files and admits one file per
+    * trigger, so AvailableNow delivers 3 micro-batches and BOTH merge
+    * branches run (insert for first-seen users, update for returning
+    * ones). The final snapshot must equal the one-shot batch recompute
+    * — that is the oracle; associativity of [[upsertDelta]] makes it
+    * hold for any file-to-batch assignment.
+    */
+  def upsertReplay: Q = (s, d) => {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(
+      Paths.get(graft.Tables.scratchDir), "graft-upsert-")
+    val src = base.resolve("src").toString
+    Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"),
+        (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
+          .cast("long").as("cents"))
+      .repartition(3).write.parquet(src)
+    val schema = s.read.parquet(src).schema
+    val table = base.resolve("table")
+    Files.createDirectories(table)
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        mergeIntoSnapshot(s, table, b.toDF(), id)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val result = currentSnapshot(s, table).get.localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+    result
+  }
+
   /** Batch-oracle forms of the remaining stream transforms — the same
     * watermark + dropDuplicates / interval-join shapes StreamingSpec
     * replays as streams (watermarks are no-ops in batch), so the oracle
@@ -591,6 +706,7 @@ object Streams {
     "q133_dedup_within_watermark" -> dedupWithinWatermarkReplay,
     "q140_interval_join_full" -> intervalJoinFullOuterBatch,
     "q71_stateful_totals" -> statefulTotalsReplay,
+    "q233_stream_upsert" -> upsertReplay,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
     "q113_stream_static_enrich" -> enrichBatch)
@@ -685,6 +801,23 @@ object Streams {
         |FROM p FULL OUTER JOIN s ON user_id = s_user
         |  AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""".stripMargin,
     "q71_stateful_totals" -> totalsOracle,
+    // the upsert snapshot == one-shot batch recompute: latest event by
+    // the (t_us, event_id) total order + additive running aggregates
+    "q233_stream_upsert" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type,
+        |    CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events),
+        |l AS (SELECT user_id, t_us, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t_us DESC, event_id DESC) AS rn
+        |  FROM e),
+        |a AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM e GROUP BY 1)
+        |SELECT a.user_id, l.t_us AS last_us, l.event_id AS last_id,
+        |  l.event_type AS last_type, a.n_events, a.total_cents
+        |FROM a JOIN l ON l.user_id = a.user_id AND l.rn = 1""".stripMargin,
     "q89_stateful_totals_tws" -> totalsOracle,
     // q69's join rolled up per epoch-aligned hour (Spark's 1h window
     // start == date_trunc('hour')); micros truncation as in q69

@@ -17,7 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     * oracles whose pairwise shape is their documented purpose.
     */
   private val skip: Set[String] = Set(
-    "q71_stateful_totals", "q89_stateful_totals_tws")
+    "q71_stateful_totals", "q89_stateful_totals_tws", "q233_stream_upsert")
 
   /** q45 brute kNN is |Q|x|corpus| BY DEFINITION (exact scores against
     * a handful of broadcast query vectors over every row) — the
