@@ -117,6 +117,7 @@ object Scale {
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
+    graft.streaming.Streams.ensureUpsertSource(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 

