@@ -59,6 +59,7 @@ object SparkEntry {
     "q34_approx_distinct" -> ops.ExtraQueries.approxDistinct,
     "q43_dedup_simhash" -> dedup.DedupQueries.simhash,
     "q46_knn_lsh" -> sim.SimQueries.knnLsh,
+    "q234_knn_filtered" -> sim.SimQueries.knnLshFiltered,
     "q54_knn_ivf" -> sim.SimQueries.knnIvf,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,

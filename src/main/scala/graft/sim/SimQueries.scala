@@ -199,6 +199,71 @@ object SimQueries {
   /** Driver-audited form of [[knnLsh]] (see [[knnAudit]]). */
   def knnLshChecked: Q = (s, d) => knnAudit(knnLsh(s, d), knnBrute(s, d))
 
+  /** Exact same-label top-5 — the reference for [[knnLshFiltered]]:
+    * [[knnBrute]] with the label predicate. Note the plan: the label
+    * equality makes this a broadcast HASH join (never a nested loop) —
+    * predicate selectivity already divides the pairwise work, which is
+    * exactly why filtered search grades against its own filtered
+    * reference rather than the unfiltered q45 baseline.
+    */
+  def knnBruteFiltered: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val base = quantized(Tables.embeddings(s, d)).join(lbl, Seq("vec_id"))
+    val queries = broadcast(base.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("nrm").as("qnrm"), col("label")))
+    val cands = base.select(col("vec_id").as("n_id"), col("qv"),
+      col("nrm"), col("label"))
+    val scored = queries.join(cands, Seq("label"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        qcos("qqv", "qnrm", "qv", "nrm").as("qcos"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "qcos")
+  }
+
+  /** Filtered (predicated) approximate kNN — the vector-database
+    * "filtered search" problem: top-5 cosine neighbors among vectors
+    * satisfying a metadata predicate, here the query's own label (the
+    * same-class-nearest-neighbor query behind per-class curation and
+    * label-conditioned retrieval). PREFILTERING, not postfiltering:
+    * the label rides the LSH bucket equi-join key, so candidate
+    * generation never surfaces-then-discards wrong-label candidates —
+    * postfiltering an unfiltered top-k decimates recall when the
+    * predicate is selective (a 10-label corpus keeps ~1/10 of an
+    * unfiltered candidate list). Same hyperplane sketches and
+    * Hamming-1 multi-probe as [[knnLsh]]; rerank is the exact float
+    * cosine over the candidate set. Recall vs [[knnBruteFiltered]]
+    * pinned in SimSpec and driver-audited via [[knnAudit]].
+    */
+  def knnLshFiltered: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val buckets = signBuckets(s, d).join(lbl, Seq("vec_id"))
+    val queries = withProbes(buckets.where(col("vec_id") % 100 === 0))
+      .join(lbl, Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("t"), col("bkey"), col("label"))
+    val cands = queries.join(buckets, Seq("t", "bkey", "label"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val scored = cands
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cosineCol("qe", "ne").as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Driver-audited form of [[knnLshFiltered]] vs the exact same-label
+    * reference (see [[knnAudit]]).
+    */
+  def knnLshFilteredChecked: Q = (s, d) =>
+    knnAudit(knnLshFiltered(s, d), knnBruteFiltered(s, d))
+
   /** IVF coarse quantizer: k-means-lite centroids trained distributed
     * (assignment in executor-side loops, means via one aggregation per
     * iteration; only the k x dim centroid table — a few KB — ever touches
@@ -1070,6 +1135,7 @@ object SimQueries {
     "q170_rrf_fusion" -> rrfFusion,
     "q45_knn_brute" -> knnBrute,
     "q46_knn_lsh" -> knnLshChecked,
+    "q234_knn_filtered" -> knnLshFilteredChecked,
     "q54_knn_ivf" -> knnIvfChecked,
     "q224_knn_pq" -> knnPqChecked,
     "q44_embedding_pairs" -> embeddingPairs,
@@ -1091,6 +1157,13 @@ object SimQueries {
     // Spark side computes them for real against knnBrute / anchored
     // broadcast probes, so an ANN regression flips a bit → hash red
     "q46_knn_lsh" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
+    // filtered search: every label group holds >= 42 vectors at every
+    // shipped sf, so the same-label top-5 is always full — the eval
+    // pair count stays 5 per anchored query
+    "q234_knn_filtered" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075
         |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,

@@ -91,6 +91,34 @@ class SimSpec extends SparkSpec {
     assert(pqAudit.getLong(0) > 0 && pqAudit.getBoolean(2), s"pq audit red: $pqAudit")
   }
 
+  test("filtered knn: label-homogeneous, pinned recall vs the filtered brute, BNLJ-free") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val brute = SimQueries.knnBruteFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // the exact reference honors the predicate
+    brute.foreach { case (q, n) => assert(labels(q) === labels(n)) }
+    val got = SimQueries.knnLshFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prefiltering: every returned neighbor satisfies the predicate
+    got.foreach { case (q, n) =>
+      assert(labels(q) === labels(n), s"cross-label neighbor ($q, $n)")
+    }
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"filtered knn recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    // approximate core stays a bucket equi-join
+    val plan = SimQueries.knnLshFiltered(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    val audit = SimQueries.knnLshFilteredChecked(spark, sf).collect().head
+    assert(audit.getLong(0) > 0 && audit.getBoolean(2),
+      s"filtered knn audit red: $audit")
+  }
+
   test("registered ANN audit forms render their recall/precision pins as TRUE bits") {
     val lsh = SimQueries.knnLshChecked(spark, sf).collect().head
     assert(lsh.getLong(0) > 0 && lsh.getBoolean(2), s"knnLsh audit red: $lsh")
