@@ -103,13 +103,20 @@ object DedupQueries {
     * published AllPairs/PPJoin design (Bayardo et al., WWW'07) expressed
     * as two keyed shuffles + one window; no LSH tuning, no recall knob.
     */
-  def prefixJaccard: Q = (s, d) => {
+  def prefixJaccard: Q = (s, d) => prefixJaccardOf(Tables.documents(s, d))
+
+  /** [[prefixJaccard]] over an arbitrary documents frame — lets the
+    * incremental path (q235) build its stored old-corpus pair set from
+    * a PRUNED scan (the filter reaches the source, the signBucketsOf
+    * rationale).
+    */
+  private def prefixJaccardOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // shingle strings are hashed to 64 bits at the source (q42's verify
     // trick) and NEVER shuffled as text: df-rank ties break on the hash
     // (any shared total order works), and the exact verify intersects
     // hash arrays — 8 bytes/shingle through every exchange
-    val dsh = shingles(Tables.documents(s, d))
+    val dsh = shingles(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val dfreq = dsh.groupBy("h").agg(count(lit(1)).as("df"))
     val ranked = dsh.join(dfreq, "h")
@@ -154,9 +161,18 @@ object DedupQueries {
   def ensureShingleIndex(s: SparkSession, d: String): String = {
     val path = s"${Tables.scratchDir}/graft-shingle-index-${Tables.datasetTag(d, "documents")}"
     if (!new java.io.File(s"$path/postings", "_SUCCESS").exists() ||
+        !new java.io.File(s"$path/hpostings", "_SUCCESS").exists() ||
         !new java.io.File(s"$path/sizes", "_SUCCESS").exists()) {
       shingles(Tables.documents(s, d))
         .write.mode("overwrite").parquet(s"$path/postings")
+      // hashed postings: the PROBE side of the nightly ingest joins on
+      // 8-byte hashes instead of shingle strings (the q190 trick — the
+      // 64-bit collision risk is the sanctioned one, and the oracle
+      // verifies the final pair set); string postings stay for
+      // consumers that need the text
+      s.read.parquet(s"$path/postings")
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .write.mode("overwrite").parquet(s"$path/hpostings")
       s.read.parquet(s"$path/postings")
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$path/sizes")
@@ -188,13 +204,13 @@ object DedupQueries {
     val idx = ensureShingleIndex(s, d)
     val sizes = s.read.parquet(s"$idx/sizes")
     val newSh = shingles(Tables.documents(s, d).where(col("doc_id") % 3 === 0))
-      .select(col("doc_id").as("nid"), col("s"))
-    val allSh = s.read.parquet(s"$idx/postings")
-      .select(col("doc_id").as("oid"), col("s"))
-    val inter = newSh.join(allSh, Seq("s"))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
+    val allSh = s.read.parquet(s"$idx/hpostings")
+      .select(col("doc_id").as("oid"), col("h"))
+    val inter = newSh.join(allSh, Seq("h"))
       .where(col("nid") =!= col("oid"))
       .select(least(col("nid"), col("oid")).as("a_id"),
-        greatest(col("nid"), col("oid")).as("b_id"), col("s"))
+        greatest(col("nid"), col("oid")).as("b_id"), col("h"))
       .distinct()
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
     inter
@@ -205,6 +221,69 @@ object DedupQueries {
         when(col("a_id") % 3 === 0 && col("b_id") % 3 === 0, "new_new")
           .otherwise("new_old").as("kind"))
       .where(col("jac") >= 0.5)
+  }
+
+  /** One-time, idempotent materialization of the OLD-corpus
+    * (doc_id % 3 != 0) cluster map — the prior state q235's incremental
+    * update consumes, warmed by `Scale.warmDerived` like the shingle
+    * index it sits next to. Edges come from the EXACT prefix-filter
+    * join (q190's machinery) restricted to old docs via a pruned scan,
+    * so the stored clusters sit on the same exact-Jaccard edge family
+    * as the full-recompute oracle.
+    */
+  def ensureOldClusters(s: SparkSession, d: String): String = {
+    val path = s"${Tables.scratchDir}/graft-old-clusters-${Tables.datasetTag(d, "documents")}"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val old = Tables.documents(s, d).where(col("doc_id") % 3 =!= 0)
+      propagate(old.select(col("doc_id")),
+        prefixJaccardOf(old).select(col("a_id"), col("b_id")))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Incremental connected components — the q214 economics applied to
+    * q88: an ingest batch (doc_id % 3 == 0) updates the STORED cluster
+    * map ([[ensureOldClusters]]) instead of re-running label
+    * propagation over the corpus. The batch's exact near-dup pairs
+    * come from [[incrementalDedup]]'s index probe (old×old never
+    * recomputed); each old endpoint is CONTRACTED to its stored
+    * cluster label (one doc-keyed join), and propagation runs only on
+    * the delta graph of batch docs + touched cluster representatives —
+    * ingest-sized, not corpus-sized. Because a stored label is the MIN
+    * doc id of its old component, the delta component's min over
+    * {batch ids, touched labels} equals the full recompute's global
+    * min, so the merged map is IDENTICAL to rerunning q88 on the whole
+    * corpus — which is exactly what the oracle does (q88's recursive
+    * CTE verbatim). Old clusters can only merge through new docs, so
+    * contraction loses nothing.
+    */
+  def incrementalClusters: Q = (s, d) => {
+    val oldMap = s.read.parquet(ensureOldClusters(s, d)) // (doc_id, label)
+    val batchPairs = incrementalDedup(s, d).select(col("a_id"), col("b_id"))
+    val m = oldMap.select(col("doc_id").as("m_id"), col("label").as("m_lbl"))
+    val contracted = batchPairs
+      .join(m.select(col("m_id").as("a_id"), col("m_lbl").as("la")), Seq("a_id"), "left")
+      .join(m.select(col("m_id").as("b_id"), col("m_lbl").as("lb")), Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("u"),
+        coalesce(col("lb"), col("b_id")).as("v"))
+      .where(col("u") =!= col("v"))
+      .localCheckpoint()
+    val newDocs = Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val nodes = newDocs
+      .union(contracted.select(col("u").as("doc_id")))
+      .union(contracted.select(col("v").as("doc_id")))
+      .distinct()
+    val delta = propagate(nodes, contracted)
+      .select(col("doc_id").as("node"), col("label").as("new_lbl"))
+    val oldFinal = oldMap.join(delta, oldMap("label") === delta("node"), "left")
+      .select(oldMap("doc_id"),
+        coalesce(col("new_lbl"), oldMap("label")).as("label"))
+    val newFinal = newDocs.join(delta, newDocs("doc_id") === delta("node"), "left")
+      .select(newDocs("doc_id"),
+        coalesce(col("new_lbl"), newDocs("doc_id")).as("label"))
+    clusterStats(oldFinal.union(newFinal))
   }
 
   /** Exact substring duplication (Lee et al. 2022, arXiv:2107.06499,
@@ -603,10 +682,30 @@ object DedupQueries {
     * per doc.
     */
   def dupClusters: Q = (s, d) => {
-    val pairs = minhashLsh(s, d).select(col("a_id"), col("b_id")).localCheckpoint()
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+    val pairs = minhashLsh(s, d).select(col("a_id"), col("b_id"))
+    clusterStats(propagate(
+      Tables.documents(s, d).select(col("doc_id")), pairs))
+  }
+
+  /** Min-label propagation over an arbitrary node set + undirected pair
+    * list — [[dupClusters]]'s loop factored out so the incremental path
+    * (q235) can run it on a contracted delta graph. Returns
+    * (doc_id, label) with label = min node id in the component.
+    *
+    * `checkpointRounds` cuts lineage per round (the corpus-scale
+    * setting — unbounded round counts would otherwise stack plans);
+    * the delta path turns it OFF: its input is already an eager
+    * checkpoint, its graphs converge in 2-3 rounds, and per-round
+    * `localCheckpoint` materialization was measured to DOMINATE the
+    * tiny loop (the q126 reuse-beats-checkpoint lesson) — re-deriving
+    * a ≤3-round lineage from the checkpointed edges is cheaper.
+    */
+  private def propagate(nodes: DataFrame, pairs: DataFrame,
+      checkpointRounds: Boolean = true): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.union(p.select(p.columns(1), p.columns(0)))
       .toDF("src", "dst")
-    var labels = Tables.documents(s, d)
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -617,15 +716,20 @@ object DedupQueries {
       // change detection rides the update join (shrank flag), so each
       // round is ONE join + one count over the checkpointed result — no
       // second old-vs-new join
-      val next = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
+      val nextRaw = labels.join(nbMin, labels("doc_id") === nbMin("src"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
           (col("nb_min") < col("label")).as("shrank"))
-        .localCheckpoint()
+      val next = if (checkpointRounds) nextRaw.localCheckpoint() else nextRaw
       changed = next.where(col("shrank")).count()
       labels = next.select("doc_id", "label")
       rounds += 1
     }
+    labels
+  }
+
+  /** (doc_id, label) → the q88 output shape: cluster id, size, keeper. */
+  private def clusterStats(labels: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -763,6 +867,7 @@ object DedupQueries {
     "q43_dedup_simhash" -> simhashChecked,
     "q225_substring_dedup" -> substringDedup,
     "q232_memorization_risk" -> memorizationRisk,
+    "q235_incremental_clusters" -> incrementalClusters,
     "q226_substring_spans" -> substringSpans,
     "q88_dup_clusters" -> dupClusters)
 
@@ -991,6 +1096,14 @@ object DedupQueries {
          |WHERE a_id % 3 = 0 OR b_id % 3 = 0""".stripMargin,
     "q42_dedup_minhash" -> jaccardOracle,
     "q88_dup_clusters" ->
+      s"""$clusterCte
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  (doc_id = cluster_id) AS is_keeper
+        |FROM comp""".stripMargin,
+    // the incremental merge must equal the FULL recompute — the oracle
+    // IS q88's recursive CTE over the whole corpus, verbatim
+    "q235_incremental_clusters" ->
       s"""$clusterCte
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,

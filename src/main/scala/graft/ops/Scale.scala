@@ -116,6 +116,7 @@ object Scale {
     ensureBucketedTables(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
+    graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
     graft.streaming.Streams.ensureUpsertSource(s, d): Unit
     ExtraQueries.warmDerived(s, d)

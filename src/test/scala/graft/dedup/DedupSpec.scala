@@ -280,6 +280,31 @@ class DedupSpec extends SparkSpec {
       "expected exactly the source/chars documents scan")
   }
 
+  test("incremental clusters equal the full recompute; delta graph stays batch-sized") {
+    import org.apache.spark.sql.functions._
+    val inc = DedupQueries.incrementalClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupQueries.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full, "incremental merge diverged from the full recompute")
+    // the merge is LIVE: some cluster mixes batch (%3==0) and old docs,
+    // so the contraction + delta propagation actually joined components
+    val mixed = inc.groupBy(_._2).values.exists(c =>
+      c.exists(_._1 % 3 == 0) && c.exists(_._1 % 3 != 0) && c.size > 1)
+    assert(mixed, "no batch doc merged into an old cluster — delta path untested")
+    // the registered plan reads the STORED old-cluster map, and its only
+    // documents scan is the batch side (pruned at the source); the
+    // index-probe scans live inside the eagerly-checkpointed delta and
+    // are pinned by the q214 test
+    val plan = DedupQueries.incrementalClusters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-old-clusters"), plan.take(2000))
+    assert("documents\\.parquet".r.findAllIn(plan).size === 1,
+      "expected exactly the pruned batch-side documents scan")
+    assert("\\(doc_id#\\d+L? % 3\\) = 0".r.findFirstIn(plan).isDefined,
+      "batch filter did not reach the documents scan")
+  }
+
   test("memorization risk agrees with the q225 pair view doc-for-doc") {
     val risk = DedupQueries.memorizationRisk(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
