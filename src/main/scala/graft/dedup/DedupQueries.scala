@@ -358,6 +358,56 @@ object DedupQueries {
         expr("n_shared_windows * 1000000 div n_windows"))
   }
 
+  /** Span-REMOVAL manifest — the step q225/q232 exist for (Lee et al.
+    * remove the duplicated span, not the document): for every doc, the
+    * merged token intervals covered by 15-token windows that appear
+    * verbatim in another document, i.e. exactly what a surgical dedup
+    * pass cuts. Window occurrences keep their POSITIONS (a span can
+    * recur within one doc); overlapping [pos, pos+14] intervals merge
+    * via the gaps-and-islands running-max (the q166 interval-union
+    * machinery, per doc). Output: spans, tokens cut, and the exact ppm
+    * of the doc they cover.
+    *
+    * Scale shape: same df aggregation + hash join as [[memorizationRisk]]
+    * (window text hashes at the source); the island window partitions
+    * by doc_id over ONLY the shared-window positions — bounded by how
+    * much of each doc is duplicated, never doc length × corpus.
+    */
+  def spanRemoval: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val W = 15
+    val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .where(size(col("ws")) >= W)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        explode(expr(
+          s"""transform(sequence(1, size(ws) - ${W - 1}),
+             |  i -> struct(i AS pos, xxhash64(array_join(slice(ws, i, $W), ' ')) AS h))"""
+            .stripMargin)).as("u"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("u.pos").as("pos"), col("u.h").as("h"))
+    val docFreq = wins.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val shared = wins.join(docFreq.where(col("df") >= 2), "h")
+      .select("doc_id", "n_tokens", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = shared
+      .withColumn("prev_end", max(col("pos") + (W - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(max("n_tokens").as("n_tokens"),
+        min("pos").as("s"), (max("pos") + (W - 1)).as("e"))
+    islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("tokens_cut"),
+        max("n_tokens").as("n_tokens"))
+      .withColumn("cut_ppm", expr("tokens_cut * 1000000 div n_tokens"))
+  }
+
   /** Shared-span LOCALIZATION — [[substringDedup]] graduated from "these
     * docs share a window" to "this is the longest verbatim run": for
     * every pair sharing ≥ 1 exact 15-token window, the length in tokens
@@ -868,6 +918,7 @@ object DedupQueries {
     "q225_substring_dedup" -> substringDedup,
     "q232_memorization_risk" -> memorizationRisk,
     "q235_incremental_clusters" -> incrementalClusters,
+    "q236_span_removal" -> spanRemoval,
     "q226_substring_spans" -> substringSpans,
     "q88_dup_clusters" -> dupClusters)
 
@@ -955,6 +1006,38 @@ object DedupQueries {
         |    AS BIGINT) AS shared_ppm
         |FROM d JOIN df ON d.win = df.win
         |GROUP BY 1""".stripMargin,
+    // the removal manifest: shared-window positions merged to islands
+    // per doc (overlap rule pos <= prev_end, identical on both engines);
+    // nonneg integer division truncates identically
+    "q236_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, len(ws) AS n_tokens,
+        |    unnest(list_transform(range(1, len(ws) - 13),
+        |      i -> {'pos': i, 'win': array_to_string(ws[i:i+14], ' ')})) AS u
+        |  FROM t WHERE len(ws) >= 15),
+        |w AS (SELECT doc_id, n_tokens, u.pos AS pos, u.win AS win FROM w0),
+        |df AS (SELECT win, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |shared AS (SELECT w.doc_id, w.n_tokens, w.pos
+        |  FROM w JOIN df ON w.win = df.win WHERE df.df >= 2),
+        |o AS (SELECT doc_id, n_tokens, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 14) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM shared),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o),
+        |isl AS (SELECT doc_id, grp, max(n_tokens) AS n_tokens,
+        |    min(pos) AS s, max(pos) + 14 AS e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS tokens_cut,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(e - s + 1) * 1000000 // max(n_tokens) AS BIGINT) AS cut_ppm
+        |FROM isl GROUP BY 1""".stripMargin,
     // exact: the gaps-and-islands LCS reduction replayed relationally
     // (positions via struct unnest; 1-based there vs 0-based posexplode
     // is diag/grp-invariant)

@@ -321,6 +321,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span removal: doc set matches q232, and disjoint spans stay separate islands") {
+    import org.apache.spark.sql.functions._
+    // on the driver corpus: exactly the q232-exposed docs get a manifest
+    val manifest = DedupQueries.spanRemoval(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exposed = DedupQueries.memorizationRisk(spark, sf).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(manifest.keySet === exposed && manifest.nonEmpty)
+    manifest.foreach { case (id, (spans, cut, n, ppm)) =>
+      assert(spans >= 1 && cut <= n && ppm === cut * 1000000L / n, s"doc $id")
+    }
+    // synthetic corpus: doc 1 copies TWO disjoint 20-token spans of doc
+    // 0 with unique filler between/around — the island merge must emit
+    // exactly 2 spans of 20 tokens each on BOTH docs
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val spanA = words("a", 20)
+    val spanB = words("b", 20)
+    val doc0 = (words("u", 20) ++ spanA ++ words("v", 20) ++ spanB ++ words("w", 20)).mkString(" ")
+    val doc1 = (words("x", 20) ++ spanA ++ words("y", 20) ++ spanB ++ words("z", 20)).mkString(" ")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-span-prop-${System.nanoTime()}"
+    spark.createDataFrame(Seq((0L, doc0), (1L, doc1))).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synth").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.spanRemoval(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each 20-token copied span yields windows at 6 positions -> one
+    // island of 6 + 14 = 20 tokens; two disjoint spans per doc
+    assert(got === Map(0L -> (2L, 40L), 1L -> (2L, 40L)), got.toString)
+  }
+
   test("cluster canonical keeps exactly the longest doc per multi-doc cluster") {
     import org.apache.spark.sql.functions._
     val out = DedupQueries.clusterCanonical(spark, sf).collect()
