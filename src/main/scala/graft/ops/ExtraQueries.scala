@@ -544,6 +544,39 @@ object ExtraQueries {
       .groupBy("ws_tokens")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Custom DataSourceV2 SINK end to end (q237) — the write half of
+    * q91's connector: the documents table streams through
+    * [[graft.sources.DocLinesWriter]]'s two-phase commit (per-task
+    * hidden temps → driver publish + `_SUCCESS`), the committed
+    * multi-file table reads back through the SAME connector's
+    * byte-range splits, and the aggregate must reproduce the source
+    * parquet exactly — so a lost row, a torn line, a published losing
+    * attempt, or a framing bug anywhere in the write protocol fails the
+    * driver hash. Per-run temp dir (the q233 replay pattern): the
+    * operator under test IS the write, so nothing is cached.
+    */
+  def customSinkRoundtrip: Q = (s, d) => {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(Tables.scratchDir), "graft-doclines-sink-")
+    val out = base.resolve("docs").toString
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(4)
+      .write.format("graft.sources.DocLinesSource")
+      .option("path", out).mode("append").save()
+    val result = s.read.format("graft.sources.DocLinesSource")
+      .option("path", out).option("partitions", "16").load()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(length(col("text")).cast("long")).as("n_text_chars"))
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+    result
+  }
+
   /** ORC round-trip — the third columnar/file format next to parquet,
     * CSV (q36) and JSON (q56): lineitem is copied to ORC once per sfDir
     * (scratch-cached), read back through `spark.read.orc`, and
@@ -1098,6 +1131,7 @@ object ExtraQueries {
     "q82_constraint_audit" -> constraintAudit,
     "q87_recursive_cte" -> recursiveMonthSpine,
     "q91_custom_source" -> customSourceHistogram,
+    "q237_custom_sink" -> customSinkRoundtrip,
     "q93_variant_json" -> variantJson,
     "q95_orc_source" -> orcSource,
     "q96_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
@@ -1239,6 +1273,13 @@ object ExtraQueries {
         |    AS ws_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    // sink roundtrip: whatever survives write->commit->read must be the
+    // source table, row for row and byte for byte
+    "q237_custom_sink" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_text_chars
+        |FROM documents""".stripMargin,
     "q96_dynamic_partition_overwrite" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price

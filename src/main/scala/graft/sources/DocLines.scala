@@ -61,19 +61,31 @@ object DocLines {
     StructField("text", StringType, nullable = false)))
 }
 
-class DocLinesTable(properties: Map[String, String]) extends Table with SupportsRead {
+class DocLinesTable(properties: Map[String, String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val path = properties.getOrElse("path",
     throw new IllegalArgumentException("graft.sources.DocLinesSource requires option 'path'"))
 
   override def name(): String = s"doclines(`$path`)"
   override def schema(): StructType = DocLines.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocLinesScanBuilder(path,
       Option(options.get("partitions")).map(_.toInt)
         .getOrElse(properties.get("partitions").map(_.toInt).getOrElse(8)))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val got = info.schema()
+    require(got.fieldNames.sameElements(DocLines.Schema.fieldNames) &&
+      got.fields.map(_.dataType).sameElements(DocLines.Schema.fields.map(_.dataType)),
+      s"doclines sink writes (doc_id BIGINT, text STRING); got ${got.simpleString}")
+    new DocLinesWriteBuilder(path)
+  }
 }
 
 class DocLinesScanBuilder(path: String, partitions: Int)
@@ -147,12 +159,24 @@ class DocLinesScan(path: String, partitions: Int, required: StructType,
       s"PushedFilters: [${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val len = new java.io.File(path).length()
+    // a directory is a multi-file table (what the write path produces):
+    // the split budget spreads over the committed part files by size,
+    // each file split by the same byte-range protocol
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq
+          .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".tsv"))
+          .sortBy(_.getName)).getOrElse(Seq.empty)
+      else Seq(f)
+    val total = files.map(_.length()).sum
     val n = math.max(1, partitions)
-    val step = math.max(1L, (len + n - 1) / n)
-    (0L until len by step)
-      .map(s => DocLinesPartition(path, s, math.min(s + step, len)))
-      .toArray
+    val step = math.max(1L, (total + n - 1) / n)
+    files.flatMap { file =>
+      val len = file.length()
+      (0L until len by step)
+        .map(s => DocLinesPartition(file.getAbsolutePath, s, math.min(s + step, len)))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -235,4 +259,122 @@ class DocLinesReader(p: DocLinesPartition, fields: Array[String],
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** The V2 WRITE path: the standard two-phase commit protocol a
+  * distributed sink needs —
+  *
+  *  1. every task writer streams its partition to a HIDDEN temp file
+  *     (`.part-<partition>-<task>.tsv.tmp` — unique per task ATTEMPT,
+  *     so speculative/retried attempts can never clobber each other,
+  *     and hidden so no reader lists it);
+  *  2. a task's `commit()` seals its temp and reports it in the
+  *     [[DocLinesCommitMessage]]; `abort()` deletes it;
+  *  3. the driver's `BatchWrite.commit` PUBLISHES exactly the reported
+  *     temps (atomic per-file rename to visible `part-NNNNN.tsv`
+  *     names), sweeps any stray temps from losing attempts, and drops
+  *     a `_SUCCESS` marker; `BatchWrite.abort` deletes everything.
+  *
+  * Readers only ever list `part-*.tsv`, so a half-finished or aborted
+  * write is invisible — the same visibility contract as the upsert
+  * sink's CURRENT pointer ([[graft.streaming.Streams.mergeIntoSnapshot]]).
+  * `SupportsTruncate` maps `mode("overwrite")` onto "clear the visible
+  * part files inside the commit", so overwrite is atomic-per-file too.
+  * Local `java.io` renames stand in for a production object-store
+  * commit (manifest/commit-service), as on the read side.
+  */
+class DocLinesWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new DocLinesBatchWrite(path, doTruncate)
+    }
+}
+
+case class DocLinesCommitMessage(tempName: String, partitionId: Int, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class DocLinesBatchWrite(path: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new DocLinesWriterFactory(path)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (truncate)
+      Option(dir.listFiles()).foreach(_.filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".tsv"))
+        .foreach(_.delete()))
+    val committed = messages.map(_.asInstanceOf[DocLinesCommitMessage])
+    committed.sortBy(_.partitionId).zipWithIndex.foreach { case (m, i) =>
+      val tmp = new java.io.File(dir, m.tempName)
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, f"part-$i%05d.tsv").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // losing speculative attempts reported nothing: sweep their temps
+    Option(dir.listFiles()).foreach(_.filter(_.getName.endsWith(".tsv.tmp"))
+      .foreach(_.delete()))
+    java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+      Array.empty[Byte]): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).foreach(_.filter(_.getName.endsWith(".tsv.tmp"))
+      .foreach(_.delete()))
+  }
+}
+
+class DocLinesWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new DocLinesWriter(path, partitionId, taskId)
+}
+
+class DocLinesWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val tempName = s".part-$partitionId-$taskId.tsv.tmp"
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(new java.io.File(path, tempName)), 1 << 16)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val text = record.getUTF8String(1)
+    // framing constraint of the line format — fail the TASK (which
+    // aborts + retries + eventually fails the job) rather than corrupt
+    // the file: a tab would shift the column split, a newline would
+    // forge a record boundary
+    require(text.toString.indexOf('\t') < 0 && text.toString.indexOf('\n') < 0,
+      s"doclines sink: text of doc_id ${record.getLong(0)} contains tab/newline")
+    out.write(record.getLong(0).toString.getBytes("UTF-8"))
+    out.write('\t')
+    out.write(text.getBytes)
+    out.write('\n')
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    DocLinesCommitMessage(tempName, partitionId, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    new java.io.File(path, tempName).delete(): Unit
+  }
+
+  override def close(): Unit = ()
 }

@@ -62,4 +62,84 @@ class DocLinesSpec extends SparkSpec {
       .collectLeaves().head
     assert(leaf2.output.map(_.name) === Seq("doc_id"), leaf2.toString)
   }
+
+  private def tmpDir(tag: String): java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), tag).toFile
+    f
+  }
+
+  test("v2 sink roundtrip: written table reads back row-for-row") {
+    val dir = tmpDir("doclines-w1-")
+    val src = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    src.repartition(3)
+      .write.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).mode("append").save()
+    // commit published visible parts + _SUCCESS, no temps left behind
+    val names = dir.listFiles().map(_.getName).sorted
+    assert(names.contains("_SUCCESS") && names.count(_.endsWith(".tsv")) === 3)
+    assert(!names.exists(_.endsWith(".tmp")), names.mkString(","))
+    val back = spark.read.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).option("partitions", "7").load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === src.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // overwrite truncates: half the table replaces the whole one
+    src.where(col("doc_id") % 2 === 0).repartition(2)
+      .write.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).mode("overwrite").save()
+    val after = spark.read.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).load().count()
+    assert(after === src.where(col("doc_id") % 2 === 0).count())
+  }
+
+  test("v2 sink commit protocol: losing attempts invisible, aborts leave nothing") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(id: Long, text: String) =
+      InternalRow(id, UTF8String.fromString(text))
+    val dir = tmpDir("doclines-w2-")
+    val bw = new DocLinesBatchWrite(dir.toString, truncate = false)
+    val factory = new DocLinesWriterFactory(dir.toString)
+    // partition 0: two speculative attempts; only task 11 commits
+    val w0a = factory.createWriter(0, 10L)
+    w0a.write(row(1L, "loser attempt"))
+    val w0b = factory.createWriter(0, 11L)
+    w0b.write(row(1L, "winner attempt"))
+    val m0 = w0b.commit()
+    w0a.abort() // driver told the loser to abort
+    // partition 1: plain single attempt
+    val w1 = factory.createWriter(1, 12L)
+    w1.write(row(2L, "two"))
+    val m1 = w1.commit()
+    bw.commit(Array(m0, m1))
+    val back = spark.read.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === Set((1L, "winner attempt"), (2L, "two")))
+    assert(!dir.listFiles().map(_.getName).exists(_.endsWith(".tmp")))
+    // a fully aborted job leaves no temps either
+    val dir2 = tmpDir("doclines-w3-")
+    val bw2 = new DocLinesBatchWrite(dir2.toString, truncate = false)
+    val f2 = new DocLinesWriterFactory(dir2.toString)
+    val wa = f2.createWriter(0, 1L)
+    wa.write(row(9L, "doomed"))
+    wa.commit()
+    bw2.abort(Array.empty)
+    assert(!dir2.listFiles().map(_.getName).exists(_.endsWith(".tmp")))
+    assert(dir2.listFiles().forall(f => !f.getName.endsWith(".tsv")))
+  }
+
+  test("v2 sink rejects text that would break line framing") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = tmpDir("doclines-w4-")
+    val w = new DocLinesWriterFactory(dir.toString).createWriter(0, 1L)
+    intercept[IllegalArgumentException] {
+      w.write(InternalRow(1L, UTF8String.fromString("has\ttab")))
+    }
+    intercept[IllegalArgumentException] {
+      w.write(InternalRow(1L, UTF8String.fromString("has\nnewline")))
+    }
+    w.abort()
+  }
 }
