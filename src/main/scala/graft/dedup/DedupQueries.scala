@@ -163,7 +163,11 @@ object DedupQueries {
     if (!new java.io.File(s"$path/postings", "_SUCCESS").exists() ||
         !new java.io.File(s"$path/hpostings", "_SUCCESS").exists() ||
         !new java.io.File(s"$path/sizes", "_SUCCESS").exists()) {
+      // layout pinned independent of the building JVM (the edge-list
+      // lesson: a low-parallelism builder would cap every later probe
+      // scan at its own width)
       shingles(Tables.documents(s, d))
+        .repartition(32, col("s"))
         .write.mode("overwrite").parquet(s"$path/postings")
       // hashed postings: the PROBE side of the nightly ingest joins on
       // 8-byte hashes instead of shingle strings (the q190 trick — the
@@ -172,9 +176,11 @@ object DedupQueries {
       // consumers that need the text
       s.read.parquet(s"$path/postings")
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .repartition(32, col("h"))
         .write.mode("overwrite").parquet(s"$path/hpostings")
       s.read.parquet(s"$path/postings")
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .repartition(8, col("doc_id"))
         .write.mode("overwrite").parquet(s"$path/sizes")
     }
     path
@@ -237,6 +243,7 @@ object DedupQueries {
       val old = Tables.documents(s, d).where(col("doc_id") % 3 =!= 0)
       propagate(old.select(col("doc_id")),
         prefixJaccardOf(old).select(col("a_id"), col("b_id")))
+        .repartition(8, col("doc_id"))
         .write.mode("overwrite").parquet(path)
     }
     path
@@ -841,7 +848,8 @@ object DedupQueries {
   def ensureClusters(s: SparkSession, d: String): String = {
     val path = s"${Tables.scratchDir}/graft-dup-clusters-${Tables.datasetTag(d, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
-      dupClusters(s, d).write.mode("overwrite").parquet(path)
+      dupClusters(s, d).repartition(8, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
     path
   }
 

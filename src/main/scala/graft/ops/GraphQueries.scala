@@ -45,6 +45,13 @@ object GraphQueries {
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
+        // pin the table LAYOUT independent of the building JVM: without
+        // this, whichever session materializes first (a local[4] Verify
+        // vs the local[32] bench) decides the file count — and a 4-file
+        // edge list caps every later graph scan at parallelism 4
+        // (measured: triangles 3.9 → 5.5 s). 32 src-hashed files keep
+        // the read side wide for the src-keyed joins.
+        .repartition(32, col("u"))
         .write.mode("overwrite").parquet(path)
     }
     path

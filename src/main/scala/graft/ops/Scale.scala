@@ -56,6 +56,9 @@ object Scale {
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
+        // fixed per-partition layout regardless of which JVM builds it
+        // (the edge-list lesson)
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
     }
     path

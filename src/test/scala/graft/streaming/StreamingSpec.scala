@@ -606,6 +606,19 @@ class StreamingSpec extends SparkSpec {
       root.resolve("CURRENT")), "UTF-8") === "v2")
     assert(Seq("v0", "v1", "v2").forall(v =>
       java.nio.file.Files.exists(root.resolve(v))))
+    // TIME TRAVEL: past snapshots stay readable as-of their commit —
+    // running totals are monotone across versions and the last version
+    // IS the CURRENT table
+    def totals(v: String): (Long, Long) = {
+      val r = spark.read.parquet(root.resolve(v).toString)
+        .agg(sum("n_events"), sum("total_cents")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val Seq(t0, t1, t2) = Seq("v0", "v1", "v2").map(totals)
+    assert(t0 === ((2L, 12L)) && t1 === ((4L, 33L)) && t2 === ((5L, 36L)))
+    val cur = Streams.currentSnapshot(spark, root).get
+      .agg(sum("n_events"), sum("total_cents")).collect()(0)
+    assert(t2 === ((cur.getLong(0), cur.getLong(1))))
   }
 
   test("upsert replay equals the one-shot batch recompute") {
