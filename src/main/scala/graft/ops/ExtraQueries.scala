@@ -544,6 +544,21 @@ object ExtraQueries {
       .groupBy("ws_tokens")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Aggregate pushdown through the custom V2 source (q238): an
+    * ungrouped COUNT(*) plans as `PushedAggregation: [COUNT(*)]` — each
+    * split's reader counts surviving lines without materializing a
+    * single column, emits one partial-count row, and Spark's final
+    * aggregation sums the partials (the standard partial/final split,
+    * here crossing the connector boundary). At 100 TB this is the
+    * difference between counting a table and READING it.
+    */
+  def customSourceCount: Q = (s, d) =>
+    s.read.format("graft.sources.DocLinesSource")
+      .option("path", docsTsv(s, d))
+      .option("partitions", "16")
+      .load()
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Custom DataSourceV2 SINK end to end (q237) — the write half of
     * q91's connector: the documents table streams through
     * [[graft.sources.DocLinesWriter]]'s two-phase commit (per-task
@@ -1132,6 +1147,7 @@ object ExtraQueries {
     "q87_recursive_cte" -> recursiveMonthSpine,
     "q91_custom_source" -> customSourceHistogram,
     "q237_custom_sink" -> customSinkRoundtrip,
+    "q238_pushdown_count" -> customSourceCount,
     "q93_variant_json" -> variantJson,
     "q95_orc_source" -> orcSource,
     "q96_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
@@ -1273,6 +1289,8 @@ object ExtraQueries {
         |    AS ws_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q238_pushdown_count" ->
+      """SELECT count(*) AS n_docs FROM documents""",
     // sink roundtrip: whatever survives write->commit->read must be the
     // source table, row for row and byte for byte
     "q237_custom_sink" ->

@@ -90,11 +90,15 @@ class DocLinesTable(properties: Map[String, String]) extends Table
 
 class DocLinesScanBuilder(path: String, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = DocLines.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -113,7 +117,38 @@ class DocLinesScanBuilder(path: String, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DocLinesScan(path, partitions, required, pushed)
+  /** PER-SPLIT limit: each reader stops after `n` surviving lines, so a
+    * `LIMIT 10` over a 100 TB table reads ~10 lines per split instead
+    * of the whole file. Partially pushed — Spark still applies the
+    * global limit over the ≤ n·splits survivors.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
+
+  /** COUNT(*) pushdown (ungrouped): the reader COUNTS surviving lines
+    * without ever materializing columns — splitting on tabs, building
+    * UTF8 strings and rows for a count is pure waste. Partial push
+    * (`supportCompletePushDown` = false): each split emits one partial
+    * count and Spark's final aggregation sums them — the same
+    * partial/final split every distributed COUNT uses. Pushed doc_id
+    * filters still gate each line (count-with-filter stays correct),
+    * which is why only filter-complete plans qualify: if Spark kept a
+    * residual filter it could not re-check, we must decline.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val onlyCountStar = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      limit < 0
+    if (onlyCountStar) countPushed = true
+    countPushed
+  }
+
+  override def build(): Scan =
+    if (countPushed) new DocLinesCountScan(path, partitions, pushed)
+    else new DocLinesScan(path, partitions, required, pushed, limit)
 }
 
 /** doc_id predicate evaluation shared by the builder's support check and
@@ -150,13 +185,15 @@ object DocLinesFilters {
 case class DocLinesPartition(path: String, start: Long, end: Long) extends InputPartition
 
 class DocLinesScan(path: String, partitions: Int, required: StructType,
-                   filters: Array[org.apache.spark.sql.sources.Filter])
+                   filters: Array[org.apache.spark.sql.sources.Filter],
+                   limit: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"doclines $path, ${partitions} splits, schema=${required.simpleString}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+      s"PushedFilters: [${filters.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // a directory is a multi-file table (what the write path produces):
@@ -180,15 +217,60 @@ class DocLinesScan(path: String, partitions: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocLinesReaderFactory(required.fieldNames, filters)
+    new DocLinesReaderFactory(required.fieldNames, filters, limit)
 }
 
-class DocLinesReaderFactory(fields: Array[String],
-                            filters: Array[org.apache.spark.sql.sources.Filter])
+/** The COUNT(*)-pushed scan: one partial-count row per split, columns
+  * never materialized; Spark's final aggregation sums the partials
+  * (`supportCompletePushDown` stays false on the builder).
+  */
+class DocLinesCountScan(path: String, partitions: Int,
+                        filters: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
+  private val delegate = new DocLinesScan(path, partitions, DocLines.Schema, filters)
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"doclines $path, ${partitions} splits, PushedAggregation: [COUNT(*)], " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocLinesCountReaderFactory(filters)
+}
+
+class DocLinesCountReaderFactory(filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocLinesPartition]
-    new DocLinesReader(p, fields, filters)
+    new PartitionReader[InternalRow] {
+      // reuse the line reader with the doc_id-only projection (the
+      // cheapest legal parse: filters may still need the id); drain it
+      // and emit ONE partial-count row
+      private val inner =
+        new DocLinesReader(p, if (filters.nonEmpty) Array("doc_id") else Array.empty, filters)
+      private var emitted = false
+      private var n = 0L
+      override def next(): Boolean = {
+        if (emitted) return false
+        while (inner.next()) n += 1
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = InternalRow(n)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+class DocLinesReaderFactory(fields: Array[String],
+                            filters: Array[org.apache.spark.sql.sources.Filter],
+                            limit: Int = -1)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocLinesPartition]
+    new DocLinesReader(p, fields, filters, limit)
   }
 }
 
@@ -196,8 +278,10 @@ class DocLinesReaderFactory(fields: Array[String],
   * line at a time regardless of split size.
   */
 class DocLinesReader(p: DocLinesPartition, fields: Array[String],
-                     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                     limit: Int = -1)
     extends PartitionReader[InternalRow] {
+  private var produced = 0L
   private val in = new BufferedInputStream(new FileInputStream(p.path), 1 << 16)
   private var pos: Long = 0
   private var row: InternalRow = _
@@ -228,6 +312,9 @@ class DocLinesReader(p: DocLinesPartition, fields: Array[String],
   private val needsId = filters.nonEmpty || fields.contains("doc_id")
 
   override def next(): Boolean = {
+    // pushed per-split limit: stop early once this split produced its
+    // quota (Spark's global limit handles the rest)
+    if (limit >= 0 && produced >= limit) return false
     // Hadoop LineRecordReader ownership: this split reads every line
     // whose first byte is <= end — INCLUDING one starting exactly at
     // `end` — because the next reader always discards the line it lands
@@ -251,6 +338,7 @@ class DocLinesReader(p: DocLinesPartition, fields: Array[String],
           case other => throw new IllegalArgumentException(s"unknown column $other")
         }
         row = InternalRow.fromSeq(values.toSeq)
+        produced += 1
         return true
       }
     }

@@ -129,6 +129,30 @@ class DocLinesSpec extends SparkSpec {
     assert(dir2.listFiles().forall(f => !f.getName.endsWith(".tsv")))
   }
 
+  test("count(*) and limit push into the reader; filtered paths stay exact") {
+    val path = graft.ops.ExtraQueries.docsTsv(spark, sf)
+    def read = spark.read.format("graft.sources.DocLinesSource")
+      .option("path", path).option("partitions", "7").load()
+    val expected = Tables.documents(spark, sf).count()
+    // aggregate pushdown: the scan emits partial counts, no columns
+    val agg = read.agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan.take(1500))
+    assert(agg.collect()(0).getLong(0) === expected)
+    // a residual filter blocks the push (a count over rows the engine
+    // still has to re-check cannot be delegated) — falls back to the
+    // row scan and stays exact
+    val filtered = read.where(col("doc_id") < 100).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(filtered.collect()(0).getLong(0) ===
+      Tables.documents(spark, sf).where(col("doc_id") < 100).count())
+    // limit pushdown: per-split early exit, global limit still applied
+    val lim = read.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 5"))
+    assert(lim.collect().length === 5)
+  }
+
   test("v2 sink rejects text that would break line framing") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
