@@ -559,6 +559,29 @@ object ExtraQueries {
       .load()
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Runtime (join-time) filtering through the custom V2 source
+    * (q239): the doclines fact side probes a selective dim join, and
+    * Spark hands the scan the build side's doc_id set at execution
+    * time (`RuntimeFilters: [dynamicpruningexpression(doc_id IN ...)]`
+    * on the BatchScan) — the DSv2 dynamic-pruning surface
+    * ([[graft.sources.DocLinesScan.filter]]). Probe-side lines that
+    * cannot join are dropped inside the reader before the text column
+    * materializes; at 100 TB this is join-key file/row skipping on the
+    * fact table. Correctness never depends on it (the reader gate is a
+    * subset filter; Spark re-checks the join), which the shared oracle
+    * proves.
+    */
+  def customSourceRuntimeFilter: Q = (s, d) => {
+    val fact = s.read.format("graft.sources.DocLinesSource")
+      .option("path", docsTsv(s, d)).option("partitions", "16").load()
+    val dim = Tables.documents(s, d)
+      .where(col("n_chars") > 400).select(col("doc_id"), col("source"))
+    fact.join(dim, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_text_chars"))
+  }
+
   /** Custom DataSourceV2 SINK end to end (q237) — the write half of
     * q91's connector: the documents table streams through
     * [[graft.sources.DocLinesWriter]]'s two-phase commit (per-task
@@ -1148,6 +1171,7 @@ object ExtraQueries {
     "q91_custom_source" -> customSourceHistogram,
     "q237_custom_sink" -> customSinkRoundtrip,
     "q238_pushdown_count" -> customSourceCount,
+    "q239_runtime_filter" -> customSourceRuntimeFilter,
     "q93_variant_json" -> variantJson,
     "q95_orc_source" -> orcSource,
     "q96_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
@@ -1291,6 +1315,13 @@ object ExtraQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q238_pushdown_count" ->
       """SELECT count(*) AS n_docs FROM documents""",
+    // the doclines fact side carries the same rows as documents, so the
+    // runtime-filtered join replays as a self-join on the dim predicate
+    "q239_runtime_filter" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_text_chars
+        |FROM documents WHERE n_chars > 400
+        |GROUP BY 1""".stripMargin,
     // sink roundtrip: whatever survives write->commit->read must be the
     // source table, row for row and byte for byte
     "q237_custom_sink" ->

@@ -187,7 +187,27 @@ case class DocLinesPartition(path: String, start: Long, end: Long) extends Input
 class DocLinesScan(path: String, partitions: Int, required: StructType,
                    filters: Array[org.apache.spark.sql.sources.Filter],
                    limit: Int = -1)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  /** Join-time filters ([[SupportsRuntimeFiltering]]): when this scan
+    * probes a join whose build side is selective, Spark hands the scan
+    * the build side's doc_id set at RUNTIME (the DSv2 dynamic-pruning
+    * surface — what lakehouse formats use to skip files by join key).
+    * The ids land in the same reader-side gate as the statically pushed
+    * filters, so probe-side lines that cannot match are dropped before
+    * the text column ever materializes. Correctness never depends on
+    * it: the reader gate is a subset-filter and Spark re-checks the
+    * join predicate anyway.
+    */
+  private var runtime: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(rf: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = rf.filter(DocLinesFilters.supported)
+
+  private def allFilters = filters ++ runtime
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -217,7 +237,7 @@ class DocLinesScan(path: String, partitions: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocLinesReaderFactory(required.fieldNames, filters, limit)
+    new DocLinesReaderFactory(required.fieldNames, allFilters, limit)
 }
 
 /** The COUNT(*)-pushed scan: one partial-count row per split, columns

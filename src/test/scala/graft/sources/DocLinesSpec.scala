@@ -153,6 +153,29 @@ class DocLinesSpec extends SparkSpec {
     assert(lim.collect().length === 5)
   }
 
+  test("runtime join filters reach the scan and gate the reader") {
+    // the planner injects the dynamic filter on the doclines probe side
+    val plan = graft.ops.ExtraQueries.customSourceRuntimeFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(doc_id"), plan.take(2000))
+    // protocol level: an In filter delivered via SupportsRuntimeFiltering
+    // drops non-matching lines inside the reader
+    val path = graft.ops.ExtraQueries.docsTsv(spark, sf)
+    val scan = new DocLinesScan(path, 3, DocLines.Schema, Array.empty)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id",
+        Array[Any](java.lang.Long.valueOf(3L), java.lang.Long.valueOf(7L)))))
+    val factory = scan.createReaderFactory()
+    val ids = scan.planInputPartitions().flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (r.next()) buf += r.get().getLong(0)
+      r.close()
+      buf
+    }
+    assert(ids.sorted.toSeq === Seq(3L, 7L))
+  }
+
   test("v2 sink rejects text that would break line framing") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
