@@ -55,7 +55,20 @@ object Tables {
       val f = new java.io.File(s"$d/$t.parquet")
       s"$t:${f.length}:${f.lastModified}"
     }.mkString(s"$d|", "|", "")
-    math.abs(sig.hashCode).toString
+    // 64-bit md5 prefix, hex — identifier-safe (saveAsTable suffixes)
+    // and collision-proof where a 32-bit String.hashCode would
+    // eventually alias two fingerprints onto one cache key (serving a
+    // stale artifact is the exact failure this tag exists to prevent)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Recursive delete for the scratch temp dirs the replay-style
+    * queries create per run (shared by Scale/ExtraQueries/Streams).
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Fan a narrow scan out to the cluster's task width when the file

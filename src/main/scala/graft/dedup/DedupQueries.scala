@@ -158,7 +158,9 @@ object DedupQueries {
     * `Scale.bucketedJoin` mechanics) so nightly probes skip the
     * index-side shuffle too.
     */
-  def ensureShingleIndex(s: SparkSession, d: String): String = {
+  private val shingleIdxLock = new Object
+
+  def ensureShingleIndex(s: SparkSession, d: String): String = shingleIdxLock.synchronized {
     val path = s"${Tables.scratchDir}/graft-shingle-index-${Tables.datasetTag(d, "documents")}"
     if (!new java.io.File(s"$path/postings", "_SUCCESS").exists() ||
         !new java.io.File(s"$path/hpostings", "_SUCCESS").exists() ||
@@ -237,7 +239,9 @@ object DedupQueries {
     * so the stored clusters sit on the same exact-Jaccard edge family
     * as the full-recompute oracle.
     */
-  def ensureOldClusters(s: SparkSession, d: String): String = {
+  private val oldClustersLock = new Object
+
+  def ensureOldClusters(s: SparkSession, d: String): String = oldClustersLock.synchronized {
     val path = s"${Tables.scratchDir}/graft-old-clusters-${Tables.datasetTag(d, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val old = Tables.documents(s, d).where(col("doc_id") % 3 =!= 0)
@@ -293,6 +297,13 @@ object DedupQueries {
     clusterStats(oldFinal.union(newFinal))
   }
 
+  /** The verbatim-window width shared by the whole substring-dedup
+    * family (q225 pairs, q226 spans, q232 exposure, q236 removal) AND
+    * mirrored in their DuckDB oracles — change it in one place and
+    * re-derive all four oracles together.
+    */
+  private val SubstringW = 15
+
   /** Exact substring duplication (Lee et al. 2022, arXiv:2107.06499,
     * "Deduplicating Training Data Makes Language Models Better"): doc
     * pairs sharing at least one EXACT 15-token window, with the count
@@ -315,7 +326,7 @@ object DedupQueries {
     * (64-bit collisions are the q190-sanctioned risk).
     */
   def substringDedup: Q = (s, d) => {
-    val W = 15
+    val W = SubstringW
     val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
       .where(size(col("ws")) >= W)
@@ -348,7 +359,7 @@ object DedupQueries {
     * form never pays Σ df²).
     */
   def memorizationRisk: Q = (s, d) => {
-    val W = 15
+    val W = SubstringW
     val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
       .where(size(col("ws")) >= W)
@@ -382,7 +393,7 @@ object DedupQueries {
     */
   def spanRemoval: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val W = 15
+    val W = SubstringW
     val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
       .where(size(col("ws")) >= W)
@@ -435,7 +446,7 @@ object DedupQueries {
     */
   def substringSpans: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val W = 15
+    val W = SubstringW
     val wins = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
       .where(size(col("ws")) >= W)
@@ -749,16 +760,14 @@ object DedupQueries {
     * (q235) can run it on a contracted delta graph. Returns
     * (doc_id, label) with label = min node id in the component.
     *
-    * `checkpointRounds` cuts lineage per round (the corpus-scale
-    * setting — unbounded round counts would otherwise stack plans);
-    * the delta path turns it OFF: its input is already an eager
-    * checkpoint, its graphs converge in 2-3 rounds, and per-round
-    * `localCheckpoint` materialization was measured to DOMINATE the
-    * tiny loop (the q126 reuse-beats-checkpoint lesson) — re-deriving
-    * a ≤3-round lineage from the checkpointed edges is cheaper.
+    * Per-round `localCheckpoint` is kept for BOTH callers: a
+    * no-checkpoint variant for the tiny delta loop was measured SLOWER
+    * (3.5 → 4.3 s at sf0.1 — each round's convergence count and the
+    * final consumer re-derived the growing join lineage), so unlike
+    * the single-plan q126 case, an iterated-with-actions loop does
+    * want its per-round cut.
     */
-  private def propagate(nodes: DataFrame, pairs: DataFrame,
-      checkpointRounds: Boolean = true): DataFrame = {
+  private def propagate(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val p = pairs.localCheckpoint()
     val edges = p.union(p.select(p.columns(1), p.columns(0)))
       .toDF("src", "dst")
@@ -777,7 +786,7 @@ object DedupQueries {
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
           (col("nb_min") < col("label")).as("shrank"))
-      val next = if (checkpointRounds) nextRaw.localCheckpoint() else nextRaw
+      val next = nextRaw.localCheckpoint()
       changed = next.where(col("shrank")).count()
       labels = next.select("doc_id", "label")
       rounds += 1
@@ -845,7 +854,9 @@ object DedupQueries {
     * propagation per query. q88 itself stays the live propagation —
     * it is the iterative-operator measurement; these are its readers.
     */
-  def ensureClusters(s: SparkSession, d: String): String = {
+  private val clustersLock = new Object
+
+  def ensureClusters(s: SparkSession, d: String): String = clustersLock.synchronized {
     val path = s"${Tables.scratchDir}/graft-dup-clusters-${Tables.datasetTag(d, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       dupClusters(s, d).repartition(8, col("doc_id"))

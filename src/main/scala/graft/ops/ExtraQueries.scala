@@ -596,23 +596,19 @@ object ExtraQueries {
   def customSinkRoundtrip: Q = (s, d) => {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(Tables.scratchDir), "graft-doclines-sink-")
-    val out = base.resolve("docs").toString
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .repartition(4)
-      .write.format("graft.sources.DocLinesSource")
-      .option("path", out).mode("append").save()
-    val result = s.read.format("graft.sources.DocLinesSource")
-      .option("path", out).option("partitions", "16").load()
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_id")).as("id_checksum"),
-        sum(length(col("text")).cast("long")).as("n_text_chars"))
-      .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(base.toFile)
-    result
+    try {
+      val out = base.resolve("docs").toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.format("graft.sources.DocLinesSource")
+        .option("path", out).mode("append").save()
+      s.read.format("graft.sources.DocLinesSource")
+        .option("path", out).option("partitions", "16").load()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(length(col("text")).cast("long")).as("n_text_chars"))
+        .localCheckpoint(true)
+    } finally Tables.deleteRecursively(base.toFile)
   }
 
   /** ORC round-trip — the third columnar/file format next to parquet,

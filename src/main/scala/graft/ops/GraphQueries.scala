@@ -36,7 +36,9 @@ object GraphQueries {
     * pays the fact-table self-join exactly once across its whole graph
     * workload.
     */
-  def ensureEdges(s: SparkSession, d: String): String = {
+  private val edgesLock = new Object
+
+  def ensureEdges(s: SparkSession, d: String): String = edgesLock.synchronized {
     val path = s"${Tables.scratchDir}/graft-copurchase-edges-${Tables.datasetTag(d, "lineitem")}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")

@@ -51,7 +51,9 @@ object Scale {
     * invalidates the copy. Split out of the query body so a
     * benchmark can warm it up and measure only the pruned scan.
     */
-  def ensurePartitionedOrders(s: SparkSession, d: String): String = {
+  private val dpoLock = new Object
+
+  def ensurePartitionedOrders(s: SparkSession, d: String): String = dpoLock.synchronized {
     val path = s"${Tables.scratchDir}/graft-orders-by-year-${Tables.datasetTag(d, "orders")}"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       Tables.orders(s, d)
@@ -95,13 +97,7 @@ object Scale {
         // warehouse directory persists — clear any stale location first
         val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
         val loc = new java.io.File(wh, name)
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(loc)
-        }
+        if (loc.exists()) Tables.deleteRecursively(loc)
         df.write.bucketBy(buckets, key).sortBy(key)
           .mode("overwrite").format("parquet").saveAsTable(name)
       }

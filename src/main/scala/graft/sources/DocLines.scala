@@ -302,6 +302,17 @@ class DocLinesReader(p: DocLinesPartition, fields: Array[String],
                      limit: Int = -1)
     extends PartitionReader[InternalRow] {
   private var produced = 0L
+
+  // compile the pushed filters ONCE per reader: an In set — which the
+  // runtime-filter path can make arbitrarily large (the whole build
+  // side's key set) — becomes a hashed Set lookup instead of a boxed
+  // linear scan per input line
+  private val gates: Array[Long => Boolean] = filters.map {
+    case org.apache.spark.sql.sources.In("doc_id", vs) =>
+      val set = vs.collect { case v: java.lang.Number => v.longValue() }.toSet
+      (id: Long) => set.contains(id)
+    case f => (id: Long) => DocLinesFilters.accept(f, id)
+  }
   private val in = new BufferedInputStream(new FileInputStream(p.path), 1 << 16)
   private var pos: Long = 0
   private var row: InternalRow = _
@@ -349,7 +360,7 @@ class DocLinesReader(p: DocLinesPartition, fields: Array[String],
           new String(line, 0, if (tab < 0) line.length else tab, "UTF-8").toLong
         else 0L
       // pushed filters gate the line BEFORE the text column exists
-      if (filters.forall(DocLinesFilters.accept(_, id))) {
+      if (gates.forall(_(id))) {
         val values: Array[Any] = fields.map {
           case "doc_id" => id
           case "text" =>
@@ -423,11 +434,16 @@ class DocLinesBatchWrite(path: String, truncate: Boolean)
       Option(dir.listFiles()).foreach(_.filter(f =>
         f.getName.startsWith("part-") && f.getName.endsWith(".tsv"))
         .foreach(_.delete()))
+    // published names carry a per-COMMIT tag: a second append to the
+    // same table must add its parts next to the existing ones, never
+    // rename onto them (fixed part-N names + REPLACE_EXISTING would
+    // silently destroy the previous commit's data)
+    val commitTag = java.util.UUID.randomUUID().toString.take(8)
     val committed = messages.map(_.asInstanceOf[DocLinesCommitMessage])
     committed.sortBy(_.partitionId).zipWithIndex.foreach { case (m, i) =>
       val tmp = new java.io.File(dir, m.tempName)
       java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(dir, f"part-$i%05d.tsv").toPath,
+        new java.io.File(dir, f"part-$commitTag-$i%05d.tsv").toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -460,16 +476,21 @@ class DocLinesWriter(path: String, partitionId: Int, taskId: Long)
   private var rows = 0L
 
   override def write(record: InternalRow): Unit = {
-    val text = record.getUTF8String(1)
+    val bytes = record.getUTF8String(1).getBytes
     // framing constraint of the line format — fail the TASK (which
     // aborts + retries + eventually fails the job) rather than corrupt
     // the file: a tab would shift the column split, a newline would
-    // forge a record boundary
-    require(text.toString.indexOf('\t') < 0 && text.toString.indexOf('\n') < 0,
-      s"doclines sink: text of doc_id ${record.getLong(0)} contains tab/newline")
+    // forge a record boundary. One pass over the UTF-8 bytes (0x09 and
+    // 0x0A are self-representing), no String materialization.
+    var i = 0
+    while (i < bytes.length) {
+      require(bytes(i) != '\t' && bytes(i) != '\n',
+        s"doclines sink: text of doc_id ${record.getLong(0)} contains tab/newline")
+      i += 1
+    }
     out.write(record.getLong(0).toString.getBytes("UTF-8"))
     out.write('\t')
-    out.write(text.getBytes)
+    out.write(bytes)
     out.write('\n')
     rows += 1
   }

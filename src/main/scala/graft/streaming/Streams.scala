@@ -457,10 +457,12 @@ object Streams {
     * the (t_us, event_id) total order for the current-state columns,
     * (b) additive merge for the running aggregates, (c) an IDEMPOTENCE
     * guard — foreachBatch delivery is at-least-once, so a re-delivered
-    * batch id must be a no-op (per-batch manifest marker), and (d)
-    * SNAPSHOT VERSIONING — each merge writes a new version dir and
-    * flips a CURRENT pointer by atomic rename, so a concurrent reader
-    * never sees a half-written table. Sandbox stand-in for a lakehouse
+    * batch id must be a no-op (derived from the committed CURRENT
+    * version: batch ids are monotonic, so id ≤ committed ⇒ already
+    * applied — crash-safe because the pointer flip is the one commit
+    * instant), and (d) SNAPSHOT VERSIONING — each merge writes a new
+    * version dir and flips a CURRENT pointer by atomic rename, so a
+    * concurrent reader never sees a half-written table. Sandbox stand-in for a lakehouse
     * `MERGE INTO` + snapshot commit: at 100 TB the same foreachBatch
     * body calls the table format's MERGE (partition/file-scoped
     * rewrite; the manifest is its transaction log). The keyed snapshot
@@ -470,8 +472,16 @@ object Streams {
   def mergeIntoSnapshot(s: SparkSession, root: java.nio.file.Path,
       batch: DataFrame, batchId: Long): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
-    val marker = root.resolve(s"_applied-$batchId")
-    if (Files.exists(marker)) return // at-least-once re-delivery: no-op
+    // Idempotence derives from the COMMIT POINT itself: batch ids are
+    // monotonic, CURRENT names the last committed version, and the
+    // atomic pointer flip IS the single commit instant — so a
+    // re-delivered batch id ≤ the committed one is a no-op, and a crash
+    // anywhere before the flip leaves CURRENT on the previous version
+    // (the re-run then merges against the CORRECT prior state and
+    // overwrites the torn version dir). A separate applied-marker file
+    // written after the flip would reopen a crash window between the
+    // two writes — double-applying the batch against its own output.
+    if (committedVersion(root).exists(_ >= batchId)) return
     val delta = upsertDelta(batch)
     val merged = currentSnapshot(s, root) match {
       case None => delta
@@ -498,18 +508,21 @@ object Streams {
     val tmp = Files.createTempFile(root, ".current", ".tmp")
     Files.write(tmp, s"v$batchId".getBytes("UTF-8"))
     Files.move(tmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Files.createFile(marker): Unit
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** The committed version id the CURRENT pointer names, if any. */
+  def committedVersion(root: java.nio.file.Path): Option[Long] = {
+    val ptr = root.resolve("CURRENT")
+    if (java.nio.file.Files.exists(ptr))
+      Some(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
+        .stripPrefix("v").toLong)
+    else None
   }
 
   /** The snapshot the CURRENT pointer names, if any commit happened. */
-  def currentSnapshot(s: SparkSession, root: java.nio.file.Path): Option[DataFrame] = {
-    val ptr = root.resolve("CURRENT")
-    if (java.nio.file.Files.exists(ptr))
-      Some(s.read.parquet(root.resolve(new String(
-        java.nio.file.Files.readAllBytes(ptr), "UTF-8")).toString))
-    else None
-  }
+  def currentSnapshot(s: SparkSession, root: java.nio.file.Path): Option[DataFrame] =
+    committedVersion(root).map(v => s.read.parquet(root.resolve(s"v$v").toString))
 
   /** q233: the upsert sink replayed as a real multi-batch stream. The
     * source stages the events feed as 3 files and admits one file per
@@ -525,7 +538,9 @@ object Streams {
     * log already exists"; per-run temp dirs hold only the checkpoint
     * and the snapshot table.
     */
-  def ensureUpsertSource(s: SparkSession, d: String): String = {
+  private val upsertSrcLock = new Object
+
+  def ensureUpsertSource(s: SparkSession, d: String): String = upsertSrcLock.synchronized {
     val path =
       s"${graft.Tables.scratchDir}/graft-upsert-src-${graft.Tables.datasetTag(d, "events")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
@@ -541,26 +556,22 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
       Paths.get(graft.Tables.scratchDir), "graft-upsert-")
-    val src = ensureUpsertSource(s, d)
-    val schema = s.read.parquet(src).schema
-    val table = base.resolve("table")
-    Files.createDirectories(table)
-    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .foreachBatch { (b: Dataset[Row], id: Long) =>
-        mergeIntoSnapshot(s, table, b.toDF(), id)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val result = currentSnapshot(s, table).get.localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(base.toFile)
-    result
+    try {
+      val src = ensureUpsertSource(s, d)
+      val schema = s.read.parquet(src).schema
+      val table = base.resolve("table")
+      Files.createDirectories(table)
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          mergeIntoSnapshot(s, table, b.toDF(), id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      currentSnapshot(s, table).get.localCheckpoint(true)
+    } finally graft.Tables.deleteRecursively(base.toFile)
   }
 
   /** Batch-oracle forms of the remaining stream transforms — the same

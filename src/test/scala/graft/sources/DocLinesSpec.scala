@@ -83,7 +83,17 @@ class DocLinesSpec extends SparkSpec {
       .option("path", dir.toString).option("partitions", "7").load()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back === src.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
-    // overwrite truncates: half the table replaces the whole one
+    // append ADDS: a second commit's parts land NEXT TO the first
+    // commit's (per-commit name tags — fixed part-N names would rename
+    // onto and destroy the earlier data)
+    src.where(col("doc_id") % 2 === 0).repartition(2)
+      .write.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).mode("append").save()
+    assert(dir.listFiles().count(_.getName.endsWith(".tsv")) === 5)
+    assert(spark.read.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).load().count() ===
+      src.count() + src.where(col("doc_id") % 2 === 0).count())
+    // overwrite truncates: half the table replaces everything
     src.where(col("doc_id") % 2 === 0).repartition(2)
       .write.format("graft.sources.DocLinesSource")
       .option("path", dir.toString).mode("overwrite").save()

@@ -600,11 +600,20 @@ class StreamingSpec extends SparkSpec {
     Streams.mergeIntoSnapshot(spark, root,
       batch((1L, 12L, 3000L, "purchase", 20L), (3L, 13L, 500L, "view", 1L)), 1L)
     assert(snap() === afterB2, "re-delivered batch must not double-apply")
+    // crash window: a version dir written but NOT committed (the flip
+    // never happened) must be invisible — the re-run merges against the
+    // last COMMITTED state and overwrites the torn dir
+    java.nio.file.Files.createDirectories(root.resolve("v3"))
+    java.nio.file.Files.write(root.resolve("v3").resolve("torn.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(snap() === afterB2, "torn uncommitted version leaked into reads")
+    Streams.mergeIntoSnapshot(spark, root, batch((2L, 14L, 9000L, "view", 2L)), 3L)
+    assert(snap()(2L) === (9000L, 14L, "view", 2L, 9L))
     // versioning: every commit is its own snapshot dir + CURRENT points
     // at the last one
     assert(new String(java.nio.file.Files.readAllBytes(
-      root.resolve("CURRENT")), "UTF-8") === "v2")
-    assert(Seq("v0", "v1", "v2").forall(v =>
+      root.resolve("CURRENT")), "UTF-8") === "v3")
+    assert(Seq("v0", "v1", "v2", "v3").forall(v =>
       java.nio.file.Files.exists(root.resolve(v))))
     // TIME TRAVEL: past snapshots stay readable as-of their commit —
     // running totals are monotone across versions and the last version
@@ -614,11 +623,12 @@ class StreamingSpec extends SparkSpec {
         .agg(sum("n_events"), sum("total_cents")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val Seq(t0, t1, t2) = Seq("v0", "v1", "v2").map(totals)
-    assert(t0 === ((2L, 12L)) && t1 === ((4L, 33L)) && t2 === ((5L, 36L)))
+    val Seq(t0, t1, t2, t3) = Seq("v0", "v1", "v2", "v3").map(totals)
+    assert(t0 === ((2L, 12L)) && t1 === ((4L, 33L)) &&
+      t2 === ((5L, 36L)) && t3 === ((6L, 38L)))
     val cur = Streams.currentSnapshot(spark, root).get
       .agg(sum("n_events"), sum("total_cents")).collect()(0)
-    assert(t2 === ((cur.getLong(0), cur.getLong(1))))
+    assert(t3 === ((cur.getLong(0), cur.getLong(1))))
   }
 
   test("upsert replay equals the one-shot batch recompute") {
