@@ -4,6 +4,29 @@ import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
 
+  test("concurrent first-builds of the shingle index converge to one good copy") {
+    // two sessions (bench + verify) can race the same missing artifact;
+    // the per-artifact lock must serialize the build — without it both
+    // writers interleave mode(overwrite) into one path and the
+    // _SUCCESS marker blesses a torn index
+    val path = DedupQueries.ensureShingleIndex(spark, sf)
+    val expected = spark.read.parquet(s"$path/postings").count()
+    graft.Tables.deleteRecursively(new java.io.File(path))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val paths = Await.result(
+        Future.sequence((1 to 4).map(_ =>
+          Future(DedupQueries.ensureShingleIndex(spark, sf)))), 5.minutes)
+      assert(paths.toSet.size === 1)
+      assert(spark.read.parquet(s"${paths.head}/postings").count() === expected)
+      assert(spark.read.parquet(s"${paths.head}/hpostings").count() === expected)
+    } finally pool.shutdown()
+  }
+
   test("minhash LSH + exact verify finds exactly the exact-jaccard pairs") {
     val exact = DedupQueries.ngramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
