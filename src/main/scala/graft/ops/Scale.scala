@@ -106,6 +106,54 @@ object Scale {
     suffix
   }
 
+  /** One-time, idempotent materialization + registration of the
+    * lineitem-by-returnflag summary the [[graft.plans.SummaryRewrite]]
+    * rule rewrites onto (q240): one row per flag with the exact-integer
+    * measures (count, key checksum, part-key min/max). Content-
+    * fingerprint keyed like every derived artifact, so a corpus
+    * regeneration re-materializes instead of serving stale rows; the
+    * rewrite registry keys on the SOURCE file's resolved root path so
+    * only scans of this exact table qualify.
+    */
+  private val summaryLock = new Object
+
+  def ensureLineitemSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-lineitem-summary-${Tables.datasetTag(d, "lineitem")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+    val src = Tables.lineitem(s, d).queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.head
+    import graft.plans.SummaryRewrite._
+    register(src, Summary(path, "l_returnflag", Map(
+      CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+      MinCol("l_partkey") -> "min_part", MaxCol("l_partkey") -> "max_part")))
+    path
+  }
+
+  /** q240: the natural fact-table aggregate, answered by the rewrite —
+    * the registered plan scans the |flags|-row summary, not lineitem
+    * (plan pinned in SummaryRewriteSpec); the oracle recomputes from
+    * the fact table, proving the rewrite answer-preserving.
+    */
+  def summaryAggregate(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummary(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+  }
+
   /** Benchmark warmup hook: materialize every derived copy a registered
     * query reads (partitioned/bucketed tables, the V2-source TSV, the
     * ORC copy), so measured runs see only the query itself.
@@ -113,6 +161,7 @@ object Scale {
   def warmDerived(s: SparkSession, d: String): Unit = {
     ensurePartitionedOrders(s, d): Unit
     ensureBucketedTables(s, d): Unit
+    ensureLineitemSummary(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
@@ -326,6 +375,7 @@ object Scale {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_zonemap_audit" -> (zoneMapAudit(_, _)),
+    "q240_summary_rewrite" -> (summaryAggregate(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -336,6 +386,13 @@ object Scale {
     "q131_salted_join" -> (saltedJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // the rewrite must be answer-preserving: the oracle recomputes the
+    // aggregate from the FACT table the rewritten plan never scans
+    "q240_summary_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q198_zonemap_audit" ->
       """WITH z AS (
         |  SELECT epoch_us(ts) // 86400000000 AS zone,
