@@ -89,7 +89,9 @@ object Scale {
     * a benchmark can warm the writes up and measure only the
     * exchange-free join.
     */
-  def ensureBucketedTables(s: SparkSession, d: String, buckets: Int = 8): String = {
+  private val bucketedLock = new Object
+
+  def ensureBucketedTables(s: SparkSession, d: String, buckets: Int = 8): String = bucketedLock.synchronized {
     val suffix = Tables.datasetTag(d, "orders", "customer")
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
@@ -119,12 +121,26 @@ object Scale {
 
   def ensureLineitemSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
     val path = s"${Tables.scratchDir}/graft-lineitem-summary-${Tables.datasetTag(d, "lineitem")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      Tables.lineitem(s, d).groupBy("l_returnflag")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // the materialization query IS the qualifying MV shape: with the
+      // rewrite still enabled from an earlier q240 run and a STALE
+      // registry entry for this source (corpus regenerated at the same
+      // path), the optimizer would answer the re-materialization from
+      // the old summary — writing stale rows under the fresh
+      // fingerprint. Hold the rewrite off while building its own input.
+      val key = graft.plans.SummaryRewrite.EnabledKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
           min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
         .repartition(1)
         .write.mode("overwrite").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
     val src = Tables.lineitem(s, d).queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {

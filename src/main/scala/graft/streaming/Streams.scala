@@ -406,6 +406,7 @@ object Streams {
     // the result is materialized
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-stateful-")
+    try {
     val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
     val evs = readEventsStream(s, d)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
@@ -419,7 +420,7 @@ object Streams {
       .start()
     q.awaitTermination()
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
-    val result = s.read.parquet(sink)
+    s.read.parquet(sink)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("user_id"), col("n_events"),
         col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
@@ -427,12 +428,7 @@ object Streams {
       // per-user final states are tiny next to the replayed stream), so
       // the run directory can be removed before the caller consumes it
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(base.toFile)
-    result
+    } finally graft.Tables.deleteRecursively(base.toFile)
   }
 
   /** Per-batch keyed delta for the upsert sink: the batch reduced to
@@ -613,6 +609,7 @@ object Streams {
   def dedupWithinWatermarkReplay: Q = (s, d) => {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-ddww-")
+    try {
     val (sink, ckpt) = (base.resolve("sink").toString, base.resolve("ckpt").toString)
     val q = readEventsStream(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -627,16 +624,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val result = s.read.parquet(sink)
+    s.read.parquet(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
       .localCheckpoint(true) // sever lineage so the temp sink can go
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(base.toFile)
-    result
+    } finally graft.Tables.deleteRecursively(base.toFile)
   }
 
   /** LEFT OUTER stream-stream interval join — q69's shape with outer

@@ -11,20 +11,12 @@ class WidenNarrowScansSpec extends SparkSpec {
 
   private def withRule[A](enabled: Boolean)(body: => A): A = {
     WidenNarrowScans.install(spark)
-    spark.conf.set(WidenNarrowScans.EnabledKey, enabled.toString)
-    // q240's MV rewrite (left enabled session-wide once its query runs)
-    // answers this spec's count-by-flag from the summary — a strictly
-    // better plan with no scan to widen; hold it off so the widen path
-    // is the one actually exercised
-    val prevMv = spark.conf.getOption(SummaryRewrite.EnabledKey)
-    spark.conf.set(SummaryRewrite.EnabledKey, "false")
-    try body finally {
-      spark.conf.unset(WidenNarrowScans.EnabledKey)
-      prevMv match {
-        case Some(v) => spark.conf.set(SummaryRewrite.EnabledKey, v)
-        case None => spark.conf.unset(SummaryRewrite.EnabledKey)
-      }
-    }
+    // exclusive enablement: q240's MV rewrite (left enabled
+    // session-wide once its query runs) would answer this spec's
+    // count-by-flag from the summary — a strictly better plan with no
+    // scan left to widen
+    withOnlyGraftRule(
+      if (enabled) Some(WidenNarrowScans.EnabledKey) else None)(body)
   }
 
   test("widens an aggregate over a single-file scan and preserves the answer") {

@@ -175,5 +175,6 @@ class EventLogSourceSpec extends SparkSpec {
       assert(snap() === Map(
         1L -> ((2L, 15L)), 2L -> ((2L, 27L)), 3L -> ((1L, 1L))))
     } finally q2.stop()
+    Seq(dir, ckpt, table).foreach(p => graft.Tables.deleteRecursively(p.toFile))
   }
 }

@@ -240,13 +240,7 @@ class StreamingSpec extends SparkSpec {
         Streams.readEventsStream(spark, sf).select("event_id", "event_type", "value"),
         out, ckpt).awaitTermination()
       assert(spark.read.parquet(out).count() === n1)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }
+    } finally graft.Tables.deleteRecursively(dir.toFile)
   }
 
   /** ADVICE r08: the NANOS branch of [[Streams.readEventsStream]]
@@ -629,6 +623,7 @@ class StreamingSpec extends SparkSpec {
     val cur = Streams.currentSnapshot(spark, root).get
       .agg(sum("n_events"), sum("total_cents")).collect()(0)
     assert(t3 === ((cur.getLong(0), cur.getLong(1))))
+    graft.Tables.deleteRecursively(root.toFile)
   }
 
   test("upsert replay equals the one-shot batch recompute") {

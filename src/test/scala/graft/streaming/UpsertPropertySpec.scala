@@ -55,6 +55,7 @@ class UpsertPropertySpec extends SparkSpec {
       val batches = bounds.zip(bounds.tail).map { case (a, b) => es.slice(a, b) }
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.Tables.scratchDir), s"graft-ups-prop-$seed-")
+      try {
       batches.zipWithIndex.foreach { case (b, i) =>
         Streams.mergeIntoSnapshot(spark, root, df(b), i.toLong)
       }
@@ -68,6 +69,7 @@ class UpsertPropertySpec extends SparkSpec {
         assert(Streams.currentSnapshot(spark, root).isEmpty ||
           Streams.currentSnapshot(spark, root).get.isEmpty)
       }
+      } finally graft.Tables.deleteRecursively(root.toFile)
     }
   }
 }
