@@ -346,7 +346,7 @@ object SimQueries {
   /** Centroid memo: an IVF index is BUILT ONCE and served to every
     * query — rebuilding k-means per query would misrepresent how an ANN
     * index is used (the same once-per-corpus treatment the bucketed
-    * tables get in `Scale`). Keyed by corpus dir + shape; the training
+    * tables get in `Scale`). Keyed by corpus fingerprint + shape; the training
     * itself stays distributed ([[ivfCentroids]]); only the k x dim
     * centroid table (a few KB) is held.
     */
@@ -355,7 +355,10 @@ object SimQueries {
 
   private def centroidsFor(s: SparkSession, d: String, k: Int, dim: Int,
                            iters: Int): Array[Array[Double]] =
-    centroidMemo.computeIfAbsent((d, k, dim, iters), { _ =>
+    // keyed by content fingerprint, not path: an in-JVM corpus
+    // regeneration at the same dir must invalidate the in-memory index
+    // exactly like it invalidates the on-disk derived artifacts
+    centroidMemo.computeIfAbsent((Tables.datasetTag(d, "embeddings"), k, dim, iters), { _ =>
       import s.implicits._
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
@@ -701,7 +704,9 @@ object SimQueries {
 
   private def pqCodebooksFor(s: SparkSession, d: String, m: Int, subDim: Int,
                              k: Int, iters: Int): Array[Array[Array[Double]]] =
-    pqMemo.computeIfAbsent((d, m, subDim, k, iters), { _ =>
+    // fingerprint key for the same regeneration-staleness reason as
+    // centroidMemo above
+    pqMemo.computeIfAbsent((Tables.datasetTag(d, "embeddings"), m, subDim, k, iters), { _ =>
       import s.implicits._
       pqCodebooks(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])], m, subDim, k, iters)

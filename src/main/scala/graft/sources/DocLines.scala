@@ -423,10 +423,22 @@ class DocLinesBatchWrite(path: String, truncate: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
+  // per-JOB tag, minted once on the driver and carried in every temp
+  // name this job's writers create: two concurrent batch writes to the
+  // same table must never sweep each other's in-flight temps (an
+  // untagged sweep deleted the other job's files and its commit then
+  // threw NoSuchFileException on the rename)
+  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new DocLinesWriterFactory(path)
+    new DocLinesWriterFactory(path, jobTag)
   }
+
+  private def sweepOwnTemps(dir: java.io.File): Unit =
+    Option(dir.listFiles()).foreach(_.filter(f =>
+      f.getName.startsWith(s".part-$jobTag-") && f.getName.endsWith(".tsv.tmp"))
+      .foreach(_.delete()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -447,30 +459,27 @@ class DocLinesBatchWrite(path: String, truncate: Boolean)
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    // losing speculative attempts reported nothing: sweep their temps
-    Option(dir.listFiles()).foreach(_.filter(_.getName.endsWith(".tsv.tmp"))
-      .foreach(_.delete()))
+    // losing speculative attempts reported nothing: sweep their temps —
+    // but only THIS job's (matching our tag)
+    sweepOwnTemps(dir)
     java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
       Array.empty[Byte]): Unit
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).foreach(_.filter(_.getName.endsWith(".tsv.tmp"))
-      .foreach(_.delete()))
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    sweepOwnTemps(new java.io.File(path))
 }
 
-class DocLinesWriterFactory(path: String)
+class DocLinesWriterFactory(path: String, jobTag: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new DocLinesWriter(path, partitionId, taskId)
+    new DocLinesWriter(path, jobTag, partitionId, taskId)
 }
 
-class DocLinesWriter(path: String, partitionId: Int, taskId: Long)
+class DocLinesWriter(path: String, jobTag: String, partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val tempName = s".part-$partitionId-$taskId.tsv.tmp"
+  private val tempName = s".part-$jobTag-$partitionId-$taskId.tsv.tmp"
   private val out = new java.io.BufferedOutputStream(
     new java.io.FileOutputStream(new java.io.File(path, tempName)), 1 << 16)
   private var rows = 0L

@@ -458,7 +458,11 @@ object Streams {
     * applied — crash-safe because the pointer flip is the one commit
     * instant), and (d) SNAPSHOT VERSIONING — each merge writes a new
     * version dir and flips a CURRENT pointer by atomic rename, so a
-    * concurrent reader never sees a half-written table. Sandbox stand-in for a lakehouse
+    * concurrent reader never sees a half-written table; after the
+    * flip, versions older than the immediate predecessor are GC'd
+    * (bounded disk for a long-running stream; the predecessor stays
+    * for crash recovery and one-back time travel).
+    * Sandbox stand-in for a lakehouse
     * `MERGE INTO` + snapshot commit: at 100 TB the same foreachBatch
     * body calls the table format's MERGE (partition/file-scoped
     * rewrite; the manifest is its transaction log). The keyed snapshot
@@ -504,7 +508,23 @@ object Streams {
     val tmp = Files.createTempFile(root, ".current", ".tmp")
     Files.write(tmp, s"v$batchId".getBytes("UTF-8"))
     Files.move(tmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention: a long-running stream writes a full version dir per
+    // micro-batch, so without GC disk grows without bound. After the
+    // commit instant (the pointer flip above), drop every version
+    // older than the immediate predecessor — the predecessor stays for
+    // crash recovery (a torn NEXT version re-merges against it) and
+    // for time-travel reads one version back (q245's contract).
+    committedVersion(root).foreach { cur =>
+      val versioned = Option(root.toFile.listFiles()).toSeq.flatten
+        .filter(_.getName.matches("v\\d+"))
+        .map(f => (f.getName.stripPrefix("v").toLong, f))
+      val keepPrev = versioned.map(_._1).filter(_ < cur)
+        .sorted.lastOption // the actual predecessor, gap-safe
+      versioned.foreach { case (v, f) =>
+        if (v < cur && !keepPrev.contains(v)) graft.Tables.deleteRecursively(f)
+      }
+    }
   }
 
   /** The committed version id the CURRENT pointer names, if any. */

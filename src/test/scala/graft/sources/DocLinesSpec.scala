@@ -109,7 +109,9 @@ class DocLinesSpec extends SparkSpec {
       InternalRow(id, UTF8String.fromString(text))
     val dir = tmpDir("doclines-w2-")
     val bw = new DocLinesBatchWrite(dir.toString, truncate = false)
-    val factory = new DocLinesWriterFactory(dir.toString)
+    // the factory must come FROM the BatchWrite: temp names carry the
+    // job's tag, and commit/abort sweep only their own job's temps
+    val factory = bw.createBatchWriterFactory(null)
     // partition 0: two speculative attempts; only task 11 commits
     val w0a = factory.createWriter(0, 10L)
     w0a.write(row(1L, "loser attempt"))
@@ -130,13 +132,39 @@ class DocLinesSpec extends SparkSpec {
     // a fully aborted job leaves no temps either
     val dir2 = tmpDir("doclines-w3-")
     val bw2 = new DocLinesBatchWrite(dir2.toString, truncate = false)
-    val f2 = new DocLinesWriterFactory(dir2.toString)
+    val f2 = bw2.createBatchWriterFactory(null)
     val wa = f2.createWriter(0, 1L)
     wa.write(row(9L, "doomed"))
     wa.commit()
     bw2.abort(Array.empty)
     assert(!dir2.listFiles().map(_.getName).exists(_.endsWith(".tmp")))
     assert(dir2.listFiles().forall(f => !f.getName.endsWith(".tsv")))
+  }
+
+  test("v2 sink: concurrent jobs on one table never sweep each other's temps") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(id: Long, text: String) =
+      InternalRow(id, UTF8String.fromString(text))
+    val dir = tmpDir("doclines-w4-")
+    // job A and job B both appending to the same table, interleaved:
+    // B aborts while A's temp is still in flight — A's commit must
+    // still find its temp (the per-job tag scopes every sweep)
+    val jobA = new DocLinesBatchWrite(dir.toString, truncate = false)
+    val jobB = new DocLinesBatchWrite(dir.toString, truncate = false)
+    val wA = jobA.createBatchWriterFactory(null).createWriter(0, 1L)
+    wA.write(row(1L, "from job A"))
+    val mA = wA.commit() // task-committed: temp exists, not yet published
+    val wB = jobB.createBatchWriterFactory(null).createWriter(0, 2L)
+    wB.write(row(2L, "from job B"))
+    wB.commit()
+    jobB.abort(Array.empty) // must delete only B's temps
+    jobA.commit(Array(mA)) // would throw NoSuchFileException pre-fix
+    val back = spark.read.format("graft.sources.DocLinesSource")
+      .option("path", dir.toString).load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === Set((1L, "from job A")))
+    assert(!dir.listFiles().map(_.getName).exists(_.endsWith(".tmp")))
   }
 
   test("count(*) and limit push into the reader; filtered paths stay exact") {
@@ -190,7 +218,7 @@ class DocLinesSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
     val dir = tmpDir("doclines-w4-")
-    val w = new DocLinesWriterFactory(dir.toString).createWriter(0, 1L)
+    val w = new DocLinesWriterFactory(dir.toString, "testtag").createWriter(0, 1L)
     intercept[IllegalArgumentException] {
       w.write(InternalRow(1L, UTF8String.fromString("has\ttab")))
     }

@@ -603,23 +603,27 @@ class StreamingSpec extends SparkSpec {
     assert(snap() === afterB2, "torn uncommitted version leaked into reads")
     Streams.mergeIntoSnapshot(spark, root, batch((2L, 14L, 9000L, "view", 2L)), 3L)
     assert(snap()(2L) === (9000L, 14L, "view", 2L, 9L))
-    // versioning: every commit is its own snapshot dir + CURRENT points
-    // at the last one
+    // versioning + RETENTION: every commit is its own snapshot dir,
+    // CURRENT points at the last one, and GC keeps exactly CURRENT +
+    // its immediate predecessor (crash recovery + one-back time
+    // travel) — older versions are removed, so a long-running stream's
+    // disk footprint is bounded at two snapshots
     assert(new String(java.nio.file.Files.readAllBytes(
       root.resolve("CURRENT")), "UTF-8") === "v3")
-    assert(Seq("v0", "v1", "v2", "v3").forall(v =>
-      java.nio.file.Files.exists(root.resolve(v))))
-    // TIME TRAVEL: past snapshots stay readable as-of their commit —
-    // running totals are monotone across versions and the last version
-    // IS the CURRENT table
+    val onDisk = Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+")).toSet
+    assert(onDisk === Set("v2", "v3"),
+      s"retention must keep exactly CURRENT + predecessor, got $onDisk")
+    // TIME TRAVEL one version back: the retained predecessor reads
+    // as-of ITS commit — running totals are monotone and the last
+    // version IS the CURRENT table
     def totals(v: String): (Long, Long) = {
       val r = spark.read.parquet(root.resolve(v).toString)
         .agg(sum("n_events"), sum("total_cents")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    val Seq(t0, t1, t2, t3) = Seq("v0", "v1", "v2", "v3").map(totals)
-    assert(t0 === ((2L, 12L)) && t1 === ((4L, 33L)) &&
-      t2 === ((5L, 36L)) && t3 === ((6L, 38L)))
+    val (t2, t3) = (totals("v2"), totals("v3"))
+    assert(t2 === ((5L, 36L)) && t3 === ((6L, 38L)))
     val cur = Streams.currentSnapshot(spark, root).get
       .agg(sum("n_events"), sum("total_cents")).collect()(0)
     assert(t3 === ((cur.getLong(0), cur.getLong(1))))
