@@ -119,29 +119,28 @@ object Scale {
     */
   private val summaryLock = new Object
 
-  def ensureLineitemSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
-    val path = s"${Tables.scratchDir}/graft-lineitem-summary-${Tables.datasetTag(d, "lineitem")}"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      // the materialization query IS the qualifying MV shape: with the
-      // rewrite still enabled from an earlier q240 run and a STALE
-      // registry entry for this source (corpus regenerated at the same
-      // path), the optimizer would answer the re-materialization from
-      // the old summary — writing stale rows under the fresh
-      // fingerprint. Hold the rewrite off while building its own input.
-      val key = graft.plans.SummaryRewrite.EnabledKey
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "false")
-      try Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
-          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
-        .repartition(1)
-        .write.mode("overwrite").parquet(path)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+  /** Run `body` with the summary rewrite held OFF: every summary
+    * materialization/refresh query is itself a qualifying MV shape,
+    * and with the rule still enabled from an earlier run plus a stale
+    * registry entry, the optimizer would answer the build from the old
+    * summary — writing stale rows under a fresh fingerprint.
+    */
+  private def withRewriteOff[A](s: SparkSession)(body: => A): A = {
+    val key = graft.plans.SummaryRewrite.EnabledKey
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
     }
-    val src = Tables.lineitem(s, d).queryExecution.analyzed.collect {
+  }
+
+  /** The resolved root path of a table's file relation — the key the
+    * rewrite registry matches scans against.
+    */
+  private[graft] def sourcePathOf(df: DataFrame): String =
+    df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -149,10 +148,58 @@ object Scale {
           case _ => Seq.empty[String]
         }
     }.flatten.head
+
+  /** A freshness probe for a registered summary: true while the source
+    * tables' content fingerprint still equals the one captured at
+    * registration (a file stat per check — cheap enough for plan time).
+    */
+  private[graft] def freshnessProbe(d: String, tables: String*): () => Boolean = {
+    val atRegister = Tables.datasetTag(d, tables: _*)
+    () => Tables.datasetTag(d, tables: _*) == atRegister
+  }
+
+  def ensureLineitemSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-lineitem-summary-${Tables.datasetTag(d, "lineitem")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
+      }
     import graft.plans.SummaryRewrite._
-    register(src, Summary(path, "l_returnflag", Map(
-      CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
-      MinCol("l_partkey") -> "min_part", MaxCol("l_partkey") -> "max_part")))
+    register(sourcePathOf(Tables.lineitem(s, d)), Summary(
+      SummaryLocation.FixedPath(path), Seq("l_returnflag"), Map(
+        CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+        MinCol("l_partkey") -> "min_part", MaxCol("l_partkey") -> "max_part"),
+      freshnessProbe(d, "lineitem")))
+    path
+  }
+
+  /** The multi-column-grain summary the broadened rewrite serves
+    * (q241): one row per (l_returnflag, l_linestatus) with count, the
+    * order-key checksum, and the part-key SUM — the pair the rule
+    * answers AVG(l_partkey) from. Same build discipline as the
+    * single-grain summary above (fingerprint-keyed, rewrite held off
+    * during its own materialization, freshness probe registered).
+    */
+  def ensureLineitemSummary2(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-lineitem-summary2-${Tables.datasetTag(d, "lineitem")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+            sum("l_partkey").as("sum_part"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
+      }
+    import graft.plans.SummaryRewrite._
+    register(sourcePathOf(Tables.lineitem(s, d)), Summary(
+      SummaryLocation.FixedPath(path), Seq("l_returnflag", "l_linestatus"), Map(
+        CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+        SumCol("l_partkey") -> "sum_part"),
+      freshnessProbe(d, "lineitem")))
     path
   }
 
@@ -170,6 +217,90 @@ object Scale {
         min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
   }
 
+  /** q241: the broadened rewrite — a MULTI-column grain with an AVG
+    * measure, the shape real dashboards ask for (group by two
+    * dimensions, average a metric). The registered plan scans the
+    * |flag × status|-row summary; AVG(l_partkey) is answered as the
+    * summary's SUM/COUNT pair divided in double arithmetic, which for
+    * integral inputs is bit-identical to Spark's own Average. Oracle
+    * recomputes from the fact table with the same exact-integer-sum
+    * division.
+    */
+  def summaryAggregateAvg(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummary2(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"))
+  }
+
+  /** q242: INCREMENTAL refresh composed with the MV rewrite — the IVM
+    * machinery (q130's partial-merge shape) maintaining the registered
+    * summary instead of re-materializing it. The corpus is split into a
+    * base (~90%) and a delta (~10%) by a deterministic predicate; the
+    * base summary materializes once (the "initial MV build"), and the
+    * refresh aggregates ONLY the delta and merges the delta partials
+    * into the base summary (counts/sums add; min/max via least/greatest
+    * — sound for insert-only deltas). The refreshed summary registers
+    * for the SAME source+grain as q240's full materialization — content
+    * -equal by construction, which the driver proves: the registered
+    * query runs the natural fact-table aggregate through the rewrite
+    * (serving the REFRESHED summary) and the oracle recomputes from the
+    * fact table the plan never scans. At 100 TB this is the difference
+    * between a delta-sized refresh job per ingest batch and a full
+    * fact-table re-aggregation.
+    */
+  def ensureLineitemSummaryIncremental(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "lineitem")
+    val isDelta = pmod(col("l_orderkey"), lit(10)) === 0
+    val basePath = s"${Tables.scratchDir}/graft-lineitem-summary-base-$tag"
+    val incrPath = s"${Tables.scratchDir}/graft-lineitem-summary-incr-$tag"
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        aggOf(Tables.lineitem(s, d).where(!isDelta))
+          .repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(incrPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        // the refresh job: delta-only partials + the |groups|-row base
+        // summary — no full fact scan anywhere in this plan
+        val deltaAgg = aggOf(Tables.lineitem(s, d).where(isDelta))
+        def pack(df: DataFrame, t: String): DataFrame = df.select(
+          col("l_returnflag"), col("n").as(s"n_$t"),
+          col("key_checksum").as(s"k_$t"),
+          col("min_part").as(s"mn_$t"), col("max_part").as(s"mx_$t"))
+        pack(s.read.parquet(basePath), "b")
+          .join(pack(deltaAgg, "d"), Seq("l_returnflag"), "full_outer")
+          .select(col("l_returnflag"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("k_b"), lit(0L)) + coalesce(col("k_d"), lit(0L))).as("key_checksum"),
+            least(col("mn_b"), col("mn_d")).as("min_part"), // least/greatest skip nulls
+            greatest(col("mx_b"), col("mx_d")).as("max_part"))
+          .repartition(1).write.mode("overwrite").parquet(incrPath)
+      }
+    import graft.plans.SummaryRewrite._
+    register(sourcePathOf(Tables.lineitem(s, d)), Summary(
+      SummaryLocation.FixedPath(incrPath), Seq("l_returnflag"), Map(
+        CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+        MinCol("l_partkey") -> "min_part", MaxCol("l_partkey") -> "max_part"),
+      freshnessProbe(d, "lineitem")))
+    incrPath
+  }
+
+  def summaryAggregateIncremental(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummaryIncremental(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+  }
+
   /** Benchmark warmup hook: materialize every derived copy a registered
     * query reads (partitioned/bucketed tables, the V2-source TSV, the
     * ORC copy), so measured runs see only the query itself.
@@ -178,11 +309,14 @@ object Scale {
     ensurePartitionedOrders(s, d): Unit
     ensureBucketedTables(s, d): Unit
     ensureLineitemSummary(s, d): Unit
+    ensureLineitemSummary2(s, d): Unit
+    ensureLineitemSummaryIncremental(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
     graft.streaming.Streams.ensureUpsertSource(s, d): Unit
+    graft.streaming.Streams.ensureUpsertSnapshot(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 
@@ -392,6 +526,8 @@ object Scale {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_zonemap_audit" -> (zoneMapAudit(_, _)),
     "q240_summary_rewrite" -> (summaryAggregate(_, _)),
+    "q241_summary_rewrite_multi" -> (summaryAggregateAvg(_, _)),
+    "q242_summary_incremental" -> (summaryAggregateIncremental(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -405,6 +541,21 @@ object Scale {
     // the rewrite must be answer-preserving: the oracle recomputes the
     // aggregate from the FACT table the rewritten plan never scans
     "q240_summary_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // AVG recomputed as exact-integer-sum ÷ count in double arithmetic —
+    // the same value Spark's Average produces for integral inputs (the
+    // summed longs stay below 2^53, so the double sum is exact)
+    "q241_summary_rewrite_multi" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // the incremental path must land EXACTLY where the full recompute
+    // lands: same oracle as q240, fact-table recompute
+    "q242_summary_incremental" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part

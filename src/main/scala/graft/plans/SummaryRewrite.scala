@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Materialized-view rewrite (aggregate navigation): an `Aggregate`
   * whose grouping and measures are all answerable from a REGISTERED
@@ -18,21 +19,41 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * Soundness model:
   *  - a summary is registered AT THE GRANULARITY of the rewrite (one
-  *    row per group value), so measures map column-for-column — no
-  *    re-aggregation and therefore no algebraic-vs-holistic pitfalls;
-  *  - supported measures are COUNT(*) and SUM/MIN/MAX of a raw column
+  *    row per group-tuple value), so measures map column-for-column —
+  *    no re-aggregation and therefore no algebraic-vs-holistic
+  *    pitfalls. Groupings may be MULTI-column; the query's grouping
+  *    attribute set must equal the summary's grain exactly (a subset
+  *    would need re-aggregation — disqualified);
+  *  - supported measures are COUNT(*), SUM/MIN/MAX of a raw column
   *    (no DISTINCT, no FILTER clauses — anything else disqualifies the
-  *    whole aggregate and the fact scan runs as written);
-  *  - summaries key on the SOURCE path and are registered next to a
-  *    content-fingerprinted materialization
-  *    ([[graft.ops.Scale.ensureLineitemSummary]]), so a corpus
-  *    regeneration re-materializes rather than serving stale rows;
+  *    whole aggregate and the fact scan runs as written), and AVG of
+  *    an INTEGRAL raw column answered as the registered SUM/COUNT pair
+  *    (`sum/n` in double arithmetic is bit-identical to Spark's
+  *    `Average` for integral inputs, whose buffer accumulates the
+  *    integer sum exactly in doubles below 2^53; fractional inputs are
+  *    declined — their sum is order-sensitive in floating point);
+  *  - a registered entry re-verifies its source's content fingerprint
+  *    (a file stat) on every rewrite and declines on mismatch, so a
+  *    corpus regenerated at the same path can never be answered from
+  *    the pre-regeneration summary, even before the ensure* builder
+  *    re-registers ([[graft.ops.Scale.ensureLineitemSummary]]);
+  *  - a summary location can be a fixed path (`_SUCCESS`-guarded: a
+  *    swept scratch dir declines instead of throwing at planning
+  *    time) or a versioned store's CURRENT pointer
+  *    ([[SummaryLocation.CurrentPointer]]) — resolved at rewrite time,
+  *    so the rule only ever serves the committed version of a
+  *    stream-maintained snapshot, never a torn or superseded one;
   *  - the replacement projection preserves the original output
-  *    attribute ids, so parent operators resolve unchanged.
+  *    attribute ids, so parent operators resolve unchanged; the
+  *    summary relation itself is instantiated fresh per rewrite
+  *    (`newInstance`), so two rewrites in one plan never collide on
+  *    attribute ids, while the file listing/schema work is cached per
+  *    resolved path.
   *
   * Opt-in (`spark.graft.summaryRewrite.enabled=true`), like the other
   * graft rules: correctness never depends on it — the rewritten plan
-  * must (and q240's oracle proves it does) return bit-identical rows.
+  * must (and q240/q241/q242/q244's oracles prove it does) return
+  * bit-identical rows.
   */
 case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   import SummaryRewrite._
@@ -76,33 +97,68 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || registry.isEmpty) plan
     else plan.transformUp {
-      case agg @ Aggregate(Seq(g: AttributeReference), resultExprs, child, _) =>
+      case agg @ Aggregate(groupings, resultExprs, child, _)
+          if groupings.nonEmpty &&
+            groupings.forall(_.isInstanceOf[AttributeReference]) =>
+        val gAttrs = groupings.map(_.asInstanceOf[AttributeReference])
         (for {
           src <- sourceOf(child)
-          entry <- Option(registry.get(src))
-          if g.name == entry.groupCol
-          rewritten <- rewrite(entry, g, resultExprs)
+          entries <- Option(registry.get(src))
+          entry <- entries.find(_.groupCols.toSet == gAttrs.map(_.name).toSet)
+          if entry.stillFresh() // source regenerated ⇒ decline, never serve stale
+          sumPath <- entry.location.resolve() // missing/uncommitted ⇒ decline
+          rewritten <- rewrite(entry, sumPath, gAttrs, resultExprs)
         } yield rewritten).getOrElse(agg)
     }
 
-  private def rewrite(entry: Summary, g: AttributeReference,
+  private def rewrite(entry: Summary, sumPath: String,
+      gAttrs: Seq[AttributeReference],
       resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    val rel = spark.read.parquet(entry.summaryPath).queryExecution.analyzed
+    // listing/schema once per resolved path; fresh exprIds per use so
+    // two rewrites in one plan (e.g. a self-join of the same rewritten
+    // aggregate) never alias each other's attributes
+    val rel = relCache
+      .computeIfAbsent((System.identityHashCode(spark), sumPath),
+        _ => spark.read.parquet(sumPath).queryExecution.analyzed)
+      .transformUp { case lr: LogicalRelation => lr.newInstance() }
     def summaryAttr(name: String): Option[AttributeReference] =
       rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
+    val gByExprId = gAttrs.map(a => a.exprId -> a).toMap
     val mapped: Seq[Option[NamedExpression]] = resultExprs.map {
-      case a: AttributeReference if a.exprId == g.exprId =>
-        summaryAttr(entry.groupCol).map(sa =>
-          Alias(sa, a.name)(exprId = a.exprId))
+      case a: AttributeReference if gByExprId.contains(a.exprId) =>
+        summaryAttr(a.name)
+          .filter(_.dataType == a.dataType)
+          .map(sa => Alias(sa, a.name)(exprId = a.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
-        for {
-          m <- measureOf(ae)
-          colName <- entry.measures.get(m)
-          sa <- summaryAttr(colName)
-          // paranoia: the summary column must carry the exact result
-          // type the aggregate would have produced
-          if sa.dataType == ae.dataType
-        } yield Alias(sa, name)(exprId = al.exprId)
+        ae.aggregateFunction match {
+          // AVG over an integral raw column ⇒ the summary's SUM/COUNT
+          // pair divided in double arithmetic — exactly Average's own
+          // evaluate expression for integral inputs
+          case avg: Average if !ae.isDistinct && ae.filter.isEmpty =>
+            avg.child match {
+              case a: AttributeReference if Seq(ByteType, ShortType,
+                  IntegerType, LongType).contains(a.dataType) =>
+                for {
+                  sumName <- entry.measures.get(SumCol(a.name))
+                  cntName <- entry.measures.get(CountStar)
+                  sa <- summaryAttr(sumName)
+                  ca <- summaryAttr(cntName)
+                  if ae.dataType == DoubleType
+                } yield Alias(
+                  Divide(Cast(sa, DoubleType), Cast(ca, DoubleType)),
+                  name)(exprId = al.exprId)
+              case _ => None
+            }
+          case _ =>
+            for {
+              m <- measureOf(ae)
+              colName <- entry.measures.get(m)
+              sa <- summaryAttr(colName)
+              // paranoia: the summary column must carry the exact result
+              // type the aggregate would have produced
+              if sa.dataType == ae.dataType
+            } yield Alias(sa, name)(exprId = al.exprId)
+        }
       case _ => None
     }
     if (mapped.forall(_.isDefined)) Some(Project(mapped.map(_.get), rel))
@@ -119,20 +175,71 @@ object SummaryRewrite {
   case class MinCol(name: String) extends Measure
   case class MaxCol(name: String) extends Measure
 
-  /** One registered summary: where it lives, its grain, and which
-    * summary column answers which measure.
+  /** Where a summary's rows live — resolved at REWRITE time, so the
+    * rule never plans against a path that has since disappeared or
+    * been superseded.
     */
-  case class Summary(summaryPath: String, groupCol: String,
-      measures: Map[Measure, String])
+  sealed trait SummaryLocation { def resolve(): Option[String] }
+  object SummaryLocation {
+    /** A one-shot materialization: valid iff its `_SUCCESS` marker
+      * still exists (a swept scratch dir declines the rewrite instead
+      * of throwing at planning time).
+      */
+    case class FixedPath(path: String) extends SummaryLocation {
+      override def resolve(): Option[String] =
+        if (new java.io.File(path, "_SUCCESS").exists()) Some(path) else None
+    }
+    /** A versioned snapshot store (the streaming upsert sink's layout):
+      * the CURRENT pointer file names the committed version dir. Only
+      * that version is ever served — a refresh's new version becomes
+      * visible exactly at the pointer flip, and a torn (uncommitted)
+      * version is unreachable by construction.
+      */
+    case class CurrentPointer(root: String) extends SummaryLocation {
+      override def resolve(): Option[String] = {
+        val ptr = new java.io.File(root, "CURRENT")
+        if (!ptr.exists()) None
+        else {
+          val v = new String(
+            java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+          val dir = new java.io.File(root, v)
+          if (dir.isDirectory) Some(dir.toString) else None
+        }
+      }
+    }
+  }
 
-  /** source root path → summary (process-wide, like the rule registry
-    * any session-attached MV catalog would consult).
+  /** One registered summary: where it lives, its (possibly multi-column)
+    * grain, which summary column answers which measure, and a freshness
+    * probe — re-checked on every rewrite (a cheap file stat comparing
+    * the source's content fingerprint against the one captured at
+    * registration), so a regenerated corpus is never answered from the
+    * pre-regeneration summary.
+    */
+  case class Summary(location: SummaryLocation, groupCols: Seq[String],
+      measures: Map[Measure, String], stillFresh: () => Boolean = () => true)
+
+  /** source root path → registered summaries (several grains may
+    * summarize one source; process-wide, like the rule registry any
+    * session-attached MV catalog would consult). Registering a grain
+    * that already exists for the source replaces it.
     */
   private[plans] val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, Summary]
+    new java.util.concurrent.ConcurrentHashMap[String, List[Summary]]
+
+  /** (session, resolved path) → analyzed summary relation. Listing and
+    * schema inference happen once per path, not once per qualifying
+    * query plan; exprId freshness is restored per use via
+    * `newInstance`. Keyed by session identity because a relation holds
+    * its session.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), LogicalPlan]
 
   def register(sourcePath: String, summary: Summary): Unit =
-    registry.put(sourcePath, summary): Unit
+    registry.compute(sourcePath, (_, prev) =>
+      summary :: Option(prev).getOrElse(Nil)
+        .filterNot(_.groupCols.toSet == summary.groupCols.toSet)): Unit
 
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[SummaryRewrite]))

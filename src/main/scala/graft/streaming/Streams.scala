@@ -553,19 +553,130 @@ object Streams {
     * `Scale.warmDerived`) — the replay's stand-in for "the upstream
     * log already exists"; per-run temp dirs hold only the checkpoint
     * and the snapshot table.
+    *
+    * The file-to-batch assignment is DETERMINISTIC: file `i` holds
+    * exactly the events with `event_id % 3 == i`, and the three files
+    * carry fixed, strictly increasing modification times, so the file
+    * stream source (which orders unseen files by mtime) always
+    * delivers bucket 0, then 1, then 2 — batch `i` IS bucket `i`.
+    * q233's final-snapshot oracle never needed this (the merge is
+    * associative), but q245's time-travel oracle reads the snapshot
+    * as of batch 1 and must know which events that includes.
     */
   private val upsertSrcLock = new Object
 
   def ensureUpsertSource(s: SparkSession, d: String): String = upsertSrcLock.synchronized {
     val path =
-      s"${graft.Tables.scratchDir}/graft-upsert-src-${graft.Tables.datasetTag(d, "events")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      Tables.events(s, d).select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("t_us"), col("event_type"),
-          (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
-            .cast("long").as("cents"))
-        .repartition(3).write.mode("overwrite").parquet(path)
+      s"${graft.Tables.scratchDir}/graft-upsert-src2-${graft.Tables.datasetTag(d, "events")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"), col("event_type"),
+        (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
+          .cast("long").as("cents"))
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-upsert-stage-")
+        try {
+          projected.where(pmod(col("event_id"), lit(3)) === i)
+            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file staged for bucket $i"))
+          val dest = new java.io.File(dir, f"bucket-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          // fixed absolute mtimes: deterministic ordering across JVMs
+          // and across rebuilds (60 s apart — far beyond fs granularity)
+          dest.setLastModified(1700000000000L + i * 60000L): Unit
+        } finally graft.Tables.deleteRecursively(tmp.toFile)
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+        Array.empty[Byte]): Unit
+    }
     path
+  }
+
+  /** One-time, idempotent DURABLE replay of the staged feed into a
+    * versioned snapshot store — the table q244 (stream-maintained MV)
+    * and q245 (time travel) read. Unlike [[upsertReplay]]'s per-run
+    * temp root, this store persists across queries: after the replay,
+    * CURRENT names v2 (all three batches) and the retention policy has
+    * kept exactly v1 as the time-travel predecessor. A DONE marker
+    * (written after `awaitTermination`) gates re-use, so a crashed
+    * half-replay rebuilds from scratch instead of serving a prefix.
+    */
+  private val upsertSnapLock = new Object
+
+  def ensureUpsertSnapshot(s: SparkSession, d: String): java.nio.file.Path = upsertSnapLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-upsert-snap2-${graft.Tables.datasetTag(d, "events")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+      val table = root.resolve("table")
+      Files.createDirectories(table)
+      val src = ensureUpsertSource(s, d)
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          mergeIntoSnapshot(s, table, b.toDF(), id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q244: the streaming upsert snapshot AS a registered materialized
+    * view — the MV rewrite answers a batch aggregate over the staged
+    * source from the stream-maintained snapshot, resolved through the
+    * CURRENT pointer at rewrite time. The snapshot is a user-grain
+    * summary by construction (n_events = COUNT(*), total_cents =
+    * SUM(cents)), so the registration is exact, and version visibility
+    * rides the sink's own commit protocol: the rule can only ever see
+    * the committed version the pointer names (torn or superseded
+    * versions are unreachable; pinned in SummaryRewriteSpec). The
+    * oracle recomputes the aggregate from the raw events the rewritten
+    * plan never scans.
+    */
+  def streamMaintainedMv: Q = (s, d) => {
+    val table = ensureUpsertSnapshot(s, d)
+    val src = ensureUpsertSource(s, d)
+    import graft.plans.SummaryRewrite._
+    register(graft.ops.Scale.sourcePathOf(s.read.parquet(src)), Summary(
+      SummaryLocation.CurrentPointer(table.toString), Seq("user_id"),
+      Map(CountStar -> "n_events", SumCol("cents") -> "total_cents"),
+      graft.ops.Scale.freshnessProbe(d, "events")))
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    s.read.parquet(src).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+  }
+
+  /** q245: snapshot TIME TRAVEL as a registered, oracle-gated query —
+    * read the retained predecessor version (v1) while CURRENT names v2.
+    * Because batch `i` is exactly bucket `i` (see
+    * [[ensureUpsertSource]]), "the table as of batch 1" has a precise
+    * relational definition the oracle recomputes from raw events:
+    * the upsert state over events with `event_id % 3 IN (0, 1)`.
+    */
+  def snapshotTimeTravel: Q = (s, d) => {
+    val table = ensureUpsertSnapshot(s, d)
+    val cur = committedVersion(table).getOrElse(sys.error("no committed snapshot"))
+    val prev = Option(table.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toLong).filter(_ < cur)
+      .sorted.lastOption
+      .getOrElse(sys.error("no predecessor version retained"))
+    s.read.parquet(table.resolve(s"v$prev").toString)
+      .select("user_id", "last_us", "last_id", "last_type",
+        "n_events", "total_cents")
   }
 
   def upsertReplay: Q = (s, d) => {
@@ -743,6 +854,8 @@ object Streams {
     "q140_interval_join_full" -> intervalJoinFullOuterBatch,
     "q71_stateful_totals" -> statefulTotalsReplay,
     "q233_stream_upsert" -> upsertReplay,
+    "q244_stream_mv" -> streamMaintainedMv,
+    "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
     "q113_stream_static_enrich" -> enrichBatch)
@@ -756,6 +869,34 @@ object Streams {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the rewritten aggregate must equal the recompute from raw events
+    // (the rewritten plan reads only the committed snapshot version)
+    "q244_stream_mv" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM e GROUP BY 1""".stripMargin,
+    // the predecessor version == upsert state over batches 0 and 1 ==
+    // events with event_id % 3 in (0, 1) (batch i is bucket i by the
+    // staged files' fixed mtimes)
+    "q245_snapshot_time_travel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type,
+        |    CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_id % 3 IN (0, 1)),
+        |l AS (SELECT user_id, t_us, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t_us DESC, event_id DESC) AS rn
+        |  FROM e),
+        |a AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM e GROUP BY 1)
+        |SELECT a.user_id, l.t_us AS last_us, l.event_id AS last_id,
+        |  l.event_type AS last_type, a.n_events, a.total_cents
+        |FROM a JOIN l ON l.user_id = a.user_id AND l.rn = 1""".stripMargin,
     "q157_interval_join_semi" ->
       """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts
         |FROM events p

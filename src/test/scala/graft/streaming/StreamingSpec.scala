@@ -630,6 +630,33 @@ class StreamingSpec extends SparkSpec {
     graft.Tables.deleteRecursively(root.toFile)
   }
 
+  test("stream-maintained MV: q244 scans the committed snapshot, not the source") {
+    val plan = Streams.streamMaintainedMv(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-upsert-snap2"),
+      "q244 must be answered from the stream-maintained snapshot\n" + plan.take(1200))
+    assert(!plan.contains("graft-upsert-src2"),
+      "q244's rewritten plan must not scan the staged source")
+    spark.conf.set(graft.plans.SummaryRewrite.EnabledKey, "false")
+  }
+
+  test("time travel: q245 reads the retained predecessor of CURRENT") {
+    val table = Streams.ensureUpsertSnapshot(spark, sf)
+    val cur = Streams.committedVersion(table).get
+    assert(cur === 2L, "3 staged buckets must commit as batches 0..2")
+    val plan = Streams.snapshotTimeTravel(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"v${cur - 1}") && !plan.contains(s"v$cur"),
+      plan.take(1200))
+    // and the predecessor really is the state after batches 0 and 1:
+    // its user set must be a subset of CURRENT's, its totals no larger
+    val prev = Streams.snapshotTimeTravel(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    val curN = Streams.currentSnapshot(spark, table).get
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(prev < curN)
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()
