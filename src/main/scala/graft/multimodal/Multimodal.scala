@@ -125,10 +125,108 @@ object Multimodal {
         min(col("media_id") * 100000L + col("frame_id")).as("keeper_key"))
       .where(col("n_copies") > 1)
 
+  /** Perceptual 62-bit frame signature — the dHash/SimHash hybrid the
+    * near-dup pass buckets on. Features are the frame's 61 overlapping
+    * 4-byte windows (local texture, the stub analog of pixel-gradient
+    * patches); each window's integer value (base-131 polynomial,
+    * < 2^29 — no overflow anywhere) is scrambled by two Knuth
+    * multiplicative constants, and the signature takes a SimHash
+    * majority vote over the product's HIGH bits (bits 29..59 — the
+    * well-mixed end of a multiplicative hash). One byte edit perturbs
+    * at most 4 of 61 windows, so near-identical frames land within a
+    * few bits; hashing makes the bits near-uniform, so band buckets
+    * stay balanced where raw adjacent-compare bits (classic dHash)
+    * measured 3 orders of magnitude hotter on text frames.
+    *
+    * Every operation is plain 64-bit integer arithmetic on values
+    * < 2^61, so the DuckDB oracle replays it EXACTLY (list_transform +
+    * list_sum over the same windows) — q243's pairs are fully
+    * oracle-recomputable, no audit bound needed.
+    */
+  def frameSignature(frame: String): Long = {
+    val C1 = 2654435761L
+    val C2 = 2246822519L
+    val v1 = new Array[Int](31)
+    val v2 = new Array[Int](31)
+    var i = 0
+    while (i + 3 < frame.length) {
+      val w = ((frame.charAt(i).toLong * 131 + frame.charAt(i + 1)) * 131 +
+        frame.charAt(i + 2)) * 131 + frame.charAt(i + 3)
+      val p1 = w * C1
+      val p2 = w * C2
+      var j = 0
+      while (j < 31) {
+        if (((p1 >> (29 + j)) & 1L) == 1L) v1(j) += 1 else v1(j) -= 1
+        if (((p2 >> (29 + j)) & 1L) == 1L) v2(j) += 1 else v2(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var s = 0L
+    var j = 0
+    while (j < 31) {
+      if (v1(j) >= 0) s |= 1L << j
+      if (v2(j) >= 0) s |= 1L << (31 + j)
+      j += 1
+    }
+    s
+  }
+
+  /** q243: perceptual frame NEAR-dup — the video-pipeline gap q148's
+    * exact-hash dedup leaves open: re-encoded or lightly-edited frames
+    * hash differently byte-wise but are perceptually the same. Shape:
+    * (1) full 64-byte frames, deduplicated by exact content first
+    * (identical frames are q148's job, and skipping them keeps the
+    * near-dup output duplicate-sized instead of quadratic in the
+    * largest exact-dup group); (2) one [[frameSignature]] per distinct
+    * frame — signatures never leave the task, only (keeper, sig) rows
+    * shuffle; (3) SimHash pigeonhole: 4 bands x 15 bits — a pair
+    * within Hamming 3 differs in at most 3 of the 4 bands, so at
+    * least one band matches exactly and the band equi-join has
+    * RECALL 1 by construction (not probabilistic); (4) exact Hamming
+    * verify (xor + bit_count) on the bucket candidates. Never
+    * all-pairs; plan pinned BNLJ-free in MultimodalSpec, banded ==
+    * brute-force pinned there too. At 100 TB: signatures are one scan,
+    * the join shuffles |distinct frames| x 4 band rows, and hot
+    * perceptual buckets (black frames, silence) are bounded by the
+    * exact-dedup prepass — identical content collapsed to ONE
+    * signature row per frame class.
+    */
+  def frameNearDup: Q = (s, d) => {
+    import s.implicits._
+    val fb = StubCodec.FrameBytes
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("frame_id",
+        explode(sequence(lit(0), (length(col("text")) / fb).cast("int"))))
+      .select(col("media_id"), col("frame_id"),
+        expr(s"substring(text, frame_id * $fb + 1, $fb)").as("frame"))
+      .where(length(col("frame")) === fb)
+      .groupBy("frame")
+      .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
+    val sigs = frames.select(col("keeper"), col("frame")).as[(Long, String)]
+      .mapPartitions(_.map { case (k, f) => (k, frameSignature(f)) })
+      .toDF("keeper", "sig")
+    val bands = sigs.select(col("keeper"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS k, shiftright(sig, k * 15) & 32767 AS bv))")).as("b"))
+      .select(col("keeper"), col("sig"), col("b.k").as("k"), col("b.bv").as("bv"))
+    val a = bands.select(col("keeper").as("keeper_a"), col("sig").as("sa"),
+      col("k"), col("bv"))
+    val b = bands.select(col("keeper").as("keeper_b"), col("sig").as("sb"),
+      col("k"), col("bv"))
+    a.join(b, Seq("k", "bv")).where(col("keeper_a") < col("keeper_b"))
+      .select(col("keeper_a"), col("keeper_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_blob_meta" -> blobMeta,
     "q48_frame_sample" -> frameSample,
-    "q148_frame_dedup" -> frameDedup)
+    "q148_frame_dedup" -> frameDedup,
+    "q243_frame_near_dup" -> frameNearDup)
 
   val oracles: Map[String, String] = Map(
     "q47_blob_meta" ->
@@ -141,6 +239,46 @@ object Multimodal {
         |FROM (SELECT doc_id AS media_id, text,
         |        unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
         |      FROM documents)""".stripMargin,
+    // the full near-dup pipeline replayed relationally: same windows,
+    // same multiplicative-hash SimHash, same 4x15-bit pigeonhole bands,
+    // same exact Hamming verify — bit-for-bit the pairs Spark emits
+    "q243_frame_near_dup" ->
+      """WITH fr AS (
+        |  SELECT media_id, frame_id,
+        |    substr(text, frame_id * 64 + 1, 64) AS frame
+        |  FROM (SELECT doc_id AS media_id, text,
+        |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
+        |        FROM documents)
+        |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
+        |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
+        |      FROM fr GROUP BY frame),
+        |w AS (SELECT keeper,
+        |  list_transform(range(1, 62), i ->
+        |    ((CAST(ascii(substr(frame, i, 1)) AS BIGINT) * 131
+        |      + ascii(substr(frame, i + 1, 1))) * 131
+        |      + ascii(substr(frame, i + 2, 1))) * 131
+        |      + ascii(substr(frame, i + 3, 1))) AS ws
+        |  FROM d),
+        |sg AS (SELECT keeper,
+        |  list_sum(list_transform(range(0, 31), j ->
+        |    CASE WHEN list_sum(list_transform(ws, x ->
+        |      CASE WHEN (((x * 2654435761) >> (29 + CAST(j AS INT))) & 1) = 1
+        |        THEN 1 ELSE -1 END)) >= 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))
+        |  + list_sum(list_transform(range(0, 31), j ->
+        |    CASE WHEN list_sum(list_transform(ws, x ->
+        |      CASE WHEN (((x * 2246822519) >> (29 + CAST(j AS INT))) & 1) = 1
+        |        THEN 1 ELSE -1 END)) >= 0
+        |    THEN (CAST(1 AS BIGINT) << (31 + CAST(j AS INT))) ELSE 0 END))
+        |  AS sig
+        |  FROM w),
+        |b AS (SELECT keeper, sig, k, (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
+        |      FROM (SELECT keeper, sig, unnest(range(0, 4)) AS k FROM sg))
+        |SELECT DISTINCT a.keeper AS keeper_a, b2.keeper AS keeper_b,
+        |  CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+        |FROM b a JOIN b b2
+        |  ON a.k = b2.k AND a.bv = b2.bv AND a.keeper < b2.keeper
+        |WHERE bit_count(xor(a.sig, b2.sig)) <= 3""".stripMargin,
     // q48's frame stream, aggregated per content hash
     "q148_frame_dedup" ->
       """WITH f AS (

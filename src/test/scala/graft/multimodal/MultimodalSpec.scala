@@ -38,4 +38,40 @@ class MultimodalSpec extends SparkSpec {
     // completeness: every hash with >1 occurrence is reported
     assert(rows.length === byHash.count(_._2.length > 1))
   }
+
+  test("q243 perceptual near-dup: banded join == brute force, BNLJ-free plan") {
+    import org.apache.spark.sql.functions._
+    val res = Multimodal.frameNearDup(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "near-dup must bucket, never all-pairs\n" + plan.take(1200))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty, "corpus must contain perceptual near-dup frames")
+    got.foreach { case (_, _, h) => assert(h >= 1 && h <= 3) }
+    // brute-force ground truth over every distinct full frame: the
+    // 4x15-bit pigeonhole is EXACT for Hamming <= 3 (a pair differing
+    // in <= 3 bits cannot differ in all 4 bands), so the banded join
+    // must reproduce the all-pairs result bit-for-bit
+    val fb = Multimodal.StubCodec.FrameBytes
+    val frames = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        (0 until text.length / fb).map(k =>
+          (text.substring(k * fb, (k + 1) * fb), id * 100000L + k))
+      }
+      .groupBy(_._1).map { case (f, ks) => (ks.map(_._2).min, f) }.toArray
+    val sigs = frames.map { case (k, f) =>
+      (k, Multimodal.frameSignature(f)) }.sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield (math.min(sigs(i)._1, sigs(j)._1),
+      math.max(sigs(i)._1, sigs(j)._1), h)).toSet
+    assert(got === brute)
+  }
 }
