@@ -301,6 +301,28 @@ object Scale {
         min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
   }
 
+  /** q246: grain ROLL-UP through the rewrite — the query groups by
+    * l_returnflag only, which no flag-grain summary can answer (the
+    * measures include AVG(l_partkey) and COUNT(DISTINCT l_linestatus),
+    * which the flag-grain summary doesn't carry), so the rule
+    * re-aggregates the (flag, status)-grain summary: counts and sums
+    * roll up by summing, AVG divides the rolled-up sum/count pair, and
+    * the distinct-status count is exactly the grain column's distinct
+    * values among the group's summary rows. The plan keeps an
+    * Aggregate — but over the |flag × status|-row summary, not the
+    * fact table (pinned in SummaryRewriteSpec); the oracle recomputes
+    * everything from lineitem.
+    */
+  def summaryRollup(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummary2(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+  }
+
   /** Benchmark warmup hook: materialize every derived copy a registered
     * query reads (partitioned/bucketed tables, the V2-source TSV, the
     * ORC copy), so measured runs see only the query itself.
@@ -528,6 +550,7 @@ object Scale {
     "q240_summary_rewrite" -> (summaryAggregate(_, _)),
     "q241_summary_rewrite_multi" -> (summaryAggregateAvg(_, _)),
     "q242_summary_incremental" -> (summaryAggregateIncremental(_, _)),
+    "q246_summary_rollup" -> (summaryRollup(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -553,6 +576,14 @@ object Scale {
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // roll-up recomputed from the fact table: exact-integer AVG
+    // division as in q241; countDistinct is BIGINT on both sides
+    "q246_summary_rollup" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the incremental path must land EXACTLY where the full recompute
     // lands: same oracle as q240, fact-table recompute
     "q242_summary_incremental" ->

@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *  - a summary is registered AT THE GRANULARITY of the rewrite (one
   *    row per group-tuple value), so measures map column-for-column —
   *    no re-aggregation and therefore no algebraic-vs-holistic
-  *    pitfalls. Groupings may be MULTI-column; the query's grouping
-  *    attribute set must equal the summary's grain exactly (a subset
-  *    would need re-aggregation — disqualified);
+  *    pitfalls. Groupings may be MULTI-column; a grouping that equals
+  *    the grain maps column-for-column, and a grouping that is a
+  *    STRICT SUBSET of a grain rolls the summary up (re-aggregation of
+  *    algebraic measures over the grain partition — see [[rollup]]);
   *  - supported measures are COUNT(*), SUM/MIN/MAX of a raw column
   *    (no DISTINCT, no FILTER clauses — anything else disqualifies the
   *    whole aggregate and the fact scan runs as written), and AVG of
@@ -101,13 +102,31 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if groupings.nonEmpty &&
             groupings.forall(_.isInstanceOf[AttributeReference]) =>
         val gAttrs = groupings.map(_.asInstanceOf[AttributeReference])
+        val gNames = gAttrs.map(_.name).toSet
         (for {
           src <- sourceOf(child)
           entries <- Option(registry.get(src))
-          entry <- entries.find(_.groupCols.toSet == gAttrs.map(_.name).toSet)
-          if entry.stillFresh() // source regenerated ⇒ decline, never serve stale
-          sumPath <- entry.location.resolve() // missing/uncommitted ⇒ decline
-          rewritten <- rewrite(entry, sumPath, gAttrs, resultExprs)
+          live = entries.filter(_.stillFresh()) // stale ⇒ never served
+          rewritten <- {
+            // exact grain first: measures map column-for-column. Then
+            // ROLL-UP: a grouping that is a strict subset of a grain
+            // re-aggregates the |grain|-row summary (sum of counts,
+            // sum of sums, min of mins, max of maxs — algebraic, so
+            // re-aggregation is exact) — still summary-sized work vs
+            // a fact scan. Smallest qualifying grain wins.
+            val direct = live.find(_.groupCols.toSet == gNames)
+              .flatMap(e => e.location.resolve()
+                .flatMap(p => rewrite(e, p, gAttrs, resultExprs)))
+            direct.orElse {
+              live.filter(e => gNames.subsetOf(e.groupCols.toSet) &&
+                  e.groupCols.toSet != gNames)
+                .sortBy(_.groupCols.size)
+                .view
+                .flatMap(e => e.location.resolve()
+                  .flatMap(p => rollup(e, p, gAttrs, resultExprs)))
+                .headOption
+            }
+          }
         } yield rewritten).getOrElse(agg)
     }
 
@@ -163,6 +182,94 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (mapped.forall(_.isDefined)) Some(Project(mapped.map(_.get), rel))
     else None
+  }
+
+  /** Roll-up rewrite: the query groups by a strict SUBSET of the
+    * summary's grain, so the summary is re-aggregated at the coarser
+    * grain — sound because every supported measure is algebraic over
+    * the grain partition:
+    *  - COUNT(*)        ⇒ SUM(summary.count)
+    *  - SUM(x)          ⇒ SUM(summary.sum_x)
+    *  - MIN(x)/MAX(x)   ⇒ MIN/MAX of the summary min/max columns
+    *  - AVG(x) integral ⇒ SUM(sum_x) / SUM(count) in double arithmetic
+    *  - COUNT(DISTINCT g) for g IN the grain ⇒ COUNT(DISTINCT
+    *    summary.g) — the grain column's distinct values per coarse
+    *    group are exactly its distinct values among the group's
+    *    summary rows (and the distinct runs over |grain| rows, not the
+    *    fact table)
+    * Anything else declines the whole aggregate. The re-aggregation
+    * itself is |grain|-rows-sized — the plan keeps an Aggregate, but
+    * over the summary relation instead of the fact scan.
+    */
+  private def rollup(entry: Summary, sumPath: String,
+      gAttrs: Seq[AttributeReference],
+      resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val rel = relCache
+      .computeIfAbsent((System.identityHashCode(spark), sumPath),
+        _ => spark.read.parquet(sumPath).queryExecution.analyzed)
+      .transformUp { case lr: LogicalRelation => lr.newInstance() }
+    def summaryAttr(name: String): Option[AttributeReference] =
+      rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
+    val gByExprId = gAttrs.map(a => a.exprId -> a).toMap
+    def measureAttr(m: Measure): Option[AttributeReference] =
+      entry.measures.get(m).flatMap(summaryAttr)
+    val mapped: Seq[Option[NamedExpression]] = resultExprs.map {
+      case a: AttributeReference if gByExprId.contains(a.exprId) =>
+        summaryAttr(a.name)
+          .filter(_.dataType == a.dataType)
+          .map(sa => Alias(sa, a.name)(exprId = a.exprId))
+      case al @ Alias(ae: AggregateExpression, name) if ae.filter.isEmpty =>
+        val replacement: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(1, _))) if !ae.isDistinct =>
+              measureAttr(CountStar).map(sa => Sum(sa).toAggregateExpression())
+            case c: Count if ae.isDistinct => c.children match {
+              case Seq(a: AttributeReference) if entry.groupCols.contains(a.name) =>
+                summaryAttr(a.name).filter(_.dataType == a.dataType)
+                  .map(sa => Count(sa).toAggregateExpression(isDistinct = true))
+              case _ => None
+            }
+            case s: Sum if !ae.isDistinct => s.child match {
+              case a: AttributeReference =>
+                measureAttr(SumCol(a.name)).map(sa => Sum(sa).toAggregateExpression())
+              case _ => None
+            }
+            case m: Min => m.child match {
+              case a: AttributeReference =>
+                measureAttr(MinCol(a.name)).map(sa => Min(sa).toAggregateExpression())
+              case _ => None
+            }
+            case m: Max => m.child match {
+              case a: AttributeReference =>
+                measureAttr(MaxCol(a.name)).map(sa => Max(sa).toAggregateExpression())
+              case _ => None
+            }
+            case avg: Average if !ae.isDistinct => avg.child match {
+              case a: AttributeReference if Seq(ByteType, ShortType,
+                  IntegerType, LongType).contains(a.dataType) && ae.dataType == DoubleType =>
+                for {
+                  ssum <- measureAttr(SumCol(a.name))
+                  scnt <- measureAttr(CountStar)
+                } yield Divide(
+                  Cast(Sum(ssum).toAggregateExpression(), DoubleType),
+                  Cast(Sum(scnt).toAggregateExpression(), DoubleType))
+              case _ => None
+            }
+            case _ => None
+          }
+        replacement
+          // the re-aggregated measure must produce the exact result
+          // type the original aggregate declared
+          .filter(_.dataType == ae.dataType)
+          .map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.forall(_.isDefined)) {
+      val gSummaryAttrs = gAttrs.map(a => summaryAttr(a.name))
+      if (gSummaryAttrs.forall(_.isDefined))
+        Some(Aggregate(gSummaryAttrs.map(_.get), mapped.map(_.get), rel))
+      else None
+    } else None
   }
 }
 

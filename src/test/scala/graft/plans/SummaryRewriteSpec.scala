@@ -56,12 +56,35 @@ class SummaryRewriteSpec extends SparkSpec {
       // AVG must be BIT-identical (sum/n double division == Average for
       // integral inputs), not merely within float tolerance
       assert(off.nonEmpty && on === off)
-      // grouping by a strict SUBSET of the grain would need
-      // re-aggregation — must stay on the fact table
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
+  test("grain roll-up: subset grouping re-aggregates the summary") {
+    graft.ops.Scale.ensureLineitemSummary2(spark, sf): Unit
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def rollup = Tables.lineitem(spark, sf)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          avg("l_partkey").as("avg_part"),
+          countDistinct(col("l_returnflag")).as("n_flags"))
+      val plan = rollup.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-lineitem-summary2"), plan.take(1500))
+      assert(!plan.contains("lineitem.parquet"),
+        "roll-up must re-aggregate the summary, not re-scan the fact table")
+      val on = rollup.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = rollup.collect().map(_.toString).sorted.toSeq
+      // counts, sums, the AVG division AND the distinct-over-grain
+      // count must all be bit-identical to the fact recompute
+      assert(off.nonEmpty && on === off)
+      // COUNT(DISTINCT x) for x OUTSIDE the grain cannot roll up
       spark.conf.set(SummaryRewrite.EnabledKey, "true")
-      val subset = Tables.lineitem(spark, sf)
-        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
-      assert(subset.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      val ndOrder = Tables.lineitem(spark, sf)
+        .groupBy("l_linestatus")
+        .agg(countDistinct(col("l_orderkey")).as("nd"))
+      assert(ndOrder.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
@@ -195,17 +218,19 @@ class SummaryRewriteSpec extends SparkSpec {
     try {
       def factScan(df: org.apache.spark.sql.DataFrame): Boolean =
         df.queryExecution.executedPlan.toString.contains("lineitem.parquet")
-      // different grouping column
+      // a grouping column no registered grain contains (not even as a
+      // roll-up source)
       assert(factScan(Tables.lineitem(spark, sf)
-        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))))
       // a filter between aggregate and scan changes the grain
       assert(factScan(Tables.lineitem(spark, sf)
         .where(col("l_quantity") > 10)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
-      // a measure the summary does not carry
+      // a measure no registered summary carries
       assert(factScan(Tables.lineitem(spark, sf)
-        .groupBy("l_returnflag").agg(sum("l_partkey").as("sp"))))
-      // DISTINCT disqualifies even a carried column
+        .groupBy("l_returnflag").agg(sum("l_suppkey").as("sp"))))
+      // DISTINCT of a non-grain column disqualifies even at a carried
+      // grouping
       assert(factScan(Tables.lineitem(spark, sf)
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("nd"))))
