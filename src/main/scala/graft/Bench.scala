@@ -96,7 +96,8 @@ object Bench {
     // lost q100–q182); cost order at least makes the lost slice the
     // ambiguous middle. The guaranteed record is `top` on the LAST
     // line below.
-    val compact = results.sortBy { case (_, b, _) => -b }
+    val byCost = results.sortBy { case (_, b, _) => -b }
+    val compact = byCost
       .map { case (n, b, _) => s""""${short(n)}":${s3(b)}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","runs":$passes,""" +
@@ -115,7 +116,7 @@ object Bench {
     // large the registry (and therefore the full map above) grows.
     // 50 entries ≈ 800 chars; with the rest of this line ≈ 1200, inside
     // the window with room for part of the full map above.
-    val top = results.sortBy { case (_, b, _) => -b }.take(50)
+    val top = byCost.take(50)
       .map { case (n, b, _) => s""""${short(n)}":${s3(b)}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total_tail","value":${s3(total)},"unit":"sec",""" +

@@ -148,6 +148,17 @@ object Multimodal {
     val C2 = 2246822519L
     val v1 = new Array[Int](31)
     val v2 = new Array[Int](31)
+    var c = 0
+    while (c < frame.length) {
+      // the no-overflow bound (window value < 2^29) and the DuckDB
+      // oracle's character arithmetic both assume ASCII — fail the
+      // task loudly on the first non-ASCII frame instead of silently
+      // wrapping Scala-side while the oracle errors or diverges
+      require(frame.charAt(c) < 128,
+        s"frameSignature: non-ASCII char ${frame.charAt(c).toInt} — " +
+          "signature parity with the relational oracle is ASCII-only")
+      c += 1
+    }
     var i = 0
     while (i + 3 < frame.length) {
       val w = ((frame.charAt(i).toLong * 131 + frame.charAt(i + 1)) * 131 +

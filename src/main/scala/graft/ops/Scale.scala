@@ -185,12 +185,16 @@ object Scale {
     * during its own materialization, freshness probe registered).
     */
   def ensureLineitemSummary2(s: SparkSession, d: String): String = summaryLock.synchronized {
-    val path = s"${Tables.scratchDir}/graft-lineitem-summary2-${Tables.datasetTag(d, "lineitem")}"
+    // "2b": the artifact layout gained cnt_part (AVG's true denominator
+    // — COUNT(col), since Average ignores nulls) and a renamed path is
+    // how a schema change invalidates an already-materialized scratch
+    // copy whose key is the SOURCE fingerprint only
+    val path = s"${Tables.scratchDir}/graft-lineitem-summary2b-${Tables.datasetTag(d, "lineitem")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       withRewriteOff(s) {
         Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
-            sum("l_partkey").as("sum_part"))
+            sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
       }
@@ -198,7 +202,7 @@ object Scale {
     register(sourcePathOf(Tables.lineitem(s, d)), Summary(
       SummaryLocation.FixedPath(path), Seq("l_returnflag", "l_linestatus"), Map(
         CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
-        SumCol("l_partkey") -> "sum_part"),
+        SumCol("l_partkey") -> "sum_part", CountCol("l_partkey") -> "cnt_part"),
       freshnessProbe(d, "lineitem")))
     path
   }

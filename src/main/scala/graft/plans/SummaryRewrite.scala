@@ -80,6 +80,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
       case Count(Seq(Literal(1, _))) => Some(CountStar)
+      case Count(Seq(a: AttributeReference)) => Some(CountCol(a.name))
       case s: Sum => s.child match {
         case a: AttributeReference => Some(SumCol(a.name))
         case _ => None
@@ -94,6 +95,45 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+
+  /** The analyzed summary relation for a resolved path — listing and
+    * schema work cached, with three review-driven guards: the cache key
+    * carries the `_SUCCESS` marker's mtime so a summary REBUILT at the
+    * same path (scratch swept mid-JVM, then re-materialized) gets a
+    * fresh listing instead of the pre-sweep file index; the cache is
+    * per-session through a WeakHashMap (a collected session's entries
+    * go with it — `identityHashCode` alone can alias a new session
+    * onto a dead one's relations); and each session's cache is a
+    * 64-entry LRU, so a CurrentPointer store committing new versions
+    * forever (each version = a new resolved path) cannot grow the
+    * cache without bound the way it grows — and GCs — version dirs on
+    * disk.
+    */
+  private def summaryRel(sumPath: String): LogicalPlan = {
+    val stamp = new java.io.File(sumPath, "_SUCCESS").lastModified
+    val cache = relCaches.synchronized {
+      relCaches.computeIfAbsent(spark, _ =>
+        new java.util.LinkedHashMap[(String, Long), LogicalPlan](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, Long), LogicalPlan]): Boolean =
+            size > 64
+        })
+    }
+    val analyzed = cache.synchronized { cache.get((sumPath, stamp)) } match {
+      case null =>
+        val p = spark.read.parquet(sumPath).queryExecution.analyzed
+        cache.synchronized { cache.put((sumPath, stamp), p): Unit }
+        p
+      case p => p
+    }
+    // fresh exprIds per use so two rewrites in one plan (e.g. a
+    // self-join of the same rewritten aggregate) never alias each
+    // other's attributes
+    analyzed.transformUp { case lr: LogicalRelation => lr.newInstance() }
+  }
+
+  private def attrOf(rel: LogicalPlan)(name: String): Option[AttributeReference] =
+    rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || registry.isEmpty) plan
@@ -133,15 +173,8 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(entry: Summary, sumPath: String,
       gAttrs: Seq[AttributeReference],
       resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    // listing/schema once per resolved path; fresh exprIds per use so
-    // two rewrites in one plan (e.g. a self-join of the same rewritten
-    // aggregate) never alias each other's attributes
-    val rel = relCache
-      .computeIfAbsent((System.identityHashCode(spark), sumPath),
-        _ => spark.read.parquet(sumPath).queryExecution.analyzed)
-      .transformUp { case lr: LogicalRelation => lr.newInstance() }
-    def summaryAttr(name: String): Option[AttributeReference] =
-      rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
+    val rel = summaryRel(sumPath)
+    val summaryAttr = attrOf(rel) _
     val gByExprId = gAttrs.map(a => a.exprId -> a).toMap
     val mapped: Seq[Option[NamedExpression]] = resultExprs.map {
       case a: AttributeReference if gByExprId.contains(a.exprId) =>
@@ -150,16 +183,19 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(sa => Alias(sa, a.name)(exprId = a.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
         ae.aggregateFunction match {
-          // AVG over an integral raw column ⇒ the summary's SUM/COUNT
-          // pair divided in double arithmetic — exactly Average's own
-          // evaluate expression for integral inputs
+          // AVG over an integral raw column ⇒ the summary's SUM and
+          // PER-COLUMN COUNT pair divided in double arithmetic —
+          // exactly Average's own evaluate expression for integral
+          // inputs. The denominator must be COUNT(col), not COUNT(*):
+          // Average ignores nulls, so a summary can only answer AVG if
+          // it carries the column's own non-null count.
           case avg: Average if !ae.isDistinct && ae.filter.isEmpty =>
             avg.child match {
               case a: AttributeReference if Seq(ByteType, ShortType,
                   IntegerType, LongType).contains(a.dataType) =>
                 for {
                   sumName <- entry.measures.get(SumCol(a.name))
-                  cntName <- entry.measures.get(CountStar)
+                  cntName <- entry.measures.get(CountCol(a.name))
                   sa <- summaryAttr(sumName)
                   ca <- summaryAttr(cntName)
                   if ae.dataType == DoubleType
@@ -204,12 +240,8 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rollup(entry: Summary, sumPath: String,
       gAttrs: Seq[AttributeReference],
       resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    val rel = relCache
-      .computeIfAbsent((System.identityHashCode(spark), sumPath),
-        _ => spark.read.parquet(sumPath).queryExecution.analyzed)
-      .transformUp { case lr: LogicalRelation => lr.newInstance() }
-    def summaryAttr(name: String): Option[AttributeReference] =
-      rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
+    val rel = summaryRel(sumPath)
+    val summaryAttr = attrOf(rel) _
     val gByExprId = gAttrs.map(a => a.exprId -> a).toMap
     def measureAttr(m: Measure): Option[AttributeReference] =
       entry.measures.get(m).flatMap(summaryAttr)
@@ -229,6 +261,10 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   .map(sa => Count(sa).toAggregateExpression(isDistinct = true))
               case _ => None
             }
+            case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
+              // COUNT(col) rolls up by summing the per-grain non-null
+              // counts the summary carries
+              measureAttr(CountCol(a.name)).map(sa => Sum(sa).toAggregateExpression())
             case s: Sum if !ae.isDistinct => s.child match {
               case a: AttributeReference =>
                 measureAttr(SumCol(a.name)).map(sa => Sum(sa).toAggregateExpression())
@@ -249,7 +285,8 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                   IntegerType, LongType).contains(a.dataType) && ae.dataType == DoubleType =>
                 for {
                   ssum <- measureAttr(SumCol(a.name))
-                  scnt <- measureAttr(CountStar)
+                  // COUNT(col), not COUNT(*): Average ignores nulls
+                  scnt <- measureAttr(CountCol(a.name))
                 } yield Divide(
                   Cast(Sum(ssum).toAggregateExpression(), DoubleType),
                   Cast(Sum(scnt).toAggregateExpression(), DoubleType))
@@ -278,6 +315,8 @@ object SummaryRewrite {
 
   sealed trait Measure
   case object CountStar extends Measure
+  /** COUNT(col) — the column's NON-NULL count; also AVG's denominator. */
+  case class CountCol(name: String) extends Measure
   case class SumCol(name: String) extends Measure
   case class MinCol(name: String) extends Measure
   case class MaxCol(name: String) extends Measure
@@ -334,14 +373,14 @@ object SummaryRewrite {
   private[plans] val registry =
     new java.util.concurrent.ConcurrentHashMap[String, List[Summary]]
 
-  /** (session, resolved path) → analyzed summary relation. Listing and
-    * schema inference happen once per path, not once per qualifying
-    * query plan; exprId freshness is restored per use via
-    * `newInstance`. Keyed by session identity because a relation holds
-    * its session.
+  /** Per-session caches of analyzed summary relations (see
+    * [[SummaryRewrite.summaryRel]] for the key/eviction contract):
+    * WeakHashMap so a collected session drops its relations; inner
+    * 64-entry LRU keyed by (path, `_SUCCESS` mtime).
     */
-  private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), LogicalPlan]
+  private[plans] val relCaches =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[(String, Long), LogicalPlan]]
 
   def register(sourcePath: String, summary: Summary): Unit =
     registry.compute(sourcePath, (_, prev) =>

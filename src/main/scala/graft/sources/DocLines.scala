@@ -436,9 +436,17 @@ class DocLinesBatchWrite(path: String, truncate: Boolean)
   }
 
   private def sweepOwnTemps(dir: java.io.File): Unit =
-    Option(dir.listFiles()).foreach(_.filter(f =>
-      f.getName.startsWith(s".part-$jobTag-") && f.getName.endsWith(".tsv.tmp"))
-      .foreach(_.delete()))
+    Option(dir.listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      val ours = n.startsWith(s".part-$jobTag-") && n.endsWith(".tsv.tmp")
+      // foreign temps are swept only once STALE (1 h): a hard-crashed
+      // job's orphans must not accumulate forever, but a CONCURRENT
+      // job's in-flight temps must never be touched — age is the only
+      // signal that distinguishes the two without coordination
+      val staleForeign = !ours && n.startsWith(".part-") && n.endsWith(".tsv.tmp") &&
+        f.lastModified < System.currentTimeMillis() - 60L * 60 * 1000
+      if (ours || staleForeign) f.delete(): Unit
+    })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)

@@ -588,8 +588,13 @@ object Streams {
           val dest = new java.io.File(dir, f"bucket-$i.parquet")
           java.nio.file.Files.move(part.toPath, dest.toPath)
           // fixed absolute mtimes: deterministic ordering across JVMs
-          // and across rebuilds (60 s apart — far beyond fs granularity)
-          dest.setLastModified(1700000000000L + i * 60000L): Unit
+          // and across rebuilds (60 s apart — far beyond fs
+          // granularity). MUST succeed: batch-i == bucket-i (q245's
+          // oracle contract) rides on the file source's mtime ordering,
+          // so a filesystem that refuses the stamp has to fail the
+          // build loudly, not deliver batches in creation order
+          require(dest.setLastModified(1700000000000L + i * 60000L),
+            s"could not pin mtime of $dest — bucket/batch order would be undefined")
         } finally graft.Tables.deleteRecursively(tmp.toFile)
       }
       java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,

@@ -213,6 +213,84 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("summary rebuilt at the same path invalidates the cached listing") {
+    import SummaryRewrite._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(Tables.scratchDir), "graft-mvrebuild-")
+    try {
+      val srcPath = base.resolve("src").toString
+      Seq((1L, 10L), (2L, 5L)).toDF("user_id", "cents")
+        .repartition(1).write.parquet(srcPath)
+      val sumPath = base.resolve("sum").toString
+      Seq((1L, 111L), (2L, 222L)).toDF("user_id", "n_events")
+        .repartition(1).write.parquet(sumPath)
+      val key = graft.ops.Scale.sourcePathOf(spark.read.parquet(srcPath))
+      register(key, Summary(SummaryLocation.FixedPath(sumPath), Seq("user_id"),
+        Map(CountStar -> "n_events")))
+      SummaryRewrite.install(spark)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      def agg = spark.read.parquet(srcPath).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      def rows = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows === Map(1L -> 111L, 2L -> 222L)) // served + listing cached
+      // scratch swept and REBUILT at the same path with different part
+      // files (the mid-JVM re-materialization scenario): the rule must
+      // re-list, not execute against the deleted pre-sweep files
+      Tables.deleteRecursively(new java.io.File(sumPath))
+      Seq((1L, 333L), (2L, 444L)).toDF("user_id", "n_events")
+        .repartition(1).write.parquet(sumPath)
+      // make the _SUCCESS stamp unambiguously newer than the first build
+      assert(new java.io.File(sumPath, "_SUCCESS")
+        .setLastModified(System.currentTimeMillis() + 5000))
+      assert(rows === Map(1L -> 333L, 2L -> 444L),
+        "cached pre-rebuild listing served after the summary was rebuilt")
+      registry.remove(key): Unit
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      Tables.deleteRecursively(base.toFile)
+    }
+  }
+
+  test("AVG requires the column's own non-null count, never COUNT(*)") {
+    import SummaryRewrite._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(Tables.scratchDir), "graft-mvavg-")
+    try {
+      // g=1 has x values (10, null): AVG(x) = 10.0, not 10/2
+      val srcPath = base.resolve("src").toString
+      Seq((1L, Some(10L)), (1L, None), (2L, Some(4L)))
+        .toDF("g", "x").repartition(1).write.parquet(srcPath)
+      val sumPath = base.resolve("sum").toString
+      spark.read.parquet(srcPath).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+          count(col("x")).as("cnt_x"))
+        .repartition(1).write.parquet(sumPath)
+      val key = graft.ops.Scale.sourcePathOf(spark.read.parquet(srcPath))
+      SummaryRewrite.install(spark)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      def agg = spark.read.parquet(srcPath).groupBy("g")
+        .agg(avg("x").as("avg_x"))
+      // summary WITHOUT the per-column count: AVG must DECLINE (a
+      // CountStar denominator would silently return 5.0 for g=1)
+      register(key, Summary(SummaryLocation.FixedPath(sumPath), Seq("g"),
+        Map(CountStar -> "n", SumCol("x") -> "sum_x")))
+      assert(agg.queryExecution.executedPlan.toString.contains("src"),
+        "AVG must not rewrite without COUNT(col)")
+      // with CountCol registered: rewritten, and NULL-correct
+      register(key, Summary(SummaryLocation.FixedPath(sumPath), Seq("g"),
+        Map(CountStar -> "n", SumCol("x") -> "sum_x", CountCol("x") -> "cnt_x")))
+      assert(!agg.queryExecution.executedPlan.toString.contains("src"))
+      val got = agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === Map(1L -> 10.0, 2L -> 4.0))
+      registry.remove(key): Unit
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      Tables.deleteRecursively(base.toFile)
+    }
+  }
+
   test("non-qualifying shapes are left on the fact table") {
     enable()
     try {
