@@ -305,6 +305,24 @@ object Scale {
         min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
   }
 
+  /** q247: the GLOBAL dashboard aggregate — no GROUP BY at all, the
+    * single most common warehouse query ("how many rows, total, and
+    * average?") — answered by rolling the (flag, status)-grain summary
+    * all the way up: an Aggregate over its handful of rows instead of
+    * a fact-table scan. COUNT measures coalesce to 0 so an empty fact
+    * table answers 0, exactly as the fact scan would (spec-pinned on a
+    * synthetic empty table).
+    */
+  def summaryGlobal(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummary2(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+      avg("l_partkey").as("avg_part"),
+      countDistinct(col("l_linestatus")).as("n_status"))
+  }
+
   /** q246: grain ROLL-UP through the rewrite — the query groups by
     * l_returnflag only, which no flag-grain summary can answer (the
     * measures include AVG(l_partkey) and COUNT(DISTINCT l_linestatus),
@@ -555,6 +573,7 @@ object Scale {
     "q241_summary_rewrite_multi" -> (summaryAggregateAvg(_, _)),
     "q242_summary_incremental" -> (summaryAggregateIncremental(_, _)),
     "q246_summary_rollup" -> (summaryRollup(_, _)),
+    "q247_summary_global" -> (summaryGlobal(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -580,6 +599,12 @@ object Scale {
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q247_summary_global" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem""".stripMargin,
     // roll-up recomputed from the fact table: exact-integer AVG
     // division as in q241; countDistinct is BIGINT on both sides
     "q246_summary_rollup" ->

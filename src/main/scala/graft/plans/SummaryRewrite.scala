@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -139,8 +139,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled || registry.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(groupings, resultExprs, child, _)
-          if groupings.nonEmpty &&
-            groupings.forall(_.isInstanceOf[AttributeReference]) =>
+          if groupings.forall(_.isInstanceOf[AttributeReference]) =>
         val gAttrs = groupings.map(_.asInstanceOf[AttributeReference])
         val gNames = gAttrs.map(_.name).toSet
         (for {
@@ -149,11 +148,13 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           live = entries.filter(_.stillFresh()) // stale ⇒ never served
           rewritten <- {
             // exact grain first: measures map column-for-column. Then
-            // ROLL-UP: a grouping that is a strict subset of a grain
-            // re-aggregates the |grain|-row summary (sum of counts,
-            // sum of sums, min of mins, max of maxs — algebraic, so
-            // re-aggregation is exact) — still summary-sized work vs
-            // a fact scan. Smallest qualifying grain wins.
+            // ROLL-UP: a grouping that is a strict subset of a grain —
+            // INCLUDING the empty grouping, i.e. a global dashboard
+            // aggregate — re-aggregates the |grain|-row summary (sum
+            // of counts, sum of sums, min of mins, max of maxs —
+            // algebraic, so re-aggregation is exact) — still
+            // summary-sized work vs a fact scan. Smallest qualifying
+            // grain wins.
             val direct = live.find(_.groupCols.toSet == gNames)
               .flatMap(e => e.location.resolve()
                 .flatMap(p => rewrite(e, p, gAttrs, resultExprs)))
@@ -254,7 +255,13 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val replacement: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
           ae.aggregateFunction match {
             case Count(Seq(Literal(1, _))) if !ae.isDistinct =>
-              measureAttr(CountStar).map(sa => Sum(sa).toAggregateExpression())
+              // coalesce for the GLOBAL (empty-grouping) roll-up over
+              // an empty summary: COUNT over an empty fact table is 0,
+              // but SUM over the empty summary is NULL. Grouped
+              // roll-ups never hit the null (their groups exist);
+              // globals must
+              measureAttr(CountStar).map(sa => Coalesce(Seq(
+                Sum(sa).toAggregateExpression(), Literal(0L))))
             case c: Count if ae.isDistinct => c.children match {
               case Seq(a: AttributeReference) if entry.groupCols.contains(a.name) =>
                 summaryAttr(a.name).filter(_.dataType == a.dataType)
@@ -263,8 +270,10 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             case Count(Seq(a: AttributeReference)) if !ae.isDistinct =>
               // COUNT(col) rolls up by summing the per-grain non-null
-              // counts the summary carries
-              measureAttr(CountCol(a.name)).map(sa => Sum(sa).toAggregateExpression())
+              // counts the summary carries (coalesced for the global-
+              // over-empty case, as above)
+              measureAttr(CountCol(a.name)).map(sa => Coalesce(Seq(
+                Sum(sa).toAggregateExpression(), Literal(0L))))
             case s: Sum if !ae.isDistinct => s.child match {
               case a: AttributeReference =>
                 measureAttr(SumCol(a.name)).map(sa => Sum(sa).toAggregateExpression())

@@ -213,6 +213,54 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("global (no GROUP BY) aggregate rolls up; empty table answers 0") {
+    import SummaryRewrite._
+    import spark.implicits._
+    graft.ops.Scale.ensureLineitemSummary2(spark, sf): Unit
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def global = Tables.lineitem(spark, sf).agg(
+        count(lit(1)).as("n"), sum("l_orderkey").as("ks"),
+        avg("l_partkey").as("ap"),
+        countDistinct(col("l_linestatus")).as("ns"))
+      val plan = global.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-lineitem-summary2"), plan.take(1500))
+      assert(!plan.contains("lineitem.parquet"))
+      val on = global.collect().map(_.toString).toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = global.collect().map(_.toString).toSeq
+      assert(on === off)
+      // EMPTY fact table: a global COUNT over it is 0 (one row), and
+      // the roll-up over its empty summary must say the same — the
+      // coalesce in the Count roll-up is what prevents NULL here
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(Tables.scratchDir), "graft-mvempty-")
+      try {
+        val srcPath = base.resolve("src").toString
+        Seq.empty[(Long, Long)].toDF("g", "x")
+          .repartition(1).write.parquet(srcPath)
+        val sumPath = base.resolve("sum").toString
+        spark.read.parquet(srcPath).groupBy("g")
+          .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+            count(col("x")).as("cnt_x"))
+          .repartition(1).write.parquet(sumPath)
+        val key = graft.ops.Scale.sourcePathOf(spark.read.parquet(srcPath))
+        register(key, Summary(SummaryLocation.FixedPath(sumPath), Seq("g"),
+          Map(CountStar -> "n", SumCol("x") -> "sum_x", CountCol("x") -> "cnt_x")))
+        def emptyGlobal = spark.read.parquet(srcPath)
+          .agg(count(lit(1)).as("n"), count(col("x")).as("nn"),
+            sum("x").as("sx"), avg("x").as("ax"))
+        assert(!emptyGlobal.queryExecution.executedPlan.toString.contains("src"))
+        val row = emptyGlobal.collect()(0)
+        assert(row.getLong(0) === 0L && row.getLong(1) === 0L)
+        assert(row.isNullAt(2) && row.isNullAt(3)) // SUM/AVG over empty: NULL, like the fact scan
+        registry.remove(key): Unit
+      } finally Tables.deleteRecursively(base.toFile)
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
