@@ -323,6 +323,25 @@ object Scale {
       countDistinct(col("l_linestatus")).as("n_status"))
   }
 
+  /** q248: a FILTERED aggregate through the rewrite — WHERE on a grain
+    * column (l_returnflag = 'R') with a grouping on the other grain
+    * column. The predicate keeps or drops whole (flag, status) groups,
+    * so the rule replays it over the summary rows and rolls up what
+    * survives: filter + aggregate over a handful of summary rows, fact
+    * table untouched. A predicate on a NON-grain column (l_quantity)
+    * still declines — pinned in SummaryRewriteSpec.
+    */
+  def summaryFiltered(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummary2(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"))
+  }
+
   /** q246: grain ROLL-UP through the rewrite — the query groups by
     * l_returnflag only, which no flag-grain summary can answer (the
     * measures include AVG(l_partkey) and COUNT(DISTINCT l_linestatus),
@@ -574,6 +593,7 @@ object Scale {
     "q242_summary_incremental" -> (summaryAggregateIncremental(_, _)),
     "q246_summary_rollup" -> (summaryRollup(_, _)),
     "q247_summary_global" -> (summaryGlobal(_, _)),
+    "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -599,6 +619,11 @@ object Scale {
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q248_summary_filtered" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin,
     "q247_summary_global" ->
       """SELECT count(*) AS n,
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Divide, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *    pitfalls. Groupings may be MULTI-column; a grouping that equals
   *    the grain maps column-for-column, and a grouping that is a
   *    STRICT SUBSET of a grain rolls the summary up (re-aggregation of
-  *    algebraic measures over the grain partition — see [[rollup]]);
+  *    algebraic measures over the grain partition — see [[rollup]]).
+  *    A WHERE clause qualifies iff it is deterministic, subquery-free,
+  *    and references GRAIN columns only — such a predicate keeps or
+  *    drops whole grain groups, so replaying it over the summary rows
+  *    is exact; any other predicate declines the rewrite;
   *  - supported measures are COUNT(*), SUM/MIN/MAX of a raw column
   *    (no DISTINCT, no FILTER clauses — anything else disqualifies the
   *    whole aggregate and the fact scan runs as written), and AVG of
@@ -62,19 +66,27 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.getOption(EnabledKey).contains("true")
 
-  /** The single file-relation root under attribute-only projections, if
-    * the subtree is exactly that shape.
+  /** The single file-relation root under attribute-only projections and
+    * Filters, plus the filter conditions collected on the way down, if
+    * the subtree is exactly that shape. A predicate COMMUTES with the
+    * grain partition iff it references only grain columns (it then
+    * keeps or drops whole grain groups), so the caller checks the
+    * collected conditions' columns against the candidate grain and
+    * replays them over the summary rows.
     */
-  private def sourceOf(plan: LogicalPlan): Option[String] = plan match {
-    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) => sourceOf(c)
-    case r: LogicalRelation =>
-      r.relation match {
-        case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-          Some(fs.location.rootPaths.head.toString)
-        case _ => None
-      }
-    case _ => None
-  }
+  private def sourceOf(plan: LogicalPlan)
+      : Option[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
+    plan match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) => sourceOf(c)
+      case Filter(cond, c) => sourceOf(c).map { case (s, cs) => (s, cond +: cs) }
+      case r: LogicalRelation =>
+        r.relation match {
+          case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+            Some((fs.location.rootPaths.head.toString, Nil))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def measureOf(ae: AggregateExpression): Option[Measure] =
     if (ae.isDistinct || ae.filter.isDefined) None
@@ -143,7 +155,12 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val gAttrs = groupings.map(_.asInstanceOf[AttributeReference])
         val gNames = gAttrs.map(_.name).toSet
         (for {
-          src <- sourceOf(child)
+          (src, conds) <- sourceOf(child)
+          // predicates qualify only when deterministic, subquery-free,
+          // and over grain columns exclusively (checked per entry)
+          if conds.forall(c => c.deterministic &&
+            c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty)
+          predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
           entries <- Option(registry.get(src))
           live = entries.filter(_.stillFresh()) // stale ⇒ never served
           rewritten <- {
@@ -154,28 +171,68 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             // of counts, sum of sums, min of mins, max of maxs —
             // algebraic, so re-aggregation is exact) — still
             // summary-sized work vs a fact scan. Smallest qualifying
-            // grain wins.
-            val direct = live.find(_.groupCols.toSet == gNames)
+            // grain wins. Collected grain-column predicates replay
+            // over the summary rows in either mode.
+            def qualifies(e: Summary) = predCols.subsetOf(e.groupCols.toSet)
+            val direct = live.find(e => e.groupCols.toSet == gNames && qualifies(e))
               .flatMap(e => e.location.resolve()
-                .flatMap(p => rewrite(e, p, gAttrs, resultExprs)))
+                .flatMap(p => rewrite(e, p, gAttrs, resultExprs, conds)))
             direct.orElse {
               live.filter(e => gNames.subsetOf(e.groupCols.toSet) &&
-                  e.groupCols.toSet != gNames)
+                  e.groupCols.toSet != gNames && qualifies(e))
                 .sortBy(_.groupCols.size)
                 .view
                 .flatMap(e => e.location.resolve()
-                  .flatMap(p => rollup(e, p, gAttrs, resultExprs)))
+                  .flatMap(p => rollup(e, p, gAttrs, resultExprs, conds)))
                 .headOption
             }
           }
         } yield rewritten).getOrElse(agg)
     }
 
+  /** Remap a fact-side predicate onto the summary's attributes (by
+    * name, with type equality), declining if any referenced column is
+    * missing from the summary schema.
+    */
+  private def remapCond(summaryAttr: String => Option[AttributeReference])(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    var ok = true
+    val out = cond.transform {
+      case a: AttributeReference =>
+        summaryAttr(a.name).filter(_.dataType == a.dataType) match {
+          case Some(sa) => sa
+          case None => ok = false; a
+        }
+    }
+    if (ok) Some(out) else None
+  }
+
+  /** The summary relation with the query's grain predicates replayed
+    * over its rows — the base both rewrite modes build on.
+    */
+  private def filteredRel(rel: LogicalPlan,
+      summaryAttr: String => Option[AttributeReference],
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[LogicalPlan] =
+    if (conds.isEmpty) Some(rel)
+    else {
+      val remapped = conds.map(remapCond(summaryAttr))
+      if (remapped.forall(_.isDefined))
+        Some(Filter(remapped.map(_.get).reduce(
+          org.apache.spark.sql.catalyst.expressions.And), rel))
+      else None
+    }
+
   private def rewrite(entry: Summary, sumPath: String,
       gAttrs: Seq[AttributeReference],
-      resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    val rel = summaryRel(sumPath)
-    val summaryAttr = attrOf(rel) _
+      resultExprs: Seq[NamedExpression],
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[LogicalPlan] = {
+    val rel0 = summaryRel(sumPath)
+    val summaryAttr = attrOf(rel0) _
+    val relOpt = filteredRel(rel0, summaryAttr, conds)
+    if (relOpt.isEmpty) return None
+    val rel = relOpt.get
     val gByExprId = gAttrs.map(a => a.exprId -> a).toMap
     val mapped: Seq[Option[NamedExpression]] = resultExprs.map {
       case a: AttributeReference if gByExprId.contains(a.exprId) =>
@@ -240,9 +297,13 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def rollup(entry: Summary, sumPath: String,
       gAttrs: Seq[AttributeReference],
-      resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    val rel = summaryRel(sumPath)
-    val summaryAttr = attrOf(rel) _
+      resultExprs: Seq[NamedExpression],
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[LogicalPlan] = {
+    val rel0 = summaryRel(sumPath)
+    val summaryAttr = attrOf(rel0) _
+    val relOpt = filteredRel(rel0, summaryAttr, conds)
+    if (relOpt.isEmpty) return None
+    val rel = relOpt.get
     val gByExprId = gAttrs.map(a => a.exprId -> a).toMap
     def measureAttr(m: Measure): Option[AttributeReference] =
       entry.measures.get(m).flatMap(summaryAttr)

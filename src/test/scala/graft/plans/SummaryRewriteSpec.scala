@@ -261,6 +261,45 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("grain-column WHERE replays over the summary; non-grain WHERE declines") {
+    graft.ops.Scale.ensureLineitemSummary2(spark, sf): Unit
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def filtered = Tables.lineitem(spark, sf)
+        .where(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("ks"),
+          avg("l_partkey").as("ap"))
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-lineitem-summary2"), plan.take(1500))
+      assert(!plan.contains("lineitem.parquet"))
+      val on = filtered.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = filtered.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // grain-predicate + EXACT-grain grouping (direct mode) works too
+      val direct = Tables.lineitem(spark, sf)
+        .where(col("l_linestatus") === "F")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!direct.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      // a predicate on a NON-grain column cannot commute with the grain
+      val nonGrain = Tables.lineitem(spark, sf)
+        .where(col("l_quantity") > 10)
+        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+      assert(nonGrain.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      // a non-deterministic predicate declines even when its column
+      // references are grain-only (uuid() survives optimization, where
+      // a tautological rand() comparison gets folded away upstream)
+      val nonDet = Tables.lineitem(spark, sf)
+        .where(col("l_returnflag") === "R" && expr("uuid() != 'nope'"))
+        .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+      assert(nonDet.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
