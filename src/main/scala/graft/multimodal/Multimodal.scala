@@ -233,11 +233,102 @@ object Multimodal {
       .distinct()
   }
 
+  /** Full 64-byte frames with their content-class keeper key — the
+    * shared prepass of the frame-evidence operators (q243, q249).
+    */
+  private def frameClasses(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val fb = StubCodec.FrameBytes
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("frame_id",
+        explode(sequence(lit(0), (length(col("text")) / fb).cast("int"))))
+      .select(col("media_id"), col("frame_id"),
+        expr(s"substring(text, frame_id * $fb + 1, $fb)").as("frame"))
+      .where(length(col("frame")) === fb)
+    val classes = frames.groupBy("frame")
+      .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
+    (frames, classes)
+  }
+
+  /** q249: MEDIA-level near-dup detection — the decision product the
+    * frame evidence exists for: which media PAIRS share enough
+    * (exactly-equal or perceptually-near) frame content to be
+    * duplicate candidates. Evidence relation = q243's verified
+    * near-dup content pairs, symmetrized, plus the identity pair per
+    * content class (two media sharing an exact frame). Score(A,B) =
+    * number of distinct evidence content-pairs with one side occurring
+    * in A and the other in B; pairs scoring ≥ 2 surface (a single
+    * shared frame is weak evidence — intros, boilerplate). All
+    * equi-joins over content-class keys; occurrence lists are
+    * per-media frame-class sets (distinct), so heavy exact-dup groups
+    * collapse before the join. Fully oracle-recomputable like q243.
+    */
+  def mediaNearDup: Q = (s, d) => {
+    val (frames, classes) = frameClasses(s, d)
+    val occ = frames.join(classes, "frame")
+      .select(col("media_id"), col("keeper")).distinct()
+    val pairs = frameNearDup(s, d)
+    val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
+      .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
+      .unionAll(classes.select(col("keeper").as("ka"), col("keeper").as("kb")))
+    occ.select(col("media_id").as("media_a"), col("keeper").as("ka"))
+      .join(sym, "ka")
+      .join(occ.select(col("media_id").as("media_b"), col("keeper").as("kb")),
+        Seq("kb"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        concat_ws(":", least(col("ka"), col("kb")),
+          greatest(col("ka"), col("kb"))).as("cp"))
+      .groupBy("media_a", "media_b")
+      .agg(countDistinct(col("cp")).as("shared"))
+      .where(col("shared") >= 2)
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_blob_meta" -> blobMeta,
     "q48_frame_sample" -> frameSample,
     "q148_frame_dedup" -> frameDedup,
-    "q243_frame_near_dup" -> frameNearDup)
+    "q243_frame_near_dup" -> frameNearDup,
+    "q249_media_near_dup" -> mediaNearDup)
+
+  /** q243's relational replay, shared verbatim by q249's oracle. */
+  private val frameNearDupSql: String =
+    """WITH fr AS (
+      |  SELECT media_id, frame_id,
+      |    substr(text, frame_id * 64 + 1, 64) AS frame
+      |  FROM (SELECT doc_id AS media_id, text,
+      |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
+      |        FROM documents)
+      |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
+      |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
+      |      FROM fr GROUP BY frame),
+      |w AS (SELECT keeper,
+      |  list_transform(range(1, 62), i ->
+      |    ((CAST(ascii(substr(frame, i, 1)) AS BIGINT) * 131
+      |      + ascii(substr(frame, i + 1, 1))) * 131
+      |      + ascii(substr(frame, i + 2, 1))) * 131
+      |      + ascii(substr(frame, i + 3, 1))) AS ws
+      |  FROM d),
+      |sg AS (SELECT keeper,
+      |  list_sum(list_transform(range(0, 31), j ->
+      |    CASE WHEN list_sum(list_transform(ws, x ->
+      |      CASE WHEN (((x * 2654435761) >> (29 + CAST(j AS INT))) & 1) = 1
+      |        THEN 1 ELSE -1 END)) >= 0
+      |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))
+      |  + list_sum(list_transform(range(0, 31), j ->
+      |    CASE WHEN list_sum(list_transform(ws, x ->
+      |      CASE WHEN (((x * 2246822519) >> (29 + CAST(j AS INT))) & 1) = 1
+      |        THEN 1 ELSE -1 END)) >= 0
+      |    THEN (CAST(1 AS BIGINT) << (31 + CAST(j AS INT))) ELSE 0 END))
+      |  AS sig
+      |  FROM w),
+      |b AS (SELECT keeper, sig, k, (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
+      |      FROM (SELECT keeper, sig, unnest(range(0, 4)) AS k FROM sg))
+      |SELECT DISTINCT a.keeper AS keeper_a, b2.keeper AS keeper_b,
+      |  CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+      |FROM b a JOIN b b2
+      |  ON a.k = b2.k AND a.bv = b2.bv AND a.keeper < b2.keeper
+      |WHERE bit_count(xor(a.sig, b2.sig)) <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q47_blob_meta" ->
@@ -253,8 +344,13 @@ object Multimodal {
     // the full near-dup pipeline replayed relationally: same windows,
     // same multiplicative-hash SimHash, same 4x15-bit pigeonhole bands,
     // same exact Hamming verify — bit-for-bit the pairs Spark emits
-    "q243_frame_near_dup" ->
-      """WITH fr AS (
+    "q243_frame_near_dup" -> frameNearDupSql,
+    // frame evidence rolled up to MEDIA pairs: q243's pairs (symmetrized)
+    // plus identity per content class, joined through per-media distinct
+    // frame-class occurrence sets, scored by distinct evidence pairs
+    "q249_media_near_dup" ->
+      (s"""WITH pairs AS ($frameNearDupSql),
+        |fr AS (
         |  SELECT media_id, frame_id,
         |    substr(text, frame_id * 64 + 1, 64) AS frame
         |  FROM (SELECT doc_id AS media_id, text,
@@ -263,33 +359,21 @@ object Multimodal {
         |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
         |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
         |      FROM fr GROUP BY frame),
-        |w AS (SELECT keeper,
-        |  list_transform(range(1, 62), i ->
-        |    ((CAST(ascii(substr(frame, i, 1)) AS BIGINT) * 131
-        |      + ascii(substr(frame, i + 1, 1))) * 131
-        |      + ascii(substr(frame, i + 2, 1))) * 131
-        |      + ascii(substr(frame, i + 3, 1))) AS ws
-        |  FROM d),
-        |sg AS (SELECT keeper,
-        |  list_sum(list_transform(range(0, 31), j ->
-        |    CASE WHEN list_sum(list_transform(ws, x ->
-        |      CASE WHEN (((x * 2654435761) >> (29 + CAST(j AS INT))) & 1) = 1
-        |        THEN 1 ELSE -1 END)) >= 0
-        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))
-        |  + list_sum(list_transform(range(0, 31), j ->
-        |    CASE WHEN list_sum(list_transform(ws, x ->
-        |      CASE WHEN (((x * 2246822519) >> (29 + CAST(j AS INT))) & 1) = 1
-        |        THEN 1 ELSE -1 END)) >= 0
-        |    THEN (CAST(1 AS BIGINT) << (31 + CAST(j AS INT))) ELSE 0 END))
-        |  AS sig
-        |  FROM w),
-        |b AS (SELECT keeper, sig, k, (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
-        |      FROM (SELECT keeper, sig, unnest(range(0, 4)) AS k FROM sg))
-        |SELECT DISTINCT a.keeper AS keeper_a, b2.keeper AS keeper_b,
-        |  CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
-        |FROM b a JOIN b b2
-        |  ON a.k = b2.k AND a.bv = b2.bv AND a.keeper < b2.keeper
-        |WHERE bit_count(xor(a.sig, b2.sig)) <= 3""".stripMargin,
+        |occ AS (SELECT DISTINCT f.media_id, d.keeper
+        |        FROM fr f JOIN d ON f.frame = d.frame),
+        |sym AS (
+        |  SELECT keeper_a AS ka, keeper_b AS kb FROM pairs
+        |  UNION ALL SELECT keeper_b, keeper_a FROM pairs
+        |  UNION ALL SELECT keeper, keeper FROM d),
+        |sc AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    least(s.ka, s.kb) AS c1, greatest(s.ka, s.kb) AS c2
+        |  FROM occ a JOIN sym s ON a.keeper = s.ka
+        |  JOIN occ b ON b.keeper = s.kb AND a.media_id < b.media_id)
+        |SELECT media_a, media_b,
+        |  CAST(count(DISTINCT CAST(c1 AS VARCHAR) || ':' || CAST(c2 AS VARCHAR))
+        |    AS BIGINT) AS shared
+        |FROM sc GROUP BY 1, 2 HAVING shared >= 2""".stripMargin),
     // q48's frame stream, aggregated per content hash
     "q148_frame_dedup" ->
       """WITH f AS (

@@ -74,4 +74,49 @@ class MultimodalSpec extends SparkSpec {
       math.max(sigs(i)._1, sigs(j)._1), h)).toSet
     assert(got === brute)
   }
+
+  test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
+    import org.apache.spark.sql.functions._
+    val res = Multimodal.mediaNearDup(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // local ground truth: contents per media, near/exact evidence pairs,
+    // score = distinct unordered evidence content-pairs spanning the two
+    val fb = Multimodal.StubCodec.FrameBytes
+    val occRows = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        (0 until text.length / fb).map(k =>
+          (text.substring(k * fb, (k + 1) * fb), id, id * 100000L + k))
+      }
+    val keeperOf = occRows.groupBy(_._1).map { case (f, ks) =>
+      f -> ks.map(_._3).min }
+    val contentsByMedia = occRows.groupBy(_._2).map { case (m, rs) =>
+      m -> rs.map(r => keeperOf(r._1)).toSet }
+    val sigOf = occRows.groupBy(r => keeperOf(r._1)).map { case (k, rs) =>
+      k -> Multimodal.frameSignature(rs.head._1) }
+    val ks = sigOf.keys.toArray.sorted
+    val near = (for {
+      i <- ks.indices.iterator
+      j <- (i + 1) until ks.length
+      if java.lang.Long.bitCount(sigOf(ks(i)) ^ sigOf(ks(j))) <= 3
+    } yield (ks(i), ks(j))).toSet
+    val medias = contentsByMedia.keys.toSeq.sorted
+    val expected = (for {
+      i <- medias.indices.iterator
+      j <- (i + 1) until medias.length
+      (a, b) = (medias(i), medias(j))
+      ca = contentsByMedia(a); cb = contentsByMedia(b)
+      evidence = ca.intersect(cb).map(k => (k, k)) ++
+        near.filter { case (x, y) =>
+          (ca(x) && cb(y)) || (ca(y) && cb(x)) }
+      if evidence.size >= 2
+    } yield (a, b) -> evidence.size.toLong).toMap
+    assert(got === expected)
+  }
 }
