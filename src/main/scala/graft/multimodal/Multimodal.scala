@@ -205,17 +205,8 @@ object Multimodal {
     */
   def frameNearDup: Q = (s, d) => {
     import s.implicits._
-    val fb = StubCodec.FrameBytes
-    val frames = Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"), col("text"))
-      .withColumn("frame_id",
-        explode(sequence(lit(0), (length(col("text")) / fb).cast("int"))))
-      .select(col("media_id"), col("frame_id"),
-        expr(s"substring(text, frame_id * $fb + 1, $fb)").as("frame"))
-      .where(length(col("frame")) === fb)
-      .groupBy("frame")
-      .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
-    val sigs = frames.select(col("keeper"), col("frame")).as[(Long, String)]
+    val (_, classes) = frameClasses(s, d)
+    val sigs = classes.select(col("keeper"), col("frame")).as[(Long, String)]
       .mapPartitions(_.map { case (k, f) => (k, frameSignature(f)) })
       .toDF("keeper", "sig")
     val bands = sigs.select(col("keeper"), col("sig"),

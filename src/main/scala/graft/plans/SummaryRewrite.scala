@@ -109,34 +109,50 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** The analyzed summary relation for a resolved path — listing and
-    * schema work cached, with three review-driven guards: the cache key
-    * carries the `_SUCCESS` marker's mtime so a summary REBUILT at the
-    * same path (scratch swept mid-JVM, then re-materialized) gets a
-    * fresh listing instead of the pre-sweep file index; the cache is
-    * per-session through a WeakHashMap (a collected session's entries
-    * go with it — `identityHashCode` alone can alias a new session
-    * onto a dead one's relations); and each session's cache is a
-    * 64-entry LRU, so a CurrentPointer store committing new versions
-    * forever (each version = a new resolved path) cannot grow the
-    * cache without bound the way it grows — and GCs — version dirs on
-    * disk.
+    * schema work cached, with three review-driven guards:
+    *  - the cache key carries a LISTING FINGERPRINT of the summary dir
+    *    (per-file name/length/mtime — one cheap listFiles), so a
+    *    summary REBUILT at the same path (scratch swept mid-JVM, then
+    *    re-materialized) gets a fresh listing instead of the pre-sweep
+    *    file index, even on filesystems whose mtime granularity is
+    *    coarser than the sweep-and-rebuild window;
+    *  - the cache is per-session through a WeakHashMap, and the cached
+    *    plans are held through SoftReferences: an analyzed relation
+    *    strongly references its own session, so holding it strongly
+    *    would pin the WeakHashMap key forever (the javadoc'd
+    *    value-references-key trap) — soft values let the collector
+    *    clear a discarded session's plans under memory pressure, after
+    *    which the key itself is reclaimable; a cleared live entry just
+    *    re-reads (a miss, never a correctness event);
+    *  - each session's cache is a 64-entry LRU, so a CurrentPointer
+    *    store committing new versions forever (each version = a new
+    *    resolved path) cannot grow the cache without bound the way it
+    *    grows — and GCs — version dirs on disk.
     */
   private def summaryRel(sumPath: String): LogicalPlan = {
-    val stamp = new java.io.File(sumPath, "_SUCCESS").lastModified
+    val stamp = {
+      val fs = Option(new java.io.File(sumPath).listFiles()).toSeq.flatten
+      fs.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode.toLong
+    }
     val cache = relCaches.synchronized {
       relCaches.computeIfAbsent(spark, _ =>
-        new java.util.LinkedHashMap[(String, Long), LogicalPlan](16, 0.75f, true) {
+        new java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[LogicalPlan]](
+          16, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[(String, Long), LogicalPlan]): Boolean =
-            size > 64
+              e: java.util.Map.Entry[(String, Long), java.lang.ref.SoftReference[LogicalPlan]])
+              : Boolean = size > 64
         })
     }
-    val analyzed = cache.synchronized { cache.get((sumPath, stamp)) } match {
-      case null =>
-        val p = spark.read.parquet(sumPath).queryExecution.analyzed
-        cache.synchronized { cache.put((sumPath, stamp), p): Unit }
-        p
-      case p => p
+    val key = (sumPath, stamp)
+    val cached = cache.synchronized { Option(cache.get(key)).flatMap(r => Option(r.get)) }
+    val analyzed = cached.getOrElse {
+      val p = spark.read.parquet(sumPath).queryExecution.analyzed
+      cache.synchronized {
+        cache.put(key, new java.lang.ref.SoftReference(p)): Unit
+      }
+      p
     }
     // fresh exprIds per use so two rewrites in one plan (e.g. a
     // self-join of the same rewritten aggregate) never alias each
@@ -444,13 +460,15 @@ object SummaryRewrite {
     new java.util.concurrent.ConcurrentHashMap[String, List[Summary]]
 
   /** Per-session caches of analyzed summary relations (see
-    * [[SummaryRewrite.summaryRel]] for the key/eviction contract):
-    * WeakHashMap so a collected session drops its relations; inner
-    * 64-entry LRU keyed by (path, `_SUCCESS` mtime).
+    * [[SummaryRewrite.summaryRel]] for the key/eviction/soft-value
+    * contract): WeakHashMap so a collected session drops its
+    * relations; inner 64-entry LRU keyed by (path, dir-listing
+    * fingerprint), values soft so they never strongly pin the session
+    * key.
     */
   private[plans] val relCaches =
     new java.util.WeakHashMap[SparkSession,
-      java.util.LinkedHashMap[(String, Long), LogicalPlan]]
+      java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[LogicalPlan]]]
 
   def register(sourcePath: String, summary: Summary): Unit =
     registry.compute(sourcePath, (_, prev) =>

@@ -435,18 +435,16 @@ class DocLinesBatchWrite(path: String, truncate: Boolean)
     new DocLinesWriterFactory(path, jobTag)
   }
 
+  // STRICTLY this job's temps: age alone cannot distinguish a crashed
+  // job's orphan from a live-but-slow writer (a >1 h straggler task is
+  // routine on a busy cluster), so commit/abort never touch foreign
+  // temps — orphans from hard-crashed jobs are reclaimed by the
+  // explicit [[DocLinesMaintenance.vacuumTemps]] pass an operator runs
+  // when no writers are active, like every table format's vacuum
   private def sweepOwnTemps(dir: java.io.File): Unit =
-    Option(dir.listFiles()).foreach(_.foreach { f =>
-      val n = f.getName
-      val ours = n.startsWith(s".part-$jobTag-") && n.endsWith(".tsv.tmp")
-      // foreign temps are swept only once STALE (1 h): a hard-crashed
-      // job's orphans must not accumulate forever, but a CONCURRENT
-      // job's in-flight temps must never be touched — age is the only
-      // signal that distinguishes the two without coordination
-      val staleForeign = !ours && n.startsWith(".part-") && n.endsWith(".tsv.tmp") &&
-        f.lastModified < System.currentTimeMillis() - 60L * 60 * 1000
-      if (ours || staleForeign) f.delete(): Unit
-    })
+    Option(dir.listFiles()).foreach(_.filter(f =>
+      f.getName.startsWith(s".part-$jobTag-") && f.getName.endsWith(".tsv.tmp"))
+      .foreach(_.delete()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -523,4 +521,26 @@ class DocLinesWriter(path: String, jobTag: String, partitionId: Int, taskId: Lon
   }
 
   override def close(): Unit = ()
+}
+
+/** Out-of-band maintenance for doclines tables — the operations that
+  * need "no writers active" as a precondition and therefore cannot
+  * live inside any single job's commit path.
+  */
+object DocLinesMaintenance {
+  /** Reclaim orphaned temp files left by hard-crashed jobs (a JVM that
+    * died before its commit/abort ran). Deletes `.part-*.tsv.tmp`
+    * entries older than `olderThanMs`, regardless of job tag — which
+    * is exactly why this is NOT called from commit/abort: age cannot
+    * distinguish a crashed job's orphan from a live slow writer, so
+    * the caller asserts quiescence (same contract as every table
+    * format's vacuum). Returns the number of files removed.
+    */
+  def vacuumTemps(path: String, olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(".part-") &&
+        f.getName.endsWith(".tsv.tmp") && f.lastModified < cutoff)
+      .count(_.delete())
+  }
 }

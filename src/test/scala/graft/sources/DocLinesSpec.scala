@@ -167,6 +167,21 @@ class DocLinesSpec extends SparkSpec {
     assert(!dir.listFiles().map(_.getName).exists(_.endsWith(".tmp")))
   }
 
+  test("vacuumTemps reclaims only stale orphan temps, never data or fresh temps") {
+    val dir = tmpDir("doclines-vac-")
+    def put(name: String, ageMs: Long = 0): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, Array[Byte](1))
+      if (ageMs > 0) assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+      f
+    }
+    val fresh = put(".part-aaaa-0-1.tsv.tmp") // live writer's in-flight temp
+    val stale = put(".part-bbbb-0-2.tsv.tmp", 2L * 60 * 60 * 1000) // crashed job's orphan
+    val data = put("part-cccc-00000.tsv", 2L * 60 * 60 * 1000) // committed data, old
+    assert(DocLinesMaintenance.vacuumTemps(dir.toString) === 1)
+    assert(fresh.exists && !stale.exists && data.exists)
+  }
+
   test("count(*) and limit push into the reader; filtered paths stay exact") {
     val path = graft.ops.ExtraQueries.docsTsv(spark, sf)
     def read = spark.read.format("graft.sources.DocLinesSource")
