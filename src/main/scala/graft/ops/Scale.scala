@@ -323,6 +323,56 @@ object Scale {
       countDistinct(col("l_linestatus")).as("n_status"))
   }
 
+  /** One-time, idempotent materialization + registration of the
+    * JOIN-MV: customer ⋈ orders on the custkey equi-pair, aggregated
+    * to the market-segment grain. The registry keys on BOTH resolved
+    * source paths plus the key pair, so only that exact join
+    * qualifies; freshness covers both tables' fingerprints.
+    */
+  def ensureSegmentOrdersSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val path =
+      s"${Tables.scratchDir}/graft-seg-orders-summary-${Tables.datasetTag(d, "customer", "orders")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.customer(s, d).join(Tables.orders(s, d),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+            sum("o_custkey").as("sum_cust"), count(col("o_custkey")).as("cnt_cust"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
+      }
+    import graft.plans.SummaryRewrite._
+    registerJoin(sourcePathOf(Tables.customer(s, d)),
+      sourcePathOf(Tables.orders(s, d)),
+      JoinSummary("c_custkey", "o_custkey",
+        SummaryLocation.FixedPath(path), Seq("c_mktsegment"), Map(
+          CountStar -> "n", SumCol("o_orderkey") -> "key_checksum",
+          SumCol("o_custkey") -> "sum_cust", CountCol("o_custkey") -> "cnt_cust"),
+        freshnessProbe(d, "customer", "orders")))
+    path
+  }
+
+  /** q250: the JOIN-MV rewrite — an aggregate over the customer ⋈
+    * orders inner equi-join answered from the registered
+    * segment-grain join summary: the rewritten plan scans the
+    * |segments|-row summary, joining and scanning NEITHER source
+    * table (plan pinned in SummaryRewriteSpec). At 100 TB this is the
+    * star-schema dashboard query — fact ⋈ dimension then aggregate —
+    * collapsing to a summary lookup. The oracle recomputes the join
+    * from both base tables.
+    */
+  def summaryJoinAggregate(s: SparkSession, d: String): DataFrame = {
+    ensureSegmentOrdersSummary(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+        avg("o_custkey").as("avg_cust"))
+  }
+
   /** q248: a FILTERED aggregate through the rewrite — WHERE on a grain
     * column (l_returnflag = 'R') with a grouping on the other grain
     * column. The predicate keeps or drops whole (flag, status) groups,
@@ -374,6 +424,7 @@ object Scale {
     ensureLineitemSummary(s, d): Unit
     ensureLineitemSummary2(s, d): Unit
     ensureLineitemSummaryIncremental(s, d): Unit
+    ensureSegmentOrdersSummary(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
@@ -594,6 +645,7 @@ object Scale {
     "q246_summary_rollup" -> (summaryRollup(_, _)),
     "q247_summary_global" -> (summaryGlobal(_, _)),
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
+    "q250_summary_join" -> (summaryJoinAggregate(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -619,6 +671,15 @@ object Scale {
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // the join-MV must be answer-preserving: the oracle recomputes the
+    // inner equi-join + aggregate from BOTH base tables the rewritten
+    // plan never scans; AVG as exact-integer-sum ÷ non-null count
+    "q250_summary_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(o_custkey) AS DOUBLE) / count(o_custkey) AS avg_cust
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
     "q248_summary_filtered" ->
       """SELECT l_linestatus, count(*) AS n,
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,

@@ -164,47 +164,119 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || registry.isEmpty) plan
+    if (!enabled || (registry.isEmpty && joinRegistry.isEmpty)) plan
     else plan.transformUp {
       case agg @ Aggregate(groupings, resultExprs, child, _)
           if groupings.forall(_.isInstanceOf[AttributeReference]) =>
         val gAttrs = groupings.map(_.asInstanceOf[AttributeReference])
         val gNames = gAttrs.map(_.name).toSet
-        (for {
-          (src, conds) <- sourceOf(child)
-          // predicates qualify only when deterministic, subquery-free,
-          // and over grain columns exclusively (checked per entry)
-          if conds.forall(c => c.deterministic &&
-            c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty)
-          predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
-          entries <- Option(registry.get(src))
-          live = entries.filter(_.stillFresh()) // stale ⇒ never served
-          rewritten <- {
-            // exact grain first: measures map column-for-column. Then
-            // ROLL-UP: a grouping that is a strict subset of a grain —
-            // INCLUDING the empty grouping, i.e. a global dashboard
-            // aggregate — re-aggregates the |grain|-row summary (sum
-            // of counts, sum of sums, min of mins, max of maxs —
-            // algebraic, so re-aggregation is exact) — still
-            // summary-sized work vs a fact scan. Smallest qualifying
-            // grain wins. Collected grain-column predicates replay
-            // over the summary rows in either mode.
-            def qualifies(e: Summary) = predCols.subsetOf(e.groupCols.toSet)
-            val direct = live.find(e => e.groupCols.toSet == gNames && qualifies(e))
-              .flatMap(e => e.location.resolve()
-                .flatMap(p => rewrite(e, p, gAttrs, resultExprs, conds)))
-            direct.orElse {
-              live.filter(e => gNames.subsetOf(e.groupCols.toSet) &&
-                  e.groupCols.toSet != gNames && qualifies(e))
-                .sortBy(_.groupCols.size)
-                .view
-                .flatMap(e => e.location.resolve()
-                  .flatMap(p => rollup(e, p, gAttrs, resultExprs, conds)))
-                .headOption
-            }
-          }
-        } yield rewritten).getOrElse(agg)
+        singleTablePath(child, gAttrs, gNames, resultExprs)
+          .orElse(joinPath(child, gAttrs, gNames, resultExprs))
+          .getOrElse(agg)
     }
+
+  private def singleTablePath(child: LogicalPlan,
+      gAttrs: Seq[AttributeReference], gNames: Set[String],
+      resultExprs: Seq[NamedExpression]): Option[LogicalPlan] =
+    for {
+      (src, conds) <- sourceOf(child)
+      // predicates qualify only when deterministic, subquery-free,
+      // and over grain columns exclusively (checked per entry)
+      if conds.forall(c => c.deterministic &&
+        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty)
+      predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
+      entries <- Option(registry.get(src))
+      live = entries.filter(_.stillFresh()) // stale ⇒ never served
+      rewritten <- selectAndRewrite(live, gAttrs, gNames, resultExprs,
+        conds, predCols)
+    } yield rewritten
+
+  /** Aggregate over an INNER single-key equi-join of two registered
+    * sources, answered from a registered join-MV. Conservative
+    * qualification: each join side must be a bare (projected) scan —
+    * the only side-filters tolerated are the `IsNotNull(joinKey)`
+    * constraints Catalyst infers from the join condition itself, which
+    * an inner equi-join makes semantically vacuous (null keys never
+    * match) — the join condition must be exactly the registered key
+    * equality (either orientation; inner joins commute), and the two
+    * sides must share NO column name, so every name-based
+    * grain/measure mapping is unambiguous.
+    */
+  private def joinPath(child: LogicalPlan,
+      gAttrs: Seq[AttributeReference], gNames: Set[String],
+      resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    def bareSide(side: LogicalPlan, keyName: String): Option[String] =
+      sourceOf(side).filter { case (_, conds) =>
+        conds.flatMap(splitAnd).forall {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a.name == keyName
+          case _ => false
+        }
+      }.map(_._1)
+    child match {
+      case p @ Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        joinPath(c, gAttrs, gNames, resultExprs)
+      case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
+          org.apache.spark.sql.catalyst.plans.Inner,
+          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            x: AttributeReference, y: AttributeReference)), _) =>
+        // orient the condition's sides onto the join's children
+        val oriented =
+          if (l.outputSet.contains(x) && r.outputSet.contains(y)) Some((x, y))
+          else if (l.outputSet.contains(y) && r.outputSet.contains(x)) Some((y, x))
+          else None
+        for {
+          (lk, rk) <- oriented
+          // unambiguous name-mapping requires disjoint side schemas
+          if l.output.map(_.name).toSet.intersect(r.output.map(_.name).toSet).isEmpty
+          ls <- bareSide(l, lk.name)
+          rs <- bareSide(r, rk.name)
+          candidates = Option(joinRegistry.get((ls, rs))).getOrElse(Nil)
+            .filter(e => e.leftKey == lk.name && e.rightKey == rk.name) ++
+            Option(joinRegistry.get((rs, ls))).getOrElse(Nil)
+              .filter(e => e.leftKey == rk.name && e.rightKey == lk.name)
+          live = candidates.filter(_.stillFresh())
+          rewritten <- selectAndRewrite(live, gAttrs, gNames, resultExprs,
+            Nil, Set.empty)
+        } yield rewritten
+      case _ => None
+    }
+  }
+
+  /** Shared entry selection: exact grain first (measures map
+    * column-for-column), then ROLL-UP — a grouping that is a strict
+    * subset of a grain, INCLUDING the empty grouping (a global
+    * dashboard aggregate), re-aggregates the |grain|-row summary (sum
+    * of counts, sum of sums, min of mins, max of maxs — algebraic, so
+    * re-aggregation is exact) — still summary-sized work vs a fact
+    * scan. Smallest qualifying grain wins. Collected grain-column
+    * predicates replay over the summary rows in either mode.
+    */
+  private def selectAndRewrite(live: Seq[RegisteredSummary],
+      gAttrs: Seq[AttributeReference], gNames: Set[String],
+      resultExprs: Seq[NamedExpression],
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      predCols: Set[String]): Option[LogicalPlan] = {
+    def qualifies(e: RegisteredSummary) = predCols.subsetOf(e.groupCols.toSet)
+    val direct = live.find(e => e.groupCols.toSet == gNames && qualifies(e))
+      .flatMap(e => e.location.resolve()
+        .flatMap(p => rewrite(e, p, gAttrs, resultExprs, conds)))
+    direct.orElse {
+      live.filter(e => gNames.subsetOf(e.groupCols.toSet) &&
+          e.groupCols.toSet != gNames && qualifies(e))
+        .sortBy(_.groupCols.size)
+        .view
+        .flatMap(e => e.location.resolve()
+          .flatMap(p => rollup(e, p, gAttrs, resultExprs, conds)))
+        .headOption
+    }
+  }
 
   /** Remap a fact-side predicate onto the summary's attributes (by
     * name, with type equality), declining if any referenced column is
@@ -240,7 +312,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else None
     }
 
-  private def rewrite(entry: Summary, sumPath: String,
+  private def rewrite(entry: RegisteredSummary, sumPath: String,
       gAttrs: Seq[AttributeReference],
       resultExprs: Seq[NamedExpression],
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[LogicalPlan] = {
@@ -311,7 +383,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * itself is |grain|-rows-sized — the plan keeps an Aggregate, but
     * over the summary relation instead of the fact scan.
     */
-  private def rollup(entry: Summary, sumPath: String,
+  private def rollup(entry: RegisteredSummary, sumPath: String,
       gAttrs: Seq[AttributeReference],
       resultExprs: Seq[NamedExpression],
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Option[LogicalPlan] = {
@@ -441,15 +513,37 @@ object SummaryRewrite {
     }
   }
 
-  /** One registered summary: where it lives, its (possibly multi-column)
-    * grain, which summary column answers which measure, and a freshness
-    * probe — re-checked on every rewrite (a cheap file stat comparing
-    * the source's content fingerprint against the one captured at
-    * registration), so a regenerated corpus is never answered from the
-    * pre-regeneration summary.
+  /** What every registered summary exposes to the rewrite machinery:
+    * where it lives, its (possibly multi-column) grain, which summary
+    * column answers which measure, and a freshness probe — re-checked
+    * on every rewrite (a cheap file stat comparing the source's
+    * content fingerprint against the one captured at registration), so
+    * a regenerated corpus is never answered from the pre-regeneration
+    * summary.
     */
+  sealed trait RegisteredSummary {
+    def location: SummaryLocation
+    def groupCols: Seq[String]
+    def measures: Map[Measure, String]
+    def stillFresh: () => Boolean
+  }
+
+  /** A summary over ONE source table. */
   case class Summary(location: SummaryLocation, groupCols: Seq[String],
       measures: Map[Measure, String], stillFresh: () => Boolean = () => true)
+    extends RegisteredSummary
+
+  /** A summary over an INNER equi-JOIN of two source tables — the
+    * join-MV. `leftKey`/`rightKey` name the single-column equi keys the
+    * materialization joined on; a query's join qualifies only when its
+    * sides resolve to the registered source pair (either orientation —
+    * inner joins commute) and its condition is exactly that key
+    * equality.
+    */
+  case class JoinSummary(leftKey: String, rightKey: String,
+      location: SummaryLocation, groupCols: Seq[String],
+      measures: Map[Measure, String], stillFresh: () => Boolean = () => true)
+    extends RegisteredSummary
 
   /** source root path → registered summaries (several grains may
     * summarize one source; process-wide, like the rule registry any
@@ -458,6 +552,10 @@ object SummaryRewrite {
     */
   private[plans] val registry =
     new java.util.concurrent.ConcurrentHashMap[String, List[Summary]]
+
+  /** (left source root, right source root) → registered join summaries. */
+  private[plans] val joinRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), List[JoinSummary]]
 
   /** Per-session caches of analyzed summary relations (see
     * [[SummaryRewrite.summaryRel]] for the key/eviction/soft-value
@@ -474,6 +572,12 @@ object SummaryRewrite {
     registry.compute(sourcePath, (_, prev) =>
       summary :: Option(prev).getOrElse(Nil)
         .filterNot(_.groupCols.toSet == summary.groupCols.toSet)): Unit
+
+  def registerJoin(leftSrc: String, rightSrc: String, summary: JoinSummary): Unit =
+    joinRegistry.compute((leftSrc, rightSrc), (_, prev) =>
+      summary :: Option(prev).getOrElse(Nil)
+        .filterNot(e => e.groupCols.toSet == summary.groupCols.toSet &&
+          e.leftKey == summary.leftKey && e.rightKey == summary.rightKey)): Unit
 
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[SummaryRewrite]))

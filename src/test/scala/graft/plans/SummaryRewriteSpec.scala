@@ -300,6 +300,51 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("join-MV: aggregate over customer ⋈ orders scans only the summary") {
+    graft.ops.Scale.ensureSegmentOrdersSummary(spark, sf): Unit
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def joined = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+          col("c_custkey") === col("o_custkey"))
+      def agg = joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("ks"),
+          avg("o_custkey").as("ac"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-seg-orders-summary"), plan.take(1500))
+      assert(!plan.contains("customer.parquet") && !plan.contains("orders.parquet"),
+        "join-MV plan must scan neither base table")
+      val on = agg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = agg.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // GLOBAL roll-up through the join-MV: no grouping at all
+      val global = joined.agg(count(lit(1)).as("n"), sum("o_orderkey").as("ks"))
+      val gPlan = global.queryExecution.executedPlan.toString
+      assert(gPlan.contains("graft-seg-orders-summary") &&
+        !gPlan.contains("orders.parquet"))
+      // the commuted orientation (orders ⋈ customer) qualifies too
+      val swapped = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(swapped.queryExecution.executedPlan.toString
+        .contains("graft-seg-orders-summary"))
+      // DECLINES: a different equi key is a different join
+      val wrongKey = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+          col("c_custkey") === col("o_orderkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(wrongKey.queryExecution.executedPlan.toString.contains("orders.parquet"))
+      // a side filter beyond the inferred IsNotNull(joinKey) declines
+      val filteredSide = Tables.customer(spark, sf)
+        .where(col("c_acctbal") > 0)
+        .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(filteredSide.queryExecution.executedPlan.toString
+        .contains("orders.parquet"))
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
