@@ -60,7 +60,8 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * must (and q240/q241/q242/q244's oracles prove it does) return
   * bit-identical rows.
   */
-case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import SummaryRewrite._
 
   private def enabled: Boolean =
@@ -205,22 +206,26 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def joinPath(child: LogicalPlan,
       gAttrs: Seq[AttributeReference], gNames: Set[String],
       resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        splitAnd(l) ++ splitAnd(r)
-      case other => Seq(other)
-    }
     def bareSide(side: LogicalPlan, keyName: String): Option[String] =
       sourceOf(side).filter { case (_, conds) =>
-        conds.flatMap(splitAnd).forall {
+        conds.flatMap(splitConjunctivePredicates).forall {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: AttributeReference) => a.name == keyName
           case _ => false
         }
       }.map(_._1)
+    // the side's FULL relation schema, not the column-pruned output:
+    // the disjointness guard below must see every column the source
+    // table could contribute — a pruned Project can hide a duplicated
+    // name and let a measure bind to the WRONG table's aggregate
+    def fullSchemaOf(side: LogicalPlan): Option[Set[String]] = side match {
+      case Project(_, c) => fullSchemaOf(c)
+      case Filter(_, c) => fullSchemaOf(c)
+      case r: LogicalRelation => Some(r.relation.schema.fieldNames.toSet)
+      case _ => None
+    }
     child match {
-      case p @ Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         joinPath(c, gAttrs, gNames, resultExprs)
       case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
           org.apache.spark.sql.catalyst.plans.Inner,
@@ -233,8 +238,11 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           else None
         for {
           (lk, rk) <- oriented
-          // unambiguous name-mapping requires disjoint side schemas
-          if l.output.map(_.name).toSet.intersect(r.output.map(_.name).toSet).isEmpty
+          // unambiguous name-mapping requires disjoint side schemas —
+          // of the underlying TABLES, not the pruned join children
+          lSchema <- fullSchemaOf(l)
+          rSchema <- fullSchemaOf(r)
+          if lSchema.intersect(rSchema).isEmpty
           ls <- bareSide(l, lk.name)
           rs <- bareSide(r, rk.name)
           candidates = Option(joinRegistry.get((ls, rs))).getOrElse(Nil)

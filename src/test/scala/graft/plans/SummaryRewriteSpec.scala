@@ -319,17 +319,30 @@ class SummaryRewriteSpec extends SparkSpec {
       val off = agg.collect().map(_.toString).sorted.toSeq
       assert(off.nonEmpty && on === off)
       spark.conf.set(SummaryRewrite.EnabledKey, "true")
-      // GLOBAL roll-up through the join-MV: no grouping at all
-      val global = joined.agg(count(lit(1)).as("n"), sum("o_orderkey").as("ks"))
+      // GLOBAL roll-up through the join-MV: no grouping at all —
+      // plan pinned AND value-equal to the fact recompute
+      def global = joined.agg(count(lit(1)).as("n"), sum("o_orderkey").as("ks"))
       val gPlan = global.queryExecution.executedPlan.toString
       assert(gPlan.contains("graft-seg-orders-summary") &&
         !gPlan.contains("orders.parquet"))
-      // the commuted orientation (orders ⋈ customer) qualifies too
-      val swapped = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+      val gOn = global.collect().map(_.toString).toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val gOff = global.collect().map(_.toString).toSeq
+      assert(gOn === gOff)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // the commuted orientation (orders ⋈ customer) qualifies too —
+      // plan pinned AND value-equal (a crossed leftKey/rightKey filter
+      // could serve the right summary scan with the wrong mapping)
+      def swapped = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
       assert(swapped.queryExecution.executedPlan.toString
         .contains("graft-seg-orders-summary"))
+      val sOn = swapped.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val sOff = swapped.collect().map(_.toString).sorted.toSeq
+      assert(sOn === sOff)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
       // DECLINES: a different equi key is a different join
       val wrongKey = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
           col("c_custkey") === col("o_orderkey"))
