@@ -373,6 +373,25 @@ object Scale {
         avg("o_custkey").as("avg_cust"))
   }
 
+  /** q251: a FILTERED aggregate over the JOIN-MV — the WHERE lands on
+    * the dimension side (Catalyst pushes it below the join), references
+    * only the grain column, and therefore keeps or drops whole grain
+    * groups of the registered join summary: the rule replays it over
+    * the summary rows and answers the global aggregate from what
+    * survives. The "revenue for segment X" dashboard query, fact and
+    * dimension both untouched.
+    */
+  def summaryJoinFiltered(s: SparkSession, d: String): DataFrame = {
+    ensureSegmentOrdersSummary(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.customer(s, d)
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
+  }
+
   /** q248: a FILTERED aggregate through the rewrite — WHERE on a grain
     * column (l_returnflag = 'R') with a grouping on the other grain
     * column. The predicate keeps or drops whole (flag, status) groups,
@@ -646,6 +665,7 @@ object Scale {
     "q247_summary_global" -> (summaryGlobal(_, _)),
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
+    "q251_summary_join_filtered" -> (summaryJoinFiltered(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -671,6 +691,12 @@ object Scale {
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q251_summary_join_filtered" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY 1""".stripMargin,
     // the join-MV must be answer-preserving: the oracle recomputes the
     // inner equi-join + aggregate from BOTH base tables the rewritten
     // plan never scans; AVG as exact-integer-sum ÷ non-null count

@@ -206,14 +206,27 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private def joinPath(child: LogicalPlan,
       gAttrs: Seq[AttributeReference], gNames: Set[String],
       resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
-    def bareSide(side: LogicalPlan, keyName: String): Option[String] =
-      sourceOf(side).filter { case (_, conds) =>
-        conds.flatMap(splitConjunctivePredicates).forall {
+    // a join side qualifies when every conjunct on it is either the
+    // vacuous IsNotNull(joinKey) Catalyst infers from the inner equi
+    // condition (dropped — null keys never match anyway) or a
+    // deterministic, subquery-free predicate that survives to be
+    // grain-checked and replayed over the summary rows (a WHERE on the
+    // dimension side, e.g. c_mktsegment = 'X', keeps or drops whole
+    // grain groups exactly like the single-table filter path)
+    def sideWithConds(side: LogicalPlan, keyName: String)
+        : Option[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
+      sourceOf(side).flatMap { case (src, conds) =>
+        val split = conds.flatMap(splitConjunctivePredicates)
+        val residual = split.filterNot {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: AttributeReference) => a.name == keyName
           case _ => false
         }
-      }.map(_._1)
+        if (residual.forall(c => c.deterministic &&
+            c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty))
+          Some((src, residual))
+        else None
+      }
     // the side's FULL relation schema, not the column-pruned output:
     // the disjointness guard below must see every column the source
     // table could contribute — a pruned Project can hide a duplicated
@@ -243,15 +256,17 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           lSchema <- fullSchemaOf(l)
           rSchema <- fullSchemaOf(r)
           if lSchema.intersect(rSchema).isEmpty
-          ls <- bareSide(l, lk.name)
-          rs <- bareSide(r, rk.name)
+          (ls, lconds) <- sideWithConds(l, lk.name)
+          (rs, rconds) <- sideWithConds(r, rk.name)
+          conds = lconds ++ rconds
+          predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
           candidates = Option(joinRegistry.get((ls, rs))).getOrElse(Nil)
             .filter(e => e.leftKey == lk.name && e.rightKey == rk.name) ++
             Option(joinRegistry.get((rs, ls))).getOrElse(Nil)
               .filter(e => e.leftKey == rk.name && e.rightKey == lk.name)
           live = candidates.filter(_.stillFresh())
           rewritten <- selectAndRewrite(live, gAttrs, gNames, resultExprs,
-            Nil, Set.empty)
+            conds, predCols)
         } yield rewritten
       case _ => None
     }

@@ -343,6 +343,28 @@ class SummaryRewriteSpec extends SparkSpec {
       val sOff = swapped.collect().map(_.toString).sorted.toSeq
       assert(sOn === sOff)
       spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // grain-column WHERE on the dimension side replays over the
+      // summary — plan pinned AND value-equal
+      def segFiltered = Tables.customer(spark, sf)
+        .where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      val fPlan = segFiltered.queryExecution.executedPlan.toString
+      assert(fPlan.contains("graft-seg-orders-summary") &&
+        !fPlan.contains("orders.parquet"), fPlan.take(1200))
+      val fOn = segFiltered.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val fOff = segFiltered.collect().map(_.toString).sorted.toSeq
+      assert(fOn.nonEmpty && fOn === fOff)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // a JOIN-KEY filter is NOT a grain predicate — declines (it
+      // changes the join membership inside grain groups)
+      val keyFiltered = Tables.customer(spark, sf)
+        .where(col("c_custkey") > 100)
+        .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(keyFiltered.queryExecution.executedPlan.toString
+        .contains("orders.parquet"))
       // DECLINES: a different equi key is a different join
       val wrongKey = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
           col("c_custkey") === col("o_orderkey"))
