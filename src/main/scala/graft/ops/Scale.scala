@@ -450,6 +450,7 @@ object Scale {
     GraphQueries.ensureEdges(s, d): Unit
     graft.streaming.Streams.ensureUpsertSource(s, d): Unit
     graft.streaming.Streams.ensureUpsertSnapshot(s, d): Unit
+    graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 
