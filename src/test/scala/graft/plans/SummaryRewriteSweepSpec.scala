@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Exhaustive soundness sweep for the broadened MV rewrite: every
+  * combination of grouping (exact grain / strict subset / empty /
+  * non-grain), measure set (carried, uncarried, AVG with and without
+  * its COUNT(col) pair, distinct-of-grain, distinct-of-non-grain), and
+  * filter (grain-column, non-grain, none) runs twice — rewrite ON and
+  * OFF — and must return identical rows EITHER WAY. That is the
+  * rewrite's one hard invariant: enabling it may change plans, never
+  * answers. On top of the equality sweep, the expected qualify/decline
+  * boundary is pinned per case, so a regression that silently stops
+  * rewriting (performance loss) or rewrites a shape it must not
+  * (soundness loss before the equality check would even fail) both
+  * surface with the exact case label.
+  *
+  * The synthetic table deliberately includes NULLs in the measured
+  * column (x) — the case that made AVG-over-COUNT(*) wrong — and a
+  * column the summary does not carry (y).
+  */
+class SummaryRewriteSweepSpec extends SparkSpec {
+  import SummaryRewrite._
+
+  private lazy val base = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(Tables.scratchDir), "graft-mvsweep-")
+    sys.addShutdownHook(Tables.deleteRecursively(dir.toFile))
+    dir
+  }
+
+  private lazy val srcPath: String = {
+    import spark.implicits._
+    val p = base.resolve("src").toString
+    // 3 g1 values × 4 g2 values, x null for ~1/5 rows, y uncarried
+    val rows = for {
+      i <- 0 until 240
+      g1 = Seq("a", "b", "c")(i % 3)
+      g2 = (i % 4).toLong
+      x = if (i % 5 == 0) None else Some((i * 7 % 100).toLong)
+      y = i * 0.5
+    } yield (g1, g2, x, y)
+    rows.toDF("g1", "g2", "x", "y").repartition(2).write.parquet(p)
+    p
+  }
+
+  private lazy val registered: String = {
+    val sumPath = base.resolve("sum").toString
+    spark.read.parquet(srcPath).groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n"), count(col("x")).as("cnt_x"),
+        sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .repartition(1).write.parquet(sumPath)
+    val key = graft.ops.Scale.sourcePathOf(spark.read.parquet(srcPath))
+    register(key, Summary(SummaryLocation.FixedPath(sumPath), Seq("g1", "g2"),
+      Map(CountStar -> "n", CountCol("x") -> "cnt_x", SumCol("x") -> "sum_x",
+        MinCol("x") -> "min_x", MaxCol("x") -> "max_x")))
+    SummaryRewrite.install(spark)
+    key
+  }
+
+  test("every grouping × measure × filter combination: ON == OFF, boundary exact") {
+    registered: Unit
+    val df = () => spark.read.parquet(srcPath)
+
+    // (label, grouping columns, qualifies-if-measures-do)
+    val groupings: Seq[(String, Seq[String], Boolean)] = Seq(
+      ("grain", Seq("g1", "g2"), true), // exact grain: direct mapping
+      ("subset-g1", Seq("g1"), true), // roll-up
+      ("subset-g2", Seq("g2"), true), // roll-up, other column
+      ("global", Seq.empty, true), // global roll-up
+      ("non-grain", Seq("y"), false)) // y is not a grain column
+
+    // (label, measure exprs, measure-qualifies, direct-only)
+    // direct-only measures qualify at the exact grain but not in
+    // roll-up mode (none here — kept for shape)
+    val measureSets: Seq[(String, Seq[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("count*", Seq(count(lit(1)).as("m1")), true),
+      ("countx", Seq(count(col("x")).as("m1")), true),
+      ("sumx", Seq(sum("x").as("m1")), true),
+      ("minmax", Seq(min("x").as("m1"), max("x").as("m2")), true),
+      ("avgx", Seq(avg("x").as("m1")), true), // needs CountCol(x) — carried
+      ("all", Seq(count(lit(1)).as("m1"), count(col("x")).as("m2"),
+        sum("x").as("m3"), min("x").as("m4"), max("x").as("m5"),
+        avg("x").as("m6")), true),
+      ("sumy", Seq(sum("y").as("m1")), false), // uncarried column
+      ("avgy", Seq(avg("y").as("m1")), false), // fractional AND uncarried
+      ("mixed-bad", Seq(count(lit(1)).as("m1"), sum("y").as("m2")), false),
+      ("nd-grain", Seq(countDistinct(col("g2")).as("m1")), false), // rollup-only...
+      ("nd-non-grain", Seq(countDistinct(col("x")).as("m1")), false))
+
+    // countDistinct(g2) qualifies ONLY in roll-up mode (in direct mode
+    // the measure map has no entry for it) — handled per case below
+    val filters: Seq[(String, Option[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("nofilter", None, true),
+      ("grainfilter", Some(col("g1") =!= "b"), true),
+      ("nongrainfilter", Some(col("y") < 100), false))
+
+    var checked = 0
+    for {
+      (gLabel, gCols, gOk) <- groupings
+      (mLabel, mExprs, mOk) <- measureSets
+      (fLabel, fCond, fOk) <- filters
+    } {
+      val label = s"$gLabel/$mLabel/$fLabel"
+      def query: DataFrame = {
+        val filtered = fCond.fold(df())(c => df().where(c))
+        val grouped =
+          if (gCols.isEmpty) filtered.agg(mExprs.head, mExprs.tail: _*)
+          else filtered.groupBy(gCols.map(col): _*).agg(mExprs.head, mExprs.tail: _*)
+        grouped
+      }
+      // countDistinct(g2) is answerable only by roll-up (strict subset
+      // grain — either column — or global), never by the direct
+      // exact-grain mapping
+      val ndGrainOk = mLabel == "nd-grain" &&
+        (gLabel == "subset-g1" || gLabel == "subset-g2" || gLabel == "global")
+      val expectRewrite = gOk && (mOk || ndGrainOk) && fOk
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val planOn = query.queryExecution.executedPlan.toString
+      val on = query.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = query.collect().map(_.toString).sorted.toSeq
+      assert(on === off, s"$label: rewrite changed the ANSWER")
+      val rewrote = planOn.contains("graft-mvsweep") &&
+        planOn.contains("/sum") && !planOn.contains("/src")
+      assert(rewrote === expectRewrite,
+        s"$label: expected rewrite=$expectRewrite, plan says $rewrote\n" +
+          planOn.take(800))
+      checked += 1
+    }
+    assert(checked === groupings.size * measureSets.size * filters.size)
+    registry.remove(registered): Unit
+  }
+}
