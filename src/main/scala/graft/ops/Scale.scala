@@ -373,6 +373,86 @@ object Scale {
         avg("o_custkey").as("avg_cust"))
   }
 
+  /** q252: INCREMENTAL refresh of the JOIN-MV — the two-sided
+    * delta-join expansion (q181's IVM identity) maintaining q250's
+    * summary: with C = C₀ ∪ ΔC and O = O₀ ∪ ΔO,
+    * C ⋈ O = C₀⋈O₀ ∪ ΔC⋈O₀ ∪ C₀⋈ΔO ∪ ΔC⋈ΔO, so the refresh
+    * aggregates only the three Δ-terms (each join has a delta side —
+    * the aggregate work is delta-bound; the full-side probe is what a
+    * key-partitioned stored table serves as an index lookup at scale)
+    * and MERGES the partials into the base summary: every measure here
+    * is additive (counts and sums — no min/max registered on this
+    * grain), so the merge is one |segments|-row outer join. The
+    * refreshed summary registers for the SAME source pair + key pair +
+    * grain as q250's full materialization — content-equal by
+    * construction, which the driver proves: q252 runs the natural join
+    * aggregate through the rewrite (serving the REFRESHED summary) and
+    * the oracle recomputes from both base tables.
+    */
+  def ensureSegmentOrdersSummaryIncremental(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "customer", "orders")
+    val basePath = s"${Tables.scratchDir}/graft-seg-orders-base-$tag"
+    val incrPath = s"${Tables.scratchDir}/graft-seg-orders-incr-$tag"
+    val isDeltaC = pmod(col("c_custkey"), lit(10)) === 0
+    val isDeltaO = pmod(col("o_orderkey"), lit(7)) === 0
+    def aggOf(c: DataFrame, o: DataFrame): DataFrame =
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+          sum("o_custkey").as("sum_cust"), count(col("o_custkey")).as("cnt_cust"))
+    val c0 = Tables.customer(s, d).where(!isDeltaC)
+    val o0 = Tables.orders(s, d).where(!isDeltaO)
+    val dc = Tables.customer(s, d).where(isDeltaC)
+    val dok = Tables.orders(s, d).where(isDeltaO)
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        aggOf(c0, o0).repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(incrPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        // the three delta terms, aggregated together in ONE pass (the
+        // union is the IVM batch), then merged into the base partials
+        val deltaAgg = aggOf(dc, o0)
+          .unionByName(aggOf(c0, dok))
+          .unionByName(aggOf(dc, dok))
+          .groupBy("c_mktsegment")
+          .agg(sum("n").as("n"), sum("key_checksum").as("key_checksum"),
+            sum("sum_cust").as("sum_cust"), sum("cnt_cust").as("cnt_cust"))
+        def pack(df: DataFrame, t: String): DataFrame = df.select(
+          col("c_mktsegment"), col("n").as(s"n_$t"),
+          col("key_checksum").as(s"k_$t"),
+          col("sum_cust").as(s"s_$t"), col("cnt_cust").as(s"c_$t"))
+        pack(s.read.parquet(basePath), "b")
+          .join(pack(deltaAgg, "d"), Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("k_b"), lit(0L)) + coalesce(col("k_d"), lit(0L))).as("key_checksum"),
+            (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cust"),
+            (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_cust"))
+          .repartition(1).write.mode("overwrite").parquet(incrPath)
+      }
+    import graft.plans.SummaryRewrite._
+    registerJoin(sourcePathOf(Tables.customer(s, d)),
+      sourcePathOf(Tables.orders(s, d)),
+      JoinSummary("c_custkey", "o_custkey",
+        SummaryLocation.FixedPath(incrPath), Seq("c_mktsegment"), Map(
+          CountStar -> "n", SumCol("o_orderkey") -> "key_checksum",
+          SumCol("o_custkey") -> "sum_cust", CountCol("o_custkey") -> "cnt_cust"),
+        freshnessProbe(d, "customer", "orders")))
+    incrPath
+  }
+
+  def summaryJoinIncremental(s: SparkSession, d: String): DataFrame = {
+    ensureSegmentOrdersSummaryIncremental(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.customer(s, d).join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+        avg("o_custkey").as("avg_cust"))
+  }
+
   /** q251: a FILTERED aggregate over the JOIN-MV — the WHERE lands on
     * the dimension side (Catalyst pushes it below the join), references
     * only the grain column, and therefore keeps or drops whole grain
@@ -444,6 +524,7 @@ object Scale {
     ensureLineitemSummary2(s, d): Unit
     ensureLineitemSummaryIncremental(s, d): Unit
     ensureSegmentOrdersSummary(s, d): Unit
+    ensureSegmentOrdersSummaryIncremental(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
@@ -667,6 +748,7 @@ object Scale {
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
     "q251_summary_join_filtered" -> (summaryJoinFiltered(_, _)),
+    "q252_summary_join_incremental" -> (summaryJoinIncremental(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
     "q151_compaction_plan" -> (compactionPlan(_, _)),
     "q59_salted_sum" -> ((s, d) =>
@@ -692,6 +774,14 @@ object Scale {
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(*) AS avg_part
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // the incrementally-refreshed join summary must land exactly where
+    // the full recompute lands: same oracle shape as q250
+    "q252_summary_join_incremental" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(o_custkey) AS DOUBLE) / count(o_custkey) AS avg_cust
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
     "q251_summary_join_filtered" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum

@@ -380,6 +380,41 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("incremental join-MV refresh serves the merged summary, equals full recompute") {
+    val incrPath = graft.ops.Scale.ensureSegmentOrdersSummaryIncremental(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def agg = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("ks"),
+          avg("o_custkey").as("ac"))
+      val plan = agg.queryExecution.executedPlan.toString
+      // the incremental ensure registered LAST for this source/key/grain
+      assert(plan.contains("graft-seg-orders-incr"), plan.take(1500))
+      assert(!plan.contains("customer.parquet") && !plan.contains("orders.parquet"))
+      val viaIncr = agg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val full = agg.collect().map(_.toString).sorted.toSeq
+      assert(full.nonEmpty && viaIncr === full)
+      // and the materialized incr summary itself carries the full-join
+      // partials exactly
+      val stored = spark.read.parquet(incrPath)
+      val recomputed = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+          sum("o_custkey").as("sum_cust"), count(col("o_custkey")).as("cnt_cust"))
+      assert(stored.collect().map(_.toString).sorted.toSeq ===
+        recomputed.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      // restore the full summary as the registered entry for the shape
+      graft.ops.Scale.ensureSegmentOrdersSummary(spark, sf): Unit
+    }
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
