@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -309,12 +310,65 @@ object Multimodal {
       .where(col("shared") >= 2)
   }
 
+  /** Adjacent frames whose perceptual signatures differ by at least
+    * this many of the 62 bits start a new shot. Measured on this corpus:
+    * adjacent-frame Hamming distances center on ~19–20 (consecutive
+    * frames of one document share vocabulary, so they sit well BELOW
+    * the ~31-bit random baseline); 22 splits the distribution so both
+    * boundaries and continuations occur at every sf (≈37% boundaries
+    * at sf0.001).
+    */
+  val ShotCutBits = 22
+
+  /** q253: shot segmentation — the video-pipeline operator that turns a
+    * frame stream into temporal segments: a new shot starts where the
+    * perceptual distance between CONSECUTIVE frames jumps (a cut), and
+    * the product is per-media shot structure (how many shots, how long
+    * the longest hold is). Complements the near-dup family: q243/q249
+    * relate frames ACROSS media; this one segments the timeline WITHIN
+    * each media item — the sampler that picks one keyframe per shot
+    * (instead of one per N frames) hangs off this output.
+    *
+    * Shape: one [[frameSignature]] per DISTINCT frame (identical frames
+    * — stills, silence — are signed once, q243's prepass economics),
+    * joined back to the per-media frame sequence; the lag/cut/segment
+    * chain runs in windows partitioned by `media_id` and bounded by
+    * per-media frame counts (hundreds at most), never corpus-sized.
+    * Everything is 64-bit integer arithmetic (signature, xor,
+    * bit_count), so DuckDB replays the whole pipeline EXACTLY — a
+    * perceptual operator with an exact relational oracle, like q243.
+    */
+  def shotSegmentation: Q = (s, d) => {
+    import s.implicits._
+    val (frames, classes) = frameClasses(s, d)
+    val sigs = classes.select(col("frame")).as[String]
+      .mapPartitions(_.map(f => (f, frameSignature(f))))
+      .toDF("frame", "sig")
+    val w = Window.partitionBy("media_id").orderBy("frame_id")
+    frames.join(sigs, "frame")
+      .select(col("media_id"), col("frame_id"), col("sig"))
+      .withColumn("psig", lag("sig", 1).over(w))
+      .withColumn("cut",
+        when(col("psig").isNull, lit(0L))
+          .otherwise((bit_count(col("sig").bitwiseXOR(col("psig")))
+            >= ShotCutBits).cast("long")))
+      .withColumn("shot_id",
+        sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("media_id", "shot_id")
+      .agg(count(lit(1)).as("shot_len"))
+      .groupBy("media_id")
+      .agg(sum("shot_len").as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max("shot_len").as("max_shot_len"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_blob_meta" -> blobMeta,
     "q48_frame_sample" -> frameSample,
     "q148_frame_dedup" -> frameDedup,
     "q243_frame_near_dup" -> frameNearDup,
-    "q249_media_near_dup" -> mediaNearDup)
+    "q249_media_near_dup" -> mediaNearDup,
+    "q253_shot_segmentation" -> shotSegmentation)
 
   /** q243's relational replay, shared verbatim by q249's oracle. */
   private val frameNearDupSql: String =
