@@ -338,7 +338,15 @@ object Multimodal {
     * bit_count), so DuckDB replays the whole pipeline EXACTLY — a
     * perceptual operator with an exact relational oracle, like q243.
     */
-  def shotSegmentation: Q = (s, d) => {
+  /** The per-media SIGNED frame timeline with its shot assignment —
+    * the shared core of q253 (segment stats) and q254 (keyframe pick):
+    * one [[frameSignature]] per distinct frame (q243's prepass
+    * economics), joined back to the frame sequence, then the
+    * lag/cut/running-sum chain in windows partitioned by `media_id`
+    * (per-media frame counts are hundreds at most — never
+    * corpus-sized window state).
+    */
+  private def shotFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (frames, classes) = frameClasses(s, d)
     val sigs = classes.select(col("frame")).as[String]
@@ -346,7 +354,7 @@ object Multimodal {
       .toDF("frame", "sig")
     val w = Window.partitionBy("media_id").orderBy("frame_id")
     frames.join(sigs, "frame")
-      .select(col("media_id"), col("frame_id"), col("sig"))
+      .select(col("media_id"), col("frame_id"), col("frame"), col("sig"))
       .withColumn("psig", lag("sig", 1).over(w))
       .withColumn("cut",
         when(col("psig").isNull, lit(0L))
@@ -354,12 +362,52 @@ object Multimodal {
             >= ShotCutBits).cast("long")))
       .withColumn("shot_id",
         sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("media_id"), col("frame_id"), col("frame"), col("sig"),
+        col("shot_id"))
+  }
+
+  def shotSegmentation: Q = (s, d) =>
+    shotFrames(s, d)
       .groupBy("media_id", "shot_id")
       .agg(count(lit(1)).as("shot_len"))
       .groupBy("media_id")
       .agg(sum("shot_len").as("n_frames"),
         count(lit(1)).as("n_shots"),
         max("shot_len").as("max_shot_len"))
+
+  /** q254: keyframe-per-shot sampling — the training-data product the
+    * shot structure exists for: ONE representative frame per
+    * (media_id, shot_id), so frame sampling respects temporal
+    * structure instead of q48's fixed stride (which over-samples long
+    * static holds and can skip short shots entirely). The
+    * representative is the shot's MEDOID by perceptual distance: the
+    * frame minimizing the summed Hamming distance to every frame of
+    * its own shot (the self-pair contributes 0 to every candidate
+    * equally), ties broken by earliest frame_id — fully deterministic,
+    * all 64-bit integer arithmetic, so the DuckDB oracle replays the
+    * pick exactly. The pairwise step self-joins on (media_id,
+    * shot_id): |shot|² work per shot with shots bounded by per-media
+    * frame counts, an equi-join that shuffles timeline-sized rows —
+    * never corpus-quadratic. Output carries frame_md5 so the sampler
+    * plugs straight into q148-style downstream exact dedup.
+    */
+  def keyframePerShot: Q = (s, d) => {
+    val sf = shotFrames(s, d)
+    val a = sf.select(col("media_id"), col("shot_id"),
+      col("frame_id"), col("frame"), col("sig"))
+    val b = sf.select(col("media_id"), col("shot_id"),
+      col("sig").as("sig_b"))
+    val cost = a.join(b, Seq("media_id", "shot_id"))
+      .groupBy(col("media_id"), col("shot_id"), col("frame_id"),
+        col("frame"))
+      .agg(sum(bit_count(col("sig").bitwiseXOR(col("sig_b"))).cast("long"))
+        .as("cost"))
+    val pick = Window.partitionBy("media_id", "shot_id")
+      .orderBy(col("cost"), col("frame_id"))
+    cost.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("media_id"), col("shot_id"), col("frame_id"),
+        md5(col("frame").cast("binary")).as("frame_md5"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -368,11 +416,17 @@ object Multimodal {
     "q148_frame_dedup" -> frameDedup,
     "q243_frame_near_dup" -> frameNearDup,
     "q249_media_near_dup" -> mediaNearDup,
-    "q253_shot_segmentation" -> shotSegmentation)
+    "q253_shot_segmentation" -> shotSegmentation,
+    "q254_keyframe_per_shot" -> keyframePerShot)
 
-  /** q243's relational replay, shared verbatim by q249's oracle. */
-  private val frameNearDupSql: String =
-    """WITH fr AS (
+  /** The signature CTE chain shared by every frame-evidence oracle
+    * (q243, q249, q253, q254): frames → distinct content classes →
+    * per-frame [[frameSignature]] replayed as pure integer SQL. `sg`
+    * carries BOTH the frame text (for joining back to the per-media
+    * sequence) and the keeper key (for the cross-media pair joins).
+    */
+  private val frameSigCtes: String =
+    """fr AS (
       |  SELECT media_id, frame_id,
       |    substr(text, frame_id * 64 + 1, 64) AS frame
       |  FROM (SELECT doc_id AS media_id, text,
@@ -381,14 +435,14 @@ object Multimodal {
       |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
       |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
       |      FROM fr GROUP BY frame),
-      |w AS (SELECT keeper,
+      |w AS (SELECT frame, keeper,
       |  list_transform(range(1, 62), i ->
       |    ((CAST(ascii(substr(frame, i, 1)) AS BIGINT) * 131
       |      + ascii(substr(frame, i + 1, 1))) * 131
       |      + ascii(substr(frame, i + 2, 1))) * 131
       |      + ascii(substr(frame, i + 3, 1))) AS ws
       |  FROM d),
-      |sg AS (SELECT keeper,
+      |sg AS (SELECT frame, keeper,
       |  list_sum(list_transform(range(0, 31), j ->
       |    CASE WHEN list_sum(list_transform(ws, x ->
       |      CASE WHEN (((x * 2654435761) >> (29 + CAST(j AS INT))) & 1) = 1
@@ -400,7 +454,11 @@ object Multimodal {
       |        THEN 1 ELSE -1 END)) >= 0
       |    THEN (CAST(1 AS BIGINT) << (31 + CAST(j AS INT))) ELSE 0 END))
       |  AS sig
-      |  FROM w),
+      |  FROM w)""".stripMargin
+
+  /** q243's relational replay, shared verbatim by q249's oracle. */
+  private val frameNearDupSql: String =
+    s"""WITH $frameSigCtes,
       |b AS (SELECT keeper, sig, k, (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
       |      FROM (SELECT keeper, sig, unnest(range(0, 4)) AS k FROM sg))
       |SELECT DISTINCT a.keeper AS keeper_a, b2.keeper AS keeper_b,
@@ -408,6 +466,25 @@ object Multimodal {
       |FROM b a JOIN b b2
       |  ON a.k = b2.k AND a.bv = b2.bv AND a.keeper < b2.keeper
       |WHERE bit_count(xor(a.sig, b2.sig)) <= 3""".stripMargin
+
+  /** q253's per-media signed frame sequence with lag/cut/shot columns —
+    * shared by the q253 and q254 oracles.
+    */
+  private val shotCtes: String =
+    s"""$frameSigCtes,
+      |seq AS (SELECT f.media_id, f.frame_id, sg.frame, sg.sig
+      |        FROM fr f JOIN sg ON f.frame = sg.frame),
+      |lg AS (SELECT media_id, frame_id, frame, sig,
+      |  lag(sig) OVER (PARTITION BY media_id ORDER BY frame_id) AS psig
+      |  FROM seq),
+      |ct AS (SELECT media_id, frame_id, frame, sig,
+      |  CASE WHEN psig IS NULL THEN 0
+      |       WHEN bit_count(xor(sig, psig)) >= $ShotCutBits THEN 1
+      |       ELSE 0 END AS cut FROM lg),
+      |sh AS (SELECT media_id, frame_id, frame, sig,
+      |  sum(cut) OVER (PARTITION BY media_id ORDER BY frame_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+      |  FROM ct)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q47_blob_meta" ->
@@ -453,6 +530,30 @@ object Multimodal {
         |  CAST(count(DISTINCT CAST(c1 AS VARCHAR) || ':' || CAST(c2 AS VARCHAR))
         |    AS BIGINT) AS shared
         |FROM sc GROUP BY 1, 2 HAVING shared >= 2""".stripMargin),
+    // the full shot pipeline replayed relationally: same signatures,
+    // same lag/cut/running-sum chain, aggregated to per-media shot stats
+    "q253_shot_segmentation" ->
+      (s"""WITH $shotCtes,
+        |sl AS (SELECT media_id, shot_id, count(*) AS shot_len
+        |       FROM sh GROUP BY 1, 2)
+        |SELECT media_id, CAST(sum(shot_len) AS BIGINT) AS n_frames,
+        |  count(*) AS n_shots, CAST(max(shot_len) AS BIGINT) AS max_shot_len
+        |FROM sl GROUP BY media_id""".stripMargin),
+    // the medoid pick replayed exactly: per-shot pairwise Hamming sums,
+    // argmin by (cost, frame_id)
+    "q254_keyframe_per_shot" ->
+      (s"""WITH $shotCtes,
+        |pc AS (SELECT a.media_id, a.shot_id, a.frame_id, a.frame,
+        |  sum(bit_count(xor(a.sig, b.sig))) AS cost
+        |  FROM sh a JOIN sh b
+        |    ON a.media_id = b.media_id AND a.shot_id = b.shot_id
+        |  GROUP BY 1, 2, 3, 4),
+        |rk AS (SELECT media_id, shot_id, frame_id, frame,
+        |  row_number() OVER (PARTITION BY media_id, shot_id
+        |    ORDER BY cost, frame_id) AS rn FROM pc)
+        |SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
+        |  CAST(frame_id AS INT) AS frame_id, md5(frame) AS frame_md5
+        |FROM rk WHERE rn = 1""".stripMargin),
     // q48's frame stream, aggregated per content hash
     "q148_frame_dedup" ->
       """WITH f AS (

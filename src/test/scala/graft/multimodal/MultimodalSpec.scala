@@ -75,6 +75,82 @@ class MultimodalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  /** Local brute replay of the shot pipeline: per media, full frames in
+    * timeline order, signature per frame, cut where consecutive
+    * signatures differ by >= ShotCutBits, running-sum shot ids. Returns
+    * (media_id, per-frame (frame_id, frame, sig, shot_id) timeline).
+    */
+  private def bruteShots(): Map[Long, Seq[(Int, String, Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    val fb = Multimodal.StubCodec.FrameBytes
+    graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val frames = (0 until text.length / fb).map(k =>
+          (k, text.substring(k * fb, (k + 1) * fb)))
+        var shot = 0L
+        var prev = 0L
+        val timeline = frames.zipWithIndex.map { case ((k, f), idx) =>
+          val sig = Multimodal.frameSignature(f)
+          if (idx > 0 && java.lang.Long.bitCount(sig ^ prev) >=
+            Multimodal.ShotCutBits) shot += 1
+          prev = sig
+          (k, f, sig, shot)
+        }
+        id -> timeline
+      }.toMap
+  }
+
+  test("q253 shot segmentation equals a local brute replay, BNLJ-free plan") {
+    val res = Multimodal.shotSegmentation(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val got = res.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = bruteShots().collect {
+      case (id, tl) if tl.nonEmpty =>
+        val lens = tl.groupBy(_._4).values.map(_.size.toLong)
+        id -> (tl.size.toLong, lens.size.toLong, lens.max)
+    }
+    assert(got === expected)
+    // both boundaries and continuations must occur, or the threshold
+    // is degenerate at this sf
+    assert(got.values.exists(_._2 > 1L), "no media with >1 shot")
+    assert(got.values.exists(v => v._1 > v._2), "no multi-frame shot")
+  }
+
+  test("q254 keyframe: exactly one row per q253 shot, medoid pick exact") {
+    val res = Multimodal.keyframePerShot(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    val shots = bruteShots()
+    val nShots = shots.values.map(_.map(_._4).distinct.size).sum
+    assert(got.size === nShots, "one keyframe per (media, shot)")
+    // medoid: per shot, the frame minimizing summed Hamming distance to
+    // the shot's frames (self contributes 0), earliest frame_id on ties
+    shots.foreach { case (id, tl) =>
+      tl.groupBy(_._4).foreach { case (shotId, frames) =>
+        val best = frames.map { case (k, f, sig, _) =>
+          val cost = frames.map(o =>
+            java.lang.Long.bitCount(sig ^ o._3).toLong).sum
+          (cost, k, f)
+        }.minBy(t => (t._1, t._2))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(best._3.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(got((id, shotId)) === ((best._2, md)),
+          s"medoid mismatch at media $id shot $shotId")
+      }
+    }
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)
