@@ -642,11 +642,15 @@ object AnalyticsQueries {
       .join(Tables.part(s, d).select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand")).distinct()
-    // N = orders with a basket = orders with ≥1 lineitem: every lineitem
-    // resolves a part+brand, so the basket side never loses an order —
-    // count it from the bare lineitem scan instead of re-running the
-    // join+distinct in a second job just for one scalar.
-    val nOrders = Tables.lineitem(s, d).select("l_orderkey").distinct().count()
+    // N = orders with a basket = orders with ≥1 PART-RESOLVING lineitem
+    // — derived from the same join that defines the baskets (as a cheap
+    // semi-join, not a second full basket build), so an orphan
+    // l_partkey in a future corpus shrinks N exactly as it shrinks the
+    // baskets instead of silently skewing support/lift denominators.
+    val nOrders = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.part(s, d).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select("l_orderkey").distinct().count()
     val counts = baskets.groupBy("p_brand").agg(count(lit(1)).as("n_item"))
     val pairs = baskets.toDF("l_orderkey", "b1")
       .join(baskets.toDF("l_orderkey", "b2"), "l_orderkey")

@@ -184,6 +184,28 @@ object Scale {
     * single-grain summary above (fingerprint-keyed, rewrite held off
     * during its own materialization, freshness probe registered).
     */
+  /** Materialization-time guard for the AVG rewrite contract
+    * ([[graft.plans.SummaryRewrite.CountCol]]): `Average` accumulates
+    * integral inputs exactly in doubles only below 2^53, and a
+    * rolled-up AVG divides the summary sums' own TOTAL, so the safe
+    * bound is on the sum of ABSOLUTE per-grain sums (an upper bound on
+    * every partial the fact plan could accumulate in any order). Runs
+    * once per materialization over the |grains|-row summary; an
+    * oversized corpus fails the build loudly instead of diverging from
+    * the fact plan by a low bit at query time.
+    */
+  private def assertAvgRewriteSafe(s: SparkSession, path: String, sumCols: String*): Unit = {
+    val aggs = sumCols.map(c => sum(abs(col(c))).as(c))
+    val row = s.read.parquet(path).agg(aggs.head, aggs.tail: _*).head()
+    sumCols.zipWithIndex.foreach { case (c, i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(v < (1L << 53),
+        s"summary $path: Σ|$c| = $v ≥ 2^53 — AVG($c) through the rewrite " +
+          "would diverge from Average's double accumulation; decline the " +
+          "Sum/Count registration for this corpus")
+    }
+  }
+
   def ensureLineitemSummary2(s: SparkSession, d: String): String = summaryLock.synchronized {
     // "2b": the artifact layout gained cnt_part (AVG's true denominator
     // — COUNT(col), since Average ignores nulls) and a renamed path is
@@ -197,6 +219,7 @@ object Scale {
             sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
+        assertAvgRewriteSafe(s, path, "sum_part")
       }
     import graft.plans.SummaryRewrite._
     register(sourcePathOf(Tables.lineitem(s, d)), Summary(
@@ -305,6 +328,131 @@ object Scale {
         min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
   }
 
+  /** The CDC delta feed q255's refresh consumes: the batch's INSERTS
+    * (op = +1; q242's 10%-of-orderkeys class) plus its DELETES (op =
+    * −1; "ghost" rows that existed in the pre-batch state and are gone
+    * from the current corpus — synthesized deterministically from
+    * flag-'A' rows under a shifted orderkey so they collide with
+    * nothing real). The shape is exactly q134's snapshot-diff
+    * added/removed classes as a single signed stream.
+    */
+  private def summaryDeltaParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val li = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_partkey")
+    val isInsert = pmod(col("l_orderkey"), lit(10)) === 0
+    val ghosts = li
+      .where(pmod(col("l_orderkey"), lit(17)) === 3 && col("l_returnflag") === "A")
+      .withColumn("l_orderkey", col("l_orderkey") + lit(2000000000L))
+    val inserts = li.where(isInsert)
+    // pre-batch state S0 = (corpus \ inserts) ∪ ghosts; the batch
+    // inserts `inserts` and deletes `ghosts`, landing exactly on the
+    // current corpus
+    val s0 = li.where(!isInsert).unionByName(ghosts)
+    val delta = inserts.withColumn("op", lit(1L))
+      .unionByName(ghosts.withColumn("op", lit(-1L)))
+    (s0, delta, li)
+  }
+
+  /** The grain-bounded MIN/MAX repair scan for delete-touched groups:
+    * a fact read FILTERED to exactly the touched grain values (pushed
+    * to the scan — partition-prunable when the fact table is laid out
+    * by grain at scale), never the full table. Factored out so the
+    * spec can pin the pushed filter and the grain list independently.
+    */
+  private[graft] def minMaxRepairScan(s: SparkSession, d: String,
+      touched: Seq[String]): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_returnflag").isin(touched: _*))
+      .groupBy("l_returnflag")
+      .agg(min("l_partkey").as("mn_r"), max("l_partkey").as("mx_r"))
+
+  /** The grain values the q255 delta deletes touch — grain-sized. */
+  private[graft] def deleteTouchedGrains(s: SparkSession, d: String): Seq[String] = {
+    val (_, delta, _) = summaryDeltaParts(s, d)
+    delta.where(col("op") === -1L).select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** q255: DELETE-bearing incremental refresh — the IVM step q242's
+    * insert-only path can't take: the delta stream carries deletions
+    * (q134's snapshot-diff "removed" class as op = −1 rows). Additive
+    * measures subtract exactly (counts and sums consume the SIGNED
+    * delta: Σop, Σop·x); MIN/MAX are not invertible under deletes, so
+    * every grain group the deletes touch is repaired from the fact
+    * rows OF THAT GROUP ONLY ([[minMaxRepairScan]] — the scan's
+    * pushed grain filter is what keeps the repair grain-sized instead
+    * of fact-sized; untouched groups keep the insert-only
+    * least/greatest merge, never rescanned — both spec-pinned). A
+    * group whose refreshed count reaches 0 is DROPPED (a fact scan
+    * emits no row for an empty group — kept rows would be a phantom).
+    * The refreshed summary registers for the same source + grain as
+    * q240/q242 (all content-equal to the full aggregate); the driver
+    * proves it: q255 runs the natural fact aggregate through the
+    * rewrite (serving the delete-refreshed summary) and the oracle
+    * recomputes from the fact table the plan never scans. At 100 TB
+    * this is the difference between replaying a CDC batch
+    * (delta-sized + |touched grains| repair partitions) and a full
+    * fact re-aggregation on every delete.
+    */
+  def ensureLineitemSummaryDeletes(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "lineitem")
+    val basePath = s"${Tables.scratchDir}/graft-lineitem-summary-delbase-$tag"
+    val refreshedPath = s"${Tables.scratchDir}/graft-lineitem-summary-delincr-$tag"
+    val (s0, delta, _) = summaryDeltaParts(s, d)
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        aggOf(s0).repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(refreshedPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        // the refresh job: signed delta partials + the |grains|-row base
+        // summary + a repair scan bounded to the delete-touched grains
+        val deltaAgg = delta.groupBy("l_returnflag")
+          .agg(sum(col("op")).as("n_d"),
+            sum(col("op") * col("l_orderkey")).as("k_d"),
+            min(when(col("op") === 1L, col("l_partkey"))).as("mn_ins"),
+            max(when(col("op") === 1L, col("l_partkey"))).as("mx_ins"),
+            max((col("op") === -1L).cast("int")).as("has_del"))
+        val touched = deleteTouchedGrains(s, d)
+        val repair = minMaxRepairScan(s, d, touched)
+        s.read.parquet(basePath)
+          .select(col("l_returnflag"), col("n").as("n_b"),
+            col("key_checksum").as("k_b"),
+            col("min_part").as("mn_b"), col("max_part").as("mx_b"))
+          .join(deltaAgg, Seq("l_returnflag"), "full_outer")
+          .join(repair, Seq("l_returnflag"), "left_outer")
+          .select(col("l_returnflag"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("k_b"), lit(0L)) + coalesce(col("k_d"), lit(0L))).as("key_checksum"),
+            when(coalesce(col("has_del"), lit(0)) === 1, col("mn_r"))
+              .otherwise(least(col("mn_b"), col("mn_ins"))).as("min_part"),
+            when(coalesce(col("has_del"), lit(0)) === 1, col("mx_r"))
+              .otherwise(greatest(col("mx_b"), col("mx_ins"))).as("max_part"))
+          .where(col("n") > 0)
+          .repartition(1).write.mode("overwrite").parquet(refreshedPath)
+      }
+    import graft.plans.SummaryRewrite._
+    register(sourcePathOf(Tables.lineitem(s, d)), Summary(
+      SummaryLocation.FixedPath(refreshedPath), Seq("l_returnflag"), Map(
+        CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+        MinCol("l_partkey") -> "min_part", MaxCol("l_partkey") -> "max_part"),
+      freshnessProbe(d, "lineitem")))
+    refreshedPath
+  }
+
+  def summaryAggregateDeletes(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSummaryDeletes(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+  }
+
   /** q247: the GLOBAL dashboard aggregate — no GROUP BY at all, the
     * single most common warehouse query ("how many rows, total, and
     * average?") — answered by rolling the (flag, status)-grain summary
@@ -341,6 +489,7 @@ object Scale {
             sum("o_custkey").as("sum_cust"), count(col("o_custkey")).as("cnt_cust"))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
+        assertAvgRewriteSafe(s, path, "sum_cust")
       }
     import graft.plans.SummaryRewrite._
     registerJoin(sourcePathOf(Tables.customer(s, d)),
@@ -430,6 +579,7 @@ object Scale {
             (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cust"),
             (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_cust"))
           .repartition(1).write.mode("overwrite").parquet(incrPath)
+        assertAvgRewriteSafe(s, incrPath, "sum_cust")
       }
     import graft.plans.SummaryRewrite._
     registerJoin(sourcePathOf(Tables.customer(s, d)),
@@ -523,6 +673,7 @@ object Scale {
     ensureLineitemSummary(s, d): Unit
     ensureLineitemSummary2(s, d): Unit
     ensureLineitemSummaryIncremental(s, d): Unit
+    ensureLineitemSummaryDeletes(s, d): Unit
     ensureSegmentOrdersSummary(s, d): Unit
     ensureSegmentOrdersSummaryIncremental(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
@@ -743,6 +894,7 @@ object Scale {
     "q240_summary_rewrite" -> (summaryAggregate(_, _)),
     "q241_summary_rewrite_multi" -> (summaryAggregateAvg(_, _)),
     "q242_summary_incremental" -> (summaryAggregateIncremental(_, _)),
+    "q255_summary_delete_ivm" -> (summaryAggregateDeletes(_, _)),
     "q246_summary_rollup" -> (summaryRollup(_, _)),
     "q247_summary_global" -> (summaryGlobal(_, _)),
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
@@ -819,6 +971,13 @@ object Scale {
     // the incremental path must land EXACTLY where the full recompute
     // lands: same oracle as q240, fact-table recompute
     "q242_summary_incremental" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the delete-bearing refresh must also land exactly on the full
+    // recompute: same fact-table oracle as q240/q242
+    "q255_summary_delete_ivm" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part

@@ -131,18 +131,22 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     *    grows — and GCs — version dirs on disk.
     */
   private def summaryRel(sumPath: String): LogicalPlan = {
+    // the FULL listing string, not a 32-bit hash of it: a hashCode
+    // collision between the pre- and post-rebuild listings at the same
+    // path would silently serve the stale cached file index (the
+    // listing is a handful of part files — the key stays small)
     val stamp = {
       val fs = Option(new java.io.File(sumPath).listFiles()).toSeq.flatten
       fs.sortBy(_.getName)
         .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode.toLong
+        .mkString("|")
     }
     val cache = relCaches.synchronized {
       relCaches.computeIfAbsent(spark, _ =>
-        new java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[LogicalPlan]](
+        new java.util.LinkedHashMap[(String, String), java.lang.ref.SoftReference[LogicalPlan]](
           16, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[(String, Long), java.lang.ref.SoftReference[LogicalPlan]])
+              e: java.util.Map.Entry[(String, String), java.lang.ref.SoftReference[LogicalPlan]])
               : Boolean = size > 64
         })
     }
@@ -496,7 +500,20 @@ object SummaryRewrite {
 
   sealed trait Measure
   case object CountStar extends Measure
-  /** COUNT(col) — the column's NON-NULL count; also AVG's denominator. */
+  /** COUNT(col) — the column's NON-NULL count; also AVG's denominator.
+    *
+    * AVG registration contract: the rewrite answers AVG(x) as
+    * SumCol(x)/CountCol(x) in double arithmetic, which is bit-identical
+    * to Spark's `Average` only while every served group's |sum| stays
+    * below 2^53 (`Average` accumulates integral inputs exactly in a
+    * double buffer up to that bound; beyond it the fact-scan plan's own
+    * low bits become accumulation-order-dependent while the rewritten
+    * exact-long division stays exact — they can differ in the last
+    * ulp). Builders registering a Sum/Count pair must assert the bound
+    * at materialization time (see `Scale.assertAvgRewriteSafe`) so an
+    * oversized corpus fails the build loudly instead of diverging by a
+    * low bit at query time.
+    */
   case class CountCol(name: String) extends Measure
   case class SumCol(name: String) extends Measure
   case class MinCol(name: String) extends Measure
@@ -589,7 +606,7 @@ object SummaryRewrite {
     */
   private[plans] val relCaches =
     new java.util.WeakHashMap[SparkSession,
-      java.util.LinkedHashMap[(String, Long), java.lang.ref.SoftReference[LogicalPlan]]]
+      java.util.LinkedHashMap[(String, String), java.lang.ref.SoftReference[LogicalPlan]]]
 
   def register(sourcePath: String, summary: Summary): Unit =
     registry.compute(sourcePath, (_, prev) =>

@@ -515,6 +515,14 @@ object Streams {
     // older than the immediate predecessor — the predecessor stays for
     // crash recovery (a torn NEXT version re-merges against it) and
     // for time-travel reads one version back (q245's contract).
+    // READER CONTRACT: deletion is immediate at commit, so a read that
+    // resolved a version must complete within ONE further commit cycle
+    // (resolve v, survive the commit that demotes v to predecessor, die
+    // at the next) — fine for this single-process replay, where every
+    // reader resolves through CURRENT/predecessor at plan time and
+    // finishes before the next trigger. If concurrent long scans ever
+    // share the store, widen retention to a grace window (keep K
+    // predecessors or age-based) or ref-count leases before deleting.
     committedVersion(root).foreach { cur =>
       val versioned = Option(root.toFile.listFiles()).toSeq.flatten
         .filter(_.getName.matches("v\\d+"))

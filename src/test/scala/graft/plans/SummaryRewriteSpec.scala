@@ -117,6 +117,46 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("delete-bearing refresh: signed merge + grain-bounded repair == full recompute") {
+    val path = graft.ops.Scale.ensureLineitemSummaryDeletes(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      val plan = naturalAgg.queryExecution.executedPlan.toString
+      // the delete-bearing ensure registered LAST for this grain
+      assert(plan.contains("graft-lineitem-summary-delincr"), plan.take(1500))
+      assert(!plan.contains("lineitem.parquet"))
+      val viaDel = naturalAgg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val full = naturalAgg.collect().map(_.toString).sorted.toSeq
+      assert(full.nonEmpty && viaDel === full)
+      // the materialized refreshed summary itself carries exactly the
+      // full-recompute rows (deletes subtracted, min/max repaired)
+      val stored = spark.read.parquet(path)
+        .select("l_returnflag", "n", "key_checksum", "min_part", "max_part")
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored === full)
+      // the deletes touch a STRICT subset of the grains, and the
+      // MIN/MAX repair scan is bounded to exactly those grain values —
+      // the grain predicate is PUSHED to the parquet scan, so untouched
+      // grains are never rescanned by the refresh
+      val touched = graft.ops.Scale.deleteTouchedGrains(spark, sf)
+      val allGrains = Tables.lineitem(spark, sf)
+        .select("l_returnflag").distinct().count()
+      assert(touched.nonEmpty && touched.size < allGrains,
+        s"delta must touch a strict subset of grains (touched=$touched)")
+      val repairPlan = graft.ops.Scale.minMaxRepairScan(spark, sf, touched)
+        .queryExecution.executedPlan.toString
+      assert(repairPlan.contains("PushedFilters"), repairPlan.take(1500))
+      assert(repairPlan.contains("In(l_returnflag") ||
+        repairPlan.contains("EqualTo(l_returnflag"),
+        "repair scan's grain filter not pushed:\n" + repairPlan.take(1500))
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      graft.ops.Scale.ensureLineitemSummary(spark, sf): Unit
+    }
+  }
+
   test("stale fingerprint or missing summary path declines, never throws") {
     import SummaryRewrite._
     enable()
