@@ -522,6 +522,64 @@ object Scale {
         avg("o_custkey").as("avg_cust"))
   }
 
+  /** One-time, idempotent materialization + registration of the
+    * 3-table CHAIN-MV: lineitem ⋈ orders ⋈ customer down the
+    * l_orderkey=o_orderkey, o_custkey=c_custkey key chain, aggregated
+    * to the market-segment grain. The registry keys on the ORDERED
+    * source sequence plus the per-position key pairs, so only that
+    * exact chain (from either end) qualifies; freshness covers all
+    * three tables' fingerprints.
+    */
+  def ensureLineitemSegmentSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val path =
+      s"${Tables.scratchDir}/graft-li-seg-summary-${Tables.datasetTag(d, "lineitem", "orders", "customer")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+            sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
+        assertAvgRewriteSafe(s, path, "sum_part")
+      }
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(sourcePathOf(Tables.lineitem(s, d)),
+        sourcePathOf(Tables.orders(s, d)),
+        sourcePathOf(Tables.customer(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")),
+        SummaryLocation.FixedPath(path), Seq("c_mktsegment"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("l_partkey") -> "sum_part", CountCol("l_partkey") -> "cnt_part"),
+        freshnessProbe(d, "lineitem", "orders", "customer")))
+    path
+  }
+
+  /** q256: the MULTI-WAY (3-table) join-MV rewrite — lineitem-grain
+    * revenue lines rolled through orders to the customer segment,
+    * answered from the registered chain summary: the rewritten plan
+    * scans the |segments|-row summary and joins/scans NONE of the
+    * three base tables (plan pinned in SummaryRewriteSpec, along with
+    * declines for a wrong key chain and a non-left-deep association).
+    * At 100 TB this is the classic star-chain dashboard query — fact ⋈
+    * bridge ⋈ dimension — collapsing to a summary lookup. The oracle
+    * recomputes the full 3-way join.
+    */
+  def summaryChainAggregate(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSegmentSummary(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"))
+  }
+
   /** q252: INCREMENTAL refresh of the JOIN-MV — the two-sided
     * delta-join expansion (q181's IVM identity) maintaining q250's
     * summary: with C = C₀ ∪ ΔC and O = O₀ ∪ ΔO,
@@ -676,6 +734,7 @@ object Scale {
     ensureLineitemSummaryDeletes(s, d): Unit
     ensureSegmentOrdersSummary(s, d): Unit
     ensureSegmentOrdersSummaryIncremental(s, d): Unit
+    ensureLineitemSegmentSummary(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
@@ -899,6 +958,7 @@ object Scale {
     "q247_summary_global" -> (summaryGlobal(_, _)),
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
+    "q256_summary_chain" -> (summaryChainAggregate(_, _)),
     "q251_summary_join_filtered" -> (summaryJoinFiltered(_, _)),
     "q252_summary_join_incremental" -> (summaryJoinIncremental(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
@@ -939,6 +999,17 @@ object Scale {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY 1""".stripMargin,
+    // the chain-MV must be answer-preserving: the oracle recomputes the
+    // full 3-way inner equi-join + aggregate from the base tables the
+    // rewritten plan never scans
+    "q256_summary_chain" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(l_partkey) AS avg_part
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
     // the join-MV must be answer-preserving: the oracle recomputes the
     // inner equi-join + aggregate from BOTH base tables the rewritten

@@ -169,7 +169,8 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     rel.output.collectFirst { case a: AttributeReference if a.name == name => a }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || (registry.isEmpty && joinRegistry.isEmpty)) plan
+    if (!enabled || (registry.isEmpty && joinRegistry.isEmpty &&
+      chainRegistry.isEmpty)) plan
     else plan.transformUp {
       case agg @ Aggregate(groupings, resultExprs, child, _)
           if groupings.forall(_.isInstanceOf[AttributeReference]) =>
@@ -177,6 +178,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val gNames = gAttrs.map(_.name).toSet
         singleTablePath(child, gAttrs, gNames, resultExprs)
           .orElse(joinPath(child, gAttrs, gNames, resultExprs))
+          .orElse(chainPath(child, gAttrs, gNames, resultExprs))
           .getOrElse(agg)
     }
 
@@ -274,6 +276,92 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         } yield rewritten
       case _ => None
     }
+  }
+
+  /** Aggregate over a LEFT-DEEP LINEAR CHAIN of inner single-key
+    * equi-joins of three or more registered sources (e.g. lineitem ⋈
+    * orders ⋈ customer), answered from a registered chain-MV — the
+    * n-way generalization of [[joinPath]]. Qualification stays
+    * conservative: every side must be a bare (projected) scan whose
+    * only tolerated side-filters are the vacuous `IsNotNull(key)`
+    * constraints Catalyst infers from the inner equi conditions plus
+    * deterministic grain-only predicates (replayed over the summary
+    * rows); the chain's source sequence and per-position key-pair
+    * NAME SETS must match a registered chain exactly, forward or fully
+    * reversed (inner joins commute — the same chain built from either
+    * end); and all side schemas must be pairwise disjoint so every
+    * name-based mapping is unambiguous. Any other association (a
+    * right-deep or bushy tree), any non-equi or multi-key condition,
+    * or a key pair that differs from the registered chain declines.
+    */
+  private def chainPath(child: LogicalPlan,
+      gAttrs: Seq[AttributeReference], gNames: Set[String],
+      resultExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // flatten a left-deep tree of inner single-equi joins into its leaf
+    // sides (left to right) and the oriented key pair joining each new
+    // right side to the accumulated left subtree
+    def leaves(p: LogicalPlan)
+        : Option[(Seq[LogicalPlan], Seq[(AttributeReference, AttributeReference)])] =
+      p match {
+        case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          leaves(c)
+        case Join(l, r, Inner,
+            Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+          leaves(l).flatMap { case (ls, pairs) =>
+            val oriented =
+              if (l.outputSet.contains(x) && r.outputSet.contains(y)) Some((x, y))
+              else if (l.outputSet.contains(y) && r.outputSet.contains(x)) Some((y, x))
+              else None
+            oriented.map(o => (ls :+ r, pairs :+ o))
+          }
+        case other => Some((Seq(other), Nil))
+      }
+    def fullSchemaOf(side: LogicalPlan): Option[Set[String]] = side match {
+      case Project(_, c) => fullSchemaOf(c)
+      case Filter(_, c) => fullSchemaOf(c)
+      case r: LogicalRelation => Some(r.relation.schema.fieldNames.toSet)
+      case _ => None
+    }
+    for {
+      (sides, pairs) <- leaves(child)
+      if sides.length >= 3 && pairs.length == sides.length - 1
+      schemas = sides.map(fullSchemaOf)
+      if schemas.forall(_.isDefined)
+      schemaSets = schemas.map(_.get)
+      // pairwise-disjoint side schemas keep name mappings unambiguous
+      if schemaSets.combinations(2).forall(p => p.head.intersect(p(1)).isEmpty)
+      // every join-key name, for the per-side vacuous-IsNotNull filter
+      keyNames = pairs.flatMap(p => Seq(p._1.name, p._2.name)).toSet
+      resolved = sides.map(sourceOf)
+      if resolved.forall(_.isDefined)
+      sidesConds = resolved.map(_.get)
+      residuals = sidesConds.map { case (_, cs) =>
+        cs.flatMap(splitConjunctivePredicates).filterNot {
+          case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+          case _ => false
+        }
+      }
+      if residuals.flatten.forall(c => c.deterministic &&
+        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]).isEmpty)
+      conds = residuals.flatten
+      predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
+      srcSeq = sidesConds.map(_._1)
+      pairSets = pairs.map(p => Set(p._1.name, p._2.name))
+      candidates = {
+        def matching(sources: Seq[String], sets: Seq[Set[String]]) =
+          Option(chainRegistry.get(sources)).getOrElse(Nil).filter(e =>
+            e.keyPairs.length == sets.length &&
+              e.keyPairs.zip(sets).forall { case ((a, b), s) => Set(a, b) == s })
+        matching(srcSeq, pairSets) ++
+          matching(srcSeq.reverse, pairSets.reverse)
+      }
+      live = candidates.filter(_.stillFresh())
+      rewritten <- selectAndRewrite(live, gAttrs, gNames, resultExprs,
+        conds, predCols)
+    } yield rewritten
   }
 
   /** Shared entry selection: exact grain first (measures map
@@ -593,9 +681,26 @@ object SummaryRewrite {
   private[plans] val registry =
     new java.util.concurrent.ConcurrentHashMap[String, List[Summary]]
 
+  /** A summary over a LEFT-DEEP LINEAR CHAIN of inner single-key
+    * equi-joins of 3+ source tables (e.g. lineitem ⋈ orders ⋈
+    * customer) — the multi-way join-MV. `keyPairs(i)` names the
+    * equi-key pair that joined source i+1 into the chain; a query
+    * qualifies only when its flattened chain matches the registered
+    * source sequence and per-position key pairs exactly (forward or
+    * fully reversed).
+    */
+  case class ChainSummary(keyPairs: Seq[(String, String)],
+      location: SummaryLocation, groupCols: Seq[String],
+      measures: Map[Measure, String], stillFresh: () => Boolean = () => true)
+    extends RegisteredSummary
+
   /** (left source root, right source root) → registered join summaries. */
   private[plans] val joinRegistry =
     new java.util.concurrent.ConcurrentHashMap[(String, String), List[JoinSummary]]
+
+  /** ordered source-root chain → registered chain summaries. */
+  private[plans] val chainRegistry =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], List[ChainSummary]]
 
   /** Per-session caches of analyzed summary relations (see
     * [[SummaryRewrite.summaryRel]] for the key/eviction/soft-value
@@ -612,6 +717,12 @@ object SummaryRewrite {
     registry.compute(sourcePath, (_, prev) =>
       summary :: Option(prev).getOrElse(Nil)
         .filterNot(_.groupCols.toSet == summary.groupCols.toSet)): Unit
+
+  def registerChain(sources: Seq[String], summary: ChainSummary): Unit =
+    chainRegistry.compute(sources, (_, prev) =>
+      summary :: Option(prev).getOrElse(Nil)
+        .filterNot(e => e.groupCols.toSet == summary.groupCols.toSet &&
+          e.keyPairs == summary.keyPairs)): Unit
 
   def registerJoin(leftSrc: String, rightSrc: String, summary: JoinSummary): Unit =
     joinRegistry.compute((leftSrc, rightSrc), (_, prev) =>

@@ -455,6 +455,74 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("chain-MV: 3-table aggregate scans only the summary; wrong chains decline") {
+    graft.ops.Scale.ensureLineitemSegmentSummary(spark, sf): Unit
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def chainAgg = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          avg("l_partkey").as("avg_part"))
+      val plan = chainAgg.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-li-seg-summary"), plan.take(1500))
+      Seq("lineitem.parquet", "orders.parquet", "customer.parquet").foreach(t =>
+        assert(!plan.contains(t), s"chain rewrite still scans $t"))
+      val on = chainAgg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = chainAgg.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // the commuted chain — customer ⋈ orders ⋈ lineitem, the same
+      // chain built from the other end — is served too (reversed match)
+      val reversed = Tables.customer(spark, sf)
+        .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(reversed.queryExecution.executedPlan.toString
+        .contains("graft-li-seg-summary"))
+      // DECLINE: a WRONG key chain (l_partkey is not the registered key)
+      val wrongKey = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_partkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(wrongKey.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"), "wrong key chain was rewritten")
+      // DECLINE: a non-left-deep association — lineitem ⋈ (orders ⋈
+      // customer) is the same relation algebraically, but the
+      // conservative matcher only accepts the registered left-deep
+      // chain shape
+      val bushy = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+            .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(bushy.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"), "bushy association was rewritten")
+      // DECLINE: a chain over a different table set (supplier swapped in)
+      val wrongTables = Tables.lineitem(spark, sf)
+        .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+      assert(wrongTables.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"))
+      // grain-only filters replay over the chain summary like q251
+      val filtered = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf).where(col("c_mktsegment") =!= "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      val fPlan = filtered.queryExecution.executedPlan.toString
+      assert(fPlan.contains("graft-li-seg-summary"), fPlan.take(1500))
+      val fOn = filtered.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val fOff = filtered.collect().map(_.toString).sorted.toSeq
+      assert(fOff.nonEmpty && fOn === fOff)
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._

@@ -134,4 +134,119 @@ class SummaryRewriteSweepSpec extends SparkSpec {
     assert(checked === groupings.size * measureSets.size * filters.size)
     registry.remove(registered): Unit
   }
+
+  // ---- join-MV sweep: the same ON==OFF + boundary treatment for the
+  // two-table join registry (r10 swept only the single-table path) ----
+
+  private lazy val joinSrcs: (String, String) = {
+    import spark.implicits._
+    val dimP = base.resolve("jdim").toString
+    val factP = base.resolve("jfact").toString
+    // 30 dim keys × (3 g1 values, 4 g2 values), dy uncarried
+    (0 until 30).map(k =>
+      (k.toLong, Seq("a", "b", "c")(k % 3), (k % 4).toLong, k * 0.5))
+      .toDF("d_key", "g1", "g2", "dy").repartition(2).write.parquet(dimP)
+    // 240 fact rows, x null for ~1/5, fy uncarried; every key resolves
+    (0 until 240).map { i =>
+      val x = if (i % 5 == 0) None else Some((i * 7 % 100).toLong)
+      (i.toLong % 30, x, i * 0.25)
+    }.toDF("f_key", "x", "fy").repartition(2).write.parquet(factP)
+    (dimP, factP)
+  }
+
+  private lazy val joinRegistered: (String, String) = {
+    val (dimP, factP) = joinSrcs
+    val sumPath = base.resolve("jsum").toString
+    spark.read.parquet(dimP)
+      .join(spark.read.parquet(factP), col("d_key") === col("f_key"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n"), count(col("x")).as("cnt_x"),
+        sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .repartition(1).write.parquet(sumPath)
+    val dimKey = graft.ops.Scale.sourcePathOf(spark.read.parquet(dimP))
+    val factKey = graft.ops.Scale.sourcePathOf(spark.read.parquet(factP))
+    registerJoin(dimKey, factKey, JoinSummary("d_key", "f_key",
+      SummaryLocation.FixedPath(sumPath), Seq("g1", "g2"),
+      Map(CountStar -> "n", CountCol("x") -> "cnt_x", SumCol("x") -> "sum_x",
+        MinCol("x") -> "min_x", MaxCol("x") -> "max_x")))
+    SummaryRewrite.install(spark)
+    (dimKey, factKey)
+  }
+
+  test("join-MV: every grouping × measure × filter × key: ON == OFF, boundary exact") {
+    joinRegistered: Unit
+    val (dimP, factP) = joinSrcs
+    val dim = () => spark.read.parquet(dimP)
+    val fact = () => spark.read.parquet(factP)
+
+    val groupings: Seq[(String, Seq[String], Boolean)] = Seq(
+      ("grain", Seq("g1", "g2"), true),
+      ("subset-g1", Seq("g1"), true),
+      ("global", Seq.empty, true),
+      ("non-grain", Seq("dy"), false))
+
+    val measureSets: Seq[(String, Seq[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("count*", Seq(count(lit(1)).as("m1")), true),
+      ("countx", Seq(count(col("x")).as("m1")), true),
+      ("sumx", Seq(sum("x").as("m1")), true),
+      ("minmax", Seq(min("x").as("m1"), max("x").as("m2")), true),
+      ("avgx", Seq(avg("x").as("m1")), true),
+      ("all", Seq(count(lit(1)).as("m1"), count(col("x")).as("m2"),
+        sum("x").as("m3"), min("x").as("m4"), max("x").as("m5"),
+        avg("x").as("m6")), true),
+      ("sum-fy", Seq(sum("fy").as("m1")), false), // uncarried fact col
+      ("sum-dy", Seq(sum("dy").as("m1")), false), // uncarried dim col
+      ("nd-grain", Seq(countDistinct(col("g2")).as("m1")), false),
+      ("nd-non-grain", Seq(countDistinct(col("x")).as("m1")), false))
+
+    // (label, dim-side filter, fact-side filter, qualifies)
+    val filters: Seq[(String, Option[org.apache.spark.sql.Column],
+        Option[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("nofilter", None, None, true),
+      ("dim-grainfilter", Some(col("g1") =!= "b"), None, true),
+      ("dim-nongrainfilter", Some(col("dy") < 100), None, false),
+      ("fact-filter", None, Some(col("x") > 5), false)) // x not grain
+
+    // (label, join condition builder, qualifies) — the wrong key chain
+    // must decline even for otherwise-qualifying cases
+    val keys: Seq[(String, org.apache.spark.sql.Column, Boolean)] = Seq(
+      ("rightkey", col("d_key") === col("f_key"), true),
+      ("flippedkey", col("f_key") === col("d_key"), true), // EqualTo commutes
+      ("wrongkey", col("g2") === col("f_key"), false))
+
+    var checked = 0
+    for {
+      (gLabel, gCols, gOk) <- groupings
+      (mLabel, mExprs, mOk) <- measureSets
+      (fLabel, dimCond, factCond, fOk) <- filters
+      (kLabel, kCond, kOk) <- keys
+    } {
+      val label = s"$gLabel/$mLabel/$fLabel/$kLabel"
+      def query: DataFrame = {
+        val d0 = dimCond.fold(dim())(c => dim().where(c))
+        val f0 = factCond.fold(fact())(c => fact().where(c))
+        val joined = d0.join(f0, kCond)
+        if (gCols.isEmpty) joined.agg(mExprs.head, mExprs.tail: _*)
+        else joined.groupBy(gCols.map(col): _*).agg(mExprs.head, mExprs.tail: _*)
+      }
+      val ndGrainOk = mLabel == "nd-grain" &&
+        (gLabel == "subset-g1" || gLabel == "global")
+      val expectRewrite = gOk && (mOk || ndGrainOk) && fOk && kOk
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val planOn = query.queryExecution.executedPlan.toString
+      val on = query.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = query.collect().map(_.toString).sorted.toSeq
+      assert(on === off, s"$label: rewrite changed the ANSWER")
+      val rewrote = planOn.contains("/jsum") &&
+        !planOn.contains("/jdim") && !planOn.contains("/jfact")
+      assert(rewrote === expectRewrite,
+        s"$label: expected rewrite=$expectRewrite, plan says $rewrote\n" +
+          planOn.take(800))
+      checked += 1
+    }
+    assert(checked ===
+      groupings.size * measureSets.size * filters.size * keys.size)
+    joinRegistry.remove(joinRegistered): Unit
+  }
 }
