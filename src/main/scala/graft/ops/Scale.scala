@@ -736,6 +736,7 @@ object Scale {
     ensureSegmentOrdersSummaryIncremental(s, d): Unit
     ensureLineitemSegmentSummary(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
+    graft.dedup.DedupQueries.ensureNearDupPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
