@@ -410,6 +410,91 @@ object Multimodal {
         md5(col("frame").cast("binary")).as("frame_md5"))
   }
 
+  /** Audio-stub frame geometry: 128-sample windows advancing by a
+    * 64-sample hop (50% OVERLAP — deliberately different from the
+    * video frames' disjoint 64-byte tiling, to pin that the
+    * binary-column machinery is not wed to one geometry). A window is
+    * "silent" when its energy — Σ (sample − 64)², the squared
+    * deviation from the stub codec's zero level — falls below
+    * [[SilenceEnergy]] (measured: window energies span ≈207k–255k with
+    * the median at ≈233k at every sf, so 230k keeps both classes live).
+    */
+  val AudioWin = 128
+  val AudioHop = 64
+  val SilenceEnergy = 230000L
+
+  /** Integer window energy of an audio-stub frame — all 64-bit integer
+    * arithmetic (ASCII-gated like [[frameSignature]]), so the DuckDB
+    * oracle replays it exactly.
+    */
+  def audioEnergy(w: String): Long = {
+    var e = 0L
+    var i = 0
+    while (i < w.length) {
+      require(w.charAt(i) < 128,
+        s"audioEnergy: non-ASCII char ${w.charAt(i).toInt} — energy " +
+          "parity with the relational oracle is ASCII-only")
+      val d = (w.charAt(i) - 64).toLong
+      e += d * d
+      i += 1
+    }
+    e
+  }
+
+  /** The overlapping audio-stub window stream for the corpus's
+    * audio-mime media (doc_id % 2 — the stub mime dispatch).
+    */
+  private def audioWindows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("win_id", explode(sequence(lit(0),
+        greatest((length(col("text")) - AudioWin) / AudioHop, lit(0)).cast("int"))))
+      .select(col("media_id"), col("win_id"),
+        expr(s"substring(text, win_id * $AudioHop + 1, $AudioWin)").as("win"))
+      .where(length(col("win")) === AudioWin)
+
+  /** q257: silence-segment detection over a SECOND mime type — the
+    * audio sibling of q253's video shot segmentation, pinning that the
+    * multimodal plumbing (opaque payloads, per-mime frame geometry,
+    * distinct-frame feature extraction, per-media windowed
+    * segmentation) generalizes beyond the text-frame stub: different
+    * mime dispatch (doc_id % 2), different geometry (128-sample
+    * windows, 64-sample hop, 50% overlap), different per-frame feature
+    * (integer energy vs perceptual signature). Consecutive
+    * below-threshold windows merge into silence segments via
+    * gaps-and-islands (win_id − row_number per media — q120's island
+    * machinery); output is the per-media audio QC row a curation
+    * pipeline ships: window/silence counts and the longest silent
+    * hold. Energies are computed once per DISTINCT window (q243's
+    * prepass economics — stub "audio" repeats windows across media);
+    * the windows/islands run per-media, never corpus-sized. All
+    * integer arithmetic → exact relational oracle.
+    */
+  def silenceSegments: Q = (s, d) => {
+    import s.implicits._
+    val wins = audioWindows(s, d)
+    val energies = wins.select(col("win")).distinct().as[String]
+      .mapPartitions(_.map(w => (w, audioEnergy(w))))
+      .toDF("win", "energy")
+    val flagged = wins.join(energies, "win")
+      .select(col("media_id"), col("win_id"),
+        (col("energy") < SilenceEnergy).cast("int").as("silent"))
+    val w = Window.partitionBy("media_id").orderBy("win_id")
+    val segs = flagged.where(col("silent") === 1)
+      .withColumn("grp", col("win_id") - row_number().over(w))
+      .groupBy("media_id", "grp")
+      .agg(count(lit(1)).as("seg_len"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"), max("seg_len").as("max_segment_len"))
+    flagged.groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"), sum("silent").cast("long").as("n_silent"))
+      .join(segs, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_windows"), col("n_silent"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_segment_len"), lit(0L)).as("max_segment_len"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_blob_meta" -> blobMeta,
     "q48_frame_sample" -> frameSample,
@@ -417,7 +502,8 @@ object Multimodal {
     "q243_frame_near_dup" -> frameNearDup,
     "q249_media_near_dup" -> mediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
-    "q254_keyframe_per_shot" -> keyframePerShot)
+    "q254_keyframe_per_shot" -> keyframePerShot,
+    "q257_silence_segments" -> silenceSegments)
 
   /** The signature CTE chain shared by every frame-evidence oracle
     * (q243, q249, q253, q254): frames → distinct content classes →
@@ -554,6 +640,43 @@ object Multimodal {
         |SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
         |  CAST(frame_id AS INT) AS frame_id, md5(frame) AS frame_md5
         |FROM rk WHERE rn = 1""".stripMargin),
+    // the audio-stub pipeline replayed relationally: same overlapping
+    // windows, same integer energies, same islands
+    "q257_silence_segments" ->
+      (s"""WITH w AS (
+        |  SELECT media_id, win_id,
+        |    substr(text, win_id * $AudioHop + 1, $AudioWin) AS win
+        |  FROM (SELECT doc_id AS media_id, text,
+        |          unnest(range(0,
+        |            greatest((length(text) - $AudioWin) // $AudioHop + 1, 1)))
+        |            AS win_id
+        |        FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE length(substr(text, win_id * $AudioHop + 1, $AudioWin)) = $AudioWin),
+        |e AS (SELECT win,
+        |  list_sum(list_transform(range(1, ${AudioWin + 1}), i ->
+        |    CAST((ascii(substr(win, i, 1)) - 64)
+        |      * (ascii(substr(win, i, 1)) - 64) AS BIGINT))) AS energy
+        |  FROM (SELECT DISTINCT win FROM w)),
+        |f AS (SELECT media_id, win_id,
+        |  CASE WHEN energy < $SilenceEnergy THEN 1 ELSE 0 END AS silent
+        |  FROM w JOIN e ON w.win = e.win),
+        |seg AS (
+        |  SELECT media_id, count(*) AS seg_len
+        |  FROM (SELECT media_id, win_id,
+        |          win_id - row_number() OVER (PARTITION BY media_id
+        |            ORDER BY win_id) AS grp
+        |        FROM f WHERE silent = 1)
+        |  GROUP BY media_id, grp),
+        |sm AS (SELECT media_id, count(*) AS n_segments,
+        |         max(seg_len) AS max_segment_len
+        |       FROM seg GROUP BY media_id)
+        |SELECT f.media_id, count(*) AS n_windows,
+        |  CAST(sum(silent) AS BIGINT) AS n_silent,
+        |  coalesce(any_value(sm.n_segments), 0) AS n_segments,
+        |  CAST(coalesce(any_value(sm.max_segment_len), 0) AS BIGINT)
+        |    AS max_segment_len
+        |FROM f LEFT JOIN sm ON f.media_id = sm.media_id
+        |GROUP BY f.media_id""".stripMargin),
     // q48's frame stream, aggregated per content hash
     "q148_frame_dedup" ->
       """WITH f AS (

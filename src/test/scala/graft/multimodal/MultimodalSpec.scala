@@ -151,6 +151,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q257 silence segments equal a local brute replay; both classes live") {
+    import org.apache.spark.sql.functions._
+    val res = Multimodal.silenceSegments(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val got = res.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val (hop, wlen) = (Multimodal.AudioHop, Multimodal.AudioWin)
+    val expected = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val wins = (0 to math.max((text.length - wlen) / hop, 0))
+          .map(k => text.substring(k * hop,
+            math.min(k * hop + wlen, text.length)))
+          .filter(_.length == wlen)
+        if (wins.isEmpty) None
+        else {
+          val silent = wins.map(w =>
+            Multimodal.audioEnergy(w) < Multimodal.SilenceEnergy)
+          // islands of consecutive silent windows
+          val segs = silent.foldLeft(List.empty[Int]) {
+            case (acc, false) => 0 :: acc
+            case (Nil, true) => List(1)
+            case (h :: t, true) => (h + 1) :: t
+          }.filter(_ > 0)
+          Some(id -> (wins.size.toLong, silent.count(identity).toLong,
+            segs.size.toLong, (if (segs.isEmpty) 0 else segs.max).toLong))
+        }
+      }.toMap
+    assert(got === expected)
+    // the threshold must be LIVE at this sf: silent and loud windows,
+    // multi-window segments, and silence-free media all occur
+    assert(got.values.exists(_._2 > 0L), "no silent windows")
+    assert(got.values.exists(v => v._2 < v._1), "no loud windows")
+    assert(got.values.exists(_._4 > 1L), "no multi-window silence segment")
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)
