@@ -580,6 +580,238 @@ object Scale {
         avg("l_partkey").as("avg_part"))
   }
 
+  /** q258: INCREMENTAL refresh of the 3-table CHAIN-MV — q252's
+    * two-sided delta-join expansion generalized to three sides: with
+    * L = L₀ ∪ ΔL, O = O₀ ∪ ΔO, C = C₀ ∪ ΔC, the chain L ⋈ O ⋈ C
+    * expands into 2³ terms of which only L₀⋈O₀⋈C₀ is the base — the
+    * refresh aggregates the SEVEN Δ-terms (every one has at least one
+    * delta factor, so the aggregate work is delta-bound; the full-side
+    * probes are the index lookups a key-partitioned store serves) in
+    * one unioned pass and merges the partials additively into the base
+    * summary (counts and sums only on this grain). The refreshed
+    * summary registers for the SAME chain as q256's full
+    * materialization — content-equal by construction, which the driver
+    * proves: q258 runs the natural 3-way aggregate through the rewrite
+    * and the oracle recomputes the full join. At 100 TB this is one
+    * ingest batch refreshing a star-chain dashboard summary without
+    * ever re-joining the three base tables in full.
+    */
+  def ensureLineitemSegmentSummaryIncremental(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "lineitem", "orders", "customer")
+    val basePath = s"${Tables.scratchDir}/graft-li-seg-base-$tag"
+    val incrPath = s"${Tables.scratchDir}/graft-li-seg-incr-$tag"
+    val isDeltaL = pmod(col("l_orderkey") + col("l_partkey"), lit(9)) === 0
+    val isDeltaO = pmod(col("o_orderkey"), lit(7)) === 0
+    val isDeltaC = pmod(col("c_custkey"), lit(10)) === 0
+    def aggOf(l: DataFrame, o: DataFrame, c: DataFrame): DataFrame =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
+    val (l0, dl) = (Tables.lineitem(s, d).where(!isDeltaL),
+      Tables.lineitem(s, d).where(isDeltaL))
+    val (o0, dor) = (Tables.orders(s, d).where(!isDeltaO),
+      Tables.orders(s, d).where(isDeltaO))
+    val (c0, dc) = (Tables.customer(s, d).where(!isDeltaC),
+      Tables.customer(s, d).where(isDeltaC))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        aggOf(l0, o0, c0).repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(incrPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        // the 7 delta terms (every side-combination except base³),
+        // aggregated together in ONE pass, then merged into the base
+        val terms = for {
+          li <- Seq(false, true); oi <- Seq(false, true); ci <- Seq(false, true)
+          if li || oi || ci
+        } yield aggOf(if (li) dl else l0, if (oi) dor else o0,
+          if (ci) dc else c0)
+        val deltaAgg = terms.reduce(_ unionByName _)
+          .groupBy("c_mktsegment")
+          .agg(sum("n").as("n"), sum("key_checksum").as("key_checksum"),
+            sum("sum_part").as("sum_part"), sum("cnt_part").as("cnt_part"))
+        def pack(df: DataFrame, t: String): DataFrame = df.select(
+          col("c_mktsegment"), col("n").as(s"n_$t"),
+          col("key_checksum").as(s"k_$t"),
+          col("sum_part").as(s"s_$t"), col("cnt_part").as(s"c_$t"))
+        pack(s.read.parquet(basePath), "b")
+          .join(pack(deltaAgg, "d"), Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("k_b"), lit(0L)) + coalesce(col("k_d"), lit(0L))).as("key_checksum"),
+            (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_part"),
+            (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_part"))
+          .repartition(1).write.mode("overwrite").parquet(incrPath)
+        assertAvgRewriteSafe(s, incrPath, "sum_part")
+      }
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(sourcePathOf(Tables.lineitem(s, d)),
+        sourcePathOf(Tables.orders(s, d)),
+        sourcePathOf(Tables.customer(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")),
+        SummaryLocation.FixedPath(incrPath), Seq("c_mktsegment"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("l_partkey") -> "sum_part", CountCol("l_partkey") -> "cnt_part"),
+        freshnessProbe(d, "lineitem", "orders", "customer")))
+    incrPath
+  }
+
+  def summaryChainIncremental(s: SparkSession, d: String): DataFrame = {
+    ensureLineitemSegmentSummaryIncremental(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"))
+  }
+
+  /** The signed order-side CDC feed q259's join-MV refresh consumes:
+    * ghost orders (deleted by the batch — synthesized from BUILDING-
+    * segment customers' orders under shifted keys, so the deletes
+    * touch a strict subset of the grain) and insert orders (q252's
+    * mod-7 class), as one op = ±1 stream. Customers stay static —
+    * the single-sided delete case; two-sided insert deltas are q252.
+    */
+  private def joinDeltaParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val isInsert = pmod(col("o_orderkey"), lit(7)) === 0
+    val buildingCust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ghosts = o.where(pmod(col("o_orderkey"), lit(13)) === 5)
+      .join(buildingCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    val o0 = o.where(!isInsert).unionByName(ghosts)
+    val delta = o.where(isInsert).withColumn("op", lit(1L))
+      .unionByName(ghosts.withColumn("op", lit(-1L)))
+    (o0, delta)
+  }
+
+  /** The grain-bounded MIN/MAX repair for the join-MV's delete-touched
+    * groups: the dimension-side grain predicate is pushed to the
+    * customer scan and the join prunes the order side to exactly the
+    * touched segments' customers — repair work is bounded by the
+    * touched grains, not the fact table.
+    */
+  private[graft] def joinMinMaxRepairScan(s: SparkSession, d: String,
+      touched: Seq[String]): DataFrame =
+    Tables.customer(s, d)
+      .where(col("c_mktsegment").isin(touched: _*))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(min("o_custkey").as("mn_r"), max("o_custkey").as("mx_r"))
+
+  /** The segments the q259 deletes touch — grain-sized (the ghosts'
+    * customers are all BUILDING by construction, but derived from the
+    * delta itself, not assumed).
+    */
+  private[graft] def joinDeleteTouchedGrains(s: SparkSession, d: String): Seq[String] = {
+    val (_, delta) = joinDeltaParts(s, d)
+    delta.where(col("op") === -1L)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** q259: DELETE-bearing refresh of the JOIN-MV — q255's signed-delta
+    * machinery composed with q250's join summary: the CDC batch
+    * deletes (and inserts) ORDER rows, so the refresh joins the signed
+    * delta through the static customer dimension, aggregates
+    * op-weighted partials (counts and sums subtract exactly), and
+    * repairs MIN/MAX only for the grain groups the deletes touch —
+    * via [[joinMinMaxRepairScan]], whose dimension-side grain filter
+    * is pushed to the customer scan (spec-pinned, touched grains a
+    * strict subset: the ghosts are drawn from one segment's
+    * customers). Zero-count groups drop. The refreshed summary
+    * registers for the same source pair + key pair + grain as q250;
+    * the driver proves it equals the full join recompute. This
+    * completes the IVM matrix: {single-table, join, chain} ×
+    * {insert-only, delete-bearing}.
+    */
+  def ensureSegmentOrdersSummaryDeletes(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "customer", "orders")
+    val basePath = s"${Tables.scratchDir}/graft-seg-orders-delbase-$tag"
+    val refreshedPath = s"${Tables.scratchDir}/graft-seg-orders-delincr-$tag"
+    val (o0, delta) = joinDeltaParts(s, d)
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    // measure SUPERSET of q250/q252's entry (sum/cnt kept alongside the
+    // new min/max): this ensure REPLACES the same (source pair, keys,
+    // grain) registry slot, so it must still answer everything the
+    // earlier entries answered (q250's AVG) or a later registration
+    // order would silently decline those rewrites
+    def aggOf(o: DataFrame): DataFrame =
+      cust.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+          sum("o_custkey").as("sum_cust"), count(col("o_custkey")).as("cnt_cust"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        aggOf(o0).repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(refreshedPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        val deltaAgg = cust
+          .join(delta, col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum(col("op")).as("n_d"),
+            sum(col("op") * col("o_orderkey")).as("k_d"),
+            sum(col("op") * col("o_custkey")).as("s_d"),
+            sum(col("op") * col("o_custkey").isNotNull.cast("long")).as("c_d"),
+            min(when(col("op") === 1L, col("o_custkey"))).as("mn_ins"),
+            max(when(col("op") === 1L, col("o_custkey"))).as("mx_ins"),
+            max((col("op") === -1L).cast("int")).as("has_del"))
+        val touched = joinDeleteTouchedGrains(s, d)
+        val repair = joinMinMaxRepairScan(s, d, touched)
+        s.read.parquet(basePath)
+          .select(col("c_mktsegment"), col("n").as("n_b"),
+            col("key_checksum").as("k_b"),
+            col("sum_cust").as("s_b"), col("cnt_cust").as("c_b"),
+            col("min_cust").as("mn_b"), col("max_cust").as("mx_b"))
+          .join(deltaAgg, Seq("c_mktsegment"), "full_outer")
+          .join(repair, Seq("c_mktsegment"), "left_outer")
+          .select(col("c_mktsegment"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("k_b"), lit(0L)) + coalesce(col("k_d"), lit(0L))).as("key_checksum"),
+            (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cust"),
+            (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_cust"),
+            when(coalesce(col("has_del"), lit(0)) === 1, col("mn_r"))
+              .otherwise(least(col("mn_b"), col("mn_ins"))).as("min_cust"),
+            when(coalesce(col("has_del"), lit(0)) === 1, col("mx_r"))
+              .otherwise(greatest(col("mx_b"), col("mx_ins"))).as("max_cust"))
+          .where(col("n") > 0)
+          .repartition(1).write.mode("overwrite").parquet(refreshedPath)
+        assertAvgRewriteSafe(s, refreshedPath, "sum_cust")
+      }
+    import graft.plans.SummaryRewrite._
+    registerJoin(sourcePathOf(Tables.customer(s, d)),
+      sourcePathOf(Tables.orders(s, d)),
+      JoinSummary("c_custkey", "o_custkey",
+        SummaryLocation.FixedPath(refreshedPath), Seq("c_mktsegment"), Map(
+          CountStar -> "n", SumCol("o_orderkey") -> "key_checksum",
+          SumCol("o_custkey") -> "sum_cust", CountCol("o_custkey") -> "cnt_cust",
+          MinCol("o_custkey") -> "min_cust", MaxCol("o_custkey") -> "max_cust"),
+        freshnessProbe(d, "customer", "orders")))
+    refreshedPath
+  }
+
+  def summaryJoinDeletes(s: SparkSession, d: String): DataFrame = {
+    ensureSegmentOrdersSummaryDeletes(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+  }
+
   /** q252: INCREMENTAL refresh of the JOIN-MV — the two-sided
     * delta-join expansion (q181's IVM identity) maintaining q250's
     * summary: with C = C₀ ∪ ΔC and O = O₀ ∪ ΔO,
@@ -734,7 +966,9 @@ object Scale {
     ensureLineitemSummaryDeletes(s, d): Unit
     ensureSegmentOrdersSummary(s, d): Unit
     ensureSegmentOrdersSummaryIncremental(s, d): Unit
+    ensureSegmentOrdersSummaryDeletes(s, d): Unit
     ensureLineitemSegmentSummary(s, d): Unit
+    ensureLineitemSegmentSummaryIncremental(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureNearDupPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
@@ -960,6 +1194,8 @@ object Scale {
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
     "q256_summary_chain" -> (summaryChainAggregate(_, _)),
+    "q258_summary_chain_incremental" -> (summaryChainIncremental(_, _)),
+    "q259_summary_join_delete_ivm" -> (summaryJoinDeletes(_, _)),
     "q251_summary_join_filtered" -> (summaryJoinFiltered(_, _)),
     "q252_summary_join_incremental" -> (summaryJoinIncremental(_, _)),
     "q189_bloom_join" -> (bloomJoin(_, _)),
@@ -1011,6 +1247,24 @@ object Scale {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // the incrementally-refreshed chain summary must land exactly where
+    // the full recompute lands: same 3-way oracle as q256
+    "q258_summary_chain_incremental" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(l_partkey) AS avg_part
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // the delete-bearing join-MV refresh must land exactly on the full
+    // join recompute (min/max repaired, signed sums subtracted)
+    "q259_summary_join_delete_ivm" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
     // the join-MV must be answer-preserving: the oracle recomputes the
     // inner equi-join + aggregate from BOTH base tables the rewritten

@@ -523,6 +523,97 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("incremental chain refresh serves the merged summary, equals full recompute") {
+    val incrPath = graft.ops.Scale.ensureLineitemSegmentSummaryIncremental(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def chainAgg = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          avg("l_partkey").as("avg_part"))
+      val plan = chainAgg.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-li-seg-incr"), plan.take(1500))
+      Seq("lineitem.parquet", "orders.parquet", "customer.parquet").foreach(t =>
+        assert(!plan.contains(t)))
+      val viaIncr = chainAgg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val full = chainAgg.collect().map(_.toString).sorted.toSeq
+      assert(full.nonEmpty && viaIncr === full)
+      // the 7-term refresh materialization itself carries the same rows
+      // (modulo AVG derivation): spot-check n/key_checksum
+      val stored = spark.read.parquet(incrPath)
+        .select("c_mktsegment", "n", "key_checksum")
+        .collect().map(_.toString).sorted.toSeq
+      val fullNK = chainAgg.select(col("c_mktsegment"), col("n"),
+        col("key_checksum"))
+      assert(stored === Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"))
+        .collect().map(_.toString).sorted.toSeq)
+      fullNK: Unit
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      graft.ops.Scale.ensureLineitemSegmentSummary(spark, sf): Unit
+    }
+  }
+
+  test("delete-bearing join-MV refresh: signed join merge + bounded repair == full") {
+    val path = graft.ops.Scale.ensureSegmentOrdersSummaryDeletes(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def joinAgg = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+        .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+      val plan = joinAgg.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-seg-orders-delincr"), plan.take(1500))
+      assert(!plan.contains("orders.parquet") && !plan.contains("customer.parquet"))
+      val viaDel = joinAgg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val full = joinAgg.collect().map(_.toString).sorted.toSeq
+      assert(full.nonEmpty && viaDel === full)
+      val stored = spark.read.parquet(path)
+        .select("c_mktsegment", "n", "key_checksum", "min_cust", "max_cust")
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored === full)
+      // the measure SUPERSET contract: q250's AVG query must still be
+      // served by this entry (it replaced q250/q252's registry slot)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val avgQ = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"),
+          avg("o_custkey").as("avg_cust"))
+      assert(avgQ.queryExecution.executedPlan.toString
+        .contains("graft-seg-orders-delincr"))
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      // deletes touch a strict subset of segments; the repair join's
+      // dimension-side grain filter is pushed to the customer scan
+      val touched = graft.ops.Scale.joinDeleteTouchedGrains(spark, sf)
+      val allSegs = Tables.customer(spark, sf)
+        .select("c_mktsegment").distinct().count()
+      assert(touched.nonEmpty && touched.size < allSegs,
+        s"deletes must touch a strict subset (touched=$touched)")
+      val repairPlan = graft.ops.Scale.joinMinMaxRepairScan(spark, sf, touched)
+        .queryExecution.executedPlan.toString
+      assert(repairPlan.contains("PushedFilters"), repairPlan.take(1500))
+      assert(repairPlan.contains("In(c_mktsegment") ||
+        repairPlan.contains("EqualTo(c_mktsegment"),
+        "repair join's grain filter not pushed:\n" + repairPlan.take(1500))
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      graft.ops.Scale.ensureSegmentOrdersSummary(spark, sf): Unit
+    }
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
