@@ -391,7 +391,11 @@ object Multimodal {
     * never corpus-quadratic. Output carries frame_md5 so the sampler
     * plugs straight into q148-style downstream exact dedup.
     */
-  def keyframePerShot: Q = (s, d) => {
+  /** The medoid keyframe row per (media_id, shot_id), with its frame
+    * text and signature — q254's pick before the output projection,
+    * shared with q260's shot-level near-dup.
+    */
+  private def keyframes(s: SparkSession, d: String): DataFrame = {
     val sf = shotFrames(s, d)
     val a = sf.select(col("media_id"), col("shot_id"),
       col("frame_id"), col("frame"), col("sig"))
@@ -399,7 +403,7 @@ object Multimodal {
       col("sig").as("sig_b"))
     val cost = a.join(b, Seq("media_id", "shot_id"))
       .groupBy(col("media_id"), col("shot_id"), col("frame_id"),
-        col("frame"))
+        col("frame"), col("sig"))
       .agg(sum(bit_count(col("sig").bitwiseXOR(col("sig_b"))).cast("long"))
         .as("cost"))
     val pick = Window.partitionBy("media_id", "shot_id")
@@ -407,7 +411,61 @@ object Multimodal {
     cost.withColumn("rn", row_number().over(pick))
       .where(col("rn") === 1)
       .select(col("media_id"), col("shot_id"), col("frame_id"),
+        col("frame"), col("sig"))
+  }
+
+  def keyframePerShot: Q = (s, d) =>
+    keyframes(s, d)
+      .select(col("media_id"), col("shot_id"), col("frame_id"),
         md5(col("frame").cast("binary")).as("frame_md5"))
+
+  /** q260: shot-level near-dup ACROSS media — scene-reuse detection,
+    * the composition the shot family builds toward: two media share a
+    * "scene" when their shots' MEDOID keyframes are perceptually near
+    * (Hamming ≤ 3 on the 62-bit signature, or identical). Shape is
+    * q249's evidence economics applied one level up the hierarchy:
+    * keyframe signatures collapse to distinct content CLASSES first
+    * (a rebroadcast still lands in one class — hot classes never
+    * explode the band join), classes pair via the 4×15-bit pigeonhole
+    * + exact verify (recall 1 for Hamming ≤ 3, like q243), and the
+    * class pairs (symmetrized, plus the identity per class) join back
+    * through the per-shot occurrence list to emit cross-media shot
+    * pairs. Output is reuse-evidence-sized: each matched shot pair
+    * with its perceptual distance — frames→shots→scenes, all from one
+    * signature pass. Fully integer → exact relational oracle.
+    */
+  def shotNearDup: Q = (s, d) => {
+    val kf = keyframes(s, d).select("media_id", "shot_id", "sig")
+    val cls = kf.groupBy("sig")
+      .agg(min(col("media_id") * 100000L + col("shot_id")).as("keeper"))
+    val bands = cls.select(col("keeper"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS k, shiftright(sig, k * 15) & 32767 AS bv))")).as("b"))
+      .select(col("keeper"), col("sig"), col("b.k").as("k"), col("b.bv").as("bv"))
+    val a = bands.select(col("keeper").as("ka"), col("sig").as("sa"),
+      col("k"), col("bv"))
+    val b2 = bands.select(col("keeper").as("kb"), col("sig").as("sb"),
+      col("k"), col("bv"))
+    val prs = a.join(b2, Seq("k", "bv")).where(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+    val sym = prs
+      .unionByName(prs.select(col("kb").as("ka"), col("ka").as("kb"),
+        col("hamming")))
+      .unionByName(cls.select(col("keeper").as("ka"),
+        col("keeper").as("kb"), lit(0).as("hamming")))
+    val occ = kf.join(cls, "sig")
+      .select(col("media_id"), col("shot_id"), col("keeper"))
+    occ.select(col("media_id").as("media_a"), col("shot_id").as("shot_a"),
+      col("keeper").as("ka"))
+      .join(sym, "ka")
+      .join(occ.select(col("media_id").as("media_b"),
+        col("shot_id").as("shot_b"), col("keeper").as("kb")), Seq("kb"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("shot_a"), col("media_b"), col("shot_b"),
+        col("hamming"))
   }
 
   /** Audio-stub frame geometry: 128-sample windows advancing by a
@@ -503,7 +561,8 @@ object Multimodal {
     "q249_media_near_dup" -> mediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
-    "q257_silence_segments" -> silenceSegments)
+    "q257_silence_segments" -> silenceSegments,
+    "q260_shot_near_dup" -> shotNearDup)
 
   /** The signature CTE chain shared by every frame-evidence oracle
     * (q243, q249, q253, q254): frames → distinct content classes →
@@ -640,6 +699,40 @@ object Multimodal {
         |SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
         |  CAST(frame_id AS INT) AS frame_id, md5(frame) AS frame_md5
         |FROM rk WHERE rn = 1""".stripMargin),
+    // shots → medoid keyframes → class pairs → cross-media shot pairs,
+    // every step replayed relationally (shared shot/medoid CTEs)
+    "q260_shot_near_dup" ->
+      (s"""WITH $shotCtes,
+        |pc AS (SELECT a.media_id, a.shot_id, a.frame_id, a.sig,
+        |  sum(bit_count(xor(a.sig, b.sig))) AS cost
+        |  FROM sh a JOIN sh b
+        |    ON a.media_id = b.media_id AND a.shot_id = b.shot_id
+        |  GROUP BY 1, 2, 3, 4),
+        |kf AS (SELECT media_id, shot_id, sig FROM (
+        |  SELECT media_id, shot_id, sig,
+        |    row_number() OVER (PARTITION BY media_id, shot_id
+        |      ORDER BY cost, frame_id) AS rn FROM pc) WHERE rn = 1),
+        |cls AS (SELECT sig, min(media_id * 100000 + shot_id) AS keeper
+        |        FROM kf GROUP BY sig),
+        |bnd AS (SELECT keeper, sig, k,
+        |    (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
+        |  FROM (SELECT keeper, sig, unnest(range(0, 4)) AS k FROM cls)),
+        |prs AS (SELECT DISTINCT a.keeper AS ka, b2.keeper AS kb,
+        |    CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.k = b2.k AND a.bv = b2.bv AND a.keeper < b2.keeper
+        |  WHERE bit_count(xor(a.sig, b2.sig)) <= 3),
+        |sym AS (SELECT ka, kb, hamming FROM prs
+        |  UNION ALL SELECT kb, ka, hamming FROM prs
+        |  UNION ALL SELECT keeper, keeper, 0 FROM cls),
+        |occ AS (SELECT kf.media_id, kf.shot_id, cls.keeper
+        |        FROM kf JOIN cls ON kf.sig = cls.sig)
+        |SELECT a.media_id AS media_a, CAST(a.shot_id AS BIGINT) AS shot_a,
+        |  b.media_id AS media_b, CAST(b.shot_id AS BIGINT) AS shot_b,
+        |  CAST(s.hamming AS INT) AS hamming
+        |FROM occ a JOIN sym s ON a.keeper = s.ka
+        |JOIN occ b ON b.keeper = s.kb
+        |WHERE a.media_id < b.media_id""".stripMargin),
     // the audio-stub pipeline replayed relationally: same overlapping
     // windows, same integer energies, same islands
     "q257_silence_segments" ->

@@ -151,6 +151,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q260 shot near-dup equals a local brute all-pairs replay, BNLJ-free") {
+    val res = Multimodal.shotNearDup(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val got = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    // local ground truth: medoid signature per (media, shot), then
+    // all cross-media pairs within Hamming 3 (the 4x15 pigeonhole is
+    // exhaustive for <= 3, so banded must equal brute)
+    val kf: Map[(Long, Long), Long] = bruteShots().flatMap { case (id, tl) =>
+      tl.groupBy(_._4).map { case (shotId, frames) =>
+        val best = frames.map { case (k, _, sig, _) =>
+          (frames.map(o => java.lang.Long.bitCount(sig ^ o._3).toLong).sum,
+            k, sig)
+        }.minBy(t => (t._1, t._2))
+        (id, shotId) -> best._3
+      }
+    }
+    val keys = kf.keys.toSeq.sorted
+    val expected = (for {
+      i <- keys.indices.iterator
+      j <- (i + 1) until keys.length
+      a = keys(i); b = keys(j)
+      if a._1 != b._1
+      h = java.lang.Long.bitCount(kf(a) ^ kf(b))
+      if h <= 3
+    } yield (a._1, a._2, b._1, b._2, h)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "corpus must contain cross-media shot reuse")
+  }
+
   test("q257 silence segments equal a local brute replay; both classes live") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.silenceSegments(spark, sf)
