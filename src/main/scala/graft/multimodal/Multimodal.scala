@@ -414,8 +414,28 @@ object Multimodal {
         col("frame"), col("sig"))
   }
 
+  /** One-time, idempotent materialization of the keyframe relation —
+    * the [[ensureFrameEvidence]] economics applied to the shot level:
+    * the shot pipeline (signatures → timeline windows → medoid pick)
+    * runs once per corpus and both consumers (q254's sampler output,
+    * q260's scene-reuse join) probe the |shots|-sized parquet.
+    * q253 stays the LIVE build-job exemplar of the pipeline (as q243
+    * is for frames and q190 for pairs); content-fingerprint keyed,
+    * layout pinned.
+    */
+  private val keyframesLock = new Object
+
+  def ensureShotKeyframes(s: SparkSession, d: String): String = keyframesLock.synchronized {
+    val path =
+      s"${Tables.scratchDir}/graft-shot-keyframes-${Tables.datasetTag(d, "documents")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      keyframes(s, d).repartition(2, col("media_id"))
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   def keyframePerShot: Q = (s, d) =>
-    keyframes(s, d)
+    s.read.parquet(ensureShotKeyframes(s, d))
       .select(col("media_id"), col("shot_id"), col("frame_id"),
         md5(col("frame").cast("binary")).as("frame_md5"))
 
@@ -435,7 +455,8 @@ object Multimodal {
     * signature pass. Fully integer → exact relational oracle.
     */
   def shotNearDup: Q = (s, d) => {
-    val kf = keyframes(s, d).select("media_id", "shot_id", "sig")
+    val kf = s.read.parquet(ensureShotKeyframes(s, d))
+      .select("media_id", "shot_id", "sig")
     val cls = kf.groupBy("sig")
       .agg(min(col("media_id") * 100000L + col("shot_id")).as("keeper"))
     val bands = cls.select(col("keeper"), col("sig"),

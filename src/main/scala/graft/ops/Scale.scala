@@ -977,6 +977,7 @@ object Scale {
     graft.streaming.Streams.ensureUpsertSource(s, d): Unit
     graft.streaming.Streams.ensureUpsertSnapshot(s, d): Unit
     graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
+    graft.multimodal.Multimodal.ensureShotKeyframes(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 
