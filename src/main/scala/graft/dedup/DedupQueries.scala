@@ -239,6 +239,24 @@ object DedupQueries {
     * so the stored clusters sit on the same exact-Jaccard edge family
     * as the full-recompute oracle.
     */
+  /** One-time, idempotent materialization of the ingest batch's
+    * verified pair set (q214's full output) — the nightly probe job
+    * lands its pairs in a table once, and downstream consumers (q235's
+    * cluster update today) read the |pairs|-sized parquet instead of
+    * re-probing the index. q214 stays the LIVE probe job, like q190
+    * beside [[ensureNearDupPairs]].
+    */
+  private val ingestPairsLock = new Object
+
+  def ensureIngestPairs(s: SparkSession, d: String): String = ingestPairsLock.synchronized {
+    val path =
+      s"${Tables.scratchDir}/graft-ingest-pairs-${Tables.datasetTag(d, "documents")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      incrementalDedup(s, d).repartition(1)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   private val oldClustersLock = new Object
 
   def ensureOldClusters(s: SparkSession, d: String): String = oldClustersLock.synchronized {
@@ -271,7 +289,10 @@ object DedupQueries {
     */
   def incrementalClusters: Q = (s, d) => {
     val oldMap = s.read.parquet(ensureOldClusters(s, d)) // (doc_id, label)
-    val batchPairs = incrementalDedup(s, d).select(col("a_id"), col("b_id"))
+    // the batch pair set PROBES q214's materialized output
+    // ([[ensureIngestPairs]]) instead of re-running the index probe
+    val batchPairs = s.read.parquet(ensureIngestPairs(s, d))
+      .select(col("a_id"), col("b_id"))
     val m = oldMap.select(col("doc_id").as("m_id"), col("label").as("m_lbl"))
     val contracted = batchPairs
       .join(m.select(col("m_id").as("a_id"), col("m_lbl").as("la")), Seq("a_id"), "left")

@@ -971,6 +971,7 @@ object Scale {
     ensureLineitemSegmentSummaryIncremental(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureNearDupPairs(s, d): Unit
+    graft.dedup.DedupQueries.ensureIngestPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
