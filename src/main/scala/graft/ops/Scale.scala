@@ -977,6 +977,8 @@ object Scale {
     GraphQueries.ensureEdges(s, d): Unit
     graft.streaming.Streams.ensureUpsertSource(s, d): Unit
     graft.streaming.Streams.ensureUpsertSnapshot(s, d): Unit
+    graft.streaming.Streams.ensureOrdersFeed(s, d): Unit
+    graft.streaming.Streams.ensureSegmentStreamSummary(s, d): Unit
     graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
     graft.multimodal.Multimodal.ensureShotKeyframes(s, d): Unit
     ExtraQueries.warmDerived(s, d)

@@ -504,25 +504,37 @@ object Streams {
             col("l.last_id").as("last_id"), col("l.last_type").as("last_type"),
             col("n_events"), col("total_cents"))
     }
+    commitVersion(root, merged, batchId)
+  }
+
+  /** The shared COMMIT tail of every versioned snapshot sink: write the
+    * merged state as `v{batchId}`, flip CURRENT by atomic rename (the
+    * single commit instant), then GC versions older than the immediate
+    * predecessor.
+    *
+    * Retention: a long-running stream writes a full version dir per
+    * micro-batch, so without GC disk grows without bound. After the
+    * commit instant (the pointer flip), drop every version older than
+    * the immediate predecessor — the predecessor stays for crash
+    * recovery (a torn NEXT version re-merges against it) and for
+    * time-travel reads one version back (q245's contract).
+    * READER CONTRACT: deletion is immediate at commit, so a read that
+    * resolved a version must complete within ONE further commit cycle
+    * (resolve v, survive the commit that demotes v to predecessor, die
+    * at the next) — fine for this single-process replay, where every
+    * reader resolves through CURRENT/predecessor at plan time and
+    * finishes before the next trigger. If concurrent long scans ever
+    * share the store, widen retention to a grace window (keep K
+    * predecessors or age-based) or ref-count leases before deleting.
+    */
+  private def commitVersion(root: java.nio.file.Path, merged: DataFrame,
+      batchId: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     merged.write.mode("overwrite").parquet(root.resolve(s"v$batchId").toString)
     val tmp = Files.createTempFile(root, ".current", ".tmp")
     Files.write(tmp, s"v$batchId".getBytes("UTF-8"))
     Files.move(tmp, root.resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // retention: a long-running stream writes a full version dir per
-    // micro-batch, so without GC disk grows without bound. After the
-    // commit instant (the pointer flip above), drop every version
-    // older than the immediate predecessor — the predecessor stays for
-    // crash recovery (a torn NEXT version re-merges against it) and
-    // for time-travel reads one version back (q245's contract).
-    // READER CONTRACT: deletion is immediate at commit, so a read that
-    // resolved a version must complete within ONE further commit cycle
-    // (resolve v, survive the commit that demotes v to predecessor, die
-    // at the next) — fine for this single-process replay, where every
-    // reader resolves through CURRENT/predecessor at plan time and
-    // finishes before the next trigger. If concurrent long scans ever
-    // share the store, widen retention to a grace window (keep K
-    // predecessors or age-based) or ref-count leases before deleting.
     committedVersion(root).foreach { cur =>
       val versioned = Option(root.toFile.listFiles()).toSeq.flatten
         .filter(_.getName.matches("v\\d+"))
@@ -670,6 +682,130 @@ object Streams {
     s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
     s.read.parquet(src).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+  }
+
+  /** One-time staged ORDERS feed for the stream-maintained JOIN-MV:
+    * the orders table projected to (o_orderkey, o_custkey) and staged
+    * as 3 files with bucket `i` = `o_orderkey % 3` under fixed,
+    * strictly increasing mtimes — batch `i` IS bucket `i`, exactly
+    * [[ensureUpsertSource]]'s determinism contract on a second feed.
+    */
+  private val ordersFeedLock = new Object
+
+  def ensureOrdersFeed(s: SparkSession, d: String): String = ordersFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-orders-feed-${graft.Tables.datasetTag(d, "orders")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-ofeed-stage-")
+        try {
+          projected.where(pmod(col("o_orderkey"), lit(3)) === i)
+            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file staged for bucket $i"))
+          val dest = new java.io.File(dir, f"bucket-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          require(dest.setLastModified(1700000000000L + i * 60000L),
+            s"could not pin mtime of $dest — bucket/batch order would be undefined")
+        } finally graft.Tables.deleteRecursively(tmp.toFile)
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+        Array.empty[Byte]): Unit
+    }
+    path
+  }
+
+  /** One-time, idempotent DURABLE replay of the orders feed into a
+    * versioned SEGMENT-grain snapshot: each micro-batch joins the
+    * static customer dimension (the stream-static enrichment q113
+    * pins), aggregates to (c_mktsegment, n, key_checksum) partials,
+    * and merges them ADDITIVELY into the snapshot behind the shared
+    * commit protocol ([[commitVersion]]: atomic pointer flip,
+    * idempotent by committed-id, predecessor retained). This is the
+    * stream-side maintenance of q250's join-MV: the summary stays
+    * fresh per batch without ever re-joining history — per batch the
+    * work is |batch| ⋈ dimension plus a |segments|-row merge.
+    */
+  private val segStreamLock = new Object
+
+  def ensureSegmentStreamSummary(s: SparkSession, d: String): java.nio.file.Path = segStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-seg-stream-snap-${graft.Tables.datasetTag(d, "orders", "customer")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+      val table = root.resolve("table")
+      Files.createDirectories(table)
+      val feed = ensureOrdersFeed(s, d)
+      val schema = s.read.parquet(feed).schema
+      val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          if (!committedVersion(table).exists(_ >= id)) {
+            val delta = b.toDF()
+              .join(cust, col("o_custkey") === col("c_custkey"))
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
+            val merged = currentSnapshot(s, table) match {
+              case None => delta
+              case Some(c) =>
+                c.select(col("c_mktsegment"), col("n").as("n_cur"),
+                  col("key_checksum").as("k_cur"))
+                  .join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
+                    col("key_checksum").as("k_new")), Seq("c_mktsegment"), "full_outer")
+                  .select(col("c_mktsegment"),
+                    (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+                    (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"))
+            }
+            commitVersion(table, merged, id)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q261: the STREAM-MAINTAINED JOIN-MV — q244's CURRENT-pointer MV
+    * composed with q250's join registry: a batch aggregate over the
+    * customer ⋈ orders-feed inner equi-join is answered from the
+    * segment snapshot the stream maintains, resolved through the
+    * CURRENT pointer at rewrite time (only the committed version is
+    * ever visible — the sink's own commit protocol is the MV's
+    * visibility contract). The rewritten plan scans the |segments|-row
+    * snapshot and joins NOTHING; the oracle recomputes the join from
+    * customer and orders (the feed carries every orders row). At
+    * 100 TB this is THE freshness answer for star-schema dashboards:
+    * the order stream keeps the summary current per micro-batch, and
+    * every dashboard query collapses to a snapshot lookup.
+    */
+  def streamMaintainedJoinMv: Q = (s, d) => {
+    val table = ensureSegmentStreamSummary(s, d)
+    val feed = ensureOrdersFeed(s, d)
+    import graft.plans.SummaryRewrite._
+    registerJoin(
+      graft.ops.Scale.sourcePathOf(Tables.customer(s, d)),
+      graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
+      JoinSummary("c_custkey", "o_custkey",
+        SummaryLocation.CurrentPointer(table.toString), Seq("c_mktsegment"),
+        Map(CountStar -> "n", SumCol("o_orderkey") -> "key_checksum"),
+        graft.ops.Scale.freshnessProbe(d, "orders", "customer")))
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.customer(s, d)
+      .join(s.read.parquet(feed), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
   }
 
   /** q245: snapshot TIME TRAVEL as a registered, oracle-gated query —
@@ -868,6 +1004,7 @@ object Streams {
     "q71_stateful_totals" -> statefulTotalsReplay,
     "q233_stream_upsert" -> upsertReplay,
     "q244_stream_mv" -> streamMaintainedMv,
+    "q261_stream_join_mv" -> streamMaintainedJoinMv,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -882,6 +1019,14 @@ object Streams {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the stream-maintained join summary must equal the full join
+    // recompute (the feed carries every orders row; the rewritten plan
+    // reads only the committed snapshot version)
+    "q261_stream_join_mv" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
     // the rewritten aggregate must equal the recompute from raw events
     // (the rewritten plan reads only the committed snapshot version)
     "q244_stream_mv" ->

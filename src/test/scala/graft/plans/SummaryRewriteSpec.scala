@@ -614,6 +614,41 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("stream-maintained join-MV serves only the committed snapshot version") {
+    import graft.streaming.Streams
+    val table = Streams.ensureSegmentStreamSummary(spark, sf)
+    val feed = Streams.ensureOrdersFeed(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def q = graft.streaming.Streams.queries("q261_stream_join_mv")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-seg-stream-snap"), plan.take(1500))
+      assert(!plan.contains("customer.parquet") &&
+        !plan.contains("graft-orders-feed"),
+        "rewritten plan still scans a join side")
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = q.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      // the replay committed batch 2 and retained exactly v1 (the
+      // predecessor); v1 = batches 0+1 = orders with o_orderkey % 3 in
+      // (0, 1) joined and aggregated — batch i IS bucket i
+      assert(Streams.committedVersion(table).contains(2L))
+      val v1 = spark.read.parquet(table.resolve("v1").toString)
+        .collect().map(_.toString).sorted.toSeq
+      val expect01 = Tables.customer(spark, sf)
+        .select("c_custkey", "c_mktsegment")
+        .join(spark.read.parquet(feed)
+            .where(pmod(col("o_orderkey"), lit(3)) =!= 2),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(v1 === expect01)
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
