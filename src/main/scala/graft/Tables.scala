@@ -63,6 +63,23 @@ object Tables {
       .digest(sig.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
   }
 
+  /** The shared shape of every single-directory derived artifact
+    * (verified pair sets, keyframes, staged projections): build and
+    * write `build` under `path` iff the parquet commit's own _SUCCESS
+    * marker is absent, serialized on the caller's `lock`. The caller
+    * chooses a content-fingerprinted path ([[datasetTag]]) so corpus
+    * regeneration self-invalidates, and pins the layout with its own
+    * `repartition` so the building JVM's parallelism never caps later
+    * scans. One definition of the _SUCCESS/overwrite/idempotence
+    * contract instead of a copy per call site.
+    */
+  def ensureParquetArtifact(lock: AnyRef, path: String)
+      (build: => org.apache.spark.sql.DataFrame): String = lock.synchronized {
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Recursive delete for the scratch temp dirs the replay-style
     * queries create per run (shared by Scale/ExtraQueries/Streams).
     */

@@ -248,14 +248,11 @@ object DedupQueries {
     */
   private val ingestPairsLock = new Object
 
-  def ensureIngestPairs(s: SparkSession, d: String): String = ingestPairsLock.synchronized {
-    val path =
-      s"${Tables.scratchDir}/graft-ingest-pairs-${Tables.datasetTag(d, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+  def ensureIngestPairs(s: SparkSession, d: String): String =
+    Tables.ensureParquetArtifact(ingestPairsLock,
+      s"${Tables.scratchDir}/graft-ingest-pairs-${Tables.datasetTag(d, "documents")}") {
       incrementalDedup(s, d).repartition(1)
-        .write.mode("overwrite").parquet(path)
-    path
-  }
+    }
 
   private val oldClustersLock = new Object
 
@@ -502,14 +499,11 @@ object DedupQueries {
     */
   private val nearDupLock = new Object
 
-  def ensureNearDupPairs(s: SparkSession, d: String): String = nearDupLock.synchronized {
-    val path =
-      s"${Tables.scratchDir}/graft-neardup-pairs-${Tables.datasetTag(d, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+  def ensureNearDupPairs(s: SparkSession, d: String): String =
+    Tables.ensureParquetArtifact(nearDupLock,
+      s"${Tables.scratchDir}/graft-neardup-pairs-${Tables.datasetTag(d, "documents")}") {
       prefixJaccard(s, d).repartition(1)
-        .write.mode("overwrite").parquet(path)
-    path
-  }
+    }
 
   /** Data-refinery manifest: the composed keep/drop decision for every
     * training-corpus document with its FIRST failing gate as the

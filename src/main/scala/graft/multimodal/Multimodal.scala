@@ -425,14 +425,11 @@ object Multimodal {
     */
   private val keyframesLock = new Object
 
-  def ensureShotKeyframes(s: SparkSession, d: String): String = keyframesLock.synchronized {
-    val path =
-      s"${Tables.scratchDir}/graft-shot-keyframes-${Tables.datasetTag(d, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+  def ensureShotKeyframes(s: SparkSession, d: String): String =
+    Tables.ensureParquetArtifact(keyframesLock,
+      s"${Tables.scratchDir}/graft-shot-keyframes-${Tables.datasetTag(d, "documents")}") {
       keyframes(s, d).repartition(2, col("media_id"))
-        .write.mode("overwrite").parquet(path)
-    path
-  }
+    }
 
   def keyframePerShot: Q = (s, d) =>
     s.read.parquet(ensureShotKeyframes(s, d))

@@ -125,7 +125,7 @@ object Scale {
     * registry entry, the optimizer would answer the build from the old
     * summary — writing stale rows under a fresh fingerprint.
     */
-  private def withRewriteOff[A](s: SparkSession)(body: => A): A = {
+  private[graft] def withRewriteOff[A](s: SparkSession)(body: => A): A = {
     val key = graft.plans.SummaryRewrite.EnabledKey
     val prev = s.conf.getOption(key)
     s.conf.set(key, "false")
@@ -184,26 +184,35 @@ object Scale {
     * single-grain summary above (fingerprint-keyed, rewrite held off
     * during its own materialization, freshness probe registered).
     */
-  /** Materialization-time guard for the AVG rewrite contract
+  /** Registration-time guard for the AVG rewrite contract
     * ([[graft.plans.SummaryRewrite.CountCol]]): `Average` accumulates
-    * integral inputs exactly in doubles only below 2^53, and a
-    * rolled-up AVG divides the summary sums' own TOTAL, so the safe
-    * bound is on the sum of ABSOLUTE per-grain sums (an upper bound on
-    * every partial the fact plan could accumulate in any order). Runs
-    * once per materialization over the |grains|-row summary; an
-    * oversized corpus fails the build loudly instead of diverging from
-    * the fact plan by a low bit at query time.
+    * integral inputs in a double buffer, which stays exact only while
+    * every intermediate partial is representable — guaranteed for ANY
+    * accumulation order and ANY sign mix iff Σ|x| over the aggregated
+    * SOURCE relation stays below 2^53 (per-grain summary sums are NOT
+    * a sound proxy: {2^53+1, −2^53} nets to 1 in the stored long sum
+    * while the fact plan's double buffer already rounded). The scan
+    * runs once per artifact — an `_AVGSAFE` marker inside the artifact
+    * dir records a passed check, so warm artifacts from earlier rounds
+    * (whose build predates the guard) get checked exactly once too,
+    * and a swept-and-rebuilt artifact re-checks. An oversized corpus
+    * fails the registration loudly instead of diverging from the fact
+    * plan by a low bit at query time.
     */
-  private def assertAvgRewriteSafe(s: SparkSession, path: String, sumCols: String*): Unit = {
-    val aggs = sumCols.map(c => sum(abs(col(c))).as(c))
-    val row = s.read.parquet(path).agg(aggs.head, aggs.tail: _*).head()
-    sumCols.zipWithIndex.foreach { case (c, i) =>
+  private def assertAvgRewriteSafe(rel: => DataFrame, path: String, cols: String*): Unit = {
+    val marker = new java.io.File(path, "_AVGSAFE")
+    if (marker.exists()) return
+    val aggs = cols.map(c => sum(abs(col(c))).as(c))
+    val row = rel.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
       val v = if (row.isNullAt(i)) 0L else row.getLong(i)
       require(v < (1L << 53),
-        s"summary $path: Σ|$c| = $v ≥ 2^53 — AVG($c) through the rewrite " +
-          "would diverge from Average's double accumulation; decline the " +
-          "Sum/Count registration for this corpus")
+        s"summary $path: Σ|$c| = $v ≥ 2^53 over the source relation — " +
+          "AVG($c) through the rewrite could diverge from Average's " +
+          "double accumulation; decline the Sum/Count registration for " +
+          "this corpus")
     }
+    java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
   }
 
   def ensureLineitemSummary2(s: SparkSession, d: String): String = summaryLock.synchronized {
@@ -219,8 +228,8 @@ object Scale {
             sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
-        assertAvgRewriteSafe(s, path, "sum_part")
       }
+    assertAvgRewriteSafe(Tables.lineitem(s, d), path, "l_partkey")
     import graft.plans.SummaryRewrite._
     register(sourcePathOf(Tables.lineitem(s, d)), Summary(
       SummaryLocation.FixedPath(path), Seq("l_returnflag", "l_linestatus"), Map(
@@ -336,7 +345,7 @@ object Scale {
     * nothing real). The shape is exactly q134's snapshot-diff
     * added/removed classes as a single signed stream.
     */
-  private def summaryDeltaParts(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private def summaryDeltaParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(s, d)
       .select("l_returnflag", "l_orderkey", "l_partkey")
     val isInsert = pmod(col("l_orderkey"), lit(10)) === 0
@@ -350,7 +359,7 @@ object Scale {
     val s0 = li.where(!isInsert).unionByName(ghosts)
     val delta = inserts.withColumn("op", lit(1L))
       .unionByName(ghosts.withColumn("op", lit(-1L)))
-    (s0, delta, li)
+    (s0, delta)
   }
 
   /** The grain-bounded MIN/MAX repair scan for delete-touched groups:
@@ -366,9 +375,12 @@ object Scale {
       .groupBy("l_returnflag")
       .agg(min("l_partkey").as("mn_r"), max("l_partkey").as("mx_r"))
 
-  /** The grain values the q255 delta deletes touch — grain-sized. */
+  /** The grain values the q255 delta deletes touch — grain-sized.
+    * (The refresh itself derives the same list from its in-scope
+    * deltaAgg partials; this standalone form is the spec's probe.)
+    */
   private[graft] def deleteTouchedGrains(s: SparkSession, d: String): Seq[String] = {
-    val (_, delta, _) = summaryDeltaParts(s, d)
+    val (_, delta) = summaryDeltaParts(s, d)
     delta.where(col("op") === -1L).select("l_returnflag").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
   }
@@ -398,7 +410,7 @@ object Scale {
     val tag = Tables.datasetTag(d, "lineitem")
     val basePath = s"${Tables.scratchDir}/graft-lineitem-summary-delbase-$tag"
     val refreshedPath = s"${Tables.scratchDir}/graft-lineitem-summary-delincr-$tag"
-    val (s0, delta, _) = summaryDeltaParts(s, d)
+    val (s0, delta) = summaryDeltaParts(s, d)
     def aggOf(df: DataFrame): DataFrame =
       df.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
@@ -417,7 +429,10 @@ object Scale {
             min(when(col("op") === 1L, col("l_partkey"))).as("mn_ins"),
             max(when(col("op") === 1L, col("l_partkey"))).as("mx_ins"),
             max((col("op") === -1L).cast("int")).as("has_del"))
-        val touched = deleteTouchedGrains(s, d)
+        // touched grains from the partials already computed above —
+        // no second delta derivation, no extra fact scan
+        val touched = deltaAgg.where(col("has_del") === 1)
+          .select("l_returnflag").collect().map(_.getString(0)).toSeq.sorted
         val repair = minMaxRepairScan(s, d, touched)
         s.read.parquet(basePath)
           .select(col("l_returnflag"), col("n").as("n_b"),
@@ -489,8 +504,9 @@ object Scale {
             sum("o_custkey").as("sum_cust"), count(col("o_custkey")).as("cnt_cust"))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
-        assertAvgRewriteSafe(s, path, "sum_cust")
       }
+    assertAvgRewriteSafe(Tables.customer(s, d).join(Tables.orders(s, d),
+      col("c_custkey") === col("o_custkey")), path, "o_custkey")
     import graft.plans.SummaryRewrite._
     registerJoin(sourcePathOf(Tables.customer(s, d)),
       sourcePathOf(Tables.orders(s, d)),
@@ -543,8 +559,11 @@ object Scale {
             sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
-        assertAvgRewriteSafe(s, path, "sum_part")
       }
+    assertAvgRewriteSafe(Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey")),
+      path, "l_partkey")
     import graft.plans.SummaryRewrite._
     registerChain(
       Seq(sourcePathOf(Tables.lineitem(s, d)),
@@ -644,8 +663,11 @@ object Scale {
             (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_part"),
             (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_part"))
           .repartition(1).write.mode("overwrite").parquet(incrPath)
-        assertAvgRewriteSafe(s, incrPath, "sum_part")
       }
+    assertAvgRewriteSafe(Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey")),
+      incrPath, "l_partkey")
     import graft.plans.SummaryRewrite._
     registerChain(
       Seq(sourcePathOf(Tables.lineitem(s, d)),
@@ -766,7 +788,9 @@ object Scale {
             min(when(col("op") === 1L, col("o_custkey"))).as("mn_ins"),
             max(when(col("op") === 1L, col("o_custkey"))).as("mx_ins"),
             max((col("op") === -1L).cast("int")).as("has_del"))
-        val touched = joinDeleteTouchedGrains(s, d)
+        // touched segments from the partials already computed above
+        val touched = deltaAgg.where(col("has_del") === 1)
+          .select("c_mktsegment").collect().map(_.getString(0)).toSeq.sorted
         val repair = joinMinMaxRepairScan(s, d, touched)
         s.read.parquet(basePath)
           .select(col("c_mktsegment"), col("n").as("n_b"),
@@ -786,8 +810,9 @@ object Scale {
               .otherwise(greatest(col("mx_b"), col("mx_ins"))).as("max_cust"))
           .where(col("n") > 0)
           .repartition(1).write.mode("overwrite").parquet(refreshedPath)
-        assertAvgRewriteSafe(s, refreshedPath, "sum_cust")
       }
+    assertAvgRewriteSafe(Tables.customer(s, d).join(Tables.orders(s, d),
+      col("c_custkey") === col("o_custkey")), refreshedPath, "o_custkey")
     import graft.plans.SummaryRewrite._
     registerJoin(sourcePathOf(Tables.customer(s, d)),
       sourcePathOf(Tables.orders(s, d)),
@@ -869,8 +894,9 @@ object Scale {
             (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cust"),
             (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_cust"))
           .repartition(1).write.mode("overwrite").parquet(incrPath)
-        assertAvgRewriteSafe(s, incrPath, "sum_cust")
       }
+    assertAvgRewriteSafe(Tables.customer(s, d).join(Tables.orders(s, d),
+      col("c_custkey") === col("o_custkey")), incrPath, "o_custkey")
     import graft.plans.SummaryRewrite._
     registerJoin(sourcePathOf(Tables.customer(s, d)),
       sourcePathOf(Tables.orders(s, d)),

@@ -639,20 +639,26 @@ object Streams {
     val root = Paths.get(
       s"${graft.Tables.scratchDir}/graft-upsert-snap2-${graft.Tables.datasetTag(d, "events")}")
     if (!Files.exists(root.resolve("DONE"))) {
-      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-      val table = root.resolve("table")
-      Files.createDirectories(table)
-      val src = ensureUpsertSource(s, d)
-      val schema = s.read.parquet(src).schema
-      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .foreachBatch { (b: Dataset[Row], id: Long) =>
-          mergeIntoSnapshot(s, table, b.toDF(), id)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // replay with the MV rewrite held OFF (the Scale.withRewriteOff
+      // discipline): every snapshot merge query aggregates shapes a
+      // registered summary could answer, and a refresh served from its
+      // own (stale) snapshot would commit wrong versions silently
+      graft.ops.Scale.withRewriteOff(s) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val src = ensureUpsertSource(s, d)
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            mergeIntoSnapshot(s, table, b.toDF(), id)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
     }
     root.resolve("table")
@@ -739,38 +745,47 @@ object Streams {
     val root = Paths.get(
       s"${graft.Tables.scratchDir}/graft-seg-stream-snap-${graft.Tables.datasetTag(d, "orders", "customer")}")
     if (!Files.exists(root.resolve("DONE"))) {
-      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-      val table = root.resolve("table")
-      Files.createDirectories(table)
-      val feed = ensureOrdersFeed(s, d)
-      val schema = s.read.parquet(feed).schema
-      val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-        .writeStream
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .foreachBatch { (b: Dataset[Row], id: Long) =>
-          if (!committedVersion(table).exists(_ >= id)) {
-            val delta = b.toDF()
-              .join(cust, col("o_custkey") === col("c_custkey"))
-              .groupBy("c_mktsegment")
-              .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
-            val merged = currentSnapshot(s, table) match {
-              case None => delta
-              case Some(c) =>
-                c.select(col("c_mktsegment"), col("n").as("n_cur"),
-                  col("key_checksum").as("k_cur"))
-                  .join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
-                    col("key_checksum").as("k_new")), Seq("c_mktsegment"), "full_outer")
-                  .select(col("c_mktsegment"),
-                    (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
-                    (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"))
+      // replay with the MV rewrite held OFF (the Scale.withRewriteOff
+      // discipline): the per-batch delta — customer ⋈ batch, grouped
+      // by segment — is exactly the shape q261 registers for this
+      // source pair, and a refresh served from its own (stale)
+      // snapshot would commit wrong versions silently. The micro-batch
+      // session is cloned at stream start, so the conf set here is the
+      // one the batch plans see.
+      graft.ops.Scale.withRewriteOff(s) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val feed = ensureOrdersFeed(s, d)
+        val schema = s.read.parquet(feed).schema
+        val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!committedVersion(table).exists(_ >= id)) {
+              val delta = b.toDF()
+                .join(cust, col("o_custkey") === col("c_custkey"))
+                .groupBy("c_mktsegment")
+                .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
+              val merged = currentSnapshot(s, table) match {
+                case None => delta
+                case Some(c) =>
+                  c.select(col("c_mktsegment"), col("n").as("n_cur"),
+                    col("key_checksum").as("k_cur"))
+                    .join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
+                      col("key_checksum").as("k_new")), Seq("c_mktsegment"), "full_outer")
+                    .select(col("c_mktsegment"),
+                      (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+                      (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"))
+              }
+              commitVersion(table, merged, id)
             }
-            commitVersion(table, merged, id)
           }
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
     }
     root.resolve("table")
