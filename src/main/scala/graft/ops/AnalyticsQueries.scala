@@ -370,6 +370,48 @@ object AnalyticsQueries {
     * backfill and the nightly increment run the same plan (q130's
     * partial-merge mechanic).
     */
+  /** q263: calendar GAP-FILL with forward-fill — the dense-spine
+    * transform every reporting layer needs on top of q136's sparse
+    * daily series: days with no observations still get a row, carrying
+    * the last observed daily close forward (`last(..., ignoreNulls)`
+    * over the per-key day order — Spark's forward-fill idiom), with an
+    * `is_observed` flag separating carried from real values. The
+    * series is PER-ACCOUNT (a deterministic user subset): accounts
+    * don't transact every day, so the sparsity the operator exists for
+    * is scale-INVARIANT — more corpus means more accounts, not denser
+    * per-account days (a per-type series saturates by sf0.01 and the
+    * fill never fires). The spine is |accounts| × |days| (`sequence`
+    * over the inlined global day span — the sanctioned q118 scalar
+    * shape), so the join and window run over spine-sized rows, never
+    * event-scale; leading days before an account's first observation
+    * are dropped (nothing to carry). Exact integers end to end:
+    * epoch-day via `div`, cents, and a deterministic per-day close by
+    * the (t_us, event_id) total order q136 established.
+    */
+  def calendarFill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("user_id") % 97 === 0)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"),
+        (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
+          .cast("long").as("cents"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max(struct(col("t_us"), col("event_id"), col("cents")))
+        .getField("cents").as("obs_cents"))
+    val Row(d0: Long, d1: Long) =
+      ev.agg(min("day"), max("day")).head()
+    val spine = ev.select("user_id").distinct()
+      .withColumn("day", explode(sequence(lit(d0), lit(d1))))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("close_cents", last("obs_cents", ignoreNulls = true).over(w))
+      .where(col("close_cents").isNotNull)
+      .select(col("user_id"), col("day"), col("close_cents"),
+        col("obs_cents").isNotNull.cast("int").as("is_observed"))
+  }
+
   def ohlc: Q = (s, d) => {
     val w = Window.partitionBy("event_type", "day")
       .orderBy(col("ts"), col("event_id"))
@@ -1653,6 +1695,7 @@ object AnalyticsQueries {
     "q142_share_of_total" -> shareOfTotal,
     "q143_mode" -> modeDeterministic,
     "q136_ohlc" -> ohlc,
+    "q263_calendar_fill" -> calendarFill,
     "q137_hll_merge" -> hllMergeDailyChecked,
     "q231_cms_frequency" -> cmsFrequencyChecked,
     "q114_corr_matrix" -> corrMatrix,
@@ -2343,6 +2386,37 @@ object AnalyticsQueries {
         |                       ORDER BY count(*) DESC, l_returnflag ASC) AS rk
         |  FROM lineitem GROUP BY l_linestatus, l_returnflag)
         |WHERE rk = 1""".stripMargin,
+    // dense spine + IGNORE NULLS forward fill, replayed relationally;
+    // per-day close by the same (t_us, event_id) total order as q136
+    "q263_calendar_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) AS t_us, event_id,
+        |    CAST(COALESCE(CAST(value AS DECIMAL(18,2)), 0) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE user_id % 97 = 0),
+        |daily AS (
+        |  SELECT user_id, day, cents AS obs_cents FROM (
+        |    SELECT user_id, day, cents,
+        |      row_number() OVER (PARTITION BY user_id, day
+        |        ORDER BY t_us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |spine AS (
+        |  SELECT t.user_id, gs.day
+        |  FROM (SELECT DISTINCT user_id FROM e) t,
+        |       (SELECT unnest(generate_series(d0, d1)) AS day FROM span) gs),
+        |f AS (
+        |  SELECT s.user_id, s.day, d.obs_cents,
+        |    last_value(d.obs_cents IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_cents
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, CAST(day AS BIGINT) AS day,
+        |  CAST(close_cents AS BIGINT) AS close_cents,
+        |  CASE WHEN obs_cents IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+        |FROM f WHERE close_cents IS NOT NULL""".stripMargin,
     // identical micros ordering on both engines (Spark reads the nanos
     // column truncated to micros; the oracle truncates explicitly), with
     // event_id as the total-order tiebreak

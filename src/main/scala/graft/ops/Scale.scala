@@ -681,6 +681,89 @@ object Scale {
     incrPath
   }
 
+  /** q262: DELETE-bearing refresh of the CHAIN-MV — the last cell of
+    * the IVM matrix ({single-table, join, chain} × {insert-only,
+    * delete-bearing}). The CDC batch inserts and deletes LINEITEM rows
+    * (the ghosts are corrected lines: same l_orderkey — so they joined
+    * orders in the pre-batch state — different l_partkey), and since
+    * every measure on this grain is additive (counts and sums; no
+    * min/max registered), the whole refresh is ONE op-weighted signed
+    * delta join through the unchanged bridge and dimension tables,
+    * merged additively into the base summary — no repair scan needed
+    * anywhere, the cheapest cell of the matrix. Zero-count groups
+    * drop. Registers for the same chain as q256/q258; the driver
+    * proves the refreshed summary equals the full 3-way recompute.
+    */
+  def ensureLineitemSegmentSummaryDeletes(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "lineitem", "orders", "customer")
+    val basePath = s"${Tables.scratchDir}/graft-li-seg-delbase-$tag"
+    val refreshedPath = s"${Tables.scratchDir}/graft-li-seg-delincr-$tag"
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val isInsert = pmod(col("l_orderkey") + col("l_partkey"), lit(9)) === 0
+    val ghosts = li.where(pmod(col("l_orderkey") + col("l_partkey"), lit(11)) === 4)
+      .withColumn("l_partkey", col("l_partkey") + lit(5000000L))
+    val s0 = li.where(!isInsert).unionByName(ghosts)
+    val delta = li.where(isInsert).withColumn("op", lit(1L))
+      .unionByName(ghosts.withColumn("op", lit(-1L)))
+    def joined(l: DataFrame): DataFrame =
+      l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        joined(s0).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+            sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
+          .repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(refreshedPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        val deltaAgg = joined(delta).groupBy("c_mktsegment")
+          .agg(sum(col("op")).as("n_d"),
+            sum(col("op") * col("l_orderkey")).as("k_d"),
+            sum(col("op") * col("l_partkey")).as("s_d"),
+            sum(col("op") * col("l_partkey").isNotNull.cast("long")).as("c_d"))
+        s.read.parquet(basePath)
+          .select(col("c_mktsegment"), col("n").as("n_b"),
+            col("key_checksum").as("k_b"),
+            col("sum_part").as("s_b"), col("cnt_part").as("c_b"))
+          .join(deltaAgg, Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("k_b"), lit(0L)) + coalesce(col("k_d"), lit(0L))).as("key_checksum"),
+            (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_part"),
+            (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("cnt_part"))
+          .where(col("n") > 0)
+          .repartition(1).write.mode("overwrite").parquet(refreshedPath)
+      }
+    assertAvgRewriteSafe(Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey")),
+      refreshedPath, "l_partkey")
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(sourcePathOf(Tables.lineitem(s, d)),
+        sourcePathOf(Tables.orders(s, d)),
+        sourcePathOf(Tables.customer(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")),
+        SummaryLocation.FixedPath(refreshedPath), Seq("c_mktsegment"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("l_partkey") -> "sum_part", CountCol("l_partkey") -> "cnt_part"),
+        freshnessProbe(d, "lineitem", "orders", "customer")))
+    refreshedPath
+  }
+
+  def summaryChainDeletes: (SparkSession, String) => DataFrame = (s, d) => {
+    ensureLineitemSegmentSummaryDeletes(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"))
+  }
+
   def summaryChainIncremental(s: SparkSession, d: String): DataFrame = {
     ensureLineitemSegmentSummaryIncremental(s, d): Unit
     graft.plans.SummaryRewrite.install(s)
@@ -995,6 +1078,7 @@ object Scale {
     ensureSegmentOrdersSummaryDeletes(s, d): Unit
     ensureLineitemSegmentSummary(s, d): Unit
     ensureLineitemSegmentSummaryIncremental(s, d): Unit
+    ensureLineitemSegmentSummaryDeletes(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureNearDupPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureIngestPairs(s, d): Unit
@@ -1225,6 +1309,7 @@ object Scale {
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
     "q256_summary_chain" -> (summaryChainAggregate(_, _)),
     "q258_summary_chain_incremental" -> (summaryChainIncremental(_, _)),
+    "q262_summary_chain_delete_ivm" -> (summaryChainDeletes(_, _)),
     "q259_summary_join_delete_ivm" -> (summaryJoinDeletes(_, _)),
     "q251_summary_join_filtered" -> (summaryJoinFiltered(_, _)),
     "q252_summary_join_incremental" -> (summaryJoinIncremental(_, _)),
@@ -1281,6 +1366,16 @@ object Scale {
     // the incrementally-refreshed chain summary must land exactly where
     // the full recompute lands: same 3-way oracle as q256
     "q258_summary_chain_incremental" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(l_partkey) AS avg_part
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // the delete-bearing chain refresh: all-additive measures, pure
+    // signed merge — must land exactly on the full 3-way recompute
+    "q262_summary_chain_delete_ivm" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
         |  CAST(sum(l_partkey) AS DOUBLE) / count(l_partkey) AS avg_part

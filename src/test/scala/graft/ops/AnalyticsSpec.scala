@@ -10,6 +10,25 @@ import graft.SparkSpec
   */
 class AnalyticsSpec extends SparkSpec {
 
+  test("q263 calendar fill: spine dense per type, carried days live, flags exact") {
+    val rows = AnalyticsQueries.calendarFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4 == 0), "no carried (gap) days — spine degenerate")
+    assert(rows.exists(_._4 == 1), "no observed days")
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.last - days.head + 1 === days.length.toLong,
+        s"$t: filled series not dense")
+      // a carried day repeats the previous day's close
+      val byDay = rs.map(r => r._2 -> r).toMap
+      rs.filter(_._4 == 0).foreach { r =>
+        assert(byDay(r._2 - 1)._3 === r._3,
+          s"$t day ${r._2}: carried close != previous close")
+      }
+    }
+  }
+
   test("funnel stages are monotonically non-increasing and ordered") {
     val rows = AnalyticsQueries.funnel(spark, sf)
       .orderBy("stage_ord").collect()

@@ -562,6 +562,40 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("delete-bearing chain refresh: pure signed merge == full 3-way recompute") {
+    val path = graft.ops.Scale.ensureLineitemSegmentSummaryDeletes(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def chainAgg = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          avg("l_partkey").as("avg_part"))
+      val plan = chainAgg.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-li-seg-delincr"), plan.take(1500))
+      Seq("lineitem.parquet", "orders.parquet", "customer.parquet").foreach(t =>
+        assert(!plan.contains(t)))
+      val viaDel = chainAgg.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val full = chainAgg.collect().map(_.toString).sorted.toSeq
+      assert(full.nonEmpty && viaDel === full)
+      val stored = spark.read.parquet(path)
+        .select("c_mktsegment", "n", "key_checksum")
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored === Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"))
+        .collect().map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      graft.ops.Scale.ensureLineitemSegmentSummary(spark, sf): Unit
+    }
+  }
+
   test("delete-bearing join-MV refresh: signed join merge + bounded repair == full") {
     val path = graft.ops.Scale.ensureSegmentOrdersSummaryDeletes(spark, sf)
     SummaryRewrite.install(spark)
