@@ -249,4 +249,117 @@ class SummaryRewriteSweepSpec extends SparkSpec {
       groupings.size * measureSets.size * filters.size * keys.size)
     joinRegistry.remove(joinRegistered): Unit
   }
+
+  // ---- chain-MV sweep: the same treatment for the 3-table chain path
+  // (dim ⋈ mid ⋈ fact down a two-hop key chain) ----
+
+  private lazy val chainSrcs: (String, String, String) = {
+    import spark.implicits._
+    val dimP = base.resolve("cdim").toString
+    val midP = base.resolve("cmid").toString
+    val factP = base.resolve("cfact").toString
+    (0 until 30).map(k =>
+      (k.toLong, Seq("a", "b", "c")(k % 3), (k % 4).toLong, k * 0.5))
+      .toDF("d_key", "g1", "g2", "dy").repartition(2).write.parquet(dimP)
+    // the bridge: d_key k ↔ f_key k + 100
+    (0 until 30).map(k => (k.toLong, k.toLong + 100))
+      .toDF("m_left", "m_right").repartition(2).write.parquet(midP)
+    (0 until 240).map { i =>
+      val x = if (i % 5 == 0) None else Some((i * 7 % 100).toLong)
+      (i.toLong % 30 + 100, x, i * 0.25)
+    }.toDF("f_key", "x", "fy").repartition(2).write.parquet(factP)
+    (dimP, midP, factP)
+  }
+
+  private lazy val chainRegistered: Seq[String] = {
+    val (dimP, midP, factP) = chainSrcs
+    val sumPath = base.resolve("csum").toString
+    spark.read.parquet(dimP)
+      .join(spark.read.parquet(midP), col("d_key") === col("m_left"))
+      .join(spark.read.parquet(factP), col("m_right") === col("f_key"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n"), count(col("x")).as("cnt_x"),
+        sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .repartition(1).write.parquet(sumPath)
+    val srcs = Seq(dimP, midP, factP)
+      .map(p => graft.ops.Scale.sourcePathOf(spark.read.parquet(p)))
+    registerChain(srcs, ChainSummary(
+      Seq(("d_key", "m_left"), ("m_right", "f_key")),
+      SummaryLocation.FixedPath(sumPath), Seq("g1", "g2"),
+      Map(CountStar -> "n", CountCol("x") -> "cnt_x", SumCol("x") -> "sum_x",
+        MinCol("x") -> "min_x", MaxCol("x") -> "max_x")))
+    SummaryRewrite.install(spark)
+    srcs
+  }
+
+  test("chain-MV: every grouping × measure × filter × key: ON == OFF, boundary exact") {
+    chainRegistered: Unit
+    val (dimP, midP, factP) = chainSrcs
+    val dim = () => spark.read.parquet(dimP)
+    val mid = () => spark.read.parquet(midP)
+    val fact = () => spark.read.parquet(factP)
+
+    val groupings: Seq[(String, Seq[String], Boolean)] = Seq(
+      ("grain", Seq("g1", "g2"), true),
+      ("subset-g1", Seq("g1"), true),
+      ("global", Seq.empty, true),
+      ("non-grain", Seq("dy"), false))
+
+    val measureSets: Seq[(String, Seq[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("count*", Seq(count(lit(1)).as("m1")), true),
+      ("countx", Seq(count(col("x")).as("m1")), true),
+      ("sumx", Seq(sum("x").as("m1")), true),
+      ("minmax", Seq(min("x").as("m1"), max("x").as("m2")), true),
+      ("avgx", Seq(avg("x").as("m1")), true),
+      ("sum-fy", Seq(sum("fy").as("m1")), false),
+      ("nd-grain", Seq(countDistinct(col("g2")).as("m1")), false),
+      ("nd-non-grain", Seq(countDistinct(col("x")).as("m1")), false))
+
+    val filters: Seq[(String, Option[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("nofilter", None, true),
+      ("dim-grainfilter", Some(col("g1") =!= "b"), true),
+      ("dim-nongrainfilter", Some(col("dy") < 100), false))
+
+    // the second hop's key swapped for a non-registered column must
+    // decline even for otherwise-qualifying cases
+    val keys: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column), Boolean)] = Seq(
+      ("rightchain", (col("d_key") === col("m_left"),
+        col("m_right") === col("f_key")), true),
+      ("wrongkey2", (col("d_key") === col("m_left"),
+        col("m_left") === col("f_key")), false))
+
+    var checked = 0
+    for {
+      (gLabel, gCols, gOk) <- groupings
+      (mLabel, mExprs, mOk) <- measureSets
+      (fLabel, dimCond, fOk) <- filters
+      (kLabel, (k1, k2), kOk) <- keys
+    } {
+      val label = s"$gLabel/$mLabel/$fLabel/$kLabel"
+      def query: DataFrame = {
+        val d0 = dimCond.fold(dim())(c => dim().where(c))
+        val joined = d0.join(mid(), k1).join(fact(), k2)
+        if (gCols.isEmpty) joined.agg(mExprs.head, mExprs.tail: _*)
+        else joined.groupBy(gCols.map(col): _*).agg(mExprs.head, mExprs.tail: _*)
+      }
+      val ndGrainOk = mLabel == "nd-grain" &&
+        (gLabel == "subset-g1" || gLabel == "global")
+      val expectRewrite = gOk && (mOk || ndGrainOk) && fOk && kOk
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val planOn = query.queryExecution.executedPlan.toString
+      val on = query.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = query.collect().map(_.toString).sorted.toSeq
+      assert(on === off, s"$label: rewrite changed the ANSWER")
+      val rewrote = planOn.contains("/csum") && !planOn.contains("/cdim") &&
+        !planOn.contains("/cmid") && !planOn.contains("/cfact")
+      assert(rewrote === expectRewrite,
+        s"$label: expected rewrite=$expectRewrite, plan says $rewrote\n" +
+          planOn.take(800))
+      checked += 1
+    }
+    assert(checked ===
+      groupings.size * measureSets.size * filters.size * keys.size)
+    chainRegistry.remove(chainRegistered): Unit
+  }
 }
