@@ -231,6 +231,59 @@ object DedupQueries {
       .where(col("jac") >= 0.5)
   }
 
+  /** Erasure-compliant dedup-index maintenance — the DELETE cell of the
+    * dedup family's maintenance matrix (q214 is the insert-only ingest;
+    * q255/q259/q262 are the IVM delete cells): a right-to-erasure batch
+    * (doc_id % 7 == 1 — the q218 request-queue shape on the documents
+    * subject key) is applied to the PERSISTED shingle index
+    * ([[ensureShingleIndex]]) as a TOMBSTONE overlay, and the nightly
+    * ingest probe (q214's plan) runs against the maintained index. The
+    * output is the surviving pair set — bit-for-bit what a full
+    * re-shingle of the surviving corpus would produce, which is exactly
+    * what the oracle computes (the q214 oracle over `documents WHERE
+    * doc_id % 7 <> 1`).
+    *
+    * Scale shape: erasure costs O(|tombstones|) at write time — the
+    * index is NOT rewritten; the aggregate-sized tombstone list
+    * broadcasts into a LEFT ANTI join on the probe's index side, and a
+    * periodic compaction job (outside this query, amortized) folds
+    * tombstones into the postings the way log-structured stores merge
+    * delete markers. The batch side prunes erased docs AT THE SCAN
+    * (pushed predicate), so no erased text is ever re-read — the
+    * compliance property erasure audits check. DedupSpec pins the
+    * broadcast anti-join, the index probe, that no erased id survives,
+    * and equality with the surviving-corpus brute recompute.
+    */
+  def erasureDedupIndex: Q = (s, d) => {
+    val idx = ensureShingleIndex(s, d)
+    // stand-in for the erasure request queue: an aggregate-sized id
+    // list (production reads the queue table; the ids are what matters)
+    val tombstones = broadcast(
+      Tables.documents(s, d).where(col("doc_id") % 7 === 1)
+        .select(col("doc_id")))
+    val sizes = s.read.parquet(s"$idx/sizes")
+    val newSh = shingles(Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
+    val allSh = s.read.parquet(s"$idx/hpostings")
+      .join(tombstones, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("oid"), col("h"))
+    val inter = newSh.join(allSh, Seq("h"))
+      .where(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("a_id"),
+        greatest(col("nid"), col("oid")).as("b_id"), col("h"))
+      .distinct()
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"),
+        when(col("a_id") % 3 === 0 && col("b_id") % 3 === 0, "new_new")
+          .otherwise("new_old").as("kind"))
+      .where(col("jac") >= 0.5)
+  }
+
   /** One-time, idempotent materialization of the OLD-corpus
     * (doc_id % 3 != 0) cluster map — the prior state q235's incremental
     * update consumes, warmed by `Scale.warmDerived` like the shingle
@@ -971,6 +1024,7 @@ object DedupQueries {
     "q41_dedup_jaccard" -> ngramJaccard,
     "q190_prefix_jaccard" -> prefixJaccard,
     "q214_incremental_dedup" -> incrementalDedup,
+    "q264_erasure_dedup_index" -> erasureDedupIndex,
     "q217_refinery" -> refinery,
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhashChecked,
@@ -1236,6 +1290,27 @@ object DedupQueries {
          |       ELSE 'new_old' END AS kind
          |FROM ($jaccardOracle)
          |WHERE a_id % 3 = 0 OR b_id % 3 = 0""".stripMargin,
+    // the q214 oracle over the SURVIVING corpus — a full re-shingle of
+    // `documents WHERE doc_id % 7 <> 1` is the answer the maintained
+    // (tombstoned) index must reproduce
+    "q264_erasure_dedup_index" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') ws
+        |              FROM documents WHERE doc_id % 7 <> 1),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac,
+        |  CASE WHEN a_id % 3 = 0 AND b_id % 3 = 0 THEN 'new_new'
+        |       ELSE 'new_old' END AS kind
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = a_id
+        |JOIN sizes nb ON nb.doc_id = b_id
+        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+        |  AND (a_id % 3 = 0 OR b_id % 3 = 0)""".stripMargin,
     "q42_dedup_minhash" -> jaccardOracle,
     "q88_dup_clusters" ->
       s"""$clusterCte

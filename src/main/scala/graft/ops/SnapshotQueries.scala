@@ -237,7 +237,89 @@ object SnapshotQueries {
         min("age_days").as("min_age"), max("age_days").as("max_age"))
   }
 
+  /** Declarative data-quality constraint audit — the Deequ/
+    * Great-Expectations-shaped manifest a pipeline emits before
+    * promoting a snapshot: per (table, column, rule), rows checked,
+    * rows violating, and the pass verdict. The rule set mixes
+    * invariants this corpus satisfies (completeness, key uniqueness,
+    * referential integrity, bounds) with screens that FIRE on real
+    * data (a price plausibility ceiling, a discount policy cap, an
+    * allow-listed language set) — an audit whose violations are all
+    * zero is untested wiring.
+    *
+    * Scale shape: every per-column rule on a table fuses into ONE
+    * conditional-aggregate pass over that table (4 scans for 11
+    * rules — the `stack` unpivots the single agg row into rule rows);
+    * referential integrity is the only rule that needs a second
+    * relation and costs one keyed equi-join (null-probe LEFT join on
+    * the orders key). Output is |rules| rows. At 100 TB the audit
+    * rides the same scan the ingest job already pays, which is the
+    * whole point of fusing rules instead of running one query per
+    * rule.
+    */
+  def constraintAudit: Q = (s, d) => {
+    def unpivot(agg: DataFrame, rules: Seq[(String, String, String, String)]): DataFrame = {
+      val cells = rules.map { case (t, c, r, v) =>
+        s"'$t', '$c', '$r', n_rows, $v"
+      }.mkString(", ")
+      agg.selectExpr(
+        s"stack(${rules.size}, $cells) AS (tbl, col, rule, n_checked, n_violations)")
+    }
+    def cnt(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(cond, 1L).otherwise(0L))
+    val ev = unpivot(
+      Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        cnt(col("user_id").isNull).as("v_uid_null"),
+        cnt(col("value").isNull).as("v_val_null"),
+        cnt(col("value") < 0).as("v_val_neg"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v_eid_dup")),
+      Seq(("events", "user_id", "not_null", "v_uid_null"),
+        ("events", "value", "not_null", "v_val_null"),
+        ("events", "value", "non_negative", "v_val_neg"),
+        ("events", "event_id", "unique", "v_eid_dup")))
+    val doc = unpivot(
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        cnt(col("text").isNull || col("text") === "").as("v_text_empty"),
+        cnt(length(col("text")) =!= col("n_chars")).as("v_nchars"),
+        cnt(!col("lang").isin("en", "de", "fr", "es")).as("v_lang")),
+      Seq(("documents", "text", "not_empty", "v_text_empty"),
+        ("documents", "n_chars", "equals_length_text", "v_nchars"),
+        ("documents", "lang", "in_allowed_set", "v_lang")))
+    val ord = unpivot(
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_key_dup"),
+        cnt(col("o_totalprice") > 400000).as("v_price_ceiling"),
+        cnt(!col("o_orderstatus").isin("O", "F", "P")).as("v_status")),
+      Seq(("orders", "o_orderkey", "unique", "v_key_dup"),
+        ("orders", "o_totalprice", "ceiling_400000", "v_price_ceiling"),
+        ("orders", "o_orderstatus", "in_allowed_set", "v_status")))
+    val li = unpivot(
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        cnt(!col("l_quantity").between(1, 50)).as("v_qty_range"),
+        cnt(col("l_discount") > 0.08).as("v_disc_cap"),
+        cnt(col("l_extendedprice") <= 0).as("v_price_pos")),
+      Seq(("lineitem", "l_quantity", "between_1_50", "v_qty_range"),
+        ("lineitem", "l_discount", "cap_0_08", "v_disc_cap"),
+        ("lineitem", "l_extendedprice", "positive", "v_price_pos")))
+    // referential integrity: the one rule that crosses relations —
+    // null-probe LEFT join so checked + violating come from one pass
+    val fk = unpivot(
+      Tables.lineitem(s, d).select(col("l_orderkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          cnt(col("o_orderkey").isNull).as("v_fk")),
+      Seq(("lineitem", "l_orderkey", "fk_orders", "v_fk")))
+    ev.unionByName(doc).unionByName(ord).unionByName(li).unionByName(fk)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q265_constraint_audit" -> constraintAudit,
     "q220_order_aging" -> orderAging,
     "q218_erasure_audit" -> erasureAudit,
     "q181_delta_join_view" -> deltaJoinView,
@@ -247,6 +329,48 @@ object SnapshotQueries {
     "q135_schema_evolution" -> schemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    "q265_constraint_audit" ->
+      """WITH ev AS (SELECT count(*) n,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) uid_null,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) val_null,
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) val_neg,
+        |  count(*) - count(DISTINCT event_id) eid_dup FROM events),
+        |doc AS (SELECT count(*) n,
+        |  CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) t_empty,
+        |  CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) nch,
+        |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) lng
+        |  FROM documents),
+        |ord AS (SELECT count(*) n, count(*) - count(DISTINCT o_orderkey) key_dup,
+        |  CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) price_c,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) st
+        |  FROM orders),
+        |li AS (SELECT count(*) n,
+        |  CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) qty,
+        |  CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) disc,
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) price_p
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) n,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |rules AS (
+        |  SELECT 'events' tbl, 'user_id' AS "col", 'not_null' AS "rule", n n_checked, uid_null n_violations FROM ev
+        |  UNION ALL SELECT 'events', 'value', 'not_null', n, val_null FROM ev
+        |  UNION ALL SELECT 'events', 'value', 'non_negative', n, val_neg FROM ev
+        |  UNION ALL SELECT 'events', 'event_id', 'unique', n, eid_dup FROM ev
+        |  UNION ALL SELECT 'documents', 'text', 'not_empty', n, t_empty FROM doc
+        |  UNION ALL SELECT 'documents', 'n_chars', 'equals_length_text', n, nch FROM doc
+        |  UNION ALL SELECT 'documents', 'lang', 'in_allowed_set', n, lng FROM doc
+        |  UNION ALL SELECT 'orders', 'o_orderkey', 'unique', n, key_dup FROM ord
+        |  UNION ALL SELECT 'orders', 'o_totalprice', 'ceiling_400000', n, price_c FROM ord
+        |  UNION ALL SELECT 'orders', 'o_orderstatus', 'in_allowed_set', n, st FROM ord
+        |  UNION ALL SELECT 'lineitem', 'l_quantity', 'between_1_50', n, qty FROM li
+        |  UNION ALL SELECT 'lineitem', 'l_discount', 'cap_0_08', n, disc FROM li
+        |  UNION ALL SELECT 'lineitem', 'l_extendedprice', 'positive', n, price_p FROM li
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey', 'fk_orders', n, v FROM fk)
+        |SELECT tbl, "col", "rule", n_checked, n_violations,
+        |  (n_violations = 0) AS pass
+        |FROM rules""".stripMargin,
     "q220_order_aging" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders)
         |SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), m) // 30

@@ -269,6 +269,40 @@ class DedupSpec extends SparkSpec {
       "batch filter did not reach the documents scan")
   }
 
+  test("erasure index maintenance equals the surviving-corpus recompute; tombstones anti-join, no erased id survives") {
+    import org.apache.spark.sql.functions._
+    val got = DedupQueries.erasureDedupIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getString(3)))
+      .toMap
+    // brute: full pair set over the surviving corpus, filtered to
+    // batch-touching pairs — recomputed from the raw docs, no index
+    val full = DedupQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = full.view
+      .filterKeys { case (a, b) => a % 7 != 1 && b % 7 != 1 }
+      .filterKeys { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      .map { case (k @ (a, b), j) =>
+        k -> (j, if (a % 3 == 0 && b % 3 == 0) "new_new" else "new_old")
+      }.toMap
+    assert(got === want)
+    // the erasure actually bit: pairs were removed AND pairs survive
+    val before = full.keySet.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(got.nonEmpty && got.size < before.size,
+      s"erasure removed nothing (${got.size} of ${before.size})")
+    assert(got.keys.forall { case (a, b) => a % 7 != 1 && b % 7 != 1 },
+      "an erased doc id leaked into the maintained-index probe")
+    // plan: probes the persisted index through a BROADCAST ANTI join on
+    // the tombstone list — the index itself is never rewritten, and the
+    // batch scan prunes erased docs at the source
+    val plan = DedupQueries.erasureDedupIndex(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-shingle-index"), plan.take(2000))
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      "tombstone overlay is not a broadcast anti-join:\n" + plan.take(2000))
+    assert("\\(doc_id#\\d+L? % 3\\) = 0".r.findFirstIn(plan).isDefined,
+      "batch filter did not reach the documents scan")
+  }
+
   test("cluster-aware split: zero straddling near-dup pairs, totals match q145") {
     import org.apache.spark.sql.functions._
     // the doc -> split map q229 aggregates: split assigned by CLUSTER id

@@ -107,6 +107,43 @@ class SnapshotSpec extends SparkSpec {
     assert(rows.length > 1, "aging spread covers multiple buckets")
   }
 
+  test("constraint audit: 14 rules, invariants pass, screens fire, brute counts match") {
+    val rows = SnapshotQueries.constraintAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows.size === 14, s"expected 14 rules, got ${rows.size}")
+    rows.foreach { case (k, (n, v, pass)) =>
+      assert(v >= 0 && v <= n, s"$k: violations $v outside [0, $n]")
+      assert(pass === (v == 0), s"$k: pass verdict inconsistent")
+    }
+    // corpus invariants hold: completeness, uniqueness, FK, bounds
+    Seq(("events", "user_id", "not_null"), ("events", "event_id", "unique"),
+      ("orders", "o_orderkey", "unique"), ("lineitem", "l_orderkey", "fk_orders"),
+      ("lineitem", "l_quantity", "between_1_50"),
+      ("documents", "n_chars", "equals_length_text")).foreach { k =>
+      assert(rows(k)._3, s"$k should pass on this corpus")
+    }
+    // the screens genuinely fire — an all-green audit is untested wiring
+    Seq(("orders", "o_totalprice", "ceiling_400000"),
+      ("lineitem", "l_discount", "cap_0_08"),
+      ("documents", "lang", "in_allowed_set")).foreach { k =>
+      assert(!rows(k)._3 && rows(k)._2 > 0, s"$k should fire on this corpus")
+    }
+    // brute recount of one firing rule
+    val disc = Tables.lineitem(spark, sf).where("l_discount > 0.08").count()
+    assert(rows(("lineitem", "l_discount", "cap_0_08"))._2 === disc)
+    // n_checked is the table cardinality on every rule of that table
+    val nLi = Tables.lineitem(spark, sf).count()
+    rows.collect { case ((t, _, _), (n, _, _)) if t == "lineitem" => n }
+      .foreach(n => assert(n === nLi))
+    // one-pass economics: each table's rules fuse into a single scan —
+    // events and documents appear exactly once in the physical plan
+    val plan = SnapshotQueries.constraintAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("events\\.parquet".r.findAllIn(plan).size === 1, "events scanned more than once")
+    assert("documents\\.parquet".r.findAllIn(plan).size === 1, "documents scanned more than once")
+  }
+
   test("erasure audit: cascade subjects consistent, forget-set fully represented") {
     val rows = SnapshotQueries.erasureAudit(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
