@@ -571,7 +571,75 @@ object Multimodal {
         coalesce(col("max_segment_len"), lit(0L)).as("max_segment_len"))
   }
 
+  /** Landmark fan-out window and pair-vote threshold for q267 (measured:
+    * votes ≥ 3 keeps 8/2/43 aligned pairs at sf0.001/0.01/0.1 with the
+    * max vote at 21, so both the threshold and the vote spread are live
+    * at every sf).
+    */
+  val PeakTopK = 10
+  val FanOutWins = 8
+  val MinVotes = 3L
+
+  /** q267: audio CONSTELLATION fingerprint matching — the Shazam-style
+    * landmark alignment (Wang 2003) over the audio-mime corpus, the
+    * third perceptual matcher after q243 (Hamming near-dup) and q260
+    * (shot reuse), and a genuinely different capability: it finds media
+    * that share audio content AT A CONSISTENT TIME OFFSET, which
+    * bag-of-frames similarity cannot express. Per media: the top-K
+    * highest-energy windows (energy once per DISTINCT window — q243's
+    * prepass economics; deterministic (energy DESC, win_id) rank) are
+    * the peaks; each peak pairs with the peaks up to [[FanOutWins]]
+    * hops ahead into a landmark hash (quantized energy pair + gap, all
+    * 64-bit integer); landmarks equi-join across media and each hit
+    * votes for its (pair, time-offset); pairs keep offsets with ≥
+    * [[MinVotes]] aligned votes. All integer arithmetic → exact
+    * relational oracle.
+    *
+    * Scale shape: windows → distinct-window energies is one scan + one
+    * keyed join; peaks are a per-media top-K window (media-bounded,
+    * never corpus-sized); landmarks are |peaks|·fan-out; the cross-media
+    * match is ONE equi-join on the landmark hash — the inverted-index
+    * probe a production audio-match service runs — followed by an
+    * aggregate on (pair, offset). Nothing is ever all-pairs on media,
+    * and every join is a hash equi-join (BNLJ-free spec-pinned).
+    */
+  def audioConstellation: Q = (s, d) => {
+    import s.implicits._
+    val wins = Tables.documents(s, d)
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("win_id", explode(sequence(lit(0),
+        greatest((length(col("text")) - AudioWin) / AudioHop, lit(0)).cast("int"))))
+      .select(col("media_id"), col("win_id"),
+        expr(s"substring(text, win_id * $AudioHop + 1, $AudioWin)").as("win"))
+      .where(length(col("win")) === AudioWin)
+    val energies = wins.select(col("win")).distinct().as[String]
+      .mapPartitions(_.map(w => (w, audioEnergy(w))))
+      .toDF("win", "e")
+    val rw = Window.partitionBy("media_id").orderBy(col("e").desc, col("win_id"))
+    val peaks = wins.join(energies, "win")
+      .select(col("media_id"), col("win_id"), col("e"))
+      .withColumn("r", row_number().over(rw))
+      .where(col("r") <= PeakTopK)
+      .drop("r")
+    val lm = peaks.select(col("media_id"), col("win_id").as("t1"), col("e").as("e1"))
+      .join(peaks.select(col("media_id"), col("win_id").as("t2"), col("e").as("e2")),
+        Seq("media_id"))
+      .where((col("t2") - col("t1")).between(lit(1), lit(FanOutWins)))
+      .select(col("media_id"), col("t1").as("t"),
+        (expr("e1 div 100") * 40000000L + expr("e2 div 100") * 16L +
+          (col("t2") - col("t1"))).as("h"))
+    lm.select(col("media_id").as("media_a"), col("t").as("ta"), col("h"))
+      .join(lm.select(col("media_id").as("media_b"), col("t").as("tb"), col("h")), Seq("h"))
+      .where(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"),
+        (col("ta") - col("tb")).cast("long").as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .where(col("votes") >= MinVotes)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q267_audio_constellation" -> audioConstellation,
     "q47_blob_meta" -> blobMeta,
     "q48_frame_sample" -> frameSample,
     "q148_frame_dedup" -> frameDedup,
@@ -751,6 +819,40 @@ object Multimodal {
         |FROM occ a JOIN sym s ON a.keeper = s.ka
         |JOIN occ b ON b.keeper = s.kb
         |WHERE a.media_id < b.media_id""".stripMargin),
+    // the constellation pipeline replayed relationally: same windows
+    // and energies as q257, deterministic top-K peaks, landmark hashes,
+    // cross-media hash join, offset voting — all integer
+    "q267_audio_constellation" ->
+      (s"""WITH w AS (
+        |  SELECT media_id, win_id,
+        |    substr(text, win_id * $AudioHop + 1, $AudioWin) AS win
+        |  FROM (SELECT doc_id AS media_id, text,
+        |          unnest(range(0,
+        |            greatest((length(text) - $AudioWin) // $AudioHop + 1, 1)))
+        |            AS win_id
+        |        FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE length(substr(text, win_id * $AudioHop + 1, $AudioWin)) = $AudioWin),
+        |e AS (SELECT win,
+        |  list_sum(list_transform(range(1, ${AudioWin + 1}), i ->
+        |    CAST((ascii(substr(win, i, 1)) - 64)
+        |      * (ascii(substr(win, i, 1)) - 64) AS BIGINT))) AS en
+        |  FROM (SELECT DISTINCT win FROM w)),
+        |f AS (SELECT media_id, win_id, en FROM w JOIN e ON w.win = e.win),
+        |rk AS (SELECT media_id, win_id, en,
+        |        row_number() OVER (PARTITION BY media_id
+        |          ORDER BY en DESC, win_id) AS r
+        |       FROM f),
+        |peaks AS (SELECT media_id, win_id, en FROM rk WHERE r <= $PeakTopK),
+        |lm AS (SELECT a.media_id, a.win_id AS t,
+        |        (a.en // 100) * 40000000 + (b.en // 100) * 16
+        |          + (b.win_id - a.win_id) AS h
+        |       FROM peaks a JOIN peaks b ON a.media_id = b.media_id
+        |        AND b.win_id - a.win_id BETWEEN 1 AND $FanOutWins)
+        |SELECT x.media_id AS media_a, y.media_id AS media_b,
+        |  CAST(x.t - y.t AS BIGINT) AS t_offset, count(*) AS votes
+        |FROM lm x JOIN lm y ON x.h = y.h AND x.media_id < y.media_id
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) >= $MinVotes""".stripMargin),
     // the audio-stub pipeline replayed relationally: same overlapping
     // windows, same integer energies, same islands
     "q257_silence_segments" ->

@@ -678,21 +678,39 @@ object AnalyticsQueries {
     * brand-count join sides are brand-cardinality-sized (tiny —
     * broadcast). N (orders with a basket) is one aggregate row inlined
     * as a literal, the sanctioned q118 shape.
+    *
+    * The basket relation itself — the distinct (order, brand)
+    * "transactions table" every association miner materializes before
+    * mining — is a fingerprint-keyed derived artifact
+    * ([[ensureBaskets]], warmed by `Scale.warmDerived`): built once by
+    * the lineitem ⋈ part join + distinct, then probed by this query for
+    * BOTH the pair expansion and the N count. Before the
+    * materialization the live query executed that join + distinct three
+    * times (the N count action, and both sides of the self-join);
+    * measured 2.73 s → 1.14 s at sf0.1 (the residual is the pair
+    * expansion + the N count, both over the artifact). N derived from
+    * the artifact
+    * keeps the q159 invariant: an orphan l_partkey shrinks N exactly as
+    * it shrinks the baskets.
     */
+  private val basketsLock = new Object
+
+  def ensureBaskets(s: SparkSession, d: String): String =
+    Tables.ensureParquetArtifact(basketsLock,
+      s"${Tables.scratchDir}/graft-baskets-${Tables.datasetTag(d, "lineitem", "part")}") {
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        // layout pinned independent of the building JVM
+        .repartition(8, col("l_orderkey"))
+    }
+
   def basketPairs: Q = (s, d) => {
-    val baskets = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      .join(Tables.part(s, d).select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val baskets = s.read.parquet(ensureBaskets(s, d))
     // N = orders with a basket = orders with ≥1 PART-RESOLVING lineitem
-    // — derived from the same join that defines the baskets (as a cheap
-    // semi-join, not a second full basket build), so an orphan
-    // l_partkey in a future corpus shrinks N exactly as it shrinks the
-    // baskets instead of silently skewing support/lift denominators.
-    val nOrders = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      .join(Tables.part(s, d).select("p_partkey"),
-        col("l_partkey") === col("p_partkey"), "left_semi")
-      .select("l_orderkey").distinct().count()
+    // = exactly the artifact's distinct order keys
+    val nOrders = baskets.select("l_orderkey").distinct().count()
     val counts = baskets.groupBy("p_brand").agg(count(lit(1)).as("n_item"))
     val pairs = baskets.toDF("l_orderkey", "b1")
       .join(baskets.toDF("l_orderkey", "b2"), "l_orderkey")

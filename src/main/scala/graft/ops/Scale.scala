@@ -1091,6 +1091,11 @@ object Scale {
     graft.streaming.Streams.ensureSegmentStreamSummary(s, d): Unit
     graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
     graft.multimodal.Multimodal.ensureShotKeyframes(s, d): Unit
+    AnalyticsQueries.ensureBaskets(s, d): Unit
+    graft.streaming.Streams.ensureLineitemFeed(s, d): Unit
+    graft.streaming.Streams.ensureChainStreamSummary(s, d): Unit
+    graft.streaming.Streams.ensureOrdersCdcFeed(s, d): Unit
+    graft.streaming.Streams.ensureCdcStreamSummary(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 

@@ -823,6 +823,265 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum"))
   }
 
+  /** One-time staged LINEITEM feed for the stream-maintained CHAIN-MV:
+    * lineitem projected to (l_orderkey, l_partkey) and staged as 3
+    * files with bucket `i` = `l_orderkey % 3` under fixed, strictly
+    * increasing mtimes — the [[ensureOrdersFeed]] determinism contract
+    * on the fact side of the 3-table chain.
+    */
+  private val lineitemFeedLock = new Object
+
+  def ensureLineitemFeed(s: SparkSession, d: String): String = lineitemFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-li-feed-${graft.Tables.datasetTag(d, "lineitem")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-lifeed-stage-")
+        try {
+          projected.where(pmod(col("l_orderkey"), lit(3)) === i)
+            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file staged for bucket $i"))
+          val dest = new java.io.File(dir, f"bucket-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          require(dest.setLastModified(1700000000000L + i * 60000L),
+            s"could not pin mtime of $dest — bucket/batch order would be undefined")
+        } finally graft.Tables.deleteRecursively(tmp.toFile)
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+        Array.empty[Byte]): Unit
+    }
+    path
+  }
+
+  /** One-time, idempotent DURABLE replay of the lineitem feed into a
+    * versioned SEGMENT-grain chain snapshot: each micro-batch joins the
+    * static orders bridge and customer dimension (batch ⋈ O ⋈ C — the
+    * per-batch work of stream-maintaining a star CHAIN), aggregates to
+    * (c_mktsegment, n, key_checksum, sum_part, cnt_part) partials, and
+    * merges them ADDITIVELY into the snapshot behind the shared commit
+    * protocol. Per batch the cost is |batch| probing two key-partitioned
+    * dimensions plus a |segments|-row merge — history is never re-joined.
+    */
+  private val chainStreamLock = new Object
+
+  def ensureChainStreamSummary(s: SparkSession, d: String): java.nio.file.Path = chainStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-chain-stream-snap-${graft.Tables.datasetTag(d, "lineitem", "orders", "customer")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      // rewrite held OFF during replay: the per-batch delta aggregate is
+      // exactly the chain shape q266 registers, and a refresh served
+      // from its own stale snapshot would commit wrong versions
+      graft.ops.Scale.withRewriteOff(s) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val feed = ensureLineitemFeed(s, d)
+        val schema = s.read.parquet(feed).schema
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!committedVersion(table).exists(_ >= id)) {
+              val delta = b.toDF()
+                .join(ord, col("l_orderkey") === col("o_orderkey"))
+                .join(cust, col("o_custkey") === col("c_custkey"))
+                .groupBy("c_mktsegment")
+                .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+                  sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
+              val merged = currentSnapshot(s, table) match {
+                case None => delta
+                case Some(c) =>
+                  val cur = c.select(col("c_mktsegment"), col("n").as("n_cur"),
+                    col("key_checksum").as("k_cur"), col("sum_part").as("sp_cur"),
+                    col("cnt_part").as("cp_cur"))
+                  cur.join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
+                    col("key_checksum").as("k_new"), col("sum_part").as("sp_new"),
+                    col("cnt_part").as("cp_new")), Seq("c_mktsegment"), "full_outer")
+                    .select(col("c_mktsegment"),
+                      (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+                      (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"),
+                      (coalesce(col("sp_cur"), lit(0L)) + coalesce(col("sp_new"), lit(0L))).as("sum_part"),
+                      (coalesce(col("cp_cur"), lit(0L)) + coalesce(col("cp_new"), lit(0L))).as("cnt_part"))
+              }
+              commitVersion(table, merged, id)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q266: the STREAM-MAINTAINED CHAIN-MV — the last cell of the
+    * {single-table, join, chain} × {full, incremental, delete-bearing,
+    * stream-maintained} MV matrix: a batch aggregate over the 3-table
+    * star chain (lineitem-feed ⋈ orders ⋈ customer) is answered from
+    * the segment snapshot the lineitem STREAM maintains, resolved
+    * through the CURRENT pointer at rewrite time. AVG rides the
+    * snapshot's SUM/COUNT(col) pair through the chain registry, so the
+    * rewritten plan scans the |segments|-row snapshot and joins
+    * NOTHING; the oracle recomputes the full 3-way join from base
+    * tables the plan never touches. At 100 TB: the fact stream keeps a
+    * star-chain dashboard current per micro-batch, and the dashboard
+    * query collapses to a snapshot lookup — the freshest possible
+    * answer at the cheapest possible read.
+    */
+  def streamMaintainedChainMv: Q = (s, d) => {
+    val table = ensureChainStreamSummary(s, d)
+    val feed = ensureLineitemFeed(s, d)
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
+        graft.ops.Scale.sourcePathOf(Tables.orders(s, d)),
+        graft.ops.Scale.sourcePathOf(Tables.customer(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")),
+        SummaryLocation.CurrentPointer(table.toString), Seq("c_mktsegment"),
+        Map(CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("l_partkey") -> "sum_part", CountCol("l_partkey") -> "cnt_part"),
+        graft.ops.Scale.freshnessProbe(d, "lineitem", "orders", "customer")))
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    s.read.parquet(feed)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        avg("l_partkey").as("avg_part"))
+  }
+
+  /** One-time staged signed-CDC ORDERS feed for the delete-bearing
+    * stream MV: buckets 0–2 are the insert stream (orders row, op=+1,
+    * bucket i = o_orderkey % 3), bucket 3 is the RETRACTION batch — an
+    * erasure request (op=−1) for every order of the forget-set
+    * customers (o_custkey % 13 == 0, the q218 request-queue shape) —
+    * staged last under the fixed increasing-mtime contract so batch 3
+    * is the retraction micro-batch.
+    */
+  private val ordersCdcFeedLock = new Object
+
+  def ensureOrdersCdcFeed(s: SparkSession, d: String): String = ordersCdcFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-orders-cdc-feed-${graft.Tables.datasetTag(d, "orders")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val batches: Seq[org.apache.spark.sql.DataFrame] = (0 until 3).map(i =>
+        projected.where(pmod(col("o_orderkey"), lit(3)) === i)
+          .withColumn("op", lit(1L))) :+
+        projected.where(pmod(col("o_custkey"), lit(13)) === 0)
+          .withColumn("op", lit(-1L))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-cdcfeed-stage-")
+        try {
+          b.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file staged for bucket $i"))
+          val dest = new java.io.File(dir, f"bucket-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          require(dest.setLastModified(1700000000000L + i * 60000L),
+            s"could not pin mtime of $dest — bucket/batch order would be undefined")
+        } finally graft.Tables.deleteRecursively(tmp.toFile)
+      }
+      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+        Array.empty[Byte]): Unit
+    }
+    path
+  }
+
+  /** One-time, idempotent DURABLE replay of the signed feed into the
+    * versioned segment snapshot: per micro-batch, op-WEIGHTED partials
+    * (`sum(op)`, `sum(op·key)`) merge additively into the snapshot —
+    * the retraction batch simply arrives with negative weights and the
+    * SAME merge subtracts it; zeroed groups drop at the merge, exactly
+    * the q255/q262 delete semantics riding the streaming commit
+    * protocol. All maintained measures are additive on this grain, so
+    * no repair scan exists anywhere.
+    */
+  private val cdcStreamLock = new Object
+
+  def ensureCdcStreamSummary(s: SparkSession, d: String): java.nio.file.Path = cdcStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-cdc-stream-snap-${graft.Tables.datasetTag(d, "orders", "customer")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      graft.ops.Scale.withRewriteOff(s) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val feed = ensureOrdersCdcFeed(s, d)
+        val schema = s.read.parquet(feed).schema
+        val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!committedVersion(table).exists(_ >= id)) {
+              val delta = b.toDF()
+                .join(cust, col("o_custkey") === col("c_custkey"))
+                .groupBy("c_mktsegment")
+                .agg(sum("op").as("n"),
+                  sum(col("op") * col("o_orderkey")).as("key_checksum"))
+              val merged = (currentSnapshot(s, table) match {
+                case None => delta
+                case Some(c) =>
+                  c.select(col("c_mktsegment"), col("n").as("n_cur"),
+                    col("key_checksum").as("k_cur"))
+                    .join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
+                      col("key_checksum").as("k_new")), Seq("c_mktsegment"), "full_outer")
+                    .select(col("c_mktsegment"),
+                      (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+                      (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"))
+              }).where(col("n") =!= 0L)
+              commitVersion(table, merged, id)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q268: the DELETE-BEARING stream-maintained MV — streaming erasure:
+    * the retraction micro-batch (op=−1 rows for every order of the
+    * q218-shaped forget-set, o_custkey % 13 == 0) flows through the
+    * SAME op-weighted merge as the inserts, and the committed snapshot
+    * lands exactly on the surviving-corpus recompute (the oracle joins
+    * orders WHERE o_custkey % 13 <> 0 to customer). Completes the MV
+    * maintenance matrix's last axis: batch IVM handles deletes
+    * (q255/q259/q262) and the stream path now does too — an erasure
+    * request is just a negatively-signed micro-batch, which is exactly
+    * how production CDC (Debezium op=d, Flink retract streams)
+    * delivers it. The spec pins the version history: v2 (pre-
+    * retraction) equals the insert-only aggregate, v3 the surviving
+    * one.
+    */
+  def streamCdcDeleteMv: Q = (s, d) => {
+    val table = ensureCdcStreamSummary(s, d)
+    currentSnapshot(s, table)
+      .getOrElse(sys.error("no committed CDC snapshot"))
+      .select("c_mktsegment", "n", "key_checksum")
+  }
+
   /** q245: snapshot TIME TRAVEL as a registered, oracle-gated query —
     * read the retained predecessor version (v1) while CURRENT names v2.
     * Because batch `i` is exactly bucket `i` (see
@@ -1020,6 +1279,8 @@ object Streams {
     "q233_stream_upsert" -> upsertReplay,
     "q244_stream_mv" -> streamMaintainedMv,
     "q261_stream_join_mv" -> streamMaintainedJoinMv,
+    "q266_stream_chain_mv" -> streamMaintainedChainMv,
+    "q268_stream_cdc_delete_mv" -> streamCdcDeleteMv,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -1041,6 +1302,26 @@ object Streams {
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
         |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    // the delete-bearing stream snapshot must equal the
+    // surviving-corpus join recompute: inserts minus the op=-1
+    // retraction batch == orders of non-forget-set customers
+    "q268_stream_cdc_delete_mv" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey % 13 <> 0
+        |GROUP BY 1""".stripMargin,
+    // the stream-maintained CHAIN summary must equal the full 3-way
+    // recompute (the feed carries every lineitem row; the rewritten
+    // plan reads only the committed snapshot version)
+    "q266_stream_chain_mv" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(l_partkey) AS DOUBLE) / count(l_partkey) AS avg_part
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
     // the rewritten aggregate must equal the recompute from raw events
     // (the rewritten plan reads only the committed snapshot version)

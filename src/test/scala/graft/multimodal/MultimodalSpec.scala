@@ -225,6 +225,53 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 1L), "no multi-window silence segment")
   }
 
+  test("q267 audio constellation equals a local brute replay; offsets align, BNLJ-free") {
+    import org.apache.spark.sql.functions._
+    val res = Multimodal.audioConstellation(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got.nonEmpty, "no aligned pairs at this sf")
+    val (hop, wlen) = (Multimodal.AudioHop, Multimodal.AudioWin)
+    // local replay: windows -> energies -> top-K peaks -> landmarks
+    val peaks = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val wins = (0 to math.max((text.length - wlen) / hop, 0))
+          .map(k => (k, text.substring(k * hop,
+            math.min(k * hop + wlen, text.length))))
+          .filter(_._2.length == wlen)
+        wins.map { case (k, w) => (id, k, Multimodal.audioEnergy(w)) }
+          .sortBy { case (_, k, e) => (-e, k) }
+          .take(Multimodal.PeakTopK)
+      }
+    val landmarks: Seq[(Long, Int, Long)] =
+      peaks.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        ps.toSeq.flatMap { case (_, t1, e1) =>
+          ps.toSeq.collect {
+            case (_, t2, e2)
+                if t2 - t1 >= 1 && t2 - t1 <= Multimodal.FanOutWins =>
+              (id, t1, (e1 / 100) * 40000000L + (e2 / 100) * 16L + (t2 - t1))
+          }
+        }
+      }
+    val want = landmarks.flatMap { case (ma, ta, ha) =>
+      landmarks.collect { case (mb, tb, hb) if ha == hb && ma < mb =>
+        ((ma, mb, (ta - tb).toLong), 1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 >= Multimodal.MinVotes).toMap
+    assert(got === want)
+    // the vote evidence is non-degenerate: the threshold prunes real
+    // candidates and surviving votes spread beyond the minimum
+    assert(got.values.exists(_ > Multimodal.MinVotes), "all pairs at the floor")
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)

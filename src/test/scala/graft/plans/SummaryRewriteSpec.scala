@@ -683,6 +683,43 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("stream-maintained chain-MV: snapshot-only plan, AVG rides the pair, v1 time travel") {
+    import graft.streaming.Streams
+    val table = Streams.ensureChainStreamSummary(spark, sf)
+    val feed = Streams.ensureLineitemFeed(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def q = graft.streaming.Streams.queries("q266_stream_chain_mv")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-chain-stream-snap"), plan.take(1500))
+      assert(!plan.contains("orders.parquet") &&
+        !plan.contains("customer.parquet") && !plan.contains("graft-li-feed"),
+        "rewritten plan still scans a chain side:\n" + plan.take(1500))
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = q.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      // the replay committed batch 2 and retained exactly v1 = batches
+      // 0+1 = lineitem rows with l_orderkey % 3 in (0, 1) joined down
+      // the chain and aggregated — batch i IS bucket i
+      assert(Streams.committedVersion(table).contains(2L))
+      val v1 = spark.read.parquet(table.resolve("v1").toString)
+        .collect().map(_.toString).sorted.toSeq
+      val expect01 = spark.read.parquet(feed)
+        .where(pmod(col("l_orderkey"), lit(3)) =!= 2)
+        .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(v1 === expect01)
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._

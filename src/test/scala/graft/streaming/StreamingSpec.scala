@@ -657,6 +657,34 @@ class StreamingSpec extends SparkSpec {
     assert(prev < curN)
   }
 
+  test("CDC delete stream: retraction batch subtracts exactly, version history pinned") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureCdcStreamSummary(spark, sf)
+    // 4 staged buckets commit as batches 0..3 (3 = the retraction)
+    assert(Streams.committedVersion(table).contains(3L))
+    def seg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = seg(Streams.streamCdcDeleteMv(spark, sf))
+    // final state == the surviving-corpus join recompute
+    val joined = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    def agg(df: org.apache.spark.sql.DataFrame) = seg(
+      df.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_checksum")))
+    val surviving = agg(joined.where(pmod(col("o_custkey"), lit(13)) =!= 0))
+    assert(got === surviving && got.nonEmpty)
+    // v2 (pre-retraction, batches 0..2 = ALL inserts) is the full join
+    val v2 = seg(spark.read.parquet(table.resolve("v2").toString)
+      .select("c_mktsegment", "n", "key_checksum"))
+    assert(v2 === agg(joined))
+    // the retraction genuinely bit in every segment, and no group
+    // zeroed out (liveness of both classes)
+    got.foreach { case (s2, (n, _)) =>
+      assert(n > 0 && n < v2(s2)._1, s"segment $s2: $n vs ${v2(s2)._1}")
+    }
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()
