@@ -200,9 +200,77 @@ object GraphQueries {
     visited
   }
 
+  /** q269: K-CORE PEELING — iterative degeneracy pruning over the
+    * co-purchase graph, the graph-quality filter the CC/PageRank/
+    * triangle family lacks: repeatedly drop nodes whose SURVIVING
+    * degree falls below K and watch the cascade (round 2 removes nodes
+    * that round 1's removals starved — the avalanche that makes
+    * peeling iterative, and exactly what a spam/boilerplate subgraph
+    * filter runs on a link or co-occurrence graph). Three UNROLLED
+    * rounds (the q126 fixed-iteration discipline — deterministic,
+    * exactly oracle-able); K is data-derived — the lower-discrete
+    * 12.5th-percentile degree (rank ⌈n/8⌉ in (degree, node) order),
+    * measured to keep every round's removals AND the final core
+    * non-empty at every sf where a fixed K cannot (the degree scale
+    * grows with corpus size). Output: per round, K, removals,
+    * survivors, and the removed-id checksum.
+    *
+    * Scale shape: degrees are one keyed aggregate over the
+    * materialized edge list per round; each round's removal set is
+    * node-sized and broadcasts into the edge anti-joins; K comes from
+    * a rank-limited sort (TakeOrdered — never a single-task global
+    * window) inlined as a literal, the sanctioned q118/q156 scalar
+    * shape. Work per round is edge-linear and the edge set only
+    * shrinks; a production peel-to-fixpoint loops the same round until
+    * the removal set is empty. Survivors are nodes RETAINING ≥ 1 edge
+    * and removals are degree-positive nodes below K — a node isolated
+    * by a prior round's removals leaves the degree relation implicitly
+    * (identically on both engines) rather than being counted removed.
+    */
+  def kcorePeel: Q = (s, d) => {
+    val edges = copurchaseEdges(s, d)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("c"))
+    // each round's survivors are REFERENCED by every later round AND by
+    // multiple actions (the count, the next removal set, the final
+    // union): without truncation the round-r lineage re-runs rounds
+    // 1..r−1 per action — measured 12.9 s; eager node/edge-sized
+    // localCheckpoints (the q125 `oriented` precedent) bring it to the
+    // per-round work a peel loop actually does
+    val deg0 = degrees(edges).localCheckpoint(true)
+    val n = deg0.count()
+    val rank = ((n + 7) / 8).toInt
+    val k = deg0.orderBy(col("c"), col("x")).limit(rank)
+      .agg(max("c")).head().getLong(0)
+    var surv = deg0
+    var liveEdges = edges
+    val rounds = (1 to 3).map { r =>
+      // prior rounds' removals are already gone from liveEdges, so each
+      // round anti-joins only ITS OWN removal set (node-sized, broadcast)
+      val removed = surv.where(col("c") < k).select(col("x"))
+        .localCheckpoint(true)
+      liveEdges = liveEdges
+        .join(broadcast(removed.select(col("x").as("u"))), Seq("u"), "left_anti")
+        .join(broadcast(removed.select(col("x").as("v"))), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      surv = degrees(liveEdges).localCheckpoint(true)
+      // survivor count inlined as a literal (q118/q156 scalar rule — a
+      // one-row cross join would plan a BNLJ)
+      val nSurviving = surv.count()
+      removed.agg(count(lit(1)).as("n_removed"),
+          coalesce(sum("x"), lit(0L)).as("removed_checksum"))
+        .select(lit(r.toLong).as("round"), lit(k).as("k"),
+          col("n_removed"), lit(nSurviving).as("n_surviving"),
+          col("removed_checksum"))
+    }
+    rounds.reduce(_.unionAll(_))
+  }
+
   val queries: Map[String, Q] = Map(
     "q175_bfs_hops" -> bfsHops,
     "q125_triangles" -> triangles,
+    "q269_kcore_peel" -> kcorePeel,
     "q126_pagerank" -> pagerank)
 
   /** Shared oracle CTEs: the same edge derivation in DuckDB. */
@@ -221,14 +289,14 @@ object GraphQueries {
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45),
         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-        |d0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
-        |d1 AS (
+        |d0 AS MATERIALIZED (SELECT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+        |d1 AS MATERIALIZED (
         |  SELECT DISTINCT v AS node FROM und JOIN d0 ON und.u = d0.node
         |  WHERE v NOT IN (SELECT node FROM d0)),
-        |d2 AS (
+        |d2 AS MATERIALIZED (
         |  SELECT DISTINCT v AS node FROM und JOIN d1 ON und.u = d1.node
         |  WHERE v NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1)),
-        |d3 AS (
+        |d3 AS MATERIALIZED (
         |  SELECT DISTINCT v AS node FROM und JOIN d2 ON und.u = d2.node
         |  WHERE v NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1
         |                  UNION SELECT node FROM d2))
@@ -236,6 +304,48 @@ object GraphQueries {
         |UNION ALL SELECT node, 1 FROM d1
         |UNION ALL SELECT node, 2 FROM d2
         |UNION ALL SELECT node, 3 FROM d3""".stripMargin,
+    // the three peel rounds unrolled relationally: same edge set, same
+    // lower-discrete-quantile K, same shrinking-degree cascade
+    "q269_kcore_peel" -> (
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d0 AS MATERIALIZED (SELECT x, count(*) c
+        |       FROM (SELECT u x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+        |kq AS MATERIALIZED (SELECT c AS k FROM (
+        |         SELECT c, row_number() OVER (ORDER BY c, x) rn,
+        |           count(*) OVER () n FROM d0)
+        |       WHERE rn = (n + 7) // 8),
+        |rm1 AS MATERIALIZED (SELECT x FROM d0, kq WHERE c < k),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e
+        |       ANTI JOIN rm1 a ON e.u = a.x ANTI JOIN rm1 b ON e.v = b.x),
+        |d1 AS MATERIALIZED (SELECT x, count(*) c
+        |       FROM (SELECT u x FROM e1 UNION ALL SELECT v FROM e1) GROUP BY x),
+        |rm2 AS MATERIALIZED (SELECT x FROM d1, kq WHERE c < k),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1
+        |       ANTI JOIN rm2 a ON e1.u = a.x ANTI JOIN rm2 b ON e1.v = b.x),
+        |d2 AS MATERIALIZED (SELECT x, count(*) c
+        |       FROM (SELECT u x FROM e2 UNION ALL SELECT v FROM e2) GROUP BY x),
+        |rm3 AS MATERIALIZED (SELECT x FROM d2, kq WHERE c < k),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2
+        |       ANTI JOIN rm3 a ON e2.u = a.x ANTI JOIN rm3 b ON e2.v = b.x),
+        |d3 AS MATERIALIZED (SELECT x, count(*) c
+        |       FROM (SELECT u x FROM e3 UNION ALL SELECT v FROM e3) GROUP BY x)
+        |SELECT CAST(1 AS BIGINT) AS round, k, (SELECT count(*) FROM rm1) AS n_removed,
+        |  (SELECT count(*) FROM d1) AS n_surviving,
+        |  (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM rm1) AS removed_checksum
+        |FROM kq
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), k, (SELECT count(*) FROM rm2),
+        |  (SELECT count(*) FROM d2),
+        |  (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM rm2)
+        |FROM kq
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), k, (SELECT count(*) FROM rm3),
+        |  (SELECT count(*) FROM d3),
+        |  (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM rm3)
+        |FROM kq""".stripMargin),
     "q125_triangles" -> (edgeCte +
       """, deg AS (
         |  SELECT n, count(*) AS d

@@ -80,6 +80,35 @@ class GraphSpec extends SparkSpec {
     assert(got.size < allNodes, "BFS swallowed the whole graph")
   }
 
+  test("k-core peel replays a driver-side cascade; every round live, core survives") {
+    val got = GraphQueries.kcorePeel(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // local replay: degrees, lower-discrete 12.5th-percentile K, 3 rounds
+    var live = edges.toSet
+    def degs = live.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+    val d0 = degs
+    val rank = ((d0.size + 7) / 8).toInt
+    val k = d0.toSeq.sortBy { case (x, c) => (c, x) }.take(rank).map(_._2).max
+    (1 to 3).foreach { r =>
+      val cur = degs
+      val removed = cur.collect { case (x, c) if c < k => x }.toSet
+      live = live.filter { case (u, v) => !removed(u) && !removed(v) }
+      val nSurv = degs.size.toLong
+      assert(got(r.toLong) ===
+        ((k, removed.size.toLong, nSurv, removed.toSeq.sum)),
+        s"round $r diverges from the local cascade")
+      // the cascade is LIVE: every round removes someone
+      assert(removed.nonEmpty, s"round $r removed nothing")
+    }
+    // and a non-empty core survives all three rounds
+    assert(got(3L)._3 > 0, "the 3-round peel emptied the graph")
+    // removals cascade: round 2 removes nodes round 1 left alone
+    assert(got(2L)._2 > 0 && got(1L)._2 > 0)
+  }
+
   test("graph iterations read the materialized edge list, not the fact table") {
     // walk the OPTIMIZED LOGICAL tree: the physical plan hides its
     // scans behind AQE wrappers and truncates its toString
