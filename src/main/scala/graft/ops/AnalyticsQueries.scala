@@ -843,7 +843,19 @@ object AnalyticsQueries {
     */
   private[ops] def cumWeights(per: DataFrame, grp: String,
       bucketWidth: Long = 65536L): DataFrame = {
+    // `withB` (distinct-(group, value)-sized) feeds BOTH the bucket
+    // aggregate and the final reassembly join below — an eager
+    // checkpoint executes the upstream distinct aggregate once instead
+    // of once per consumer (q269's lineage lesson). Measured 5-pass
+    // A/B: q167 2.40 → 1.87 s (its per relation is a wide lineitem
+    // distinct); neutral on small per relations (q176 2.78 vs 2.76 —
+    // checkpoint overhead ≈ the rescan it saves), so the net across
+    // the 14 call sites is positive. Checkpointing the RAW projected
+    // scans one level up measured WORSE (q176 2.49 → 2.85 — the q126
+    // cache-vs-rereference finding again): only the post-aggregate,
+    // multiply-consumed relation is worth materializing.
     val withB = per.withColumn("bucket", expr(s"cents div $bucketWidth"))
+      .localCheckpoint(true)
     val bkt = withB.groupBy(grp, "bucket").agg(sum("w").as("bw"))
     val prevB = Window.partitionBy(grp).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
