@@ -605,14 +605,7 @@ object Multimodal {
     */
   def audioConstellation: Q = (s, d) => {
     import s.implicits._
-    val wins = Tables.documents(s, d)
-      .where(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("media_id"), col("text"))
-      .withColumn("win_id", explode(sequence(lit(0),
-        greatest((length(col("text")) - AudioWin) / AudioHop, lit(0)).cast("int"))))
-      .select(col("media_id"), col("win_id"),
-        expr(s"substring(text, win_id * $AudioHop + 1, $AudioWin)").as("win"))
-      .where(length(col("win")) === AudioWin)
+    val wins = audioWindows(s, d)
     val energies = wins.select(col("win")).distinct().as[String]
       .mapPartitions(_.map(w => (w, audioEnergy(w))))
       .toDF("win", "e")

@@ -199,7 +199,7 @@ object Scale {
     * fails the registration loudly instead of diverging from the fact
     * plan by a low bit at query time.
     */
-  private def assertAvgRewriteSafe(rel: => DataFrame, path: String, cols: String*): Unit = {
+  private[graft] def assertAvgRewriteSafe(rel: => DataFrame, path: String, cols: String*): Unit = {
     val marker = new java.io.File(path, "_AVGSAFE")
     if (marker.exists()) return
     val aggs = cols.map(c => sum(abs(col(c))).as(c))

@@ -585,6 +585,36 @@ object Streams {
     */
   private val upsertSrcLock = new Object
 
+  /** Stage each batch DataFrame as ONE parquet file `bucket-i.parquet`
+    * under `dir` with fixed, strictly increasing mtimes, then stamp
+    * `_SUCCESS` — the shared determinism contract of every replayed
+    * feed: batch i IS bucket i (the file stream source orders
+    * micro-batches by mtime). Fixed absolute stamps 60 s apart survive
+    * any fs granularity and any rebuild; a filesystem that refuses the
+    * stamp MUST fail the build loudly (q245's oracle contract rides on
+    * this ordering), never deliver batches in creation order. Shared
+    * by the events upsert feed, the orders join feed, the lineitem
+    * chain feed, and the signed-CDC feed.
+    */
+  private def stageBuckets(dir: java.io.File, batches: Seq[DataFrame]): Unit = {
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-feed-stage-")
+      try {
+        b.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged for bucket $i"))
+        val dest = new java.io.File(dir, f"bucket-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        require(dest.setLastModified(1700000000000L + i * 60000L),
+          s"could not pin mtime of $dest — bucket/batch order would be undefined")
+      } finally graft.Tables.deleteRecursively(tmp.toFile)
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
+      Array.empty[Byte]): Unit
+  }
+
   def ensureUpsertSource(s: SparkSession, d: String): String = upsertSrcLock.synchronized {
     val path =
       s"${graft.Tables.scratchDir}/graft-upsert-src2-${graft.Tables.datasetTag(d, "events")}"
@@ -596,29 +626,8 @@ object Streams {
         unix_micros(col("ts")).as("t_us"), col("event_type"),
         (coalesce(col("value").cast("decimal(18,2)"), lit(0)) * 100)
           .cast("long").as("cents"))
-      (0 until 3).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-upsert-stage-")
-        try {
-          projected.where(pmod(col("event_id"), lit(3)) === i)
-            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.toFile.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file staged for bucket $i"))
-          val dest = new java.io.File(dir, f"bucket-$i.parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          // fixed absolute mtimes: deterministic ordering across JVMs
-          // and across rebuilds (60 s apart — far beyond fs
-          // granularity). MUST succeed: batch-i == bucket-i (q245's
-          // oracle contract) rides on the file source's mtime ordering,
-          // so a filesystem that refuses the stamp has to fail the
-          // build loudly, not deliver batches in creation order
-          require(dest.setLastModified(1700000000000L + i * 60000L),
-            s"could not pin mtime of $dest — bucket/batch order would be undefined")
-        } finally graft.Tables.deleteRecursively(tmp.toFile)
-      }
-      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
-        Array.empty[Byte]): Unit
+      stageBuckets(dir, (0 until 3).map(i =>
+        projected.where(pmod(col("event_id"), lit(3)) === i)))
     }
     path
   }
@@ -706,25 +715,27 @@ object Streams {
       if (dir.exists()) graft.Tables.deleteRecursively(dir)
       dir.mkdirs()
       val projected = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      (0 until 3).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-ofeed-stage-")
-        try {
-          projected.where(pmod(col("o_orderkey"), lit(3)) === i)
-            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.toFile.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file staged for bucket $i"))
-          val dest = new java.io.File(dir, f"bucket-$i.parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          require(dest.setLastModified(1700000000000L + i * 60000L),
-            s"could not pin mtime of $dest — bucket/batch order would be undefined")
-        } finally graft.Tables.deleteRecursively(tmp.toFile)
-      }
-      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
-        Array.empty[Byte]): Unit
+      stageBuckets(dir, (0 until 3).map(i =>
+        projected.where(pmod(col("o_orderkey"), lit(3)) === i)))
     }
     path
+  }
+
+  /** Merge delta partials ADDITIVELY into the current snapshot: one
+    * full-outer join on the grain, every measure
+    * `coalesce(cur, 0) + coalesce(new, 0)` — the single merge
+    * semantics all additive stream-maintained summaries share (q261
+    * join-MV, q266 chain-MV, q268 signed-CDC — whose negative deltas
+    * ride the same addition).
+    */
+  private def additiveMerge(cur: DataFrame, delta: DataFrame,
+      grain: String, measures: Seq[String]): DataFrame = {
+    val c = measures.foldLeft(cur)((df, m) => df.withColumnRenamed(m, s"${m}_cur"))
+    val n = measures.foldLeft(delta)((df, m) => df.withColumnRenamed(m, s"${m}_new"))
+    measures.foldLeft(c.join(n, Seq(grain), "full_outer"))((df, m) =>
+      df.withColumn(m,
+        coalesce(col(s"${m}_cur"), lit(0L)) + coalesce(col(s"${m}_new"), lit(0L))))
+      .select(col(grain) +: measures.map(col): _*)
   }
 
   /** One-time, idempotent DURABLE replay of the orders feed into a
@@ -772,13 +783,7 @@ object Streams {
               val merged = currentSnapshot(s, table) match {
                 case None => delta
                 case Some(c) =>
-                  c.select(col("c_mktsegment"), col("n").as("n_cur"),
-                    col("key_checksum").as("k_cur"))
-                    .join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
-                      col("key_checksum").as("k_new")), Seq("c_mktsegment"), "full_outer")
-                    .select(col("c_mktsegment"),
-                      (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
-                      (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"))
+                  additiveMerge(c, delta, "c_mktsegment", Seq("n", "key_checksum"))
               }
               commitVersion(table, merged, id)
             }
@@ -839,23 +844,8 @@ object Streams {
       if (dir.exists()) graft.Tables.deleteRecursively(dir)
       dir.mkdirs()
       val projected = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      (0 until 3).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-lifeed-stage-")
-        try {
-          projected.where(pmod(col("l_orderkey"), lit(3)) === i)
-            .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.toFile.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file staged for bucket $i"))
-          val dest = new java.io.File(dir, f"bucket-$i.parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          require(dest.setLastModified(1700000000000L + i * 60000L),
-            s"could not pin mtime of $dest — bucket/batch order would be undefined")
-        } finally graft.Tables.deleteRecursively(tmp.toFile)
-      }
-      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
-        Array.empty[Byte]): Unit
+      stageBuckets(dir, (0 until 3).map(i =>
+        projected.where(pmod(col("l_orderkey"), lit(3)) === i)))
     }
     path
   }
@@ -901,18 +891,8 @@ object Streams {
                   sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
               val merged = currentSnapshot(s, table) match {
                 case None => delta
-                case Some(c) =>
-                  val cur = c.select(col("c_mktsegment"), col("n").as("n_cur"),
-                    col("key_checksum").as("k_cur"), col("sum_part").as("sp_cur"),
-                    col("cnt_part").as("cp_cur"))
-                  cur.join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
-                    col("key_checksum").as("k_new"), col("sum_part").as("sp_new"),
-                    col("cnt_part").as("cp_new")), Seq("c_mktsegment"), "full_outer")
-                    .select(col("c_mktsegment"),
-                      (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
-                      (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"),
-                      (coalesce(col("sp_cur"), lit(0L)) + coalesce(col("sp_new"), lit(0L))).as("sum_part"),
-                      (coalesce(col("cp_cur"), lit(0L)) + coalesce(col("cp_new"), lit(0L))).as("cnt_part"))
+                case Some(c) => additiveMerge(c, delta, "c_mktsegment",
+                  Seq("n", "key_checksum", "sum_part", "cnt_part"))
               }
               commitVersion(table, merged, id)
             }
@@ -942,6 +922,14 @@ object Streams {
   def streamMaintainedChainMv: Q = (s, d) => {
     val table = ensureChainStreamSummary(s, d)
     val feed = ensureLineitemFeed(s, d)
+    // the Sum/Count pair below lets AVG ride this summary: the same
+    // 2^53 guard every batch-path AVG-enabling registration runs
+    // (marker cached in the snapshot table dir)
+    graft.ops.Scale.assertAvgRewriteSafe(
+      s.read.parquet(feed)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey")),
+      table.toString, "l_partkey")
     import graft.plans.SummaryRewrite._
     registerChain(
       Seq(graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
@@ -980,27 +968,11 @@ object Streams {
       if (dir.exists()) graft.Tables.deleteRecursively(dir)
       dir.mkdirs()
       val projected = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val batches: Seq[org.apache.spark.sql.DataFrame] = (0 until 3).map(i =>
+      stageBuckets(dir, (0 until 3).map(i =>
         projected.where(pmod(col("o_orderkey"), lit(3)) === i)
           .withColumn("op", lit(1L))) :+
         projected.where(pmod(col("o_custkey"), lit(13)) === 0)
-          .withColumn("op", lit(-1L))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-cdcfeed-stage-")
-        try {
-          b.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.toFile.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file staged for bucket $i"))
-          val dest = new java.io.File(dir, f"bucket-$i.parquet")
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          require(dest.setLastModified(1700000000000L + i * 60000L),
-            s"could not pin mtime of $dest — bucket/batch order would be undefined")
-        } finally graft.Tables.deleteRecursively(tmp.toFile)
-      }
-      java.nio.file.Files.write(new java.io.File(dir, "_SUCCESS").toPath,
-        Array.empty[Byte]): Unit
+          .withColumn("op", lit(-1L)))
     }
     path
   }
@@ -1042,13 +1014,7 @@ object Streams {
               val merged = (currentSnapshot(s, table) match {
                 case None => delta
                 case Some(c) =>
-                  c.select(col("c_mktsegment"), col("n").as("n_cur"),
-                    col("key_checksum").as("k_cur"))
-                    .join(delta.select(col("c_mktsegment"), col("n").as("n_new"),
-                      col("key_checksum").as("k_new")), Seq("c_mktsegment"), "full_outer")
-                    .select(col("c_mktsegment"),
-                      (coalesce(col("n_cur"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
-                      (coalesce(col("k_cur"), lit(0L)) + coalesce(col("k_new"), lit(0L))).as("key_checksum"))
+                  additiveMerge(c, delta, "c_mktsegment", Seq("n", "key_checksum"))
               }).where(col("n") =!= 0L)
               commitVersion(table, merged, id)
             }
