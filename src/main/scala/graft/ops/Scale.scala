@@ -1090,6 +1090,7 @@ object Scale {
     graft.streaming.Streams.ensureOrdersFeed(s, d): Unit
     graft.streaming.Streams.ensureSegmentStreamSummary(s, d): Unit
     graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
+    graft.multimodal.Multimodal.ensureOldFrameIndex(s, d): Unit
     graft.multimodal.Multimodal.ensureShotKeyframes(s, d): Unit
     AnalyticsQueries.ensureBaskets(s, d): Unit
     graft.streaming.Streams.ensureLineitemFeed(s, d): Unit

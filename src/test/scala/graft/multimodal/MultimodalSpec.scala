@@ -272,6 +272,43 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_ > Multimodal.MinVotes), "all pairs at the floor")
   }
 
+  test("q270 incremental ingest equals the full q249 recompute filtered to the batch; probe-only plan") {
+    import org.apache.spark.sql.functions._
+    val res = Multimodal.queries("q270_incremental_media_near_dup")(spark, sf)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the full recompute, filtered to pairs with a batch endpoint —
+    // class keys relabel bijectively between the paths, media pairs
+    // and evidence counts are invariant under the relabeling
+    val want = Multimodal.mediaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .filter { case ((a, b), _) => a % 3 == 0 || b % 3 == 0 }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no batch-touching media pair at this sf")
+    // both ingest classes live: batch-vs-corpus AND within-batch
+    assert(got.keys.exists { case (a, b) => a % 3 != 0 || b % 3 != 0 },
+      "no batch-vs-old pair")
+    assert(got.keys.exists { case (a, b) => a % 3 == 0 && b % 3 == 0 },
+      "no within-batch pair")
+    // probe-only economics: the batch is STAGED once (an eager
+    // checkpoint of the single pruned documents scan), so the served
+    // plan reads the staged batch + the stored index and touches
+    // documents.parquet ZERO times; old classes/occurrences/pairs come
+    // from the index, no BNLJ anywhere
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-old-frame-index"), plan.take(1500))
+    assert("documents\\.parquet".r.findAllIn(plan).isEmpty,
+      "served plan must read the staged batch, not re-scan documents")
+    // and the one-time staging scan is the PRUNED batch scan
+    val stagePlan = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 3 === 0)
+      .queryExecution.executedPlan.toString
+    assert("\\(doc_id#\\d+L? % 3\\) = 0".r.findFirstIn(stagePlan).isDefined,
+      "batch filter did not reach the documents scan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)
