@@ -210,12 +210,21 @@ object DedupQueries {
     */
   def incrementalDedup: Q = (s, d) => {
     val idx = ensureShingleIndex(s, d)
-    val sizes = s.read.parquet(s"$idx/sizes")
     val newSh = shingles(Tables.documents(s, d).where(col("doc_id") % 3 === 0))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
     val allSh = s.read.parquet(s"$idx/hpostings")
       .select(col("doc_id").as("oid"), col("h"))
-    val inter = newSh.join(allSh, Seq("h"))
+    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"))
+  }
+
+  /** The shared nightly-probe shape (q214/q264/q272): batch shingles
+    * equi-join the index postings on the 8-byte hash, (least, greatest,
+    * shingle) distinct canonicalizes direction, stored sizes supply the
+    * Jaccard denominator.
+    */
+  private def ingestProbePairs(batchSh: DataFrame, allSh: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val inter = batchSh.join(allSh, Seq("h"))
       .where(col("nid") =!= col("oid"))
       .select(least(col("nid"), col("oid")).as("a_id"),
         greatest(col("nid"), col("oid")).as("b_id"), col("h"))
@@ -256,32 +265,80 @@ object DedupQueries {
     */
   def erasureDedupIndex: Q = (s, d) => {
     val idx = ensureShingleIndex(s, d)
-    // stand-in for the erasure request queue: an aggregate-sized id
-    // list (production reads the queue table; the ids are what matters)
-    val tombstones = broadcast(
-      Tables.documents(s, d).where(col("doc_id") % 7 === 1)
-        .select(col("doc_id")))
-    val sizes = s.read.parquet(s"$idx/sizes")
+    val tombstones = broadcast(erasureTombstones(s, d))
     val newSh = shingles(Tables.documents(s, d)
       .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
     val allSh = s.read.parquet(s"$idx/hpostings")
       .join(tombstones, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("oid"), col("h"))
-    val inter = newSh.join(allSh, Seq("h"))
-      .where(col("nid") =!= col("oid"))
-      .select(least(col("nid"), col("oid")).as("a_id"),
-        greatest(col("nid"), col("oid")).as("b_id"), col("h"))
-      .distinct()
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"),
-        when(col("a_id") % 3 === 0 && col("b_id") % 3 === 0, "new_new")
-          .otherwise("new_old").as("kind"))
-      .where(col("jac") >= 0.5)
+    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"))
+  }
+
+  /** Stand-in for the erasure request queue: an aggregate-sized id list
+    * (production reads the queue table; the ids are what matters).
+    * Shared by the q264 overlay probe and the q272 compactor so the two
+    * forms provably apply the SAME forget set.
+    */
+  private def erasureTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 7 === 1)
+      .select(col("doc_id"))
+
+  /** One-time, idempotent COMPACTION of the tombstone-overlaid shingle
+    * index — the maintenance step that closes the q214→q264 lifecycle:
+    * fold the accumulated tombstone overlay into the postings (the way
+    * a log-structured store merges delete markers at compaction), so
+    * the rewritten base carries ZERO tombstones and every later probe
+    * drops the per-query anti-join. The rewrite reads ONLY index files
+    * (hpostings + sizes — never the corpus text, so no erased content
+    * is ever re-read: the same compliance property q264's pruned scan
+    * pins), costs one index-linear pass amortized across all later
+    * probes (the q151 compaction-planner economics applied to the dedup
+    * index), and pins its layout like every derived artifact.
+    */
+  private val compactIdxLock = new Object
+
+  def ensureCompactedShingleIndex(s: SparkSession, d: String): String =
+    compactIdxLock.synchronized {
+      val idx = ensureShingleIndex(s, d)
+      val path =
+        s"${Tables.scratchDir}/graft-shingle-compact-${Tables.datasetTag(d, "documents")}"
+      val done = new java.io.File(path, "DONE")
+      if (!done.exists()) {
+        val root = new java.io.File(path)
+        if (root.exists()) Tables.deleteRecursively(root)
+        val tomb = broadcast(erasureTombstones(s, d))
+        s.read.parquet(s"$idx/hpostings")
+          .join(tomb, Seq("doc_id"), "left_anti")
+          .repartition(32, col("h"))
+          .write.mode("overwrite").parquet(s"$path/hpostings")
+        s.read.parquet(s"$idx/sizes")
+          .join(tomb, Seq("doc_id"), "left_anti")
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$path/sizes")
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+      }
+      path
+    }
+
+  /** q272: the q264 nightly probe served from the COMPACTED index —
+    * proof that compaction preserves probe semantics while deleting the
+    * probe-time overlay cost. Identical batch, identical pair set,
+    * identical oracle (the full surviving-corpus recompute); but the
+    * plan reads the compacted postings with NO anti-join anywhere — the
+    * tombstones were folded once at compaction time instead of being
+    * re-applied by every probe forever. DedupSpec pins bit-equality
+    * with q264's overlay probe, that no tombstoned id survives in the
+    * compacted files, and the anti-join-free single-scan plan.
+    */
+  def compactedDedupProbe: Q = (s, d) => {
+    val idx = ensureCompactedShingleIndex(s, d)
+    val newSh = shingles(Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
+    val allSh = s.read.parquet(s"$idx/hpostings")
+      .select(col("doc_id").as("oid"), col("h"))
+    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"))
   }
 
   /** One-time, idempotent materialization of the OLD-corpus
@@ -1025,6 +1082,7 @@ object DedupQueries {
     "q190_prefix_jaccard" -> prefixJaccard,
     "q214_incremental_dedup" -> incrementalDedup,
     "q264_erasure_dedup_index" -> erasureDedupIndex,
+    "q272_compacted_dedup_probe" -> compactedDedupProbe,
     "q217_refinery" -> refinery,
     "q42_dedup_minhash" -> minhashLsh,
     "q43_dedup_simhash" -> simhashChecked,
@@ -1034,6 +1092,25 @@ object DedupQueries {
     "q236_span_removal" -> spanRemoval,
     "q226_substring_spans" -> substringSpans,
     "q88_dup_clusters" -> dupClusters)
+
+  private val survivingProbeOracle =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') ws
+      |              FROM documents WHERE doc_id % 7 <> 1),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
+      |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+      |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac,
+      |  CASE WHEN a_id % 3 = 0 AND b_id % 3 = 0 THEN 'new_new'
+      |       ELSE 'new_old' END AS kind
+      |FROM inter
+      |JOIN sizes na ON na.doc_id = a_id
+      |JOIN sizes nb ON nb.doc_id = b_id
+      |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+      |  AND (a_id % 3 = 0 OR b_id % 3 = 0)""".stripMargin
 
   private val jaccardOracle =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
@@ -1293,24 +1370,10 @@ object DedupQueries {
     // the q214 oracle over the SURVIVING corpus — a full re-shingle of
     // `documents WHERE doc_id % 7 <> 1` is the answer the maintained
     // (tombstoned) index must reproduce
-    "q264_erasure_dedup_index" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') ws
-        |              FROM documents WHERE doc_id % 7 <> 1),
-        |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM words),
-        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
-        |sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
-        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
-        |          FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac,
-        |  CASE WHEN a_id % 3 = 0 AND b_id % 3 = 0 THEN 'new_new'
-        |       ELSE 'new_old' END AS kind
-        |FROM inter
-        |JOIN sizes na ON na.doc_id = a_id
-        |JOIN sizes nb ON nb.doc_id = b_id
-        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
-        |  AND (a_id % 3 = 0 OR b_id % 3 = 0)""".stripMargin,
+    "q264_erasure_dedup_index" -> survivingProbeOracle,
+    // same truth for the COMPACTED index: folding the tombstones into
+    // the base must not change one probe bit
+    "q272_compacted_dedup_probe" -> survivingProbeOracle,
     "q42_dedup_minhash" -> jaccardOracle,
     "q88_dup_clusters" ->
       s"""$clusterCte

@@ -399,17 +399,25 @@ object AnalyticsQueries {
     val daily = ev.groupBy("user_id", "day")
       .agg(max(struct(col("t_us"), col("event_id"), col("cents")))
         .getField("cents").as("obs_cents"))
-    val Row(d0: Long, d1: Long) =
-      ev.agg(min("day"), max("day")).head()
-    val spine = ev.select("user_id").distinct()
-      .withColumn("day", explode(sequence(lit(d0), lit(d1))))
-    val w = Window.partitionBy("user_id").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    spine.join(daily, Seq("user_id", "day"), "left")
-      .withColumn("close_cents", last("obs_cents", ignoreNulls = true).over(w))
-      .where(col("close_cents").isNotNull)
-      .select(col("user_id"), col("day"), col("close_cents"),
-        col("obs_cents").isNotNull.cast("int").as("is_observed"))
+    val mm = ev.agg(min("day"), max("day")).head()
+    // an empty subset has null min/max: the oracle returns zero rows, so
+    // mirror that instead of a MatchError on the scalar destructure
+    if (mm.isNullAt(0))
+      ev.select(col("user_id"), col("day"),
+        col("cents").as("close_cents"), lit(1).as("is_observed"))
+        .where(lit(false))
+    else {
+      val (d0, d1) = (mm.getLong(0), mm.getLong(1))
+      val spine = ev.select("user_id").distinct()
+        .withColumn("day", explode(sequence(lit(d0), lit(d1))))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("close_cents", last("obs_cents", ignoreNulls = true).over(w))
+        .where(col("close_cents").isNotNull)
+        .select(col("user_id"), col("day"), col("close_cents"),
+          col("obs_cents").isNotNull.cast("int").as("is_observed"))
+    }
   }
 
   def ohlc: Q = (s, d) => {

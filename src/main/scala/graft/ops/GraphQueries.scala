@@ -216,61 +216,151 @@ object GraphQueries {
     * survivors, and the removed-id checksum.
     *
     * Scale shape: degrees are one keyed aggregate over the
-    * materialized edge list per round; each round's removal set is
-    * node-sized and broadcasts into the edge anti-joins; K comes from
-    * a rank-limited sort (TakeOrdered — never a single-task global
-    * window) inlined as a literal, the sanctioned q118/q156 scalar
-    * shape. Work per round is edge-linear and the edge set only
-    * shrinks; a production peel-to-fixpoint loops the same round until
-    * the removal set is empty. Survivors are nodes RETAINING ≥ 1 edge
-    * and removals are degree-positive nodes below K — a node isolated
-    * by a prior round's removals leaves the degree relation implicitly
-    * (identically on both engines) rather than being counted removed.
+    * materialized edge list per round; each round's removal set is an
+    * unhinted anti-join (AQE sizes it — round 1 removes ~12.5% of all
+    * nodes by construction, far too big to pin as a broadcast at graph
+    * scale); K comes from the [[AnalyticsQueries.cumWeights]]
+    * distributed prefix-sum quantile (the q167/q182 machinery — the
+    * degree HISTOGRAM is distinct-degree-sized, never an n/8-row global
+    * limit through one partition) inlined as a literal, the sanctioned
+    * q118/q156 scalar shape. Work per round is edge-linear and the edge
+    * set only shrinks; [[kcoreFixpoint]] (q271) loops this same round
+    * until the removal set drains. Survivors are nodes RETAINING ≥ 1
+    * edge and removals are degree-positive nodes below K — a node
+    * isolated by a prior round's removals leaves the degree relation
+    * implicitly (identically on both engines) rather than being counted
+    * removed.
     */
+  private[ops] def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("c"))
+
+  /** Lower-discrete 12.5th-percentile degree — the smallest degree c
+    * whose cumulative node count reaches rank ⌈n/8⌉. Identical value to
+    * an `orderBy(c, x).limit(⌈n/8⌉).max(c)` (ascending order makes the
+    * max of the first `rank` rows exactly the rank-th degree), but
+    * computed over the distinct-degree HISTOGRAM with the two-level
+    * distributed prefix sum: no plan funnels n/8 node rows through a
+    * single-partition global limit, which is the difference between a
+    * scalar derivation and a driver bottleneck at 100× graph scale.
+    */
+  private[ops] def kcoreKDf(deg0: DataFrame, rank: Long): DataFrame =
+    AnalyticsQueries.cumWeights(
+      deg0.groupBy(col("c").as("cents")).agg(count(lit(1)).as("w"))
+        .withColumn("g", lit(1)), "g", 1024L)
+      .where(col("cumw") >= rank)
+      .agg(min("cents").as("k"))
+
+  /** One peel round against the CURRENT edge set: prior rounds'
+    * removals are already gone from `live`, so each round anti-joins
+    * only ITS OWN removal set (unhinted — AQE broadcasts it when small,
+    * shuffles it when a cascade round removes a node-fraction).
+    */
+  private def peelEdges(live: DataFrame, removed: DataFrame): DataFrame =
+    live
+      .join(removed.select(col("x").as("u")), Seq("u"), "left_anti")
+      .join(removed.select(col("x").as("v")), Seq("v"), "left_anti")
+      .localCheckpoint(true)
+
   def kcorePeel: Q = (s, d) => {
     val edges = copurchaseEdges(s, d)
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("c"))
     // each round's survivors are REFERENCED by every later round AND by
     // multiple actions (the count, the next removal set, the final
     // union): without truncation the round-r lineage re-runs rounds
     // 1..r−1 per action — measured 12.9 s; eager node/edge-sized
     // localCheckpoints (the q125 `oriented` precedent) bring it to the
     // per-round work a peel loop actually does
-    val deg0 = degrees(edges).localCheckpoint(true)
+    val deg0 = degreesOf(edges).localCheckpoint(true)
     val n = deg0.count()
-    val rank = ((n + 7) / 8).toInt
-    val k = deg0.orderBy(col("c"), col("x")).limit(rank)
-      .agg(max("c")).head().getLong(0)
-    var surv = deg0
-    var liveEdges = edges
-    val rounds = (1 to 3).map { r =>
-      // prior rounds' removals are already gone from liveEdges, so each
-      // round anti-joins only ITS OWN removal set (node-sized, broadcast)
-      val removed = surv.where(col("c") < k).select(col("x"))
-        .localCheckpoint(true)
-      liveEdges = liveEdges
-        .join(broadcast(removed.select(col("x").as("u"))), Seq("u"), "left_anti")
-        .join(broadcast(removed.select(col("x").as("v"))), Seq("v"), "left_anti")
-        .localCheckpoint(true)
-      surv = degrees(liveEdges).localCheckpoint(true)
-      // survivor count inlined as a literal (q118/q156 scalar rule — a
-      // one-row cross join would plan a BNLJ)
-      val nSurviving = surv.count()
-      removed.agg(count(lit(1)).as("n_removed"),
-          coalesce(sum("x"), lit(0L)).as("removed_checksum"))
-        .select(lit(r.toLong).as("round"), lit(k).as("k"),
-          col("n_removed"), lit(nSurviving).as("n_surviving"),
-          col("removed_checksum"))
+    if (n == 0) {
+      // an empty graph peels to nothing: zero rows, like the oracle —
+      // not an NPE on the K scalar
+      s.range(0).select(col("id").as("round"), col("id").as("k"),
+        col("id").as("n_removed"), col("id").as("n_surviving"),
+        col("id").as("removed_checksum"))
+    } else {
+      val k = kcoreKDf(deg0, (n + 7) / 8).head().getLong(0)
+      var surv = deg0
+      var liveEdges = edges
+      val rounds = (1 to 3).map { r =>
+        // removed is a trivial filter over the already-checkpointed surv:
+        // recomputing it per consumer is cheaper than another checkpoint
+        val removed = surv.where(col("c") < k).select(col("x"))
+        liveEdges = peelEdges(liveEdges, removed)
+        surv = degreesOf(liveEdges).localCheckpoint(true)
+        // survivor count inlined as a literal (q118/q156 scalar rule — a
+        // one-row cross join would plan a BNLJ)
+        val nSurviving = surv.count()
+        removed.agg(count(lit(1)).as("n_removed"),
+            coalesce(sum("x"), lit(0L)).as("removed_checksum"))
+          .select(lit(r.toLong).as("round"), lit(k).as("k"),
+            col("n_removed"), lit(nSurviving).as("n_surviving"),
+            col("removed_checksum"))
+      }
+      rounds.reduce(_.unionAll(_))
     }
-    rounds.reduce(_.unionAll(_))
+  }
+
+  /** Cap on unrolled fixpoint rounds, shared by the Spark loop and the
+    * generated oracle: both engines emit rounds 1..min(T, cap) where T
+    * is the first round whose removal set drains, so they agree even on
+    * a pathological corpus whose cascade outruns the cap (measured: the
+    * cascade fixes in 4–6 rounds at sf0.001–0.1; the cap is headroom,
+    * not a tuning knob).
+    */
+  private[ops] val PeelCap = 12
+
+  /** q271: PEEL TO FIXPOINT — the convergence-gated form of q269, the
+    * iteration pattern every production graph job (k-core, label
+    * propagation, semi-naive datalog) actually runs: loop the SAME peel
+    * round while the driver-observed removal count is positive, instead
+    * of a fixed unroll. The driver-side check is one aggregate row per
+    * round (count + checksum — the same aggregate the output needs
+    * anyway, so convergence costs no extra action); per-round lineage
+    * stays flat under the q269 eager-localCheckpoint discipline, so
+    * round r pays round r's edge-linear work only. Emits one row per
+    * LIVE round (rounds 1..T where round T+1 would remove nothing).
+    * Measured: T = 4/6/6 at sf0.001/0.01/0.1, and at every sf the
+    * 12.5th-percentile K exceeds the co-purchase graph's degeneracy, so
+    * the cascade dissolves the graph entirely — the loop terminates by
+    * convergence (an empty degree relation removes nothing), never by
+    * [[PeelCap]]. q269's fixed 3-round form stays registered as the
+    * benched sibling.
+    */
+  def kcoreFixpoint: Q = (s, d) => {
+    val edges = copurchaseEdges(s, d)
+    val deg0 = degreesOf(edges).localCheckpoint(true)
+    val n = deg0.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    if (n > 0) {
+      val k = kcoreKDf(deg0, (n + 7) / 8).head().getLong(0)
+      var surv = deg0
+      var live = edges
+      var r = 1
+      var converged = false
+      while (!converged && r <= PeelCap) {
+        val removed = surv.where(col("c") < k).select(col("x"))
+        val agg = removed
+          .agg(count(lit(1)), coalesce(sum("x"), lit(0L))).head()
+        val cnt = agg.getLong(0)
+        if (cnt == 0L) converged = true
+        else {
+          live = peelEdges(live, removed)
+          surv = degreesOf(live).localCheckpoint(true)
+          out += ((r.toLong, k, cnt, surv.count(), agg.getLong(1)))
+          r += 1
+        }
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("round", "k", "n_removed", "n_surviving", "removed_checksum")
   }
 
   val queries: Map[String, Q] = Map(
     "q175_bfs_hops" -> bfsHops,
     "q125_triangles" -> triangles,
     "q269_kcore_peel" -> kcorePeel,
+    "q271_kcore_fixpoint" -> kcoreFixpoint,
     "q126_pagerank" -> pagerank)
 
   /** Shared oracle CTEs: the same edge derivation in DuckDB. */
@@ -281,7 +371,48 @@ object GraphQueries {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
       |""".stripMargin
 
+  /** The q271 oracle: [[PeelCap]] peel rounds unrolled (DuckDB cannot
+    * loop, but rounds past the fixpoint are IDEMPOTENT — an empty
+    * removal set leaves edges and degrees unchanged — so unrolling past
+    * T and filtering each round on `n_removed > 0` reproduces exactly
+    * the rounds the convergence-gated Spark loop emits; removal counts
+    * are monotone-to-zero, so the filter never resurrects a later
+    * round). Every CTE is MATERIALIZED: a multiply-referenced unrolled
+    * chain inlines exponentially otherwise (the q269 lesson — 24 s at
+    * sf0.001, minutes at sf0.1).
+    */
+  private def kcoreFixpointOracle: String = {
+    val rounds = (1 to PeelCap).map { r =>
+      s""",
+         |rm$r AS MATERIALIZED (SELECT x FROM d${r - 1}, kq WHERE c < k),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |  ANTI JOIN rm$r a ON e${r - 1}.u = a.x
+         |  ANTI JOIN rm$r b ON e${r - 1}.v = b.x),
+         |d$r AS MATERIALIZED (SELECT x, count(*) c
+         |  FROM (SELECT u x FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY x)""".stripMargin
+    }.mkString
+    val sel = (1 to PeelCap).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, k,
+         |  (SELECT count(*) FROM rm$r) AS n_removed,
+         |  (SELECT count(*) FROM d$r) AS n_surviving,
+         |  (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM rm$r) AS removed_checksum
+         |FROM kq WHERE (SELECT count(*) FROM rm$r) > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |d0 AS MATERIALIZED (SELECT x, count(*) c
+       |  FROM (SELECT u x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+       |kq AS MATERIALIZED (SELECT c AS k FROM (
+       |    SELECT c, row_number() OVER (ORDER BY c, x) rn,
+       |      count(*) OVER () n FROM d0)
+       |  WHERE rn = (n + 7) // 8)$rounds
+       |$sel""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q271_kcore_fixpoint" -> kcoreFixpointOracle,
     "q175_bfs_hops" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -303,6 +303,42 @@ class DedupSpec extends SparkSpec {
       "batch filter did not reach the documents scan")
   }
 
+  test("compacted index: zero tombstones, probe bit-equal to the overlay, no anti-join in the plan") {
+    import org.apache.spark.sql.functions._
+    val idx = DedupQueries.ensureCompactedShingleIndex(spark, sf)
+    // the compacted files carry ZERO tombstoned ids — the fold is total
+    Seq("hpostings", "sizes").foreach { f =>
+      val leaked = spark.read.parquet(s"$idx/$f")
+        .where(col("doc_id") % 7 === 1).count()
+      assert(leaked === 0L, s"$f still carries $leaked tombstoned rows")
+    }
+    // and it is EXACTLY the overlaid view folded: base minus tombstones
+    val base = DedupQueries.ensureShingleIndex(spark, sf)
+    val overlaid = spark.read.parquet(s"$base/hpostings")
+      .where(col("doc_id") % 7 =!= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compacted = spark.read.parquet(s"$idx/hpostings")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted === overlaid, "compacted postings diverge from the folded overlay")
+    // probe-equivalence: the q272 probe == the q264 overlay probe, bit-equal
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getString(3))
+    val viaCompacted = DedupQueries.compactedDedupProbe(spark, sf).collect().map(key).toMap
+    val viaOverlay = DedupQueries.erasureDedupIndex(spark, sf).collect().map(key).toMap
+    assert(viaCompacted === viaOverlay, "compaction changed the probe result")
+    assert(viaCompacted.nonEmpty)
+    // the payoff: the compacted probe plans NO anti-join at all — the
+    // tombstone work was paid once at compaction, not per probe
+    val plan = DedupQueries.compactedDedupProbe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-shingle-compact"), plan.take(2000))
+    assert(!plan.contains("LeftAnti"),
+      "anti-join leaked back into the compacted probe:\n" + plan.take(2000))
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans === 1,
+      s"expected exactly the pruned batch scan of documents.parquet, found $docScans")
+  }
+
   test("cluster-aware split: zero straddling near-dup pairs, totals match q145") {
     import org.apache.spark.sql.functions._
     // the doc -> split map q229 aggregates: split assigned by CLUSTER id

@@ -109,6 +109,61 @@ class GraphSpec extends SparkSpec {
     assert(got(2L)._2 > 0 && got(1L)._2 > 0)
   }
 
+  test("k-core K derives through the distributed quantile: no global limit in the plan") {
+    val e = spark.read.parquet(GraphQueries.ensureEdges(spark, sf))
+    val deg0 = GraphQueries.degreesOf(e).localCheckpoint(true)
+    val n = deg0.count()
+    val rank = (n + 7) / 8
+    val kdf = GraphQueries.kcoreKDf(deg0, rank)
+    // the scale pin: the former orderBy().limit(⌈n/8⌉) planned a
+    // GlobalLimit funneling n/8 node rows through ONE partition; the
+    // histogram quantile must not
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    val plan = kdf.queryExecution.optimizedPlan
+    assert(!plan.exists(p => p.isInstanceOf[GlobalLimit] || p.isInstanceOf[LocalLimit]),
+      s"global limit leaked back into the K derivation:\n$plan")
+    // and the value is EXACTLY the old rank-limited-sort definition
+    val local = deg0.collect().map(r => (r.getLong(0), r.getLong(1))) // (x, c)
+    val kLocal = local.sortBy { case (x, c) => (c, x) }.take(rank.toInt).map(_._2).max
+    assert(kdf.head().getLong(0) === kLocal)
+  }
+
+  test("k-core fixpoint loops until the cascade drains; rows replay locally") {
+    val got = GraphQueries.kcoreFixpoint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    var live = edges.toSet
+    def degs = live.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+    val d0 = degs
+    val rank = ((d0.size + 7) / 8).toInt
+    val k = d0.toSeq.sortBy { case (x, c) => (c, x) }.take(rank).map(_._2).max
+    val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var done = false
+    while (!done) {
+      val cur = degs
+      val removed = cur.collect { case (x, c) if c < k => x }.toSet
+      if (removed.isEmpty) done = true
+      else {
+        live = live.filter { case (u, v) => !removed(u) && !removed(v) }
+        exp += ((exp.size + 1L, k, removed.size.toLong, degs.size.toLong,
+          removed.toSeq.sum))
+      }
+    }
+    assert(got === exp.toSeq, "fixpoint rounds diverge from the local cascade")
+    // the loop is convergence-GATED, not cap-gated: the cap is headroom
+    assert(exp.size < GraphQueries.PeelCap,
+      s"cascade ran ${exp.size} rounds — the PeelCap cap is binding, raise it")
+    // and it genuinely outruns q269's fixed 3-round unroll at this sf
+    assert(exp.size > 3, s"fixpoint after only ${exp.size} rounds")
+    // the fixpoint is GENUINE: replaying one more round removes nothing
+    // (measured at every sf: the 12.5th-percentile K exceeds the graph's
+    // degeneracy, so the cascade dissolves the graph and the loop still
+    // terminates by convergence — an empty degree relation removes
+    // nothing — not by the cap)
+    assert(!degs.exists { case (_, c) => c < k }, "loop stopped before the fixpoint")
+  }
+
   test("graph iterations read the materialized edge list, not the fact table") {
     // walk the OPTIMIZED LOGICAL tree: the physical plan hides its
     // scans behind AQE wrappers and truncates its toString
