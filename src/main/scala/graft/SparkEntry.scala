@@ -61,6 +61,7 @@ object SparkEntry {
     "q46_knn_lsh" -> sim.SimQueries.knnLsh,
     "q234_knn_filtered" -> sim.SimQueries.knnLshFiltered,
     "q54_knn_ivf" -> sim.SimQueries.knnIvf,
+    "q277_incremental_ivf" -> sim.SimQueries.incrementalIvf,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

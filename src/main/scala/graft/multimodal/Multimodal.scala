@@ -343,31 +343,41 @@ object Multimodal {
     if (!done.exists()) {
       val root = new java.io.File(path)
       if (root.exists()) Tables.deleteRecursively(root)
-      val (frames, classes) = frameClassesOf(Tables.documents(s, d)
+      buildFrameIndex(s, Tables.documents(s, d)
         .where(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id").as("media_id"), col("text")))
-      val sigs = signClasses(s, classes)
-      classes.join(sigs, "keeper").select("frame", "keeper", "sig")
-        .repartition(4, col("frame"))
-        .write.mode("overwrite").parquet(s"$path/classes")
-      frames.join(classes, "frame")
-        .select(col("media_id"), col("keeper")).distinct()
-        .repartition(4, col("keeper"))
-        .write.mode("overwrite").parquet(s"$path/occ")
-      val bands = sigBands(sigs)
-      bands.select(col("keeper").as("keeper_a"), col("sig").as("sa"),
-          col("k"), col("bv"))
-        .join(bands.select(col("keeper").as("keeper_b"), col("sig").as("sb"),
-          col("k"), col("bv")), Seq("k", "bv"))
-        .where(col("keeper_a") < col("keeper_b"))
-        .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
-        .select(col("keeper_a"), col("keeper_b"))
-        .distinct()
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/pairs")
+        .select(col("doc_id").as("media_id"), col("text")), path)
       java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
     }
     path
+  }
+
+  /** Build the {classes, occ, pairs} frame index for ANY media relation
+    * — the from-scratch builder [[ensureOldFrameIndex]] runs on the old
+    * corpus, and the rebuild-equivalence spec runs on the FULL corpus to
+    * prove the q275 compaction bit-equal to a fresh build.
+    */
+  private[multimodal] def buildFrameIndex(s: SparkSession, media: DataFrame,
+      path: String): Unit = {
+    val (frames, classes) = frameClassesOf(media)
+    val sigs = signClasses(s, classes)
+    classes.join(sigs, "keeper").select("frame", "keeper", "sig")
+      .repartition(4, col("frame"))
+      .write.mode("overwrite").parquet(s"$path/classes")
+    frames.join(classes, "frame")
+      .select(col("media_id"), col("keeper")).distinct()
+      .repartition(4, col("keeper"))
+      .write.mode("overwrite").parquet(s"$path/occ")
+    val bands = sigBands(sigs)
+    bands.select(col("keeper").as("keeper_a"), col("sig").as("sa"),
+        col("k"), col("bv"))
+      .join(bands.select(col("keeper").as("keeper_b"), col("sig").as("sb"),
+        col("k"), col("bv")), Seq("k", "bv"))
+      .where(col("keeper_a") < col("keeper_b"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("keeper_a"), col("keeper_b"))
+      .distinct()
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/pairs")
   }
 
   /** q270: INCREMENTAL media near-dup ingest — the q214 probe-only
@@ -392,7 +402,17 @@ object Multimodal {
     * pruned documents scan, the index probe, and equality with the
     * full q249 output filtered to touching pairs.
     */
-  def incrementalMediaNearDup: Q = (s, d) => {
+  /** The batch-ingest overlay — everything q270's probe derives on top
+    * of the stored old index, factored so the q275 compactor folds the
+    * SAME relations the live ingest probes (segments are computed once,
+    * not re-derived differently per consumer).
+    */
+  private final case class IngestOverlay(
+      oldClasses: DataFrame, oldOcc: DataFrame, oldPairs: DataFrame,
+      bClasses: DataFrame, unified: DataFrame, missSigs: DataFrame,
+      bOcc: DataFrame, newPairs: DataFrame)
+
+  private def ingestOverlay(s: SparkSession, d: String): IngestOverlay = {
     val idx = ensureOldFrameIndex(s, d)
     val oldClasses = s.read.parquet(s"$idx/classes") // frame, keeper, sig
     val oldOcc = s.read.parquet(s"$idx/occ")         // media_id, keeper
@@ -421,7 +441,6 @@ object Multimodal {
       .localCheckpoint(true) // tiny; consumed by both probe sides
     val bOcc = bFrames.join(unified.select(col("frame"), col("ckey")), "frame")
       .select(col("media_id"), col("ckey").as("keeper")).distinct()
-    val allOcc = oldOcc.unionByName(bOcc)
     // miss-driven pigeonhole probe against stored old sigs + other misses
     val allBands = sigBands(
       oldClasses.select(col("keeper"), col("sig")).unionByName(missSigs))
@@ -436,7 +455,14 @@ object Multimodal {
       .where(col("hamming") <= 3)
       .select("keeper_a", "keeper_b")
       .distinct()
-    val pairs = oldPairs.select("keeper_a", "keeper_b").unionByName(newPairs)
+    IngestOverlay(oldClasses, oldOcc, oldPairs, bClasses, unified,
+      missSigs, bOcc, newPairs)
+  }
+
+  def incrementalMediaNearDup: Q = (s, d) => {
+    val ov = ingestOverlay(s, d)
+    val allOcc = ov.oldOcc.unionByName(ov.bOcc)
+    val pairs = ov.oldPairs.select("keeper_a", "keeper_b").unionByName(ov.newPairs)
     val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
       .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
       .unionAll(allOcc.select(col("keeper").as("ka")).distinct()
@@ -447,6 +473,99 @@ object Multimodal {
         Seq("kb"))
       .where(col("media_a") < col("media_b"))
       .where(col("media_a") % 3 === 0 || col("media_b") % 3 === 0)
+      .select(col("media_a"), col("media_b"),
+        concat_ws(":", least(col("ka"), col("kb")),
+          greatest(col("ka"), col("kb"))).as("cp"))
+      .groupBy("media_a", "media_b")
+      .agg(countDistinct(col("cp")).as("shared"))
+      .where(col("shared") >= 2)
+  }
+
+  /** One-time, idempotent COMPACTION of the incrementally-maintained
+    * media frame index — the q272 lifecycle step for the multimodal
+    * family: fold the q270 ingest overlay (batch occurrences, miss
+    * signatures, new pairs) into the stored old-corpus base and relabel
+    * every class key CANONICALLY (the full-corpus minimum
+    * media_id·100000+frame_id — exactly the key a from-scratch rebuild
+    * assigns, where an ingest hit keeps its OLD key even when the
+    * batch holds the smaller one). The compacted {classes, occ, pairs}
+    * are proven BIT-EQUAL to [[buildFrameIndex]] over the full corpus
+    * in MultimodalSpec — compaction loses nothing and invents nothing —
+    * and the q249 media roll-up served from it (q275) needs no
+    * documents scan at all.
+    */
+  private val compactFrameIdxLock = new Object
+
+  def ensureCompactedFrameIndex(s: SparkSession, d: String): String =
+    compactFrameIdxLock.synchronized {
+      val path =
+        s"${Tables.scratchDir}/graft-compact-frame-index-${Tables.datasetTag(d, "documents")}"
+      val done = new java.io.File(path, "DONE")
+      if (!done.exists()) {
+        val root = new java.io.File(path)
+        if (root.exists()) Tables.deleteRecursively(root)
+        val ov = ingestOverlay(s, d)
+        // per frame content: the pre-compaction key the overlay used
+        // (old keeper for old/hit content, batch keeper for misses) and
+        // the canonical full-corpus key (least of the two sides' minima)
+        val relabel = ov.oldClasses
+          .select(col("frame"), col("keeper").as("okey"), col("sig").as("osig"))
+          .join(ov.bClasses.select(col("frame"), col("keeper").as("bkey")),
+            Seq("frame"), "full_outer")
+          .select(col("frame"),
+            coalesce(col("okey"), col("bkey")).as("pre"),
+            least(col("okey"), col("bkey")).as("canon"),
+            col("osig"))
+          .localCheckpoint(true) // feeds classes, occ relabel, pair relabel
+        relabel
+          .join(ov.missSigs.select(col("keeper").as("pre"), col("sig").as("msig")),
+            Seq("pre"), "left")
+          .select(col("frame"), col("canon").as("keeper"),
+            coalesce(col("osig"), col("msig")).as("sig"))
+          .repartition(4, col("frame"))
+          .write.mode("overwrite").parquet(s"$path/classes")
+        val keyMap = relabel.select(col("pre"), col("canon"))
+        ov.oldOcc.unionByName(ov.bOcc)
+          .join(keyMap, col("keeper") === col("pre"))
+          .select(col("media_id"), col("canon").as("keeper"))
+          .repartition(4, col("keeper"))
+          .write.mode("overwrite").parquet(s"$path/occ")
+        ov.oldPairs.select("keeper_a", "keeper_b").unionByName(ov.newPairs)
+          .join(keyMap.select(col("pre").as("keeper_a"), col("canon").as("ca")),
+            Seq("keeper_a"))
+          .join(keyMap.select(col("pre").as("keeper_b"), col("canon").as("cb")),
+            Seq("keeper_b"))
+          .select(least(col("ca"), col("cb")).as("keeper_a"),
+            greatest(col("ca"), col("cb")).as("keeper_b"))
+          .distinct()
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/pairs")
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+      }
+      path
+    }
+
+  /** q275: the q249 media near-dup roll-up served ENTIRELY from the
+    * compacted index — no documents scan, no framing, no signing
+    * anywhere in the plan (MultimodalSpec pins it): after compaction
+    * the corpus-wide duplicate-candidate dashboard is an
+    * index-files-only query, which is what the fold buys at 100 TB.
+    * Same oracle as q249 (the full relational recompute) — compaction
+    * provably changed nothing.
+    */
+  def compactedMediaRollup: Q = (s, d) => {
+    val idx = ensureCompactedFrameIndex(s, d)
+    val occ = s.read.parquet(s"$idx/occ")
+    val pairs = s.read.parquet(s"$idx/pairs")
+    val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
+      .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
+      .unionAll(occ.select(col("keeper").as("ka")).distinct()
+        .select(col("ka"), col("ka").as("kb")))
+    occ.select(col("media_id").as("media_a"), col("keeper").as("ka"))
+      .join(sym, "ka")
+      .join(occ.select(col("media_id").as("media_b"), col("keeper").as("kb")),
+        Seq("kb"))
+      .where(col("media_a") < col("media_b"))
       .select(col("media_a"), col("media_b"),
         concat_ws(":", least(col("ka"), col("kb")),
           greatest(col("ka"), col("kb"))).as("cp"))
@@ -783,6 +902,7 @@ object Multimodal {
     "q148_frame_dedup" -> frameDedup,
     "q243_frame_near_dup" -> frameNearDup,
     "q249_media_near_dup" -> mediaNearDup,
+    "q275_compacted_media_rollup" -> compactedMediaRollup,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
@@ -856,7 +976,39 @@ object Multimodal {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
       |  FROM ct)""".stripMargin
 
+  /** q249's full relational recompute — shared verbatim by q275: the
+    * roll-up served from the compacted index must land exactly where a
+    * from-scratch recompute lands.
+    */
+  private val mediaRollupOracle: String =
+    s"""WITH pairs AS ($frameNearDupSql),
+      |fr AS (
+      |  SELECT media_id, frame_id,
+      |    substr(text, frame_id * 64 + 1, 64) AS frame
+      |  FROM (SELECT doc_id AS media_id, text,
+      |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
+      |        FROM documents)
+      |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
+      |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
+      |      FROM fr GROUP BY frame),
+      |occ AS (SELECT DISTINCT f.media_id, d.keeper
+      |        FROM fr f JOIN d ON f.frame = d.frame),
+      |sym AS (
+      |  SELECT keeper_a AS ka, keeper_b AS kb FROM pairs
+      |  UNION ALL SELECT keeper_b, keeper_a FROM pairs
+      |  UNION ALL SELECT keeper, keeper FROM d),
+      |sc AS (
+      |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |    least(s.ka, s.kb) AS c1, greatest(s.ka, s.kb) AS c2
+      |  FROM occ a JOIN sym s ON a.keeper = s.ka
+      |  JOIN occ b ON b.keeper = s.kb AND a.media_id < b.media_id)
+      |SELECT media_a, media_b,
+      |  CAST(count(DISTINCT CAST(c1 AS VARCHAR) || ':' || CAST(c2 AS VARCHAR))
+      |    AS BIGINT) AS shared
+      |FROM sc GROUP BY 1, 2 HAVING shared >= 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q275_compacted_media_rollup" -> mediaRollupOracle,
     "q47_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256
@@ -874,32 +1026,7 @@ object Multimodal {
     // frame evidence rolled up to MEDIA pairs: q243's pairs (symmetrized)
     // plus identity per content class, joined through per-media distinct
     // frame-class occurrence sets, scored by distinct evidence pairs
-    "q249_media_near_dup" ->
-      (s"""WITH pairs AS ($frameNearDupSql),
-        |fr AS (
-        |  SELECT media_id, frame_id,
-        |    substr(text, frame_id * 64 + 1, 64) AS frame
-        |  FROM (SELECT doc_id AS media_id, text,
-        |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
-        |        FROM documents)
-        |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
-        |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
-        |      FROM fr GROUP BY frame),
-        |occ AS (SELECT DISTINCT f.media_id, d.keeper
-        |        FROM fr f JOIN d ON f.frame = d.frame),
-        |sym AS (
-        |  SELECT keeper_a AS ka, keeper_b AS kb FROM pairs
-        |  UNION ALL SELECT keeper_b, keeper_a FROM pairs
-        |  UNION ALL SELECT keeper, keeper FROM d),
-        |sc AS (
-        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
-        |    least(s.ka, s.kb) AS c1, greatest(s.ka, s.kb) AS c2
-        |  FROM occ a JOIN sym s ON a.keeper = s.ka
-        |  JOIN occ b ON b.keeper = s.kb AND a.media_id < b.media_id)
-        |SELECT media_a, media_b,
-        |  CAST(count(DISTINCT CAST(c1 AS VARCHAR) || ':' || CAST(c2 AS VARCHAR))
-        |    AS BIGINT) AS shared
-        |FROM sc GROUP BY 1, 2 HAVING shared >= 2""".stripMargin),
+    "q249_media_near_dup" -> mediaRollupOracle,
     // the incremental ingest must land exactly on the FULL q249
     // recompute filtered to batch-touching pairs — class keys relabel
     // bijectively between the two paths, and media pairs are invariant

@@ -202,13 +202,17 @@ object Scale {
   private[graft] def assertAvgRewriteSafe(rel: => DataFrame, path: String, cols: String*): Unit = {
     val marker = new java.io.File(path, "_AVGSAFE")
     if (marker.exists()) return
-    val aggs = cols.map(c => sum(abs(col(c))).as(c))
+    // decimal(38,0) accumulation: a Long sum can wrap silently past 2^63
+    // in non-ANSI mode, which would let an oversized corpus slip under
+    // the 2^53 bound after overflow
+    val aggs = cols.map(c => sum(abs(col(c)).cast("decimal(38,0)")).as(c))
     val row = rel.agg(aggs.head, aggs.tail: _*).head()
+    val bound = java.math.BigDecimal.valueOf(1L << 53)
     cols.zipWithIndex.foreach { case (c, i) =>
-      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
-      require(v < (1L << 53),
+      val v = if (row.isNullAt(i)) java.math.BigDecimal.ZERO else row.getDecimal(i)
+      require(v.compareTo(bound) < 0,
         s"summary $path: Σ|$c| = $v ≥ 2^53 over the source relation — " +
-          "AVG($c) through the rewrite could diverge from Average's " +
+          s"AVG($c) through the rewrite could diverge from Average's " +
           "double accumulation; decline the Sum/Count registration for " +
           "this corpus")
     }
@@ -518,6 +522,85 @@ object Scale {
     path
   }
 
+  /** One-time materialization of the (partkey, suppkey) supply BRIDGE —
+    * the composite-key dimension the q273 join-MV sits on: one row per
+    * distinct (l_partkey, l_suppkey) pair with its lineitem frequency,
+    * the partsupp-shaped relation every TPC-H-like warehouse carries.
+    * Columns are ps_-prefixed so the bridge's schema stays disjoint
+    * from lineitem's (the rewrite's name-mapping guard requires it).
+    */
+  private val psBridgeLock = new Object
+
+  def ensurePartsuppBridge(s: SparkSession, d: String): String = psBridgeLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-ps-bridge-${Tables.datasetTag(d, "lineitem")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.lineitem(s, d)
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .groupBy("ps_partkey", "ps_suppkey")
+          .agg(count(lit(1)).as("ps_cnt"))
+          .repartition(8, col("ps_partkey"))
+          .write.mode("overwrite").parquet(path)
+      }
+    path
+  }
+
+  /** One-time materialization + registration of the COMPOSITE-key
+    * join-MV: lineitem ⋈ bridge on (l_partkey=ps_partkey AND
+    * l_suppkey=ps_suppkey), aggregated to the (returnflag, linestatus)
+    * grain. The registry entry carries the key-pair SET, so only a
+    * query joining on exactly both pairs qualifies — a single-key join
+    * against the same pair of tables is a DIFFERENT grain (it fans out
+    * across suppliers) and declines, which SummaryRewriteSpec pins.
+    */
+  def ensureCompositeJoinSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val bridge = ensurePartsuppBridge(s, d)
+    val path =
+      s"${Tables.scratchDir}/graft-composite-summary-${Tables.datasetTag(d, "lineitem")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.lineitem(s, d).join(s.read.parquet(bridge),
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+            sum("ps_cnt").as("sum_pscnt"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
+      }
+    import graft.plans.SummaryRewrite._
+    registerCompositeJoin(sourcePathOf(Tables.lineitem(s, d)),
+      sourcePathOf(s.read.parquet(bridge)),
+      CompositeJoinSummary(Seq(("l_partkey", "ps_partkey"), ("l_suppkey", "ps_suppkey")),
+        SummaryLocation.FixedPath(path), Seq("l_returnflag", "l_linestatus"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("ps_cnt") -> "sum_pscnt"),
+        freshnessProbe(d, "lineitem")))
+    path
+  }
+
+  /** q273: the COMPOSITE-key join-MV rewrite — an aggregate over
+    * lineitem ⋈ the (partkey, suppkey) bridge on BOTH key columns,
+    * answered from the registered composite summary with NEITHER side
+    * scanned. The snowflake/bridge-table shape single-column join-MVs
+    * can't serve: the join grain is the two-column pair, and the
+    * registry matches the conjunct set exactly — partial or crossed
+    * key matches decline (pinned in SummaryRewriteSpec). The oracle
+    * recomputes bridge + join from lineitem.
+    */
+  def summaryCompositeJoin(s: SparkSession, d: String): DataFrame = {
+    ensureCompositeJoinSummary(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d).join(s.read.parquet(ensurePartsuppBridge(s, d)),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("ps_cnt").as("sum_pscnt"))
+  }
+
   /** q250: the JOIN-MV rewrite — an aggregate over the customer ⋈
     * orders inner equi-join answered from the registered
     * segment-grain join summary: the rewritten plan scans the
@@ -597,6 +680,65 @@ object Scale {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
         avg("l_partkey").as("avg_part"))
+  }
+
+  /** One-time materialization + registration of the SNOWFLAKE chain-MV:
+    * two dimensions off ONE fact — lineitem ⋈ orders on the order key
+    * AND lineitem ⋈ part on the part key, grain spanning both dims
+    * ((o_orderpriority, p_type)). The chain registry already encodes
+    * this: the left-deep flattening orients hop 2's key pair
+    * (l_partkey, p_partkey) from the ACCUMULATED subtree — the key
+    * comes from the fact leaf, not the previous dim, which is exactly
+    * what distinguishes a snowflake from q256's linear chain. The
+    * registration closes the r11 coverage gap where this shape
+    * declined for lack of a registered entry.
+    */
+  def ensureSnowflakeSummary(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val path =
+      s"${Tables.scratchDir}/graft-snowflake-summary-${Tables.datasetTag(d, "lineitem", "orders", "part")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy("o_orderpriority", "p_type")
+          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+            sum("p_size").as("sum_size"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(path)
+      }
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(sourcePathOf(Tables.lineitem(s, d)),
+        sourcePathOf(Tables.orders(s, d)),
+        sourcePathOf(Tables.part(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("l_partkey", "p_partkey")),
+        SummaryLocation.FixedPath(path), Seq("o_orderpriority", "p_type"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("p_size") -> "sum_size"),
+        freshnessProbe(d, "lineitem", "orders", "part")))
+    path
+  }
+
+  /** q276: the SNOWFLAKE-MV rewrite — an aggregate over fact ⋈ dim1 ⋈
+    * dim2 (lineitem with BOTH orders and part hanging off it), grain
+    * across both dimensions, answered from the registered snowflake
+    * summary with none of the three tables scanned. The star-schema
+    * dashboard shape q256's linear chain (fact → bridge → dim) cannot
+    * express: hop 2 keys off the FACT leaf, not the previous hop's
+    * table. Decline pins in SummaryRewriteSpec cover a wrong second-hop
+    * key; the oracle recomputes the 3-way join.
+    */
+  def summarySnowflakeAggregate(s: SparkSession, d: String): DataFrame = {
+    ensureSnowflakeSummary(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy("o_orderpriority", "p_type")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("p_size").as("sum_size"))
   }
 
   /** q258: INCREMENTAL refresh of the 3-table CHAIN-MV — q252's
@@ -1079,7 +1221,12 @@ object Scale {
     ensureLineitemSegmentSummary(s, d): Unit
     ensureLineitemSegmentSummaryIncremental(s, d): Unit
     ensureLineitemSegmentSummaryDeletes(s, d): Unit
+    ensureCompositeJoinSummary(s, d): Unit
+    ensureSnowflakeSummary(s, d): Unit
+    ensureJoinKeyStats(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
+    graft.dedup.DedupQueries.ensureCompactedShingleIndex(s, d): Unit
+    graft.sim.SimQueries.ensureIvfIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureNearDupPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureIngestPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
@@ -1091,6 +1238,7 @@ object Scale {
     graft.streaming.Streams.ensureSegmentStreamSummary(s, d): Unit
     graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
     graft.multimodal.Multimodal.ensureOldFrameIndex(s, d): Unit
+    graft.multimodal.Multimodal.ensureCompactedFrameIndex(s, d): Unit
     graft.multimodal.Multimodal.ensureShotKeyframes(s, d): Unit
     AnalyticsQueries.ensureBaskets(s, d): Unit
     graft.streaming.Streams.ensureLineitemFeed(s, d): Unit
@@ -1199,6 +1347,97 @@ object Scale {
     // the dim wouldn't broadcast in the first place)
     fact.join(dim.hint("shuffle_hash"),
         fact("l_orderkey") === dim("o_orderkey") && fact("_salt") === dim("_salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum("qty").cast("double").as("total_qty"))
+  }
+
+  /** One-time materialization of the lineitem join-key statistics the
+    * q274 plan chooser CONSUMES: one row of (n_keys, n_rows, max_freq)
+    * over the l_orderkey domain — the aggregate the q207 skew histogram
+    * feeds a planner. Persisted like any derived artifact so the choice
+    * reads a file stat at plan-build time instead of re-scanning the
+    * fact table to decide how to scan the fact table.
+    */
+  private val keyStatsLock = new Object
+
+  def ensureJoinKeyStats(s: SparkSession, d: String): String = keyStatsLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-keystats-${Tables.datasetTag(d, "lineitem")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        writeKeyStats(Tables.lineitem(s, d), "l_orderkey", path)
+      }
+    path
+  }
+
+  /** Compute + persist the key-frequency stats for a fact relation:
+    * one row (n_keys, n_rows, max_freq) — the minimum a salted-vs-plain
+    * decision needs.
+    */
+  private[graft] def writeKeyStats(fact: DataFrame, key: String, path: String): Unit =
+    fact.groupBy(col(key)).agg(count(lit(1)).as("freq"))
+      .agg(count(lit(1)).as("n_keys"), sum("freq").as("n_rows"),
+        max("freq").as("max_freq"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** A hot key is one that would make a single post-shuffle task carry
+    * at least this many times the MEAN key's rows — below it, salting's
+    * dimension replication costs more than the straggler it prevents.
+    */
+  private[graft] val SkewRatioThreshold = 16L
+
+  /** Statistics-CONSUMING equi-join: reads the persisted key stats and
+    * picks the physical shape at plan-build time — q131's salted join
+    * when the measured max/mean key-frequency ratio says one reduce
+    * task would straggle, the plain shuffled join otherwise. Both
+    * branches are semantically identical (salting only redistributes
+    * rows), so one oracle covers whichever branch the data demands;
+    * ScaleSpec pins that a constructed hot-key fixture fires the salted
+    * branch and a uniform fixture fires the plain one. This is the
+    * missing half of the q207/q198 diagnostics: the engine acting on
+    * its OWN statistics instead of printing them — at 100 TB the
+    * difference between q131's salting being applied where it's needed
+    * and paying its replication where it isn't.
+    */
+  private[graft] def statsChosenEquiJoin(s: SparkSession, statsPath: String,
+      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+      salts: Int = 8): DataFrame = {
+    val st = s.read.parquet(statsPath).head()
+    val nKeys = st.getAs[Long]("n_keys")
+    val nRows = st.getAs[Long]("n_rows")
+    val maxFreq = st.getAs[Long]("max_freq")
+    val meanFreq = math.max(1L, nRows / math.max(1L, nKeys))
+    val outCols = (fact.columns ++ dim.columns).map(col).toSeq
+    if (maxFreq >= SkewRatioThreshold * meanFreq) {
+      // salted branch: q131's mechanic — deterministic fact-row salt,
+      // dimension replicated once per salt, shuffled join on (key, salt)
+      val f = fact.withColumn("_salt",
+        pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong)))
+      val dm = dim.withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      f.join(dm.hint("shuffle_hash"),
+          f(factKey) === dm(dimKey) && f("_salt") === dm("_salt"))
+        .select(outCols: _*)
+    } else {
+      fact.join(dim, fact(factKey) === dim(dimKey)).select(outCols: _*)
+    }
+  }
+
+  /** q274: the stats-chosen join applied to lineitem ⋈ orders — on
+    * this corpus the measured max l_orderkey frequency is the order
+    * line cap (7) against a mean of ~4, far under the 16× straggler
+    * bound, so the PLAIN branch serves (pinned: no salt explode in the
+    * plan); the hot-key fixture in ScaleSpec drives the same code down
+    * the salted branch. Output is the salt-independent priority
+    * aggregate, so the oracle (plain join recompute) gates either
+    * branch.
+    */
+  def statsAdaptiveJoin(s: SparkSession, d: String): DataFrame = {
+    val stats = ensureJoinKeyStats(s, d)
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val dim = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    statsChosenEquiJoin(s, stats, fact, "l_orderkey", dim, "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum("qty").cast("double").as("total_qty"))
@@ -1313,7 +1552,9 @@ object Scale {
     "q247_summary_global" -> (summaryGlobal(_, _)),
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
+    "q273_summary_composite_join" -> (summaryCompositeJoin(_, _)),
     "q256_summary_chain" -> (summaryChainAggregate(_, _)),
+    "q276_summary_snowflake" -> (summarySnowflakeAggregate(_, _)),
     "q258_summary_chain_incremental" -> (summaryChainIncremental(_, _)),
     "q262_summary_chain_delete_ivm" -> (summaryChainDeletes(_, _)),
     "q259_summary_join_delete_ivm" -> (summaryJoinDeletes(_, _)),
@@ -1326,7 +1567,8 @@ object Scale {
     "q60_partition_pruned" -> (partitionPrunedScan(_, _)),
     "q61_bucketed_join" -> (bucketedJoin(_, _)),
     "q104_zorder" -> (zorderBuckets(_, _)),
-    "q131_salted_join" -> (saltedJoin(_, _)))
+    "q131_salted_join" -> (saltedJoin(_, _)),
+    "q274_stats_adaptive_join" -> (statsAdaptiveJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the rewrite must be answer-preserving: the oracle recomputes the
@@ -1399,6 +1641,28 @@ object Scale {
         |GROUP BY 1""".stripMargin,
     // the join-MV must be answer-preserving: the oracle recomputes the
     // inner equi-join + aggregate from BOTH base tables the rewritten
+    // snowflake recomputed from the three base tables
+    "q276_summary_snowflake" ->
+      """SELECT o_orderpriority, p_type, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    // composite-key MV recomputed from scratch: the bridge derivation
+    // inlined as a CTE over lineitem, then the two-column equi-join
+    "q273_summary_composite_join" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    count(*) AS ps_cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(ps_cnt) AS BIGINT) AS sum_pscnt
+        |FROM lineitem JOIN ps
+        |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |GROUP BY 1, 2""".stripMargin,
     // plan never scans; AVG as exact-integer-sum ÷ non-null count
     "q250_summary_join" ->
       """SELECT c_mktsegment, count(*) AS n,
@@ -1476,6 +1740,14 @@ object Scale {
         |FROM t GROUP BY 1, 2""".stripMargin,
     // the plain join the salted plan must equal
     "q131_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the plain-join recompute gates WHICHEVER branch the measured
+    // stats picked — salting only redistributes rows
+    "q274_stats_adaptive_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |    AS total_qty

@@ -170,7 +170,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || (registry.isEmpty && joinRegistry.isEmpty &&
-      chainRegistry.isEmpty)) plan
+      chainRegistry.isEmpty && compositeJoinRegistry.isEmpty)) plan
     else plan.transformUp {
       case agg @ Aggregate(groupings, resultExprs, child, _)
           if groupings.forall(_.isInstanceOf[AttributeReference]) =>
@@ -219,13 +219,13 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // grain-checked and replayed over the summary rows (a WHERE on the
     // dimension side, e.g. c_mktsegment = 'X', keeps or drops whole
     // grain groups exactly like the single-table filter path)
-    def sideWithConds(side: LogicalPlan, keyName: String)
+    def sideWithConds(side: LogicalPlan, keyNames: Set[String])
         : Option[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression])] =
       sourceOf(side).flatMap { case (src, conds) =>
         val split = conds.flatMap(splitConjunctivePredicates)
         val residual = split.filterNot {
           case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference) => a.name == keyName
+            a: AttributeReference) => keyNames.contains(a.name)
           case _ => false
         }
         if (residual.forall(c => c.deterministic &&
@@ -247,33 +247,58 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         joinPath(c, gAttrs, gNames, resultExprs)
       case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
-          org.apache.spark.sql.catalyst.plans.Inner,
-          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-            x: AttributeReference, y: AttributeReference)), _) =>
-        // orient the condition's sides onto the join's children
-        val oriented =
+          org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+        // the condition must be PURE column equalities (one → the
+        // single-key registry, two+ → the composite-key registry); any
+        // other conjunct (a range, a non-equi, an expression key) means
+        // the query's join grain is not the registered one — decline
+        val eqs = splitConjunctivePredicates(cond).map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            x: AttributeReference, y: AttributeReference) => Some((x, y))
+          case _ => None
+        }
+        // orient each equality's sides onto the join's children
+        val oriented = eqs.map(_.flatMap { case (x, y) =>
           if (l.outputSet.contains(x) && r.outputSet.contains(y)) Some((x, y))
           else if (l.outputSet.contains(y) && r.outputSet.contains(x)) Some((y, x))
           else None
-        for {
-          (lk, rk) <- oriented
-          // unambiguous name-mapping requires disjoint side schemas —
-          // of the underlying TABLES, not the pruned join children
-          lSchema <- fullSchemaOf(l)
-          rSchema <- fullSchemaOf(r)
-          if lSchema.intersect(rSchema).isEmpty
-          (ls, lconds) <- sideWithConds(l, lk.name)
-          (rs, rconds) <- sideWithConds(r, rk.name)
-          conds = lconds ++ rconds
-          predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
-          candidates = Option(joinRegistry.get((ls, rs))).getOrElse(Nil)
-            .filter(e => e.leftKey == lk.name && e.rightKey == rk.name) ++
-            Option(joinRegistry.get((rs, ls))).getOrElse(Nil)
-              .filter(e => e.leftKey == rk.name && e.rightKey == lk.name)
-          live = candidates.filter(_.stillFresh())
-          rewritten <- selectAndRewrite(live, gAttrs, gNames, resultExprs,
-            conds, predCols)
-        } yield rewritten
+        })
+        if (oriented.exists(_.isEmpty)) None
+        else {
+          val pairs = oriented.flatten
+          for {
+            // unambiguous name-mapping requires disjoint side schemas —
+            // of the underlying TABLES, not the pruned join children
+            lSchema <- fullSchemaOf(l)
+            rSchema <- fullSchemaOf(r)
+            if lSchema.intersect(rSchema).isEmpty
+            (ls, lconds) <- sideWithConds(l, pairs.map(_._1.name).toSet)
+            (rs, rconds) <- sideWithConds(r, pairs.map(_._2.name).toSet)
+            conds = lconds ++ rconds
+            predCols = conds.flatMap(_.references.toSeq.map(_.name)).toSet
+            candidates = pairs match {
+              case Seq((lk, rk)) =>
+                Option(joinRegistry.get((ls, rs))).getOrElse(Nil)
+                  .filter(e => e.leftKey == lk.name && e.rightKey == rk.name) ++
+                  Option(joinRegistry.get((rs, ls))).getOrElse(Nil)
+                    .filter(e => e.leftKey == rk.name && e.rightKey == lk.name)
+              case _ =>
+                // composite key: the query's oriented pair SET must equal
+                // the registered pair set exactly (order-insensitive —
+                // conjunct order is optimizer noise; but a PARTIAL match,
+                // a crossed pairing, or an extra equality all decline:
+                // they join at a different grain than the materialization)
+                val fwd = pairs.map(p => (p._1.name, p._2.name)).toSet
+                Option(compositeJoinRegistry.get((ls, rs))).getOrElse(Nil)
+                  .filter(_.keyPairs.toSet == fwd) ++
+                  Option(compositeJoinRegistry.get((rs, ls))).getOrElse(Nil)
+                    .filter(_.keyPairs.map(_.swap).toSet == fwd)
+            }
+            live = candidates.filter(_.stillFresh())
+            rewritten <- selectAndRewrite(live, gAttrs, gNames, resultExprs,
+              conds, predCols)
+          } yield rewritten
+        }
       case _ => None
     }
   }
@@ -694,9 +719,28 @@ object SummaryRewrite {
       measures: Map[Measure, String], stillFresh: () => Boolean = () => true)
     extends RegisteredSummary
 
+  /** A summary over an INNER equi-join of two source tables on a
+    * COMPOSITE key — 2+ column pairs ANDed (e.g. a (partkey, suppkey)
+    * bridge). A query qualifies only when its conjunct set of oriented
+    * column equalities matches `keyPairs` exactly as a SET (conjunct
+    * order is optimizer noise); a partial key match, a crossed pairing,
+    * or an extra equality all decline — they join at a different grain
+    * than the materialization and would be wrong to serve.
+    */
+  case class CompositeJoinSummary(keyPairs: Seq[(String, String)],
+      location: SummaryLocation, groupCols: Seq[String],
+      measures: Map[Measure, String], stillFresh: () => Boolean = () => true)
+    extends RegisteredSummary
+
   /** (left source root, right source root) → registered join summaries. */
   private[plans] val joinRegistry =
     new java.util.concurrent.ConcurrentHashMap[(String, String), List[JoinSummary]]
+
+  /** (left source root, right source root) → registered COMPOSITE-key
+    * join summaries.
+    */
+  private[plans] val compositeJoinRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), List[CompositeJoinSummary]]
 
   /** ordered source-root chain → registered chain summaries. */
   private[plans] val chainRegistry =
@@ -729,6 +773,13 @@ object SummaryRewrite {
       summary :: Option(prev).getOrElse(Nil)
         .filterNot(e => e.groupCols.toSet == summary.groupCols.toSet &&
           e.leftKey == summary.leftKey && e.rightKey == summary.rightKey)): Unit
+
+  def registerCompositeJoin(leftSrc: String, rightSrc: String,
+      summary: CompositeJoinSummary): Unit =
+    compositeJoinRegistry.compute((leftSrc, rightSrc), (_, prev) =>
+      summary :: Option(prev).getOrElse(Nil)
+        .filterNot(e => e.groupCols.toSet == summary.groupCols.toSet &&
+          e.keyPairs.toSet == summary.keyPairs.toSet)): Unit
 
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[SummaryRewrite]))

@@ -400,6 +400,99 @@ object SimQueries {
   /** Driver-audited form of [[knnIvf]] (see [[knnAudit]]). */
   def knnIvfChecked: Q = (s, d) => knnAudit(knnIvf(s, d), knnBrute(s, d))
 
+  /** One-time, idempotent materialization of the PERSISTED IVF index —
+    * the ANN-family sibling of the q214 shingle index and the q270
+    * frame index: centroids trained on the OLD corpus (vec_id % 3 != 0,
+    * the offline training run a production vector store amortizes) plus
+    * the old vectors' cell assignments. Content-fingerprint keyed,
+    * layout pinned, DONE-gated. The ingest (q277) READS this; it never
+    * retrains or reassigns old vectors.
+    */
+  private val ivfIdxLock = new Object
+
+  def ensureIvfIndex(s: SparkSession, d: String): String = ivfIdxLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-ivf-index-${Tables.datasetTag(d, "embeddings")}"
+    val done = new java.io.File(path, "DONE")
+    if (!done.exists()) {
+      val root = new java.io.File(path)
+      if (root.exists()) Tables.deleteRecursively(root)
+      import s.implicits._
+      val old = Tables.embeddings(s, d).where(col("vec_id") % 3 =!= 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val cs = ivfCentroids(old, 16, 64, iters = 3)
+      cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "vals")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      old.map { case (id, e) => (id, nearestCell(cs, e)) }
+        .toDF("vec_id", "cell")
+        .repartition(8, col("cell"))
+        .write.mode("overwrite").parquet(s"$path/assigned")
+      java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+    }
+    path
+  }
+
+  /** q277: INCREMENTAL IVF ingest — the q214/q270 probe-only economics
+    * applied to the ANN index, closing the last index family that
+    * still rebuilt per corpus: an ingest batch (vec_id % 3 == 0) is
+    * assigned to the STORED centroids (no retraining — the offline
+    * k-means is the amortized step, exactly how production vector
+    * stores ingest), old assignments come from the index parquet
+    * (never recomputed), and the batch's queries probe nprobe cells of
+    * the UNION index with an exact cosine rerank. Work is
+    * O(batch · k + candidates), not corpus-sized. Registered as the
+    * audited form ([[knnAudit]] against the full-corpus brute top-5
+    * restricted to batch queries); [[Bench]] times the raw ingest.
+    */
+  def incrementalIvf: Q = (s, d) => {
+    import s.implicits._
+    // nprobe 10 of 16 (q224's setting, one step deeper than q54's 8):
+    // centroids fit the OLD corpus only, so batch queries land slightly
+    // off-center — nprobe 8 measured recall exactly 0.80 at sf0.001
+    // (zero margin over the spec pin, the q224 lesson); 10 measures
+    // 1.00/1.00/0.886 at sf0.001/0.01/0.1
+    val nprobe = 10
+    val dim = 64
+    val idx = ensureIvfIndex(s, d)
+    // k×dim centroid matrix: aggregate-sized, the sanctioned scalar
+    // collect (same shape as the in-JVM memo the live q54 uses)
+    val cs: Array[Array[Double]] = s.read.parquet(s"$idx/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val batch = Tables.embeddings(s, d).where(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val bAssigned = batch.map { case (id, e) => (id, nearestCell(cs, e)) }
+      .toDF("vec_id", "cell")
+    val allAssigned = s.read.parquet(s"$idx/assigned").unionByName(bAssigned)
+    val embDf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = batch.filter(_._1 % 100 == 0).flatMap { case (id, e) =>
+      val sims = cs.indices.map { c =>
+        (c, { var dot = 0.0; var nc = 0.0; var ne = 0.0; var i = 0
+              while (i < dim && i < e.length) { dot += cs(c)(i) * e(i); nc += cs(c)(i) * cs(c)(i); ne += e(i).toDouble * e(i); i += 1 }
+              if (nc == 0 || ne == 0) -2.0 else dot / math.sqrt(nc * ne) })
+      }.sortBy { case (c, sim) => (-sim, c) }.take(nprobe)
+      sims.iterator.map { case (c, _) => (id, c) }
+    }.toDF("q_id", "cell")
+    val cands = queries.join(allAssigned, Seq("cell"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val scored = cands
+      .join(embDf.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(embDf.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), cosineCol("qe", "ne").as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Driver-audited form of [[incrementalIvf]]: graded against the
+    * full-corpus brute top-5 restricted to the batch's queries — the
+    * ingest's correct answer is "new queries against EVERYTHING".
+    */
+  def incrementalIvfChecked: Q = (s, d) =>
+    knnAudit(incrementalIvf(s, d), knnBrute(s, d).where(col("q_id") % 3 === 0))
+
   /** Corpus-size bound above which the exact all-pairs baseline refuses
     * to run: it is the correctness oracle for small corpora, not a scale
     * path, and the gate makes that contract explicit instead of silently
@@ -1142,6 +1235,7 @@ object SimQueries {
     "q46_knn_lsh" -> knnLshChecked,
     "q234_knn_filtered" -> knnLshFilteredChecked,
     "q54_knn_ivf" -> knnIvfChecked,
+    "q277_incremental_ivf" -> incrementalIvfChecked,
     "q224_knn_pq" -> knnPqChecked,
     "q44_embedding_pairs" -> embeddingPairs,
     "q58_embedding_pairs_lsh" -> embeddingPairsLshChecked,
@@ -1176,6 +1270,12 @@ object SimQueries {
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075
         |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
+    // ingest queries are the BATCH members of the anchored query set
+    "q277_incremental_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings
+        |WHERE vec_id % 100 = 0 AND vec_id % 3 = 0 AND vec_id < 100000""".stripMargin,
     "q224_knn_pq" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075

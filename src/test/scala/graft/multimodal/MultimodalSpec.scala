@@ -309,6 +309,52 @@ class MultimodalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q275 compacted frame index: bit-equal to a full rebuild, roll-up == q249, index-only plan") {
+    import org.apache.spark.sql.functions._
+    val idx = Multimodal.ensureCompactedFrameIndex(spark, sf)
+    // the compaction gold standard: folding the overlay + canonical
+    // relabel must produce EXACTLY what a from-scratch build over the
+    // full corpus produces — nothing lost, nothing invented, keeper
+    // keys included (an ingest hit keeps its OLD key in the overlay;
+    // the compactor must swap in the full-corpus minimum)
+    val rebuild = java.nio.file.Files.createTempDirectory("frameidx").toString
+    Multimodal.buildFrameIndex(spark,
+      graft.Tables.documents(spark, sf)
+        .select(col("doc_id").as("media_id"), col("text")), rebuild)
+    Seq("classes", "occ", "pairs").foreach { t =>
+      val got = spark.read.parquet(s"$idx/$t").collect()
+        .map(_.toString).sorted.toSeq
+      val want = spark.read.parquet(s"$rebuild/$t").collect()
+        .map(_.toString).sorted.toSeq
+      assert(got === want, s"compacted $t diverges from the full rebuild")
+      assert(got.nonEmpty, s"compacted $t is empty")
+    }
+    // the relabel was LIVE: at least one overlay key differed from its
+    // canonical form (a hit class whose batch copy has the smaller key)
+    val oldIdx = Multimodal.ensureOldFrameIndex(spark, sf)
+    val oldKeepers = spark.read.parquet(s"$oldIdx/classes")
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    val canonKeepers = spark.read.parquet(s"$idx/classes")
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert((oldKeepers -- canonKeepers).nonEmpty,
+      "no keeper was relabeled — the canonical-relabel path is untested at this sf")
+    // the roll-up from the compacted index == q249, and its plan reads
+    // ONLY index files: no documents scan, no signing, no BNLJ
+    val res = Multimodal.queries("q275_compacted_media_rollup")(spark, sf)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Multimodal.mediaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want && got.nonEmpty, "compacted roll-up diverges from q249")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-compact-frame-index"), plan.take(1500))
+    assert("documents\\.parquet".r.findAllIn(plan).isEmpty,
+      "compacted roll-up must not scan the corpus")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    graft.Tables.deleteRecursively(new java.io.File(rebuild))
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)

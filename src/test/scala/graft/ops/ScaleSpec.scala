@@ -216,6 +216,53 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq.map(_._2).sum === factRows)
   }
 
+  test("stats-chosen join: uniform stats pick plain, hot-key stats pick salted, results equal") {
+    import org.apache.spark.sql.functions._
+    // the REGISTERED q274 runs on the real corpus, whose measured max
+    // l_orderkey frequency (the 7-line order cap) is far under 16× the
+    // mean — the plain branch must serve, with no salt machinery
+    val served = Scale.statsAdaptiveJoin(spark, sf)
+    val servedPlan = served.queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("_salt"),
+      "salting fired on a uniform corpus:\n" + servedPlan.take(2000))
+    // constructed fixtures drive BOTH branches through the same chooser
+    val tmp = java.nio.file.Files.createTempDirectory("statsjoin").toString
+    def mkFixture(hot: Boolean): (String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      val name = if (hot) "hot" else "uniform"
+      val n = 2000
+      val key = if (hot) when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
+        else col("id") % 100
+      val fact = spark.range(n).select(key.as("fk"), col("id").as("payload"))
+      val dim = spark.range(100).select(col("id").as("dk"),
+        concat(lit("g"), (col("id") % 5).cast("string")).as("grp"))
+      fact.write.mode("overwrite").parquet(s"$tmp/$name-fact")
+      Scale.writeKeyStats(spark.read.parquet(s"$tmp/$name-fact"), "fk",
+        s"$tmp/$name-stats")
+      (s"$tmp/$name-stats", spark.read.parquet(s"$tmp/$name-fact"), dim)
+    }
+    def run(hot: Boolean) = {
+      val (stats, fact, dim) = mkFixture(hot)
+      val df = Scale.statsChosenEquiJoin(spark, stats, fact, "fk", dim, "dk")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      val plan = df.queryExecution.executedPlan.toString
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = fact.join(dim, col("fk") === col("dk"))
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want && got.nonEmpty, s"hot=$hot diverged from the plain join")
+      plan
+    }
+    // ~90% of rows on key 1 → max/mean ratio ≫ 16 → salted branch
+    val hotPlan = run(hot = true)
+    assert(hotPlan.contains("_salt"),
+      "hot-key stats did not fire the salted branch:\n" + hotPlan.take(2000))
+    // 100 uniform keys → ratio 1 → plain branch
+    val uniformPlan = run(hot = false)
+    assert(!uniformPlan.contains("_salt"),
+      "uniform stats fired the salted branch:\n" + uniformPlan.take(2000))
+  }
+
   test("bloom join probes the filter at the fact scan and equals the plain join") {
     val df = Scale.bloomJoin(spark, sf)
     // the probe must sit on the lineitem (fact) side of the plan, i.e.

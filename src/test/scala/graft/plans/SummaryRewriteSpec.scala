@@ -648,6 +648,91 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("snowflake chain-MV: two dims off one fact served from the summary; wrong hop-2 key declines") {
+    val path = graft.ops.Scale.ensureSnowflakeSummary(spark, sf)
+    SummaryRewrite.install(spark)
+    def snowAgg = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy("o_orderpriority", "p_type")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("p_size").as("sum_size"))
+    try {
+      val q = graft.ops.Scale.summarySnowflakeAggregate(spark, sf) // rewrite ON
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-snowflake-summary"), plan.take(1500))
+      assert(!plan.contains("lineitem.parquet") && !plan.contains("orders.parquet")
+        && !plan.contains("part.parquet"),
+        "rewritten snowflake plan still scans a base table:\n" + plan.take(1500))
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = snowAgg.collect().map(_.toString).sorted.toSeq
+      assert(on.nonEmpty && on === off, "snowflake rewrite changed the answer")
+      assert(off === spark.read.parquet(path)
+        .select("o_orderpriority", "p_type", "n", "key_checksum", "sum_size")
+        .collect().map(_.toString).sorted.toSeq)
+      // a wrong second-hop key (suppkey instead of partkey) is a
+      // different join and must scan, never be served
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val wrong = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(spark, sf), col("l_suppkey") === col("p_partkey"))
+        .groupBy("o_orderpriority", "p_type")
+        .agg(count(lit(1)).as("n"))
+      assert(!wrong.queryExecution.executedPlan.toString
+        .contains("graft-snowflake-summary"),
+        "wrong hop-2 key was wrongly served from the snowflake MV")
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
+  test("composite-key join-MV: served from the summary, neither side scanned; partial/crossed keys decline") {
+    val path = graft.ops.Scale.ensureCompositeJoinSummary(spark, sf)
+    val bridge = graft.ops.Scale.ensurePartsuppBridge(spark, sf)
+    SummaryRewrite.install(spark)
+    def compositeAgg = Tables.lineitem(spark, sf)
+      .join(spark.read.parquet(bridge),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("ps_cnt").as("sum_pscnt"))
+    try {
+      val q = graft.ops.Scale.summaryCompositeJoin(spark, sf) // sets rewrite ON
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-composite-summary"), plan.take(1500))
+      assert(!plan.contains("lineitem.parquet") && !plan.contains("graft-ps-bridge"),
+        "rewritten plan still scans a join side:\n" + plan.take(1500))
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = compositeAgg.collect().map(_.toString).sorted.toSeq
+      assert(on.nonEmpty && on === off, "rewrite changed the answer")
+      assert(off === spark.read.parquet(path)
+        .select("l_returnflag", "l_linestatus", "n", "key_checksum", "sum_pscnt")
+        .collect().map(_.toString).sorted.toSeq)
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      // a PARTIAL key match joins at a different grain (fans out across
+      // suppliers) — it must scan, never be served from the composite MV
+      val partial = Tables.lineitem(spark, sf)
+        .join(spark.read.parquet(bridge), col("l_partkey") === col("ps_partkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          sum("ps_cnt").as("sum_pscnt"))
+      assert(!partial.queryExecution.executedPlan.toString
+        .contains("graft-composite-summary"),
+        "partial key match was wrongly served from the composite MV")
+      // crossed pairing likewise
+      val crossed = Tables.lineitem(spark, sf)
+        .join(spark.read.parquet(bridge),
+          col("l_partkey") === col("ps_suppkey") &&
+            col("l_suppkey") === col("ps_partkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!crossed.queryExecution.executedPlan.toString
+        .contains("graft-composite-summary"),
+        "crossed key pairing was wrongly served from the composite MV")
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("stream-maintained join-MV serves only the committed snapshot version") {
     import graft.streaming.Streams
     val table = Streams.ensureSegmentStreamSummary(spark, sf)

@@ -362,4 +362,121 @@ class SummaryRewriteSweepSpec extends SparkSpec {
       groupings.size * measureSets.size * filters.size * keys.size)
     chainRegistry.remove(chainRegistered): Unit
   }
+
+  // ---- composite-key join-MV sweep: two-column equi key, where the
+  // KEY axis is the point — partial, crossed, reordered, and padded
+  // conjunct sets must each land on the right side of the decline ----
+
+  private lazy val compositeSrcs: (String, String) = {
+    import spark.implicits._
+    val dimP = base.resolve("cjdim").toString
+    val factP = base.resolve("cjfact").toString
+    // (k % 6, k % 5) is a CRT bijection over 30 dim rows, so the
+    // composite key matches exactly one dim row per fact row while each
+    // SINGLE column alone fans out 5-or-6-ways — a partial-key match is
+    // a genuinely different (wrong) grain, not an equivalent plan
+    (0 until 30).map(k =>
+      (k.toLong % 6, k.toLong % 5, Seq("a", "b", "c")(k % 3),
+        (k % 4).toLong, k * 0.5))
+      .toDF("d_k1", "d_k2", "g1", "g2", "dy").repartition(2).write.parquet(dimP)
+    (0 until 240).map { i =>
+      val x = if (i % 5 == 0) None else Some((i * 7 % 100).toLong)
+      (i.toLong % 6, i.toLong % 5, x, i * 0.25)
+    }.toDF("f_k1", "f_k2", "x", "fy").repartition(2).write.parquet(factP)
+    (dimP, factP)
+  }
+
+  private lazy val compositeRegistered: (String, String) = {
+    val (dimP, factP) = compositeSrcs
+    val sumPath = base.resolve("cjsum").toString
+    spark.read.parquet(dimP)
+      .join(spark.read.parquet(factP),
+        col("d_k1") === col("f_k1") && col("d_k2") === col("f_k2"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n"), count(col("x")).as("cnt_x"),
+        sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .repartition(1).write.parquet(sumPath)
+    val dimKey = graft.ops.Scale.sourcePathOf(spark.read.parquet(dimP))
+    val factKey = graft.ops.Scale.sourcePathOf(spark.read.parquet(factP))
+    registerCompositeJoin(dimKey, factKey, CompositeJoinSummary(
+      Seq(("d_k1", "f_k1"), ("d_k2", "f_k2")),
+      SummaryLocation.FixedPath(sumPath), Seq("g1", "g2"),
+      Map(CountStar -> "n", CountCol("x") -> "cnt_x", SumCol("x") -> "sum_x",
+        MinCol("x") -> "min_x", MaxCol("x") -> "max_x")))
+    SummaryRewrite.install(spark)
+    (dimKey, factKey)
+  }
+
+  test("composite-key join-MV: grouping × measure × filter × key variants: ON == OFF, boundary exact") {
+    compositeRegistered: Unit
+    val (dimP, factP) = compositeSrcs
+    val dim = () => spark.read.parquet(dimP)
+    val fact = () => spark.read.parquet(factP)
+
+    val groupings: Seq[(String, Seq[String], Boolean)] = Seq(
+      ("grain", Seq("g1", "g2"), true),
+      ("subset-g1", Seq("g1"), true),
+      ("non-grain", Seq("dy"), false))
+
+    val measureSets: Seq[(String, Seq[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("count*", Seq(count(lit(1)).as("m1")), true),
+      ("sumx", Seq(sum("x").as("m1")), true),
+      ("minmax", Seq(min("x").as("m1"), max("x").as("m2")), true),
+      ("avgx", Seq(avg("x").as("m1")), true),
+      ("all", Seq(count(lit(1)).as("m1"), count(col("x")).as("m2"),
+        sum("x").as("m3"), min("x").as("m4"), max("x").as("m5"),
+        avg("x").as("m6")), true),
+      ("sum-fy", Seq(sum("fy").as("m1")), false),
+      ("nd-non-grain", Seq(countDistinct(col("x")).as("m1")), false))
+
+    val filters: Seq[(String, Option[org.apache.spark.sql.Column], Boolean)] = Seq(
+      ("nofilter", None, true),
+      ("dim-grainfilter", Some(col("g1") =!= "b"), true),
+      ("dim-nongrainfilter", Some(col("dy") < 100), false))
+
+    // THE composite axis: only the exact pair set qualifies, in any
+    // conjunct order and either EqualTo orientation; anything partial,
+    // crossed, or padded is a different join grain and must decline
+    val keys: Seq[(String, org.apache.spark.sql.Column, Boolean)] = Seq(
+      ("bothkeys", col("d_k1") === col("f_k1") && col("d_k2") === col("f_k2"), true),
+      ("reordered", col("d_k2") === col("f_k2") && col("d_k1") === col("f_k1"), true),
+      ("flipped", col("f_k1") === col("d_k1") && col("f_k2") === col("d_k2"), true),
+      ("partial-k1", col("d_k1") === col("f_k1"), false),
+      ("partial-k2", col("d_k2") === col("f_k2"), false),
+      ("crossed", col("d_k1") === col("f_k2") && col("d_k2") === col("f_k1"), false),
+      ("extra-eq", col("d_k1") === col("f_k1") && col("d_k2") === col("f_k2")
+        && col("g2") === col("x"), false))
+
+    var checked = 0
+    for {
+      (gLabel, gCols, gOk) <- groupings
+      (mLabel, mExprs, mOk) <- measureSets
+      (fLabel, dimCond, fOk) <- filters
+      (kLabel, kCond, kOk) <- keys
+    } {
+      val label = s"$gLabel/$mLabel/$fLabel/$kLabel"
+      def query: DataFrame = {
+        val d0 = dimCond.fold(dim())(c => dim().where(c))
+        val joined = d0.join(fact(), kCond)
+        if (gCols.isEmpty) joined.agg(mExprs.head, mExprs.tail: _*)
+        else joined.groupBy(gCols.map(col): _*).agg(mExprs.head, mExprs.tail: _*)
+      }
+      val expectRewrite = gOk && mOk && fOk && kOk
+      spark.conf.set(SummaryRewrite.EnabledKey, "true")
+      val planOn = query.queryExecution.executedPlan.toString
+      val on = query.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = query.collect().map(_.toString).sorted.toSeq
+      assert(on === off, s"$label: rewrite changed the ANSWER")
+      val rewrote = planOn.contains("/cjsum") &&
+        !planOn.contains("/cjdim") && !planOn.contains("/cjfact")
+      assert(rewrote === expectRewrite,
+        s"$label: expected rewrite=$expectRewrite, plan says $rewrote\n" +
+          planOn.take(800))
+      checked += 1
+    }
+    assert(checked ===
+      groupings.size * measureSets.size * filters.size * keys.size)
+    compositeJoinRegistry.remove(compositeRegistered): Unit
+  }
 }

@@ -26,6 +26,34 @@ class SimSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f below floor")
   }
 
+  test("incremental ivf ingest: pinned recall vs full brute on batch queries, index probed not rebuilt") {
+    import org.apache.spark.sql.functions._
+    val brute = SimQueries.knnBrute(spark, sf)
+      .where(col("q_id") % 3 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = SimQueries.incrementalIvf(spark, sf)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "no batch query at this sf")
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"incremental ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    // probe-only economics: old assignments come from the persisted
+    // index, and no centroid retraining appears anywhere in the plan —
+    // the embeddings scans left are the batch assign + the two rerank
+    // embedding fetches
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-index"), plan.take(1500))
+    // the RAW ingest (the bench form) is all equi joins — the BNLJ in
+    // the registered audit form is knnBrute's sanctioned reference shape
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    // every query is a batch member and every answer rank set is full
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.keys.forall(q => q % 3 == 0 && q % 100 == 0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4, 5)) }
+  }
+
   test("lsh embedding pairs: subset of exact pairs (no false positives), pinned recall") {
     val exact = SimQueries.embeddingPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
