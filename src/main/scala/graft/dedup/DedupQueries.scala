@@ -266,14 +266,21 @@ object DedupQueries {
   def erasureDedupIndex: Q = (s, d) => {
     val idx = ensureShingleIndex(s, d)
     val tombstones = broadcast(erasureTombstones(s, d))
-    val newSh = shingles(Tables.documents(s, d)
-      .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
-      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
     val allSh = s.read.parquet(s"$idx/hpostings")
       .join(tombstones, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("oid"), col("h"))
-    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"))
+    ingestProbePairs(survivingBatchShingles(s, d), allSh,
+      s.read.parquet(s"$idx/sizes"))
   }
+
+  /** The surviving ingest batch's hashed shingles — ONE definition so
+    * q264 (overlay probe) and q272 (compacted probe) prove equivalence
+    * over the IDENTICAL batch by construction, not by parallel edits.
+    */
+  private def survivingBatchShingles(s: SparkSession, d: String): DataFrame =
+    shingles(Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
 
   /** Stand-in for the erasure request queue: an aggregate-sized id list
     * (production reads the queue table; the ids are what matters).
@@ -333,12 +340,10 @@ object DedupQueries {
     */
   def compactedDedupProbe: Q = (s, d) => {
     val idx = ensureCompactedShingleIndex(s, d)
-    val newSh = shingles(Tables.documents(s, d)
-      .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
-      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
     val allSh = s.read.parquet(s"$idx/hpostings")
       .select(col("doc_id").as("oid"), col("h"))
-    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"))
+    ingestProbePairs(survivingBatchShingles(s, d), allSh,
+      s.read.parquet(s"$idx/sizes"))
   }
 
   /** One-time, idempotent materialization of the OLD-corpus

@@ -308,14 +308,29 @@ object Multimodal {
     val (frames, _) = frameClasses(s, d)
     val occ = frames.join(classes, "frame")
       .select(col("media_id"), col("keeper")).distinct()
+    mediaPairRollup(occ, pairs, classes.select(col("keeper").as("ka")))
+  }
+
+  /** The media-pair scoring shared by q249/q270/q275 — evidence pairs
+    * symmetrized plus the identity pair per content class (callers pass
+    * the per-class keeper relation their index makes cheapest), joined
+    * through per-media occurrence sets, scored by distinct evidence
+    * content-pairs; `shared >= 2` surfaces. ONE definition so the floor
+    * and the cp encoding cannot drift between the full, incremental,
+    * and compacted forms — the invariance the shared oracle relies on.
+    */
+  private def mediaPairRollup(occ: DataFrame, pairs: DataFrame,
+      identityKeepers: DataFrame,
+      pairFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
       .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
-      .unionAll(classes.select(col("keeper").as("ka"), col("keeper").as("kb")))
-    occ.select(col("media_id").as("media_a"), col("keeper").as("ka"))
+      .unionAll(identityKeepers.select(col("ka"), col("ka").as("kb")))
+    val joined = occ.select(col("media_id").as("media_a"), col("keeper").as("ka"))
       .join(sym, "ka")
       .join(occ.select(col("media_id").as("media_b"), col("keeper").as("kb")),
         Seq("kb"))
       .where(col("media_a") < col("media_b"))
+    pairFilter.fold(joined)(f => joined.where(f))
       .select(col("media_a"), col("media_b"),
         concat_ws(":", least(col("ka"), col("kb")),
           greatest(col("ka"), col("kb"))).as("cp"))
@@ -463,22 +478,9 @@ object Multimodal {
     val ov = ingestOverlay(s, d)
     val allOcc = ov.oldOcc.unionByName(ov.bOcc)
     val pairs = ov.oldPairs.select("keeper_a", "keeper_b").unionByName(ov.newPairs)
-    val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
-      .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
-      .unionAll(allOcc.select(col("keeper").as("ka")).distinct()
-        .select(col("ka"), col("ka").as("kb")))
-    allOcc.select(col("media_id").as("media_a"), col("keeper").as("ka"))
-      .join(sym, "ka")
-      .join(allOcc.select(col("media_id").as("media_b"), col("keeper").as("kb")),
-        Seq("kb"))
-      .where(col("media_a") < col("media_b"))
-      .where(col("media_a") % 3 === 0 || col("media_b") % 3 === 0)
-      .select(col("media_a"), col("media_b"),
-        concat_ws(":", least(col("ka"), col("kb")),
-          greatest(col("ka"), col("kb"))).as("cp"))
-      .groupBy("media_a", "media_b")
-      .agg(countDistinct(col("cp")).as("shared"))
-      .where(col("shared") >= 2)
+    mediaPairRollup(allOcc, pairs,
+      allOcc.select(col("keeper").as("ka")).distinct(),
+      Some(col("media_a") % 3 === 0 || col("media_b") % 3 === 0))
   }
 
   /** One-time, idempotent COMPACTION of the incrementally-maintained
@@ -557,21 +559,10 @@ object Multimodal {
     val idx = ensureCompactedFrameIndex(s, d)
     val occ = s.read.parquet(s"$idx/occ")
     val pairs = s.read.parquet(s"$idx/pairs")
-    val sym = pairs.select(col("keeper_a").as("ka"), col("keeper_b").as("kb"))
-      .unionAll(pairs.select(col("keeper_b").as("ka"), col("keeper_a").as("kb")))
-      .unionAll(occ.select(col("keeper").as("ka")).distinct()
-        .select(col("ka"), col("ka").as("kb")))
-    occ.select(col("media_id").as("media_a"), col("keeper").as("ka"))
-      .join(sym, "ka")
-      .join(occ.select(col("media_id").as("media_b"), col("keeper").as("kb")),
-        Seq("kb"))
-      .where(col("media_a") < col("media_b"))
-      .select(col("media_a"), col("media_b"),
-        concat_ws(":", least(col("ka"), col("kb")),
-          greatest(col("ka"), col("kb"))).as("cp"))
-      .groupBy("media_a", "media_b")
-      .agg(countDistinct(col("cp")).as("shared"))
-      .where(col("shared") >= 2)
+    // identity from classes (one row per class, no aggregate needed):
+    // the compacted index stores it, so the roll-up is pure file reads
+    mediaPairRollup(occ, pairs,
+      s.read.parquet(s"$idx/classes").select(col("keeper").as("ka")))
   }
 
   /** Adjacent frames whose perceptual signatures differ by at least

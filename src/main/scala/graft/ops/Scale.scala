@@ -204,11 +204,20 @@ object Scale {
     if (marker.exists()) return
     // decimal(38,0) accumulation: a Long sum can wrap silently past 2^63
     // in non-ANSI mode, which would let an oversized corpus slip under
-    // the 2^53 bound after overflow
-    val aggs = cols.map(c => sum(abs(col(c)).cast("decimal(38,0)")).as(c))
+    // the 2^53 bound after overflow. A null sum is ambiguous — empty/
+    // all-null input (legitimately zero) or decimal overflow in
+    // non-ANSI mode (must FAIL, not pass as zero) — so the non-null
+    // count disambiguates.
+    val aggs = cols.map(c => sum(abs(col(c)).cast("decimal(38,0)")).as(c)) ++
+      cols.map(c => count(col(c)).as(s"__cnt_$c"))
     val row = rel.agg(aggs.head, aggs.tail: _*).head()
     val bound = java.math.BigDecimal.valueOf(1L << 53)
     cols.zipWithIndex.foreach { case (c, i) =>
+      val nonNull = row.getLong(cols.length + i)
+      require(!(row.isNullAt(i) && nonNull > 0),
+        s"summary $path: Σ|$c| overflowed decimal(38,0) (non-ANSI null " +
+          "sum over a non-empty column) — decline the Sum/Count " +
+          "registration for this corpus")
       val v = if (row.isNullAt(i)) java.math.BigDecimal.ZERO else row.getDecimal(i)
       require(v.compareTo(bound) < 0,
         s"summary $path: Σ|$c| = $v ≥ 2^53 over the source relation — " +
@@ -1401,8 +1410,8 @@ object Scale {
     * and paying its replication where it isn't.
     */
   private[graft] def statsChosenEquiJoin(s: SparkSession, statsPath: String,
-      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-      salts: Int = 8): DataFrame = {
+      fact: DataFrame, factKey: String, saltCols: Seq[String],
+      dim: DataFrame, dimKey: String, salts: Int = 8): DataFrame = {
     val st = s.read.parquet(statsPath).head()
     val nKeys = st.getAs[Long]("n_keys")
     val nRows = st.getAs[Long]("n_rows")
@@ -1410,10 +1419,16 @@ object Scale {
     val meanFreq = math.max(1L, nRows / math.max(1L, nKeys))
     val outCols = (fact.columns ++ dim.columns).map(col).toSeq
     if (maxFreq >= SkewRatioThreshold * meanFreq) {
-      // salted branch: q131's mechanic — deterministic fact-row salt,
-      // dimension replicated once per salt, shuffled join on (key, salt)
+      // salted branch: q131's mechanic — deterministic fact-row salt
+      // drawn from CALLER-NAMED discriminator columns (q131 uses
+      // (l_orderkey, l_linenumber)): salting by whatever columns happen
+      // to be projected lets a hot key whose rows are duplicates hash
+      // to ONE salt and keep its straggler while still paying the
+      // dimension replication — the discriminator must vary within the
+      // hot key; dimension replicated once per salt, shuffled join on
+      // (key, salt)
       val f = fact.withColumn("_salt",
-        pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong)))
+        pmod(xxhash64(saltCols.map(col): _*), lit(salts.toLong)))
       val dm = dim.withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
       f.join(dm.hint("shuffle_hash"),
           f(factKey) === dm(dimKey) && f("_salt") === dm("_salt"))
@@ -1435,9 +1450,11 @@ object Scale {
   def statsAdaptiveJoin(s: SparkSession, d: String): DataFrame = {
     val stats = ensureJoinKeyStats(s, d)
     val fact = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
     val dim = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-    statsChosenEquiJoin(s, stats, fact, "l_orderkey", dim, "o_orderkey")
+    statsChosenEquiJoin(s, stats, fact, "l_orderkey",
+        Seq("l_orderkey", "l_linenumber"), dim, "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum("qty").cast("double").as("total_qty"))

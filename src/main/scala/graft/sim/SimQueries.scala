@@ -453,7 +453,6 @@ object SimQueries {
     // (zero margin over the spec pin, the q224 lesson); 10 measures
     // 1.00/1.00/0.886 at sf0.001/0.01/0.1
     val nprobe = 10
-    val dim = 64
     val idx = ensureIvfIndex(s, d)
     // k×dim centroid matrix: aggregate-sized, the sanctioned scalar
     // collect (same shape as the in-JVM memo the live q54 uses)
@@ -466,12 +465,7 @@ object SimQueries {
     val allAssigned = s.read.parquet(s"$idx/assigned").unionByName(bAssigned)
     val embDf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val queries = batch.filter(_._1 % 100 == 0).flatMap { case (id, e) =>
-      val sims = cs.indices.map { c =>
-        (c, { var dot = 0.0; var nc = 0.0; var ne = 0.0; var i = 0
-              while (i < dim && i < e.length) { dot += cs(c)(i) * e(i); nc += cs(c)(i) * cs(c)(i); ne += e(i).toDouble * e(i); i += 1 }
-              if (nc == 0 || ne == 0) -2.0 else dot / math.sqrt(nc * ne) })
-      }.sortBy { case (c, sim) => (-sim, c) }.take(nprobe)
-      sims.iterator.map { case (c, _) => (id, c) }
+      nearestCells(cs, e, nprobe).iterator.map(c => (id, c))
     }.toDF("q_id", "cell")
     val cands = queries.join(allAssigned, Seq("cell"))
       .where(col("q_id") =!= col("vec_id"))

@@ -243,7 +243,10 @@ class ScaleSpec extends SparkSpec {
     }
     def run(hot: Boolean) = {
       val (stats, fact, dim) = mkFixture(hot)
-      val df = Scale.statsChosenEquiJoin(spark, stats, fact, "fk", dim, "dk")
+      // payload is unique per row: the discriminator that spreads a hot
+      // key's rows across salts even when the key column itself cannot
+      val df = Scale.statsChosenEquiJoin(spark, stats, fact, "fk",
+        Seq("payload"), dim, "dk")
         .groupBy("grp").agg(count(lit(1)).as("n"), sum("payload").as("s"))
       val plan = df.queryExecution.executedPlan.toString
       val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
