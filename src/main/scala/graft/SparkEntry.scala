@@ -62,6 +62,8 @@ object SparkEntry {
     "q234_knn_filtered" -> sim.SimQueries.knnLshFiltered,
     "q54_knn_ivf" -> sim.SimQueries.knnIvf,
     "q277_incremental_ivf" -> sim.SimQueries.incrementalIvf,
+    "q279_erasure_ivf" -> sim.SimQueries.erasureIvf,
+    "q280_compacted_ivf" -> sim.SimQueries.compactedIvf,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

@@ -565,6 +565,50 @@ object Multimodal {
       s.read.parquet(s"$idx/classes").select(col("keeper").as("ka")))
   }
 
+  /** Stand-in for the media erasure request queue — the q264 forget-set
+    * shape (subject key % 7 == 1) on the media id. An aggregate-sized
+    * id list read with a doc_id-only pruned scan: no erased media's
+    * CONTENT is ever touched, which is the compliance property the
+    * erasure audit checks. Shared by the q278 overlay roll-up and its
+    * spec so both provably apply the same forget set.
+    */
+  private[multimodal] def mediaTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 7 === 1)
+      .select(col("doc_id").as("media_id"))
+
+  /** q278: ERASURE-compliant maintenance of the media frame index — the
+    * DELETE cell of the multimodal index family's lifecycle matrix
+    * (q270 ingest, q275 compaction; q264 is the same cell for the
+    * shingle index): a right-to-erasure batch of media ids is applied
+    * to the compacted frame index as a TOMBSTONE overlay — the
+    * aggregate-sized forget set broadcasts into a LEFT ANTI join on the
+    * stored occurrence relation, and the q249 media roll-up runs
+    * against the maintained index. The index is NOT rewritten (erasure
+    * costs O(|tombstones|)); erased media's frames are never re-read —
+    * the plan touches documents only for the doc_id-projected tombstone
+    * list, never the text.
+    *
+    * Correctness: the roll-up is occurrence-driven, so classes whose
+    * only occurrences were erased (and pairs referencing them)
+    * contribute nothing once their occ rows are gone; surviving class
+    * keys relabel bijectively vs a surviving-corpus rebuild (a class
+    * whose keeper media was erased keeps its stale key in the overlay
+    * where the rebuild re-mints the surviving minimum) and the media
+    * pair output is invariant under that relabeling — which the oracle
+    * proves: it is q249's full recompute over `documents WHERE
+    * doc_id % 7 <> 1`. MultimodalSpec additionally pins equality with a
+    * from-scratch index build over the surviving corpus, that no erased
+    * id survives, and the anti-join overlay plan.
+    */
+  def erasedMediaRollup: Q = (s, d) => {
+    val idx = ensureCompactedFrameIndex(s, d)
+    val tomb = broadcast(mediaTombstones(s, d))
+    val occ = s.read.parquet(s"$idx/occ")
+      .join(tomb, Seq("media_id"), "left_anti")
+    mediaPairRollup(occ, s.read.parquet(s"$idx/pairs"),
+      s.read.parquet(s"$idx/classes").select(col("keeper").as("ka")))
+  }
+
   /** Adjacent frames whose perceptual signatures differ by at least
     * this many of the 62 bits start a new shot. Measured on this corpus:
     * adjacent-frame Hamming distances center on ~19–20 (consecutive
@@ -894,6 +938,7 @@ object Multimodal {
     "q243_frame_near_dup" -> frameNearDup,
     "q249_media_near_dup" -> mediaNearDup,
     "q275_compacted_media_rollup" -> compactedMediaRollup,
+    "q278_erased_media_rollup" -> erasedMediaRollup,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
@@ -906,13 +951,17 @@ object Multimodal {
     * carries BOTH the frame text (for joining back to the per-media
     * sequence) and the keeper key (for the cross-media pair joins).
     */
-  private val frameSigCtes: String =
-    """fr AS (
+  /** [[frameSigCtes]] over a corpus restricted by `w` (a WHERE suffix on
+    * the documents scan, "" = full corpus) — the q278 erasure oracle
+    * replays the identical pipeline over the surviving corpus only.
+    */
+  private def frameSigCtesW(w: String): String =
+    s"""fr AS (
       |  SELECT media_id, frame_id,
       |    substr(text, frame_id * 64 + 1, 64) AS frame
       |  FROM (SELECT doc_id AS media_id, text,
       |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
-      |        FROM documents)
+      |        FROM documents$w)
       |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
       |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
       |      FROM fr GROUP BY frame),
@@ -937,9 +986,13 @@ object Multimodal {
       |  AS sig
       |  FROM w)""".stripMargin
 
-  /** q243's relational replay, shared verbatim by q249's oracle. */
-  private val frameNearDupSql: String =
-    s"""WITH $frameSigCtes,
+  private val frameSigCtes: String = frameSigCtesW("")
+
+  /** q243's relational replay, shared verbatim by q249's oracle; the
+    * corpus-restricted form feeds the q278 erasure oracle.
+    */
+  private def frameNearDupSqlW(w: String): String =
+    s"""WITH ${frameSigCtesW(w)},
       |b AS (SELECT keeper, sig, k, (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
       |      FROM (SELECT keeper, sig, unnest(range(0, 4)) AS k FROM sg))
       |SELECT DISTINCT a.keeper AS keeper_a, b2.keeper AS keeper_b,
@@ -947,6 +1000,8 @@ object Multimodal {
       |FROM b a JOIN b b2
       |  ON a.k = b2.k AND a.bv = b2.bv AND a.keeper < b2.keeper
       |WHERE bit_count(xor(a.sig, b2.sig)) <= 3""".stripMargin
+
+  private val frameNearDupSql: String = frameNearDupSqlW("")
 
   /** q253's per-media signed frame sequence with lag/cut/shot columns —
     * shared by the q253 and q254 oracles.
@@ -971,14 +1026,14 @@ object Multimodal {
     * roll-up served from the compacted index must land exactly where a
     * from-scratch recompute lands.
     */
-  private val mediaRollupOracle: String =
-    s"""WITH pairs AS ($frameNearDupSql),
+  private def mediaRollupOracleW(w: String): String =
+    s"""WITH pairs AS (${frameNearDupSqlW(w)}),
       |fr AS (
       |  SELECT media_id, frame_id,
       |    substr(text, frame_id * 64 + 1, 64) AS frame
       |  FROM (SELECT doc_id AS media_id, text,
       |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
-      |        FROM documents)
+      |        FROM documents$w)
       |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
       |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
       |      FROM fr GROUP BY frame),
@@ -998,8 +1053,15 @@ object Multimodal {
       |    AS BIGINT) AS shared
       |FROM sc GROUP BY 1, 2 HAVING shared >= 2""".stripMargin
 
+  private val mediaRollupOracle: String = mediaRollupOracleW("")
+
   val oracles: Map[String, String] = Map(
     "q275_compacted_media_rollup" -> mediaRollupOracle,
+    // erasure must land exactly where a from-scratch recompute over the
+    // SURVIVING corpus lands — class keys relabel bijectively between
+    // the overlay and the rebuild, and media pairs are invariant under
+    // that relabeling, so the corpus-filtered full recompute is the oracle
+    "q278_erased_media_rollup" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
     "q47_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256

@@ -208,7 +208,10 @@ object Scale {
     // all-null input (legitimately zero) or decimal overflow in
     // non-ANSI mode (must FAIL, not pass as zero) — so the non-null
     // count disambiguates.
-    val aggs = cols.map(c => sum(abs(col(c)).cast("decimal(38,0)")).as(c)) ++
+    // abs AFTER the decimal cast: abs() in the column's native integer
+    // type wraps negative on Long.MinValue/Int.MinValue in non-ANSI
+    // mode, which would under-count Σ|c| and slip past the 2^53 bound
+    val aggs = cols.map(c => sum(abs(col(c).cast("decimal(38,0)"))).as(c)) ++
       cols.map(c => count(col(c)).as(s"__cnt_$c"))
     val row = rel.agg(aggs.head, aggs.tail: _*).head()
     val bound = java.math.BigDecimal.valueOf(1L << 53)
@@ -569,23 +572,11 @@ object Scale {
       s"${Tables.scratchDir}/graft-composite-summary-${Tables.datasetTag(d, "lineitem")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       withRewriteOff(s) {
-        Tables.lineitem(s, d).join(s.read.parquet(bridge),
-            col("l_partkey") === col("ps_partkey") &&
-              col("l_suppkey") === col("ps_suppkey"))
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
-            sum("ps_cnt").as("sum_pscnt"))
+        compositeAggOf(Tables.lineitem(s, d), s.read.parquet(bridge))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
       }
-    import graft.plans.SummaryRewrite._
-    registerCompositeJoin(sourcePathOf(Tables.lineitem(s, d)),
-      sourcePathOf(s.read.parquet(bridge)),
-      CompositeJoinSummary(Seq(("l_partkey", "ps_partkey"), ("l_suppkey", "ps_suppkey")),
-        SummaryLocation.FixedPath(path), Seq("l_returnflag", "l_linestatus"), Map(
-          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
-          SumCol("ps_cnt") -> "sum_pscnt"),
-        freshnessProbe(d, "lineitem")))
+    registerCompositeSummary(s, d, bridge, path)
     path
   }
 
@@ -602,12 +593,8 @@ object Scale {
     ensureCompositeJoinSummary(s, d): Unit
     graft.plans.SummaryRewrite.install(s)
     s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
-    Tables.lineitem(s, d).join(s.read.parquet(ensurePartsuppBridge(s, d)),
-        col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
-        sum("ps_cnt").as("sum_pscnt"))
+    compositeAggOf(Tables.lineitem(s, d),
+      s.read.parquet(ensurePartsuppBridge(s, d)))
   }
 
   /** q250: the JOIN-MV rewrite — an aggregate over the customer ⋈
@@ -707,25 +694,12 @@ object Scale {
       s"${Tables.scratchDir}/graft-snowflake-summary-${Tables.datasetTag(d, "lineitem", "orders", "part")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       withRewriteOff(s) {
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-          .groupBy("o_orderpriority", "p_type")
-          .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
-            sum("p_size").as("sum_size"))
+        snowflakeAggOf(Tables.lineitem(s, d), Tables.orders(s, d),
+            Tables.part(s, d))
           .repartition(1)
           .write.mode("overwrite").parquet(path)
       }
-    import graft.plans.SummaryRewrite._
-    registerChain(
-      Seq(sourcePathOf(Tables.lineitem(s, d)),
-        sourcePathOf(Tables.orders(s, d)),
-        sourcePathOf(Tables.part(s, d))),
-      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("l_partkey", "p_partkey")),
-        SummaryLocation.FixedPath(path), Seq("o_orderpriority", "p_type"), Map(
-          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
-          SumCol("p_size") -> "sum_size"),
-        freshnessProbe(d, "lineitem", "orders", "part")))
+    registerSnowflakeSummary(s, d, path)
     path
   }
 
@@ -742,12 +716,291 @@ object Scale {
     ensureSnowflakeSummary(s, d): Unit
     graft.plans.SummaryRewrite.install(s)
     s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+    snowflakeAggOf(Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d))
+  }
+
+  /** The composite-MV aggregate shape shared by the full (q273),
+    * incremental (q281), and delete-bearing (q282) builders — one
+    * definition so the three refresh paths provably maintain the SAME
+    * summary.
+    */
+  private def compositeAggOf(l: DataFrame, b: DataFrame): DataFrame =
+    l.join(b, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("ps_cnt").as("sum_pscnt"))
+
+  /** Merge additive delta partials into a base summary on an arbitrary
+    * grain: one |grain|-row full-outer join, every measure
+    * coalesce(base,0)+coalesce(delta,0) — the q252/q258 merge
+    * generalized to multi-column grains (q281–q284 group on two).
+    */
+  private def additiveMergeOn(base: DataFrame, delta: DataFrame,
+      grain: Seq[String], measures: Seq[String]): DataFrame = {
+    def pack(df: DataFrame, t: String): DataFrame =
+      measures.foldLeft(df)((acc, m) => acc.withColumnRenamed(m, s"${m}_$t"))
+    pack(base, "b").join(pack(delta, "d"), grain, "full_outer")
+      .select(grain.map(col) ++ measures.map(m =>
+        (coalesce(col(s"${m}_b"), lit(0L)) + coalesce(col(s"${m}_d"), lit(0L)))
+          .as(m)): _*)
+  }
+
+  /** Register the composite-key summary at `path` — shared by q273's
+    * full build and the q281/q282 refreshes (same slot, same key-pair
+    * set, same grain, same measure map: the refreshed summaries are
+    * content-equal to the full build by construction, so replacing the
+    * registration preserves every rewrite the earlier entry answered).
+    */
+  private def registerCompositeSummary(s: SparkSession, d: String,
+      bridge: String, path: String): Unit = {
+    import graft.plans.SummaryRewrite._
+    registerCompositeJoin(sourcePathOf(Tables.lineitem(s, d)),
+      sourcePathOf(s.read.parquet(bridge)),
+      CompositeJoinSummary(Seq(("l_partkey", "ps_partkey"), ("l_suppkey", "ps_suppkey")),
+        SummaryLocation.FixedPath(path), Seq("l_returnflag", "l_linestatus"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("ps_cnt") -> "sum_pscnt"),
+        freshnessProbe(d, "lineitem")))
+  }
+
+  /** q281: INCREMENTAL refresh of the COMPOSITE-key join-MV — q252's
+    * two-sided delta-join expansion on the (partkey, suppkey) bridge:
+    * with L = L₀ ∪ ΔL and B = B₀ ∪ ΔB, the composite join expands into
+    * four terms of which only L₀⋈B₀ is the base, so the refresh
+    * aggregates the three Δ-terms (each has a delta factor — work is
+    * delta-bound; the full-side probes are the key-partitioned index
+    * lookups a production store serves) in one unioned pass and merges
+    * the partials additively into the base summary (counts and sums
+    * only on this grain). Registers for the SAME key-pair set + grain
+    * as q273's full build; the driver proves content equality (the
+    * oracle recomputes bridge + join from lineitem).
+    */
+  def ensureCompositeJoinSummaryIncremental(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val bridge = ensurePartsuppBridge(s, d)
+    val tag = Tables.datasetTag(d, "lineitem")
+    val basePath = s"${Tables.scratchDir}/graft-composite-base-$tag"
+    val incrPath = s"${Tables.scratchDir}/graft-composite-incr-$tag"
+    val isDeltaL = pmod(col("l_orderkey") + col("l_partkey"), lit(9)) === 0
+    val isDeltaB = pmod(col("ps_partkey") + col("ps_suppkey"), lit(10)) === 0
+    val br = s.read.parquet(bridge)
+    val (l0, dl) = (Tables.lineitem(s, d).where(!isDeltaL),
+      Tables.lineitem(s, d).where(isDeltaL))
+    val (b0, db) = (br.where(!isDeltaB), br.where(isDeltaB))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        compositeAggOf(l0, b0).repartition(1)
+          .write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(incrPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        val deltaAgg = compositeAggOf(dl, b0)
+          .unionByName(compositeAggOf(l0, db))
+          .unionByName(compositeAggOf(dl, db))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("n").as("n"), sum("key_checksum").as("key_checksum"),
+            sum("sum_pscnt").as("sum_pscnt"))
+        additiveMergeOn(s.read.parquet(basePath), deltaAgg,
+            Seq("l_returnflag", "l_linestatus"),
+            Seq("n", "key_checksum", "sum_pscnt"))
+          .repartition(1).write.mode("overwrite").parquet(incrPath)
+      }
+    registerCompositeSummary(s, d, bridge, incrPath)
+    incrPath
+  }
+
+  def summaryCompositeIncremental(s: SparkSession, d: String): DataFrame = {
+    ensureCompositeJoinSummaryIncremental(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    compositeAggOf(Tables.lineitem(s, d),
+      s.read.parquet(ensurePartsuppBridge(s, d)))
+  }
+
+  /** q282: DELETE-bearing refresh of the COMPOSITE-key join-MV — q262's
+    * signed-delta machinery on the two-column bridge grain: the CDC
+    * batch inserts and deletes LINEITEM rows (ghosts are exact
+    * duplicates of existing lines, so they joined the bridge in the
+    * pre-batch state and the post-batch state is exactly the current
+    * table), every registered measure is additive, so the refresh is
+    * ONE op-weighted signed delta join through the unchanged bridge
+    * merged additively into the base — no repair scan. Zero-count
+    * groups drop. Same registration slot as q273/q281.
+    */
+  def ensureCompositeJoinSummaryDeletes(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val bridge = ensurePartsuppBridge(s, d)
+    val tag = Tables.datasetTag(d, "lineitem")
+    val basePath = s"${Tables.scratchDir}/graft-composite-delbase-$tag"
+    val refreshedPath = s"${Tables.scratchDir}/graft-composite-delincr-$tag"
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+    val isInsert = pmod(col("l_orderkey") + col("l_partkey"), lit(9)) === 0
+    val ghosts = li.where(pmod(col("l_orderkey") + col("l_partkey"), lit(11)) === 4)
+    val s0 = li.where(!isInsert).unionByName(ghosts)
+    val delta = li.where(isInsert).withColumn("op", lit(1L))
+      .unionByName(ghosts.withColumn("op", lit(-1L)))
+    val br = s.read.parquet(bridge)
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        compositeAggOf(s0, br).repartition(1)
+          .write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(refreshedPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        val deltaAgg = delta.join(br,
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("op")).as("n"),
+            sum(col("op") * col("l_orderkey")).as("key_checksum"),
+            sum(col("op") * col("ps_cnt")).as("sum_pscnt"))
+        additiveMergeOn(s.read.parquet(basePath), deltaAgg,
+            Seq("l_returnflag", "l_linestatus"),
+            Seq("n", "key_checksum", "sum_pscnt"))
+          .where(col("n") > 0)
+          .repartition(1).write.mode("overwrite").parquet(refreshedPath)
+      }
+    registerCompositeSummary(s, d, bridge, refreshedPath)
+    refreshedPath
+  }
+
+  def summaryCompositeDeletes(s: SparkSession, d: String): DataFrame = {
+    ensureCompositeJoinSummaryDeletes(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    compositeAggOf(Tables.lineitem(s, d),
+      s.read.parquet(ensurePartsuppBridge(s, d)))
+  }
+
+  /** The snowflake aggregate shape shared by the full (q276),
+    * incremental (q283), and delete-bearing (q284) builders.
+    */
+  private def snowflakeAggOf(l: DataFrame, o: DataFrame, p: DataFrame): DataFrame =
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("o_orderpriority", "p_type")
       .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
         sum("p_size").as("sum_size"))
+
+  /** Register the snowflake chain summary at `path` — shared by q276's
+    * full build and the q283/q284 refreshes (same slot semantics as
+    * [[registerCompositeSummary]]).
+    */
+  private def registerSnowflakeSummary(s: SparkSession, d: String,
+      path: String): Unit = {
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(sourcePathOf(Tables.lineitem(s, d)),
+        sourcePathOf(Tables.orders(s, d)),
+        sourcePathOf(Tables.part(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("l_partkey", "p_partkey")),
+        SummaryLocation.FixedPath(path), Seq("o_orderpriority", "p_type"), Map(
+          CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("p_size") -> "sum_size"),
+        freshnessProbe(d, "lineitem", "orders", "part")))
+  }
+
+  /** q283: INCREMENTAL refresh of the SNOWFLAKE-MV — q258's 2³−1 = 7
+    * delta-term expansion re-oriented for two dimensions off ONE fact:
+    * with L = L₀ ∪ ΔL, O = O₀ ∪ ΔO, P = P₀ ∪ ΔP, the snowflake
+    * L ⋈ O ⋈ P expands into 8 terms of which only L₀⋈O₀⋈P₀ is the
+    * base — the refresh aggregates the seven Δ-terms (hop 2 keys off
+    * the FACT side, which is exactly what distinguishes this from
+    * q258's linear chain) in one unioned pass and merges additively.
+    * Same registration slot as q276's full build.
+    */
+  def ensureSnowflakeSummaryIncremental(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "lineitem", "orders", "part")
+    val basePath = s"${Tables.scratchDir}/graft-snowflake-base-$tag"
+    val incrPath = s"${Tables.scratchDir}/graft-snowflake-incr-$tag"
+    val isDeltaL = pmod(col("l_orderkey") + col("l_partkey"), lit(9)) === 0
+    val isDeltaO = pmod(col("o_orderkey"), lit(7)) === 0
+    val isDeltaP = pmod(col("p_partkey"), lit(10)) === 0
+    val (l0, dl) = (Tables.lineitem(s, d).where(!isDeltaL),
+      Tables.lineitem(s, d).where(isDeltaL))
+    val (o0, dor) = (Tables.orders(s, d).where(!isDeltaO),
+      Tables.orders(s, d).where(isDeltaO))
+    val (p0, dp) = (Tables.part(s, d).where(!isDeltaP),
+      Tables.part(s, d).where(isDeltaP))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        snowflakeAggOf(l0, o0, p0).repartition(1)
+          .write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(incrPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        val terms = for {
+          li <- Seq(false, true); oi <- Seq(false, true); pi <- Seq(false, true)
+          if li || oi || pi
+        } yield snowflakeAggOf(if (li) dl else l0, if (oi) dor else o0,
+          if (pi) dp else p0)
+        val deltaAgg = terms.reduce(_ unionByName _)
+          .groupBy("o_orderpriority", "p_type")
+          .agg(sum("n").as("n"), sum("key_checksum").as("key_checksum"),
+            sum("sum_size").as("sum_size"))
+        additiveMergeOn(s.read.parquet(basePath), deltaAgg,
+            Seq("o_orderpriority", "p_type"),
+            Seq("n", "key_checksum", "sum_size"))
+          .repartition(1).write.mode("overwrite").parquet(incrPath)
+      }
+    registerSnowflakeSummary(s, d, incrPath)
+    incrPath
+  }
+
+  def summarySnowflakeIncremental(s: SparkSession, d: String): DataFrame = {
+    ensureSnowflakeSummaryIncremental(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    snowflakeAggOf(Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d))
+  }
+
+  /** q284: DELETE-bearing refresh of the SNOWFLAKE-MV — q262's signed
+    * fact-side CDC through TWO static dimensions: ghosts are exact
+    * duplicates of existing lines (both join keys intact, so they
+    * joined both dims in the pre-batch state; post-batch state is
+    * exactly the current table), all measures additive, one op-weighted
+    * delta join merged additively, zero-count groups drop. Completes
+    * the refresh matrix for both MV shapes added in round 12.
+    */
+  def ensureSnowflakeSummaryDeletes(s: SparkSession, d: String): String = summaryLock.synchronized {
+    val tag = Tables.datasetTag(d, "lineitem", "orders", "part")
+    val basePath = s"${Tables.scratchDir}/graft-snowflake-delbase-$tag"
+    val refreshedPath = s"${Tables.scratchDir}/graft-snowflake-delincr-$tag"
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val isInsert = pmod(col("l_orderkey") + col("l_partkey"), lit(9)) === 0
+    val ghosts = li.where(pmod(col("l_orderkey") + col("l_partkey"), lit(11)) === 4)
+    val s0 = li.where(!isInsert).unionByName(ghosts)
+    val delta = li.where(isInsert).withColumn("op", lit(1L))
+      .unionByName(ghosts.withColumn("op", lit(-1L)))
+    if (!new java.io.File(basePath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        snowflakeAggOf(s0, Tables.orders(s, d), Tables.part(s, d))
+          .repartition(1).write.mode("overwrite").parquet(basePath)
+      }
+    if (!new java.io.File(refreshedPath, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        val deltaAgg = delta
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy("o_orderpriority", "p_type")
+          .agg(sum(col("op")).as("n"),
+            sum(col("op") * col("l_orderkey")).as("key_checksum"),
+            sum(col("op") * col("p_size")).as("sum_size"))
+        additiveMergeOn(s.read.parquet(basePath), deltaAgg,
+            Seq("o_orderpriority", "p_type"),
+            Seq("n", "key_checksum", "sum_size"))
+          .where(col("n") > 0)
+          .repartition(1).write.mode("overwrite").parquet(refreshedPath)
+      }
+    registerSnowflakeSummary(s, d, refreshedPath)
+    refreshedPath
+  }
+
+  def summarySnowflakeDeletes(s: SparkSession, d: String): DataFrame = {
+    ensureSnowflakeSummaryDeletes(s, d): Unit
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    snowflakeAggOf(Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d))
   }
 
   /** q258: INCREMENTAL refresh of the 3-table CHAIN-MV — q252's
@@ -1231,11 +1484,17 @@ object Scale {
     ensureLineitemSegmentSummaryIncremental(s, d): Unit
     ensureLineitemSegmentSummaryDeletes(s, d): Unit
     ensureCompositeJoinSummary(s, d): Unit
+    ensureCompositeJoinSummaryIncremental(s, d): Unit
+    ensureCompositeJoinSummaryDeletes(s, d): Unit
     ensureSnowflakeSummary(s, d): Unit
+    ensureSnowflakeSummaryIncremental(s, d): Unit
+    ensureSnowflakeSummaryDeletes(s, d): Unit
     ensureJoinKeyStats(s, d): Unit
+    ensureNationStats(s, d): Unit
     graft.dedup.DedupQueries.ensureShingleIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureCompactedShingleIndex(s, d): Unit
     graft.sim.SimQueries.ensureIvfIndex(s, d): Unit
+    graft.sim.SimQueries.ensureCompactedIvfIndex(s, d): Unit
     graft.dedup.DedupQueries.ensureNearDupPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureIngestPairs(s, d): Unit
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
@@ -1254,6 +1513,8 @@ object Scale {
     graft.streaming.Streams.ensureChainStreamSummary(s, d): Unit
     graft.streaming.Streams.ensureOrdersCdcFeed(s, d): Unit
     graft.streaming.Streams.ensureCdcStreamSummary(s, d): Unit
+    graft.streaming.Streams.ensureSessionFeed(s, d): Unit
+    graft.streaming.Streams.ensureSessionStreamSnapshot(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 
@@ -1412,6 +1673,17 @@ object Scale {
   private[graft] def statsChosenEquiJoin(s: SparkSession, statsPath: String,
       fact: DataFrame, factKey: String, saltCols: Seq[String],
       dim: DataFrame, dimKey: String, salts: Int = 8): DataFrame = {
+    // the output select below resolves columns by bare name and the
+    // salted branch injects _salt on both sides — overlapping schemas
+    // would make the select ambiguous (or silently clobber a caller's
+    // _salt), so demand disjointness up front like SummaryRewrite's
+    // disjoint-schema guard
+    val overlap = fact.columns.toSet intersect dim.columns.toSet
+    require(overlap.isEmpty,
+      s"statsChosenEquiJoin: fact and dim schemas must be disjoint, " +
+        s"both carry ${overlap.mkString(", ")}")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "statsChosenEquiJoin: _salt is reserved for the salted branch")
     val st = s.read.parquet(statsPath).head()
     val nKeys = st.getAs[Long]("n_keys")
     val nRows = st.getAs[Long]("n_rows")
@@ -1458,6 +1730,91 @@ object Scale {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum("qty").cast("double").as("total_qty"))
+  }
+
+  /** Compute + persist the dimension-size statistics the q285 plan
+    * chooser consumes: one row of (n_rows, est_bytes), where est_bytes
+    * is the summed string-rendered width of every column plus a fixed
+    * per-field overhead — the order-of-magnitude a broadcast budget
+    * needs (Spark's own sizeInBytes estimate is the same class of
+    * approximation), measured from the data instead of guessed.
+    */
+  private[graft] def writeDimStats(dim: DataFrame, path: String): Unit = {
+    val rowBytes = dim.columns.map(c =>
+        coalesce(length(col(c).cast("string")).cast("long"), lit(0L)) + lit(8L))
+      .reduce(_ + _)
+    dim.select(rowBytes.as("b"))
+      .agg(count(lit(1)).as("n_rows"), sum("b").as("est_bytes"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Spark's own autoBroadcastJoinThreshold default (10 MB): below it a
+    * replicated hash table is cheaper than shuffling the fact side;
+    * above it executor memory and driver fan-out make the shuffle the
+    * safe shape.
+    */
+  private[graft] val BroadcastBytesBudget = 10L << 20
+
+  /** Statistics-CONSUMING broadcast-vs-shuffle equi-join — q274's
+    * sibling for the OTHER ubiquitous physical-join decision: reads the
+    * persisted dimension stats and picks `broadcast(dim)` when the
+    * measured size fits the budget, the shuffled sort-merge join when
+    * it doesn't (the merge hint keeps Spark's own row-count guess from
+    * silently re-broadcasting what the MEASURED stats said not to —
+    * this operator acts on its statistics, not the optimizer's
+    * estimate). Both branches are semantically identical, so one oracle
+    * covers whichever branch the data demands; ScaleSpec drives both
+    * (an inflated-dim fixture forces the shuffle).
+    */
+  private[graft] def statsChosenBroadcastJoin(s: SparkSession, statsPath: String,
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      budgetBytes: Long = BroadcastBytesBudget): DataFrame = {
+    val overlap = fact.columns.toSet intersect dim.columns.toSet
+    require(overlap.isEmpty,
+      s"statsChosenBroadcastJoin: fact and dim schemas must be disjoint, " +
+        s"both carry ${overlap.mkString(", ")}")
+    val st = s.read.parquet(statsPath).head()
+    if (st.getAs[Long]("est_bytes") <= budgetBytes)
+      fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
+    else
+      fact.join(dim.hint("merge"), fact(factKey) === dim(dimKey))
+  }
+
+  /** One-time materialization of the nation-dimension size stats the
+    * q285 chooser consumes — the dimension side of the decision, next
+    * to [[ensureJoinKeyStats]]'s fact-side skew stats.
+    */
+  private val dimStatsLock = new Object
+
+  def ensureNationStats(s: SparkSession, d: String): String = dimStatsLock.synchronized {
+    val path = s"${Tables.scratchDir}/graft-dimstats-${Tables.datasetTag(d, "nation")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      withRewriteOff(s) {
+        writeDimStats(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name")), path)
+      }
+    path
+  }
+
+  /** q285: the stats-chosen broadcast applied to customer ⋈ nation —
+    * the measured 25-row dimension sits far under the 10 MB budget, so
+    * the BROADCAST branch serves (pinned: BroadcastHashJoin in the
+    * plan); ScaleSpec's inflated-dim fixture drives the same code down
+    * the shuffled sort-merge branch and proves both branches
+    * value-equal. Output is branch-independent, so the plain-join
+    * oracle gates either. This closes the q274 pair: the engine now
+    * acts on BOTH measured join statistics — fact-side key skew
+    * (salt-or-not) and dim-side size (broadcast-or-shuffle).
+    */
+  def statsBroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val stats = ensureNationStats(s, d)
+    val fact = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    statsChosenBroadcastJoin(s, stats, fact, "c_nationkey", dim, "n_nationkey")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("c_custkey").as("key_checksum"))
   }
 
   /** Small-file compaction planner — the table-maintenance step every
@@ -1570,6 +1927,10 @@ object Scale {
     "q248_summary_filtered" -> (summaryFiltered(_, _)),
     "q250_summary_join" -> (summaryJoinAggregate(_, _)),
     "q273_summary_composite_join" -> (summaryCompositeJoin(_, _)),
+    "q281_summary_composite_incremental" -> (summaryCompositeIncremental(_, _)),
+    "q282_summary_composite_delete_ivm" -> (summaryCompositeDeletes(_, _)),
+    "q283_summary_snowflake_incremental" -> (summarySnowflakeIncremental(_, _)),
+    "q284_summary_snowflake_delete_ivm" -> (summarySnowflakeDeletes(_, _)),
     "q256_summary_chain" -> (summaryChainAggregate(_, _)),
     "q276_summary_snowflake" -> (summarySnowflakeAggregate(_, _)),
     "q258_summary_chain_incremental" -> (summaryChainIncremental(_, _)),
@@ -1585,7 +1946,8 @@ object Scale {
     "q61_bucketed_join" -> (bucketedJoin(_, _)),
     "q104_zorder" -> (zorderBuckets(_, _)),
     "q131_salted_join" -> (saltedJoin(_, _)),
-    "q274_stats_adaptive_join" -> (statsAdaptiveJoin(_, _)))
+    "q274_stats_adaptive_join" -> (statsAdaptiveJoin(_, _)),
+    "q285_stats_broadcast_join" -> (statsBroadcastJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     // the rewrite must be answer-preserving: the oracle recomputes the
@@ -1680,6 +2042,49 @@ object Scale {
         |FROM lineitem JOIN ps
         |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
         |GROUP BY 1, 2""".stripMargin,
+    // the incrementally-refreshed and delete-refreshed composite
+    // summaries must land exactly where the full recompute lands: same
+    // oracle as q273
+    "q281_summary_composite_incremental" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    count(*) AS ps_cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(ps_cnt) AS BIGINT) AS sum_pscnt
+        |FROM lineitem JOIN ps
+        |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q282_summary_composite_delete_ivm" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    count(*) AS ps_cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(ps_cnt) AS BIGINT) AS sum_pscnt
+        |FROM lineitem JOIN ps
+        |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+    // the refreshed snowflake summaries must land exactly where the
+    // full recompute lands: same oracle as q276
+    "q283_summary_snowflake_incremental" ->
+      """SELECT o_orderpriority, p_type, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q284_summary_snowflake_delete_ivm" ->
+      """SELECT o_orderpriority, p_type, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
     // plan never scans; AVG as exact-integer-sum ÷ non-null count
     "q250_summary_join" ->
       """SELECT c_mktsegment, count(*) AS n,
@@ -1770,6 +2175,13 @@ object Scale {
         |    AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // the plain-join recompute gates WHICHEVER branch the measured dim
+    // stats picked — broadcast vs shuffle only moves rows
+    "q285_stats_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     "q59_salted_sum" ->
       """SELECT l_returnflag AS k,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -445,26 +445,32 @@ object SimQueries {
     * audited form ([[knnAudit]] against the full-corpus brute top-5
     * restricted to batch queries); [[Bench]] times the raw ingest.
     */
-  def incrementalIvf: Q = (s, d) => {
-    import s.implicits._
-    // nprobe 10 of 16 (q224's setting, one step deeper than q54's 8):
-    // centroids fit the OLD corpus only, so batch queries land slightly
-    // off-center — nprobe 8 measured recall exactly 0.80 at sf0.001
-    // (zero margin over the spec pin, the q224 lesson); 10 measures
-    // 1.00/1.00/0.886 at sf0.001/0.01/0.1
-    val nprobe = 10
-    val idx = ensureIvfIndex(s, d)
-    // k×dim centroid matrix: aggregate-sized, the sanctioned scalar
-    // collect (same shape as the in-JVM memo the live q54 uses)
-    val cs: Array[Array[Double]] = s.read.parquet(s"$idx/centroids")
+  /** Read the persisted k×dim centroid matrix: aggregate-sized, the
+    * sanctioned scalar collect (same shape as the in-JVM memo the live
+    * q54 uses). Shared by the ingest (q277), erasure (q279), and
+    * compaction (q280) probes — one definition so "fixed centroids,
+    * never retrained" holds by construction across the lifecycle.
+    */
+  private def storedCentroids(s: SparkSession, idxPath: String): Array[Array[Double]] =
+    s.read.parquet(s"$idxPath/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-    val batch = Tables.embeddings(s, d).where(col("vec_id") % 3 === 0)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val bAssigned = batch.map { case (id, e) => (id, nearestCell(cs, e)) }
-      .toDF("vec_id", "cell")
-    val allAssigned = s.read.parquet(s"$idx/assigned").unionByName(bAssigned)
+
+  /** The shared IVF probe (q277/q279/q280): each query probes its
+    * `nprobe` nearest stored cells, candidates come from the given
+    * assignment relation via the cell equi-join, exact cosine rerank to
+    * top-5. nprobe 10 of 16 (q224's setting, one step deeper than
+    * q54's 8): centroids fit the OLD corpus only, so batch queries land
+    * slightly off-center — nprobe 8 measured recall exactly 0.80 at
+    * sf0.001 (zero margin over the spec pin, the q224 lesson); 10
+    * measures 1.00/1.00/0.886 at sf0.001/0.01/0.1 for q277.
+    */
+  private def ivfProbe(s: SparkSession, d: String, cs: Array[Array[Double]],
+      allAssigned: DataFrame,
+      queryVecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nprobe: Int = 10): DataFrame = {
+    import s.implicits._
     val embDf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val queries = batch.filter(_._1 % 100 == 0).flatMap { case (id, e) =>
+    val queries = queryVecs.flatMap { case (id, e) =>
       nearestCells(cs, e, nprobe).iterator.map(c => (id, c))
     }.toDF("q_id", "cell")
     val cands = queries.join(allAssigned, Seq("cell"))
@@ -480,12 +486,172 @@ object SimQueries {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  def incrementalIvf: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureIvfIndex(s, d)
+    val cs = storedCentroids(s, idx)
+    val batch = Tables.embeddings(s, d).where(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val bAssigned = batch.map { case (id, e) => (id, nearestCell(cs, e)) }
+      .toDF("vec_id", "cell")
+    val allAssigned = s.read.parquet(s"$idx/assigned").unionByName(bAssigned)
+    ivfProbe(s, d, cs, allAssigned, batch.filter(_._1 % 100 == 0))
+  }
+
   /** Driver-audited form of [[incrementalIvf]]: graded against the
     * full-corpus brute top-5 restricted to the batch's queries — the
     * ingest's correct answer is "new queries against EVERYTHING".
     */
   def incrementalIvfChecked: Q = (s, d) =>
     knnAudit(incrementalIvf(s, d), knnBrute(s, d).where(col("q_id") % 3 === 0))
+
+  /** Stand-in for the vector erasure request queue — the q264/q278
+    * forget-set shape (subject key % 7 == 1) on the vector id. An
+    * aggregate-sized id list from a vec_id-only pruned scan; shared by
+    * the q279 overlay probe and the q280 compactor so both provably
+    * apply the same forget set.
+    */
+  private[sim] def ivfTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).where(col("vec_id") % 7 === 1)
+      .select(col("vec_id"))
+
+  /** The surviving ingest batch (vec_id % 3 == 0 minus the forget set)
+    * — ONE definition so q279 (overlay) and q280 (compacted) probe the
+    * identical batch by construction.
+    */
+  private[sim] def survivingBatch(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .where(col("vec_id") % 3 === 0 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+  }
+
+  /** q279: ERASURE-compliant maintenance of the persisted IVF index —
+    * the DELETE cell of the ANN index family's lifecycle matrix (q277
+    * is the insert-only ingest; q264/q278 are the same cell for the
+    * shingle and frame indexes): a right-to-erasure batch of vector ids
+    * is applied to the stored cell assignments as a TOMBSTONE overlay —
+    * the aggregate-sized forget set broadcasts into a LEFT ANTI join on
+    * the assignment scan — and the ingest probe (q277's plan) runs
+    * against the maintained index at FIXED centroids (erasure never
+    * retrains: production vector stores drop postings, not codebooks).
+    * Erased vectors can no longer surface as candidates (they are out
+    * of the assignment relation) and the probe equals one served by an
+    * index built over the surviving corpus at the same centroids, which
+    * SimSpec pins via q280's compacted sibling. Registered as the
+    * audited form: graded against the surviving-corpus brute top-5
+    * restricted to the surviving batch queries.
+    */
+  def erasureIvf: Q = (s, d) => {
+    val idx = ensureIvfIndex(s, d)
+    val cs = storedCentroids(s, idx)
+    val batch = survivingBatch(s, d)
+    val bAssigned = {
+      import s.implicits._
+      batch.map { case (id, e) => (id, nearestCell(cs, e)) }
+        .toDF("vec_id", "cell")
+    }
+    val tomb = broadcast(ivfTombstones(s, d))
+    val allAssigned = s.read.parquet(s"$idx/assigned")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .unionByName(bAssigned)
+    // nprobe 12 (vs q277's 10): erasure thins exactly the well-covered
+    // cells, so the true neighbor sits in an unprobed cell more often —
+    // 10 measured 0.833 at sf0.1 (one flipped pair from the 0.8 spec
+    // pin, the q224 zero-margin smell); 12 buys the margin back at a
+    // bounded +20% candidate cost
+    ivfProbe(s, d, cs, allAssigned, batch.filter(_._1 % 100 == 0),
+      nprobe = 12)
+  }
+
+  /** [[knnBrute]] restricted to the surviving corpus — the exact
+    * reference for the erasure/compaction probes: after a forget set is
+    * applied, the RIGHT answer excludes erased vectors from both the
+    * query and the neighbor side.
+    */
+  private[sim] def knnBruteSurviving(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = quantized(Tables.embeddings(s, d)
+      .where(col("vec_id") % 7 =!= 1))
+    val queries = broadcast(base.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm")))
+    val cands = base.select(col("vec_id").as("n_id"), col("qv"), col("nrm"))
+    val scored = queries.join(cands, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        qcos("qqv", "qnrm", "qv", "nrm").as("qcos"))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank", "qcos")
+  }
+
+  /** Driver-audited form of [[erasureIvf]]: graded against the
+    * surviving-corpus brute top-5 restricted to the surviving batch
+    * queries — post-erasure, the correct answer is "surviving queries
+    * against everything that survives".
+    */
+  def erasureIvfChecked: Q = (s, d) =>
+    knnAudit(erasureIvf(s, d),
+      knnBruteSurviving(s, d).where(col("q_id") % 3 === 0))
+
+  /** One-time, idempotent COMPACTION of the tombstone-overlaid IVF
+    * index — the q272/q275 lifecycle step for the ANN family: fold the
+    * accumulated tombstones AND q277's ingest batch into the stored
+    * assignments (one assignment-linear pass over index files plus one
+    * batch assignment — the corpus embeddings of OLD vectors are never
+    * re-read, and erased vectors never re-assigned), at FIXED centroids
+    * copied verbatim (compaction never retrains). Every later probe
+    * drops the per-query anti-join and the per-query batch assignment.
+    * Layout pinned, DONE-gated, content-fingerprint keyed.
+    */
+  private val compactIvfLock = new Object
+
+  def ensureCompactedIvfIndex(s: SparkSession, d: String): String =
+    compactIvfLock.synchronized {
+      val idx = ensureIvfIndex(s, d)
+      val path =
+        s"${Tables.scratchDir}/graft-ivf-compact-${Tables.datasetTag(d, "embeddings")}"
+      val done = new java.io.File(path, "DONE")
+      if (!done.exists()) {
+        val root = new java.io.File(path)
+        if (root.exists()) Tables.deleteRecursively(root)
+        import s.implicits._
+        s.read.parquet(s"$idx/centroids")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")
+        val cs = storedCentroids(s, idx)
+        val bAssigned = survivingBatch(s, d)
+          .map { case (id, e) => (id, nearestCell(cs, e)) }
+          .toDF("vec_id", "cell")
+        val tomb = broadcast(ivfTombstones(s, d))
+        s.read.parquet(s"$idx/assigned")
+          .join(tomb, Seq("vec_id"), "left_anti")
+          .unionByName(bAssigned)
+          .repartition(8, col("cell"))
+          .write.mode("overwrite").parquet(s"$path/assigned")
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+      }
+      path
+    }
+
+  /** q280: the q279 probe served from the COMPACTED IVF index — proof
+    * that compaction preserves probe semantics while deleting the
+    * probe-time overlay cost: identical surviving batch queries,
+    * identical top-5 (SimSpec pins bit-equality with q279's overlay
+    * probe), but the assignment side is ONE stored scan — no anti-join,
+    * no batch re-assignment anywhere in the plan. Same audited form and
+    * oracle as q279.
+    */
+  def compactedIvf: Q = (s, d) => {
+    val idx = ensureCompactedIvfIndex(s, d)
+    val cs = storedCentroids(s, idx)
+    ivfProbe(s, d, cs, s.read.parquet(s"$idx/assigned"),
+      survivingBatch(s, d).filter(_._1 % 100 == 0), nprobe = 12)
+  }
+
+  /** Driver-audited form of [[compactedIvf]] — same reference as q279. */
+  def compactedIvfChecked: Q = (s, d) =>
+    knnAudit(compactedIvf(s, d),
+      knnBruteSurviving(s, d).where(col("q_id") % 3 === 0))
 
   /** Corpus-size bound above which the exact all-pairs baseline refuses
     * to run: it is the correctness oracle for small corpora, not a scale
@@ -1230,6 +1396,8 @@ object SimQueries {
     "q234_knn_filtered" -> knnLshFilteredChecked,
     "q54_knn_ivf" -> knnIvfChecked,
     "q277_incremental_ivf" -> incrementalIvfChecked,
+    "q279_erasure_ivf" -> erasureIvfChecked,
+    "q280_compacted_ivf" -> compactedIvfChecked,
     "q224_knn_pq" -> knnPqChecked,
     "q44_embedding_pairs" -> embeddingPairs,
     "q58_embedding_pairs_lsh" -> embeddingPairsLshChecked,
@@ -1270,6 +1438,20 @@ object SimQueries {
         |  TRUE AS recall_ge_075
         |FROM embeddings
         |WHERE vec_id % 100 = 0 AND vec_id % 3 = 0 AND vec_id < 100000""".stripMargin,
+    // erasure/compaction probes grade against the SURVIVING-corpus brute
+    // reference restricted to surviving batch queries
+    "q279_erasure_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings
+        |WHERE vec_id % 100 = 0 AND vec_id % 3 = 0 AND vec_id % 7 <> 1
+        |  AND vec_id < 100000""".stripMargin,
+    "q280_compacted_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings
+        |WHERE vec_id % 100 = 0 AND vec_id % 3 = 0 AND vec_id % 7 <> 1
+        |  AND vec_id < 100000""".stripMargin,
     "q224_knn_pq" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -1068,6 +1069,131 @@ object Streams {
         "n_events", "total_cents")
   }
 
+  /** One-time staged EVENTS feed for the stream-maintained session
+    * store: (user_id, event_id, ts) staged as 3 files cut at FIXED
+    * timestamps (2024-01-11 / 2024-01-21 UTC — the corpus spans
+    * January, so all three cuts are live at every sf) under strictly
+    * increasing mtimes. Unlike the other feeds' key-mod buckets, the
+    * cut MUST be a time cut: incremental sessionization's correctness
+    * argument (q208's) requires every event of batch i to precede every
+    * event of batch i+1 per user, so only the epoch-boundary session
+    * pair can ever fuse.
+    */
+  private val sessFeedLock = new Object
+
+  def ensureSessionFeed(s: SparkSession, d: String): String = sessFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-sess-feed-${graft.Tables.datasetTag(d, "events")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+      val t = unix_micros(col("ts"))
+      val (c1, c2) = (1704931200000000L, 1705795200000000L) // Jan 11 / Jan 21 UTC
+      stageBuckets(dir, Seq(ev.where(t < c1),
+        ev.where(t >= c1 && t < c2), ev.where(t >= c2)))
+    }
+    path
+  }
+
+  /** The q286 seam-merge: union the committed per-user session
+    * intervals with a batch's new sessions and re-island — only the
+    * epoch-boundary pair can fuse (the feed is time-cut), but the pass
+    * is written over ALL session rows because that is its cost class
+    * anyway: sessions-sized, never events-sized. Fusion uses
+    * session_window's OWN boundary semantics (break at gap ≥ 6 h,
+    * merge strictly inside — Spark's session_window merges an event
+    * while ts < session end = last + gap), so the maintained store
+    * lands bit-equal to a one-shot session_window over all history.
+    */
+  private def seamMergeSessions(parts: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    parts
+      .withColumn("prev_e", lag("e_us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_e").isNull || col("s_us") - col("prev_e") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("g", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "g")
+      .agg(sum("n_events").as("n_events"),
+        min("s_us").as("s_us"), max("e_us").as("e_us"))
+      .select("user_id", "s_us", "e_us", "n_events")
+  }
+
+  /** One-time, idempotent DURABLE replay of the events feed into a
+    * versioned SESSION store — q208's incremental sessionization as a
+    * STREAM: each micro-batch is sessionized with `session_window`
+    * (6-hour gap) and seam-merged into the committed per-user session
+    * intervals behind the shared commit protocol ([[commitVersion]]).
+    * This is the stream-side maintenance of a NON-algebraic windowed
+    * operator — the gap the additive merges (q261/q266/q268) cannot
+    * cover: a session is not a sum, the merge is the q208 islands pass
+    * over session INTERVALS. Per batch the work is session_window over
+    * |batch| plus a sessions-sized merge; history events are never
+    * re-sessionized.
+    */
+  private val sessStreamLock = new Object
+
+  def ensureSessionStreamSnapshot(s: SparkSession, d: String): java.nio.file.Path = sessStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-sess-stream-snap-${graft.Tables.datasetTag(d, "events")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+      val table = root.resolve("table")
+      Files.createDirectories(table)
+      val feed = ensureSessionFeed(s, d)
+      val schema = s.read.parquet(feed).schema
+      val gapUs = 6L * 3600L * 1000000L
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          if (!committedVersion(table).exists(_ >= id)) {
+            val delta = b.toDF()
+              .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+              .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+              .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+                unix_micros(col("mx")).as("e_us"), col("n_events"))
+            val merged = currentSnapshot(s, table) match {
+              case None => delta
+              case Some(c) => seamMergeSessions(
+                c.unionByName(delta.select(c.columns.map(col): _*)), gapUs)
+            }
+            commitVersion(table, merged, id)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q286: STREAM-maintained incremental sessionization served from
+    * the committed session store — the last non-algebraic stream-MV
+    * gap: the one-shot answer (sessionize ALL history, q208's product
+    * under session_window's gap semantics) read as a snapshot lookup,
+    * maintained per micro-batch at O(batch + sessions) cost. Session
+    * ids are minted at read time (row_number over s_us — after
+    * fusion every surviving session is ≥ gap from its neighbor, so
+    * the rank IS q208's running-break sum); the oracle re-sessionizes
+    * every event in one pass. StreamingSpec pins the replay: 3
+    * committed versions, seam fusions occurred, final state bit-equal
+    * to the one-shot batch session_window.
+    */
+  def streamIncrementalSessions: Q = (s, d) => {
+    val table = ensureSessionStreamSnapshot(s, d)
+    val snap = currentSnapshot(s, table)
+      .getOrElse(sys.error("no committed session snapshot"))
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    snap.withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
+  }
+
   def upsertReplay: Q = (s, d) => {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
@@ -1247,6 +1373,7 @@ object Streams {
     "q261_stream_join_mv" -> streamMaintainedJoinMv,
     "q266_stream_chain_mv" -> streamMaintainedChainMv,
     "q268_stream_cdc_delete_mv" -> streamCdcDeleteMv,
+    "q286_stream_sessions_incremental" -> streamIncrementalSessions,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -1261,6 +1388,29 @@ object Streams {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the stream-maintained session store must land exactly on a
+    // one-shot sessionization of ALL history under session_window's
+    // boundary semantics (break at gap >= 6h — Spark merges an event
+    // while ts < last + gap); sid = rank by session start (post-fusion
+    // sessions are >= gap apart, so rank == the running-break sum)
+    "q286_stream_sessions_incremental" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+        |x AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w >= 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |b AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(t_us) AS s_us, max(t_us) AS e_us,
+        |  max(t_us) - min(t_us) AS dur_us
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // the stream-maintained join summary must equal the full join
     // recompute (the feed carries every orders row; the rewritten plan
     // reads only the committed snapshot version)

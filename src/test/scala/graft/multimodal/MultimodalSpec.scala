@@ -355,6 +355,57 @@ class MultimodalSpec extends SparkSpec {
     graft.Tables.deleteRecursively(new java.io.File(rebuild))
   }
 
+  test("q278 media-index erasure: tombstone overlay == surviving-corpus rebuild, no erased text read") {
+    import org.apache.spark.sql.functions._
+    val res = Multimodal.queries("q278_erased_media_rollup")(spark, sf)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "no surviving media pair at this sf")
+    // the forget set is live and no erased media survives in the output
+    val erased = Multimodal.mediaTombstones(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(erased.nonEmpty, "forget set empty at this sf")
+    got.keys.foreach { case (a, b) =>
+      assert(!erased(a) && !erased(b), s"erased media in q278 output: ($a, $b)") }
+    // ground truth: a from-scratch index build over the SURVIVING corpus,
+    // rolled up with the same scoring — the overlay must land exactly
+    // there (class keys relabel bijectively; media pairs are invariant)
+    val rebuild = java.nio.file.Files.createTempDirectory("frameidx278").toString
+    Multimodal.buildFrameIndex(spark,
+      graft.Tables.documents(spark, sf)
+        .where(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id").as("media_id"), col("text")), rebuild)
+    val occ = spark.read.parquet(s"$rebuild/occ").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = spark.read.parquet(s"$rebuild/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val classes = spark.read.parquet(s"$rebuild/classes").collect()
+      .map(_.getAs[Long]("keeper")).toSet
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) } ++
+      classes.map(k => (k, k))
+    val byKeeper = occ.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val want = sym.toSeq.flatMap { case (ka, kb) =>
+      for {
+        ma <- byKeeper.getOrElse(ka, Set.empty[Long])
+        mb <- byKeeper.getOrElse(kb, Set.empty[Long])
+        if ma < mb
+      } yield ((ma, mb), (math.min(ka, kb), math.max(ka, kb)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    assert(got === want)
+    // plan: compacted index + broadcast tombstone anti-join; documents
+    // is touched ONLY for the doc_id-projected forget list — no text
+    // column (erased content is never re-read), no BNLJ
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-compact-frame-index"), plan.take(1500))
+    assert(plan.contains("LeftAnti"), "q278 must overlay tombstones")
+    assert(!plan.contains("text"),
+      "q278 must not read media content — erasure compliance")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    graft.Tables.deleteRecursively(new java.io.File(rebuild))
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)

@@ -266,6 +266,60 @@ class ScaleSpec extends SparkSpec {
       "uniform stats fired the salted branch:\n" + uniformPlan.take(2000))
   }
 
+  test("stats-chosen broadcast: measured small dim broadcasts, inflated dim shuffles, results equal") {
+    import org.apache.spark.sql.functions._
+    // the REGISTERED q285 runs on the real corpus: 25 measured nation
+    // rows sit far under the 10 MB budget → the broadcast branch serves
+    val served = Scale.statsBroadcastJoin(spark, sf)
+    val bcastJoins = served.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bcastJoins.nonEmpty,
+      "measured small dim did not broadcast:\n" +
+        served.queryExecution.sparkPlan.toString.take(2000))
+    // fixtures drive BOTH branches through the same chooser: the same
+    // dim with its measured stats, once under the real budget (broadcast)
+    // and once under a 1-byte budget (the inflated-dim regime: measured
+    // bytes exceed what the executors can replicate → shuffled merge)
+    val tmp = java.nio.file.Files.createTempDirectory("statsbcast").toString
+    val fact = spark.range(2000).select((col("id") % 100).as("fk"),
+      col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("dk"),
+      concat(lit("g"), (col("id") % 5).cast("string")).as("grp"))
+    Scale.writeDimStats(dim, s"$tmp/stats")
+    def run(budget: Long) = {
+      val df = Scale.statsChosenBroadcastJoin(spark, s"$tmp/stats",
+        fact, "fk", dim, "dk", budgetBytes = budget)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      (df.queryExecution.sparkPlan, got)
+    }
+    val (bigBudgetPlan, viaBcast) = run(budget = 10L << 20)
+    assert(bigBudgetPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, bigBudgetPlan.toString.take(2000))
+    val (tinyBudgetPlan, viaShuffle) = run(budget = 1L)
+    assert(tinyBudgetPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.nonEmpty, "over-budget dim did not pick the shuffled merge:\n" +
+      tinyBudgetPlan.toString.take(2000))
+    assert(tinyBudgetPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.isEmpty, "over-budget dim still broadcast")
+    // both branches compute the identical relation
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaBcast === want && viaShuffle === want && want.nonEmpty)
+    // overlapping schemas are rejected up front (the ambiguous-select guard)
+    val err = intercept[IllegalArgumentException] {
+      Scale.statsChosenBroadcastJoin(spark, s"$tmp/stats",
+        fact.withColumnRenamed("payload", "grp"), "fk", dim, "dk")
+    }
+    assert(err.getMessage.contains("disjoint"))
+  }
+
   test("bloom join probes the filter at the fact scan and equals the plain join") {
     val df = Scale.bloomJoin(spark, sf)
     // the probe must sit on the lineitem (fact) side of the plan, i.e.

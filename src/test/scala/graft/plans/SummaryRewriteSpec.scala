@@ -523,6 +523,82 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("composite-MV refreshes (incremental + delete-bearing) serve the merged summary, equal full recompute") {
+    def compositeAgg = Tables.lineitem(spark, sf)
+      .join(spark.read.parquet(graft.ops.Scale.ensurePartsuppBridge(spark, sf)),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("ps_cnt").as("sum_pscnt"))
+    try {
+      // thunked: each refresh must register IMMEDIATELY before its own
+      // plan pin — an eager Seq would let the second registration win
+      // the slot for both iterations
+      Seq[(String, () => String)](
+        ("graft-composite-incr",
+          () => graft.ops.Scale.ensureCompositeJoinSummaryIncremental(spark, sf)),
+        ("graft-composite-delincr",
+          () => graft.ops.Scale.ensureCompositeJoinSummaryDeletes(spark, sf))
+      ).foreach { case (marker, ensure) =>
+        val path = ensure()
+        SummaryRewrite.install(spark)
+        spark.conf.set(SummaryRewrite.EnabledKey, "true")
+        val plan = compositeAgg.queryExecution.executedPlan.toString
+        // the refresh ensure registered LAST for this pair-set/grain, so
+        // the rewrite serves the refreshed summary — scanning NEITHER
+        // the fact nor the bridge
+        assert(plan.contains(marker), plan.take(1500))
+        assert(!plan.contains("lineitem.parquet") &&
+          !plan.contains("graft-ps-bridge"), plan.take(1500))
+        val on = compositeAgg.collect().map(_.toString).sorted.toSeq
+        spark.conf.set(SummaryRewrite.EnabledKey, "false")
+        val off = compositeAgg.collect().map(_.toString).sorted.toSeq
+        assert(off.nonEmpty && on === off, s"$marker: rewrite changed the answer")
+        // the materialized refresh itself carries the full recompute rows
+        assert(spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+          === off, s"$marker: stored refresh diverges from full recompute")
+      }
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      graft.ops.Scale.ensureCompositeJoinSummary(spark, sf): Unit
+    }
+  }
+
+  test("snowflake-MV refreshes (incremental + delete-bearing) serve the merged summary, equal full recompute") {
+    def snowAgg = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy("o_orderpriority", "p_type")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("p_size").as("sum_size"))
+    try {
+      Seq[(String, () => String)](
+        ("graft-snowflake-incr",
+          () => graft.ops.Scale.ensureSnowflakeSummaryIncremental(spark, sf)),
+        ("graft-snowflake-delincr",
+          () => graft.ops.Scale.ensureSnowflakeSummaryDeletes(spark, sf))
+      ).foreach { case (marker, ensure) =>
+        val path = ensure()
+        SummaryRewrite.install(spark)
+        spark.conf.set(SummaryRewrite.EnabledKey, "true")
+        val plan = snowAgg.queryExecution.executedPlan.toString
+        assert(plan.contains(marker), plan.take(1500))
+        Seq("lineitem.parquet", "orders.parquet", "part.parquet").foreach(t =>
+          assert(!plan.contains(t), s"$marker rewrite still scans $t"))
+        val on = snowAgg.collect().map(_.toString).sorted.toSeq
+        spark.conf.set(SummaryRewrite.EnabledKey, "false")
+        val off = snowAgg.collect().map(_.toString).sorted.toSeq
+        assert(off.nonEmpty && on === off, s"$marker: rewrite changed the answer")
+        assert(spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+          === off, s"$marker: stored refresh diverges from full recompute")
+      }
+    } finally {
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      graft.ops.Scale.ensureSnowflakeSummary(spark, sf): Unit
+    }
+  }
+
   test("incremental chain refresh serves the merged summary, equals full recompute") {
     val incrPath = graft.ops.Scale.ensureLineitemSegmentSummaryIncremental(spark, sf)
     SummaryRewrite.install(spark)

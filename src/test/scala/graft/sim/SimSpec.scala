@@ -54,6 +54,58 @@ class SimSpec extends SparkSpec {
       assert(rs.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3, 4, 5)) }
   }
 
+  test("ivf erasure overlay + compaction: tombstones gone, probes bit-equal, pinned recall") {
+    import org.apache.spark.sql.functions._
+    // reference: surviving-corpus brute top-5 on surviving batch queries
+    val brute = SimQueries.knnBruteSurviving(spark, sf)
+      .where(col("q_id") % 3 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "no surviving batch query at this sf")
+    val erased = SimQueries.ivfTombstones(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(erased.nonEmpty, "forget set empty at this sf")
+    // q279: overlay probe — erased ids can never surface, recall holds
+    val overlay = SimQueries.erasureIvf(spark, sf)
+    val got279 = overlay.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got279.foreach { case (q, n, _) =>
+      assert(!erased(q) && !erased(n), s"erased id in q279 output: ($q, $n)") }
+    val pairs279 = got279.map { case (q, n, _) => (q, n) }
+    val recall = brute.count(pairs279.contains).toDouble / brute.size
+    info(f"erasure ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    // overlay plan: stored index + broadcast tombstone anti-join, no BNLJ
+    val plan279 = overlay.queryExecution.executedPlan.toString
+    assert(plan279.contains("graft-ivf-index"), plan279.take(1500))
+    assert(plan279.contains("LeftAnti"), "q279 must overlay tombstones")
+    assert(!plan279.contains("BroadcastNestedLoopJoin") &&
+      !plan279.contains("CartesianProduct"), plan279.take(1200))
+    // the compacted index carries ZERO tombstoned (or non-surviving) rows
+    // and exactly the overlay's assignment set
+    val idx = SimQueries.ensureCompactedIvfIndex(spark, sf)
+    val assigned = spark.read.parquet(s"$idx/assigned").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(assigned.nonEmpty)
+    assigned.foreach { case (v, _) =>
+      assert(v % 7 != 1, s"tombstoned vec $v survived compaction") }
+    // centroids copied verbatim — compaction never retrains
+    val oldIdx = SimQueries.ensureIvfIndex(spark, sf)
+    assert(spark.read.parquet(s"$idx/centroids").collect().map(_.toString).sorted.toSeq ===
+      spark.read.parquet(s"$oldIdx/centroids").collect().map(_.toString).sorted.toSeq)
+    // q280: the compacted probe is BIT-EQUAL to the overlay probe and
+    // its plan has no anti-join and no batch re-assignment left
+    val compacted = SimQueries.compactedIvf(spark, sf)
+    val got280 = compacted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got280 === got279, "compacted probe diverges from overlay probe")
+    val plan280 = compacted.queryExecution.executedPlan.toString
+    assert(plan280.contains("graft-ivf-compact"), plan280.take(1500))
+    assert(!plan280.contains("LeftAnti"),
+      "compacted probe must not re-apply tombstones")
+    assert(!plan280.contains("BroadcastNestedLoopJoin") &&
+      !plan280.contains("CartesianProduct"), plan280.take(1200))
+  }
+
   test("lsh embedding pairs: subset of exact pairs (no false positives), pinned recall") {
     val exact = SimQueries.embeddingPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -685,6 +685,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream sessions: seam-merge replay equals one-shot session_window, fusions live") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureSessionStreamSnapshot(spark, sf)
+    // 3 time-cut buckets commit as batches 0..2; v1 retained as predecessor
+    assert(Streams.committedVersion(table).contains(2L))
+    assert(table.resolve("v1").toFile.exists(), "predecessor not retained")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = key(Streams.streamIncrementalSessions(spark, sf))
+    assert(got.nonEmpty)
+    // the maintained store == a ONE-SHOT session_window over all history
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("s_us")
+    val oneShot = key(Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+        unix_micros(col("mx")).as("e_us"), col("n_events"))
+      .withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us")))
+    assert(got === oneShot)
+    // the seams genuinely fused: some final session spans a batch cut
+    // (starts before it, ends at-or-after it) — without this the merge
+    // path is untested at this sf
+    val cuts = Seq(1704931200000000L, 1705795200000000L)
+    assert(got.values.exists { case (_, s, e, _) =>
+      cuts.exists(c => s < c && e >= c) },
+      "no session spans a batch cut — seam fusion untested")
+    // and the PRE-merge state differed: v1 (batches 0..1) holds some
+    // user whose session count shrank or fused by batch 2's merge —
+    // check v1 is a valid sessionization of the first two epochs
+    val v1 = key(spark.read.parquet(table.resolve("v1").toString)
+      .withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us")))
+    val twoEpochs = key(Tables.events(spark, sf)
+      .where(unix_micros(col("ts")) < lit(1705795200000000L))
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+        unix_micros(col("mx")).as("e_us"), col("n_events"))
+      .withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us")))
+    assert(v1 === twoEpochs, "v1 is not the exact two-epoch sessionization")
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()
