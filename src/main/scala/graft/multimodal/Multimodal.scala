@@ -609,6 +609,71 @@ object Multimodal {
       s.read.parquet(s"$idx/classes").select(col("keeper").as("ka")))
   }
 
+  /** One-time, idempotent TOMBSTONE-FOLD compaction of the media frame
+    * index — the erasure→compaction step that completes the media
+    * family's lifecycle symmetry with the shingle (q272) and IVF (q280)
+    * indexes: q278's forget set folded into the compacted {classes,
+    * occ, pairs} once, so every later roll-up drops the per-query
+    * anti-join. Reads ONLY index files — the corpus (erased content
+    * included) is never re-read: occurrences anti-join the tombstones,
+    * classes keep only keys with a surviving occurrence, pairs keep
+    * only live endpoints. Class keys stay STALE where the erased media
+    * held the minimum (the q272 precedent — occ stores no frame_id, so
+    * re-minting the surviving minimum would need a corpus scan, which
+    * erasure compliance forbids); the roll-up is provably invariant:
+    * dropped classes/pairs contributed zero occurrence rows, so the
+    * folded probe is BIT-EQUAL to q278's overlay probe, which
+    * MultimodalSpec pins along with zero erased ids, full class
+    * liveness, and a pure index-read plan (no anti-join, no documents
+    * scan at all — q278 still needs the doc_id-projected forget list;
+    * after the fold even that is gone).
+    */
+  private val erasedFrameIdxLock = new Object
+
+  def ensureErasureCompactedFrameIndex(s: SparkSession, d: String): String =
+    erasedFrameIdxLock.synchronized {
+      val idx = ensureCompactedFrameIndex(s, d)
+      val path =
+        s"${Tables.scratchDir}/graft-erased-frame-index-${Tables.datasetTag(d, "documents")}"
+      val done = new java.io.File(path, "DONE")
+      if (!done.exists()) {
+        val root = new java.io.File(path)
+        if (root.exists()) Tables.deleteRecursively(root)
+        val tomb = broadcast(mediaTombstones(s, d))
+        s.read.parquet(s"$idx/occ")
+          .join(tomb, Seq("media_id"), "left_anti")
+          .repartition(4, col("keeper"))
+          .write.mode("overwrite").parquet(s"$path/occ")
+        val live = s.read.parquet(s"$path/occ")
+          .select(col("keeper")).distinct().localCheckpoint(true)
+        s.read.parquet(s"$idx/classes")
+          .join(live, Seq("keeper"), "left_semi")
+          .repartition(4, col("frame"))
+          .write.mode("overwrite").parquet(s"$path/classes")
+        s.read.parquet(s"$idx/pairs")
+          .join(live.select(col("keeper").as("keeper_a")), Seq("keeper_a"), "left_semi")
+          .join(live.select(col("keeper").as("keeper_b")), Seq("keeper_b"), "left_semi")
+          .select("keeper_a", "keeper_b")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/pairs")
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+      }
+      path
+    }
+
+  /** q287: the q278 erasure roll-up served from the TOMBSTONE-FOLDED
+    * index — same oracle (the surviving-corpus full recompute), but the
+    * plan is pure index reads: no anti-join, no tombstone list, no
+    * documents scan of any kind. The q272→q264 economics applied to the
+    * media family's delete cell, closing its ingest→compact→erase→
+    * compact lifecycle.
+    */
+  def erasureCompactedMediaRollup: Q = (s, d) => {
+    val idx = ensureErasureCompactedFrameIndex(s, d)
+    mediaPairRollup(s.read.parquet(s"$idx/occ"), s.read.parquet(s"$idx/pairs"),
+      s.read.parquet(s"$idx/classes").select(col("keeper").as("ka")))
+  }
+
   /** Adjacent frames whose perceptual signatures differ by at least
     * this many of the 62 bits start a new shot. Measured on this corpus:
     * adjacent-frame Hamming distances center on ~19–20 (consecutive
@@ -939,6 +1004,7 @@ object Multimodal {
     "q249_media_near_dup" -> mediaNearDup,
     "q275_compacted_media_rollup" -> compactedMediaRollup,
     "q278_erased_media_rollup" -> erasedMediaRollup,
+    "q287_erasure_compacted_rollup" -> erasureCompactedMediaRollup,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
@@ -1062,6 +1128,9 @@ object Multimodal {
     // the overlay and the rebuild, and media pairs are invariant under
     // that relabeling, so the corpus-filtered full recompute is the oracle
     "q278_erased_media_rollup" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    // the tombstone-folded index must serve the identical roll-up —
+    // dropped classes/pairs contributed zero occurrence rows
+    "q287_erasure_compacted_rollup" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
     "q47_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256

@@ -1507,6 +1507,7 @@ object Scale {
     graft.multimodal.Multimodal.ensureFrameEvidence(s, d): Unit
     graft.multimodal.Multimodal.ensureOldFrameIndex(s, d): Unit
     graft.multimodal.Multimodal.ensureCompactedFrameIndex(s, d): Unit
+    graft.multimodal.Multimodal.ensureErasureCompactedFrameIndex(s, d): Unit
     graft.multimodal.Multimodal.ensureShotKeyframes(s, d): Unit
     AnalyticsQueries.ensureBaskets(s, d): Unit
     graft.streaming.Streams.ensureLineitemFeed(s, d): Unit
@@ -1515,6 +1516,9 @@ object Scale {
     graft.streaming.Streams.ensureCdcStreamSummary(s, d): Unit
     graft.streaming.Streams.ensureSessionFeed(s, d): Unit
     graft.streaming.Streams.ensureSessionStreamSnapshot(s, d): Unit
+    graft.streaming.Streams.ensureSnowflakeStreamSummary(s, d): Unit
+    graft.streaming.Streams.ensureCompositeFeed(s, d): Unit
+    graft.streaming.Streams.ensureCompositeStreamSummary(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 

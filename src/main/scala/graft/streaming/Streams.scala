@@ -730,13 +730,13 @@ object Streams {
     * ride the same addition).
     */
   private def additiveMerge(cur: DataFrame, delta: DataFrame,
-      grain: String, measures: Seq[String]): DataFrame = {
+      grain: Seq[String], measures: Seq[String]): DataFrame = {
     val c = measures.foldLeft(cur)((df, m) => df.withColumnRenamed(m, s"${m}_cur"))
     val n = measures.foldLeft(delta)((df, m) => df.withColumnRenamed(m, s"${m}_new"))
-    measures.foldLeft(c.join(n, Seq(grain), "full_outer"))((df, m) =>
+    measures.foldLeft(c.join(n, grain, "full_outer"))((df, m) =>
       df.withColumn(m,
         coalesce(col(s"${m}_cur"), lit(0L)) + coalesce(col(s"${m}_new"), lit(0L))))
-      .select(col(grain) +: measures.map(col): _*)
+      .select(grain.map(col) ++ measures.map(col): _*)
   }
 
   /** One-time, idempotent DURABLE replay of the orders feed into a
@@ -784,7 +784,7 @@ object Streams {
               val merged = currentSnapshot(s, table) match {
                 case None => delta
                 case Some(c) =>
-                  additiveMerge(c, delta, "c_mktsegment", Seq("n", "key_checksum"))
+                  additiveMerge(c, delta, Seq("c_mktsegment"), Seq("n", "key_checksum"))
               }
               commitVersion(table, merged, id)
             }
@@ -892,7 +892,7 @@ object Streams {
                   sum("l_partkey").as("sum_part"), count(col("l_partkey")).as("cnt_part"))
               val merged = currentSnapshot(s, table) match {
                 case None => delta
-                case Some(c) => additiveMerge(c, delta, "c_mktsegment",
+                case Some(c) => additiveMerge(c, delta, Seq("c_mktsegment"),
                   Seq("n", "key_checksum", "sum_part", "cnt_part"))
               }
               commitVersion(table, merged, id)
@@ -949,6 +949,205 @@ object Streams {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
         avg("l_partkey").as("avg_part"))
+  }
+
+  /** One-time, idempotent DURABLE replay of the lineitem feed into a
+    * versioned SNOWFLAKE-grain snapshot: each micro-batch joins BOTH
+    * static dimensions off the fact batch (batch ⋈ orders on the order
+    * key AND batch ⋈ part on the part key — the q276 shape, hop 2 keyed
+    * off the fact side), aggregates to ((o_orderpriority, p_type), n,
+    * key_checksum, sum_size) partials, and merges them ADDITIVELY into
+    * the snapshot behind the shared commit protocol. The first
+    * multi-column-grain stream merge (the merge itself is grain-width
+    * agnostic). Per batch: |batch| probing two key-partitioned dims
+    * plus a |grain|-row merge — history never re-joined.
+    */
+  private val snowStreamLock = new Object
+
+  def ensureSnowflakeStreamSummary(s: SparkSession, d: String): java.nio.file.Path = snowStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-snow-stream-snap-${graft.Tables.datasetTag(d, "lineitem", "orders", "part")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      // rewrite held OFF during replay: the per-batch delta aggregate is
+      // exactly the snowflake shape q288 registers
+      graft.ops.Scale.withRewriteOff(s) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val feed = ensureLineitemFeed(s, d)
+        val schema = s.read.parquet(feed).schema
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        val prt = Tables.part(s, d).select("p_partkey", "p_type", "p_size")
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!committedVersion(table).exists(_ >= id)) {
+              val delta = b.toDF()
+                .join(ord, col("l_orderkey") === col("o_orderkey"))
+                .join(prt, col("l_partkey") === col("p_partkey"))
+                .groupBy("o_orderpriority", "p_type")
+                .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+                  sum("p_size").as("sum_size"))
+              val merged = currentSnapshot(s, table) match {
+                case None => delta
+                case Some(c) => additiveMerge(c, delta,
+                  Seq("o_orderpriority", "p_type"),
+                  Seq("n", "key_checksum", "sum_size"))
+              }
+              commitVersion(table, merged, id)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q288: the STREAM-MAINTAINED SNOWFLAKE-MV — the stream cell for the
+    * two-dims-off-one-fact shape round 12 added (q276 full, q283/q284
+    * refreshes): a batch aggregate over fact-feed ⋈ orders ⋈ part,
+    * grain spanning both dimensions, answered from the snapshot the
+    * fact STREAM maintains through the CURRENT pointer. Completes the
+    * snowflake column of the MV matrix {full, incremental,
+    * delete-bearing, stream-maintained}; the oracle recomputes the
+    * 3-way join from base tables the rewritten plan never touches.
+    */
+  def streamMaintainedSnowflakeMv: Q = (s, d) => {
+    val table = ensureSnowflakeStreamSummary(s, d)
+    val feed = ensureLineitemFeed(s, d)
+    import graft.plans.SummaryRewrite._
+    registerChain(
+      Seq(graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
+        graft.ops.Scale.sourcePathOf(Tables.orders(s, d)),
+        graft.ops.Scale.sourcePathOf(Tables.part(s, d))),
+      ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("l_partkey", "p_partkey")),
+        SummaryLocation.CurrentPointer(table.toString),
+        Seq("o_orderpriority", "p_type"),
+        Map(CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("p_size") -> "sum_size"),
+        graft.ops.Scale.freshnessProbe(d, "lineitem", "orders", "part")))
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    s.read.parquet(feed)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy("o_orderpriority", "p_type")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("p_size").as("sum_size"))
+  }
+
+  /** One-time staged WIDE lineitem feed for the stream-maintained
+    * COMPOSITE-key MV: both composite key columns plus the grain
+    * columns (the 2-column [[ensureLineitemFeed]] cannot carry the
+    * (partkey, suppkey) bridge probe), 3 buckets by l_orderkey % 3
+    * under the fixed increasing-mtime contract.
+    */
+  private val compositeFeedLock = new Object
+
+  def ensureCompositeFeed(s: SparkSession, d: String): String = compositeFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-li-cfeed-${graft.Tables.datasetTag(d, "lineitem")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_returnflag", "l_linestatus")
+      stageBuckets(dir, (0 until 3).map(i =>
+        projected.where(pmod(col("l_orderkey"), lit(3)) === i)))
+    }
+    path
+  }
+
+  /** One-time, idempotent DURABLE replay of the wide lineitem feed into
+    * a versioned COMPOSITE-grain snapshot: each micro-batch probes the
+    * materialized (partkey, suppkey) bridge on BOTH key columns and
+    * merges ((l_returnflag, l_linestatus), n, key_checksum, sum_pscnt)
+    * partials additively behind the shared commit protocol.
+    */
+  private val compStreamLock = new Object
+
+  def ensureCompositeStreamSummary(s: SparkSession, d: String): java.nio.file.Path = compStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-comp-stream-snap-${graft.Tables.datasetTag(d, "lineitem")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      // rewrite held OFF during replay: the per-batch delta is exactly
+      // the composite shape q289 registers
+      graft.ops.Scale.withRewriteOff(s) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val feed = ensureCompositeFeed(s, d)
+        val bridge = s.read.parquet(graft.ops.Scale.ensurePartsuppBridge(s, d))
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!committedVersion(table).exists(_ >= id)) {
+              val delta = b.toDF()
+                .join(bridge, col("l_partkey") === col("ps_partkey") &&
+                  col("l_suppkey") === col("ps_suppkey"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+                  sum("ps_cnt").as("sum_pscnt"))
+              val merged = currentSnapshot(s, table) match {
+                case None => delta
+                case Some(c) => additiveMerge(c, delta,
+                  Seq("l_returnflag", "l_linestatus"),
+                  Seq("n", "key_checksum", "sum_pscnt"))
+              }
+              commitVersion(table, merged, id)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q289: the STREAM-MAINTAINED COMPOSITE-KEY MV — the LAST open cell
+    * of the MV maintenance matrix: all five registered shapes
+    * (single-table, join, chain, composite, snowflake) now carry all
+    * four maintenance modes (full, incremental, delete-bearing,
+    * stream-maintained). A batch aggregate over feed ⋈ bridge on the
+    * two-column key set is answered from the snapshot the fact stream
+    * maintains, resolved through the CURRENT pointer by the composite
+    * registry's pair-SET matcher; oracle recomputes the bridge and the
+    * join from lineitem.
+    */
+  def streamMaintainedCompositeMv: Q = (s, d) => {
+    val table = ensureCompositeStreamSummary(s, d)
+    val feed = ensureCompositeFeed(s, d)
+    val bridge = graft.ops.Scale.ensurePartsuppBridge(s, d)
+    import graft.plans.SummaryRewrite._
+    registerCompositeJoin(
+      graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
+      graft.ops.Scale.sourcePathOf(s.read.parquet(bridge)),
+      CompositeJoinSummary(Seq(("l_partkey", "ps_partkey"), ("l_suppkey", "ps_suppkey")),
+        SummaryLocation.CurrentPointer(table.toString),
+        Seq("l_returnflag", "l_linestatus"),
+        Map(CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
+          SumCol("ps_cnt") -> "sum_pscnt"),
+        graft.ops.Scale.freshnessProbe(d, "lineitem")))
+    graft.plans.SummaryRewrite.install(s)
+    s.conf.set(graft.plans.SummaryRewrite.EnabledKey, "true")
+    s.read.parquet(feed)
+      .join(s.read.parquet(bridge),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+        sum("ps_cnt").as("sum_pscnt"))
   }
 
   /** One-time staged signed-CDC ORDERS feed for the delete-bearing
@@ -1015,7 +1214,7 @@ object Streams {
               val merged = (currentSnapshot(s, table) match {
                 case None => delta
                 case Some(c) =>
-                  additiveMerge(c, delta, "c_mktsegment", Seq("n", "key_checksum"))
+                  additiveMerge(c, delta, Seq("c_mktsegment"), Seq("n", "key_checksum"))
               }).where(col("n") =!= 0L)
               commitVersion(table, merged, id)
             }
@@ -1374,6 +1573,8 @@ object Streams {
     "q266_stream_chain_mv" -> streamMaintainedChainMv,
     "q268_stream_cdc_delete_mv" -> streamCdcDeleteMv,
     "q286_stream_sessions_incremental" -> streamIncrementalSessions,
+    "q288_stream_snowflake_mv" -> streamMaintainedSnowflakeMv,
+    "q289_stream_composite_mv" -> streamMaintainedCompositeMv,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -1411,6 +1612,29 @@ object Streams {
         |  min(t_us) AS s_us, max(t_us) AS e_us,
         |  max(t_us) - min(t_us) AS dur_us
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // the stream-maintained composite snapshot must equal the full
+    // bridge-join recompute (the feed carries every lineitem row)
+    "q289_stream_composite_mv" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    count(*) AS ps_cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(ps_cnt) AS BIGINT) AS sum_pscnt
+        |FROM lineitem JOIN ps
+        |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+    // the stream-maintained snowflake snapshot must equal the full
+    // 3-way recompute (the feed carries every lineitem row)
+    "q288_stream_snowflake_mv" ->
+      """SELECT o_orderpriority, p_type, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
     // the stream-maintained join summary must equal the full join
     // recompute (the feed carries every orders row; the rewritten plan
     // reads only the committed snapshot version)

@@ -406,6 +406,47 @@ class MultimodalSpec extends SparkSpec {
     graft.Tables.deleteRecursively(new java.io.File(rebuild))
   }
 
+  test("q287 tombstone-folded index: probe bit-equal to q278, classes live, pure index-read plan") {
+    val res = Multimodal.queries("q287_erasure_compacted_rollup")(spark, sf)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the fold preserves the probe EXACTLY: dropped classes/pairs had
+    // zero surviving occurrences, so the folded roll-up == the overlay
+    val overlay = Multimodal.queries("q278_erased_media_rollup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === overlay && got.nonEmpty)
+    // folded files carry no erased media and no dead class anywhere
+    val idx = Multimodal.ensureErasureCompactedFrameIndex(spark, sf)
+    val erased = Multimodal.mediaTombstones(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val occ = spark.read.parquet(s"$idx/occ").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    occ.foreach { case (m, _) =>
+      assert(!erased(m), s"erased media $m survived the fold") }
+    val liveKeepers = occ.map(_._2).toSet
+    val classKeepers = spark.read.parquet(s"$idx/classes")
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(classKeepers === liveKeepers,
+      "folded classes diverge from the occurrence-live keeper set")
+    spark.read.parquet(s"$idx/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).foreach { case (a, b) =>
+        assert(liveKeepers(a) && liveKeepers(b), s"dead-class pair ($a, $b)") }
+    // and the fold genuinely dropped something (dead classes exist at
+    // this sf — the forget set owned sole-occurrence content)
+    val preKeepers = spark.read.parquet(
+        s"${Multimodal.ensureCompactedFrameIndex(spark, sf)}/classes")
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert((preKeepers -- classKeepers).nonEmpty,
+      "no dead class at this sf — the fold path is untested")
+    // pure index reads: no anti-join, no documents scan at all
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-erased-frame-index"), plan.take(1500))
+    assert(!plan.contains("LeftAnti"), "fold must delete the overlay cost")
+    assert(!plan.contains("documents"), "folded probe must be index-only")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)

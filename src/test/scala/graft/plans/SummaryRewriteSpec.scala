@@ -881,6 +881,77 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
+  test("stream-maintained snowflake-MV: snapshot-only plan, multi-column grain merge, v1 time travel") {
+    import graft.streaming.Streams
+    val table = Streams.ensureSnowflakeStreamSummary(spark, sf)
+    val feed = Streams.ensureLineitemFeed(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def q = graft.streaming.Streams.queries("q288_stream_snowflake_mv")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-snow-stream-snap"), plan.take(1500))
+      assert(!plan.contains("orders.parquet") &&
+        !plan.contains("part.parquet") && !plan.contains("graft-li-feed"),
+        "rewritten plan still scans a snowflake side:\n" + plan.take(1500))
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = q.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      // the replay committed batch 2 and retained exactly v1 = batches
+      // 0+1 joined through BOTH dims and aggregated on the 2-col grain
+      assert(Streams.committedVersion(table).contains(2L))
+      val v1 = spark.read.parquet(table.resolve("v1").toString)
+        .collect().map(_.toString).sorted.toSeq
+      val expect01 = spark.read.parquet(feed)
+        .where(pmod(col("l_orderkey"), lit(3)) =!= 2)
+        .join(Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(spark, sf).select("p_partkey", "p_type", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("o_orderpriority", "p_type")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          sum("p_size").as("sum_size"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(v1 === expect01)
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
+  test("stream-maintained composite-MV: snapshot-only plan closes the MV matrix, v1 time travel") {
+    import graft.streaming.Streams
+    val table = Streams.ensureCompositeStreamSummary(spark, sf)
+    val feed = Streams.ensureCompositeFeed(spark, sf)
+    val bridge = graft.ops.Scale.ensurePartsuppBridge(spark, sf)
+    SummaryRewrite.install(spark)
+    spark.conf.set(SummaryRewrite.EnabledKey, "true")
+    try {
+      def q = graft.streaming.Streams.queries("q289_stream_composite_mv")(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-comp-stream-snap"), plan.take(1500))
+      assert(!plan.contains("graft-li-cfeed") && !plan.contains("graft-ps-bridge"),
+        "rewritten plan still scans a composite side:\n" + plan.take(1500))
+      val on = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(SummaryRewrite.EnabledKey, "false")
+      val off = q.collect().map(_.toString).sorted.toSeq
+      assert(off.nonEmpty && on === off)
+      // the replay committed batch 2 and retained exactly v1 = batches
+      // 0+1 probed through the bridge on BOTH keys
+      assert(Streams.committedVersion(table).contains(2L))
+      val v1 = spark.read.parquet(table.resolve("v1").toString)
+        .collect().map(_.toString).sorted.toSeq
+      val expect01 = spark.read.parquet(feed)
+        .where(pmod(col("l_orderkey"), lit(3)) =!= 2)
+        .join(spark.read.parquet(bridge),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("key_checksum"),
+          sum("ps_cnt").as("sum_pscnt"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(v1 === expect01)
+    } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
+  }
+
   test("summary rebuilt at the same path invalidates the cached listing") {
     import SummaryRewrite._
     import spark.implicits._
