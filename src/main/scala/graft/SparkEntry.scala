@@ -45,7 +45,7 @@ object SparkEntry {
   val exactBaselines: Set[String] =
     Set("q41_dedup_jaccard", "q44_embedding_pairs")
 
-  /** Bench-path overrides for the 14 sketch/ANN queries whose REGISTERED
+  /** Bench-path overrides for the sketch/ANN queries whose REGISTERED
     * form is the self-auditing `*Checked` variant (sketch + exact
     * reference + accuracy booleans, so the DuckDB oracle can hash-gate
     * an approximate operator). The audit recomputation is a correctness

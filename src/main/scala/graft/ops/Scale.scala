@@ -200,7 +200,11 @@ object Scale {
     * plan by a low bit at query time.
     */
   private[graft] def assertAvgRewriteSafe(rel: => DataFrame, path: String, cols: String*): Unit = {
-    val marker = new java.io.File(path, "_AVGSAFE")
+    // marker VERSIONED like the summary2b path rename: the r13 fix
+    // (abs after the decimal cast) changed the check's semantics, so a
+    // marker written by the pre-fix check must not suppress the
+    // corrected one — _AVGSAFE2 re-runs the guard once per warm artifact
+    val marker = new java.io.File(path, "_AVGSAFE2")
     if (marker.exists()) return
     // decimal(38,0) accumulation: a Long sum can wrap silently past 2^63
     // in non-ANSI mode, which would let an oversized corpus slip under
@@ -734,9 +738,12 @@ object Scale {
   /** Merge additive delta partials into a base summary on an arbitrary
     * grain: one |grain|-row full-outer join, every measure
     * coalesce(base,0)+coalesce(delta,0) — the q252/q258 merge
-    * generalized to multi-column grains (q281–q284 group on two).
+    * generalized to multi-column grains (q281–q284 group on two). ONE
+    * definition shared with every stream-maintained snapshot merge in
+    * `streaming.Streams` (q261/q266/q268/q286's store/q288/q289) so
+    * the batch-IVM and stream merge semantics cannot drift.
     */
-  private def additiveMergeOn(base: DataFrame, delta: DataFrame,
+  private[graft] def additiveMergeOn(base: DataFrame, delta: DataFrame,
       grain: Seq[String], measures: Seq[String]): DataFrame = {
     def pack(df: DataFrame, t: String): DataFrame =
       measures.foldLeft(df)((acc, m) => acc.withColumnRenamed(m, s"${m}_$t"))
@@ -1780,7 +1787,11 @@ object Scale {
       s"statsChosenBroadcastJoin: fact and dim schemas must be disjoint, " +
         s"both carry ${overlap.mkString(", ")}")
     val st = s.read.parquet(statsPath).head()
-    if (st.getAs[Long]("est_bytes") <= budgetBytes)
+    // sum(b) over an empty dim persists NULL — an empty dimension
+    // trivially broadcasts (0 bytes), it must not NPE the chooser
+    val estBytes = if (st.isNullAt(st.fieldIndex("est_bytes"))) 0L
+      else st.getAs[Long]("est_bytes")
+    if (estBytes <= budgetBytes)
       fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
     else
       fact.join(dim.hint("merge"), fact(factKey) === dim(dimKey))

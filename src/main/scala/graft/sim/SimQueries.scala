@@ -56,9 +56,17 @@ object SimQueries {
     * The query side is tiny → broadcast nested-loop join; ranking via
     * per-query window.
     */
-  def knnBrute: Q = (s, d) => {
+  def knnBrute: Q = (s, d) => knnBruteOf(s, Tables.embeddings(s, d))
+
+  /** The brute top-5 over an arbitrary embedding corpus — ONE
+    * quantize/broadcast/score/rank definition shared by the full-corpus
+    * reference (q45 and every ANN audit) and the surviving-corpus
+    * erasure reference ([[knnBruteSurviving]]), so a tie-break or
+    * quantization change can never diverge the two.
+    */
+  private def knnBruteOf(s: SparkSession, corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = quantized(Tables.embeddings(s, d))
+    val base = quantized(corpus)
     val queries = broadcast(base.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm")))
     val cands = base.select(col("vec_id").as("n_id"), col("qv"), col("nrm"))
@@ -569,20 +577,8 @@ object SimQueries {
     * applied, the RIGHT answer excludes erased vectors from both the
     * query and the neighbor side.
     */
-  private[sim] def knnBruteSurviving(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val base = quantized(Tables.embeddings(s, d)
-      .where(col("vec_id") % 7 =!= 1))
-    val queries = broadcast(base.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm")))
-    val cands = base.select(col("vec_id").as("n_id"), col("qv"), col("nrm"))
-    val scored = queries.join(cands, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        qcos("qqv", "qnrm", "qv", "nrm").as("qcos"))
-    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-      .select("q_id", "n_id", "rank", "qcos")
-  }
+  private[sim] def knnBruteSurviving(s: SparkSession, d: String): DataFrame =
+    knnBruteOf(s, Tables.embeddings(s, d).where(col("vec_id") % 7 =!= 1))
 
   /** Driver-audited form of [[erasureIvf]]: graded against the
     * surviving-corpus brute top-5 restricted to the surviving batch

@@ -722,22 +722,16 @@ object Streams {
     path
   }
 
-  /** Merge delta partials ADDITIVELY into the current snapshot: one
-    * full-outer join on the grain, every measure
-    * `coalesce(cur, 0) + coalesce(new, 0)` — the single merge
-    * semantics all additive stream-maintained summaries share (q261
-    * join-MV, q266 chain-MV, q268 signed-CDC — whose negative deltas
-    * ride the same addition).
+  /** Merge delta partials ADDITIVELY into the current snapshot — the
+    * single merge semantics all additive stream-maintained summaries
+    * share (q261 join-MV, q266 chain-MV, q268 signed-CDC — whose
+    * negative deltas ride the same addition — q288 snowflake, q289
+    * composite). ONE definition with the batch-IVM merges: delegates to
+    * `Scale.additiveMergeOn` so the two refresh families cannot drift.
     */
   private def additiveMerge(cur: DataFrame, delta: DataFrame,
-      grain: Seq[String], measures: Seq[String]): DataFrame = {
-    val c = measures.foldLeft(cur)((df, m) => df.withColumnRenamed(m, s"${m}_cur"))
-    val n = measures.foldLeft(delta)((df, m) => df.withColumnRenamed(m, s"${m}_new"))
-    measures.foldLeft(c.join(n, grain, "full_outer"))((df, m) =>
-      df.withColumn(m,
-        coalesce(col(s"${m}_cur"), lit(0L)) + coalesce(col(s"${m}_new"), lit(0L))))
-      .select(grain.map(col) ++ measures.map(col): _*)
-  }
+      grain: Seq[String], measures: Seq[String]): DataFrame =
+    graft.ops.Scale.additiveMergeOn(cur, delta, grain, measures)
 
   /** One-time, idempotent DURABLE replay of the orders feed into a
     * versioned SEGMENT-grain snapshot: each micro-batch joins the
