@@ -25,7 +25,7 @@ object DedupQueries {
     * `range(1, len-1)` 1-based construction: docs with < 3 words produce
     * no shingles.
     */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     // fanOut: shingling is per-document compute — on the single-file
     // test corpus the scan alone would pin it to one task
     graft.Tables.fanOut(docs, col("doc_id"))
@@ -222,7 +222,7 @@ object DedupQueries {
     * shingle) distinct canonicalizes direction, stored sizes supply the
     * Jaccard denominator.
     */
-  private def ingestProbePairs(batchSh: DataFrame, allSh: DataFrame,
+  private[graft] def ingestProbePairs(batchSh: DataFrame, allSh: DataFrame,
       sizes: DataFrame): DataFrame = {
     val inter = batchSh.join(allSh, Seq("h"))
       .where(col("nid") =!= col("oid"))

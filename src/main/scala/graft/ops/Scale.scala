@@ -1526,6 +1526,8 @@ object Scale {
     graft.streaming.Streams.ensureSnowflakeStreamSummary(s, d): Unit
     graft.streaming.Streams.ensureCompositeFeed(s, d): Unit
     graft.streaming.Streams.ensureCompositeStreamSummary(s, d): Unit
+    graft.streaming.Streams.ensureDocsFeed(s, d): Unit
+    graft.streaming.Streams.ensureShingleStreamIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 

@@ -1387,6 +1387,125 @@ object Streams {
         col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
   }
 
+  /** q290: ERASURE on the stream-maintained session store — the DELETE
+    * cell for the non-algebraic MV q286 added: a right-to-erasure batch
+    * of USER ids (user_id % 13 == 0, the q218/q268 forget-set shape on
+    * the session store's subject key) applies to the committed store as
+    * a broadcast-anti-join tombstone overlay. Sessions are per-user
+    * disjoint intervals, so user-level erasure needs NO re-sessionizing
+    * at all — the overlay drops whole partitions of the store, which is
+    * exactly why production session stores key erasure by subject. The
+    * store is never rewritten (O(|forget set|)); the result is proven
+    * equal to a one-shot sessionization of the surviving users' events
+    * (the oracle) and the plan touches events only for the
+    * user_id-projected forget list, never the erased users' rows.
+    */
+  def erasedStreamSessions: Q = (s, d) => {
+    val table = ensureSessionStreamSnapshot(s, d)
+    val snap = currentSnapshot(s, table)
+      .getOrElse(sys.error("no committed session snapshot"))
+    val tomb = broadcast(Tables.events(s, d)
+      .where(col("user_id") % 13 === 0).select(col("user_id")).distinct())
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    snap.join(tomb, Seq("user_id"), "left_anti")
+      .withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
+  }
+
+  /** One-time staged DOCUMENTS feed for the stream-maintained shingle
+    * index: (doc_id, text) in 3 buckets by doc_id % 3 under the fixed
+    * increasing-mtime contract — the corpus arriving as a stream.
+    */
+  private val docsFeedLock = new Object
+
+  def ensureDocsFeed(s: SparkSession, d: String): String = docsFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-docs-feed-${graft.Tables.datasetTag(d, "documents")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.documents(s, d).select("doc_id", "text")
+      stageBuckets(dir, (0 until 3).map(i =>
+        projected.where(pmod(col("doc_id"), lit(3)) === i)))
+    }
+    path
+  }
+
+  /** One-time, idempotent DURABLE replay of the documents feed into a
+    * versioned SHINGLE-INDEX store — a stream-maintained SECONDARY
+    * INDEX, not an aggregate MV: each micro-batch is shingled once
+    * (per-batch work only — history text is never re-shingled) and its
+    * hashed postings APPEND to the committed store behind the shared
+    * commit protocol (buckets partition the doc space, so the merge is
+    * a pure union — the per-key idempotence the aggregate merges need
+    * from coalesce-addition comes free from disjointness here). The
+    * store denormalizes the per-doc distinct-shingle count onto each
+    * posting row ((doc_id, h, n)) so postings AND sizes commit in ONE
+    * atomic pointer flip — two separately-flipped relations could serve
+    * a torn index between flips; at 100 TB the +8 bytes/posting buys
+    * crash-consistent reads with no cross-table commit coordination.
+    */
+  private val shingleStreamLock = new Object
+
+  def ensureShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path = shingleStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-shingle-stream-idx-${graft.Tables.datasetTag(d, "documents")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+      val table = root.resolve("table")
+      Files.createDirectories(table)
+      val feed = ensureDocsFeed(s, d)
+      val schema = s.read.parquet(feed).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          if (!committedVersion(table).exists(_ >= id)) {
+            val sh = graft.dedup.DedupQueries.shingles(b.toDF())
+            val delta = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+              .join(sh, "doc_id")
+              .select(col("doc_id"), xxhash64(col("s")).as("h"), col("n"))
+            val merged = currentSnapshot(s, table) match {
+              case None => delta
+              case Some(c) => c.unionByName(delta.select(c.columns.map(col): _*))
+            }
+            commitVersion(table, merged, id)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q291: the q214 nightly dedup probe served from the
+    * STREAM-MAINTAINED shingle index — the stream cell for the
+    * persisted-index families (the MV matrix's stream column applied to
+    * a secondary index): the corpus arrived as 3 micro-batches, each
+    * shingled exactly once into the committed store, and the probe
+    * (batch shingles ⋈ stored postings on the 8-byte hash, stored
+    * per-doc sizes as the Jaccard denominator) lands exactly where
+    * q214's batch-built index lands — q214's oracle verbatim. The spec
+    * pins store == batch index content, v1 == buckets-0+1 postings, and
+    * the snapshot-only probe plan.
+    */
+  def streamMaintainedShingleProbe: Q = (s, d) => {
+    val table = ensureShingleStreamIndex(s, d)
+    val store = currentSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot"))
+    val batchSh = graft.dedup.DedupQueries.shingles(
+        Tables.documents(s, d).where(col("doc_id") % 3 === 0))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
+    graft.dedup.DedupQueries.ingestProbePairs(batchSh,
+      store.select(col("doc_id").as("oid"), col("h")),
+      store.select(col("doc_id"), col("n")).distinct())
+  }
+
   def upsertReplay: Q = (s, d) => {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
@@ -1569,6 +1688,8 @@ object Streams {
     "q286_stream_sessions_incremental" -> streamIncrementalSessions,
     "q288_stream_snowflake_mv" -> streamMaintainedSnowflakeMv,
     "q289_stream_composite_mv" -> streamMaintainedCompositeMv,
+    "q290_erased_stream_sessions" -> erasedStreamSessions,
+    "q291_stream_shingle_index" -> streamMaintainedShingleProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -1591,6 +1712,32 @@ object Streams {
     "q286_stream_sessions_incremental" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+        |x AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w >= 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |b AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(t_us) AS s_us, max(t_us) AS e_us,
+        |  max(t_us) - min(t_us) AS dur_us
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // the probe from the stream-maintained index must land exactly
+    // where q214's batch-built index lands: q214's oracle VERBATIM
+    "q291_stream_shingle_index" ->
+      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
+    // session-store erasure must land exactly on a one-shot
+    // sessionization of the SURVIVING users' events (q286's oracle
+    // with the forget set removed at the scan)
+    "q290_erased_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+        |  WHERE user_id % 13 <> 0),
         |x AS (
         |  SELECT user_id, t_us, event_id,
         |    CASE WHEN lag(t_us) OVER w IS NULL

@@ -734,6 +734,73 @@ class StreamingSpec extends SparkSpec {
     assert(v1 === twoEpochs, "v1 is not the exact two-epoch sessionization")
   }
 
+  test("q290 session-store erasure: overlay drops exactly the forget users, no rewrite") {
+    import org.apache.spark.sql.functions._
+    val res = Streams.queries("q290_erased_stream_sessions")(spark, sf)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    // the forget set is live: the committed store held erased users
+    val table = Streams.ensureSessionStreamSnapshot(spark, sf)
+    val storeUsers = spark.read.parquet(
+        table.resolve(s"v${Streams.committedVersion(table).get}").toString)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(storeUsers.exists(_ % 13 == 0), "no erased user at this sf")
+    got.keys.foreach { case (u, _) =>
+      assert(u % 13 != 0, s"erased user $u survived") }
+    // erasure == the one-shot sessionization of the SURVIVING users —
+    // per-user sessions are independent, so the overlay is exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("s_us")
+    val oneShot = Tables.events(spark, sf)
+      .where(col("user_id") % 13 =!= 0)
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+        unix_micros(col("mx")).as("e_us"), col("n_events"))
+      .withColumn("sid", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getLong(3), r.getLong(1), r.getLong(2),
+          r.getLong(2) - r.getLong(1))).toMap
+    assert(got === oneShot)
+    // tombstone overlay, store not rewritten: broadcast anti-join in plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("graft-sess-stream-snap"), plan.take(1500))
+  }
+
+  test("q291 stream-maintained shingle index: store == batch index, probe == q214, v1 time travel") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureShingleStreamIndex(spark, sf)
+    assert(Streams.committedVersion(table).contains(2L))
+    val store = spark.read.parquet(table.resolve("v2").toString)
+    // the stream-built store carries exactly the batch-built index:
+    // hashed postings joined with per-doc sizes
+    val idx = graft.dedup.DedupQueries.ensureShingleIndex(spark, sf)
+    val want = spark.read.parquet(s"$idx/hpostings")
+      .join(spark.read.parquet(s"$idx/sizes"), "doc_id")
+      .select("doc_id", "h", "n")
+      .collect().map(_.toString).sorted.toSeq
+    assert(store.select("doc_id", "h", "n").collect()
+      .map(_.toString).sorted.toSeq === want)
+    // v1 = buckets 0+1 = docs with doc_id % 3 != 2
+    val v1Docs = spark.read.parquet(table.resolve("v1").toString)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(v1Docs.nonEmpty && v1Docs.forall(_ % 3 != 2))
+    // probe == the batch-index probe (q214's plan output), bit-equal
+    val got = Streams.queries("q291_stream_shingle_index")(spark, sf)
+    val gotRows = got.collect().map(_.toString).sorted.toSeq
+    val q214 = graft.dedup.DedupQueries.queries("q214_incremental_dedup")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotRows === q214 && gotRows.nonEmpty)
+    // the probe reads the committed store, never re-shingles history
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-shingle-stream-idx"), plan.take(1500))
+    assert("\\(doc_id#\\d+L? % 3\\) = 0".r.findFirstIn(plan).isDefined,
+      "batch filter did not reach the documents scan")
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()
