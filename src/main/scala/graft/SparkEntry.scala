@@ -64,6 +64,7 @@ object SparkEntry {
     "q277_incremental_ivf" -> sim.SimQueries.incrementalIvf,
     "q279_erasure_ivf" -> sim.SimQueries.erasureIvf,
     "q280_compacted_ivf" -> sim.SimQueries.compactedIvf,
+    "q292_stream_ivf_index" -> streaming.Streams.streamMaintainedIvfProbe,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

@@ -1528,6 +1528,8 @@ object Scale {
     graft.streaming.Streams.ensureCompositeStreamSummary(s, d): Unit
     graft.streaming.Streams.ensureDocsFeed(s, d): Unit
     graft.streaming.Streams.ensureShingleStreamIndex(s, d): Unit
+    graft.streaming.Streams.ensureEmbeddingsFeed(s, d): Unit
+    graft.streaming.Streams.ensureIvfStreamIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 

@@ -649,6 +649,47 @@ object SimQueries {
     knnAudit(compactedIvf(s, d),
       knnBruteSurviving(s, d).where(col("q_id") % 3 === 0))
 
+  /** [[storedCentroids]] for the streaming module (q292's replay reads
+    * the persisted codebook once before the stream starts).
+    */
+  private[graft] def storedCentroidsOf(s: SparkSession, idxPath: String): Array[Array[Double]] =
+    storedCentroids(s, idxPath)
+
+  /** Assign a (vec_id, embedding) relation to its nearest fixed
+    * centroids — the per-micro-batch work of the stream-maintained IVF
+    * store (q292): one executor-side pass, no retraining.
+    */
+  private[graft] def assignToCells(emb: DataFrame,
+      cs: Array[Array[Double]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) => (id, nearestCell(cs, e)) }
+      .toDF("vec_id", "cell")
+  }
+
+  /** The standard anchored-query IVF probe over an EXTERNAL assignment
+    * relation (q292's committed stream store): stored centroids drive
+    * the nprobe-cell fan-out, candidates come from the given store,
+    * exact cosine rerank — [[ivfProbe]] with the full-corpus anchored
+    * query set.
+    */
+  private[graft] def ivfProbeFromStore(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    import s.implicits._
+    val cs = storedCentroids(s, ensureIvfIndex(s, d))
+    val queries = Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    ivfProbe(s, d, cs, store.select("vec_id", "cell"), queries)
+  }
+
+  /** Driver-audited form of the q292 stream-store probe — graded
+    * against the full-corpus brute top-5 (the store covers the whole
+    * corpus once the replay drains).
+    */
+  def streamIvfChecked(probe: DataFrame, s: SparkSession, d: String): DataFrame =
+    knnAudit(probe, knnBrute(s, d))
+
   /** Corpus-size bound above which the exact all-pairs baseline refuses
     * to run: it is the correctness oracle for small corpora, not a scale
     * path, and the gate makes that contract explicit instead of silently

@@ -1506,6 +1506,90 @@ object Streams {
       store.select(col("doc_id"), col("n")).distinct())
   }
 
+  /** One-time staged EMBEDDINGS feed for the stream-maintained IVF
+    * index: (vec_id, embedding) in 3 buckets by vec_id % 3 under the
+    * fixed increasing-mtime contract — vectors arriving as a stream.
+    */
+  private val embFeedLock = new Object
+
+  def ensureEmbeddingsFeed(s: SparkSession, d: String): String = embFeedLock.synchronized {
+    val path =
+      s"${graft.Tables.scratchDir}/graft-emb-feed-${graft.Tables.datasetTag(d, "embeddings")}"
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (dir.exists()) graft.Tables.deleteRecursively(dir)
+      dir.mkdirs()
+      val projected = Tables.embeddings(s, d).select("vec_id", "embedding")
+      stageBuckets(dir, (0 until 3).map(i =>
+        projected.where(pmod(col("vec_id"), lit(3)) === i)))
+    }
+    path
+  }
+
+  /** One-time, idempotent DURABLE replay of the embeddings feed into a
+    * versioned IVF-ASSIGNMENT store — the ANN family's stream cell,
+    * q291's pattern on the vector index: centroids come from the
+    * persisted offline-trained index (read ONCE before the stream
+    * starts — streaming ingest NEVER retrains, exactly how production
+    * vector stores ingest), each micro-batch assigns its vectors to the
+    * fixed centroids in one executor-side pass, and the (vec_id, cell)
+    * assignments APPEND behind the shared commit protocol (buckets
+    * partition the vector space — pure union merge).
+    */
+  private val ivfStreamLock = new Object
+
+  def ensureIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path = ivfStreamLock.synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      s"${graft.Tables.scratchDir}/graft-ivf-stream-idx-${graft.Tables.datasetTag(d, "embeddings")}")
+    if (!Files.exists(root.resolve("DONE"))) {
+      if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+      val table = root.resolve("table")
+      Files.createDirectories(table)
+      val feed = ensureEmbeddingsFeed(s, d)
+      val cs = graft.sim.SimQueries.storedCentroidsOf(s,
+        graft.sim.SimQueries.ensureIvfIndex(s, d))
+      val schema = s.read.parquet(feed).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          if (!committedVersion(table).exists(_ >= id)) {
+            val delta = graft.sim.SimQueries.assignToCells(b.toDF(), cs)
+            val merged = currentSnapshot(s, table) match {
+              case None => delta
+              case Some(c) => c.unionByName(delta.select(c.columns.map(col): _*))
+            }
+            commitVersion(table, merged, id)
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+    }
+    root.resolve("table")
+  }
+
+  /** q292: the IVF probe served from the STREAM-MAINTAINED assignment
+    * store — the ANN index maintained per micro-batch at fixed
+    * centroids, probed by the standard anchored query set with exact
+    * cosine rerank. Registered as the audited form (graded against the
+    * full-corpus brute top-5); SimSpec pins store == a one-shot
+    * assignment of the full corpus, v1 == buckets-0+1, and the recall
+    * floor at nprobe 10.
+    */
+  def streamMaintainedIvfProbe: Q = (s, d) => {
+    val table = ensureIvfStreamIndex(s, d)
+    val store = currentSnapshot(s, table)
+      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    graft.sim.SimQueries.ivfProbeFromStore(s, d, store)
+  }
+
+  /** Driver-audited form of [[streamMaintainedIvfProbe]]. */
+  def streamMaintainedIvfChecked: Q = (s, d) =>
+    graft.sim.SimQueries.streamIvfChecked(streamMaintainedIvfProbe(s, d), s, d)
+
   def upsertReplay: Q = (s, d) => {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(
@@ -1690,6 +1774,7 @@ object Streams {
     "q289_stream_composite_mv" -> streamMaintainedCompositeMv,
     "q290_erased_stream_sessions" -> erasedStreamSessions,
     "q291_stream_shingle_index" -> streamMaintainedShingleProbe,
+    "q292_stream_ivf_index" -> streamMaintainedIvfChecked,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -1727,6 +1812,13 @@ object Streams {
         |  min(t_us) AS s_us, max(t_us) AS e_us,
         |  max(t_us) - min(t_us) AS dur_us
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // ANN-audit oracle (the q54/q277 pattern): DuckDB recomputes the
+    // exact anchored query-set size, recall boolean asserted TRUE —
+    // the Spark side computes it for real against knnBrute
+    "q292_stream_ivf_index" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
     // the probe from the stream-maintained index must land exactly
     // where q214's batch-built index lands: q214's oracle VERBATIM
     "q291_stream_shingle_index" ->

@@ -801,6 +801,41 @@ class StreamingSpec extends SparkSpec {
       "batch filter did not reach the documents scan")
   }
 
+  test("q292 stream-maintained IVF: store == one-shot assignment, v1 time travel, pinned recall") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureIvfStreamIndex(spark, sf)
+    assert(Streams.committedVersion(table).contains(2L))
+    // the stream-built store carries exactly the one-shot assignment of
+    // the FULL corpus at the stored (never retrained) centroids
+    val cs = graft.sim.SimQueries.storedCentroidsOf(spark,
+      graft.sim.SimQueries.ensureIvfIndex(spark, sf))
+    val store = spark.read.parquet(table.resolve("v2").toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = graft.sim.SimQueries.assignToCells(
+        Tables.embeddings(spark, sf).select("vec_id", "embedding"), cs)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(store === want && store.nonEmpty)
+    // v1 = buckets 0+1 = vectors with vec_id % 3 != 2
+    val v1 = spark.read.parquet(table.resolve("v1").toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(v1.nonEmpty && v1.forall(_ % 3 != 2))
+    // the raw probe: pinned recall vs brute, BNLJ-free plan
+    val probe = Streams.queries("q292_stream_ivf_index")(spark, sf)
+    val raw = Streams.streamMaintainedIvfProbe(spark, sf)
+    val got = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.sim.SimQueries.queries("q45_knn_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"stream ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-stream-idx"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    // the audited registered form carries a TRUE recall bit
+    assert(probe.collect().head.getBoolean(2), "audit recall bit is false")
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()
