@@ -65,6 +65,7 @@ object SparkEntry {
     "q279_erasure_ivf" -> sim.SimQueries.erasureIvf,
     "q280_compacted_ivf" -> sim.SimQueries.compactedIvf,
     "q292_stream_ivf_index" -> streaming.Streams.streamMaintainedIvfProbe,
+    "q294_retrained_ivf" -> sim.SimQueries.retrainedIvf,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

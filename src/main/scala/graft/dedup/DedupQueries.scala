@@ -277,7 +277,7 @@ object DedupQueries {
     * q264 (overlay probe) and q272 (compacted probe) prove equivalence
     * over the IDENTICAL batch by construction, not by parallel edits.
     */
-  private def survivingBatchShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def survivingBatchShingles(s: SparkSession, d: String): DataFrame =
     shingles(Tables.documents(s, d)
       .where(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 1))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
@@ -287,7 +287,7 @@ object DedupQueries {
     * Shared by the q264 overlay probe and the q272 compactor so the two
     * forms provably apply the SAME forget set.
     */
-  private def erasureTombstones(s: SparkSession, d: String): DataFrame =
+  private[graft] def erasureTombstones(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).where(col("doc_id") % 7 === 1)
       .select(col("doc_id"))
 

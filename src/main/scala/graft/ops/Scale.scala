@@ -205,6 +205,9 @@ object Scale {
     // marker written by the pre-fix check must not suppress the
     // corrected one — _AVGSAFE2 re-runs the guard once per warm artifact
     val marker = new java.io.File(path, "_AVGSAFE2")
+    // a stale pre-fix marker in a warm artifact is dead weight once the
+    // versioned one exists — drop it so warm directories stay clean
+    new java.io.File(path, "_AVGSAFE").delete(): Unit
     if (marker.exists()) return
     // decimal(38,0) accumulation: a Long sum can wrap silently past 2^63
     // in non-ANSI mode, which would let an oversized corpus slip under
@@ -1530,6 +1533,8 @@ object Scale {
     graft.streaming.Streams.ensureShingleStreamIndex(s, d): Unit
     graft.streaming.Streams.ensureEmbeddingsFeed(s, d): Unit
     graft.streaming.Streams.ensureIvfStreamIndex(s, d): Unit
+    graft.streaming.Streams.ensureFoldedShingleStreamIndex(s, d): Unit
+    graft.sim.SimQueries.ensureRetrainedIvfIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }
 
@@ -1753,6 +1758,16 @@ object Scale {
     * per-field overhead — the order-of-magnitude a broadcast budget
     * needs (Spark's own sizeInBytes estimate is the same class of
     * approximation), measured from the data instead of guessed.
+    *
+    * LIMITS of the string-width proxy: it tracks the in-memory hash
+    * table well for scalar columns, but a column that renders compactly
+    * relative to its heap footprint — binary blobs, float arrays, deep
+    * structs — can undercount the true broadcast cost badly. The
+    * per-field `+8` floor bounds the error for narrow renders (a NULL
+    * or empty string still pays object overhead), and the q285 caller
+    * passes a scalar dim; a future caller with array/binary columns
+    * should widen the proxy (e.g. octet_length for binary) before
+    * trusting the budget decision.
     */
   private[graft] def writeDimStats(dim: DataFrame, path: String): Unit = {
     val rowBytes = dim.columns.map(c =>

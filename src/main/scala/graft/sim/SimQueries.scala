@@ -649,6 +649,108 @@ object SimQueries {
     knnAudit(compactedIvf(s, d),
       knnBruteSurviving(s, d).where(col("q_id") % 3 === 0))
 
+  /** One-time, idempotent RETRAIN-AND-SWAP of the IVF index — the
+    * lifecycle cell q277/q279/q280/q292 deliberately never exercise:
+    * ingest, erasure, compaction and stream-maintenance all hold
+    * centroids FIXED (correctly — the online path never retrains), so
+    * under distribution drift recall decays with no bound. Production
+    * vector stores close that loop with a versioned OFFLINE retrain:
+    * train fresh centroids over the GROWN corpus (the old training
+    * population plus q277's ingested batch — the drifted distribution),
+    * re-assign EVERY vector in one linear pass at the new codebook,
+    * write codebook + assignments as a new index VERSION next to the
+    * serving one, and swap a pointer: readers resolve v1 until the
+    * single atomic-rename instant and v2 after, never a torn mix of
+    * old centroids with new assignments. v1 is the shipped index
+    * verbatim (copied, not rebuilt — the swap must move away from
+    * exactly what production was serving, which is what makes the
+    * spec's before/after visibility pin meaningful). Cost: one k-means
+    * over the corpus (the amortized offline step) plus one assignment
+    * pass — never a probe-path cost; at 100 TB this is the nightly
+    * index-rebuild job, while ingest/erase/compact remain the cheap
+    * online maintenance.
+    */
+  private val retrainIvfLock = new Object
+
+  def ensureRetrainedIvfIndex(s: SparkSession, d: String): String =
+    retrainIvfLock.synchronized {
+      val idx = ensureIvfIndex(s, d)
+      val path =
+        s"${Tables.scratchDir}/graft-ivf-retrain-${Tables.datasetTag(d, "embeddings")}"
+      val done = new java.io.File(path, "DONE")
+      if (!done.exists()) {
+        val root = new java.io.File(path)
+        if (root.exists()) Tables.deleteRecursively(root)
+        import s.implicits._
+        // v1 = the serving index, copied verbatim, pointer on it first
+        s.read.parquet(s"$idx/centroids").repartition(1)
+          .write.mode("overwrite").parquet(s"$path/v1/centroids")
+        s.read.parquet(s"$idx/assigned").repartition(8, col("cell"))
+          .write.mode("overwrite").parquet(s"$path/v1/assigned")
+        flipPointer(path, "v1")
+        // offline retrain over the grown corpus + one-pass re-assign
+        val grown = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        val cs2 = ivfCentroids(grown, 16, 64, iters = 3)
+        cs2.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("cell", "vals")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/v2/centroids")
+        grown.map { case (id, e) => (id, nearestCell(cs2, e)) }
+          .toDF("vec_id", "cell")
+          .repartition(8, col("cell"))
+          .write.mode("overwrite").parquet(s"$path/v2/assigned")
+        flipPointer(path, "v2") // the swap instant
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+      }
+      path
+    }
+
+  /** Atomic CURRENT flip for the versioned retrain dir — temp file +
+    * rename, the same single-instant commit the stream stores use.
+    */
+  private def flipPointer(path: String, target: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    val tmp = Files.createTempFile(root, ".current", ".tmp")
+    Files.write(tmp, target.getBytes("UTF-8"))
+    Files.move(tmp, root.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** The version the retrain dir's CURRENT pointer names. */
+  private[graft] def retrainCurrent(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path).resolve("CURRENT")), "UTF-8")
+
+  /** q294: the anchored-query probe served from the RETRAINED index —
+    * resolved through the pointer, so the plan reads v2's codebook and
+    * v2's assignments and nothing of v1. nprobe 10 of 16, not q54's 8:
+    * at nprobe 8 the retrained probe measured 0.84/0.84/0.78 at
+    * sf0.001/0.01/0.1 — 1–3 pairs of margin over the audit floor, the
+    * q224 zero-margin smell; 10 measures 0.88/0.92/0.90 (≥ 2-pair
+    * headroom over the 0.8 spec floor at every sf, ≥ 3 over the 0.75
+    * audit floor) for a bounded +25% candidate cost.
+    */
+  def retrainedIvf: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureRetrainedIvfIndex(s, d)
+    val cur = retrainCurrent(idx)
+    val cs = storedCentroids(s, s"$idx/$cur")
+    val queries = Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    ivfProbe(s, d, cs, s.read.parquet(s"$idx/$cur/assigned"), queries,
+      nprobe = 10)
+  }
+
+  /** Driver-audited form of [[retrainedIvf]]: graded against the
+    * full-corpus brute top-5 — after a retrain the index serves the
+    * whole grown corpus to the standard anchored query set.
+    */
+  def retrainedIvfChecked: Q = (s, d) =>
+    knnAudit(retrainedIvf(s, d), knnBrute(s, d))
+
   /** [[storedCentroids]] for the streaming module (q292's replay reads
     * the persisted codebook once before the stream starts).
     */
@@ -1435,6 +1537,7 @@ object SimQueries {
     "q277_incremental_ivf" -> incrementalIvfChecked,
     "q279_erasure_ivf" -> erasureIvfChecked,
     "q280_compacted_ivf" -> compactedIvfChecked,
+    "q294_retrained_ivf" -> retrainedIvfChecked,
     "q224_knn_pq" -> knnPqChecked,
     "q44_embedding_pairs" -> embeddingPairs,
     "q58_embedding_pairs_lsh" -> embeddingPairsLshChecked,
@@ -1489,6 +1592,12 @@ object SimQueries {
         |FROM embeddings
         |WHERE vec_id % 100 = 0 AND vec_id % 3 = 0 AND vec_id % 7 <> 1
         |  AND vec_id < 100000""".stripMargin,
+    // retrain-and-swap serves the full grown corpus to the standard
+    // anchored query set — same audit shape as q54/q292
+    "q294_retrained_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
     "q224_knn_pq" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075

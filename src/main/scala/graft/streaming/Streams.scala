@@ -561,6 +561,160 @@ object Streams {
   def currentSnapshot(s: SparkSession, root: java.nio.file.Path): Option[DataFrame] =
     committedVersion(root).map(v => s.read.parquet(root.resolve(s"v$v").toString))
 
+  // ──────────────── manifest commit protocol (data-sized stores) ────────────────
+
+  /** MANIFEST-based commit — the scale-safe sibling of [[commitVersion]]
+    * for DATA-SIZED stream stores. The aggregate MVs that protocol
+    * serves are grain-sized (a snapshot is |segments| rows), so
+    * rewriting the store per commit is cheap at any corpus size; but a
+    * store proportional to the corpus (q291's postings, q292's
+    * assignments, q286's sessions) must never pay O(store) per
+    * micro-batch — N batches would write O(N·store), petabytes on the
+    * first day at 100 TB. Here a commit writes ONLY the batch delta as
+    * an immutable parquet dir plus a tiny manifest file LISTING the
+    * member dirs, then flips CURRENT to the manifest — how production
+    * table formats commit: a manifest names immutable files, nothing is
+    * rewritten. Readers resolve CURRENT → manifest → union of members
+    * ([[manifestSnapshot]]); when a store's rows are per-key
+    * REPLACEMENTS rather than appends (the session store: a batch
+    * re-merges the touched users' sessions), the resolve keeps, per
+    * key, only the rows of the NEWEST member containing the key
+    * (merge-on-read; manifest order is the precedence order).
+    *
+    * Cost: a commit writes O(batch) data plus one manifest line per
+    * member. The member count is bounded by `foldAfter`: the commit
+    * that would push the manifest past it first folds the resolved
+    * union into one fresh base dir (the LSM absorb step — q272/q280/
+    * q287's compaction economics applied to the commit path), so reads
+    * never union more than `foldAfter` dirs and amortized write cost is
+    * O(batch + store/foldAfter).
+    *
+    * Crash safety mirrors [[commitVersion]]: delta/base dirs write in
+    * overwrite mode (a torn retry overwrites its own wreckage), the
+    * manifest lands via temp-file + atomic rename, and the CURRENT flip
+    * is the single commit instant — a crash anywhere earlier leaves
+    * CURRENT on the previous manifest, whose member dirs retention
+    * provably kept. Retention matches the versioned contract: dirs
+    * referenced by CURRENT or its immediate predecessor manifest stay
+    * (crash recovery + one-back time travel), everything older is GC'd
+    * at commit; manifest files older than the predecessor are dropped
+    * too (they may reference GC'd dirs).
+    */
+  private[graft] def commitDelta(root: java.nio.file.Path, delta: DataFrame,
+      batchId: Long, upsertKey: Option[String] = None,
+      foldAfter: Int = 8): Unit = {
+    if (committedManifest(root).exists(_ >= batchId)) return
+    val s = delta.sparkSession
+    delta.write.mode("overwrite")
+      .parquet(root.resolve(s"delta-v$batchId").toString)
+    val prior = committedManifest(root)
+      .map(v => manifestMembers(root, v)).getOrElse(Nil)
+    val appended = prior :+ s"delta-v$batchId"
+    val members =
+      if (appended.size <= foldAfter) appended
+      else {
+        resolveMembers(s, root, appended, upsertKey)
+          .write.mode("overwrite")
+          .parquet(root.resolve(s"base-v$batchId").toString)
+        Seq(s"base-v$batchId")
+      }
+    val tmp = java.nio.file.Files.createTempFile(root, ".manifest", ".tmp")
+    java.nio.file.Files.write(tmp, members.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, root.resolve(s"manifest-v$batchId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cur = java.nio.file.Files.createTempFile(root, ".current", ".tmp")
+    java.nio.file.Files.write(cur, s"manifest-v$batchId".getBytes("UTF-8"))
+    java.nio.file.Files.move(cur, root.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    gcUnreferenced(root)
+  }
+
+  /** The manifest version CURRENT names, if this store uses the manifest
+    * protocol and any commit happened.
+    */
+  private[graft] def committedManifest(root: java.nio.file.Path): Option[Long] = {
+    val ptr = root.resolve("CURRENT")
+    if (java.nio.file.Files.exists(ptr)) {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
+      if (v.startsWith("manifest-v")) Some(v.stripPrefix("manifest-v").toLong)
+      else None
+    } else None
+  }
+
+  /** Member dir names of manifest version `v`, oldest first. */
+  private[graft] def manifestMembers(root: java.nio.file.Path, v: Long): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      root.resolve(s"manifest-v$v")), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Resolve a member list to the store it denotes. Append stores union
+    * their members; upsert stores keep, per `upsertKey`, only the rows
+    * of the NEWEST member containing the key (merge-on-read: one
+    * max-over-window on the store's own partitioning key). `prep` runs
+    * on each member before the union — the delta-scoped reads pass a
+    * broadcast semi-join here so the filter applies BELOW the resolve.
+    */
+  private def resolveMembers(s: SparkSession, root: java.nio.file.Path,
+      members: Seq[String], upsertKey: Option[String],
+      prep: DataFrame => DataFrame = identity): DataFrame = {
+    def read(m: String) = prep(s.read.parquet(root.resolve(m).toString))
+    upsertKey match {
+      case None => members.map(read).reduce(_ unionByName _)
+      case Some(k) =>
+        val all = members.zipWithIndex
+          .map { case (m, i) => read(m).withColumn("_seq", lit(i.toLong)) }
+          .reduce(_ unionByName _)
+        all.withColumn("_mx", max(col("_seq")).over(Window.partitionBy(col(k))))
+          .where(col("_seq") === col("_mx"))
+          .drop("_seq", "_mx")
+    }
+  }
+
+  /** The store CURRENT's manifest denotes, if any commit happened. */
+  private[graft] def manifestSnapshot(s: SparkSession, root: java.nio.file.Path,
+      upsertKey: Option[String] = None): Option[DataFrame] =
+    committedManifest(root).map(v =>
+      resolveMembers(s, root, manifestMembers(root, v), upsertKey))
+
+  /** Time travel: the store as of manifest version `v` — valid for
+    * CURRENT and its retained predecessor (older manifests are GC'd).
+    */
+  private[graft] def manifestSnapshotAt(s: SparkSession, root: java.nio.file.Path,
+      v: Long, upsertKey: Option[String] = None): DataFrame =
+    resolveMembers(s, root, manifestMembers(root, v), upsertKey)
+
+  /** The CURRENT upsert store restricted to `touched` keys BEFORE the
+    * merge-on-read resolve: each member semi-joins the (broadcast,
+    * batch-sized) touched set first, so a delta-scoped merge reads
+    * O(touched keys' rows), never O(store).
+    */
+  private def manifestSnapshotTouched(s: SparkSession, root: java.nio.file.Path,
+      key: String, touched: DataFrame): Option[DataFrame] =
+    committedManifest(root).map(v =>
+      resolveMembers(s, root, manifestMembers(root, v), Some(key),
+        _.join(broadcast(touched), Seq(key), "left_semi")))
+
+  /** Post-commit retention for manifest stores: keep every dir that
+    * CURRENT or its immediate predecessor manifest references, drop the
+    * rest (folded-away deltas, superseded bases) and manifests older
+    * than the predecessor.
+    */
+  private def gcUnreferenced(root: java.nio.file.Path): Unit =
+    committedManifest(root).foreach { cur =>
+      val files = Option(root.toFile.listFiles()).toSeq.flatten
+      val manifests = files.filter(_.getName.matches("manifest-v\\d+"))
+        .map(f => (f.getName.stripPrefix("manifest-v").toLong, f))
+      val pred = manifests.map(_._1).filter(_ < cur).sorted.lastOption
+      val keep = Set(cur) ++ pred
+      manifests.foreach { case (v, f) => if (!keep.contains(v)) { f.delete(): Unit } }
+      val referenced = keep.flatMap(v => manifestMembers(root, v).toSet)
+      files.filter(f => f.getName.matches("(delta|base)-v\\d+") &&
+          !referenced.contains(f.getName))
+        .foreach(graft.Tables.deleteRecursively)
+    }
+
   /** q233: the upsert sink replayed as a real multi-batch stream. The
     * source stages the events feed as 3 files and admits one file per
     * trigger, so AvailableNow delivers 3 micro-batches and BOTH merge
@@ -1290,15 +1444,19 @@ object Streams {
     path
   }
 
-  /** The q286 seam-merge: union the committed per-user session
-    * intervals with a batch's new sessions and re-island — only the
-    * epoch-boundary pair can fuse (the feed is time-cut), but the pass
-    * is written over ALL session rows because that is its cost class
-    * anyway: sessions-sized, never events-sized. Fusion uses
-    * session_window's OWN boundary semantics (break at gap ≥ 6 h,
-    * merge strictly inside — Spark's session_window merges an event
-    * while ts < session end = last + gap), so the maintained store
-    * lands bit-equal to a one-shot session_window over all history.
+  /** The q286 seam-merge: union committed per-user session intervals
+    * with a batch's new sessions and re-island. Since r14 the input is
+    * DELTA-SCOPED — only the sessions of users PRESENT in the batch
+    * reach this pass ([[manifestSnapshotTouched]] semi-joins every
+    * store member on the batch's user set before the resolve), because
+    * sessions are per-user disjoint: an untouched user's sessions
+    * cannot change, the same argument q290's erasure already relies
+    * on. Cost is O(batch + touched users' sessions), never
+    * O(store log store). Fusion uses session_window's OWN boundary
+    * semantics (break at gap ≥ 6 h, merge strictly inside — Spark's
+    * session_window merges an event while ts < session end = last +
+    * gap), so the maintained store lands bit-equal to a one-shot
+    * session_window over all history.
     */
   private def seamMergeSessions(parts: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("s_us")
@@ -1315,23 +1473,28 @@ object Streams {
   }
 
   /** One-time, idempotent DURABLE replay of the events feed into a
-    * versioned SESSION store — q208's incremental sessionization as a
-    * STREAM: each micro-batch is sessionized with `session_window`
-    * (6-hour gap) and seam-merged into the committed per-user session
-    * intervals behind the shared commit protocol ([[commitVersion]]).
-    * This is the stream-side maintenance of a NON-algebraic windowed
-    * operator — the gap the additive merges (q261/q266/q268) cannot
-    * cover: a session is not a sum, the merge is the q208 islands pass
-    * over session INTERVALS. Per batch the work is session_window over
-    * |batch| plus a sessions-sized merge; history events are never
-    * re-sessionized.
+    * SESSION store — q208's incremental sessionization as a STREAM:
+    * each micro-batch is sessionized with `session_window` (6-hour
+    * gap), the committed sessions of ONLY the batch-touched users are
+    * read back ([[manifestSnapshotTouched]] — per-user disjointness
+    * makes every other user's sessions provably unchanged), the
+    * seam-merge re-islands that union, and the result commits as a
+    * per-batch DELTA behind the manifest protocol ([[commitDelta]],
+    * upsert on user_id: the newest delta containing a user carries
+    * that user's complete session set). This is the stream-side
+    * maintenance of a NON-algebraic windowed operator — the gap the
+    * additive merges (q261/q266/q268) cannot cover: a session is not a
+    * sum, the merge is the q208 islands pass over session INTERVALS.
+    * Per batch the work AND the write are O(batch + touched users'
+    * sessions); history events are never re-sessionized and untouched
+    * users' sessions are never re-read or re-written.
     */
   private val sessStreamLock = new Object
 
   def ensureSessionStreamSnapshot(s: SparkSession, d: String): java.nio.file.Path = sessStreamLock.synchronized {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(
-      s"${graft.Tables.scratchDir}/graft-sess-stream-snap-${graft.Tables.datasetTag(d, "events")}")
+      s"${graft.Tables.scratchDir}/graft-sess-stream-snap2-${graft.Tables.datasetTag(d, "events")}")
     if (!Files.exists(root.resolve("DONE"))) {
       if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
       val table = root.resolve("table")
@@ -1344,18 +1507,20 @@ object Streams {
         .writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (b: Dataset[Row], id: Long) =>
-          if (!committedVersion(table).exists(_ >= id)) {
-            val delta = b.toDF()
+          if (!committedManifest(table).exists(_ >= id)) {
+            val batchSess = b.toDF()
               .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
               .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
               .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
                 unix_micros(col("mx")).as("e_us"), col("n_events"))
-            val merged = currentSnapshot(s, table) match {
-              case None => delta
-              case Some(c) => seamMergeSessions(
-                c.unionByName(delta.select(c.columns.map(col): _*)), gapUs)
+            val touched = batchSess.select("user_id").distinct()
+            val delta = manifestSnapshotTouched(s, table, "user_id", touched) match {
+              case None => batchSess
+              case Some(prior) => seamMergeSessions(
+                prior.unionByName(batchSess.select(prior.columns.map(col): _*)),
+                gapUs)
             }
-            commitVersion(table, merged, id)
+            commitDelta(table, delta, id, upsertKey = Some("user_id"))
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -1368,8 +1533,9 @@ object Streams {
   /** q286: STREAM-maintained incremental sessionization served from
     * the committed session store — the last non-algebraic stream-MV
     * gap: the one-shot answer (sessionize ALL history, q208's product
-    * under session_window's gap semantics) read as a snapshot lookup,
-    * maintained per micro-batch at O(batch + sessions) cost. Session
+    * under session_window's gap semantics) read as a manifest-resolved
+    * snapshot lookup, maintained per micro-batch at O(batch + touched
+    * users' sessions) write AND compute cost. Session
     * ids are minted at read time (row_number over s_us — after
     * fusion every surviving session is ≥ gap from its neighbor, so
     * the rank IS q208's running-break sum); the oracle re-sessionizes
@@ -1379,7 +1545,7 @@ object Streams {
     */
   def streamIncrementalSessions: Q = (s, d) => {
     val table = ensureSessionStreamSnapshot(s, d)
-    val snap = currentSnapshot(s, table)
+    val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
       .getOrElse(sys.error("no committed session snapshot"))
     val w = Window.partitionBy("user_id").orderBy("s_us")
     snap.withColumn("sid", row_number().over(w).cast("long"))
@@ -1402,7 +1568,7 @@ object Streams {
     */
   def erasedStreamSessions: Q = (s, d) => {
     val table = ensureSessionStreamSnapshot(s, d)
-    val snap = currentSnapshot(s, table)
+    val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
       .getOrElse(sys.error("no committed session snapshot"))
     val tomb = broadcast(Tables.events(s, d)
       .where(col("user_id") % 13 === 0).select(col("user_id")).distinct())
@@ -1434,25 +1600,54 @@ object Streams {
   }
 
   /** One-time, idempotent DURABLE replay of the documents feed into a
-    * versioned SHINGLE-INDEX store — a stream-maintained SECONDARY
-    * INDEX, not an aggregate MV: each micro-batch is shingled once
-    * (per-batch work only — history text is never re-shingled) and its
-    * hashed postings APPEND to the committed store behind the shared
-    * commit protocol (buckets partition the doc space, so the merge is
-    * a pure union — the per-key idempotence the aggregate merges need
-    * from coalesce-addition comes free from disjointness here). The
-    * store denormalizes the per-doc distinct-shingle count onto each
-    * posting row ((doc_id, h, n)) so postings AND sizes commit in ONE
-    * atomic pointer flip — two separately-flipped relations could serve
-    * a torn index between flips; at 100 TB the +8 bytes/posting buys
-    * crash-consistent reads with no cross-table commit coordination.
+    * SHINGLE-INDEX store — a stream-maintained SECONDARY INDEX, not an
+    * aggregate MV: each micro-batch is shingled once (per-batch work
+    * only — history text is never re-shingled) and its hashed postings
+    * APPEND to the committed store behind the manifest protocol
+    * ([[commitDelta]]): the commit writes the batch's postings as one
+    * immutable delta dir and a manifest line — history is neither
+    * re-read nor re-written (buckets partition the doc space, so the
+    * read-side resolve is a pure union: the per-key idempotence the
+    * aggregate merges need from coalesce-addition comes free from
+    * disjointness here). The store denormalizes the per-doc
+    * distinct-shingle count onto each posting row ((doc_id, h, n)) so
+    * postings AND sizes commit in ONE atomic pointer flip — two
+    * separately-flipped relations could serve a torn index between
+    * flips; at 100 TB the +8 bytes/posting buys crash-consistent reads
+    * with no cross-table commit coordination.
     */
   private val shingleStreamLock = new Object
 
-  def ensureShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path = shingleStreamLock.synchronized {
+  def ensureShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    shingleStreamLock.synchronized {
+      shingleStreamReplay(s, d,
+        s"graft-shingle-stream-idx2-${graft.Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+    }
+
+  /** The q295 store: [[ensureShingleStreamIndex]]'s replay with
+    * `foldAfter = 2`, so batch 2's commit crosses the threshold and
+    * FOLDS the three deltas into one fresh base — the LSM absorb step
+    * running inside the commit path. After the fold the manifest lists
+    * exactly one base dir, reads union nothing, and the next commit's
+    * GC drops the folded-away deltas (the predecessor manifest keeps
+    * them readable until then). Kept as a SEPARATE artifact from q291's
+    * store so the multi-member read path stays exercised there.
+    */
+  private val foldedShingleStreamLock = new Object
+
+  def ensureFoldedShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    foldedShingleStreamLock.synchronized {
+      shingleStreamReplay(s, d,
+        s"graft-shingle-stream-fold-${graft.Tables.datasetTag(d, "documents")}",
+        foldAfter = 2)
+    }
+
+  /** Shared replay body of the two shingle stream stores. */
+  private def shingleStreamReplay(s: SparkSession, d: String, dirName: String,
+      foldAfter: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
-    val root = Paths.get(
-      s"${graft.Tables.scratchDir}/graft-shingle-stream-idx-${graft.Tables.datasetTag(d, "documents")}")
+    val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
     if (!Files.exists(root.resolve("DONE"))) {
       if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
       val table = root.resolve("table")
@@ -1464,16 +1659,12 @@ object Streams {
         .writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (b: Dataset[Row], id: Long) =>
-          if (!committedVersion(table).exists(_ >= id)) {
+          if (!committedManifest(table).exists(_ >= id)) {
             val sh = graft.dedup.DedupQueries.shingles(b.toDF())
             val delta = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
               .join(sh, "doc_id")
               .select(col("doc_id"), xxhash64(col("s")).as("h"), col("n"))
-            val merged = currentSnapshot(s, table) match {
-              case None => delta
-              case Some(c) => c.unionByName(delta.select(c.columns.map(col): _*))
-            }
-            commitVersion(table, merged, id)
+            commitDelta(table, delta, id, foldAfter = foldAfter)
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -1494,9 +1685,27 @@ object Streams {
     * pins store == batch index content, v1 == buckets-0+1 postings, and
     * the snapshot-only probe plan.
     */
-  def streamMaintainedShingleProbe: Q = (s, d) => {
-    val table = ensureShingleStreamIndex(s, d)
-    val store = currentSnapshot(s, table)
+  def streamMaintainedShingleProbe: Q = (s, d) =>
+    shingleStoreProbe(s, d, ensureShingleStreamIndex(s, d))
+
+  /** q295: the q214 probe served from the FOLDED stream shingle store —
+    * proof the LSM absorb step inside [[commitDelta]] preserves index
+    * semantics: identical batch, identical pair set, q214's oracle
+    * verbatim (same as q291's), but the store side is ONE base dir —
+    * the manifest folded at batch 2, so no multi-member union remains
+    * in the read. StreamingSpec pins the manifest shape ([base-v2]
+    * only), bit-equality of the folded store with q291's multi-delta
+    * resolve, and the single-member read plan.
+    */
+  def foldedStreamShingleProbe: Q = (s, d) =>
+    shingleStoreProbe(s, d, ensureFoldedShingleStreamIndex(s, d))
+
+  /** The shared q291/q295 probe: batch shingles against a committed
+    * stream store's manifest-resolved snapshot, q214's plan shape.
+    */
+  private def shingleStoreProbe(s: SparkSession, d: String,
+      table: java.nio.file.Path): DataFrame = {
+    val store = manifestSnapshot(s, table)
       .getOrElse(sys.error("no committed shingle-index snapshot"))
     val batchSh = graft.dedup.DedupQueries.shingles(
         Tables.documents(s, d).where(col("doc_id") % 3 === 0))
@@ -1504,6 +1713,32 @@ object Streams {
     graft.dedup.DedupQueries.ingestProbePairs(batchSh,
       store.select(col("doc_id").as("oid"), col("h")),
       store.select(col("doc_id"), col("n")).distinct())
+  }
+
+  /** q293: ERASURE on the stream-maintained shingle store — the erase
+    * cell the STREAM member of the shingle family was missing (the
+    * batch index got it in q264; until now a forget-set on the
+    * streaming index forced a rebuild): the aggregate-sized tombstone
+    * list (q264's exact forget set, shared by construction) broadcasts
+    * into LEFT ANTI joins on the store's postings AND sizes, and the
+    * nightly probe runs against the overlaid index. The store is never
+    * rewritten — erasure costs O(|tombstones|) at plan time — and no
+    * erased text is ever re-read: the batch side prunes erased docs at
+    * the documents scan, the store side is index files only. The
+    * output lands exactly on q264's (the surviving-corpus recompute
+    * oracle) because the stream store carries the batch index's
+    * content, which StreamingSpec pins.
+    */
+  def erasedStreamShingleProbe: Q = (s, d) => {
+    val table = ensureShingleStreamIndex(s, d)
+    val store = manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot"))
+    val tomb = broadcast(graft.dedup.DedupQueries.erasureTombstones(s, d))
+    val surviving = store.join(tomb, Seq("doc_id"), "left_anti")
+    graft.dedup.DedupQueries.ingestProbePairs(
+      graft.dedup.DedupQueries.survivingBatchShingles(s, d),
+      surviving.select(col("doc_id").as("oid"), col("h")),
+      surviving.select(col("doc_id"), col("n")).distinct())
   }
 
   /** One-time staged EMBEDDINGS feed for the stream-maintained IVF
@@ -1533,15 +1768,18 @@ object Streams {
     * starts — streaming ingest NEVER retrains, exactly how production
     * vector stores ingest), each micro-batch assigns its vectors to the
     * fixed centroids in one executor-side pass, and the (vec_id, cell)
-    * assignments APPEND behind the shared commit protocol (buckets
-    * partition the vector space — pure union merge).
+    * assignments APPEND behind the manifest protocol ([[commitDelta]]):
+    * each commit writes the batch's assignments as one immutable delta
+    * dir plus a manifest line — history is neither re-read nor
+    * re-written (buckets partition the vector space, so the read-side
+    * resolve is a pure union).
     */
   private val ivfStreamLock = new Object
 
   def ensureIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path = ivfStreamLock.synchronized {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(
-      s"${graft.Tables.scratchDir}/graft-ivf-stream-idx-${graft.Tables.datasetTag(d, "embeddings")}")
+      s"${graft.Tables.scratchDir}/graft-ivf-stream-idx2-${graft.Tables.datasetTag(d, "embeddings")}")
     if (!Files.exists(root.resolve("DONE"))) {
       if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
       val table = root.resolve("table")
@@ -1555,13 +1793,8 @@ object Streams {
         .writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (b: Dataset[Row], id: Long) =>
-          if (!committedVersion(table).exists(_ >= id)) {
-            val delta = graft.sim.SimQueries.assignToCells(b.toDF(), cs)
-            val merged = currentSnapshot(s, table) match {
-              case None => delta
-              case Some(c) => c.unionByName(delta.select(c.columns.map(col): _*))
-            }
-            commitVersion(table, merged, id)
+          if (!committedManifest(table).exists(_ >= id)) {
+            commitDelta(table, graft.sim.SimQueries.assignToCells(b.toDF(), cs), id)
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -1581,7 +1814,7 @@ object Streams {
     */
   def streamMaintainedIvfProbe: Q = (s, d) => {
     val table = ensureIvfStreamIndex(s, d)
-    val store = currentSnapshot(s, table)
+    val store = manifestSnapshot(s, table)
       .getOrElse(sys.error("no committed IVF assignment snapshot"))
     graft.sim.SimQueries.ivfProbeFromStore(s, d, store)
   }
@@ -1775,6 +2008,8 @@ object Streams {
     "q290_erased_stream_sessions" -> erasedStreamSessions,
     "q291_stream_shingle_index" -> streamMaintainedShingleProbe,
     "q292_stream_ivf_index" -> streamMaintainedIvfChecked,
+    "q293_erased_stream_shingle" -> erasedStreamShingleProbe,
+    "q295_folded_stream_shingle" -> foldedStreamShingleProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -1822,6 +2057,14 @@ object Streams {
     // the probe from the stream-maintained index must land exactly
     // where q214's batch-built index lands: q214's oracle VERBATIM
     "q291_stream_shingle_index" ->
+      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
+    // erasure on the stream store must land exactly where q264's
+    // batch-index overlay lands: the surviving-corpus recompute oracle
+    // VERBATIM (the stream store carries the batch index's content)
+    "q293_erased_stream_shingle" ->
+      graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
+    // the folded store serves the identical probe: q214's oracle again
+    "q295_folded_stream_shingle" ->
       graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
     // session-store erasure must land exactly on a one-shot
     // sessionization of the SURVIVING users' events (q286's oracle

@@ -1,6 +1,6 @@
 package graft.sim
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class SimSpec extends SparkSpec {
 
@@ -104,6 +104,72 @@ class SimSpec extends SparkSpec {
       "compacted probe must not re-apply tombstones")
     assert(!plan280.contains("BroadcastNestedLoopJoin") &&
       !plan280.contains("CartesianProduct"), plan280.take(1200))
+  }
+
+  test("ivf retrain-and-swap: pointer flipped, v1 intact, codebook moved, pinned recall") {
+    import org.apache.spark.sql.functions._
+    val idx = SimQueries.ensureRetrainedIvfIndex(spark, sf)
+    // swap visibility: CURRENT names v2, and v1 is the shipped index
+    // verbatim — a reader resolving before the flip would have served
+    // exactly what production serves today
+    assert(SimQueries.retrainCurrent(idx) === "v2")
+    val oldIdx = SimQueries.ensureIvfIndex(spark, sf)
+    assert(spark.read.parquet(s"$idx/v1/centroids").collect()
+        .map(_.toString).sorted.toSeq ===
+      spark.read.parquet(s"$oldIdx/centroids").collect()
+        .map(_.toString).sorted.toSeq, "v1 codebook is not the shipped one")
+    assert(spark.read.parquet(s"$idx/v1/assigned").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      spark.read.parquet(s"$oldIdx/assigned").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet,
+      "v1 assignments are not the shipped ones")
+    // the retrain genuinely moved the codebook (it sees the drifted,
+    // grown corpus; v1 was trained on the old population only)
+    val c1 = spark.read.parquet(s"$idx/v1/centroids").collect()
+      .map(_.toString).sorted.toSeq
+    val c2 = spark.read.parquet(s"$idx/v2/centroids").collect()
+      .map(_.toString).sorted.toSeq
+    assert(c1 !== c2, "retrain did not move the centroids")
+    // v2 assignments cover the FULL grown corpus, one row per vector
+    val n = Tables.embeddings(spark, sf).count()
+    assert(spark.read.parquet(s"$idx/v2/assigned").count() === n)
+    // raw probe: pinned recall vs full-corpus brute, BNLJ-free, and the
+    // plan reads v2 only — nothing of v1 leaks through the pointer
+    val raw = SimQueries.retrainedIvf(spark, sf)
+    val got = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimQueries.queries("q45_knn_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"retrained ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-retrain") && plan.contains("v2"),
+      plan.take(1500))
+    assert(!plan.contains("/v1/"), "swapped-away v1 leaked into the probe")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    // audited registered form carries a TRUE recall bit
+    assert(SimQueries.queries("q294_retrained_ivf")(spark, sf)
+      .collect().head.getBoolean(2), "audit recall bit is false")
+  }
+
+  test("ANN audit oracles: corpus density makes the 5-per-query eval-pair count exact") {
+    import org.apache.spark.sql.functions._
+    // the DuckDB oracles for every knnAudit-gated query compute
+    // n_queries as a plain count of anchored ids and n_eval_pairs as
+    // 5 × that — exact ONLY if every anchored query has >= 5 eligible
+    // neighbors, i.e. the (surviving) corpus holds >= 6 vectors. Pin
+    // the density for the tightest population (the erasure probes'
+    // surviving corpus) at the spec sf; corpora only grow with sf, so
+    // the shipped sfs inherit the bound.
+    val surviving = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 7 =!= 1).count()
+    assert(surviving >= 6,
+      s"surviving corpus too thin ($surviving) for the x5 oracle arithmetic")
+    // and every anchored population is non-empty (a zero-query audit
+    // would hash-match trivially)
+    assert(Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 100 === 0).count() > 0)
   }
 
   test("lsh embedding pairs: subset of exact pairs (no false positives), pinned recall") {

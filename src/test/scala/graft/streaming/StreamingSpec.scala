@@ -630,6 +630,137 @@ class StreamingSpec extends SparkSpec {
     graft.Tables.deleteRecursively(root.toFile)
   }
 
+  test("manifest protocol: O(batch) commits, LWW resolve, fold at threshold, GC, idempotence, crash") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def dirs(root: java.nio.file.Path, pat: String) =
+      Option(root.toFile.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.matches(pat)).toSet
+
+    // ── append store ──
+    val ap = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-manifest-spec-")
+    def b(kv: (Long, Long)*) = spark.createDataFrame(kv).toDF("k", "v")
+    Streams.commitDelta(ap, b((1L, 10L)), 0L)
+    Streams.commitDelta(ap, b((2L, 20L)), 1L)
+    Streams.commitDelta(ap, b((3L, 30L)), 2L)
+    assert(Streams.committedManifest(ap).contains(2L))
+    assert(Streams.manifestMembers(ap, 2L) ===
+      Seq("delta-v0", "delta-v1", "delta-v2"))
+    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // each commit wrote O(batch): the delta dir holds only its batch
+    assert(rows(spark.read.parquet(ap.resolve("delta-v1").toString)) ===
+      Set((2L, 20L)))
+    // retention: manifests older than the predecessor are GC'd, but
+    // every delta both retained manifests reference stays readable
+    assert(dirs(ap, "manifest-v\\d+") === Set("manifest-v1", "manifest-v2"))
+    assert(rows(Streams.manifestSnapshotAt(spark, ap, 1L)) ===
+      Set((1L, 10L), (2L, 20L)), "one-back time travel")
+    // idempotent re-delivery: an applied batch id is a NO-OP
+    Streams.commitDelta(ap, b((9L, 99L)), 1L)
+    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // crash window: a delta dir written but never committed (no
+    // manifest names it) is invisible, and the re-run overwrites it
+    b((8L, 80L)).write.mode("overwrite").parquet(ap.resolve("delta-v3").toString)
+    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)), "torn delta leaked into reads")
+    Streams.commitDelta(ap, b((4L, 40L)), 3L)
+    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    graft.Tables.deleteRecursively(ap.toFile)
+
+    // ── upsert (merge-on-read) store: newest member wins per key ──
+    val up = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-manifest-spec-")
+    Streams.commitDelta(up, b((1L, 10L), (2L, 20L)), 0L, upsertKey = Some("k"))
+    Streams.commitDelta(up, b((1L, 11L), (3L, 30L)), 1L, upsertKey = Some("k"))
+    assert(rows(Streams.manifestSnapshot(spark, up, Some("k")).get) ===
+      Set((1L, 11L), (2L, 20L), (3L, 30L)),
+      "newest delta must shadow older rows of the same key")
+    assert(rows(Streams.manifestSnapshotAt(spark, up, 0L, Some("k"))) ===
+      Set((1L, 10L), (2L, 20L)))
+    graft.Tables.deleteRecursively(up.toFile)
+
+    // ── fold at threshold: the LSM absorb step ──
+    val fd = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-manifest-spec-")
+    Streams.commitDelta(fd, b((1L, 10L)), 0L, foldAfter = 2)
+    Streams.commitDelta(fd, b((2L, 20L)), 1L, foldAfter = 2)
+    val preFold = rows(Streams.manifestSnapshot(spark, fd).get) + ((3L, 30L))
+    Streams.commitDelta(fd, b((3L, 30L)), 2L, foldAfter = 2)
+    // the third commit crossed the threshold: manifest resets to ONE base
+    assert(Streams.manifestMembers(fd, 2L) === Seq("base-v2"))
+    assert(rows(Streams.manifestSnapshot(spark, fd).get) === preFold,
+      "post-fold store must be bit-equal to the pre-fold resolve")
+    // predecessor manifest still resolves through the retained deltas
+    assert(rows(Streams.manifestSnapshotAt(spark, fd, 1L)) ===
+      Set((1L, 10L), (2L, 20L)))
+    // the NEXT commit's GC drops the folded-away deltas: nothing the
+    // two retained manifests reference needs them any more
+    Streams.commitDelta(fd, b((4L, 40L)), 3L, foldAfter = 2)
+    assert(dirs(fd, "delta-v\\d+") === Set("delta-v3"),
+      "folded-away deltas must be GC'd once unreferenced")
+    assert(rows(Streams.manifestSnapshot(spark, fd).get) ===
+      preFold + ((4L, 40L)))
+    graft.Tables.deleteRecursively(fd.toFile)
+  }
+
+  test("q293 stream-shingle erasure: overlay probe == q264, store never rewritten") {
+    import org.apache.spark.sql.functions._
+    val res = Streams.queries("q293_erased_stream_shingle")(spark, sf)
+    val got = res.collect().map(_.toString).sorted.toSeq
+    // bit-equal to the batch index's overlay probe (q264): the stream
+    // store carries the batch index's content, so the same forget set
+    // must produce the same surviving pair set
+    val q264 = graft.dedup.DedupQueries
+      .queries("q264_erasure_dedup_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q264 && got.nonEmpty)
+    // no tombstoned id survives on either side of a pair
+    res.collect().foreach { r =>
+      assert(r.getLong(0) % 7 != 1 && r.getLong(1) % 7 != 1,
+        s"erased doc survived: $r") }
+    // tombstone overlay, store not rewritten: broadcast anti-join on
+    // the manifest store's scan; erased docs pruned at the batch scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("graft-shingle-stream-idx2"), plan.take(1500))
+    // erased text is never re-read: the batch side's documents scan
+    // carries the pushed surviving-docs predicate
+    assert("\\(doc_id#\\d+L? % 7\\)".r.findFirstIn(plan).isDefined,
+      "surviving filter did not reach the documents scan\n" + plan.take(1500))
+  }
+
+  test("q295 folded stream-shingle store: manifest folded to one base, probe == q291") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureFoldedShingleStreamIndex(spark, sf)
+    assert(Streams.committedManifest(table).contains(2L))
+    // foldAfter=2: batch 2's commit absorbed the three deltas into one
+    // base — the manifest length reset is the whole point
+    assert(Streams.manifestMembers(table, 2L) === Seq("base-v2"))
+    // the folded store is bit-equal to q291's multi-delta resolve
+    val folded = Streams.manifestSnapshot(spark, table).get
+      .collect().map(_.toString).sorted.toSeq
+    val unfolded = Streams.manifestSnapshot(spark,
+        Streams.ensureShingleStreamIndex(spark, sf)).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded === unfolded && folded.nonEmpty)
+    // probe == q291's probe == q214's output, and the read plan unions
+    // nothing: one base dir only
+    val got = Streams.queries("q295_folded_stream_shingle")(spark, sf)
+    val gotRows = got.collect().map(_.toString).sorted.toSeq
+    val q291 = Streams.queries("q291_stream_shingle_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotRows === q291 && gotRows.nonEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-shingle-stream-fold"), plan.take(1500))
+    assert(!plan.contains("delta-v"),
+      "folded probe must read the base only\n" + plan.take(1500))
+  }
+
   test("stream-maintained MV: q244 scans the committed snapshot, not the source") {
     val plan = Streams.streamMaintainedMv(spark, sf)
       .queryExecution.executedPlan.toString
@@ -688,9 +819,36 @@ class StreamingSpec extends SparkSpec {
   test("stream sessions: seam-merge replay equals one-shot session_window, fusions live") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureSessionStreamSnapshot(spark, sf)
-    // 3 time-cut buckets commit as batches 0..2; v1 retained as predecessor
-    assert(Streams.committedVersion(table).contains(2L))
-    assert(table.resolve("v1").toFile.exists(), "predecessor not retained")
+    // 3 time-cut buckets commit as batches 0..2 under the MANIFEST
+    // protocol; manifest-v1 retained as predecessor
+    assert(Streams.committedManifest(table).contains(2L))
+    assert(table.resolve("manifest-v1").toFile.exists(), "predecessor not retained")
+    // O(batch) commit pin: each delta dir holds ONLY the re-merged
+    // sessions of that batch's TOUCHED users — delta-v1's user set is
+    // exactly the users active in epoch 1, and its rows are the exact
+    // two-epoch sessionization of those users (never history's)
+    val cut1 = 1704931200000000L
+    val cut2 = 1705795200000000L
+    val epoch1Users = Tables.events(spark, sf)
+      .where(unix_micros(col("ts")) >= cut1 && unix_micros(col("ts")) < cut2)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val d1 = spark.read.parquet(table.resolve("delta-v1").toString)
+    val d1Users = d1.select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(d1Users === epoch1Users,
+      "delta-v1 must carry exactly the batch-touched users")
+    val d1Rows = d1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val twoEpochTouched = Tables.events(spark, sf)
+      .where(unix_micros(col("ts")) < cut2 &&
+        col("user_id").isin(epoch1Users.toSeq.map(Long.box): _*))
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+        unix_micros(col("mx")).as("e_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(d1Rows === twoEpochTouched,
+      "delta-v1 must be the touched users' exact two-epoch sessionization")
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
@@ -715,10 +873,10 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.exists { case (_, s, e, _) =>
       cuts.exists(c => s < c && e >= c) },
       "no session spans a batch cut — seam fusion untested")
-    // and the PRE-merge state differed: v1 (batches 0..1) holds some
-    // user whose session count shrank or fused by batch 2's merge —
-    // check v1 is a valid sessionization of the first two epochs
-    val v1 = key(spark.read.parquet(table.resolve("v1").toString)
+    // and the PRE-merge state differed: manifest-v1 (batches 0..1)
+    // resolves — through the retained predecessor manifest — to a valid
+    // sessionization of the first two epochs (one-back time travel)
+    val v1 = key(Streams.manifestSnapshotAt(spark, table, 1L, Some("user_id"))
       .withColumn("sid", row_number().over(w).cast("long"))
       .select(col("user_id"), col("sid"), col("n_events"),
         col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us")))
@@ -743,8 +901,7 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     // the forget set is live: the committed store held erased users
     val table = Streams.ensureSessionStreamSnapshot(spark, sf)
-    val storeUsers = spark.read.parquet(
-        table.resolve(s"v${Streams.committedVersion(table).get}").toString)
+    val storeUsers = Streams.manifestSnapshot(spark, table, Some("user_id")).get
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(storeUsers.exists(_ % 13 == 0), "no erased user at this sf")
     got.keys.foreach { case (u, _) =>
@@ -773,8 +930,23 @@ class StreamingSpec extends SparkSpec {
   test("q291 stream-maintained shingle index: store == batch index, probe == q214, v1 time travel") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureShingleStreamIndex(spark, sf)
-    assert(Streams.committedVersion(table).contains(2L))
-    val store = spark.read.parquet(table.resolve("v2").toString)
+    assert(Streams.committedManifest(table).contains(2L))
+    // the commit wrote manifests, not rewritten stores: CURRENT's
+    // manifest lists the three per-batch delta dirs, oldest first
+    assert(Streams.manifestMembers(table, 2L) ===
+      Seq("delta-v0", "delta-v1", "delta-v2"))
+    // O(batch) commit pin: delta-v1 holds EXACTLY bucket 1's postings
+    // (doc_id % 3 == 1), never history's — the write amplification the
+    // manifest protocol exists to kill
+    val d1 = spark.read.parquet(table.resolve("delta-v1").toString)
+    val d1Docs = d1.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(d1Docs.nonEmpty && d1Docs.forall(_ % 3 == 1),
+      "delta-v1 must carry only bucket-1 docs")
+    val bucket1Postings = graft.dedup.DedupQueries.shingles(
+        Tables.documents(spark, sf).where(col("doc_id") % 3 === 1)).count()
+    assert(d1.count() === bucket1Postings,
+      "delta-v1 row count must equal the batch's postings, not history's")
+    val store = Streams.manifestSnapshot(spark, table).get
     // the stream-built store carries exactly the batch-built index:
     // hashed postings joined with per-doc sizes
     val idx = graft.dedup.DedupQueries.ensureShingleIndex(spark, sf)
@@ -784,8 +956,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(store.select("doc_id", "h", "n").collect()
       .map(_.toString).sorted.toSeq === want)
-    // v1 = buckets 0+1 = docs with doc_id % 3 != 2
-    val v1Docs = spark.read.parquet(table.resolve("v1").toString)
+    // manifest-v1 = buckets 0+1 = docs with doc_id % 3 != 2
+    val v1Docs = Streams.manifestSnapshotAt(spark, table, 1L)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(v1Docs.nonEmpty && v1Docs.forall(_ % 3 != 2))
     // probe == the batch-index probe (q214's plan output), bit-equal
@@ -804,19 +976,30 @@ class StreamingSpec extends SparkSpec {
   test("q292 stream-maintained IVF: store == one-shot assignment, v1 time travel, pinned recall") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureIvfStreamIndex(spark, sf)
-    assert(Streams.committedVersion(table).contains(2L))
+    assert(Streams.committedManifest(table).contains(2L))
+    assert(Streams.manifestMembers(table, 2L) ===
+      Seq("delta-v0", "delta-v1", "delta-v2"))
+    // O(batch) commit pin: delta-v1 holds exactly bucket 1's
+    // assignments (vec_id % 3 == 1), never history's
+    val d1 = spark.read.parquet(table.resolve("delta-v1").toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bucket1 = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 3 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(d1 === bucket1 && d1.nonEmpty,
+      "delta-v1 must carry exactly bucket 1's vectors")
     // the stream-built store carries exactly the one-shot assignment of
     // the FULL corpus at the stored (never retrained) centroids
     val cs = graft.sim.SimQueries.storedCentroidsOf(spark,
       graft.sim.SimQueries.ensureIvfIndex(spark, sf))
-    val store = spark.read.parquet(table.resolve("v2").toString)
+    val store = Streams.manifestSnapshot(spark, table).get
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val want = graft.sim.SimQueries.assignToCells(
         Tables.embeddings(spark, sf).select("vec_id", "embedding"), cs)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(store === want && store.nonEmpty)
-    // v1 = buckets 0+1 = vectors with vec_id % 3 != 2
-    val v1 = spark.read.parquet(table.resolve("v1").toString)
+    // manifest-v1 = buckets 0+1 = vectors with vec_id % 3 != 2
+    val v1 = Streams.manifestSnapshotAt(spark, table, 1L)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(v1.nonEmpty && v1.forall(_ % 3 != 2))
     // the raw probe: pinned recall vs brute, BNLJ-free plan
