@@ -66,6 +66,7 @@ object SparkEntry {
     "q280_compacted_ivf" -> sim.SimQueries.compactedIvf,
     "q292_stream_ivf_index" -> streaming.Streams.streamMaintainedIvfProbe,
     "q294_retrained_ivf" -> sim.SimQueries.retrainedIvf,
+    "q296_erased_stream_ivf" -> streaming.Streams.erasedStreamIvfProbe,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

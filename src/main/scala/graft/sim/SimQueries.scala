@@ -577,7 +577,7 @@ object SimQueries {
     * applied, the RIGHT answer excludes erased vectors from both the
     * query and the neighbor side.
     */
-  private[sim] def knnBruteSurviving(s: SparkSession, d: String): DataFrame =
+  private[graft] def knnBruteSurviving(s: SparkSession, d: String): DataFrame =
     knnBruteOf(s, Tables.embeddings(s, d).where(col("vec_id") % 7 =!= 1))
 
   /** Driver-audited form of [[erasureIvf]]: graded against the
@@ -791,6 +791,39 @@ object SimQueries {
     */
   def streamIvfChecked(probe: DataFrame, s: SparkSession, d: String): DataFrame =
     knnAudit(probe, knnBrute(s, d))
+
+  /** The q296 probe: q279's erasure semantics applied to the
+    * STREAM-maintained assignment store — the forget set broadcasts
+    * into a LEFT ANTI overlay on the external (manifest-resolved)
+    * assignment relation, and the SURVIVING anchored queries probe the
+    * overlaid store at the stored, never-retrained centroids with exact
+    * cosine rerank. Erased vectors can neither ask nor answer: they are
+    * out of the query set by the scan predicate and out of the
+    * candidate set by the overlay. nprobe 12 — q279's setting, for
+    * q279's reason (erasure thins exactly the well-covered cells; 10
+    * measured one flipped pair from the floor at sf0.1 there); measured
+    * here 0.95/0.95/0.92 at sf0.001/0.01/0.1 — ≥ 3 pairs of headroom
+    * over the 0.8 spec floor at every sf.
+    */
+  private[graft] def ivfErasedProbeFromStore(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    import s.implicits._
+    val cs = storedCentroids(s, ensureIvfIndex(s, d))
+    val surviving = store.select("vec_id", "cell")
+      .join(broadcast(ivfTombstones(s, d)), Seq("vec_id"), "left_anti")
+    val queries = Tables.embeddings(s, d)
+      .where(col("vec_id") % 100 === 0 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    ivfProbe(s, d, cs, surviving, queries, nprobe = 12)
+  }
+
+  /** Driver-audited form of the q296 stream-store erasure probe —
+    * graded against the surviving-corpus brute top-5 restricted to the
+    * surviving anchored queries (q279's reference shape on the
+    * full-corpus anchored set).
+    */
+  def streamIvfErasedChecked(probe: DataFrame, s: SparkSession, d: String): DataFrame =
+    knnAudit(probe, knnBruteSurviving(s, d).where(col("q_id") % 100 === 0))
 
   /** Corpus-size bound above which the exact all-pairs baseline refuses
     * to run: it is the correctness oracle for small corpora, not a scale

@@ -1685,8 +1685,29 @@ object Streams {
     * pins store == batch index content, v1 == buckets-0+1 postings, and
     * the snapshot-only probe plan.
     */
-  def streamMaintainedShingleProbe: Q = (s, d) =>
-    shingleStoreProbe(s, d, ensureShingleStreamIndex(s, d))
+  def streamMaintainedShingleProbe: Q = (s, d) => {
+    val table = ensureShingleStreamIndex(s, d)
+    shingleStoreProbe(s, d, manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot")))
+  }
+
+  /** q297: TIME-TRAVEL probe of the manifest store — the q245 read
+    * contract for manifest commits, registered rather than spec-only:
+    * the retained PREDECESSOR manifest (v1 = buckets 0+1) resolves to a
+    * complete, consistent index prefix — every doc is shingled whole
+    * within its own batch, so per-doc posting sets and sizes are exact
+    * for every doc the prefix has seen — and the nightly probe against
+    * it answers "what would the previous commit have said": exactly the
+    * pair set over the first two buckets' corpus. Retention keeps the
+    * predecessor's member dirs alive until the next commit, so the read
+    * needs no locks — immutable dirs + an immutable manifest ARE the
+    * consistency mechanism. Exact oracle: q214's, filtered to both pair
+    * sides outside the unseen bucket 2.
+    */
+  def timeTravelStreamShingleProbe: Q = (s, d) => {
+    val table = ensureShingleStreamIndex(s, d)
+    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, 1L))
+  }
 
   /** q295: the q214 probe served from the FOLDED stream shingle store —
     * proof the LSM absorb step inside [[commitDelta]] preserves index
@@ -1697,16 +1718,18 @@ object Streams {
     * only), bit-equality of the folded store with q291's multi-delta
     * resolve, and the single-member read plan.
     */
-  def foldedStreamShingleProbe: Q = (s, d) =>
-    shingleStoreProbe(s, d, ensureFoldedShingleStreamIndex(s, d))
+  def foldedStreamShingleProbe: Q = (s, d) => {
+    val table = ensureFoldedShingleStreamIndex(s, d)
+    shingleStoreProbe(s, d, manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot")))
+  }
 
-  /** The shared q291/q295 probe: batch shingles against a committed
-    * stream store's manifest-resolved snapshot, q214's plan shape.
+  /** The shared q291/q295/q297 probe: batch shingles against a resolved
+    * stream-store snapshot (CURRENT or a retained predecessor), q214's
+    * plan shape.
     */
   private def shingleStoreProbe(s: SparkSession, d: String,
-      table: java.nio.file.Path): DataFrame = {
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot"))
+      store: DataFrame): DataFrame = {
     val batchSh = graft.dedup.DedupQueries.shingles(
         Tables.documents(s, d).where(col("doc_id") % 3 === 0))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
@@ -1822,6 +1845,27 @@ object Streams {
   /** Driver-audited form of [[streamMaintainedIvfProbe]]. */
   def streamMaintainedIvfChecked: Q = (s, d) =>
     graft.sim.SimQueries.streamIvfChecked(streamMaintainedIvfProbe(s, d), s, d)
+
+  /** q296: ERASURE on the stream-maintained IVF store — the erase cell
+    * that completes the stream stores' symmetry (sessions q290,
+    * shingles q293, vectors here): q279's forget set broadcasts into a
+    * LEFT ANTI overlay on the manifest-resolved assignment store, the
+    * surviving anchored queries probe at the fixed stored centroids
+    * (erasure never retrains), and the store is never rewritten —
+    * O(|tombstones|) at plan time. Registered as the audited form:
+    * graded against the surviving-corpus brute top-5 restricted to the
+    * surviving anchored queries.
+    */
+  def erasedStreamIvfProbe: Q = (s, d) => {
+    val table = ensureIvfStreamIndex(s, d)
+    val store = manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    graft.sim.SimQueries.ivfErasedProbeFromStore(s, d, store)
+  }
+
+  /** Driver-audited form of [[erasedStreamIvfProbe]]. */
+  def erasedStreamIvfChecked: Q = (s, d) =>
+    graft.sim.SimQueries.streamIvfErasedChecked(erasedStreamIvfProbe(s, d), s, d)
 
   def upsertReplay: Q = (s, d) => {
     import java.nio.file.{Files, Paths}
@@ -2010,6 +2054,8 @@ object Streams {
     "q292_stream_ivf_index" -> streamMaintainedIvfChecked,
     "q293_erased_stream_shingle" -> erasedStreamShingleProbe,
     "q295_folded_stream_shingle" -> foldedStreamShingleProbe,
+    "q296_erased_stream_ivf" -> erasedStreamIvfChecked,
+    "q297_time_travel_stream_shingle" -> timeTravelStreamShingleProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2066,6 +2112,21 @@ object Streams {
     // the folded store serves the identical probe: q214's oracle again
     "q295_folded_stream_shingle" ->
       graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
+    // erasure on the stream IVF store: same audit shape as q279, on the
+    // full-corpus anchored query set (surviving members only)
+    "q296_erased_stream_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings
+        |WHERE vec_id % 100 = 0 AND vec_id % 7 <> 1
+        |  AND vec_id < 100000""".stripMargin,
+    // the predecessor-manifest probe answers over the first two
+    // buckets' corpus: q214's oracle with both pair sides outside the
+    // unseen bucket 2
+    "q297_time_travel_stream_shingle" ->
+      s"""SELECT * FROM (
+         |${graft.dedup.DedupQueries.oracles("q214_incremental_dedup")}
+         |) WHERE a_id % 3 <> 2 AND b_id % 3 <> 2""".stripMargin,
     // session-store erasure must land exactly on a one-shot
     // sessionization of the SURVIVING users' events (q286's oracle
     // with the forget set removed at the scan)

@@ -20,15 +20,25 @@ object RecallCheck {
       .config("spark.local.dir", s"${graft.Tables.scratchDir}/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val brute = graft.sim.SimQueries.queries("q45_knn_brute")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = graft.sim.SimQueries.retrainedIvf(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val hit = brute.count(got.contains)
-    println(f"RECALL retrained_ivf sf=$sfDir pairs=${brute.size} hit=$hit " +
-      f"recall=${hit.toDouble / brute.size}%.4f margin_pairs_over_075=" +
-      f"${hit - math.ceil(brute.size * 0.75).toInt} margin_pairs_over_080=" +
-      f"${hit - math.ceil(brute.size * 0.80).toInt}")
+    val which = args.drop(1).headOption.getOrElse("retrained")
+    val (label, brute, got) = which match {
+      case "erased_stream" =>
+        ("erased_stream_ivf",
+          graft.sim.SimQueries.knnBruteSurviving(spark, sfDir)
+            .where(col("q_id") % 100 === 0),
+          graft.streaming.Streams.erasedStreamIvfProbe(spark, sfDir))
+      case _ =>
+        ("retrained_ivf",
+          graft.sim.SimQueries.queries("q45_knn_brute")(spark, sfDir),
+          graft.sim.SimQueries.retrainedIvf(spark, sfDir))
+    }
+    val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = b.count(g.contains)
+    println(f"RECALL $label sf=$sfDir pairs=${b.size} hit=$hit " +
+      f"recall=${hit.toDouble / b.size}%.4f margin_pairs_over_075=" +
+      f"${hit - math.ceil(b.size * 0.75).toInt} margin_pairs_over_080=" +
+      f"${hit - math.ceil(b.size * 0.80).toInt}")
     spark.stop()
   }
 }

@@ -1019,6 +1019,61 @@ class StreamingSpec extends SparkSpec {
     assert(probe.collect().head.getBoolean(2), "audit recall bit is false")
   }
 
+  test("q296 stream-IVF erasure: no erased id either side, pinned recall, overlay in plan") {
+    import org.apache.spark.sql.functions._
+    val raw = Streams.erasedStreamIvfProbe(spark, sf)
+    val got = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      assert(q % 7 != 1 && n % 7 != 1, s"erased vec in q296 output: ($q, $n)") }
+    // pinned recall vs the surviving-corpus brute on surviving anchors
+    val brute = graft.sim.SimQueries.knnBruteSurviving(spark, sf)
+      .where(col("q_id") % 100 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"erased stream ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    // tombstone overlay on the manifest store, never a rewrite; BNLJ-free
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("graft-ivf-stream-idx2"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    // the audited registered form carries a TRUE recall bit
+    assert(Streams.queries("q296_erased_stream_ivf")(spark, sf)
+      .collect().head.getBoolean(2), "audit recall bit is false")
+  }
+
+  test("q297 manifest time travel: predecessor probe == buckets-0+1 recompute") {
+    import org.apache.spark.sql.functions._
+    val res = Streams.queries("q297_time_travel_stream_shingle")(spark, sf)
+    val got = res.collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty, "no pair within the first two buckets at this sf")
+    // every pair side is a doc the v1 prefix has seen (bucket 0 or 1)
+    res.collect().foreach { r =>
+      assert(r.getLong(0) % 3 != 2 && r.getLong(1) % 3 != 2,
+        s"bucket-2 doc leaked into the v1 probe: $r") }
+    // independent recompute from the BATCH index restricted to the
+    // prefix's docs — the answer the previous commit must have served
+    val idx = graft.dedup.DedupQueries.ensureShingleIndex(spark, sf)
+    val want = graft.dedup.DedupQueries.ingestProbePairs(
+        graft.dedup.DedupQueries.shingles(
+            Tables.documents(spark, sf).where(col("doc_id") % 3 === 0))
+          .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h")),
+        spark.read.parquet(s"$idx/hpostings")
+          .where(col("doc_id") % 3 =!= 2)
+          .select(col("doc_id").as("oid"), col("h")),
+        spark.read.parquet(s"$idx/sizes").where(col("doc_id") % 3 =!= 2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // the probe reads the stream store's retained predecessor members
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-shingle-stream-idx2"), plan.take(1500))
+    assert(!plan.contains("delta-v2"),
+      "the v1 probe must not read batch 2's delta\n" + plan.take(1500))
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()
