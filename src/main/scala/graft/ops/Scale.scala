@@ -1534,6 +1534,8 @@ object Scale {
     graft.streaming.Streams.ensureEmbeddingsFeed(s, d): Unit
     graft.streaming.Streams.ensureIvfStreamIndex(s, d): Unit
     graft.streaming.Streams.ensureFoldedShingleStreamIndex(s, d): Unit
+    graft.streaming.Streams.ensureContendedShingleIndex(s, d): Unit
+    graft.streaming.Streams.ensureDecontamStream(s, d): Unit
     graft.sim.SimQueries.ensureRetrainedIvfIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }

@@ -270,20 +270,36 @@ object TextQueries {
     * before the final doc_id aggregation.
     */
   def decontaminate: Q = (s, d) => {
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
-      .where(size(col("ws")) >= 4)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(ws) - 3),
-          |  i -> array_join(slice(ws, i, 4), ' '))""".stripMargin))).as("gram"))
     val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-    val bench = grams(docs.where(col("doc_id") % 97 === 0)).select("gram").distinct()
-    grams(docs)
-      .join(broadcast(bench), Seq("gram"))
+    val bench = fourGrams(docs.where(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    flagContaminated(fourGrams(docs), bench)
+  }
+
+  /** q84's per-document distinct word 4-grams — shared with the
+    * stream-ingest decontamination cell (q300), which must flag a
+    * micro-batch with exactly the grams the batch recompute uses.
+    */
+  private[graft] def fourGrams(df: DataFrame): DataFrame = df
+    .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+    .where(size(col("ws")) >= 4)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      """transform(sequence(1, size(ws) - 3),
+        |  i -> array_join(slice(ws, i, 4), ' '))""".stripMargin))).as("gram"))
+
+  /** q84's verdict join: corpus grams stream through a broadcast hash
+    * join against the (benchmark-sized) probe gram set, then aggregate
+    * to a per-doc contamination count. Within-doc compute only, so it
+    * is exact on any corpus subset — the property the stream cell
+    * (q300) relies on to flag each micro-batch independently.
+    */
+  private[graft] def flagContaminated(corpusGrams: DataFrame,
+      benchGrams: DataFrame): DataFrame =
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_grams"))
       .withColumn("is_benchmark", col("doc_id") % 97 === 0)
-  }
 
   /** GPT-style sequence packing: per source, concatenate documents in
     * doc_id order and split the token stream at a fixed budget (512
@@ -497,6 +513,65 @@ object TextQueries {
         explode(expr("sequence(1L, weight)")).as("epoch"))
       .groupBy("source", "bin", "epoch")
       .agg(count(lit(1)).as("n_docs"), sum("words").as("n_tokens"))
+
+  /** q301: TOKEN-BUDGET corpus selection — "take the best documents
+    * until the budget is spent", the step a pretraining run actually
+    * executes between scoring (q30/q141) and packing (q85): rank docs
+    * by an exact integer quality score (q141's type-token ppm), select
+    * in (score DESC, doc_id ASC) order while the running token total
+    * stays within the budget (here 40% of the corpus' tokens).
+    *
+    * The selection rule is a global prefix over a total order, but the
+    * PLAN never globally sorts the corpus — at 100 TB a full sort by
+    * score is the expensive thing this operator exists to avoid:
+    *  1. one aggregation builds the per-SCORE token histogram (grain =
+    *     distinct ppm values, ≤ 1e6 rows regardless of corpus size);
+    *  2. a driver-side walk over that grain-sized histogram finds the
+    *     boundary score t*: every class above t* fits whole, class t*
+    *     fits partially with `r` tokens of room;
+    *  3. classes above t* are selected by a plain FILTER (no sort —
+    *     membership needs no order), and only the single boundary
+    *     class is sorted (by doc_id) for its prefix cut.
+    * Work: one scan + one grain aggregate + a one-class sort. The
+    * class-local prefix condition (cum ≤ r) is equivalent to the
+    * global rule (cum ≤ budget) because the running sum is strictly
+    * increasing (words > 0) and every selected-above class
+    * contributes wholly before t* in the global order. TextSpec pins
+    * equality with the single-window global-rule recompute, budget
+    * tightness, and completeness of the above-boundary classes.
+    */
+  def tokenBudgetSelect: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("words"),
+        size(array_distinct(col("ws"))).cast("long").as("dwords"))
+      .where(col("words") > 0)
+      .withColumn("ppm", expr("dwords * 1000000 div words"))
+      .select("doc_id", "ppm", "words")
+    // grain-sized score histogram, walked descending on the driver
+    val hist = scored.groupBy("ppm").agg(sum("words").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val budget = hist.map(_._2).sum * 2 / 5
+    var i = 0
+    var acc = 0L
+    while (i < hist.length && acc + hist(i)._2 <= budget) {
+      acc += hist(i)._2; i += 1
+    }
+    if (i == hist.length) scored // the whole corpus fits
+    else {
+      val t = hist(i)._1 // boundary class; r tokens of room remain
+      val r = budget - acc
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // one score class sorts; the rest is a sort-free filter
+      val boundary = scored.where(col("ppm") === t)
+        .withColumn("cum", sum("words").over(w))
+        .where(col("cum") <= r).drop("cum")
+      scored.where(col("ppm") > t).unionByName(boundary)
+    }
+  }
 
   /** Dataset card — the corpus datasheet in one pass: doc/source/lang
     * counts, token and char totals, the exact-duplicate rate, and the
@@ -743,6 +818,7 @@ object TextQueries {
     "q152_bm25" -> bm25,
     "q150_weighted_sample" -> weightedSample,
     "q141_quality_upsample" -> qualityUpsample,
+    "q301_token_budget_select" -> tokenBudgetSelect,
     "q146_dataset_card" -> datasetCard,
     "q138_vocab_stats" -> vocabStats,
     "q191_vocab_coverage" -> vocabCoverage,
@@ -925,6 +1001,28 @@ object TextQueries {
         |SELECT source, CAST(bin AS BIGINT) AS bin, epoch,
         |  count(*) AS n_docs, CAST(sum(words) AS BIGINT) AS n_tokens
         |FROM e GROUP BY source, bin, epoch""".stripMargin,
+    // the selection rule stated directly: one global window in
+    // (ppm DESC, doc_id ASC) order, running token sum within budget —
+    // the plan-shape cleverness (histogram walk, one-class sort) must
+    // land exactly on the naive rule
+    "q301_token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS words,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))
+        |      AS BIGINT) AS dwords
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, dwords * 1000000 // words AS ppm, words
+        |  FROM t WHERE words > 0),
+        |b AS (SELECT CAST(sum(words) * 2 // 5 AS BIGINT) AS budget FROM s),
+        |o AS (
+        |  SELECT doc_id, ppm, words,
+        |    sum(words) OVER (ORDER BY ppm DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT doc_id, ppm, words FROM o, b WHERE cum <= budget""".stripMargin,
     "q191_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT source,

@@ -1074,6 +1074,92 @@ class StreamingSpec extends SparkSpec {
       "the v1 probe must not read batch 2's delta\n" + plan.take(1500))
   }
 
+  test("q298 changelog: reads only the new delta, counts exact, refuses across a fold") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureShingleStreamIndex(spark, sf)
+    val res = Streams.queries("q298_stream_store_changes")(spark, sf)
+    // exact: the changelog is bucket 2's per-doc distinct-shingle counts
+    val want = graft.dedup.DedupQueries.shingles(
+        Tables.documents(spark, sf).where(col("doc_id") % 3 === 2))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = res.collect().map(_.toString).sorted.toSeq
+    assert(got === want && got.nonEmpty)
+    // O(changes) pin: the incremental read opens delta-v2's files and
+    // NOTHING else — tailing a store must never rescan it
+    val changed = Streams.manifestChanges(spark, table, 1L, 2L)
+    val inputFiles = changed.inputFiles.toSeq
+    assert(inputFiles.nonEmpty && inputFiles.forall(_.contains("delta-v2")),
+      s"changelog read beyond delta-v2: $inputFiles")
+    // denormalized n agrees with the changelog's own row count per doc
+    val mismatch = Streams.manifestChanges(spark, table, 1L, 2L)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"), max("n").as("n"),
+        min("n").as("n2"))
+      .where(col("c") =!= col("n") || col("n") =!= col("n2")).count()
+    assert(mismatch === 0L)
+    // a fold rewrites members; the incremental contract ends there and
+    // the helper must refuse, not serve the folded base as "changes"
+    val folded = Streams.ensureFoldedShingleStreamIndex(spark, sf)
+    assert(Streams.manifestMembers(folded, 2L) === Seq("base-v2"))
+    val ex = intercept[IllegalArgumentException] {
+      Streams.manifestChanges(spark, folded, 1L, 2L)
+    }
+    assert(ex.getMessage.contains("fold"))
+  }
+
+  test("q299 contended commit: real collision, rebase loses nothing, winner's manifest intact") {
+    val table = Streams.ensureContendedShingleIndex(spark, sf)
+    // the recorded race: c0 bootstrapped v0 clean, A won v1 clean, B
+    // collided once (a real link(2) EEXIST) and landed v2 on rebase
+    val race = new String(java.nio.file.Files.readAllBytes(
+      table.getParent.resolve("RACE")), "UTF-8")
+    assert(race === "c0=0:0;A=1:0;B=2:1", race)
+    // A's published manifest was never rewritten by B's rebase
+    assert(Streams.manifestMembers(table, 1L) === Seq("delta-c0", "delta-cA"))
+    // the table = highest manifest: all three deltas, precedence order
+    assert(Streams.latestContendedVersion(table).contains(2L))
+    assert(Streams.manifestMembers(table, 2L) ===
+      Seq("delta-c0", "delta-cA", "delta-cB"))
+    // nothing lost: the resolved store serves the probe bit-equal to
+    // the single-writer stream store's (== q214's batch index)
+    val got = Streams.queries("q299_contended_commit")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val q291 = Streams.queries("q291_stream_shingle_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q291 && got.nonEmpty)
+  }
+
+  test("q300 ingest-time decontamination: store == q84 sweep, O(batch) deltas, no text re-read") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureDecontamStream(spark, sf)
+    assert(Streams.committedManifest(table).contains(2L))
+    val res = Streams.queries("q300_stream_decontaminate")(spark, sf)
+    val got = res.collect().map(_.toString).sorted.toSeq
+    val q84 = graft.text.TextQueries.queries("q84_decontaminate")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q84 && got.nonEmpty)
+    // O(batch) commit pin: delta-v1 carries only bucket-1 verdicts, and
+    // exactly the batch recompute's rows
+    val d1 = spark.read.parquet(table.resolve("delta-v1").toString)
+    val d1Docs = d1.select("doc_id").collect().map(_.getLong(0))
+    assert(d1Docs.nonEmpty && d1Docs.forall(_ % 3 == 1))
+    val bench = graft.text.TextQueries.fourGrams(
+        Tables.documents(spark, sf).where(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    val wantD1 = graft.text.TextQueries.flagContaminated(
+        graft.text.TextQueries.fourGrams(
+          Tables.documents(spark, sf).where(pmod(col("doc_id"), lit(3)) === 1)),
+        bench)
+      .collect().map(_.toString).sorted.toSeq
+    assert(d1.collect().map(_.toString).sorted.toSeq === wantD1)
+    // the registered read serves verdicts from the store; the corpus
+    // text is never re-read at probe time
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-decontam-stream"), plan.take(1500))
+    assert(!plan.contains("documents.parquet"),
+      "probe re-read the corpus\n" + plan.take(1500))
+  }
+
   test("upsert replay equals the one-shot batch recompute") {
     import org.apache.spark.sql.functions._
     val got = Streams.upsertReplay(spark, sf).collect()

@@ -221,6 +221,43 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection: equals the global rule, tight, best-first complete") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = TextQueries.queries("q301_token_budget_select")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    // the naive single-window global rule the plan-shape cleverness
+    // (histogram walk + one-class sort) must land on exactly
+    val scored = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("words"),
+        size(array_distinct(col("ws"))).cast("long").as("dwords"))
+      .where(col("words") > 0)
+      .withColumn("ppm", expr("dwords * 1000000 div words"))
+      .select("doc_id", "ppm", "words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = scored.map(_._3).sum * 2 / 5
+    val order = scored.sortBy { case (id, ppm, _) => (-ppm, id) }
+    var cum = 0L
+    val want = order.takeWhile { case (_, _, w) => cum += w; cum <= budget }
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // tight: the selection spends the budget — the next doc in rule
+    // order would overflow it (the corpus never fits in 40%)
+    val spent = want.map(_._3).sum
+    assert(want.length < order.length, "selection must be a strict prefix")
+    assert(spent <= budget && spent + order(want.length)._3 > budget,
+      s"not tight: spent=$spent budget=$budget")
+    // best-first: every class strictly above the boundary score is
+    // selected whole
+    val boundaryPpm = want.last._2
+    val above = scored.filter(_._2 > boundaryPpm).map(_._1).toSet
+    assert(above.subsetOf(got.map(_._1).toSet))
+  }
+
   test("vocab coverage: OOV is exactly the token mass outside the global top-20") {
     val got = TextQueries.vocabCoverage(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
