@@ -1907,6 +1907,38 @@ object Streams {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
   }
 
+  /** q302: CHANGELOG of the UPSERT manifest store — q298's incremental
+    * read on the session store, where a delta is not an append but a
+    * PER-KEY REPLACEMENT: the newest member containing a user carries
+    * that user's complete session set, so the delta dirs beyond the
+    * consumer's last-seen manifest are exactly the POST-IMAGES of every
+    * changed key (what a production change-data-feed serves). A
+    * consumer holding the predecessor's sessions applies the changelog
+    * by replacing those users wholesale — no diffing, no rescan,
+    * O(changed users' sessions). Here the change set between v1 and
+    * CURRENT is batch 2's touched users (everyone with an event at or
+    * after the second epoch cut), which the oracle states
+    * independently: a full-history re-sessionization restricted to
+    * users having an epoch-3 event. The sid rank is minted over the
+    * changelog itself — replacement images are complete per user, so
+    * ranks match the store's.
+    */
+  def sessionStoreChangelog: Q = (s, d) => {
+    val table = ensureSessionStreamSnapshot(s, d)
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed session snapshot"))
+    val pred = Option(table.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("manifest-v\\d+"))
+      .map(_.stripPrefix("manifest-v").toLong).filter(_ < cur)
+      .sorted.lastOption
+      .getOrElse(sys.error("no predecessor manifest retained"))
+    val changed = manifestChanges(s, table, pred, cur)
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    changed.withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
+  }
+
   /** The q299 store: TWO writers ingest CONCURRENTLY into one shingle
     * store under the contended commit protocol ([[commitContended]] —
     * Delta-log-style put-if-absent on the next numbered manifest). The
@@ -2327,6 +2359,7 @@ object Streams {
     "q298_stream_store_changes" -> streamStoreChanges,
     "q299_contended_commit" -> contendedCommitProbe,
     "q300_stream_decontaminate" -> streamDecontaminate,
+    "q302_session_store_changelog" -> sessionStoreChangelog,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2412,6 +2445,31 @@ object Streams {
     // sweep: q84's oracle verbatim
     "q300_stream_decontaminate" ->
       graft.text.TextQueries.oracles("q84_decontaminate"),
+    // the upsert changelog is the post-image of every key batch 2
+    // replaced: full-history sessionization (q286's oracle body)
+    // restricted to users with an event at or after the second epoch
+    // cut (2024-01-21 UTC — the staged feed's c2)
+    "q302_session_store_changelog" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+        |  WHERE user_id IN (
+        |    SELECT DISTINCT user_id FROM events
+        |    WHERE epoch_us(ts) >= 1705795200000000)),
+        |x AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w >= 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |b AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(t_us) AS s_us, max(t_us) AS e_us,
+        |  max(t_us) - min(t_us) AS dur_us
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // the predecessor-manifest probe answers over the first two
     // buckets' corpus: q214's oracle with both pair sides outside the
     // unseen bucket 2

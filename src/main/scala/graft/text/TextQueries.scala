@@ -531,11 +531,16 @@ object TextQueries {
     *     fits partially with `r` tokens of room;
     *  3. classes above t* are selected by a plain FILTER (no sort —
     *     membership needs no order), and only the single boundary
-    *     class is sorted (by doc_id) for its prefix cut.
-    * Work: one scan + one grain aggregate + a one-class sort. The
-    * class-local prefix condition (cum ≤ r) is equivalent to the
-    * global rule (cum ≤ budget) because the running sum is strictly
-    * increasing (words > 0) and every selected-above class
+    *     class takes a prefix cut — itself via the two-level
+    *     distributed prefix sum (in-bucket running sums run wide,
+    *     partitioned by doc_id div 2¹⁶; bucket offsets prefix-sum on
+    *     the tiny bucket table), so even a pathologically large
+    *     boundary class (every short all-distinct-words doc scores
+    *     exactly 1e6) never serializes into one task.
+    * Work: one scan + one grain aggregate + a wide one-class prefix
+    * sum. The class-local prefix condition (cum ≤ r) is equivalent to
+    * the global rule (cum ≤ budget) because the running sum is
+    * strictly increasing (words > 0) and every selected-above class
     * contributes wholly before t* in the global order. TextSpec pins
     * equality with the single-window global-rule recompute, budget
     * tightness, and completeness of the above-boundary classes.
@@ -561,14 +566,25 @@ object TextQueries {
     }
     if (i == hist.length) scored // the whole corpus fits
     else {
+      import org.apache.spark.sql.expressions.Window
       val t = hist(i)._1 // boundary class; r tokens of room remain
       val r = budget - acc
-      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      // one score class sorts; the rest is a sort-free filter
-      val boundary = scored.where(col("ppm") === t)
-        .withColumn("cum", sum("words").over(w))
-        .where(col("cum") <= r).drop("cum")
+      // the boundary class's prefix cut via the two-level distributed
+      // prefix sum (q167's cumWeights shape): no single-task class sort
+      val b = scored.where(col("ppm") === t)
+        .withColumn("bucket", expr("doc_id div 65536"))
+      val prevB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = b.groupBy("bucket").agg(sum("words").as("bw"))
+        .withColumn("offset", coalesce(sum("bw").over(prevB), lit(0L)))
+        .select("bucket", "offset")
+      val inB = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val boundary = b
+        .withColumn("incum", sum("words").over(inB))
+        .join(broadcast(offsets), Seq("bucket"))
+        .where(col("offset") + col("incum") <= r)
+        .select("doc_id", "ppm", "words")
       scored.where(col("ppm") > t).unionByName(boundary)
     }
   }

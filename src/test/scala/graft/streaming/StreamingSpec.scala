@@ -1107,6 +1107,30 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("fold"))
   }
 
+  test("q302 upsert changelog: post-images of exactly the touched users, delta-only read") {
+    import org.apache.spark.sql.functions._
+    val res = Streams.queries("q302_session_store_changelog")(spark, sf)
+    val got = res.collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    // the change set is exactly the users with an epoch-3 event
+    val changedUsers = res.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val epoch3Users = Tables.events(spark, sf)
+      .where(unix_micros(col("ts")) >= 1705795200000000L)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(changedUsers === epoch3Users)
+    // post-images are complete: the changelog rows equal the committed
+    // store's rows for those users (replace-wholesale semantics)
+    val want = Streams.queries("q286_stream_sessions_incremental")(spark, sf)
+      .where(col("user_id").isin(epoch3Users.toSeq.map(x => x: Any): _*))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // the read opens only the newest delta — tailing never rescans
+    val table = Streams.ensureSessionStreamSnapshot(spark, sf)
+    val files = Streams.manifestChanges(spark, table, 1L, 2L).inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("delta-v2")), files.toString)
+  }
+
   test("q299 contended commit: real collision, rebase loses nothing, winner's manifest intact") {
     val table = Streams.ensureContendedShingleIndex(spark, sf)
     // the recorded race: c0 bootstrapped v0 clean, A won v1 clean, B
