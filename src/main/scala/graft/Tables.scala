@@ -88,6 +88,22 @@ object Tables {
     f.delete(): Unit
   }
 
+  /** Write `content` as `root/name` via temp-file + ATOMIC_MOVE — the
+    * ONE pointer/manifest commit primitive every store shares (the
+    * versioned CURRENT, the manifest CURRENT and manifest files, the
+    * retrain pointer): a crash leaves either the old file or the new
+    * one, never a torn write, and a crash-safety change (e.g. fsyncing
+    * the parent dir on a real deployment) lands in one place.
+    */
+  private[graft] def atomicWrite(root: java.nio.file.Path, name: String,
+      content: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = Files.createTempFile(root, s".$name", ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, root.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** Fan a narrow scan out to the cluster's task width when the file
     * layout cannot: a source of few unsplittable files (the test corpora
     * are single one-row-group parquet files) starts every scan at

@@ -710,13 +710,9 @@ object SimQueries {
     * rename, the same single-instant commit the stream stores use.
     */
   private def flipPointer(path: String, target: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val root = Paths.get(path)
-    Files.createDirectories(root)
-    val tmp = Files.createTempFile(root, ".current", ".tmp")
-    Files.write(tmp, target.getBytes("UTF-8"))
-    Files.move(tmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(root)
+    graft.Tables.atomicWrite(root, "CURRENT", target)
   }
 
   /** The version the retrain dir's CURRENT pointer names. */
@@ -823,7 +819,10 @@ object SimQueries {
     * full-corpus anchored set).
     */
   def streamIvfErasedChecked(probe: DataFrame, s: SparkSession, d: String): DataFrame =
-    knnAudit(probe, knnBruteSurviving(s, d).where(col("q_id") % 100 === 0))
+    // knnBruteSurviving's query side is already the anchored set
+    // (vec_id % 100 == 0 inside knnBruteOf) — no further narrowing,
+    // unlike q279's batch-query (% 3) restriction
+    knnAudit(probe, knnBruteSurviving(s, d))
 
   /** Corpus-size bound above which the exact all-pairs baseline refuses
     * to run: it is the correctness oracle for small corpora, not a scale

@@ -530,12 +530,8 @@ object Streams {
     */
   private def commitVersion(root: java.nio.file.Path, merged: DataFrame,
       batchId: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
     merged.write.mode("overwrite").parquet(root.resolve(s"v$batchId").toString)
-    val tmp = Files.createTempFile(root, ".current", ".tmp")
-    Files.write(tmp, s"v$batchId".getBytes("UTF-8"))
-    Files.move(tmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.Tables.atomicWrite(root, "CURRENT", s"v$batchId")
     committedVersion(root).foreach { cur =>
       val versioned = Option(root.toFile.listFiles()).toSeq.flatten
         .filter(_.getName.matches("v\\d+"))
@@ -618,16 +614,8 @@ object Streams {
           .parquet(root.resolve(s"base-v$batchId").toString)
         Seq(s"base-v$batchId")
       }
-    val tmp = java.nio.file.Files.createTempFile(root, ".manifest", ".tmp")
-    java.nio.file.Files.write(tmp, members.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, root.resolve(s"manifest-v$batchId"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val cur = java.nio.file.Files.createTempFile(root, ".current", ".tmp")
-    java.nio.file.Files.write(cur, s"manifest-v$batchId".getBytes("UTF-8"))
-    java.nio.file.Files.move(cur, root.resolve("CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.Tables.atomicWrite(root, s"manifest-v$batchId", members.mkString("\n"))
+    graft.Tables.atomicWrite(root, "CURRENT", s"manifest-v$batchId")
     gcUnreferenced(root)
   }
 
@@ -642,6 +630,19 @@ object Streams {
       else None
     } else None
   }
+
+  /** The highest retained manifest version strictly below `cur` — the
+    * predecessor retention keeps for crash recovery and one-back reads.
+    * The ONE lookup every predecessor consumer (GC, time travel, the
+    * changelogs) shares, so a retention-policy change (e.g. keep K
+    * predecessors) lands in one place.
+    */
+  private[graft] def retainedPredecessor(root: java.nio.file.Path,
+      cur: Long): Option[Long] =
+    Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("manifest-v\\d+"))
+      .map(_.stripPrefix("manifest-v").toLong).filter(_ < cur)
+      .sorted.lastOption
 
   /** Member dir names of manifest version `v`, oldest first. */
   private[graft] def manifestMembers(root: java.nio.file.Path, v: Long): Seq[String] =
@@ -663,12 +664,17 @@ object Streams {
     upsertKey match {
       case None => members.map(read).reduce(_ unionByName _)
       case Some(k) =>
+        // marker columns must not clobber store columns: dunder-prefixed
+        // names plus a loud schema check (footer read only, no data)
+        val clash = read(members.head).columns.toSet
+          .intersect(Set("__mf_seq", "__mf_mx"))
+        require(clash.isEmpty, s"store schema collides with resolve markers: $clash")
         val all = members.zipWithIndex
-          .map { case (m, i) => read(m).withColumn("_seq", lit(i.toLong)) }
+          .map { case (m, i) => read(m).withColumn("__mf_seq", lit(i.toLong)) }
           .reduce(_ unionByName _)
-        all.withColumn("_mx", max(col("_seq")).over(Window.partitionBy(col(k))))
-          .where(col("_seq") === col("_mx"))
-          .drop("_seq", "_mx")
+        all.withColumn("__mf_mx", max(col("__mf_seq")).over(Window.partitionBy(col(k))))
+          .where(col("__mf_seq") === col("__mf_mx"))
+          .drop("__mf_seq", "__mf_mx")
     }
   }
 
@@ -706,8 +712,7 @@ object Streams {
       val files = Option(root.toFile.listFiles()).toSeq.flatten
       val manifests = files.filter(_.getName.matches("manifest-v\\d+"))
         .map(f => (f.getName.stripPrefix("manifest-v").toLong, f))
-      val pred = manifests.map(_._1).filter(_ < cur).sorted.lastOption
-      val keep = Set(cur) ++ pred
+      val keep = Set(cur) ++ retainedPredecessor(root, cur)
       manifests.foreach { case (v, f) => if (!keep.contains(v)) { f.delete(): Unit } }
       val referenced = keep.flatMap(v => manifestMembers(root, v).toSet)
       files.filter(f => f.getName.matches("(delta|base)-v\\d+") &&
@@ -805,6 +810,13 @@ object Streams {
           attempts += 1
           v = latestContendedVersion(root)
           base = v.map(manifestMembers(root, _)).getOrElse(Nil)
+        case e: Throwable =>
+          // a filesystem without hard links (some overlay/network
+          // mounts) fails here with a non-EEXIST error: clean the temp
+          // up before propagating, the table dir must hold only
+          // committed state
+          java.nio.file.Files.deleteIfExists(tmp)
+          throw e
       }
     }
     sys.error(s"commit of $deltaDir lost $maxAttempts straight races; giving up")
@@ -1821,7 +1833,11 @@ object Streams {
     */
   def timeTravelStreamShingleProbe: Q = (s, d) => {
     val table = ensureShingleStreamIndex(s, d)
-    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, 1L))
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed shingle-index snapshot"))
+    val pred = retainedPredecessor(table, cur)
+      .getOrElse(sys.error("no predecessor manifest retained"))
+    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, pred))
   }
 
   /** q295: the q214 probe served from the FOLDED stream shingle store —
@@ -1898,10 +1914,7 @@ object Streams {
     val table = ensureShingleStreamIndex(s, d)
     val cur = committedManifest(table)
       .getOrElse(sys.error("no committed shingle-index snapshot"))
-    val pred = Option(table.toFile.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("manifest-v\\d+"))
-      .map(_.stripPrefix("manifest-v").toLong).filter(_ < cur)
-      .sorted.lastOption
+    val pred = retainedPredecessor(table, cur)
       .getOrElse(sys.error("no predecessor manifest retained"))
     manifestChanges(s, table, pred, cur)
       .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -1927,10 +1940,7 @@ object Streams {
     val table = ensureSessionStreamSnapshot(s, d)
     val cur = committedManifest(table)
       .getOrElse(sys.error("no committed session snapshot"))
-    val pred = Option(table.toFile.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("manifest-v\\d+"))
-      .map(_.stripPrefix("manifest-v").toLong).filter(_ < cur)
-      .sorted.lastOption
+    val pred = retainedPredecessor(table, cur)
       .getOrElse(sys.error("no predecessor manifest retained"))
     val changed = manifestChanges(s, table, pred, cur)
     val w = Window.partitionBy("user_id").orderBy("s_us")

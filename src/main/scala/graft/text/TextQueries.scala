@@ -546,6 +546,10 @@ object TextQueries {
     * tightness, and completeness of the above-boundary classes.
     */
   def tokenBudgetSelect: Q = (s, d) => {
+    // the scored projection feeds the histogram AND both selection
+    // branches: checkpoint the (doc_id, ppm, words) triple — 24
+    // bytes/doc, tiny next to the text it distills — so the corpus
+    // text is split and scored exactly ONCE, not once per consumer
     val scored = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w != '')").as("ws"))
@@ -555,6 +559,7 @@ object TextQueries {
       .where(col("words") > 0)
       .withColumn("ppm", expr("dwords * 1000000 div words"))
       .select("doc_id", "ppm", "words")
+      .localCheckpoint(true)
     // grain-sized score histogram, walked descending on the driver
     val hist = scored.groupBy("ppm").agg(sum("words").as("tok"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)

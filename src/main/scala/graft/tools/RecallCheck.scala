@@ -24,8 +24,8 @@ object RecallCheck {
     val (label, brute, got) = which match {
       case "erased_stream" =>
         ("erased_stream_ivf",
-          graft.sim.SimQueries.knnBruteSurviving(spark, sfDir)
-            .where(col("q_id") % 100 === 0),
+          // the brute query side is already the anchored set
+          graft.sim.SimQueries.knnBruteSurviving(spark, sfDir),
           graft.streaming.Streams.erasedStreamIvfProbe(spark, sfDir))
       case _ =>
         ("retrained_ivf",
@@ -33,6 +33,9 @@ object RecallCheck {
           graft.sim.SimQueries.retrainedIvf(spark, sfDir))
     }
     val b = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(b.nonEmpty,
+      s"empty brute reference for $label at $sfDir — wrong sfDir or a " +
+        "corpus too thin to anchor any query; refusing a NaN recall")
     val g = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val hit = b.count(g.contains)
     println(f"RECALL $label sf=$sfDir pairs=${b.size} hit=$hit " +

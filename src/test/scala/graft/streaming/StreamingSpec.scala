@@ -1026,9 +1026,9 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (q, n) =>
       assert(q % 7 != 1 && n % 7 != 1, s"erased vec in q296 output: ($q, $n)") }
-    // pinned recall vs the surviving-corpus brute on surviving anchors
+    // pinned recall vs the surviving-corpus brute (its query side is
+    // already the anchored vec_id % 100 set)
     val brute = graft.sim.SimQueries.knnBruteSurviving(spark, sf)
-      .where(col("q_id") % 100 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty)
     val recall = brute.count(got.contains).toDouble / brute.size
