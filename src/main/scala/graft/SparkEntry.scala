@@ -67,6 +67,7 @@ object SparkEntry {
     "q292_stream_ivf_index" -> streaming.Streams.streamMaintainedIvfProbe,
     "q294_retrained_ivf" -> sim.SimQueries.retrainedIvf,
     "q296_erased_stream_ivf" -> streaming.Streams.erasedStreamIvfProbe,
+    "q304_folded_stream_ivf" -> streaming.Streams.foldedStreamIvfProbe,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

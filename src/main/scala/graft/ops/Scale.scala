@@ -1536,6 +1536,7 @@ object Scale {
     graft.streaming.Streams.ensureFoldedShingleStreamIndex(s, d): Unit
     graft.streaming.Streams.ensureContendedShingleIndex(s, d): Unit
     graft.streaming.Streams.ensureDecontamStream(s, d): Unit
+    graft.streaming.Streams.ensureFoldedIvfStreamIndex(s, d): Unit
     graft.sim.SimQueries.ensureRetrainedIvfIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }

@@ -2109,10 +2109,34 @@ object Streams {
     */
   private val ivfStreamLock = new Object
 
-  def ensureIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path = ivfStreamLock.synchronized {
+  def ensureIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    ivfStreamLock.synchronized {
+      ivfStreamReplay(s, d,
+        s"graft-ivf-stream-idx2-${graft.Tables.datasetTag(d, "embeddings")}",
+        foldAfter = 8)
+    }
+
+  /** The q304 store: the IVF assignment replay with `foldAfter = 2` —
+    * q295's LSM absorb step on the SECOND data-sized append store:
+    * batch 2's commit crosses the threshold and folds the three
+    * assignment deltas into one fresh base before the manifest flip.
+    * Kept separate from q292's store so the multi-member read path
+    * stays exercised there.
+    */
+  private val foldedIvfStreamLock = new Object
+
+  def ensureFoldedIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    foldedIvfStreamLock.synchronized {
+      ivfStreamReplay(s, d,
+        s"graft-ivf-stream-fold-${graft.Tables.datasetTag(d, "embeddings")}",
+        foldAfter = 2)
+    }
+
+  /** Shared replay body of the two IVF stream stores. */
+  private def ivfStreamReplay(s: SparkSession, d: String, dirName: String,
+      foldAfter: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
-    val root = Paths.get(
-      s"${graft.Tables.scratchDir}/graft-ivf-stream-idx2-${graft.Tables.datasetTag(d, "embeddings")}")
+    val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
     if (!Files.exists(root.resolve("DONE"))) {
       if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
       val table = root.resolve("table")
@@ -2127,7 +2151,8 @@ object Streams {
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (b: Dataset[Row], id: Long) =>
           if (!committedManifest(table).exists(_ >= id)) {
-            commitDelta(table, graft.sim.SimQueries.assignToCells(b.toDF(), cs), id)
+            commitDelta(table, graft.sim.SimQueries.assignToCells(b.toDF(), cs),
+              id, foldAfter = foldAfter)
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -2155,6 +2180,24 @@ object Streams {
   /** Driver-audited form of [[streamMaintainedIvfProbe]]. */
   def streamMaintainedIvfChecked: Q = (s, d) =>
     graft.sim.SimQueries.streamIvfChecked(streamMaintainedIvfProbe(s, d), s, d)
+
+  /** q304: the q292 probe served from the FOLDED stream IVF store —
+    * the fold cell for the assignment index (q295's proof on the other
+    * data-sized append store): identical anchored queries, identical
+    * audit, but the store side is ONE folded base dir. StreamingSpec
+    * pins the manifest shape ([base-v2] only) and bit-equality of the
+    * folded store with q292's multi-delta resolve.
+    */
+  def foldedStreamIvfProbe: Q = (s, d) => {
+    val table = ensureFoldedIvfStreamIndex(s, d)
+    val store = manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    graft.sim.SimQueries.ivfProbeFromStore(s, d, store)
+  }
+
+  /** Driver-audited form of [[foldedStreamIvfProbe]]. */
+  def foldedStreamIvfChecked: Q = (s, d) =>
+    graft.sim.SimQueries.streamIvfChecked(foldedStreamIvfProbe(s, d), s, d)
 
   /** q296: ERASURE on the stream-maintained IVF store — the erase cell
     * that completes the stream stores' symmetry (sessions q290,
@@ -2370,6 +2413,7 @@ object Streams {
     "q299_contended_commit" -> contendedCommitProbe,
     "q300_stream_decontaminate" -> streamDecontaminate,
     "q302_session_store_changelog" -> sessionStoreChangelog,
+    "q304_folded_stream_ivf" -> foldedStreamIvfChecked,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2455,6 +2499,12 @@ object Streams {
     // sweep: q84's oracle verbatim
     "q300_stream_decontaminate" ->
       graft.text.TextQueries.oracles("q84_decontaminate"),
+    // the folded assignment store serves the identical audited probe:
+    // q292's oracle shape (full-corpus anchored query set)
+    "q304_folded_stream_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
     // the upsert changelog is the post-image of every key batch 2
     // replaced: full-history sessionization (q286's oracle body)
     // restricted to users with an event at or after the second epoch

@@ -594,6 +594,37 @@ object TextQueries {
     }
   }
 
+  /** q303: deterministic SHUFFLE SHARDS — the reproducible global
+    * shuffle a training run consumes: every document gets a shard (one
+    * of 64) and a position within it, fixed by pure integer hashing of
+    * doc_id alone, so any two runs (and any two engines) produce the
+    * SAME training order — seed-stable data ordering is a
+    * reproducibility requirement for pretraining, and "shuffle" must
+    * never mean engine-dependent randomness.
+    *
+    * Scale shape: shard assignment is a stateless projection; the
+    * intra-shard order is a per-shard window — 64 independent
+    * shard-local sorts that run as wide as the cluster, never ONE
+    * global sort of the corpus (the thing a naive ORDER BY rand(seed)
+    * would do, with a nondeterministic answer to boot). Two decoupled
+    * multiplicative hashes: one picks the shard, the other orders
+    * within it, so adjacent doc_ids scatter across shards AND arrive
+    * shuffled inside each. Both hashes pre-reduce doc_id mod 2^31-1
+    * before multiplying, so the product stays ≤ ~5.7e18 < Long.Max at
+    * ANY corpus size — no ANSI overflow at 100 TB ids.
+    */
+  def shuffleShards: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h2", "doc_id")
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("shard",
+        expr("((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647 % 64"))
+      .withColumn("h2",
+        expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Dataset card — the corpus datasheet in one pass: doc/source/lang
     * counts, token and char totals, the exact-duplicate rate, and the
     * char-length median, emitted as (metric, value) rows. ONE aggregate
@@ -840,6 +871,7 @@ object TextQueries {
     "q150_weighted_sample" -> weightedSample,
     "q141_quality_upsample" -> qualityUpsample,
     "q301_token_budget_select" -> tokenBudgetSelect,
+    "q303_shuffle_shards" -> shuffleShards,
     "q146_dataset_card" -> datasetCard,
     "q138_vocab_stats" -> vocabStats,
     "q191_vocab_coverage" -> vocabCoverage,
@@ -1022,6 +1054,19 @@ object TextQueries {
         |SELECT source, CAST(bin AS BIGINT) AS bin, epoch,
         |  count(*) AS n_docs, CAST(sum(words) AS BIGINT) AS n_tokens
         |FROM e GROUP BY source, bin, epoch""".stripMargin,
+    // same two multiplicative hashes, same pre-reduction, same window:
+    // the training order is engine-independent by construction
+    "q303_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647 % 64
+        |      AS shard,
+        |    ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h2
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     // the selection rule stated directly: one global window in
     // (ppm DESC, doc_id ASC) order, running token sum within budget —
     // the plan-shape cleverness (histogram walk, one-class sort) must

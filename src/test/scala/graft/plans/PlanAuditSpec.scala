@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
       "q46_knn_lsh" + "q54_knn_ivf" + "q224_knn_pq" +
       "q58_embedding_pairs_lsh" + "q94_semdedup" + "q277_incremental_ivf" +
       "q279_erasure_ivf" + "q280_compacted_ivf" + "q292_stream_ivf_index" +
-      "q294_retrained_ivf" + "q296_erased_stream_ivf"
+      "q294_retrained_ivf" + "q296_erased_stream_ivf" +
+      "q304_folded_stream_ivf"
 
   /** The bench path must never pay for audit machinery: every
     * bench-form override must (a) override a registered query, (b) not

@@ -761,6 +761,30 @@ class StreamingSpec extends SparkSpec {
       "folded probe must read the base only\n" + plan.take(1500))
   }
 
+  test("q304 folded stream-IVF store: manifest folded to one base, store == q292's") {
+    val table = Streams.ensureFoldedIvfStreamIndex(spark, sf)
+    assert(Streams.committedManifest(table).contains(2L))
+    assert(Streams.manifestMembers(table, 2L) === Seq("base-v2"))
+    // the folded assignment store is bit-equal to q292's resolve
+    val folded = Streams.manifestSnapshot(spark, table).get
+      .collect().map(_.toString).sorted.toSeq
+    val unfolded = Streams.manifestSnapshot(spark,
+        Streams.ensureIvfStreamIndex(spark, sf)).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded === unfolded && folded.nonEmpty)
+    // the probe reads the folded store only — no delta dir in the plan
+    val raw = Streams.foldedStreamIvfProbe(spark, sf)
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-stream-fold"), plan.take(1500))
+    assert(!plan.contains("delta-v"),
+      "folded probe must read the base only\n" + plan.take(1500))
+    // audited output agrees with q292's (identical store content)
+    val got = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q292 = Streams.streamMaintainedIvfProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === q292 && got.nonEmpty)
+  }
+
   test("stream-maintained MV: q244 scans the committed snapshot, not the source") {
     val plan = Streams.streamMaintainedMv(spark, sf)
       .queryExecution.executedPlan.toString

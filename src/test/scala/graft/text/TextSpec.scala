@@ -258,6 +258,36 @@ class TextSpec extends SparkSpec {
     assert(above.subsetOf(got.map(_._1).toSet))
   }
 
+  test("shuffle shards: total, deterministic, balanced, positions dense per shard") {
+    val rows = TextQueries.queries("q303_shuffle_shards")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // total and exactly-once: every doc lands in exactly one shard
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._1).distinct.length.toLong === nDocs)
+    // deterministic: a second run is bit-identical (no rand() anywhere)
+    val again = TextQueries.queries("q303_shuffle_shards")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // positions are dense 1..n within every shard (a loader can seek)
+    rows.groupBy(_._2).foreach { case (shard, grp) =>
+      assert(grp.map(_._3).sorted.toSeq === (1L to grp.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // balanced enough to parallelize: the multiplicative hash spreads
+    // consecutive ids — no shard may hold more than 4x the mean
+    val mean = nDocs.toDouble / 64
+    val maxShard = rows.groupBy(_._2).values.map(_.length).max
+    assert(maxShard <= mean * 4, s"skewed shards: max=$maxShard mean=$mean")
+    // shuffled, not sorted: within some shard the doc_id order and the
+    // position order disagree (the point of the second hash)
+    val disagree = rows.groupBy(_._2).values.exists { grp =>
+      val byPos = grp.sortBy(_._3).map(_._1).toSeq
+      byPos !== byPos.sorted
+    }
+    assert(disagree, "training order degenerated to doc_id order")
+  }
+
   test("vocab coverage: OOV is exactly the token mass outside the global top-20") {
     val got = TextQueries.vocabCoverage(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
