@@ -483,6 +483,121 @@ object Multimodal {
       Some(col("media_a") % 3 === 0 || col("media_b") % 3 === 0))
   }
 
+  /** One-time, idempotent DURABLE replay of the media corpus into a
+    * STREAM-MAINTAINED frame index — the true stream-ingest cell for
+    * the third index family (shingles have q291, vectors q292): each
+    * micro-batch of media is framed ONCE, its classes unify against the
+    * committed class map on exact frame content (a hit keeps its OLD
+    * keeper and is never re-signed — q270's ingest economics per
+    * batch), only the misses get signed and band-probed against the
+    * stored signatures plus the batch's own misses, and the THREE
+    * per-batch deltas — new classes (misses with signatures), batch
+    * occurrences, newly verified near-dup class pairs — commit in ONE
+    * atomic flip behind [[graft.streaming.Streams.commitDeltaMulti]]:
+    * the multi-relation commit this index is the motivating case for
+    * (separately-flipped relations could serve an occ/pairs tear).
+    * Every pair lands exactly once: a cross-batch near-dup is
+    * discovered when its LATER side arrives as a miss and probes the
+    * stored signatures; a same-batch pair canonicalizes through
+    * least/greatest + distinct. Work per batch is O(batch frames +
+    * miss signatures + evidence) plus index-file reads — history media
+    * is never re-framed and hits are never re-signed.
+    */
+  private val frameStreamLock = new Object
+
+  def ensureFrameStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    frameStreamLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.streaming.Streams.{commitDeltaMulti, committedManifest, manifestSnapshotRel}
+      val root = Paths.get(
+        s"${Tables.scratchDir}/graft-frame-stream-idx-${Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val feed = graft.streaming.Streams.ensureDocsFeed(s, d)
+        val schema = s.read.parquet(feed).schema
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (!committedManifest(table).exists(_ >= id)) {
+              val media = b.toDF()
+                .select(col("doc_id").as("media_id"), col("text"))
+              val (frames0, _) = frameClassesOf(media)
+              val frames = frames0.localCheckpoint(true)
+              val bClasses = frames.groupBy("frame")
+                .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
+              val stored = manifestSnapshotRel(s, table, "classes")
+              val unified = stored match {
+                case None => bClasses.select(col("frame"),
+                  col("keeper").as("ckey"), lit(true).as("is_miss"))
+                case Some(sc) => bClasses.join(
+                    sc.select(col("frame"), col("keeper").as("old_keeper")),
+                    Seq("frame"), "left")
+                  .select(col("frame"),
+                    coalesce(col("old_keeper"), col("keeper")).as("ckey"),
+                    col("old_keeper").isNull.as("is_miss"))
+              }
+              val missSigs = signClasses(s, unified.where(col("is_miss"))
+                  .select(col("ckey").as("keeper"), col("frame")))
+                .localCheckpoint(true)
+              val bOcc = frames.join(unified.select("frame", "ckey"), "frame")
+                .select(col("media_id"), col("ckey").as("keeper")).distinct()
+              val storedSigs = stored.map(_.select("keeper", "sig"))
+                .getOrElse(missSigs.limit(0))
+              val allBands = sigBands(storedSigs.unionByName(missSigs))
+              val newPairs = sigBands(missSigs)
+                .select(col("keeper").as("km"), col("sig").as("sm"),
+                  col("k"), col("bv"))
+                .join(allBands.select(col("keeper").as("ko"),
+                  col("sig").as("so"), col("k"), col("bv")), Seq("k", "bv"))
+                .where(col("km") =!= col("ko"))
+                .select(least(col("km"), col("ko")).as("keeper_a"),
+                  greatest(col("km"), col("ko")).as("keeper_b"),
+                  bit_count(col("sm").bitwiseXOR(col("so"))).cast("int").as("hamming"))
+                .where(col("hamming") <= 3)
+                .select("keeper_a", "keeper_b")
+                .distinct()
+              val classesDelta = unified.where(col("is_miss"))
+                .select(col("frame"), col("ckey").as("keeper"))
+                .join(missSigs, "keeper")
+                .select("frame", "keeper", "sig")
+              commitDeltaMulti(table, Map("classes" -> classesDelta,
+                "occ" -> bOcc, "pairs" -> newPairs), id)
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q305: the q249 media near-dup roll-up served from the
+    * STREAM-MAINTAINED frame index — after the replay drains, the
+    * resolved {classes, occ, pairs} cover the whole corpus, keeper
+    * keys relabeled first-arrival-wins (a bijection of q249's
+    * global-min keys, under which the media-pair roll-up is invariant
+    * — q270's argument), so the output is exactly q249's: its oracle
+    * verbatim. MultimodalSpec pins O(batch) commit deltas, the
+    * single-flip multi-relation manifest shape, that hits are never
+    * re-signed, and bit-equality of the roll-up with q249's.
+    */
+  def streamMediaNearDup: Q = (s, d) => {
+    import graft.streaming.Streams.manifestSnapshotRel
+    val table = ensureFrameStreamIndex(s, d)
+    val classes = manifestSnapshotRel(s, table, "classes")
+      .getOrElse(sys.error("no committed frame-index classes"))
+    val occ = manifestSnapshotRel(s, table, "occ")
+      .getOrElse(sys.error("no committed frame-index occurrences"))
+    val pairs = manifestSnapshotRel(s, table, "pairs")
+      .getOrElse(sys.error("no committed frame-index pairs"))
+    mediaPairRollup(occ, pairs.select("keeper_a", "keeper_b"),
+      classes.select(col("keeper").as("ka")))
+  }
+
   /** One-time, idempotent COMPACTION of the incrementally-maintained
     * media frame index — the q272 lifecycle step for the multimodal
     * family: fold the q270 ingest overlay (batch occurrences, miss
@@ -1005,6 +1120,7 @@ object Multimodal {
     "q275_compacted_media_rollup" -> compactedMediaRollup,
     "q278_erased_media_rollup" -> erasedMediaRollup,
     "q287_erasure_compacted_rollup" -> erasureCompactedMediaRollup,
+    "q305_stream_frame_index" -> streamMediaNearDup,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
@@ -1131,6 +1247,10 @@ object Multimodal {
     // the tombstone-folded index must serve the identical roll-up —
     // dropped classes/pairs contributed zero occurrence rows
     "q287_erasure_compacted_rollup" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    // the stream-maintained frame index serves the full-corpus roll-up:
+    // q249's oracle verbatim (keeper relabeling is a bijection the
+    // media-pair output is invariant under)
+    "q305_stream_frame_index" -> mediaRollupOracle,
     "q47_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256

@@ -619,6 +619,50 @@ object Streams {
     gcUnreferenced(root)
   }
 
+  /** MULTI-RELATION commit for the manifest protocol: one atomic flip
+    * covers N relations. A real index is rarely one relation (the
+    * frame index is {classes, occ, pairs}); committing each behind its
+    * own pointer can serve a TORN index between flips — the hazard the
+    * shingle store dodged by denormalizing into one relation, solved
+    * here the way production table formats do (one snapshot names data
+    * files for every content stream): each relation's batch delta
+    * writes as an immutable `delta-v<batch>-<rel>` dir, and ONE
+    * manifest lists `rel:dir` lines for all of them — the CURRENT flip
+    * is still the single commit instant, so readers see all N
+    * relations advance together or none. Append-only (these stores
+    * never fold — a fold would rewrite per relation); idempotent and
+    * crash-safe exactly as [[commitDelta]].
+    */
+  private[graft] def commitDeltaMulti(root: java.nio.file.Path,
+      deltas: Map[String, DataFrame], batchId: Long): Unit = {
+    if (committedManifest(root).exists(_ >= batchId)) return
+    val rels = deltas.toSeq.sortBy(_._1)
+    rels.foreach { case (rel, df) =>
+      df.write.mode("overwrite")
+        .parquet(root.resolve(s"delta-v$batchId-$rel").toString)
+    }
+    val prior = committedManifest(root)
+      .map(v => manifestMembers(root, v)).getOrElse(Nil)
+    val members = prior ++ rels.map { case (rel, _) =>
+      s"$rel:delta-v$batchId-$rel" }
+    graft.Tables.atomicWrite(root, s"manifest-v$batchId", members.mkString("\n"))
+    graft.Tables.atomicWrite(root, "CURRENT", s"manifest-v$batchId")
+  }
+
+  /** Resolve ONE relation of a multi-relation manifest store: the
+    * union of the dirs whose manifest lines carry this relation's tag.
+    * None before the relation's first non-absent commit.
+    */
+  private[graft] def manifestSnapshotRel(s: SparkSession,
+      root: java.nio.file.Path, rel: String): Option[DataFrame] =
+    committedManifest(root).flatMap { v =>
+      val dirs = manifestMembers(root, v)
+        .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
+      if (dirs.isEmpty) None
+      else Some(dirs.map(m => s.read.parquet(root.resolve(m).toString))
+        .reduce(_ unionByName _))
+    }
+
   /** The manifest version CURRENT names, if this store uses the manifest
     * protocol and any commit happened.
     */

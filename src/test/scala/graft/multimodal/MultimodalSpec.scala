@@ -447,6 +447,40 @@ class MultimodalSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q305 stream frame index: one-flip multi-relation commits, O(batch) deltas, roll-up == q249") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams
+    val table = Multimodal.ensureFrameStreamIndex(spark, sf)
+    assert(Streams.committedManifest(table).contains(2L))
+    // one manifest names ALL THREE relations' deltas per batch — the
+    // single-flip multi-relation commit (no occ/pairs tear possible)
+    val members = Streams.manifestMembers(table, 2L)
+    assert(members.size === 9, members.toString)
+    for (b <- 0 to 2; rel <- Seq("classes", "occ", "pairs"))
+      assert(members.contains(s"$rel:delta-v$b-$rel"), members.toString)
+    // O(batch) commit: batch 1's occ delta carries only bucket-1 media
+    val occ1 = spark.read.parquet(table.resolve("delta-v1-occ").toString)
+      .select("media_id").distinct().collect().map(_.getLong(0))
+    assert(occ1.nonEmpty && occ1.forall(_ % 3 == 1))
+    // hits are never re-signed: class deltas are frame-disjoint across
+    // batches (repeated content unified with its stored class instead)
+    val f0 = spark.read.parquet(table.resolve("delta-v0-classes").toString)
+      .select("frame").collect().map(_.getString(0)).toSet
+    val f1 = spark.read.parquet(table.resolve("delta-v1-classes").toString)
+      .select("frame").collect().map(_.getString(0)).toSet
+    assert(f0.nonEmpty && f1.nonEmpty && f0.intersect(f1).isEmpty)
+    // every near-dup class pair lands exactly once across all deltas
+    val pairs = Streams.manifestSnapshotRel(spark, table, "pairs").get
+      .collect().map(_.toString)
+    assert(pairs.length === pairs.distinct.length)
+    // the roll-up from the stream store is exactly q249's
+    val got = Multimodal.queries("q305_stream_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val q249 = Multimodal.queries("q249_media_near_dup")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q249 && got.nonEmpty)
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)
