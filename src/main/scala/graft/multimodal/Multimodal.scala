@@ -598,6 +598,55 @@ object Multimodal {
       classes.select(col("keeper").as("ka")))
   }
 
+  /** q306: ERASURE on the STREAM-maintained frame index — the erase
+    * cell that completes the symmetry across ALL FOUR stream stores
+    * (sessions q290, shingles q293, vectors q296, frames here):
+    * q278's forget set broadcasts into a LEFT ANTI overlay on the
+    * manifest store's occurrence relation, and the q249 roll-up runs
+    * against the overlaid store. The store is never rewritten
+    * (O(|tombstones|) at plan time), the roll-up is occurrence-driven
+    * so dead classes and pairs contribute nothing, and the output is
+    * invariant under the stream store's first-arrival keeper
+    * relabeling — it lands exactly on q278's surviving-corpus answer,
+    * whose oracle it shares verbatim.
+    */
+  def erasedStreamMediaNearDup: Q = (s, d) => {
+    import graft.streaming.Streams.manifestSnapshotRel
+    val table = ensureFrameStreamIndex(s, d)
+    val tomb = broadcast(mediaTombstones(s, d))
+    val occ = manifestSnapshotRel(s, table, "occ")
+      .getOrElse(sys.error("no committed frame-index occurrences"))
+      .join(tomb, Seq("media_id"), "left_anti")
+    val pairs = manifestSnapshotRel(s, table, "pairs")
+      .getOrElse(sys.error("no committed frame-index pairs"))
+    val classes = manifestSnapshotRel(s, table, "classes")
+      .getOrElse(sys.error("no committed frame-index classes"))
+    mediaPairRollup(occ, pairs.select("keeper_a", "keeper_b"),
+      classes.select(col("keeper").as("ka")))
+  }
+
+  /** q307: CHANGELOG of the multi-relation frame store — the rel-scoped
+    * incremental read (q298/q302's contract on a store whose commits
+    * carry several relations): a consumer holding the predecessor
+    * manifest catches up by reading ONLY the occurrence delta the newer
+    * manifest lists (batch 2's media), O(changes) never O(store).
+    * Reported per changed media: its distinct content-class count —
+    * which equals its distinct 64-byte frame contents, because the
+    * occurrence relation is distinct on (media, class) and every frame
+    * content maps to exactly one class key, so the count is relabeling-
+    * proof. Exact oracle: DuckDB re-frames the changed docs' text.
+    */
+  def frameStoreChangelog: Q = (s, d) => {
+    import graft.streaming.Streams.{committedManifest, manifestChangesRel, retainedPredecessor}
+    val table = ensureFrameStreamIndex(s, d)
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed frame-index snapshot"))
+    val pred = retainedPredecessor(table, cur)
+      .getOrElse(sys.error("no predecessor manifest retained"))
+    manifestChangesRel(s, table, "occ", pred, cur)
+      .groupBy("media_id").agg(count(lit(1)).as("n_classes"))
+  }
+
   /** One-time, idempotent COMPACTION of the incrementally-maintained
     * media frame index — the q272 lifecycle step for the multimodal
     * family: fold the q270 ingest overlay (batch occurrences, miss
@@ -1121,6 +1170,8 @@ object Multimodal {
     "q278_erased_media_rollup" -> erasedMediaRollup,
     "q287_erasure_compacted_rollup" -> erasureCompactedMediaRollup,
     "q305_stream_frame_index" -> streamMediaNearDup,
+    "q306_erased_stream_frame_index" -> erasedStreamMediaNearDup,
+    "q307_frame_store_changelog" -> frameStoreChangelog,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
@@ -1251,6 +1302,21 @@ object Multimodal {
     // q249's oracle verbatim (keeper relabeling is a bijection the
     // media-pair output is invariant under)
     "q305_stream_frame_index" -> mediaRollupOracle,
+    // erasure on the stream store lands on q278's surviving-corpus
+    // answer: the same roll-up oracle over documents sans the forget set
+    "q306_erased_stream_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    // the occ changelog is batch 2's media: per changed media its
+    // distinct 64-byte frame contents, re-framed from text by DuckDB
+    "q307_frame_store_changelog" ->
+      """WITH fr AS (
+        |  SELECT media_id, frame_id,
+        |    substr(text, frame_id * 64 + 1, 64) AS frame
+        |  FROM (SELECT doc_id AS media_id, text,
+        |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
+        |        FROM documents WHERE doc_id % 3 = 2)
+        |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64)
+        |SELECT media_id, count(DISTINCT frame) AS n_classes
+        |FROM fr GROUP BY 1""".stripMargin,
     "q47_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256

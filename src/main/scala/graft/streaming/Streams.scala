@@ -663,6 +663,27 @@ object Streams {
         .reduce(_ unionByName _))
     }
 
+  /** Rel-scoped incremental read of a multi-relation manifest store —
+    * [[manifestChanges]] restricted to one relation's `rel:dir` lines:
+    * the rows relation `rel` gained between two retained manifests are
+    * exactly its delta dirs the newer manifest lists beyond the older
+    * one. Same prefix contract, same loud refusal if the relation's
+    * member list was rewritten.
+    */
+  private[graft] def manifestChangesRel(s: SparkSession, root: java.nio.file.Path,
+      rel: String, fromV: Long, toV: Long): DataFrame = {
+    def relDirs(v: Long) = manifestMembers(root, v)
+      .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
+    val prior = relDirs(fromV)
+    val next = relDirs(toV)
+    require(next.take(prior.size) == prior,
+      s"incremental read of $rel $fromV->$toV crosses a rewrite; " +
+        "a full-store diff is required")
+    val added = next.drop(prior.size)
+    require(added.nonEmpty, s"no $rel commits between $fromV and $toV")
+    s.read.parquet(added.map(m => root.resolve(m).toString): _*)
+  }
+
   /** The manifest version CURRENT names, if this store uses the manifest
     * protocol and any commit happened.
     */

@@ -481,6 +481,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got === q249 && got.nonEmpty)
   }
 
+  test("q306/q307 stream-frame erasure + changelog: overlay == q278, delta-only read") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams
+    // erasure: no erased media either side, output == q278's overlay
+    val res = Multimodal.queries("q306_erased_stream_frame_index")(spark, sf)
+    val got = res.collect().map(_.toString).sorted.toSeq
+    res.collect().foreach { r =>
+      assert(r.getLong(0) % 7 != 1 && r.getLong(1) % 7 != 1,
+        s"erased media leaked: $r") }
+    val q278 = Multimodal.queries("q278_erased_media_rollup")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q278 && got.nonEmpty)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("graft-frame-stream-idx"), plan.take(1500))
+    // changelog: the occ-scoped incremental read opens ONLY batch 2's
+    // occ delta — no classes, no pairs, no earlier batches
+    val table = Multimodal.ensureFrameStreamIndex(spark, sf)
+    val files = Streams.manifestChangesRel(spark, table, "occ", 1L, 2L)
+      .inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("delta-v2-occ")),
+      files.toString)
+    val chg = Multimodal.queries("q307_frame_store_changelog")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(chg.nonEmpty && chg.forall(_._1 % 3 == 2))
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)
