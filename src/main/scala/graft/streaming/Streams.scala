@@ -631,7 +631,11 @@ object Streams {
     * is still the single commit instant, so readers see all N
     * relations advance together or none. Append-only (these stores
     * never fold — a fold would rewrite per relation); idempotent and
-    * crash-safe exactly as [[commitDelta]].
+    * crash-safe exactly as [[commitDelta]]. Retention: ALL manifests
+    * stay — with no folds every member dir remains referenced forever,
+    * so there is nothing to GC, and the retained history buys
+    * arbitrary-depth time travel and changelogs for free (a future
+    * fold would bring [[gcUnreferenced]]'s cur+pred policy with it).
     */
   private[graft] def commitDeltaMulti(root: java.nio.file.Path,
       deltas: Map[String, DataFrame], batchId: Long): Unit = {
