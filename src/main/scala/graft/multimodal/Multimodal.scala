@@ -647,6 +647,28 @@ object Multimodal {
       .groupBy("media_id").agg(count(lit(1)).as("n_classes"))
   }
 
+  /** q309: TIME TRAVEL on the multi-relation store — the q297 read
+    * contract where a version is N relations at once: the predecessor
+    * manifest resolves {classes, occ, pairs} AS OF the same commit
+    * (one manifest names all three, so the travelled read can never
+    * mix a newer occ with an older pairs), and the roll-up over it
+    * answers what the previous commit served — the buckets-0+1
+    * corpus's near-dup report, relabeling-invariant as ever. Exact
+    * oracle: the full roll-up SQL over documents outside bucket 2.
+    */
+  def timeTravelFrameStore: Q = (s, d) => {
+    import graft.streaming.Streams.{committedManifest, manifestSnapshotRelAt, retainedPredecessor}
+    val table = ensureFrameStreamIndex(s, d)
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed frame-index snapshot"))
+    val pred = retainedPredecessor(table, cur)
+      .getOrElse(sys.error("no predecessor manifest retained"))
+    def rel(r: String) = manifestSnapshotRelAt(s, table, r, pred)
+      .getOrElse(sys.error(s"no $r relation at v$pred"))
+    mediaPairRollup(rel("occ"), rel("pairs").select("keeper_a", "keeper_b"),
+      rel("classes").select(col("keeper").as("ka")))
+  }
+
   /** One-time, idempotent COMPACTION of the incrementally-maintained
     * media frame index — the q272 lifecycle step for the multimodal
     * family: fold the q270 ingest overlay (batch occurrences, miss
@@ -1172,6 +1194,7 @@ object Multimodal {
     "q305_stream_frame_index" -> streamMediaNearDup,
     "q306_erased_stream_frame_index" -> erasedStreamMediaNearDup,
     "q307_frame_store_changelog" -> frameStoreChangelog,
+    "q309_time_travel_frame_store" -> timeTravelFrameStore,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
     "q253_shot_segmentation" -> shotSegmentation,
     "q254_keyframe_per_shot" -> keyframePerShot,
@@ -1317,6 +1340,9 @@ object Multimodal {
         |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64)
         |SELECT media_id, count(DISTINCT frame) AS n_classes
         |FROM fr GROUP BY 1""".stripMargin,
+    // the predecessor read answers over the first two buckets' corpus:
+    // the full roll-up recomputed over documents outside bucket 2
+    "q309_time_travel_frame_store" -> mediaRollupOracleW(" WHERE doc_id % 3 <> 2"),
     "q47_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes_m,
         |  md5(text) AS payload_md5, sha256(text) AS payload_sha256

@@ -1538,6 +1538,7 @@ object Scale {
     graft.streaming.Streams.ensureDecontamStream(s, d): Unit
     graft.streaming.Streams.ensureFoldedIvfStreamIndex(s, d): Unit
     graft.multimodal.Multimodal.ensureFrameStreamIndex(s, d): Unit
+    graft.streaming.Streams.ensureFoldedSessionStreamSnapshot(s, d): Unit
     graft.sim.SimQueries.ensureRetrainedIvfIndex(s, d): Unit
     ExtraQueries.warmDerived(s, d)
   }

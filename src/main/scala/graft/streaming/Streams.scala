@@ -667,6 +667,19 @@ object Streams {
         .reduce(_ unionByName _))
     }
 
+  /** One relation of a multi-relation store AS OF manifest version `v`
+    * — time travel per relation (multi-rel stores retain every
+    * manifest, so any version is readable).
+    */
+  private[graft] def manifestSnapshotRelAt(s: SparkSession,
+      root: java.nio.file.Path, rel: String, v: Long): Option[DataFrame] = {
+    val dirs = manifestMembers(root, v)
+      .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
+    if (dirs.isEmpty) None
+    else Some(dirs.map(m => s.read.parquet(root.resolve(m).toString))
+      .reduce(_ unionByName _))
+  }
+
   /** Rel-scoped incremental read of a multi-relation manifest store —
     * [[manifestChanges]] restricted to one relation's `rel:dir` lines:
     * the rows relation `rel` gained between two retained manifests are
@@ -732,6 +745,10 @@ object Streams {
     def read(m: String) = prep(s.read.parquet(root.resolve(m).toString))
     upsertKey match {
       case None => members.map(read).reduce(_ unionByName _)
+      // one member = nothing to arbitrate: skip the LWW window — the
+      // read-side payoff a fold buys on an upsert store (q308 pins the
+      // window-free folded read plan)
+      case Some(_) if members.size == 1 => read(members.head)
       case Some(k) =>
         // marker columns must not clobber store columns: dunder-prefixed
         // names plus a loud schema check (footer read only, no data)
@@ -1677,10 +1694,35 @@ object Streams {
     */
   private val sessStreamLock = new Object
 
-  def ensureSessionStreamSnapshot(s: SparkSession, d: String): java.nio.file.Path = sessStreamLock.synchronized {
+  def ensureSessionStreamSnapshot(s: SparkSession, d: String): java.nio.file.Path =
+    sessStreamLock.synchronized {
+      sessionStreamReplay(s, d,
+        s"graft-sess-stream-snap2-${graft.Tables.datasetTag(d, "events")}",
+        foldAfter = 8)
+    }
+
+  /** The q308 store: the session replay with `foldAfter = 2` — the LSM
+    * absorb step on the UPSERT store: batch 2's commit resolves the
+    * members (merge-on-read, newest-member-wins per user) ONCE and
+    * writes the result as a single base, after which every read skips
+    * the LWW window entirely ([[resolveMembers]]' single-member fast
+    * path) — the read-side payoff the fold buys on an upsert store,
+    * beyond the member-count bound it buys on append stores.
+    */
+  private val foldedSessStreamLock = new Object
+
+  def ensureFoldedSessionStreamSnapshot(s: SparkSession, d: String): java.nio.file.Path =
+    foldedSessStreamLock.synchronized {
+      sessionStreamReplay(s, d,
+        s"graft-sess-stream-fold-${graft.Tables.datasetTag(d, "events")}",
+        foldAfter = 2)
+    }
+
+  /** Shared replay body of the two session stream stores. */
+  private def sessionStreamReplay(s: SparkSession, d: String, dirName: String,
+      foldAfter: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
-    val root = Paths.get(
-      s"${graft.Tables.scratchDir}/graft-sess-stream-snap2-${graft.Tables.datasetTag(d, "events")}")
+    val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
     if (!Files.exists(root.resolve("DONE"))) {
       if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
       val table = root.resolve("table")
@@ -1706,7 +1748,8 @@ object Streams {
                 prior.unionByName(batchSess.select(prior.columns.map(col): _*)),
                 gapUs)
             }
-            commitDelta(table, delta, id, upsertKey = Some("user_id"))
+            commitDelta(table, delta, id, upsertKey = Some("user_id"),
+              foldAfter = foldAfter)
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -1731,6 +1774,26 @@ object Streams {
     */
   def streamIncrementalSessions: Q = (s, d) => {
     val table = ensureSessionStreamSnapshot(s, d)
+    val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
+      .getOrElse(sys.error("no committed session snapshot"))
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    snap.withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
+  }
+
+  /** q308: the q286 probe served from the FOLDED session store — the
+    * LSM absorb step on the UPSERT store: the fold resolved the
+    * newest-member-wins merge ONCE at commit time, so every subsequent
+    * read is a plain single-dir scan with NO merge-on-read window —
+    * q295/q304 prove the fold on append stores (member-count bound);
+    * this proves the stronger upsert payoff (per-read compute
+    * deleted). Identical output to q286 — its gaps-and-islands oracle
+    * verbatim; StreamingSpec pins the [base-v2] manifest, bit-equality
+    * with the unfolded store's resolve, and the window-free read plan.
+    */
+  def foldedStreamSessions: Q = (s, d) => {
+    val table = ensureFoldedSessionStreamSnapshot(s, d)
     val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
       .getOrElse(sys.error("no committed session snapshot"))
     val w = Window.partitionBy("user_id").orderBy("s_us")
@@ -2483,6 +2546,7 @@ object Streams {
     "q300_stream_decontaminate" -> streamDecontaminate,
     "q302_session_store_changelog" -> sessionStoreChangelog,
     "q304_folded_stream_ivf" -> foldedStreamIvfChecked,
+    "q308_folded_stream_sessions" -> foldedStreamSessions,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2496,30 +2560,35 @@ object Streams {
       |    AS total_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** The one-shot all-history sessionization — q286's oracle, shared
+    * with q308 (the folded store serves the identical snapshot).
+    */
+  private val sessionStoreOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      |x AS (
+      |  SELECT user_id, t_us, event_id,
+      |    CASE WHEN lag(t_us) OVER w IS NULL
+      |           OR t_us - lag(t_us) OVER w >= 21600000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      |b AS (
+      |  SELECT user_id, t_us,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM x)
+      |SELECT user_id, sid, count(*) AS n_events,
+      |  min(t_us) AS s_us, max(t_us) AS e_us,
+      |  max(t_us) - min(t_us) AS dur_us
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the stream-maintained session store must land exactly on a
     // one-shot sessionization of ALL history under session_window's
     // boundary semantics (break at gap >= 6h — Spark merges an event
     // while ts < last + gap); sid = rank by session start (post-fusion
     // sessions are >= gap apart, so rank == the running-break sum)
-    "q286_stream_sessions_incremental" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
-        |x AS (
-        |  SELECT user_id, t_us, event_id,
-        |    CASE WHEN lag(t_us) OVER w IS NULL
-        |           OR t_us - lag(t_us) OVER w >= 21600000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
-        |b AS (
-        |  SELECT user_id, t_us,
-        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-        |  FROM x)
-        |SELECT user_id, sid, count(*) AS n_events,
-        |  min(t_us) AS s_us, max(t_us) AS e_us,
-        |  max(t_us) - min(t_us) AS dur_us
-        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q286_stream_sessions_incremental" -> sessionStoreOracle,
     // ANN-audit oracle (the q54/q277 pattern): DuckDB recomputes the
     // exact anchored query-set size, recall boolean asserted TRUE —
     // the Spark side computes it for real against knnBrute
@@ -2568,6 +2637,9 @@ object Streams {
     // sweep: q84's oracle verbatim
     "q300_stream_decontaminate" ->
       graft.text.TextQueries.oracles("q84_decontaminate"),
+    // the folded session store serves the identical snapshot: q286's
+    // gaps-and-islands oracle verbatim
+    "q308_folded_stream_sessions" -> sessionStoreOracle,
     // the folded assignment store serves the identical audited probe:
     // q292's oracle shape (full-corpus anchored query set)
     "q304_folded_stream_ivf" ->

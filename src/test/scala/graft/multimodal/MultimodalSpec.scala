@@ -508,6 +508,28 @@ class MultimodalSpec extends SparkSpec {
     assert(chg.nonEmpty && chg.forall(_._1 % 3 == 2))
   }
 
+  test("q309 multi-relation time travel: consistent prefix, no bucket-2 media, delta-v2-free plan") {
+    import graft.streaming.Streams
+    val res = Multimodal.queries("q309_time_travel_frame_store")(spark, sf)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // the travelled read answers over buckets 0+1 only
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 != 2 && r.getLong(1) % 3 != 2,
+        s"bucket-2 media leaked into the v1 read: $r") }
+    // all three relations come from the SAME manifest: nothing of
+    // batch 2's deltas enters the plan, for any relation
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-frame-stream-idx"), plan.take(1500))
+    assert(!plan.contains("delta-v2"),
+      "v1 read touched batch 2's delta\n" + plan.take(1500))
+    // prefix completeness: v1's occ is exactly the buckets-0+1 media
+    val table = Multimodal.ensureFrameStreamIndex(spark, sf)
+    val v1Media = Streams.manifestSnapshotRelAt(spark, table, "occ", 1L).get
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(v1Media.nonEmpty && v1Media.forall(_ % 3 != 2))
+  }
+
   test("q249 media near-dup: scores equal a local recompute, BNLJ-free plan") {
     import org.apache.spark.sql.functions._
     val res = Multimodal.mediaNearDup(spark, sf)

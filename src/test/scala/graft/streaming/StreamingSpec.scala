@@ -785,6 +785,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === q292 && got.nonEmpty)
   }
 
+  test("q308 folded session store: one base, window-free read, snapshot == q286's") {
+    import org.apache.spark.sql.functions._
+    val table = Streams.ensureFoldedSessionStreamSnapshot(spark, sf)
+    assert(Streams.committedManifest(table).contains(2L))
+    assert(Streams.manifestMembers(table, 2L) === Seq("base-v2"))
+    // the folded store resolves bit-equal to the unfolded LWW resolve
+    val folded = Streams.manifestSnapshot(spark, table,
+        upsertKey = Some("user_id")).get
+    val unfolded = Streams.manifestSnapshot(spark,
+        Streams.ensureSessionStreamSnapshot(spark, sf),
+        upsertKey = Some("user_id")).get
+    assert(folded.collect().map(_.toString).sorted.toSeq ===
+      unfolded.collect().map(_.toString).sorted.toSeq)
+    // the read-side payoff: a single-member upsert store skips the
+    // merge-on-read window entirely — no __mf_seq arbitration in the
+    // resolve plan (the outer sid rank is q286's own window, so pin
+    // the marker's absence, not "no Window node")
+    val plan = folded.queryExecution.executedPlan.toString
+    assert(!plan.contains("__mf_seq"),
+      "folded upsert read still arbitrates\n" + plan.take(1500))
+    // the registered probe lands exactly on q286's output
+    val got = Streams.queries("q308_folded_stream_sessions")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val q286 = Streams.queries("q286_stream_sessions_incremental")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q286 && got.nonEmpty)
+  }
+
   test("stream-maintained MV: q244 scans the committed snapshot, not the source") {
     val plan = Streams.streamMaintainedMv(spark, sf)
       .queryExecution.executedPlan.toString
