@@ -1183,6 +1183,53 @@ class StreamingSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("delta-v2")), files.toString)
   }
 
+  test("contended commit under real concurrency: dense versions, every delta lands exactly once") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    // q299 pins one DETERMINISTIC interleave; this drives the same
+    // protocol with four genuinely concurrent committers (real threads,
+    // real link(2) races — nondeterministic winner order). The pinned
+    // invariants are the ones the protocol must hold under ANY
+    // schedule: versions dense (every manifest number arbitrated
+    // exactly once), every delta in the final member set exactly once
+    // (no lost update), and the resolved store complete. Collision
+    // COUNTS are schedule-dependent, so they are deliberately not
+    // asserted. Deltas are written serially BEFORE the race (the
+    // shared local session is not the thing under test); only the
+    // commit protocol — pure file ops, no Spark calls — runs
+    // concurrently.
+    val root = Files.createTempDirectory(
+      Paths.get(graft.Tables.scratchDir), "graft-contend-spec-")
+    try {
+      val n = 4
+      (0 to n).foreach { i =>
+        Seq((i.toLong, i.toLong)).toDF("k", "v").write.mode("overwrite")
+          .parquet(root.resolve(s"delta-c$i").toString)
+      }
+      Streams.commitContended(root, "delta-c0", None, Nil)
+      val readV = Streams.latestContendedVersion(root)
+      val readM = readV.map(Streams.manifestMembers(root, _)).getOrElse(Nil)
+      // all four committers hold the SAME (stale after the first win)
+      // read snapshot — maximum contention
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          Streams.commitContended(root, s"delta-c$i", readV, readM): Unit
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(Streams.latestContendedVersion(root).contains(n.toLong))
+      (0 to n).foreach { v =>
+        assert(Files.exists(root.resolve(s"manifest-v$v")), s"gap at v$v") }
+      val members = Streams.manifestMembers(root, n.toLong)
+      assert(members.size === n + 1, members.toString)
+      assert(members.toSet === (0 to n).map(i => s"delta-c$i").toSet)
+      val rows = Streams.contendedSnapshot(spark, root).get
+        .collect().map(_.getLong(0)).toSet
+      assert(rows === (0 to n).map(_.toLong).toSet)
+    } finally graft.Tables.deleteRecursively(root.toFile)
+  }
+
   test("q299 contended commit: real collision, rebase loses nothing, winner's manifest intact") {
     val table = Streams.ensureContendedShingleIndex(spark, sf)
     // the recorded race: c0 bootstrapped v0 clean, A won v1 clean, B
