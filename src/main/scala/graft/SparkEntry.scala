@@ -68,6 +68,8 @@ object SparkEntry {
     "q294_retrained_ivf" -> sim.SimQueries.retrainedIvf,
     "q296_erased_stream_ivf" -> streaming.Streams.erasedStreamIvfProbe,
     "q304_folded_stream_ivf" -> streaming.Streams.foldedStreamIvfProbe,
+    "q312_erasure_folded_ivf" -> streaming.Streams.erasureFoldedStreamIvfProbe,
+    "q316_drift_aware_retrain" -> sim.SimQueries.driftAwareIvf,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

@@ -99,9 +99,16 @@ object Tables {
       content: String): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val tmp = Files.createTempFile(root, s".$name", ".tmp")
-    Files.write(tmp, content.getBytes("UTF-8"))
-    Files.move(tmp, root.resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    try {
+      Files.write(tmp, content.getBytes("UTF-8"))
+      Files.move(tmp, root.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+    } catch {
+      // disk-full or a refused move must not strand the temp in the
+      // store dir (every store shares this primitive, so every store
+      // would share the leak)
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   /** Fan a narrow scan out to the cluster's task width when the file

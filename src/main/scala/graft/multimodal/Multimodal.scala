@@ -115,15 +115,19 @@ object Multimodal {
     * media items (intros, stills, silence), and storage/training both
     * want one copy. One hash aggregation over [[frameSample]]'s frame
     * stream; the keeper is the smallest (media_id, frame_id) encoded as
-    * one orderable key. Only duplicated frames surface, so the output
-    * is duplicate-sized, not corpus-sized.
+    * one orderable key — `media_id·2³² + frame_id`, injective by
+    * construction because frame/shot ordinals are 32-bit posexplode
+    * positions (the previous ·10⁵ encoding collided for media with
+    * ≥ 100 000 frames, silently merging distinct content classes in
+    * any durable store carrying the keys). Only duplicated frames
+    * surface, so the output is duplicate-sized, not corpus-sized.
     */
   def frameDedup: Q = (s, d) =>
     frameSample(s, d)
       .groupBy("frame_md5")
       .agg(count(lit(1)).as("n_copies"),
         countDistinct("media_id").as("n_media"),
-        min(col("media_id") * 100000L + col("frame_id")).as("keeper_key"))
+        min(col("media_id") * 4294967296L + col("frame_id")).as("keeper_key"))
       .where(col("n_copies") > 1)
 
   /** Perceptual 62-bit frame signature — the dHash/SimHash hybrid the
@@ -237,7 +241,7 @@ object Multimodal {
         expr(s"substring(text, frame_id * $fb + 1, $fb)").as("frame"))
       .where(length(col("frame")) === fb)
     val classes = frames.groupBy("frame")
-      .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
+      .agg(min(col("media_id") * 4294967296L + col("frame_id")).as("keeper"))
     (frames, classes)
   }
 
@@ -442,7 +446,7 @@ object Multimodal {
       .select(col("doc_id").as("media_id"), col("text")))
     val bFrames = bFrames0.localCheckpoint(true)
     val bClasses = bFrames.groupBy("frame")
-      .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
+      .agg(min(col("media_id") * 4294967296L + col("frame_id")).as("keeper"))
     // unify: a batch class whose content the index already knows keeps
     // the OLD key (and needs no signature); a miss keeps its batch key
     val unified = bClasses.join(
@@ -493,7 +497,7 @@ object Multimodal {
     * stored signatures plus the batch's own misses, and the THREE
     * per-batch deltas — new classes (misses with signatures), batch
     * occurrences, newly verified near-dup class pairs — commit in ONE
-    * atomic flip behind [[graft.streaming.Streams.commitDeltaMulti]]:
+    * atomic flip behind [[graft.store.ManifestStore.commitDeltaMulti]]:
     * the multi-relation commit this index is the motivating case for
     * (separately-flipped relations could serve an occ/pairs tear).
     * Every pair lands exactly once: a cross-batch near-dup is
@@ -507,10 +511,19 @@ object Multimodal {
 
   def ensureFrameStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
     frameStreamLock.synchronized {
+      frameStreamReplay(s, d,
+        s"graft-frame-stream-idx-${Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+    }
+
+  /** Shared replay body of the frame stream stores ([[ensureFrameStreamIndex]],
+    * the q314 folded store, the q313 erasure-folded store).
+    */
+  private def frameStreamReplay(s: SparkSession, d: String, dirName: String,
+      foldAfter: Int): java.nio.file.Path = {
       import java.nio.file.{Files, Paths}
-      import graft.streaming.Streams.{commitDeltaMulti, committedManifest, manifestSnapshotRel}
-      val root = Paths.get(
-        s"${Tables.scratchDir}/graft-frame-stream-idx-${Tables.datasetTag(d, "documents")}")
+      import graft.store.ManifestStore.{commitDeltaMulti, committedManifest, manifestSnapshotRel}
+      val root = Paths.get(s"${Tables.scratchDir}/$dirName")
       if (!Files.exists(root.resolve("DONE"))) {
         if (Files.exists(root)) Tables.deleteRecursively(root.toFile)
         val table = root.resolve("table")
@@ -528,7 +541,7 @@ object Multimodal {
               val (frames0, _) = frameClassesOf(media)
               val frames = frames0.localCheckpoint(true)
               val bClasses = frames.groupBy("frame")
-                .agg(min(col("media_id") * 100000L + col("frame_id")).as("keeper"))
+                .agg(min(col("media_id") * 4294967296L + col("frame_id")).as("keeper"))
               val stored = manifestSnapshotRel(s, table, "classes")
               val unified = stored match {
                 case None => bClasses.select(col("frame"),
@@ -565,7 +578,8 @@ object Multimodal {
                 .join(missSigs, "keeper")
                 .select("frame", "keeper", "sig")
               commitDeltaMulti(table, Map("classes" -> classesDelta,
-                "occ" -> bOcc, "pairs" -> newPairs), id)
+                "occ" -> bOcc, "pairs" -> newPairs), id,
+                foldAfter = foldAfter)
             }
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -573,7 +587,77 @@ object Multimodal {
         Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
       }
       root.resolve("table")
+  }
+
+  /** The q314 store: the frame replay with `foldAfter = 2` — batch 2's
+    * multi-relation commit crosses the threshold and folds ALL THREE
+    * relations into fresh bases behind ONE manifest (the r14 verdict's
+    * weak flag closed at query granularity): after the fold the
+    * manifest lists exactly one base per relation, so a week of
+    * minute-commits can never make a read union O(#batches) dirs.
+    */
+  private val foldedFrameStreamLock = new Object
+
+  def ensureFoldedFrameStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    foldedFrameStreamLock.synchronized {
+      frameStreamReplay(s, d,
+        s"graft-frame-stream-fold-${Tables.datasetTag(d, "documents")}",
+        foldAfter = 2)
     }
+
+  /** q314: the q249 roll-up served from the FOLDED multi-relation frame
+    * store — identical corpus coverage, identical relabeling-invariant
+    * roll-up, q249's oracle verbatim; but every relation resolves from
+    * ONE folded base dir (MultimodalSpec pins the all-bases manifest
+    * shape and bit-equality with q305's multi-delta resolve).
+    */
+  def foldedStreamMediaNearDup: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val table = ensureFoldedFrameStreamIndex(s, d)
+    def rel(r: String) = manifestSnapshotRel(s, table, r)
+      .getOrElse(sys.error(s"no committed frame-index $r"))
+    mediaPairRollup(rel("occ"), rel("pairs").select("keeper_a", "keeper_b"),
+      rel("classes").select(col("keeper").as("ka")))
+  }
+
+  /** The q313 store: the frame replay plus a REL-SCOPED erasure fold —
+    * q306's forget set purged from the occurrence relation ONCE
+    * (ManifestStore.eraseFoldRel: one rewritten occ base, classes and
+    * pairs carried over untouched, one put-if-absent flip), after which
+    * the roll-up plans no anti-join overlay. Content relations are
+    * frame-keyed, not subject-keyed, so subject erasure leaves them in
+    * place — dead classes contribute nothing to the occurrence-driven
+    * roll-up (q278's argument, now applied at rest instead of per
+    * read).
+    */
+  private val efoldFrameStreamLock = new Object
+
+  def ensureErasureFoldedFrameStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    efoldFrameStreamLock.synchronized {
+      val table = frameStreamReplay(s, d,
+        s"graft-frame-stream-efold-${Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("EFOLD")
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.store.ManifestStore.eraseFoldRel(table, "occ",
+          mediaTombstones(s, d), Seq("media_id"))
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q313: q306's erased roll-up served from the ERASURE-FOLDED frame
+    * store — q306's oracle verbatim, no anti-join in the plan, zero
+    * erased media rows in any occ file the current manifest references.
+    */
+  def erasureFoldedStreamMediaNearDup: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val table = ensureErasureFoldedFrameStreamIndex(s, d)
+    def rel(r: String) = manifestSnapshotRel(s, table, r)
+      .getOrElse(sys.error(s"no committed frame-index $r"))
+    mediaPairRollup(rel("occ"), rel("pairs").select("keeper_a", "keeper_b"),
+      rel("classes").select(col("keeper").as("ka")))
+  }
 
   /** q305: the q249 media near-dup roll-up served from the
     * STREAM-MAINTAINED frame index — after the replay drains, the
@@ -586,7 +670,7 @@ object Multimodal {
     * re-signed, and bit-equality of the roll-up with q249's.
     */
   def streamMediaNearDup: Q = (s, d) => {
-    import graft.streaming.Streams.manifestSnapshotRel
+    import graft.store.ManifestStore.manifestSnapshotRel
     val table = ensureFrameStreamIndex(s, d)
     val classes = manifestSnapshotRel(s, table, "classes")
       .getOrElse(sys.error("no committed frame-index classes"))
@@ -611,7 +695,7 @@ object Multimodal {
     * whose oracle it shares verbatim.
     */
   def erasedStreamMediaNearDup: Q = (s, d) => {
-    import graft.streaming.Streams.manifestSnapshotRel
+    import graft.store.ManifestStore.manifestSnapshotRel
     val table = ensureFrameStreamIndex(s, d)
     val tomb = broadcast(mediaTombstones(s, d))
     val occ = manifestSnapshotRel(s, table, "occ")
@@ -637,7 +721,7 @@ object Multimodal {
     * proof. Exact oracle: DuckDB re-frames the changed docs' text.
     */
   def frameStoreChangelog: Q = (s, d) => {
-    import graft.streaming.Streams.{committedManifest, manifestChangesRel, retainedPredecessor}
+    import graft.store.ManifestStore.{committedManifest, manifestChangesRel, retainedPredecessor}
     val table = ensureFrameStreamIndex(s, d)
     val cur = committedManifest(table)
       .getOrElse(sys.error("no committed frame-index snapshot"))
@@ -657,7 +741,7 @@ object Multimodal {
     * oracle: the full roll-up SQL over documents outside bucket 2.
     */
   def timeTravelFrameStore: Q = (s, d) => {
-    import graft.streaming.Streams.{committedManifest, manifestSnapshotRelAt, retainedPredecessor}
+    import graft.store.ManifestStore.{committedManifest, manifestSnapshotRelAt, retainedPredecessor}
     val table = ensureFrameStreamIndex(s, d)
     val cur = committedManifest(table)
       .getOrElse(sys.error("no committed frame-index snapshot"))
@@ -674,7 +758,7 @@ object Multimodal {
     * family: fold the q270 ingest overlay (batch occurrences, miss
     * signatures, new pairs) into the stored old-corpus base and relabel
     * every class key CANONICALLY (the full-corpus minimum
-    * media_id·100000+frame_id — exactly the key a from-scratch rebuild
+    * media_id·2³²+frame_id — exactly the key a from-scratch rebuild
     * assigns, where an ingest hit keeps its OLD key even when the
     * batch holds the smaller one). The compacted {classes, occ, pairs}
     * are proven BIT-EQUAL to [[buildFrameIndex]] over the full corpus
@@ -1005,7 +1089,7 @@ object Multimodal {
     val kf = s.read.parquet(ensureShotKeyframes(s, d))
       .select("media_id", "shot_id", "sig")
     val cls = kf.groupBy("sig")
-      .agg(min(col("media_id") * 100000L + col("shot_id")).as("keeper"))
+      .agg(min(col("media_id") * 4294967296L + col("shot_id")).as("keeper"))
     val bands = cls.select(col("keeper"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), k -> struct(k AS k, shiftright(sig, k * 15) & 32767 AS bv))")).as("b"))
@@ -1193,6 +1277,8 @@ object Multimodal {
     "q287_erasure_compacted_rollup" -> erasureCompactedMediaRollup,
     "q305_stream_frame_index" -> streamMediaNearDup,
     "q306_erased_stream_frame_index" -> erasedStreamMediaNearDup,
+    "q313_erasure_folded_frame_index" -> erasureFoldedStreamMediaNearDup,
+    "q314_folded_frame_index" -> foldedStreamMediaNearDup,
     "q307_frame_store_changelog" -> frameStoreChangelog,
     "q309_time_travel_frame_store" -> timeTravelFrameStore,
     "q270_incremental_media_near_dup" -> incrementalMediaNearDup,
@@ -1219,7 +1305,7 @@ object Multimodal {
       |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
       |        FROM documents$w)
       |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
-      |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
+      |d AS (SELECT frame, min(media_id * 4294967296 + frame_id) AS keeper
       |      FROM fr GROUP BY frame),
       |w AS (SELECT frame, keeper,
       |  list_transform(range(1, 62), i ->
@@ -1291,7 +1377,7 @@ object Multimodal {
       |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
       |        FROM documents$w)
       |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
-      |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
+      |d AS (SELECT frame, min(media_id * 4294967296 + frame_id) AS keeper
       |      FROM fr GROUP BY frame),
       |occ AS (SELECT DISTINCT f.media_id, d.keeper
       |        FROM fr f JOIN d ON f.frame = d.frame),
@@ -1328,6 +1414,10 @@ object Multimodal {
     // erasure on the stream store lands on q278's surviving-corpus
     // answer: the same roll-up oracle over documents sans the forget set
     "q306_erased_stream_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    // the erasure-FOLDED store serves q306's answer with the overlay
+    // folded away; the FOLDED store serves q305's (q249's) verbatim
+    "q313_erasure_folded_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    "q314_folded_frame_index" -> mediaRollupOracle,
     // the occ changelog is batch 2's media: per changed media its
     // distinct 64-byte frame contents, re-framed from text by DuckDB
     "q307_frame_store_changelog" ->
@@ -1374,7 +1464,7 @@ object Multimodal {
         |          unnest(range(0, (length(text) - 1) // 64 + 1)) AS frame_id
         |        FROM documents)
         |  WHERE length(substr(text, frame_id * 64 + 1, 64)) = 64),
-        |d AS (SELECT frame, min(media_id * 100000 + frame_id) AS keeper
+        |d AS (SELECT frame, min(media_id * 4294967296 + frame_id) AS keeper
         |      FROM fr GROUP BY frame),
         |occ AS (SELECT DISTINCT f.media_id, d.keeper
         |        FROM fr f JOIN d ON f.frame = d.frame),
@@ -1429,7 +1519,7 @@ object Multimodal {
         |  SELECT media_id, shot_id, sig,
         |    row_number() OVER (PARTITION BY media_id, shot_id
         |      ORDER BY cost, frame_id) AS rn FROM pc) WHERE rn = 1),
-        |cls AS (SELECT sig, min(media_id * 100000 + shot_id) AS keeper
+        |cls AS (SELECT sig, min(media_id * 4294967296 + shot_id) AS keeper
         |        FROM kf GROUP BY sig),
         |bnd AS (SELECT keeper, sig, k,
         |    (sig >> (CAST(k AS INT) * 15)) & 32767 AS bv
@@ -1531,6 +1621,6 @@ object Multimodal {
         |        FROM documents))
         |SELECT frame_md5, count(*) AS n_copies,
         |  count(DISTINCT media_id) AS n_media,
-        |  CAST(min(media_id * 100000 + frame_id) AS BIGINT) AS keeper_key
+        |  CAST(min(media_id * 4294967296 + frame_id) AS BIGINT) AS keeper_key
         |FROM f GROUP BY frame_md5 HAVING count(*) > 1""".stripMargin)
 }

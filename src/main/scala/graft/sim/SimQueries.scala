@@ -519,7 +519,7 @@ object SimQueries {
     * the q279 overlay probe and the q280 compactor so both provably
     * apply the same forget set.
     */
-  private[sim] def ivfTombstones(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfTombstones(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).where(col("vec_id") % 7 === 1)
       .select(col("vec_id"))
 
@@ -747,6 +747,157 @@ object SimQueries {
   def retrainedIvfChecked: Q = (s, d) =>
     knnAudit(retrainedIvf(s, d), knnBrute(s, d))
 
+  /** Integer-exact codebook drift: the L1 ppm distance (q185's
+    * quantized common-denominator math, summed over the 64 dims)
+    * between the GROWN corpus's mean embedding and the mean of the
+    * population the serving codebook was trained on (vec_id % 3 != 0 —
+    * [[ensureIvfIndex]]'s training set). This is the "has the
+    * distribution moved since we trained" scalar a production vector
+    * store tracks next to its index; deterministic per corpus, exact
+    * in BIGINT on both engines.
+    */
+  private[graft] def codebookDriftPpm(s: SparkSession, d: String): Long =
+    codebookDriftPpmOf(Tables.embeddings(s, d))
+
+  /** [[codebookDriftPpm]] over an explicit (vec_id, embedding) corpus —
+    * the spec drives both trigger branches with constructed
+    * populations through this entry.
+    */
+  private[graft] def codebookDriftPpmOf(emb: DataFrame): Long = {
+    val dims = emb
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")))
+      .toDF("vec_id", "dim", "qv")
+    val grown = dims.groupBy("dim")
+      .agg(sum("qv").as("s_g"), count(lit(1)).as("n_g"))
+    val trained = dims.where(col("vec_id") % 3 =!= 0).groupBy("dim")
+      .agg(sum("qv").as("s_t"), count(lit(1)).as("n_t"))
+    grown.join(trained, "dim")
+      .select(expr(
+        "abs(s_g * n_t - s_t * n_g) * 1000000L div (n_g * n_t)").as("adiff"))
+      .agg(coalesce(sum(col("adiff")), lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** Retrain trigger, in [[codebookDriftPpm]]'s units (millionths of a
+    * quantization step, summed L1 over the 64 dims — one full
+    * quantization step of mean movement in ONE dim reads 10⁶). The
+    * shipped corpora's ingested third is drawn from the same
+    * distribution as the training population, so their measured drift
+    * is sampling noise: 2.32e9 / 1.91e9 / 0.99e9 at sf0.001/0.01/0.1
+    * (measured, decreasing with corpus size). The threshold sits at
+    * 5e9 — ≥2.2× above the largest measured noise — and SimSpec's
+    * drifted fixture (the ingested third shifted +5% of a unit per
+    * dim, which moves the GROWN mean δ/3 ≈ 167 quantization steps per
+    * dim ≈ 1.07e10) clears it 2.1× — both branches decided with
+    * margin, the q224 zero-margin discipline applied to a trigger.
+    */
+  private[graft] val DriftRetrainThresholdPpm = 5000000000L
+
+  /** One-time, idempotent DRIFT-AWARE retrain — the decision loop the
+    * unconditional q294 cell deliberately lacks (its "What's missing"
+    * sibling in the r14 verdict): the engine already measures drift
+    * (q185) and already consumes its own stats at plan time
+    * (q274/q285); here index MAINTENANCE consumes a measured stat. The
+    * serving state (v1) is the grown corpus served WITHOUT retraining —
+    * the q277 ingest economics: stored codebook + every vector assigned
+    * at the fixed centroids. The build measures [[codebookDriftPpm]]
+    * over the grown corpus, persists it as the DRIFT artifact next to
+    * the store (the audit trail a production job would emit), and runs
+    * q294's retrain-and-swap to v2 IFF drift ≥
+    * [[DriftRetrainThresholdPpm]] — otherwise the pointer stays on v1
+    * and NO training pass runs. Cost of the no-retrain branch: one
+    * corpus-linear drift aggregate (64·|corpus| integer rows) — the
+    * price of knowing a nightly k-means was unnecessary.
+    */
+  private val driftIvfLock = new Object
+
+  def ensureDriftAwareIvfIndex(s: SparkSession, d: String): String =
+    driftIvfLock.synchronized {
+      val idx = ensureIvfIndex(s, d)
+      val path =
+        s"${Tables.scratchDir}/graft-ivf-driftaware-${Tables.datasetTag(d, "embeddings")}"
+      val done = new java.io.File(path, "DONE")
+      if (!done.exists()) {
+        buildDriftAwareIndex(s, path, idx, Tables.embeddings(s, d))
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte]): Unit
+      }
+      path
+    }
+
+  /** The drift-aware build body over an explicit grown corpus (the
+    * spec drives the retrain branch with a constructed drifted
+    * population through this entry; production passes the real
+    * embeddings table). Returns the measured drift.
+    */
+  private[graft] def buildDriftAwareIndex(s: SparkSession, path: String,
+      idx: String, grownEmb: DataFrame): Long = {
+    val root = new java.io.File(path)
+    if (root.exists()) Tables.deleteRecursively(root)
+    import s.implicits._
+    // v1 = the grown corpus at the FIXED serving codebook (q277's
+    // ingest shape, persisted): stored assignments + the ingested
+    // third assigned at the stored centroids
+    s.read.parquet(s"$idx/centroids").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/v1/centroids")
+    val cs = storedCentroids(s, idx)
+    val grownAssigned = s.read.parquet(s"$idx/assigned")
+      .unionByName(assignToCells(
+        grownEmb.where(col("vec_id") % 3 === 0), cs))
+    grownAssigned.repartition(8, col("cell"))
+      .write.mode("overwrite").parquet(s"$path/v1/assigned")
+    flipPointer(path, "v1")
+    // the drift artifact: measured once, persisted, then CONSUMED
+    val drift = codebookDriftPpmOf(grownEmb)
+    graft.Tables.atomicWrite(java.nio.file.Paths.get(path), "DRIFT",
+      drift.toString)
+    if (drift >= DriftRetrainThresholdPpm) {
+      // q294's offline retrain-and-swap, now under a data trigger
+      val grown = grownEmb
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val cs2 = ivfCentroids(grown, 16, 64, iters = 3)
+      cs2.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "vals")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/v2/centroids")
+      grown.map { case (id, e) => (id, nearestCell(cs2, e)) }
+        .toDF("vec_id", "cell")
+        .repartition(8, col("cell"))
+        .write.mode("overwrite").parquet(s"$path/v2/assigned")
+      flipPointer(path, "v2")
+    }
+    drift
+  }
+
+  /** The persisted drift measurement of a drift-aware index dir. */
+  private[graft] def storedDriftPpm(path: String): Long =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path).resolve("DRIFT")), "UTF-8").trim.toLong
+
+  /** q316: the anchored probe served through the drift-aware pointer —
+    * whichever version the MEASURED drift selected (the shipped
+    * corpora sit under the threshold, so this serves v1: the
+    * no-retrain branch, bit-equal to probing the unswapped index —
+    * SimSpec pins that equality AND drives the retrain branch with a
+    * constructed drifted population). nprobe 10 = q294's setting, so
+    * the two branches are probe-for-probe comparable.
+    */
+  def driftAwareIvf: Q = (s, d) => {
+    import s.implicits._
+    val idx = ensureDriftAwareIvfIndex(s, d)
+    val cur = retrainCurrent(idx)
+    val cs = storedCentroids(s, s"$idx/$cur")
+    val queries = Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    ivfProbe(s, d, cs, s.read.parquet(s"$idx/$cur/assigned"), queries,
+      nprobe = 10)
+  }
+
+  /** Driver-audited form of [[driftAwareIvf]] — the full-corpus brute
+    * top-5 reference (both branches serve the whole grown corpus).
+    */
+  def driftAwareIvfChecked: Q = (s, d) =>
+    knnAudit(driftAwareIvf(s, d), knnBrute(s, d))
+
   /** [[storedCentroids]] for the streaming module (q292's replay reads
     * the persisted codebook once before the stream starts).
     */
@@ -811,6 +962,23 @@ object SimQueries {
       .where(col("vec_id") % 100 === 0 && col("vec_id") % 7 =!= 1)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     ivfProbe(s, d, cs, surviving, queries, nprobe = 12)
+  }
+
+  /** The q312 probe: the q296 erased probe's semantics on an
+    * ERASURE-FOLDED store — the assignment relation was purged at the
+    * fold, so NO anti-join overlay appears here: surviving anchored
+    * queries straight against the store at the fixed stored centroids,
+    * exact cosine rerank, nprobe 12 (q296's setting — same thinned
+    * cells, same reason).
+    */
+  private[graft] def ivfSurvivorProbeFromStore(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    import s.implicits._
+    val cs = storedCentroids(s, ensureIvfIndex(s, d))
+    val queries = Tables.embeddings(s, d)
+      .where(col("vec_id") % 100 === 0 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    ivfProbe(s, d, cs, store.select("vec_id", "cell"), queries, nprobe = 12)
   }
 
   /** Driver-audited form of the q296 stream-store erasure probe —
@@ -1570,6 +1738,7 @@ object SimQueries {
     "q279_erasure_ivf" -> erasureIvfChecked,
     "q280_compacted_ivf" -> compactedIvfChecked,
     "q294_retrained_ivf" -> retrainedIvfChecked,
+    "q316_drift_aware_retrain" -> driftAwareIvfChecked,
     "q224_knn_pq" -> knnPqChecked,
     "q44_embedding_pairs" -> embeddingPairs,
     "q58_embedding_pairs_lsh" -> embeddingPairsLshChecked,
@@ -1627,6 +1796,12 @@ object SimQueries {
     // retrain-and-swap serves the full grown corpus to the standard
     // anchored query set — same audit shape as q54/q292
     "q294_retrained_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,
+    // the drift-aware probe serves the same anchored set from whichever
+    // version the measured drift selected: q294's audit oracle shape
+    "q316_drift_aware_retrain" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075
         |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000""".stripMargin,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.store.ManifestStore.{commitDelta, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended}
 
 /** Structured Streaming layer over the `events` table.
   *
@@ -556,367 +557,6 @@ object Streams {
   /** The snapshot the CURRENT pointer names, if any commit happened. */
   def currentSnapshot(s: SparkSession, root: java.nio.file.Path): Option[DataFrame] =
     committedVersion(root).map(v => s.read.parquet(root.resolve(s"v$v").toString))
-
-  // ──────────────── manifest commit protocol (data-sized stores) ────────────────
-
-  /** MANIFEST-based commit — the scale-safe sibling of [[commitVersion]]
-    * for DATA-SIZED stream stores. The aggregate MVs that protocol
-    * serves are grain-sized (a snapshot is |segments| rows), so
-    * rewriting the store per commit is cheap at any corpus size; but a
-    * store proportional to the corpus (q291's postings, q292's
-    * assignments, q286's sessions) must never pay O(store) per
-    * micro-batch — N batches would write O(N·store), petabytes on the
-    * first day at 100 TB. Here a commit writes ONLY the batch delta as
-    * an immutable parquet dir plus a tiny manifest file LISTING the
-    * member dirs, then flips CURRENT to the manifest — how production
-    * table formats commit: a manifest names immutable files, nothing is
-    * rewritten. Readers resolve CURRENT → manifest → union of members
-    * ([[manifestSnapshot]]); when a store's rows are per-key
-    * REPLACEMENTS rather than appends (the session store: a batch
-    * re-merges the touched users' sessions), the resolve keeps, per
-    * key, only the rows of the NEWEST member containing the key
-    * (merge-on-read; manifest order is the precedence order).
-    *
-    * Cost: a commit writes O(batch) data plus one manifest line per
-    * member. The member count is bounded by `foldAfter`: the commit
-    * that would push the manifest past it first folds the resolved
-    * union into one fresh base dir (the LSM absorb step — q272/q280/
-    * q287's compaction economics applied to the commit path), so reads
-    * never union more than `foldAfter` dirs and amortized write cost is
-    * O(batch + store/foldAfter).
-    *
-    * Crash safety mirrors [[commitVersion]]: delta/base dirs write in
-    * overwrite mode (a torn retry overwrites its own wreckage), the
-    * manifest lands via temp-file + atomic rename, and the CURRENT flip
-    * is the single commit instant — a crash anywhere earlier leaves
-    * CURRENT on the previous manifest, whose member dirs retention
-    * provably kept. Retention matches the versioned contract: dirs
-    * referenced by CURRENT or its immediate predecessor manifest stay
-    * (crash recovery + one-back time travel), everything older is GC'd
-    * at commit; manifest files older than the predecessor are dropped
-    * too (they may reference GC'd dirs).
-    */
-  private[graft] def commitDelta(root: java.nio.file.Path, delta: DataFrame,
-      batchId: Long, upsertKey: Option[String] = None,
-      foldAfter: Int = 8): Unit = {
-    if (committedManifest(root).exists(_ >= batchId)) return
-    val s = delta.sparkSession
-    delta.write.mode("overwrite")
-      .parquet(root.resolve(s"delta-v$batchId").toString)
-    val prior = committedManifest(root)
-      .map(v => manifestMembers(root, v)).getOrElse(Nil)
-    val appended = prior :+ s"delta-v$batchId"
-    val members =
-      if (appended.size <= foldAfter) appended
-      else {
-        resolveMembers(s, root, appended, upsertKey)
-          .write.mode("overwrite")
-          .parquet(root.resolve(s"base-v$batchId").toString)
-        Seq(s"base-v$batchId")
-      }
-    graft.Tables.atomicWrite(root, s"manifest-v$batchId", members.mkString("\n"))
-    graft.Tables.atomicWrite(root, "CURRENT", s"manifest-v$batchId")
-    gcUnreferenced(root)
-  }
-
-  /** MULTI-RELATION commit for the manifest protocol: one atomic flip
-    * covers N relations. A real index is rarely one relation (the
-    * frame index is {classes, occ, pairs}); committing each behind its
-    * own pointer can serve a TORN index between flips — the hazard the
-    * shingle store dodged by denormalizing into one relation, solved
-    * here the way production table formats do (one snapshot names data
-    * files for every content stream): each relation's batch delta
-    * writes as an immutable `delta-v<batch>-<rel>` dir, and ONE
-    * manifest lists `rel:dir` lines for all of them — the CURRENT flip
-    * is still the single commit instant, so readers see all N
-    * relations advance together or none. Append-only (these stores
-    * never fold — a fold would rewrite per relation); idempotent and
-    * crash-safe exactly as [[commitDelta]]. Retention: ALL manifests
-    * stay — with no folds every member dir remains referenced forever,
-    * so there is nothing to GC, and the retained history buys
-    * arbitrary-depth time travel and changelogs for free (a future
-    * fold would bring [[gcUnreferenced]]'s cur+pred policy with it).
-    */
-  private[graft] def commitDeltaMulti(root: java.nio.file.Path,
-      deltas: Map[String, DataFrame], batchId: Long): Unit = {
-    if (committedManifest(root).exists(_ >= batchId)) return
-    val rels = deltas.toSeq.sortBy(_._1)
-    rels.foreach { case (rel, df) =>
-      df.write.mode("overwrite")
-        .parquet(root.resolve(s"delta-v$batchId-$rel").toString)
-    }
-    val prior = committedManifest(root)
-      .map(v => manifestMembers(root, v)).getOrElse(Nil)
-    val members = prior ++ rels.map { case (rel, _) =>
-      s"$rel:delta-v$batchId-$rel" }
-    graft.Tables.atomicWrite(root, s"manifest-v$batchId", members.mkString("\n"))
-    graft.Tables.atomicWrite(root, "CURRENT", s"manifest-v$batchId")
-  }
-
-  /** Resolve ONE relation of a multi-relation manifest store: the
-    * union of the dirs whose manifest lines carry this relation's tag.
-    * None before the relation's first non-absent commit.
-    */
-  private[graft] def manifestSnapshotRel(s: SparkSession,
-      root: java.nio.file.Path, rel: String): Option[DataFrame] =
-    committedManifest(root).flatMap { v =>
-      val dirs = manifestMembers(root, v)
-        .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
-      if (dirs.isEmpty) None
-      else Some(dirs.map(m => s.read.parquet(root.resolve(m).toString))
-        .reduce(_ unionByName _))
-    }
-
-  /** One relation of a multi-relation store AS OF manifest version `v`
-    * — time travel per relation (multi-rel stores retain every
-    * manifest, so any version is readable).
-    */
-  private[graft] def manifestSnapshotRelAt(s: SparkSession,
-      root: java.nio.file.Path, rel: String, v: Long): Option[DataFrame] = {
-    val dirs = manifestMembers(root, v)
-      .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
-    if (dirs.isEmpty) None
-    else Some(dirs.map(m => s.read.parquet(root.resolve(m).toString))
-      .reduce(_ unionByName _))
-  }
-
-  /** Rel-scoped incremental read of a multi-relation manifest store —
-    * [[manifestChanges]] restricted to one relation's `rel:dir` lines:
-    * the rows relation `rel` gained between two retained manifests are
-    * exactly its delta dirs the newer manifest lists beyond the older
-    * one. Same prefix contract, same loud refusal if the relation's
-    * member list was rewritten.
-    */
-  private[graft] def manifestChangesRel(s: SparkSession, root: java.nio.file.Path,
-      rel: String, fromV: Long, toV: Long): DataFrame = {
-    def relDirs(v: Long) = manifestMembers(root, v)
-      .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
-    val prior = relDirs(fromV)
-    val next = relDirs(toV)
-    require(next.take(prior.size) == prior,
-      s"incremental read of $rel $fromV->$toV crosses a rewrite; " +
-        "a full-store diff is required")
-    val added = next.drop(prior.size)
-    require(added.nonEmpty, s"no $rel commits between $fromV and $toV")
-    s.read.parquet(added.map(m => root.resolve(m).toString): _*)
-  }
-
-  /** The manifest version CURRENT names, if this store uses the manifest
-    * protocol and any commit happened.
-    */
-  private[graft] def committedManifest(root: java.nio.file.Path): Option[Long] = {
-    val ptr = root.resolve("CURRENT")
-    if (java.nio.file.Files.exists(ptr)) {
-      val v = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
-      if (v.startsWith("manifest-v")) Some(v.stripPrefix("manifest-v").toLong)
-      else None
-    } else None
-  }
-
-  /** The highest retained manifest version strictly below `cur` — the
-    * predecessor retention keeps for crash recovery and one-back reads.
-    * The ONE lookup every predecessor consumer (GC, time travel, the
-    * changelogs) shares, so a retention-policy change (e.g. keep K
-    * predecessors) lands in one place.
-    */
-  private[graft] def retainedPredecessor(root: java.nio.file.Path,
-      cur: Long): Option[Long] =
-    Option(root.toFile.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("manifest-v\\d+"))
-      .map(_.stripPrefix("manifest-v").toLong).filter(_ < cur)
-      .sorted.lastOption
-
-  /** Member dir names of manifest version `v`, oldest first. */
-  private[graft] def manifestMembers(root: java.nio.file.Path, v: Long): Seq[String] =
-    new String(java.nio.file.Files.readAllBytes(
-      root.resolve(s"manifest-v$v")), "UTF-8")
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-
-  /** Resolve a member list to the store it denotes. Append stores union
-    * their members; upsert stores keep, per `upsertKey`, only the rows
-    * of the NEWEST member containing the key (merge-on-read: one
-    * max-over-window on the store's own partitioning key). `prep` runs
-    * on each member before the union — the delta-scoped reads pass a
-    * broadcast semi-join here so the filter applies BELOW the resolve.
-    */
-  private def resolveMembers(s: SparkSession, root: java.nio.file.Path,
-      members: Seq[String], upsertKey: Option[String],
-      prep: DataFrame => DataFrame = identity): DataFrame = {
-    def read(m: String) = prep(s.read.parquet(root.resolve(m).toString))
-    upsertKey match {
-      case None => members.map(read).reduce(_ unionByName _)
-      // one member = nothing to arbitrate: skip the LWW window — the
-      // read-side payoff a fold buys on an upsert store (q308 pins the
-      // window-free folded read plan)
-      case Some(_) if members.size == 1 => read(members.head)
-      case Some(k) =>
-        // marker columns must not clobber store columns: dunder-prefixed
-        // names plus a loud schema check (footer read only, no data)
-        val clash = read(members.head).columns.toSet
-          .intersect(Set("__mf_seq", "__mf_mx"))
-        require(clash.isEmpty, s"store schema collides with resolve markers: $clash")
-        val all = members.zipWithIndex
-          .map { case (m, i) => read(m).withColumn("__mf_seq", lit(i.toLong)) }
-          .reduce(_ unionByName _)
-        all.withColumn("__mf_mx", max(col("__mf_seq")).over(Window.partitionBy(col(k))))
-          .where(col("__mf_seq") === col("__mf_mx"))
-          .drop("__mf_seq", "__mf_mx")
-    }
-  }
-
-  /** The store CURRENT's manifest denotes, if any commit happened. */
-  private[graft] def manifestSnapshot(s: SparkSession, root: java.nio.file.Path,
-      upsertKey: Option[String] = None): Option[DataFrame] =
-    committedManifest(root).map(v =>
-      resolveMembers(s, root, manifestMembers(root, v), upsertKey))
-
-  /** Time travel: the store as of manifest version `v` — valid for
-    * CURRENT and its retained predecessor (older manifests are GC'd).
-    */
-  private[graft] def manifestSnapshotAt(s: SparkSession, root: java.nio.file.Path,
-      v: Long, upsertKey: Option[String] = None): DataFrame =
-    resolveMembers(s, root, manifestMembers(root, v), upsertKey)
-
-  /** The CURRENT upsert store restricted to `touched` keys BEFORE the
-    * merge-on-read resolve: each member semi-joins the (broadcast,
-    * batch-sized) touched set first, so a delta-scoped merge reads
-    * O(touched keys' rows), never O(store).
-    */
-  private def manifestSnapshotTouched(s: SparkSession, root: java.nio.file.Path,
-      key: String, touched: DataFrame): Option[DataFrame] =
-    committedManifest(root).map(v =>
-      resolveMembers(s, root, manifestMembers(root, v), Some(key),
-        _.join(broadcast(touched), Seq(key), "left_semi")))
-
-  /** Post-commit retention for manifest stores: keep every dir that
-    * CURRENT or its immediate predecessor manifest references, drop the
-    * rest (folded-away deltas, superseded bases) and manifests older
-    * than the predecessor.
-    */
-  private def gcUnreferenced(root: java.nio.file.Path): Unit =
-    committedManifest(root).foreach { cur =>
-      val files = Option(root.toFile.listFiles()).toSeq.flatten
-      val manifests = files.filter(_.getName.matches("manifest-v\\d+"))
-        .map(f => (f.getName.stripPrefix("manifest-v").toLong, f))
-      val keep = Set(cur) ++ retainedPredecessor(root, cur)
-      manifests.foreach { case (v, f) => if (!keep.contains(v)) { f.delete(): Unit } }
-      val referenced = keep.flatMap(v => manifestMembers(root, v).toSet)
-      files.filter(f => f.getName.matches("(delta|base)-v\\d+") &&
-          !referenced.contains(f.getName))
-        .foreach(graft.Tables.deleteRecursively)
-    }
-
-  /** Incremental read (changelog) between two retained manifest
-    * versions: the rows ADDED between `fromV` and `toV` are exactly the
-    * member dirs `toV` lists beyond `fromV`'s — append commits never
-    * touch existing members, so the plan reads ONLY the new delta dirs,
-    * never the base or any already-consumed delta. This is how a
-    * downstream consumer tails the store (build a dependent index, feed
-    * a training shard) without rescanning: O(changes), not O(store).
-    *
-    * The contract holds only while `toV`'s member list extends
-    * `fromV`'s. A FOLD rewrites members (deltas absorb into a fresh
-    * base), after which "what changed" is no longer answerable from
-    * file names — production incremental scans fail the same way across
-    * a rewrite and fall back to a full diff, and this helper refuses
-    * loudly rather than returning the folded base as if it were new
-    * rows. Retention bounds the window to CURRENT and its predecessor,
-    * matching the one-back time-travel contract.
-    */
-  private[graft] def manifestChanges(s: SparkSession, root: java.nio.file.Path,
-      fromV: Long, toV: Long): DataFrame = {
-    val prior = manifestMembers(root, fromV)
-    val next = manifestMembers(root, toV)
-    require(next.take(prior.size) == prior,
-      s"incremental read $fromV->$toV crosses a fold (members rewritten); " +
-        "a full-store diff is required")
-    val added = next.drop(prior.size)
-    require(added.nonEmpty, s"no commits between $fromV and $toV")
-    s.read.parquet(added.map(m => root.resolve(m).toString): _*)
-  }
-
-  // ---- contended (multi-writer) commit protocol -----------------------
-  //
-  // commitDelta above assumes ONE committer (a stream's foreachBatch,
-  // which Structured Streaming already serializes). Concurrent ingest —
-  // two pipelines appending to the same store — needs the commit itself
-  // to arbitrate. The public design this follows is Delta Lake's log
-  // protocol: a commit is the atomic CREATION of the next numbered
-  // manifest file (put-if-absent); whoever creates `manifest-v(n+1)`
-  // first wins, the loser re-reads the winner's manifest, REBASES its
-  // member list on top, and retries at the next version. Append-only
-  // deltas over disjoint inputs are always logically mergeable, so the
-  // rebase is a pure list concatenation; a protocol carrying updates or
-  // deletes would re-validate conflicts here before retrying.
-  //
-  // Put-if-absent on a local filesystem is `Files.createLink` (hard-link
-  // the fully-written temp manifest to its final name): link(2) fails
-  // atomically with EEXIST if the target exists, and the linked file
-  // already carries its complete content — readers can never observe a
-  // partial manifest. An object store does the same with a conditional
-  // PUT (If-None-Match: *); HDFS with create-no-overwrite. There is no
-  // CURRENT pointer in this protocol: the table IS the highest numbered
-  // manifest (recovery = max over manifest files), which is what makes
-  // multi-writer safety possible — a last-writer-wins pointer flip
-  // could regress under interleaving.
-
-  /** Highest committed manifest version of a contended store. */
-  private[graft] def latestContendedVersion(root: java.nio.file.Path): Option[Long] = {
-    val vs = Option(root.toFile.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("manifest-v\\d+"))
-      .map(_.stripPrefix("manifest-v").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
-  }
-
-  /** Optimistically commit `deltaDir` (already written, immutable) on
-    * top of the member list this transaction READ (`readVersion` /
-    * `readMembers` — captured at transaction start, possibly stale by
-    * commit time). Returns (committed version, collision count). Each
-    * collision means another writer won that version: re-read the
-    * winner's members, rebase, retry at the next number.
-    */
-  private[graft] def commitContended(root: java.nio.file.Path, deltaDir: String,
-      readVersion: Option[Long], readMembers: Seq[String],
-      maxAttempts: Int = 16): (Long, Int) = {
-    var v = readVersion
-    var base = readMembers
-    var attempts = 0
-    while (attempts < maxAttempts) {
-      val next = v.map(_ + 1).getOrElse(0L)
-      val tmp = java.nio.file.Files.createTempFile(root, ".manifest", ".tmp")
-      java.nio.file.Files.write(tmp,
-        (base :+ deltaDir).mkString("\n").getBytes("UTF-8"))
-      try {
-        java.nio.file.Files.createLink(root.resolve(s"manifest-v$next"), tmp)
-        java.nio.file.Files.delete(tmp)
-        return (next, attempts)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.delete(tmp)
-          attempts += 1
-          v = latestContendedVersion(root)
-          base = v.map(manifestMembers(root, _)).getOrElse(Nil)
-        case e: Throwable =>
-          // a filesystem without hard links (some overlay/network
-          // mounts) fails here with a non-EEXIST error: clean the temp
-          // up before propagating, the table dir must hold only
-          // committed state
-          java.nio.file.Files.deleteIfExists(tmp)
-          throw e
-      }
-    }
-    sys.error(s"commit of $deltaDir lost $maxAttempts straight races; giving up")
-  }
-
-  /** The store a contended table denotes: the member union of its
-    * HIGHEST manifest (no pointer — see the protocol note above).
-    */
-  private[graft] def contendedSnapshot(s: SparkSession,
-      root: java.nio.file.Path): Option[DataFrame] =
-    latestContendedVersion(root).map(v =>
-      manifestMembers(root, v).map(m =>
-          s.read.parquet(root.resolve(m).toString))
-        .reduce(_ unionByName _))
 
   /** q233: the upsert sink replayed as a real multi-batch stream. The
     * source stages the events feed as 3 files and admits one file per
@@ -1631,6 +1271,15 @@ object Streams {
     */
   private val sessFeedLock = new Object
 
+  /** The session feed's two epoch cuts (Jan 11 / Jan 21 UTC, micros) —
+    * named so every consumer (the staging split, the q302 changelog
+    * oracle, StreamingSpec's epoch assertions) provably shares ONE
+    * boundary: a drifting literal would silently re-scope what "batch
+    * 2's touched users" means.
+    */
+  private[graft] val SessionFeedCut1Us = 1704931200000000L
+  private[graft] val SessionFeedCut2Us = 1705795200000000L
+
   def ensureSessionFeed(s: SparkSession, d: String): String = sessFeedLock.synchronized {
     val path =
       s"${graft.Tables.scratchDir}/graft-sess-feed-${graft.Tables.datasetTag(d, "events")}"
@@ -1640,9 +1289,9 @@ object Streams {
       dir.mkdirs()
       val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
       val t = unix_micros(col("ts"))
-      val (c1, c2) = (1704931200000000L, 1705795200000000L) // Jan 11 / Jan 21 UTC
-      stageBuckets(dir, Seq(ev.where(t < c1),
-        ev.where(t >= c1 && t < c2), ev.where(t >= c2)))
+      stageBuckets(dir, Seq(ev.where(t < SessionFeedCut1Us),
+        ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us),
+        ev.where(t >= SessionFeedCut2Us)))
     }
     path
   }
@@ -1819,8 +1468,7 @@ object Streams {
     val table = ensureSessionStreamSnapshot(s, d)
     val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
       .getOrElse(sys.error("no committed session snapshot"))
-    val tomb = broadcast(Tables.events(s, d)
-      .where(col("user_id") % 13 === 0).select(col("user_id")).distinct())
+    val tomb = broadcast(sessionTombstones(s, d))
     val w = Window.partitionBy("user_id").orderBy("s_us")
     snap.join(tomb, Seq("user_id"), "left_anti")
       .withColumn("sid", row_number().over(w).cast("long"))
@@ -1905,9 +1553,9 @@ object Streams {
       .select(col("doc_id"), xxhash64(col("s")).as("h"), col("n"))
   }
 
-  /** Shared replay body of the two shingle stream stores. */
+  /** Shared replay body of the shingle stream stores. */
   private def shingleStreamReplay(s: SparkSession, d: String, dirName: String,
-      foldAfter: Int): java.nio.file.Path = {
+      foldAfter: Int, retain: Int = 2): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
     if (!Files.exists(root.resolve("DONE"))) {
@@ -1923,7 +1571,7 @@ object Streams {
         .foreachBatch { (b: Dataset[Row], id: Long) =>
           if (!committedManifest(table).exists(_ >= id)) {
             commitDelta(table, shinglePostings(b.toDF()), id,
-              foldAfter = foldAfter)
+              foldAfter = foldAfter, retain = retain)
           }
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -2112,7 +1760,7 @@ object Streams {
           .parquet(table.resolve("delta-c0").toString)
         val (v0, a0) = commitContended(table, "delta-c0", None, Nil)
         // both writers open their transaction against v0...
-        val readV = latestContendedVersion(table)
+        val readV = committedManifest(table)
         val readM = readV.map(manifestMembers(table, _)).getOrElse(Nil)
         bucket(1).write.mode("overwrite")
           .parquet(table.resolve("delta-cA").toString)
@@ -2138,7 +1786,7 @@ object Streams {
     */
   def contendedCommitProbe: Q = (s, d) => {
     val table = ensureContendedShingleIndex(s, d)
-    shingleStoreProbe(s, d, contendedSnapshot(s, table)
+    shingleStoreProbe(s, d, manifestSnapshot(s, table)
       .getOrElse(sys.error("no committed contended snapshot")))
   }
 
@@ -2516,6 +2164,170 @@ object Streams {
   def intervalJoinSemiBatch: Q = (s, d) =>
     purchaseSignupSemi(Tables.events(s, d))
 
+  /** Stand-in for the session-store erasure request queue: the q290
+    * forget-set shape (user_id % 13 == 0) as an aggregate-sized id
+    * list, shared by the overlay probe (q290) and the erasure FOLD
+    * (q311) so both provably apply the same forget set.
+    */
+  private[graft] def sessionTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("user_id") % 13 === 0).select(col("user_id")).distinct()
+
+  // ──────────────── erasure folds on the stream stores (round 15) ────────────────
+  //
+  // q293/q296/q306/q290 apply their forget sets as per-read broadcast
+  // anti-join overlays: correct, O(|tombstones|) at plan time, but paid
+  // on EVERY probe forever, and the erased rows' bytes stay on disk.
+  // The batch indexes already have the tombstone-fold cells (q272 /
+  // q280 / q287); these stores now get the same maintenance step via
+  // ManifestStore.eraseFold: resolve the members once, anti-join the
+  // forget set once, publish ONE purged base — after which probes plan
+  // no anti-join at all and the new version's files carry zero erased
+  // rows (what right-to-erasure actually requires; the pre-fold
+  // versions age out under the standard retention policy). Each folded
+  // store is built as a SEPARATE artifact (fresh replay + fold) so the
+  // overlay forms stay exercised on the shared stores.
+
+  /** The q310 store: the shingle stream replay plus an erasure fold of
+    * q264's forget set — DONE-gated like every derived artifact; the
+    * EFOLD marker gates the fold separately from the replay so a crash
+    * between the two re-runs only the fold (idempotent: purging a
+    * purged base is a no-op at a new version).
+    */
+  private val efoldShingleLock = new Object
+
+  def ensureErasureFoldedShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    efoldShingleLock.synchronized {
+      val table = shingleStreamReplay(s, d,
+        s"graft-shingle-stream-efold-${graft.Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("EFOLD")
+      if (!java.nio.file.Files.exists(marker)) {
+        eraseFold(table, graft.dedup.DedupQueries.erasureTombstones(s, d),
+          Seq("doc_id"))
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q310: the q293 probe served from the ERASURE-FOLDED stream shingle
+    * store — bit-equal to q293's overlay probe (q264's surviving-corpus
+    * oracle verbatim), but the store side is ONE purged base: no
+    * anti-join anywhere in the plan (StreamingSpec pins plan and
+    * bit-equality), and no erased doc's postings exist in any file the
+    * current manifest references.
+    */
+  def erasureFoldedStreamShingleProbe: Q = (s, d) => {
+    val table = ensureErasureFoldedShingleStreamIndex(s, d)
+    val store = manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot"))
+    graft.dedup.DedupQueries.ingestProbePairs(
+      graft.dedup.DedupQueries.survivingBatchShingles(s, d),
+      store.select(col("doc_id").as("oid"), col("h")),
+      store.select(col("doc_id"), col("n")).distinct())
+  }
+
+  /** The q311 store: the session stream replay plus an erasure fold of
+    * q290's forget set on the UPSERT store — the fold both purges the
+    * erased users and collapses the members to one base, so the read
+    * plans neither the anti-join overlay NOR the merge-on-read LWW
+    * window (the single-member fast path).
+    */
+  private val efoldSessLock = new Object
+
+  def ensureErasureFoldedSessionStore(s: SparkSession, d: String): java.nio.file.Path =
+    efoldSessLock.synchronized {
+      val table = sessionStreamReplay(s, d,
+        s"graft-sess-stream-efold-${graft.Tables.datasetTag(d, "events")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("EFOLD")
+      if (!java.nio.file.Files.exists(marker)) {
+        eraseFold(table, sessionTombstones(s, d), Seq("user_id"),
+          upsertKey = Some("user_id"))
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q311: q290's erased sessionization served from the ERASURE-FOLDED
+    * session store — q290's oracle verbatim, anti-join-free AND
+    * window-free read plan (both pinned).
+    */
+  def erasureFoldedStreamSessions: Q = (s, d) => {
+    val table = ensureErasureFoldedSessionStore(s, d)
+    val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
+      .getOrElse(sys.error("no committed session snapshot"))
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    snap.withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
+  }
+
+  /** The q312 store: the IVF assignment replay plus an erasure fold of
+    * q279's forget set — the ANN family's erasure-fold cell.
+    */
+  private val efoldIvfLock = new Object
+
+  def ensureErasureFoldedIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    efoldIvfLock.synchronized {
+      val table = ivfStreamReplay(s, d,
+        s"graft-ivf-stream-efold-${graft.Tables.datasetTag(d, "embeddings")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("EFOLD")
+      if (!java.nio.file.Files.exists(marker)) {
+        eraseFold(table, graft.sim.SimQueries.ivfTombstones(s, d), Seq("vec_id"))
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q312: the q296 erased probe served from the ERASURE-FOLDED stream
+    * IVF store — same surviving anchored queries, same audit, but the
+    * assignment side is one purged base: no anti-join in the probe plan
+    * (erasure was paid once, at the fold). Registered as the audited
+    * form — q296's reference (surviving-corpus brute top-5).
+    */
+  def erasureFoldedStreamIvfProbe: Q = (s, d) => {
+    val table = ensureErasureFoldedIvfStreamIndex(s, d)
+    val store = manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    graft.sim.SimQueries.ivfSurvivorProbeFromStore(s, d, store)
+  }
+
+  /** Driver-audited form of [[erasureFoldedStreamIvfProbe]]. */
+  def erasureFoldedStreamIvfChecked: Q = (s, d) =>
+    graft.sim.SimQueries.streamIvfErasedChecked(erasureFoldedStreamIvfProbe(s, d), s, d)
+
+  /** The q315 store: the shingle replay committed with `retain = 3` —
+    * the configurable-retention cell (every other store keeps the
+    * default CURRENT + one predecessor). Three batches, no fold: all
+    * three manifests stay, so a DEPTH-2 travel read (two versions
+    * behind current) still resolves.
+    */
+  private val retainShingleLock = new Object
+
+  def ensureRetainedShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    retainShingleLock.synchronized {
+      shingleStreamReplay(s, d,
+        s"graft-shingle-stream-ret3-${graft.Tables.datasetTag(d, "documents")}",
+        foldAfter = 8, retain = 3)
+    }
+
+  /** q315: DEPTH-2 TIME TRAVEL under configurable retention — q297's
+    * read contract generalized from "one back" to "any retained
+    * version": the keep-last-3 store resolves the manifest two commits
+    * behind current (v0 = bucket 0 only), and the nightly probe against
+    * it answers what the FIRST commit served. Exact oracle: q214's with
+    * both pair sides in bucket 0. StreamingSpec pins the retention
+    * ledger itself (3 manifests on disk, depth-2 members readable).
+    */
+  def deepTimeTravelShingleProbe: Q = (s, d) => {
+    val table = ensureRetainedShingleStreamIndex(s, d)
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed shingle-index snapshot"))
+    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, cur - 2))
+  }
+
   val queries: Map[String, Q] = Map(
     "q157_interval_join_semi" -> intervalJoinSemiBatch,
     "q25_session_window" -> sessionsBatch,
@@ -2547,6 +2359,10 @@ object Streams {
     "q302_session_store_changelog" -> sessionStoreChangelog,
     "q304_folded_stream_ivf" -> foldedStreamIvfChecked,
     "q308_folded_stream_sessions" -> foldedStreamSessions,
+    "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
+    "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
+    "q312_erasure_folded_ivf" -> erasureFoldedStreamIvfChecked,
+    "q315_deep_time_travel_shingle" -> deepTimeTravelShingleProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2566,6 +2382,30 @@ object Streams {
   private val sessionStoreOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      |x AS (
+      |  SELECT user_id, t_us, event_id,
+      |    CASE WHEN lag(t_us) OVER w IS NULL
+      |           OR t_us - lag(t_us) OVER w >= 21600000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      |b AS (
+      |  SELECT user_id, t_us,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM x)
+      |SELECT user_id, sid, count(*) AS n_events,
+      |  min(t_us) AS s_us, max(t_us) AS e_us,
+      |  max(t_us) - min(t_us) AS dur_us
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** q290's oracle — a one-shot sessionization of the SURVIVING users'
+    * events; shared verbatim by q311 (the erasure-folded store serves
+    * the identical answer with the overlay folded away).
+    */
+  private val erasedSessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+      |  WHERE user_id % 13 <> 0),
       |x AS (
       |  SELECT user_id, t_us, event_id,
       |    CASE WHEN lag(t_us) OVER w IS NULL
@@ -2651,11 +2491,11 @@ object Streams {
     // restricted to users with an event at or after the second epoch
     // cut (2024-01-21 UTC — the staged feed's c2)
     "q302_session_store_changelog" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
         |  WHERE user_id IN (
         |    SELECT DISTINCT user_id FROM events
-        |    WHERE epoch_us(ts) >= 1705795200000000)),
+        |    WHERE epoch_us(ts) >= $SessionFeedCut2Us)),
         |x AS (
         |  SELECT user_id, t_us, event_id,
         |    CASE WHEN lag(t_us) OVER w IS NULL
@@ -2681,25 +2521,25 @@ object Streams {
     // session-store erasure must land exactly on a one-shot
     // sessionization of the SURVIVING users' events (q286's oracle
     // with the forget set removed at the scan)
-    "q290_erased_stream_sessions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
-        |  WHERE user_id % 13 <> 0),
-        |x AS (
-        |  SELECT user_id, t_us, event_id,
-        |    CASE WHEN lag(t_us) OVER w IS NULL
-        |           OR t_us - lag(t_us) OVER w >= 21600000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
-        |b AS (
-        |  SELECT user_id, t_us,
-        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-        |  FROM x)
-        |SELECT user_id, sid, count(*) AS n_events,
-        |  min(t_us) AS s_us, max(t_us) AS e_us,
-        |  max(t_us) - min(t_us) AS dur_us
-        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q290_erased_stream_sessions" -> erasedSessionOracle,
+    // the erasure-FOLDED stores serve the overlay forms' answers
+    // verbatim: q264's surviving-corpus oracle (shingles), q290's
+    // surviving-users oracle (sessions), q296's audit shape (vectors)
+    "q310_erasure_folded_shingle" ->
+      graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
+    "q311_erasure_folded_sessions" -> erasedSessionOracle,
+    "q312_erasure_folded_ivf" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
+        |  TRUE AS recall_ge_075
+        |FROM embeddings
+        |WHERE vec_id % 100 = 0 AND vec_id % 7 <> 1
+        |  AND vec_id < 100000""".stripMargin,
+    // the depth-2 travelled probe answers over the FIRST bucket's
+    // corpus alone: q214's oracle with both pair sides in bucket 0
+    "q315_deep_time_travel_shingle" ->
+      s"""SELECT * FROM (
+         |${graft.dedup.DedupQueries.oracles("q214_incremental_dedup")}
+         |) WHERE a_id % 3 = 0 AND b_id % 3 = 0""".stripMargin,
     // the stream-maintained composite snapshot must equal the full
     // bridge-join recompute (the feed carries every lineitem row)
     "q289_stream_composite_mv" ->

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.SparkSpec
+import graft.store.ManifestStore
 
 class MultimodalSpec extends SparkSpec {
 
@@ -26,7 +27,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("frame dedup surfaces only duplicated frames, keeper is the earliest") {
     val frames = Multimodal.frameSample(spark, sf).collect()
-      .map(r => (r.getString(2), r.getLong(0) * 100000L + r.getInt(1)))
+      .map(r => (r.getString(2), r.getLong(0) * 4294967296L + r.getInt(1)))
     val byHash = frames.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val rows = Multimodal.frameDedup(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
@@ -60,7 +61,7 @@ class MultimodalSpec extends SparkSpec {
       .flatMap { r =>
         val (id, text) = (r.getLong(0), r.getString(1))
         (0 until text.length / fb).map(k =>
-          (text.substring(k * fb, (k + 1) * fb), id * 100000L + k))
+          (text.substring(k * fb, (k + 1) * fb), id * 4294967296L + k))
       }
       .groupBy(_._1).map { case (f, ks) => (ks.map(_._2).min, f) }.toArray
     val sigs = frames.map { case (k, f) =>
@@ -451,10 +452,10 @@ class MultimodalSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.streaming.Streams
     val table = Multimodal.ensureFrameStreamIndex(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
+    assert(ManifestStore.committedManifest(table).contains(2L))
     // one manifest names ALL THREE relations' deltas per batch — the
     // single-flip multi-relation commit (no occ/pairs tear possible)
-    val members = Streams.manifestMembers(table, 2L)
+    val members = ManifestStore.manifestMembers(table, 2L)
     assert(members.size === 9, members.toString)
     for (b <- 0 to 2; rel <- Seq("classes", "occ", "pairs"))
       assert(members.contains(s"$rel:delta-v$b-$rel"), members.toString)
@@ -470,7 +471,7 @@ class MultimodalSpec extends SparkSpec {
       .select("frame").collect().map(_.getString(0)).toSet
     assert(f0.nonEmpty && f1.nonEmpty && f0.intersect(f1).isEmpty)
     // every near-dup class pair lands exactly once across all deltas
-    val pairs = Streams.manifestSnapshotRel(spark, table, "pairs").get
+    val pairs = ManifestStore.manifestSnapshotRel(spark, table, "pairs").get
       .collect().map(_.toString)
     assert(pairs.length === pairs.distinct.length)
     // the roll-up from the stream store is exactly q249's
@@ -499,13 +500,56 @@ class MultimodalSpec extends SparkSpec {
     // changelog: the occ-scoped incremental read opens ONLY batch 2's
     // occ delta — no classes, no pairs, no earlier batches
     val table = Multimodal.ensureFrameStreamIndex(spark, sf)
-    val files = Streams.manifestChangesRel(spark, table, "occ", 1L, 2L)
+    val files = ManifestStore.manifestChangesRel(spark, table, "occ", 1L, 2L)
       .inputFiles.toSeq
     assert(files.nonEmpty && files.forall(_.contains("delta-v2-occ")),
       files.toString)
     val chg = Multimodal.queries("q307_frame_store_changelog")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(chg.nonEmpty && chg.forall(_._1 % 3 == 2))
+  }
+
+  test("q313/q314 frame-store folds: per-relation bases behind one flip, purged occ, roll-ups bit-equal") {
+    import org.apache.spark.sql.functions._
+    // ── q314: the FOLDED store (foldAfter=2 → batch 2's commit folds
+    // all three relations) serves q305's roll-up bit-for-bit ──
+    val got314 = Multimodal.queries("q314_folded_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val got305 = Multimodal.queries("q305_stream_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got314 === got305 && got314.nonEmpty)
+    val tf = Multimodal.ensureFoldedFrameStreamIndex(spark, sf)
+    val curF = ManifestStore.committedManifest(tf).get
+    val mf = ManifestStore.manifestMembers(tf, curF)
+    assert(mf.size === 3 && mf.forall(_.contains(":base-v")), mf.toString)
+    Seq("classes", "occ", "pairs").foreach { rel =>
+      assert(mf.count(_.startsWith(s"$rel:")) === 1,
+        s"relation $rel must resolve from exactly one folded base: $mf") }
+
+    // ── q313: the ERASURE-FOLDED store — occ purged once, classes and
+    // pairs carried over, roll-up == q306's overlay roll-up ──
+    val got313 = Multimodal.queries("q313_erasure_folded_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val got306 = Multimodal.queries("q306_erased_stream_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got313 === got306 && got313.nonEmpty)
+    val te = Multimodal.ensureErasureFoldedFrameStreamIndex(spark, sf)
+    val curE = ManifestStore.committedManifest(te).get
+    val me = ManifestStore.manifestMembers(te, curE)
+    val occBase = me.find(_.startsWith("occ:base-e"))
+      .getOrElse(fail(s"occ must resolve from a purged base: $me"))
+      .stripPrefix("occ:")
+    assert(me.count(_.startsWith("classes:")) === 3 &&
+      me.count(_.startsWith("pairs:")) === 3,
+      s"untouched relations must carry their delta members over: $me")
+    // zero tombstoned media in the purged occ FILES
+    assert(spark.read.parquet(te.resolve(occBase).toString)
+      .where(col("media_id") % 7 === 1).count() === 0L,
+      "erased media's occurrences must be physically gone")
+    // and the roll-up plans no tombstone overlay
+    val plan = Multimodal.queries("q313_erasure_folded_frame_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), plan.take(1500))
   }
 
   test("q309 multi-relation time travel: consistent prefix, no bucket-2 media, delta-v2-free plan") {
@@ -525,7 +569,7 @@ class MultimodalSpec extends SparkSpec {
       "v1 read touched batch 2's delta\n" + plan.take(1500))
     // prefix completeness: v1's occ is exactly the buckets-0+1 media
     val table = Multimodal.ensureFrameStreamIndex(spark, sf)
-    val v1Media = Streams.manifestSnapshotRelAt(spark, table, "occ", 1L).get
+    val v1Media = ManifestStore.manifestSnapshotRelAt(spark, table, "occ", 1L).get
       .select("media_id").distinct().collect().map(_.getLong(0)).toSet
     assert(v1Media.nonEmpty && v1Media.forall(_ % 3 != 2))
   }
@@ -547,7 +591,7 @@ class MultimodalSpec extends SparkSpec {
       .flatMap { r =>
         val (id, text) = (r.getLong(0), r.getString(1))
         (0 until text.length / fb).map(k =>
-          (text.substring(k * fb, (k + 1) * fb), id, id * 100000L + k))
+          (text.substring(k * fb, (k + 1) * fb), id, id * 4294967296L + k))
       }
     val keeperOf = occRows.groupBy(_._1).map { case (f, ks) =>
       f -> ks.map(_._3).min }

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
       "q58_embedding_pairs_lsh" + "q94_semdedup" + "q277_incremental_ivf" +
       "q279_erasure_ivf" + "q280_compacted_ivf" + "q292_stream_ivf_index" +
       "q294_retrained_ivf" + "q296_erased_stream_ivf" +
-      "q304_folded_stream_ivf"
+      "q304_folded_stream_ivf" + "q312_erasure_folded_ivf" +
+      "q316_drift_aware_retrain"
 
   /** The bench path must never pay for audit machinery: every
     * bench-form override must (a) override a registered query, (b) not

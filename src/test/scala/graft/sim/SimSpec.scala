@@ -153,6 +153,66 @@ class SimSpec extends SparkSpec {
       .collect().head.getBoolean(2), "audit recall bit is false")
   }
 
+  test("q316 drift-aware retrain: measured trigger, no-retrain serves v1 untrained, drifted fixture swaps to v2") {
+    import org.apache.spark.sql.functions._
+    // ── shipped corpus: drift under threshold → the NO-RETRAIN branch ──
+    val idx = SimQueries.ensureDriftAwareIvfIndex(spark, sf)
+    val drift = SimQueries.storedDriftPpm(idx)
+    info(s"measured drift = $drift (threshold ${SimQueries.DriftRetrainThresholdPpm})")
+    assert(drift < SimQueries.DriftRetrainThresholdPpm,
+      "shipped corpus must sit under the retrain trigger")
+    assert(SimQueries.retrainCurrent(idx) === "v1")
+    assert(!new java.io.File(s"$idx/v2").exists(),
+      "no-retrain branch must not have trained anything")
+    // v1 IS the unswapped serving state: the shipped codebook verbatim,
+    // assignments = shipped ∪ ingested third (one row per grown vector)
+    val oldIdx = SimQueries.ensureIvfIndex(spark, sf)
+    assert(spark.read.parquet(s"$idx/v1/centroids").collect()
+        .map(_.toString).sorted.toSeq ===
+      spark.read.parquet(s"$oldIdx/centroids").collect()
+        .map(_.toString).sorted.toSeq,
+      "no-retrain branch must serve the shipped codebook bit-for-bit")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(spark.read.parquet(s"$idx/v1/assigned").count() === n)
+    // probe through the pointer: pinned recall, v1-only plan, audit TRUE
+    val raw = SimQueries.driftAwareIvf(spark, sf)
+    val got = raw.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimQueries.queries("q45_knn_brute")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"drift-aware ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-driftaware") && plan.contains("/v1/"),
+      plan.take(1500))
+    assert(!plan.contains("/v2/"), "no-retrain probe must read v1 only")
+    assert(SimQueries.queries("q316_drift_aware_retrain")(spark, sf)
+      .collect().head.getBoolean(2), "audit recall bit is false")
+
+    // ── drifted fixture: ingested third shifted +5% of a unit per dim
+    // → trigger fires, q294's retrain-and-swap runs, pointer lands on
+    // a freshly trained v2 covering the full fixture corpus ──
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-driftfix-")
+    try {
+      val shifted = Tables.embeddings(spark, sf).select(col("vec_id"),
+        when(col("vec_id") % 3 === 0,
+            expr("transform(embedding, x -> x + CAST(0.05 AS FLOAT))"))
+          .otherwise(col("embedding")).as("embedding"))
+      val d2 = SimQueries.buildDriftAwareIndex(spark, tmp.toString, oldIdx, shifted)
+      info(s"fixture drift = $d2")
+      assert(d2 >= SimQueries.DriftRetrainThresholdPpm,
+        "constructed drift must clear the trigger")
+      assert(SimQueries.retrainCurrent(tmp.toString) === "v2")
+      assert(spark.read.parquet(s"${tmp.toString}/v2/assigned").count() === n)
+      // the retrain genuinely moved the codebook toward the drifted data
+      assert(spark.read.parquet(s"${tmp.toString}/v1/centroids").collect()
+          .map(_.toString).sorted.toSeq !==
+        spark.read.parquet(s"${tmp.toString}/v2/centroids").collect()
+          .map(_.toString).sorted.toSeq)
+    } finally graft.Tables.deleteRecursively(tmp.toFile)
+  }
+
   test("ANN audit oracles: corpus density makes the 5-per-query eval-pair count exact") {
     import org.apache.spark.sql.functions._
     // the DuckDB oracles for every knnAudit-gated query compute

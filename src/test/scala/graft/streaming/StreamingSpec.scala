@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.{SparkSpec, Tables}
+import graft.store.ManifestStore
 
 class StreamingSpec extends SparkSpec {
 
@@ -630,82 +631,76 @@ class StreamingSpec extends SparkSpec {
     graft.Tables.deleteRecursively(root.toFile)
   }
 
-  test("manifest protocol: O(batch) commits, LWW resolve, fold at threshold, GC, idempotence, crash") {
+  test("q310/q311/q312 erasure folds: bit-equal to overlay probes, purged bases, overlay-free plans") {
     import org.apache.spark.sql.functions._
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def dirs(root: java.nio.file.Path, pat: String) =
-      Option(root.toFile.listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.matches(pat)).toSet
+    // ── shingles: folded probe == q293's overlay probe, store is ONE
+    // purged base, no anti-join anywhere in the probe plan ──
+    val r310 = Streams.queries("q310_erasure_folded_shingle")(spark, sf)
+    val got310 = r310.collect().map(_.toString).sorted.toSeq
+    val got293 = Streams.queries("q293_erased_stream_shingle")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got310 === got293 && got310.nonEmpty)
+    val ts = Streams.ensureErasureFoldedShingleStreamIndex(spark, sf)
+    val curS = ManifestStore.committedManifest(ts).get
+    assert(ManifestStore.manifestMembers(ts, curS) === Seq(s"base-e$curS"))
+    // zero tombstoned rows in the folded FILES, not just the read
+    assert(spark.read.parquet(ts.resolve(s"base-e$curS").toString)
+      .where(col("doc_id") % 7 === 1).count() === 0L,
+      "erased docs' postings must be physically gone")
+    assert(!r310.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "folded probe must plan no tombstone overlay")
 
-    // ── append store ──
-    val ap = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-manifest-spec-")
-    def b(kv: (Long, Long)*) = spark.createDataFrame(kv).toDF("k", "v")
-    Streams.commitDelta(ap, b((1L, 10L)), 0L)
-    Streams.commitDelta(ap, b((2L, 20L)), 1L)
-    Streams.commitDelta(ap, b((3L, 30L)), 2L)
-    assert(Streams.committedManifest(ap).contains(2L))
-    assert(Streams.manifestMembers(ap, 2L) ===
-      Seq("delta-v0", "delta-v1", "delta-v2"))
-    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
-      Set((1L, 10L), (2L, 20L), (3L, 30L)))
-    // each commit wrote O(batch): the delta dir holds only its batch
-    assert(rows(spark.read.parquet(ap.resolve("delta-v1").toString)) ===
-      Set((2L, 20L)))
-    // retention: manifests older than the predecessor are GC'd, but
-    // every delta both retained manifests reference stays readable
-    assert(dirs(ap, "manifest-v\\d+") === Set("manifest-v1", "manifest-v2"))
-    assert(rows(Streams.manifestSnapshotAt(spark, ap, 1L)) ===
-      Set((1L, 10L), (2L, 20L)), "one-back time travel")
-    // idempotent re-delivery: an applied batch id is a NO-OP
-    Streams.commitDelta(ap, b((9L, 99L)), 1L)
-    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
-      Set((1L, 10L), (2L, 20L), (3L, 30L)))
-    // crash window: a delta dir written but never committed (no
-    // manifest names it) is invisible, and the re-run overwrites it
-    b((8L, 80L)).write.mode("overwrite").parquet(ap.resolve("delta-v3").toString)
-    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
-      Set((1L, 10L), (2L, 20L), (3L, 30L)), "torn delta leaked into reads")
-    Streams.commitDelta(ap, b((4L, 40L)), 3L)
-    assert(rows(Streams.manifestSnapshot(spark, ap).get) ===
-      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
-    graft.Tables.deleteRecursively(ap.toFile)
+    // ── sessions (upsert store): folded result == q290's overlay
+    // result; the fold leaves ONE purged base, so the read also skips
+    // the merge-on-read LWW window (single-member fast path) ──
+    val r311 = Streams.queries("q311_erasure_folded_sessions")(spark, sf)
+    val got311 = r311.collect().map(_.toString).sorted.toSeq
+    val got290 = Streams.queries("q290_erased_stream_sessions")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got311 === got290 && got311.nonEmpty)
+    val tu = Streams.ensureErasureFoldedSessionStore(spark, sf)
+    val curU = ManifestStore.committedManifest(tu).get
+    assert(ManifestStore.manifestMembers(tu, curU) === Seq(s"base-e$curU"))
+    assert(spark.read.parquet(tu.resolve(s"base-e$curU").toString)
+      .where(col("user_id") % 13 === 0).count() === 0L,
+      "erased users' sessions must be physically gone")
+    assert(!r311.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // the only Window left is the read-time sid rank — the resolve
+    // itself is a plain single-dir scan (no __mf_seq arbitration)
+    assert(!r311.queryExecution.executedPlan.toString.contains("__mf_seq"),
+      "folded upsert read must not plan the merge-on-read window")
 
-    // ── upsert (merge-on-read) store: newest member wins per key ──
-    val up = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-manifest-spec-")
-    Streams.commitDelta(up, b((1L, 10L), (2L, 20L)), 0L, upsertKey = Some("k"))
-    Streams.commitDelta(up, b((1L, 11L), (3L, 30L)), 1L, upsertKey = Some("k"))
-    assert(rows(Streams.manifestSnapshot(spark, up, Some("k")).get) ===
-      Set((1L, 11L), (2L, 20L), (3L, 30L)),
-      "newest delta must shadow older rows of the same key")
-    assert(rows(Streams.manifestSnapshotAt(spark, up, 0L, Some("k"))) ===
-      Set((1L, 10L), (2L, 20L)))
-    graft.Tables.deleteRecursively(up.toFile)
+    // ── vectors: folded store purged, probe overlay-free, audit TRUE ──
+    val ti = Streams.ensureErasureFoldedIvfStreamIndex(spark, sf)
+    val curI = ManifestStore.committedManifest(ti).get
+    assert(ManifestStore.manifestMembers(ti, curI) === Seq(s"base-e$curI"))
+    assert(spark.read.parquet(ti.resolve(s"base-e$curI").toString)
+      .where(col("vec_id") % 7 === 1).count() === 0L,
+      "erased vectors' assignments must be physically gone")
+    val probe312 = Streams.erasureFoldedStreamIvfProbe(spark, sf)
+    assert(!probe312.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "folded IVF probe must plan no tombstone overlay")
+    assert(Streams.queries("q312_erasure_folded_ivf")(spark, sf)
+      .collect().head.getBoolean(2), "audit recall bit is false")
+  }
 
-    // ── fold at threshold: the LSM absorb step ──
-    val fd = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-manifest-spec-")
-    Streams.commitDelta(fd, b((1L, 10L)), 0L, foldAfter = 2)
-    Streams.commitDelta(fd, b((2L, 20L)), 1L, foldAfter = 2)
-    val preFold = rows(Streams.manifestSnapshot(spark, fd).get) + ((3L, 30L))
-    Streams.commitDelta(fd, b((3L, 30L)), 2L, foldAfter = 2)
-    // the third commit crossed the threshold: manifest resets to ONE base
-    assert(Streams.manifestMembers(fd, 2L) === Seq("base-v2"))
-    assert(rows(Streams.manifestSnapshot(spark, fd).get) === preFold,
-      "post-fold store must be bit-equal to the pre-fold resolve")
-    // predecessor manifest still resolves through the retained deltas
-    assert(rows(Streams.manifestSnapshotAt(spark, fd, 1L)) ===
-      Set((1L, 10L), (2L, 20L)))
-    // the NEXT commit's GC drops the folded-away deltas: nothing the
-    // two retained manifests reference needs them any more
-    Streams.commitDelta(fd, b((4L, 40L)), 3L, foldAfter = 2)
-    assert(dirs(fd, "delta-v\\d+") === Set("delta-v3"),
-      "folded-away deltas must be GC'd once unreferenced")
-    assert(rows(Streams.manifestSnapshot(spark, fd).get) ===
-      preFold + ((4L, 40L)))
-    graft.Tables.deleteRecursively(fd.toFile)
+  test("q315 retention depth 3: full ledger on disk, depth-2 travel resolves bucket 0") {
+    import org.apache.spark.sql.functions._
+    val t = Streams.ensureRetainedShingleStreamIndex(spark, sf)
+    // keep-last-3 retained every manifest of the 3-batch replay
+    (0L to 2L).foreach { v =>
+      assert(java.nio.file.Files.exists(t.resolve(s"manifest-v$v")),
+        s"manifest-v$v must be retained under retain=3") }
+    assert(ManifestStore.committedManifest(t).contains(2L))
+    // depth-2 travel: v0 = bucket 0 postings only, complete per doc
+    val v0 = ManifestStore.manifestSnapshotAt(spark, t, 0L)
+    val v0Docs = v0.select("doc_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(v0Docs.nonEmpty && v0Docs.forall(_ % 3 == 0),
+      "v0 must hold exactly the first bucket's docs")
+    // and the registered probe answers non-trivially over it
+    assert(Streams.queries("q315_deep_time_travel_shingle")(spark, sf)
+      .collect().nonEmpty)
   }
 
   test("q293 stream-shingle erasure: overlay probe == q264, store never rewritten") {
@@ -737,14 +732,14 @@ class StreamingSpec extends SparkSpec {
   test("q295 folded stream-shingle store: manifest folded to one base, probe == q291") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureFoldedShingleStreamIndex(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
+    assert(ManifestStore.committedManifest(table).contains(2L))
     // foldAfter=2: batch 2's commit absorbed the three deltas into one
     // base — the manifest length reset is the whole point
-    assert(Streams.manifestMembers(table, 2L) === Seq("base-v2"))
+    assert(ManifestStore.manifestMembers(table, 2L) === Seq("base-v2"))
     // the folded store is bit-equal to q291's multi-delta resolve
-    val folded = Streams.manifestSnapshot(spark, table).get
+    val folded = ManifestStore.manifestSnapshot(spark, table).get
       .collect().map(_.toString).sorted.toSeq
-    val unfolded = Streams.manifestSnapshot(spark,
+    val unfolded = ManifestStore.manifestSnapshot(spark,
         Streams.ensureShingleStreamIndex(spark, sf)).get
       .collect().map(_.toString).sorted.toSeq
     assert(folded === unfolded && folded.nonEmpty)
@@ -763,12 +758,12 @@ class StreamingSpec extends SparkSpec {
 
   test("q304 folded stream-IVF store: manifest folded to one base, store == q292's") {
     val table = Streams.ensureFoldedIvfStreamIndex(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
-    assert(Streams.manifestMembers(table, 2L) === Seq("base-v2"))
+    assert(ManifestStore.committedManifest(table).contains(2L))
+    assert(ManifestStore.manifestMembers(table, 2L) === Seq("base-v2"))
     // the folded assignment store is bit-equal to q292's resolve
-    val folded = Streams.manifestSnapshot(spark, table).get
+    val folded = ManifestStore.manifestSnapshot(spark, table).get
       .collect().map(_.toString).sorted.toSeq
-    val unfolded = Streams.manifestSnapshot(spark,
+    val unfolded = ManifestStore.manifestSnapshot(spark,
         Streams.ensureIvfStreamIndex(spark, sf)).get
       .collect().map(_.toString).sorted.toSeq
     assert(folded === unfolded && folded.nonEmpty)
@@ -788,12 +783,12 @@ class StreamingSpec extends SparkSpec {
   test("q308 folded session store: one base, window-free read, snapshot == q286's") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureFoldedSessionStreamSnapshot(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
-    assert(Streams.manifestMembers(table, 2L) === Seq("base-v2"))
+    assert(ManifestStore.committedManifest(table).contains(2L))
+    assert(ManifestStore.manifestMembers(table, 2L) === Seq("base-v2"))
     // the folded store resolves bit-equal to the unfolded LWW resolve
-    val folded = Streams.manifestSnapshot(spark, table,
+    val folded = ManifestStore.manifestSnapshot(spark, table,
         upsertKey = Some("user_id")).get
-    val unfolded = Streams.manifestSnapshot(spark,
+    val unfolded = ManifestStore.manifestSnapshot(spark,
         Streams.ensureSessionStreamSnapshot(spark, sf),
         upsertKey = Some("user_id")).get
     assert(folded.collect().map(_.toString).sorted.toSeq ===
@@ -873,14 +868,14 @@ class StreamingSpec extends SparkSpec {
     val table = Streams.ensureSessionStreamSnapshot(spark, sf)
     // 3 time-cut buckets commit as batches 0..2 under the MANIFEST
     // protocol; manifest-v1 retained as predecessor
-    assert(Streams.committedManifest(table).contains(2L))
+    assert(ManifestStore.committedManifest(table).contains(2L))
     assert(table.resolve("manifest-v1").toFile.exists(), "predecessor not retained")
     // O(batch) commit pin: each delta dir holds ONLY the re-merged
     // sessions of that batch's TOUCHED users — delta-v1's user set is
     // exactly the users active in epoch 1, and its rows are the exact
     // two-epoch sessionization of those users (never history's)
-    val cut1 = 1704931200000000L
-    val cut2 = 1705795200000000L
+    val cut1 = Streams.SessionFeedCut1Us
+    val cut2 = Streams.SessionFeedCut2Us
     val epoch1Users = Tables.events(spark, sf)
       .where(unix_micros(col("ts")) >= cut1 && unix_micros(col("ts")) < cut2)
       .select("user_id").distinct().collect().map(_.getLong(0)).toSet
@@ -921,19 +916,19 @@ class StreamingSpec extends SparkSpec {
     // the seams genuinely fused: some final session spans a batch cut
     // (starts before it, ends at-or-after it) — without this the merge
     // path is untested at this sf
-    val cuts = Seq(1704931200000000L, 1705795200000000L)
+    val cuts = Seq(Streams.SessionFeedCut1Us, Streams.SessionFeedCut2Us)
     assert(got.values.exists { case (_, s, e, _) =>
       cuts.exists(c => s < c && e >= c) },
       "no session spans a batch cut — seam fusion untested")
     // and the PRE-merge state differed: manifest-v1 (batches 0..1)
     // resolves — through the retained predecessor manifest — to a valid
     // sessionization of the first two epochs (one-back time travel)
-    val v1 = key(Streams.manifestSnapshotAt(spark, table, 1L, Some("user_id"))
+    val v1 = key(ManifestStore.manifestSnapshotAt(spark, table, 1L, Some("user_id"))
       .withColumn("sid", row_number().over(w).cast("long"))
       .select(col("user_id"), col("sid"), col("n_events"),
         col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us")))
     val twoEpochs = key(Tables.events(spark, sf)
-      .where(unix_micros(col("ts")) < lit(1705795200000000L))
+      .where(unix_micros(col("ts")) < lit(Streams.SessionFeedCut2Us))
       .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
       .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
@@ -953,7 +948,7 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     // the forget set is live: the committed store held erased users
     val table = Streams.ensureSessionStreamSnapshot(spark, sf)
-    val storeUsers = Streams.manifestSnapshot(spark, table, Some("user_id")).get
+    val storeUsers = ManifestStore.manifestSnapshot(spark, table, Some("user_id")).get
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(storeUsers.exists(_ % 13 == 0), "no erased user at this sf")
     got.keys.foreach { case (u, _) =>
@@ -982,10 +977,10 @@ class StreamingSpec extends SparkSpec {
   test("q291 stream-maintained shingle index: store == batch index, probe == q214, v1 time travel") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureShingleStreamIndex(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
+    assert(ManifestStore.committedManifest(table).contains(2L))
     // the commit wrote manifests, not rewritten stores: CURRENT's
     // manifest lists the three per-batch delta dirs, oldest first
-    assert(Streams.manifestMembers(table, 2L) ===
+    assert(ManifestStore.manifestMembers(table, 2L) ===
       Seq("delta-v0", "delta-v1", "delta-v2"))
     // O(batch) commit pin: delta-v1 holds EXACTLY bucket 1's postings
     // (doc_id % 3 == 1), never history's — the write amplification the
@@ -998,7 +993,7 @@ class StreamingSpec extends SparkSpec {
         Tables.documents(spark, sf).where(col("doc_id") % 3 === 1)).count()
     assert(d1.count() === bucket1Postings,
       "delta-v1 row count must equal the batch's postings, not history's")
-    val store = Streams.manifestSnapshot(spark, table).get
+    val store = ManifestStore.manifestSnapshot(spark, table).get
     // the stream-built store carries exactly the batch-built index:
     // hashed postings joined with per-doc sizes
     val idx = graft.dedup.DedupQueries.ensureShingleIndex(spark, sf)
@@ -1009,7 +1004,7 @@ class StreamingSpec extends SparkSpec {
     assert(store.select("doc_id", "h", "n").collect()
       .map(_.toString).sorted.toSeq === want)
     // manifest-v1 = buckets 0+1 = docs with doc_id % 3 != 2
-    val v1Docs = Streams.manifestSnapshotAt(spark, table, 1L)
+    val v1Docs = ManifestStore.manifestSnapshotAt(spark, table, 1L)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(v1Docs.nonEmpty && v1Docs.forall(_ % 3 != 2))
     // probe == the batch-index probe (q214's plan output), bit-equal
@@ -1028,8 +1023,8 @@ class StreamingSpec extends SparkSpec {
   test("q292 stream-maintained IVF: store == one-shot assignment, v1 time travel, pinned recall") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureIvfStreamIndex(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
-    assert(Streams.manifestMembers(table, 2L) ===
+    assert(ManifestStore.committedManifest(table).contains(2L))
+    assert(ManifestStore.manifestMembers(table, 2L) ===
       Seq("delta-v0", "delta-v1", "delta-v2"))
     // O(batch) commit pin: delta-v1 holds exactly bucket 1's
     // assignments (vec_id % 3 == 1), never history's
@@ -1044,14 +1039,14 @@ class StreamingSpec extends SparkSpec {
     // the FULL corpus at the stored (never retrained) centroids
     val cs = graft.sim.SimQueries.storedCentroidsOf(spark,
       graft.sim.SimQueries.ensureIvfIndex(spark, sf))
-    val store = Streams.manifestSnapshot(spark, table).get
+    val store = ManifestStore.manifestSnapshot(spark, table).get
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val want = graft.sim.SimQueries.assignToCells(
         Tables.embeddings(spark, sf).select("vec_id", "embedding"), cs)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(store === want && store.nonEmpty)
     // manifest-v1 = buckets 0+1 = vectors with vec_id % 3 != 2
-    val v1 = Streams.manifestSnapshotAt(spark, table, 1L)
+    val v1 = ManifestStore.manifestSnapshotAt(spark, table, 1L)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(v1.nonEmpty && v1.forall(_ % 3 != 2))
     // the raw probe: pinned recall vs brute, BNLJ-free plan
@@ -1139,12 +1134,12 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
     // O(changes) pin: the incremental read opens delta-v2's files and
     // NOTHING else — tailing a store must never rescan it
-    val changed = Streams.manifestChanges(spark, table, 1L, 2L)
+    val changed = ManifestStore.manifestChanges(spark, table, 1L, 2L)
     val inputFiles = changed.inputFiles.toSeq
     assert(inputFiles.nonEmpty && inputFiles.forall(_.contains("delta-v2")),
       s"changelog read beyond delta-v2: $inputFiles")
     // denormalized n agrees with the changelog's own row count per doc
-    val mismatch = Streams.manifestChanges(spark, table, 1L, 2L)
+    val mismatch = ManifestStore.manifestChanges(spark, table, 1L, 2L)
       .groupBy("doc_id").agg(count(lit(1)).as("c"), max("n").as("n"),
         min("n").as("n2"))
       .where(col("c") =!= col("n") || col("n") =!= col("n2")).count()
@@ -1152,9 +1147,9 @@ class StreamingSpec extends SparkSpec {
     // a fold rewrites members; the incremental contract ends there and
     // the helper must refuse, not serve the folded base as "changes"
     val folded = Streams.ensureFoldedShingleStreamIndex(spark, sf)
-    assert(Streams.manifestMembers(folded, 2L) === Seq("base-v2"))
+    assert(ManifestStore.manifestMembers(folded, 2L) === Seq("base-v2"))
     val ex = intercept[IllegalArgumentException] {
-      Streams.manifestChanges(spark, folded, 1L, 2L)
+      ManifestStore.manifestChanges(spark, folded, 1L, 2L)
     }
     assert(ex.getMessage.contains("fold"))
   }
@@ -1168,7 +1163,7 @@ class StreamingSpec extends SparkSpec {
     val changedUsers = res.select("user_id").distinct()
       .collect().map(_.getLong(0)).toSet
     val epoch3Users = Tables.events(spark, sf)
-      .where(unix_micros(col("ts")) >= 1705795200000000L)
+      .where(unix_micros(col("ts")) >= Streams.SessionFeedCut2Us)
       .select("user_id").distinct().collect().map(_.getLong(0)).toSet
     assert(changedUsers === epoch3Users)
     // post-images are complete: the changelog rows equal the committed
@@ -1179,55 +1174,8 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
     // the read opens only the newest delta — tailing never rescans
     val table = Streams.ensureSessionStreamSnapshot(spark, sf)
-    val files = Streams.manifestChanges(spark, table, 1L, 2L).inputFiles.toSeq
+    val files = ManifestStore.manifestChanges(spark, table, 1L, 2L).inputFiles.toSeq
     assert(files.nonEmpty && files.forall(_.contains("delta-v2")), files.toString)
-  }
-
-  test("contended commit under real concurrency: dense versions, every delta lands exactly once") {
-    import java.nio.file.{Files, Paths}
-    import spark.implicits._
-    // q299 pins one DETERMINISTIC interleave; this drives the same
-    // protocol with four genuinely concurrent committers (real threads,
-    // real link(2) races — nondeterministic winner order). The pinned
-    // invariants are the ones the protocol must hold under ANY
-    // schedule: versions dense (every manifest number arbitrated
-    // exactly once), every delta in the final member set exactly once
-    // (no lost update), and the resolved store complete. Collision
-    // COUNTS are schedule-dependent, so they are deliberately not
-    // asserted. Deltas are written serially BEFORE the race (the
-    // shared local session is not the thing under test); only the
-    // commit protocol — pure file ops, no Spark calls — runs
-    // concurrently.
-    val root = Files.createTempDirectory(
-      Paths.get(graft.Tables.scratchDir), "graft-contend-spec-")
-    try {
-      val n = 4
-      (0 to n).foreach { i =>
-        Seq((i.toLong, i.toLong)).toDF("k", "v").write.mode("overwrite")
-          .parquet(root.resolve(s"delta-c$i").toString)
-      }
-      Streams.commitContended(root, "delta-c0", None, Nil)
-      val readV = Streams.latestContendedVersion(root)
-      val readM = readV.map(Streams.manifestMembers(root, _)).getOrElse(Nil)
-      // all four committers hold the SAME (stale after the first win)
-      // read snapshot — maximum contention
-      val threads = (1 to n).map { i =>
-        new Thread(() => {
-          Streams.commitContended(root, s"delta-c$i", readV, readM): Unit
-        })
-      }
-      threads.foreach(_.start())
-      threads.foreach(_.join())
-      assert(Streams.latestContendedVersion(root).contains(n.toLong))
-      (0 to n).foreach { v =>
-        assert(Files.exists(root.resolve(s"manifest-v$v")), s"gap at v$v") }
-      val members = Streams.manifestMembers(root, n.toLong)
-      assert(members.size === n + 1, members.toString)
-      assert(members.toSet === (0 to n).map(i => s"delta-c$i").toSet)
-      val rows = Streams.contendedSnapshot(spark, root).get
-        .collect().map(_.getLong(0)).toSet
-      assert(rows === (0 to n).map(_.toLong).toSet)
-    } finally graft.Tables.deleteRecursively(root.toFile)
   }
 
   test("q299 contended commit: real collision, rebase loses nothing, winner's manifest intact") {
@@ -1238,10 +1186,10 @@ class StreamingSpec extends SparkSpec {
       table.getParent.resolve("RACE")), "UTF-8")
     assert(race === "c0=0:0;A=1:0;B=2:1", race)
     // A's published manifest was never rewritten by B's rebase
-    assert(Streams.manifestMembers(table, 1L) === Seq("delta-c0", "delta-cA"))
+    assert(ManifestStore.manifestMembers(table, 1L) === Seq("delta-c0", "delta-cA"))
     // the table = highest manifest: all three deltas, precedence order
-    assert(Streams.latestContendedVersion(table).contains(2L))
-    assert(Streams.manifestMembers(table, 2L) ===
+    assert(ManifestStore.committedManifest(table).contains(2L))
+    assert(ManifestStore.manifestMembers(table, 2L) ===
       Seq("delta-c0", "delta-cA", "delta-cB"))
     // nothing lost: the resolved store serves the probe bit-equal to
     // the single-writer stream store's (== q214's batch index)
@@ -1255,7 +1203,7 @@ class StreamingSpec extends SparkSpec {
   test("q300 ingest-time decontamination: store == q84 sweep, O(batch) deltas, no text re-read") {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureDecontamStream(spark, sf)
-    assert(Streams.committedManifest(table).contains(2L))
+    assert(ManifestStore.committedManifest(table).contains(2L))
     val res = Streams.queries("q300_stream_decontaminate")(spark, sf)
     val got = res.collect().map(_.toString).sorted.toSeq
     val q84 = graft.text.TextQueries.queries("q84_decontaminate")(spark, sf)
