@@ -566,6 +566,25 @@ object ManifestStore {
     gcDropped(root, retain)
   }
 
+  /** Full-store DIFF between two retained manifest versions — the
+    * documented FALLBACK for incremental consumers when
+    * [[manifestChanges]] refuses across a rewrite (a fold or an
+    * erasure fold rewrote the member list, so "what changed" is no
+    * longer answerable from file names): resolve both snapshots and
+    * set-difference them row-wise. Returns (added, removed). Cost is
+    * O(both stores) — the honest price of a rewrite, paid once per
+    * fold by each consumer, exactly how production incremental scans
+    * degrade; the append-only fast path stays O(changes) everywhere
+    * else.
+    */
+  private[graft] def manifestSnapshotDiff(s: SparkSession,
+      root: java.nio.file.Path, fromV: Long, toV: Long,
+      upsertKey: Option[String] = None): (DataFrame, DataFrame) = {
+    val from = manifestSnapshotAt(s, root, fromV, upsertKey)
+    val to = manifestSnapshotAt(s, root, toV, upsertKey)
+    (to.exceptAll(from), from.exceptAll(to))
+  }
+
   // ---- contended (multi-writer) commits -------------------------------
 
   /** Optimistically commit `deltaDir` (already written, immutable) on

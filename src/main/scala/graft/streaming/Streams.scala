@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.store.ManifestStore.{commitDelta, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended}
+import graft.store.ManifestStore.{commitDelta, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended}
 
 /** Structured Streaming layer over the `events` table.
   *
@@ -2328,6 +2328,41 @@ object Streams {
     shingleStoreProbe(s, d, manifestSnapshotAt(s, table, cur - 2))
   }
 
+  /** q317: CHANGELOG-WITH-FALLBACK across a store rewrite — what a
+    * tailing consumer actually does when its incremental read hits a
+    * fold: [[manifestChanges]] REFUSES across the q311 erasure fold
+    * (members were rewritten — returning the purged base as "new rows"
+    * would be wrong), and the consumer falls back to the full-store
+    * diff ([[manifestSnapshotDiff]]), which states the change exactly:
+    * every erased user's sessions REMOVED, nothing added (erasure
+    * adds no rows). This is the production contract for change-data
+    * feeds across compaction/erasure rewrites: fast O(changes) tailing
+    * on append commits, one O(store) diff per rewrite, never a wrong
+    * incremental answer. Output: the removed sessions (sid ranked per
+    * user — users are erased whole, so ranks equal the store's) plus
+    * an `n_added` audit column pinned 0 by the oracle; exact oracle =
+    * a one-shot sessionization of exactly the ERASED users' events.
+    */
+  def storeDiffAcrossRewrite: Q = (s, d) => {
+    val table = ensureErasureFoldedSessionStore(s, d)
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed session snapshot"))
+    val pred = retainedPredecessor(table, cur)
+      .getOrElse(sys.error("no predecessor manifest retained"))
+    val incremental =
+      try Some(manifestChanges(s, table, pred, cur))
+      catch { case _: IllegalArgumentException => None }
+    require(incremental.isEmpty,
+      "the incremental read must refuse across an erasure fold")
+    val (added, removed) = manifestSnapshotDiff(s, table, pred, cur,
+      upsertKey = Some("user_id"))
+    val nAdded = added.count() // aggregate-sized audit: must be 0
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    removed.withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"), lit(nAdded).as("n_added"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q157_interval_join_semi" -> intervalJoinSemiBatch,
     "q25_session_window" -> sessionsBatch,
@@ -2363,6 +2398,7 @@ object Streams {
     "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
     "q312_erasure_folded_ivf" -> erasureFoldedStreamIvfChecked,
     "q315_deep_time_travel_shingle" -> deepTimeTravelShingleProbe,
+    "q317_store_diff_rewrite" -> storeDiffAcrossRewrite,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2528,6 +2564,27 @@ object Streams {
     "q310_erasure_folded_shingle" ->
       graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
     "q311_erasure_folded_sessions" -> erasedSessionOracle,
+    // the diff across the erasure rewrite is exactly the ERASED
+    // users' sessions removed, nothing added
+    "q317_store_diff_rewrite" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+        |  WHERE user_id % 13 = 0),
+        |x AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w >= 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |b AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(t_us) AS s_us, max(t_us) AS e_us,
+        |  CAST(0 AS BIGINT) AS n_added
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q312_erasure_folded_ivf" ->
       """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
         |  TRUE AS recall_ge_075

@@ -149,6 +149,41 @@ class ManifestStoreSpec extends SparkSpec {
     } finally graft.Tables.deleteRecursively(root.toFile)
   }
 
+  test("multi-relation commits under 4-thread concurrency: dense versions, all relations land un-torn") {
+    // the single-relation production race is pinned above; this drives
+    // commitDeltaMulti — where a lost update would not just drop rows
+    // but TEAR the index (one relation advanced without its siblings)
+    val root = tmpStore()
+    try {
+      val n = 4
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          ManifestStore.commitDeltaMulti(root, Map(
+            "left" -> b((i.toLong, i.toLong)),
+            "right" -> b((i.toLong, i.toLong + 1))), i.toLong)
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(ManifestStore.committedManifest(root).contains((n - 1).toLong))
+      val members = ManifestStore.manifestMembers(root, (n - 1).toLong)
+      assert(members.size === 2 * n, members.toString)
+      // every batch's TWO relation lines are adjacent — a commit is all
+      // of a batch's relations or none of them, under any schedule
+      val tags = members.map(_.split(':')(1))
+      (0 until n).foreach { i =>
+        val at = tags.indexOf(s"delta-v$i-left")
+        assert(at >= 0 && at + 1 < tags.size &&
+          tags(at + 1) === s"delta-v$i-right",
+          s"batch $i's relations tore apart: $members")
+      }
+      val left = rows(ManifestStore.manifestSnapshotRel(spark, root, "left").get)
+      val right = rows(ManifestStore.manifestSnapshotRel(spark, root, "right").get)
+      assert(left === (0 until n).map(i => (i.toLong, i.toLong)).toSet)
+      assert(right === (0 until n).map(i => (i.toLong, i.toLong + 1)).toSet)
+    } finally graft.Tables.deleteRecursively(root.toFile)
+  }
+
   test("contended commit under real concurrency: dense versions, every delta lands exactly once") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

@@ -684,6 +684,27 @@ class StreamingSpec extends SparkSpec {
       .collect().head.getBoolean(2), "audit recall bit is false")
   }
 
+  test("q317 diff across rewrite: incremental refuses, fallback states exactly the erased rows") {
+    import org.apache.spark.sql.functions._
+    val res = Streams.queries("q317_store_diff_rewrite")(spark, sf)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // nothing added by an erasure (the audit column rides every row)
+    assert(rows.forall(_.getLong(5) === 0L), "erasure must add no rows")
+    // the removed set is exactly the store complement: pre-fold store
+    // (q286's answer) minus the surviving store (q290's answer)
+    val all = Streams.queries("q286_stream_sessions_incremental")(spark, sf)
+      .select("user_id", "sid", "n_events", "s_us", "e_us")
+      .collect().map(_.toString).toSet
+    val surviving = Streams.queries("q290_erased_stream_sessions")(spark, sf)
+      .select("user_id", "sid", "n_events", "s_us", "e_us")
+      .collect().map(_.toString).toSet
+    val removed = res.select("user_id", "sid", "n_events", "s_us", "e_us")
+      .collect().map(_.toString).toSet
+    assert(removed === (all -- surviving),
+      "diff must equal the pre-fold store minus the surviving store")
+  }
+
   test("q315 retention depth 3: full ledger on disk, depth-2 travel resolves bucket 0") {
     import org.apache.spark.sql.functions._
     val t = Streams.ensureRetainedShingleStreamIndex(spark, sf)
