@@ -110,6 +110,7 @@ object ManifestStore {
       vs.flatMap(v => membersIfRetained(root, v).getOrElse(Nil)).exists { line =>
         val dir = memberDir(line)
         dir == s"delta-v$batchId" || dir == s"base-v$batchId" ||
+          dir == s"del-v$batchId" ||
           dir.startsWith(s"delta-v$batchId-") || dir.startsWith(s"base-v$batchId-")
       }
     }
@@ -118,8 +119,9 @@ object ManifestStore {
     * `rel:dir`; single-relation lines are the dir itself).
     */
   private def memberDir(line: String): String = {
-    val i = line.indexOf(':')
-    if (i < 0) line else line.substring(i + 1)
+    val bare = if (line.startsWith("~")) line.substring(1) else line
+    val i = bare.indexOf(':')
+    if (i < 0) bare else bare.substring(i + 1)
   }
 
   /** [[manifestMembers]] tolerant of a concurrent GC having dropped the
@@ -386,28 +388,49 @@ object ManifestStore {
     * on each member before the union — the delta-scoped reads pass a
     * broadcast semi-join here so the filter applies BELOW the resolve.
     */
+  /** Resolve a member list to the store it denotes — see the member
+    * grammar at [[commitDeleteFile]]: `~`-prefixed lines are EQUALITY
+    * DELETE members whose keys subtract from the resolved data (one
+    * broadcast anti-join over the union of delete files, applied AFTER
+    * the data resolve so a delete always wins over any member's rows).
+    * Data unions are BY NAME with missing columns as null — SCHEMA
+    * EVOLUTION: a later commit may add columns, and older members'
+    * rows surface them as null, exactly how production formats read
+    * mixed-schema file sets (q319 pins it; dropping or retyping a
+    * column remains a rewrite, not a commit).
+    */
   private def resolveMembers(s: SparkSession, root: java.nio.file.Path,
       members: Seq[String], upsertKey: Option[String],
       prep: DataFrame => DataFrame = identity): DataFrame = {
     def read(m: String) = prep(s.read.parquet(root.resolve(m).toString))
-    upsertKey match {
-      case None => members.map(read).reduce(_ unionByName _)
+    def unite(a: DataFrame, b: DataFrame) =
+      a.unionByName(b, allowMissingColumns = true)
+    val (delLines, dataLines) = members.partition(_.startsWith("~"))
+    val data = upsertKey match {
+      case None => dataLines.map(read).reduce(unite)
       // one member = nothing to arbitrate: skip the LWW window — the
       // read-side payoff a fold buys on an upsert store (q308 pins the
       // window-free folded read plan)
-      case Some(_) if members.size == 1 => read(members.head)
+      case Some(_) if dataLines.size == 1 => read(dataLines.head)
       case Some(k) =>
         // marker columns must not clobber store columns: dunder-prefixed
         // names plus a loud schema check (footer read only, no data)
-        val clash = read(members.head).columns.toSet
+        val clash = read(dataLines.head).columns.toSet
           .intersect(Set("__mf_seq", "__mf_mx"))
         require(clash.isEmpty, s"store schema collides with resolve markers: $clash")
-        val all = members.zipWithIndex
+        val all = dataLines.zipWithIndex
           .map { case (m, i) => read(m).withColumn("__mf_seq", lit(i.toLong)) }
-          .reduce(_ unionByName _)
+          .reduce(unite)
         all.withColumn("__mf_mx", max(col("__mf_seq")).over(Window.partitionBy(col(k))))
           .where(col("__mf_seq") === col("__mf_mx"))
           .drop("__mf_seq", "__mf_mx")
+    }
+    if (delLines.isEmpty) data
+    else {
+      val dels = delLines
+        .map(l => s.read.parquet(root.resolve(l.stripPrefix("~")).toString))
+        .reduce(_ unionByName _)
+      data.join(broadcast(dels), dels.columns.toSeq, "left_anti")
     }
   }
 
@@ -496,6 +519,9 @@ object ManifestStore {
         "a full-store diff is required")
     val added = next.drop(prior.size)
     require(added.nonEmpty, s"no commits between $fromV and $toV")
+    require(!added.exists(_.startsWith("~")),
+      s"incremental read $fromV->$toV crosses a delete commit " +
+        "(rows were removed, not appended); a full-store diff is required")
     s.read.parquet(added.map(m => root.resolve(m).toString): _*)
   }
 
@@ -583,6 +609,62 @@ object ManifestStore {
     val from = manifestSnapshotAt(s, root, fromV, upsertKey)
     val to = manifestSnapshotAt(s, root, toV, upsertKey)
     (to.exceptAll(from), from.exceptAll(to))
+  }
+
+  /** EQUALITY-DELETE commit — the middle point of the erasure cost
+    * spectrum the engine now covers end to end: a query-side tombstone
+    * OVERLAY costs O(|tombstones|) on EVERY probe plan forever
+    * (q293/q296/q306); an ERASURE FOLD rewrites the store once
+    * ([[eraseFold]]); this commits the forget set itself as a store
+    * member — one `del-v<batch>` parquet dir of key rows plus a
+    * `~`-prefixed manifest line — so EVERY subsequent read applies the
+    * deletion automatically ([[resolveMembers]] anti-joins the delete
+    * union below every consumer), with O(|deletes|) write cost and no
+    * store rewrite. This is how production formats do merge-on-read
+    * DELETEs (equality delete files). The rows are logically gone but
+    * physically present until a fold absorbs the delete members into a
+    * purged base — the documented compliance boundary: commit the
+    * delete for immediate effect, fold for physical erasure.
+    * Append-only changelog reads refuse across a delete commit
+    * ([[manifestChanges]]) — rows were removed, not appended.
+    */
+  private[graft] def commitDeleteFile(root: java.nio.file.Path,
+      deletes: DataFrame, batchId: Long, retain: Int = 2): Unit = {
+    if (batchCommitted(root, batchId)) return
+    val delDir = s"del-v$batchId"
+    deletes.write.mode("overwrite").parquet(root.resolve(delDir).toString)
+    commitLoop(root, batchId, retain) { (_, prior) =>
+      if (prior.contains(s"~$delDir")) None
+      else Some(prior :+ s"~$delDir")
+    }
+    dropOwnOrphans(root, Seq(delDir))
+  }
+
+  /** Age-gated ORPHAN VACUUM — the offline half of the GC split
+    * [[gcDropped]] documents: a dir referenced by NO manifest is
+    * either commit wreckage (a crash between the delta write and the
+    * manifest link) or a concurrent writer's in-flight delta, and only
+    * AGE can tell them apart. This deletes unreferenced
+    * `(delta|base|del)-v*` dirs whose last modification is older than
+    * `olderThanMs` (production formats gate VACUUM the same way, with
+    * retention-interval checks), returning how many it removed.
+    * Referenced dirs are never candidates, so a vacuum can never
+    * change any retained version's reads — q320 pins probe
+    * bit-equality across it.
+    */
+  private[graft] def vacuumOrphans(root: java.nio.file.Path,
+      olderThanMs: Long, nowMs: Long): Int = {
+    val vs = Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("manifest-v\\d+"))
+      .map(_.stripPrefix("manifest-v").toLong)
+    val referenced = vs
+      .flatMap(v => membersIfRetained(root, v).getOrElse(Nil)).map(memberDir).toSet
+    val orphans = Option(root.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("(delta|base|del)-v.*") &&
+        !referenced.contains(f.getName) &&
+        f.lastModified() < nowMs - olderThanMs)
+    orphans.foreach(graft.Tables.deleteRecursively)
+    orphans.size
   }
 
   // ---- contended (multi-writer) commits -------------------------------

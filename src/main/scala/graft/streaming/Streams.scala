@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.store.ManifestStore.{commitDelta, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended}
+import graft.store.ManifestStore.{commitDelta, commitDeleteFile, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended, vacuumOrphans}
 
 /** Structured Streaming layer over the `events` table.
   *
@@ -2363,6 +2363,150 @@ object Streams {
         col("s_us"), col("e_us"), lit(nAdded).as("n_added"))
   }
 
+  /** The q318 store: the shingle stream replay plus an EQUALITY-DELETE
+    * commit of q264's forget set ([[graft.store.ManifestStore.commitDeleteFile]])
+    * — erasure as an O(|deletes|) COMMIT: no store rewrite (the fold's
+    * cost), no per-query overlay (every consumer would have to
+    * remember to apply it); the resolve applies the committed delete
+    * member below EVERY read automatically.
+    */
+  private val delFileShingleLock = new Object
+
+  def ensureDeleteFileShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    delFileShingleLock.synchronized {
+      val table = shingleStreamReplay(s, d,
+        s"graft-shingle-stream-delf-${graft.Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("DELF")
+      if (!java.nio.file.Files.exists(marker)) {
+        commitDeleteFile(table,
+          graft.dedup.DedupQueries.erasureTombstones(s, d), 3L)
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q318: the erased nightly probe served through a committed DELETE
+    * FILE — the third erasure mechanism, completing the cost spectrum
+    * {per-read overlay q293, delete-file commit here, physical fold
+    * q310}: the probe code carries NO tombstone logic at all (compare
+    * q293's explicit anti-joins), yet lands exactly on q264's
+    * surviving-corpus oracle, because the store's resolve applies the
+    * delete member itself. Erased rows remain in the delta files until
+    * a fold absorbs them — the merge-on-read DELETE semantics of
+    * production formats' equality delete files.
+    */
+  def deleteFileShingleProbe: Q = (s, d) => {
+    val table = ensureDeleteFileShingleStreamIndex(s, d)
+    val store = manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot"))
+    graft.dedup.DedupQueries.ingestProbePairs(
+      graft.dedup.DedupQueries.survivingBatchShingles(s, d),
+      store.select(col("doc_id").as("oid"), col("h")),
+      store.select(col("doc_id"), col("n")).distinct())
+  }
+
+  /** The q319 store: a per-doc stats store whose batch-2 commit WIDENS
+    * the schema — batches 0/1 write (doc_id, n_words), batch 2 writes
+    * (doc_id, n_words, n_chars). Direct commits (the protocol under
+    * test, not a stream); DONE-gated like every derived artifact.
+    */
+  private val evolvedStoreLock = new Object
+
+  def ensureEvolvedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    evolvedStoreLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-evolve-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def bucket(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+        def words(df: DataFrame) = df.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        commitDelta(table, words(bucket(0)), 0L)
+        commitDelta(table, words(bucket(1)), 1L)
+        commitDelta(table, words(bucket(2))
+          .join(bucket(2).select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars")), "doc_id"), 2L)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q319: SCHEMA EVOLUTION on the manifest store — a later commit may
+    * ADD columns and the resolve reads the mixed-schema member set by
+    * name, older rows surfacing the new column as null (how production
+    * formats read evolved tables; drop/retype stays a rewrite). The
+    * probe reports every doc's stats with the evolved column
+    * null-coalesced to −1 for the pre-evolution rows — the exact
+    * oracle states which docs carry real values (bucket 2) without any
+    * store knowledge. StreamingSpec additionally pins that the
+    * pre-evolution TRAVEL read (v1) does not even carry the column.
+    */
+  def evolvedStoreStats: Q = (s, d) => {
+    val table = ensureEvolvedDocStatsStore(s, d)
+    manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed doc-stats snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
+  }
+
+  /** The q320 store: the words-only stats store plus a PLANTED orphan —
+    * commit wreckage (a delta dir written by a crashed commit that
+    * never linked its manifest, stamped old) — then the age-gated
+    * vacuum ([[graft.store.ManifestStore.vacuumOrphans]]). The removed
+    * count persists next to the store for the probe's audit column.
+    */
+  private val vacuumStoreLock = new Object
+
+  def ensureVacuumedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    vacuumStoreLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-vacuum-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def words(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"))
+        (0 to 2).foreach(i => commitDelta(table, words(i), i.toLong))
+        // crash wreckage: a delta written, never committed, long cold
+        words(0).write.mode("overwrite")
+          .parquet(table.resolve("delta-v99").toString)
+        table.resolve("delta-v99").toFile.setLastModified(1000L): Unit
+        val removed = vacuumOrphans(table,
+          olderThanMs = 24L * 3600 * 1000, nowMs = System.currentTimeMillis())
+        graft.Tables.atomicWrite(root, "VACUUMED", removed.toString)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q320: age-gated orphan VACUUM — the offline half of the GC split
+    * (the online GC reclaims only dirs DROPPED manifests referenced; a
+    * never-referenced dir might be an in-flight concurrent commit, so
+    * only AGE may condemn it — exactly production VACUUM semantics).
+    * The probe reads the vacuumed store (bit-identical to the
+    * un-vacuumed resolve — a vacuum can never change a retained read)
+    * with the removed-orphan count as an audit column the oracle pins
+    * to exactly 1.
+    */
+  def vacuumedStoreProbe: Q = (s, d) => {
+    val table = ensureVacuumedDocStatsStore(s, d)
+    val removed = new String(java.nio.file.Files.readAllBytes(
+      table.getParent.resolve("VACUUMED")), "UTF-8").trim.toLong
+    manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed doc-stats snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(removed).as("n_orphans_removed"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q157_interval_join_semi" -> intervalJoinSemiBatch,
     "q25_session_window" -> sessionsBatch,
@@ -2399,6 +2543,9 @@ object Streams {
     "q312_erasure_folded_ivf" -> erasureFoldedStreamIvfChecked,
     "q315_deep_time_travel_shingle" -> deepTimeTravelShingleProbe,
     "q317_store_diff_rewrite" -> storeDiffAcrossRewrite,
+    "q318_delete_file_commit" -> deleteFileShingleProbe,
+    "q319_schema_evolution_store" -> evolvedStoreStats,
+    "q320_vacuum_orphans" -> vacuumedStoreProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2563,6 +2710,22 @@ object Streams {
     // surviving-users oracle (sessions), q296's audit shape (vectors)
     "q310_erasure_folded_shingle" ->
       graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
+    // the delete-file commit serves the same surviving-corpus answer
+    // as the overlay and the fold: q264's oracle a third time
+    "q318_delete_file_commit" ->
+      graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
+    // evolved store: every doc's word count; the widened column is
+    // real for bucket-2 docs (batch 2's schema) and -1 (null) before
+    "q319_schema_evolution_store" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) ELSE -1 END AS BIGINT)
+        |    AS n_chars
+        |FROM documents""".stripMargin,
+    // vacuum removes exactly the one planted orphan and changes no read
+    "q320_vacuum_orphans" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(1 AS BIGINT) AS n_orphans_removed
+        |FROM documents""".stripMargin,
     "q311_erasure_folded_sessions" -> erasedSessionOracle,
     // the diff across the erasure rewrite is exactly the ERASED
     // users' sessions removed, nothing added

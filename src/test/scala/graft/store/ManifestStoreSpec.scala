@@ -277,6 +277,76 @@ class ManifestStoreSpec extends SparkSpec {
     graft.Tables.deleteRecursively(uf.toFile)
   }
 
+  test("delete-file commits: resolve subtracts, changelog refuses, fold absorbs, vacuum is age-gated") {
+    import org.apache.spark.sql.functions.col
+    val st = tmpStore()
+    ManifestStore.commitDelta(st, b((1L, 10L), (2L, 20L)), 0L)
+    ManifestStore.commitDelta(st, b((3L, 30L), (4L, 40L)), 1L)
+    // equality-delete commit: keys 2 and 3 logically gone everywhere
+    ManifestStore.commitDeleteFile(st, b((2L, 0L), (3L, 0L)).select("k"), 2L)
+    assert(ManifestStore.manifestMembers(st, 2L) ===
+      Seq("delta-v0", "delta-v1", "~del-v2"))
+    assert(rows(ManifestStore.manifestSnapshot(spark, st).get) ===
+      Set((1L, 10L), (4L, 40L)))
+    // merge-on-read: the deleted rows are PHYSICALLY still in the delta
+    assert(rows(spark.read.parquet(st.resolve("delta-v0").toString))
+      .contains((2L, 20L)), "delete files are logical until a fold")
+    // a replayed delete commit is a no-op
+    ManifestStore.commitDeleteFile(st, b((4L, 0L)).select("k"), 2L)
+    assert(rows(ManifestStore.manifestSnapshot(spark, st).get) ===
+      Set((1L, 10L), (4L, 40L)))
+    // append-only changelog refuses across the delete commit
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.manifestChanges(spark, st, 1L, 2L)
+    }
+    assert(ex.getMessage.contains("delete commit"))
+    // the NEXT commit that folds absorbs the delete: purged base, no
+    // delete member, deleted keys physically absent from the new files
+    ManifestStore.commitDelta(st, b((5L, 50L)), 3L, foldAfter = 3)
+    assert(ManifestStore.manifestMembers(st, 3L) === Seq("base-v3"))
+    assert(rows(spark.read.parquet(st.resolve("base-v3").toString)) ===
+      Set((1L, 10L), (4L, 40L), (5L, 50L)))
+    graft.Tables.deleteRecursively(st.toFile)
+
+    // ── vacuum: only OLD unreferenced dirs die; referenced and young
+    // ones survive, and no retained read changes ──
+    val vt = tmpStore()
+    ManifestStore.commitDelta(vt, b((1L, 10L)), 0L)
+    val before = rows(ManifestStore.manifestSnapshot(spark, vt).get)
+    b((7L, 70L)).write.mode("overwrite").parquet(vt.resolve("delta-v98").toString)
+    b((8L, 80L)).write.mode("overwrite").parquet(vt.resolve("delta-v99").toString)
+    vt.resolve("delta-v98").toFile.setLastModified(1000L)
+    val now = System.currentTimeMillis()
+    assert(ManifestStore.vacuumOrphans(vt, 3600L * 1000, now) === 1)
+    assert(!java.nio.file.Files.exists(vt.resolve("delta-v98")),
+      "old orphan must be vacuumed")
+    assert(java.nio.file.Files.exists(vt.resolve("delta-v99")),
+      "a young orphan may be an in-flight commit and must survive")
+    assert(java.nio.file.Files.exists(vt.resolve("delta-v0")),
+      "referenced dirs are never vacuum candidates")
+    assert(rows(ManifestStore.manifestSnapshot(spark, vt).get) === before)
+    graft.Tables.deleteRecursively(vt.toFile)
+  }
+
+  test("schema evolution: widened commits resolve by name, old rows null, travel reads the old shape") {
+    import org.apache.spark.sql.functions.col
+    val ev = tmpStore()
+    ManifestStore.commitDelta(ev, b((1L, 10L)), 0L)
+    // batch 1 widens the schema with column `w`
+    ManifestStore.commitDelta(ev,
+      b((2L, 20L)).withColumn("w", col("v") * 2), 1L)
+    val snap = ManifestStore.manifestSnapshot(spark, ev).get
+    assert(snap.columns.toSeq === Seq("k", "v", "w"))
+    val got = snap.collect().map(r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got === Set((1L, 10L, -1L), (2L, 20L, 40L)),
+      "pre-evolution rows must surface the new column as null")
+    // time travel to the pre-evolution version reads the OLD shape
+    assert(ManifestStore.manifestSnapshotAt(spark, ev, 0L).columns.toSeq ===
+      Seq("k", "v"))
+    graft.Tables.deleteRecursively(ev.toFile)
+  }
+
   test("multi-relation commits: fold bounds members per relation, GC reclaims, one-flip erasure fold") {
     import org.apache.spark.sql.functions.col
     def m(kv: (Long, Long)*) = Map(

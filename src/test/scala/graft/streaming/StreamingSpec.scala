@@ -684,6 +684,35 @@ class StreamingSpec extends SparkSpec {
       .collect().head.getBoolean(2), "audit recall bit is false")
   }
 
+  test("q318/q319/q320: delete-file probe == overlay probe, evolved travel, vacuum invariance") {
+    import org.apache.spark.sql.functions._
+    // q318: no tombstone logic in the probe, yet the answer equals the
+    // overlay form's — the committed delete member does the work
+    val got318 = Streams.queries("q318_delete_file_commit")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val got293 = Streams.queries("q293_erased_stream_shingle")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got318 === got293 && got318.nonEmpty)
+    val td = Streams.ensureDeleteFileShingleStreamIndex(spark, sf)
+    assert(ManifestStore.manifestMembers(td,
+      ManifestStore.committedManifest(td).get).last === "~del-v3")
+    // erased docs' postings are STILL in the delta files (logical
+    // delete — physical erasure is the fold's job, q310)
+    assert(spark.read.parquet(td.resolve("delta-v1").toString)
+      .where(col("doc_id") % 7 === 1).count() > 0L)
+    // q319: the travelled pre-evolution read does not carry the column
+    val te = Streams.ensureEvolvedDocStatsStore(spark, sf)
+    assert(ManifestStore.manifestSnapshotAt(spark, te, 1L).columns.toSeq ===
+      Seq("doc_id", "n_words"))
+    assert(Streams.queries("q319_schema_evolution_store")(spark, sf)
+      .columns.toSeq === Seq("doc_id", "n_words", "n_chars"))
+    // q320: the planted orphan is gone, the committed deltas are not
+    val tv = Streams.ensureVacuumedDocStatsStore(spark, sf)
+    assert(!java.nio.file.Files.exists(tv.resolve("delta-v99")))
+    (0 to 2).foreach(i =>
+      assert(java.nio.file.Files.exists(tv.resolve(s"delta-v$i"))))
+  }
+
   test("q317 diff across rewrite: incremental refuses, fallback states exactly the erased rows") {
     import org.apache.spark.sql.functions._
     val res = Streams.queries("q317_store_diff_rewrite")(spark, sf)
