@@ -659,6 +659,64 @@ object Multimodal {
       rel("classes").select(col("keeper").as("ka")))
   }
 
+  /** The q321 store: the frame replay plus a CONTENT-LEVEL erasure
+    * rewrite — the stronger compliance cell q313 deliberately is not:
+    * q313 purges the subject-keyed occurrences and argues dead classes
+    * are harmless to the roll-up; but a class whose EVERY occurrence
+    * was erased is content that existed only in erased media — its
+    * 64-byte frame text and signature are themselves the data the
+    * erasure request covers, and they must leave the files. This
+    * rewrite drops (a) tombstoned media's occurrences, (b) classes
+    * with no surviving occurrence, (c) pairs referencing a dropped
+    * class — all three relations behind ONE flip
+    * ([[graft.store.ManifestStore.commitRewriteMulti]]), reference-
+    * counted content GC exactly as content-addressed stores do it.
+    */
+  private val contentGcFrameLock = new Object
+
+  def ensureContentErasedFrameStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    contentGcFrameLock.synchronized {
+      import graft.store.ManifestStore.{commitRewriteMulti, manifestSnapshotRel}
+      val table = frameStreamReplay(s, d,
+        s"graft-frame-stream-cgc-${Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("CGC")
+      if (!java.nio.file.Files.exists(marker)) {
+        def rel(r: String) = manifestSnapshotRel(s, table, r)
+          .getOrElse(sys.error(s"no committed frame-index $r"))
+        val tomb = broadcast(mediaTombstones(s, d))
+        val occ = rel("occ").join(tomb, Seq("media_id"), "left_anti")
+        val liveClasses = rel("classes")
+          .join(occ.select("keeper").distinct(), Seq("keeper"), "left_semi")
+        val livePairs = rel("pairs")
+          .join(liveClasses.select(col("keeper").as("keeper_a")),
+            Seq("keeper_a"), "left_semi")
+          .join(liveClasses.select(col("keeper").as("keeper_b")),
+            Seq("keeper_b"), "left_semi")
+        commitRewriteMulti(table, Map(
+          "occ" -> occ, "classes" -> liveClasses, "pairs" -> livePairs))
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q321: q306's erased roll-up served from the CONTENT-GC'd store —
+    * same answer as q306/q313 (the roll-up is occurrence-driven, so
+    * removing orphaned classes and pairs changes nothing: q306's
+    * oracle verbatim), but now the files themselves carry no erased
+    * content: MultimodalSpec pins zero tombstoned occurrences, zero
+    * occurrence-less classes, zero dangling pair sides in the raw
+    * bases.
+    */
+  def contentErasedStreamMediaNearDup: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val table = ensureContentErasedFrameStreamIndex(s, d)
+    def rel(r: String) = manifestSnapshotRel(s, table, r)
+      .getOrElse(sys.error(s"no committed frame-index $r"))
+    mediaPairRollup(rel("occ"), rel("pairs").select("keeper_a", "keeper_b"),
+      rel("classes").select(col("keeper").as("ka")))
+  }
+
   /** q305: the q249 media near-dup roll-up served from the
     * STREAM-MAINTAINED frame index — after the replay drains, the
     * resolved {classes, occ, pairs} cover the whole corpus, keeper
@@ -1278,6 +1336,7 @@ object Multimodal {
     "q305_stream_frame_index" -> streamMediaNearDup,
     "q306_erased_stream_frame_index" -> erasedStreamMediaNearDup,
     "q313_erasure_folded_frame_index" -> erasureFoldedStreamMediaNearDup,
+    "q321_content_erased_frame_index" -> contentErasedStreamMediaNearDup,
     "q314_folded_frame_index" -> foldedStreamMediaNearDup,
     "q307_frame_store_changelog" -> frameStoreChangelog,
     "q309_time_travel_frame_store" -> timeTravelFrameStore,
@@ -1417,6 +1476,7 @@ object Multimodal {
     // the erasure-FOLDED store serves q306's answer with the overlay
     // folded away; the FOLDED store serves q305's (q249's) verbatim
     "q313_erasure_folded_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    "q321_content_erased_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
     "q314_folded_frame_index" -> mediaRollupOracle,
     // the occ changelog is batch 2's media: per changed media its
     // distinct 64-byte frame contents, re-framed from text by DuckDB

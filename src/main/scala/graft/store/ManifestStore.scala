@@ -175,12 +175,14 @@ object ManifestStore {
     */
   private[graft] def commitDelta(root: java.nio.file.Path, delta: DataFrame,
       batchId: Long, upsertKey: Option[String] = None,
-      foldAfter: Int = 8, retain: Int = 2): Unit = {
+      foldAfter: Int = 8, retain: Int = 2,
+      statsKey: Option[String] = None): Unit = {
     if (batchCommitted(root, batchId)) return
     val s = delta.sparkSession
     val deltaDir = s"delta-v$batchId"
     delta.write.mode("overwrite")
       .parquet(root.resolve(deltaDir).toString)
+    statsKey.foreach(writeDirStats(s, root, deltaDir, _))
     commitLoop(root, batchId, retain) { (cur, prior) =>
       if (prior.exists(m => m == deltaDir || m == s"base-v$batchId")) None
       else {
@@ -191,6 +193,7 @@ object ManifestStore {
             resolveMembers(s, root, appended, upsertKey)
               .write.mode("overwrite")
               .parquet(root.resolve(s"base-v$batchId").toString)
+            statsKey.foreach(writeDirStats(s, root, s"base-v$batchId", _))
             Seq(s"base-v$batchId")
           })
       }
@@ -665,6 +668,179 @@ object ManifestStore {
         f.lastModified() < nowMs - olderThanMs)
     orphans.foreach(graft.Tables.deleteRecursively)
     orphans.size
+  }
+
+  /** MULTI-RELATION REWRITE commit: publish a new version whose
+    * members are exactly the given relations, each written as a fresh
+    * base behind the one put-if-absent flip — the generic step under
+    * content-level erasure GC (q321: purge occurrences AND drop
+    * classes/pairs whose content existed only in erased media) and any
+    * other whole-store maintenance that must replace several relations
+    * consistently. Changelog reads refuse across it (members
+    * rewritten); retention ages the pre-rewrite version out as usual.
+    */
+  private[graft] def commitRewriteMulti(root: java.nio.file.Path,
+      rels: Map[String, DataFrame], retain: Int = 2): Unit = {
+    val cur = committedManifest(root)
+      .getOrElse(sys.error(s"rewrite of an empty store: $root"))
+    val next = cur + 1
+    val lines = rels.toSeq.sortBy(_._1).map { case (rel, df) =>
+      df.write.mode("overwrite")
+        .parquet(root.resolve(s"base-e$next-$rel").toString)
+      s"$rel:base-e$next-$rel"
+    }
+    if (!tryPublishManifest(root, next, lines))
+      sys.error(s"concurrent commit raced the rewrite at v$next; " +
+        "re-run against the new current version")
+    gcDropped(root, retain)
+  }
+
+  // ---- member statistics + range-pruned reads ---------------------------
+
+  /** Name of the per-member stats sidecar. It lives INSIDE the member
+    * dir (underscore-prefixed, so Spark's parquet reader ignores it
+    * like _SUCCESS) and therefore travels with the dir through GC and
+    * vacuum with no bookkeeping of its own.
+    */
+  private val StatsFile = "_graft_stats"
+
+  /** Write the (min, max) of `key` for an already-written member dir —
+    * the store-layer zone map production manifests carry per data
+    * file. One tiny agg over the member; only stat-keyed stores pay
+    * it.
+    */
+  private def writeDirStats(s: SparkSession, root: java.nio.file.Path,
+      dir: String, key: String): Unit = {
+    val r = s.read.parquet(root.resolve(dir).toString)
+      .agg(min(col(key)).cast("long"), max(col(key)).cast("long")).collect()(0)
+    if (!r.isNullAt(0))
+      java.nio.file.Files.write(root.resolve(dir).resolve(StatsFile),
+        s"$key:${r.getLong(0)}:${r.getLong(1)}".getBytes("UTF-8")): Unit
+  }
+
+  /** The member's recorded (min, max) for `key`, if stats were written
+    * at commit time. None = unknown → the member can never be pruned.
+    */
+  private def dirStats(root: java.nio.file.Path, dir: String,
+      key: String): Option[(Long, Long)] = {
+    val f = root.resolve(dir).resolve(StatsFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      .split(":") match {
+      case Array(k, lo, hi) if k == key => Some((lo.toLong, hi.toLong))
+      case _ => None
+    }
+  }
+
+  /** RANGE-PRUNED read of an append store: members whose recorded
+    * [min, max] for `key` cannot intersect [lo, hi] are never opened —
+    * the manifest-level data skipping production formats plan with
+    * (partition pruning one level above parquet row groups). A member
+    * without stats is conservatively kept; the residual predicate
+    * still applies (stats PRUNE, they never filter), so the answer is
+    * exact whether or not any stats exist. At 100 TB with time-keyed
+    * commits this is what turns "last hour" queries from O(store
+    * files) into O(hour's files) before a single footer is read.
+    */
+  private[graft] def manifestSnapshotRanged(s: SparkSession,
+      root: java.nio.file.Path, key: String, lo: Long,
+      hi: Long): Option[DataFrame] =
+    committedManifest(root).map { v =>
+      val members = manifestMembers(root, v)
+      require(!members.exists(_.startsWith("~")),
+        "range-pruned reads are defined for append stores (no delete members)")
+      val kept = members.filter { m =>
+        dirStats(root, memberDir(m), key) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+      val base = if (kept.nonEmpty) kept else members.take(1)
+      val read = kept.nonEmpty
+      val df = base.map(m => s.read.parquet(root.resolve(memberDir(m)).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val bounded = df.where(col(key) >= lo && col(key) <= hi)
+      if (read) bounded else bounded.limit(0)
+    }
+
+  // ---- branches: write-audit-publish ------------------------------------
+
+  /** Commit a batch to a BRANCH — the staging half of
+    * write-audit-publish (WAP): branch manifests are their own
+    * numbered put-if-absent sequence (`manifest-<branch>-v*`), fully
+    * invisible to main readers (whose version scan matches only
+    * `manifest-v*`), and a branch forks implicitly from main's CURRENT
+    * member list at its first commit. Data dirs share the table
+    * directory — immutable files need no copying to be shared between
+    * refs, exactly how production table formats do branches.
+    */
+  private[graft] def commitDeltaBranch(root: java.nio.file.Path,
+      branch: String, delta: DataFrame, batchId: Long): Unit = {
+    require(branch.matches("[A-Za-z0-9_]+"), s"bad branch name: $branch")
+    val deltaDir = s"delta-$branch-v$batchId"
+    delta.write.mode("overwrite").parquet(root.resolve(deltaDir).toString)
+    val cur = branchVersion(root, branch)
+    val prior = cur.map(v => branchMembers(root, branch, v)).getOrElse(
+      committedManifest(root).map(v => manifestMembers(root, v)).getOrElse(Nil))
+    if (prior.contains(deltaDir)) return
+    val target = root.resolve(s"manifest-$branch-v${cur.map(_ + 1).getOrElse(0L)}")
+    val tmp = java.nio.file.Files.createTempFile(root, ".manifest", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        (prior :+ deltaDir).mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.createLink(target, tmp)
+      java.nio.file.Files.delete(tmp)
+    } catch {
+      case e: Throwable => java.nio.file.Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  /** Highest committed version of a branch, if any. */
+  private[graft] def branchVersion(root: java.nio.file.Path,
+      branch: String): Option[Long] = {
+    val vs = Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches(s"manifest-$branch-v\\d+"))
+      .map(_.stripPrefix(s"manifest-$branch-v").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def branchMembers(root: java.nio.file.Path, branch: String,
+      v: Long): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      root.resolve(s"manifest-$branch-v$v")), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** The store a branch head denotes — what the AUDIT step of WAP
+    * queries before anything is published.
+    */
+  private[graft] def branchSnapshot(s: SparkSession, root: java.nio.file.Path,
+      branch: String): Option[DataFrame] =
+    branchVersion(root, branch).map(v =>
+      branchMembers(root, branch, v)
+        .map(m => s.read.parquet(root.resolve(m).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  /** PUBLISH a branch: fast-forward main to the branch head's member
+    * list via the standard put-if-absent commit (losing a race to a
+    * concurrent main commit aborts loudly — the caller must re-audit
+    * against the moved main, the WAP contract), then drop the branch's
+    * manifest files; the data dirs are now main's members. Until
+    * publish, nothing the branch wrote was visible to ANY main reader
+    * — snapshot, travel, or changelog.
+    */
+  private[graft] def publishBranch(root: java.nio.file.Path, branch: String,
+      retain: Int = 2): Unit = {
+    val bv = branchVersion(root, branch)
+      .getOrElse(sys.error(s"publish of an empty branch: $branch"))
+    val lines = branchMembers(root, branch, bv)
+    val next = committedManifest(root).map(_ + 1).getOrElse(0L)
+    if (!tryPublishManifest(root, next, lines))
+      sys.error(s"main advanced while branch $branch was staged; " +
+        "re-audit against the new current version before publishing")
+    Option(root.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.matches(s"manifest-$branch-v\\d+"))
+      .foreach(f => { f.delete(): Unit })
+    gcDropped(root, retain)
   }
 
   // ---- contended (multi-writer) commits -------------------------------

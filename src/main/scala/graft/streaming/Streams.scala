@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.store.ManifestStore.{commitDelta, commitDeleteFile, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended, vacuumOrphans}
+import graft.store.ManifestStore.{branchSnapshot, commitDelta, commitDeleteFile, commitDeltaBranch, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotRanged, manifestSnapshotTouched, manifestChanges, manifestMembers, publishBranch, retainedPredecessor, commitContended, vacuumOrphans}
 
 /** Structured Streaming layer over the `events` table.
   *
@@ -2507,6 +2507,115 @@ object Streams {
         lit(removed).as("n_orphans_removed"))
   }
 
+  /** The q322 store: the raw events log committed in THREE TIME-CUT
+    * batches with per-member min/max stats on `t_us` — the time-keyed
+    * append store whose commits naturally carry disjoint ranges (the
+    * same epoch cuts the session feed stages on), which is exactly the
+    * layout that makes manifest-level data skipping pay.
+    */
+  private val eventLogStoreLock = new Object
+
+  def ensureEventLogStore(s: SparkSession, d: String): java.nio.file.Path =
+    eventLogStoreLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-eventlog-store-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        val t = col("t_us")
+        val batches = Seq(
+          ev.where(t < SessionFeedCut1Us),
+          ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us),
+          ev.where(t >= SessionFeedCut2Us))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          commitDelta(table, b, i.toLong, statsKey = Some("t_us")) }
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q322: RANGE-PRUNED store read — manifest-level data skipping: the
+    * epoch-2 window query resolves through per-member [min, max] stats
+    * written at commit time and OPENS ONLY the one member whose range
+    * intersects the window (StreamingSpec pins the plan's input files
+    * to delta-v1) — partition pruning one level above parquet, the
+    * mechanism that keeps "last hour" reads O(hour) instead of
+    * O(store) at 100 TB. Stats only prune; the residual predicate
+    * still applies, so the answer is exact with or without them —
+    * pinned by the oracle, which scans everything.
+    */
+  def rangedStoreScan: Q = (s, d) => {
+    val table = ensureEventLogStore(s, d)
+    manifestSnapshotRanged(s, table, "t_us",
+        SessionFeedCut1Us, SessionFeedCut2Us - 1)
+      .getOrElse(sys.error("no committed event-log snapshot"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("key_checksum"),
+        min(col("t_us")).as("min_us"), max(col("t_us")).as("max_us"))
+  }
+
+  /** The q323 store: WRITE-AUDIT-PUBLISH on a shingle index — buckets
+    * 0/1 commit to main; bucket 2 stages on a BRANCH, the audit
+    * queries the branch head (structural gate: no null doc, no
+    * non-positive size) while asserting main still serves the
+    * pre-stage version, and only then does the branch fast-forward
+    * into main. The staged batch was never visible to any main reader
+    * — snapshot, travel, or changelog — before the publish instant.
+    */
+  private val wapShingleLock = new Object
+
+  def ensureWapShingleIndex(s: SparkSession, d: String): java.nio.file.Path =
+    wapShingleLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-shingle-wap-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        def bucket(i: Int) =
+          shinglePostings(docs.where(pmod(col("doc_id"), lit(3)) === i))
+        commitDelta(table, bucket(0), 0L)
+        commitDelta(table, bucket(1), 1L)
+        // WRITE: stage bucket 2 on the branch
+        commitDeltaBranch(table, "wap", bucket(2), 2L)
+        // AUDIT: gate on the BRANCH head; main must be untouched
+        val staged = branchSnapshot(s, table, "wap")
+          .getOrElse(sys.error("branch head missing"))
+        val bad = staged.where(col("n") <= 0 || col("doc_id").isNull).count()
+        val mainDuringStage = committedManifest(table)
+          .getOrElse(sys.error("no main version"))
+        require(bad == 0L, s"audit failed: $bad bad staged postings")
+        require(mainDuringStage == 1L,
+          s"staging leaked into main (at v$mainDuringStage)")
+        graft.Tables.atomicWrite(root, "AUDIT",
+          s"bad=$bad;main_during_stage=v$mainDuringStage")
+        // PUBLISH: fast-forward main to the audited branch head
+        publishBranch(table, "wap")
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q323: the nightly probe served from the WAP-published store —
+    * after the audited publish, main denotes the full corpus index, so
+    * the probe lands exactly where every other full-index form lands:
+    * q214's oracle verbatim. StreamingSpec pins the WAP ledger: the
+    * audit ran against main at v1, the publish created v2 whose
+    * members are the two main deltas plus the branch delta, and no
+    * branch manifest survives.
+    */
+  def wapPublishedProbe: Q = (s, d) => {
+    val table = ensureWapShingleIndex(s, d)
+    shingleStoreProbe(s, d, manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q157_interval_join_semi" -> intervalJoinSemiBatch,
     "q25_session_window" -> sessionsBatch,
@@ -2546,6 +2655,8 @@ object Streams {
     "q318_delete_file_commit" -> deleteFileShingleProbe,
     "q319_schema_evolution_store" -> evolvedStoreStats,
     "q320_vacuum_orphans" -> vacuumedStoreProbe,
+    "q322_range_pruned_store_scan" -> rangedStoreScan,
+    "q323_wap_publish" -> wapPublishedProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2721,6 +2832,18 @@ object Streams {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) ELSE -1 END AS BIGINT)
         |    AS n_chars
         |FROM documents""".stripMargin,
+    // the range-pruned read is exact: the oracle scans everything
+    "q322_range_pruned_store_scan" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS key_checksum,
+         |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+         |FROM events
+         |WHERE epoch_us(ts) >= $SessionFeedCut1Us
+         |  AND epoch_us(ts) <= ${SessionFeedCut2Us - 1}""".stripMargin,
+    // the WAP-published store denotes the full corpus index: q214's
+    // oracle verbatim
+    "q323_wap_publish" ->
+      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
     // vacuum removes exactly the one planted orphan and changes no read
     "q320_vacuum_orphans" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

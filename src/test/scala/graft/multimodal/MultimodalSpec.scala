@@ -552,6 +552,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("LeftAnti"), plan.take(1500))
   }
 
+  test("q321 content-GC erasure: no erased media, no orphan classes, no dangling pairs, roll-up == q306") {
+    import org.apache.spark.sql.functions._
+    val got321 = Multimodal.queries("q321_content_erased_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val got306 = Multimodal.queries("q306_erased_stream_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got321 === got306 && got321.nonEmpty)
+    val t = Multimodal.ensureContentErasedFrameStreamIndex(spark, sf)
+    val cur = ManifestStore.committedManifest(t).get
+    val members = ManifestStore.manifestMembers(t, cur)
+    assert(members.size === 3 && members.forall(_.contains(":base-e")),
+      members.toString)
+    def base(rel: String) = spark.read.parquet(t.resolve(
+      members.find(_.startsWith(s"$rel:")).get.stripPrefix(s"$rel:")).toString)
+    // (a) zero tombstoned media in the occurrence files
+    assert(base("occ").where(col("media_id") % 7 === 1).count() === 0L)
+    // (b) every surviving class has a surviving occurrence — content
+    // that lived only in erased media is GONE from the files
+    assert(base("classes").join(base("occ").select("keeper").distinct(),
+      Seq("keeper"), "left_anti").count() === 0L,
+      "orphaned class content survived the content GC")
+    // (c) no pair references a dropped class
+    val keepers = base("classes").select("keeper")
+    assert(base("pairs").join(keepers.withColumnRenamed("keeper", "keeper_a"),
+      Seq("keeper_a"), "left_anti").count() === 0L)
+    assert(base("pairs").join(keepers.withColumnRenamed("keeper", "keeper_b"),
+      Seq("keeper_b"), "left_anti").count() === 0L)
+  }
+
   test("q309 multi-relation time travel: consistent prefix, no bucket-2 media, delta-v2-free plan") {
     import graft.streaming.Streams
     val res = Multimodal.queries("q309_time_travel_frame_store")(spark, sf)

@@ -713,6 +713,43 @@ class StreamingSpec extends SparkSpec {
       assert(java.nio.file.Files.exists(tv.resolve(s"delta-v$i"))))
   }
 
+  test("q322 range-pruned scan: only the overlapping member opens, residual exact, empty window empty") {
+    import org.apache.spark.sql.functions._
+    val t = Streams.ensureEventLogStore(spark, sf)
+    val pruned = graft.store.ManifestStore.manifestSnapshotRanged(spark, t,
+      "t_us", Streams.SessionFeedCut1Us, Streams.SessionFeedCut2Us - 1).get
+    // data skipping: the window intersects exactly batch 1's range
+    val files = pruned.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("delta-v1")), files.toString)
+    // stats prune, the residual filters: equal to the full-scan answer
+    val want = graft.store.ManifestStore.manifestSnapshot(spark, t).get
+      .where(col("t_us") >= Streams.SessionFeedCut1Us &&
+        col("t_us") <= Streams.SessionFeedCut2Us - 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq === want)
+    // a window beyond every member's range reads nothing and is empty
+    assert(graft.store.ManifestStore.manifestSnapshotRanged(spark, t,
+      "t_us", Long.MaxValue - 10, Long.MaxValue).get.count() === 0L)
+  }
+
+  test("q323 WAP ledger: audit saw main at v1, publish fast-forwarded, branch gone, probe == q291") {
+    val t = Streams.ensureWapShingleIndex(spark, sf)
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      t.getParent.resolve("AUDIT")), "UTF-8")
+    assert(audit === "bad=0;main_during_stage=v1", audit)
+    assert(ManifestStore.committedManifest(t).contains(2L))
+    assert(ManifestStore.manifestMembers(t, 2L) ===
+      Seq("delta-v0", "delta-v1", "delta-wap-v2"))
+    assert(Option(t.toFile.listFiles()).toSeq.flatten
+      .forall(!_.getName.startsWith("manifest-wap-")),
+      "branch manifests must be dropped at publish")
+    val got = Streams.queries("q323_wap_publish")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val q291 = Streams.queries("q291_stream_shingle_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q291 && got.nonEmpty)
+  }
+
   test("q317 diff across rewrite: incremental refuses, fallback states exactly the erased rows") {
     import org.apache.spark.sql.functions._
     val res = Streams.queries("q317_store_diff_rewrite")(spark, sf)
