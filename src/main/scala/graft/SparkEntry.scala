@@ -34,7 +34,8 @@ object SparkEntry {
       dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++
       multimodal.Multimodal.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++
+      store.StoreQueries.queries
 
   /** The two exact all-pairs correctness baselines: kept in [[queries]]
     * (and so in the driver's oracle gate) but excluded from the bench
@@ -68,7 +69,7 @@ object SparkEntry {
     "q294_retrained_ivf" -> sim.SimQueries.retrainedIvf,
     "q296_erased_stream_ivf" -> streaming.Streams.erasedStreamIvfProbe,
     "q304_folded_stream_ivf" -> streaming.Streams.foldedStreamIvfProbe,
-    "q312_erasure_folded_ivf" -> streaming.Streams.erasureFoldedStreamIvfProbe,
+    "q312_erasure_folded_ivf" -> store.StoreQueries.erasureFoldedStreamIvfProbe,
     "q316_drift_aware_retrain" -> sim.SimQueries.driftAwareIvf,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
@@ -107,5 +108,6 @@ object SparkEntry {
       dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++
       multimodal.Multimodal.oracles ++
-      streaming.Streams.oracles
+      streaming.Streams.oracles ++
+      store.StoreQueries.oracles
 }

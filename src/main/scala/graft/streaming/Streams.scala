@@ -1368,7 +1368,7 @@ object Streams {
     }
 
   /** Shared replay body of the two session stream stores. */
-  private def sessionStreamReplay(s: SparkSession, d: String, dirName: String,
+  private[graft] def sessionStreamReplay(s: SparkSession, d: String, dirName: String,
       foldAfter: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
@@ -1546,7 +1546,7 @@ object Streams {
     * q299's concurrent batch writers) writes. Within-doc compute only,
     * so it is exact on any corpus subset.
     */
-  private def shinglePostings(docs: DataFrame): DataFrame = {
+  private[graft] def shinglePostings(docs: DataFrame): DataFrame = {
     val sh = graft.dedup.DedupQueries.shingles(docs)
     sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .join(sh, "doc_id")
@@ -1554,7 +1554,7 @@ object Streams {
   }
 
   /** Shared replay body of the shingle stream stores. */
-  private def shingleStreamReplay(s: SparkSession, d: String, dirName: String,
+  private[graft] def shingleStreamReplay(s: SparkSession, d: String, dirName: String,
       foldAfter: Int, retain: Int = 2): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
@@ -1639,7 +1639,7 @@ object Streams {
     * stream-store snapshot (CURRENT or a retained predecessor), q214's
     * plan shape.
     */
-  private def shingleStoreProbe(s: SparkSession, d: String,
+  private[graft] def shingleStoreProbe(s: SparkSession, d: String,
       store: DataFrame): DataFrame = {
     val batchSh = graft.dedup.DedupQueries.shingles(
         Tables.documents(s, d).where(col("doc_id") % 3 === 0))
@@ -1913,7 +1913,7 @@ object Streams {
     }
 
   /** Shared replay body of the two IVF stream stores. */
-  private def ivfStreamReplay(s: SparkSession, d: String, dirName: String,
+  private[graft] def ivfStreamReplay(s: SparkSession, d: String, dirName: String,
       foldAfter: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(s"${graft.Tables.scratchDir}/$dirName")
@@ -2173,449 +2173,6 @@ object Streams {
     Tables.events(s, d)
       .where(col("user_id") % 13 === 0).select(col("user_id")).distinct()
 
-  // ──────────────── erasure folds on the stream stores (round 15) ────────────────
-  //
-  // q293/q296/q306/q290 apply their forget sets as per-read broadcast
-  // anti-join overlays: correct, O(|tombstones|) at plan time, but paid
-  // on EVERY probe forever, and the erased rows' bytes stay on disk.
-  // The batch indexes already have the tombstone-fold cells (q272 /
-  // q280 / q287); these stores now get the same maintenance step via
-  // ManifestStore.eraseFold: resolve the members once, anti-join the
-  // forget set once, publish ONE purged base — after which probes plan
-  // no anti-join at all and the new version's files carry zero erased
-  // rows (what right-to-erasure actually requires; the pre-fold
-  // versions age out under the standard retention policy). Each folded
-  // store is built as a SEPARATE artifact (fresh replay + fold) so the
-  // overlay forms stay exercised on the shared stores.
-
-  /** The q310 store: the shingle stream replay plus an erasure fold of
-    * q264's forget set — DONE-gated like every derived artifact; the
-    * EFOLD marker gates the fold separately from the replay so a crash
-    * between the two re-runs only the fold (idempotent: purging a
-    * purged base is a no-op at a new version).
-    */
-  private val efoldShingleLock = new Object
-
-  def ensureErasureFoldedShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
-    efoldShingleLock.synchronized {
-      val table = shingleStreamReplay(s, d,
-        s"graft-shingle-stream-efold-${graft.Tables.datasetTag(d, "documents")}",
-        foldAfter = 8)
-      val marker = table.getParent.resolve("EFOLD")
-      if (!java.nio.file.Files.exists(marker)) {
-        eraseFold(table, graft.dedup.DedupQueries.erasureTombstones(s, d),
-          Seq("doc_id"))
-        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
-      }
-      table
-    }
-
-  /** q310: the q293 probe served from the ERASURE-FOLDED stream shingle
-    * store — bit-equal to q293's overlay probe (q264's surviving-corpus
-    * oracle verbatim), but the store side is ONE purged base: no
-    * anti-join anywhere in the plan (StreamingSpec pins plan and
-    * bit-equality), and no erased doc's postings exist in any file the
-    * current manifest references.
-    */
-  def erasureFoldedStreamShingleProbe: Q = (s, d) => {
-    val table = ensureErasureFoldedShingleStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot"))
-    graft.dedup.DedupQueries.ingestProbePairs(
-      graft.dedup.DedupQueries.survivingBatchShingles(s, d),
-      store.select(col("doc_id").as("oid"), col("h")),
-      store.select(col("doc_id"), col("n")).distinct())
-  }
-
-  /** The q311 store: the session stream replay plus an erasure fold of
-    * q290's forget set on the UPSERT store — the fold both purges the
-    * erased users and collapses the members to one base, so the read
-    * plans neither the anti-join overlay NOR the merge-on-read LWW
-    * window (the single-member fast path).
-    */
-  private val efoldSessLock = new Object
-
-  def ensureErasureFoldedSessionStore(s: SparkSession, d: String): java.nio.file.Path =
-    efoldSessLock.synchronized {
-      val table = sessionStreamReplay(s, d,
-        s"graft-sess-stream-efold-${graft.Tables.datasetTag(d, "events")}",
-        foldAfter = 8)
-      val marker = table.getParent.resolve("EFOLD")
-      if (!java.nio.file.Files.exists(marker)) {
-        eraseFold(table, sessionTombstones(s, d), Seq("user_id"),
-          upsertKey = Some("user_id"))
-        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
-      }
-      table
-    }
-
-  /** q311: q290's erased sessionization served from the ERASURE-FOLDED
-    * session store — q290's oracle verbatim, anti-join-free AND
-    * window-free read plan (both pinned).
-    */
-  def erasureFoldedStreamSessions: Q = (s, d) => {
-    val table = ensureErasureFoldedSessionStore(s, d)
-    val snap = manifestSnapshot(s, table, upsertKey = Some("user_id"))
-      .getOrElse(sys.error("no committed session snapshot"))
-    val w = Window.partitionBy("user_id").orderBy("s_us")
-    snap.withColumn("sid", row_number().over(w).cast("long"))
-      .select(col("user_id"), col("sid"), col("n_events"),
-        col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
-  }
-
-  /** The q312 store: the IVF assignment replay plus an erasure fold of
-    * q279's forget set — the ANN family's erasure-fold cell.
-    */
-  private val efoldIvfLock = new Object
-
-  def ensureErasureFoldedIvfStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
-    efoldIvfLock.synchronized {
-      val table = ivfStreamReplay(s, d,
-        s"graft-ivf-stream-efold-${graft.Tables.datasetTag(d, "embeddings")}",
-        foldAfter = 8)
-      val marker = table.getParent.resolve("EFOLD")
-      if (!java.nio.file.Files.exists(marker)) {
-        eraseFold(table, graft.sim.SimQueries.ivfTombstones(s, d), Seq("vec_id"))
-        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
-      }
-      table
-    }
-
-  /** q312: the q296 erased probe served from the ERASURE-FOLDED stream
-    * IVF store — same surviving anchored queries, same audit, but the
-    * assignment side is one purged base: no anti-join in the probe plan
-    * (erasure was paid once, at the fold). Registered as the audited
-    * form — q296's reference (surviving-corpus brute top-5).
-    */
-  def erasureFoldedStreamIvfProbe: Q = (s, d) => {
-    val table = ensureErasureFoldedIvfStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed IVF assignment snapshot"))
-    graft.sim.SimQueries.ivfSurvivorProbeFromStore(s, d, store)
-  }
-
-  /** Driver-audited form of [[erasureFoldedStreamIvfProbe]]. */
-  def erasureFoldedStreamIvfChecked: Q = (s, d) =>
-    graft.sim.SimQueries.streamIvfErasedChecked(erasureFoldedStreamIvfProbe(s, d), s, d)
-
-  /** The q315 store: the shingle replay committed with `retain = 3` —
-    * the configurable-retention cell (every other store keeps the
-    * default CURRENT + one predecessor). Three batches, no fold: all
-    * three manifests stay, so a DEPTH-2 travel read (two versions
-    * behind current) still resolves.
-    */
-  private val retainShingleLock = new Object
-
-  def ensureRetainedShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
-    retainShingleLock.synchronized {
-      shingleStreamReplay(s, d,
-        s"graft-shingle-stream-ret3-${graft.Tables.datasetTag(d, "documents")}",
-        foldAfter = 8, retain = 3)
-    }
-
-  /** q315: DEPTH-2 TIME TRAVEL under configurable retention — q297's
-    * read contract generalized from "one back" to "any retained
-    * version": the keep-last-3 store resolves the manifest two commits
-    * behind current (v0 = bucket 0 only), and the nightly probe against
-    * it answers what the FIRST commit served. Exact oracle: q214's with
-    * both pair sides in bucket 0. StreamingSpec pins the retention
-    * ledger itself (3 manifests on disk, depth-2 members readable).
-    */
-  def deepTimeTravelShingleProbe: Q = (s, d) => {
-    val table = ensureRetainedShingleStreamIndex(s, d)
-    val cur = committedManifest(table)
-      .getOrElse(sys.error("no committed shingle-index snapshot"))
-    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, cur - 2))
-  }
-
-  /** q317: CHANGELOG-WITH-FALLBACK across a store rewrite — what a
-    * tailing consumer actually does when its incremental read hits a
-    * fold: [[manifestChanges]] REFUSES across the q311 erasure fold
-    * (members were rewritten — returning the purged base as "new rows"
-    * would be wrong), and the consumer falls back to the full-store
-    * diff ([[manifestSnapshotDiff]]), which states the change exactly:
-    * every erased user's sessions REMOVED, nothing added (erasure
-    * adds no rows). This is the production contract for change-data
-    * feeds across compaction/erasure rewrites: fast O(changes) tailing
-    * on append commits, one O(store) diff per rewrite, never a wrong
-    * incremental answer. Output: the removed sessions (sid ranked per
-    * user — users are erased whole, so ranks equal the store's) plus
-    * an `n_added` audit column pinned 0 by the oracle; exact oracle =
-    * a one-shot sessionization of exactly the ERASED users' events.
-    */
-  def storeDiffAcrossRewrite: Q = (s, d) => {
-    val table = ensureErasureFoldedSessionStore(s, d)
-    val cur = committedManifest(table)
-      .getOrElse(sys.error("no committed session snapshot"))
-    val pred = retainedPredecessor(table, cur)
-      .getOrElse(sys.error("no predecessor manifest retained"))
-    val incremental =
-      try Some(manifestChanges(s, table, pred, cur))
-      catch { case _: IllegalArgumentException => None }
-    require(incremental.isEmpty,
-      "the incremental read must refuse across an erasure fold")
-    val (added, removed) = manifestSnapshotDiff(s, table, pred, cur,
-      upsertKey = Some("user_id"))
-    val nAdded = added.count() // aggregate-sized audit: must be 0
-    val w = Window.partitionBy("user_id").orderBy("s_us")
-    removed.withColumn("sid", row_number().over(w).cast("long"))
-      .select(col("user_id"), col("sid"), col("n_events"),
-        col("s_us"), col("e_us"), lit(nAdded).as("n_added"))
-  }
-
-  /** The q318 store: the shingle stream replay plus an EQUALITY-DELETE
-    * commit of q264's forget set ([[graft.store.ManifestStore.commitDeleteFile]])
-    * — erasure as an O(|deletes|) COMMIT: no store rewrite (the fold's
-    * cost), no per-query overlay (every consumer would have to
-    * remember to apply it); the resolve applies the committed delete
-    * member below EVERY read automatically.
-    */
-  private val delFileShingleLock = new Object
-
-  def ensureDeleteFileShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
-    delFileShingleLock.synchronized {
-      val table = shingleStreamReplay(s, d,
-        s"graft-shingle-stream-delf-${graft.Tables.datasetTag(d, "documents")}",
-        foldAfter = 8)
-      val marker = table.getParent.resolve("DELF")
-      if (!java.nio.file.Files.exists(marker)) {
-        commitDeleteFile(table,
-          graft.dedup.DedupQueries.erasureTombstones(s, d), 3L)
-        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
-      }
-      table
-    }
-
-  /** q318: the erased nightly probe served through a committed DELETE
-    * FILE — the third erasure mechanism, completing the cost spectrum
-    * {per-read overlay q293, delete-file commit here, physical fold
-    * q310}: the probe code carries NO tombstone logic at all (compare
-    * q293's explicit anti-joins), yet lands exactly on q264's
-    * surviving-corpus oracle, because the store's resolve applies the
-    * delete member itself. Erased rows remain in the delta files until
-    * a fold absorbs them — the merge-on-read DELETE semantics of
-    * production formats' equality delete files.
-    */
-  def deleteFileShingleProbe: Q = (s, d) => {
-    val table = ensureDeleteFileShingleStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot"))
-    graft.dedup.DedupQueries.ingestProbePairs(
-      graft.dedup.DedupQueries.survivingBatchShingles(s, d),
-      store.select(col("doc_id").as("oid"), col("h")),
-      store.select(col("doc_id"), col("n")).distinct())
-  }
-
-  /** The q319 store: a per-doc stats store whose batch-2 commit WIDENS
-    * the schema — batches 0/1 write (doc_id, n_words), batch 2 writes
-    * (doc_id, n_words, n_chars). Direct commits (the protocol under
-    * test, not a stream); DONE-gated like every derived artifact.
-    */
-  private val evolvedStoreLock = new Object
-
-  def ensureEvolvedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
-    evolvedStoreLock.synchronized {
-      import java.nio.file.{Files, Paths}
-      val root = Paths.get(
-        s"${graft.Tables.scratchDir}/graft-docstats-evolve-${graft.Tables.datasetTag(d, "documents")}")
-      if (!Files.exists(root.resolve("DONE"))) {
-        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-        val table = root.resolve("table")
-        Files.createDirectories(table)
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        def bucket(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
-        def words(df: DataFrame) = df.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_words"))
-        commitDelta(table, words(bucket(0)), 0L)
-        commitDelta(table, words(bucket(1)), 1L)
-        commitDelta(table, words(bucket(2))
-          .join(bucket(2).select(col("doc_id"),
-            length(col("text")).cast("long").as("n_chars")), "doc_id"), 2L)
-        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
-      }
-      root.resolve("table")
-    }
-
-  /** q319: SCHEMA EVOLUTION on the manifest store — a later commit may
-    * ADD columns and the resolve reads the mixed-schema member set by
-    * name, older rows surfacing the new column as null (how production
-    * formats read evolved tables; drop/retype stays a rewrite). The
-    * probe reports every doc's stats with the evolved column
-    * null-coalesced to −1 for the pre-evolution rows — the exact
-    * oracle states which docs carry real values (bucket 2) without any
-    * store knowledge. StreamingSpec additionally pins that the
-    * pre-evolution TRAVEL read (v1) does not even carry the column.
-    */
-  def evolvedStoreStats: Q = (s, d) => {
-    val table = ensureEvolvedDocStatsStore(s, d)
-    manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed doc-stats snapshot"))
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_chars"), lit(-1L)).as("n_chars"))
-  }
-
-  /** The q320 store: the words-only stats store plus a PLANTED orphan —
-    * commit wreckage (a delta dir written by a crashed commit that
-    * never linked its manifest, stamped old) — then the age-gated
-    * vacuum ([[graft.store.ManifestStore.vacuumOrphans]]). The removed
-    * count persists next to the store for the probe's audit column.
-    */
-  private val vacuumStoreLock = new Object
-
-  def ensureVacuumedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
-    vacuumStoreLock.synchronized {
-      import java.nio.file.{Files, Paths}
-      val root = Paths.get(
-        s"${graft.Tables.scratchDir}/graft-docstats-vacuum-${graft.Tables.datasetTag(d, "documents")}")
-      if (!Files.exists(root.resolve("DONE"))) {
-        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-        val table = root.resolve("table")
-        Files.createDirectories(table)
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        def words(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_words"))
-        (0 to 2).foreach(i => commitDelta(table, words(i), i.toLong))
-        // crash wreckage: a delta written, never committed, long cold
-        words(0).write.mode("overwrite")
-          .parquet(table.resolve("delta-v99").toString)
-        table.resolve("delta-v99").toFile.setLastModified(1000L): Unit
-        val removed = vacuumOrphans(table,
-          olderThanMs = 24L * 3600 * 1000, nowMs = System.currentTimeMillis())
-        graft.Tables.atomicWrite(root, "VACUUMED", removed.toString)
-        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
-      }
-      root.resolve("table")
-    }
-
-  /** q320: age-gated orphan VACUUM — the offline half of the GC split
-    * (the online GC reclaims only dirs DROPPED manifests referenced; a
-    * never-referenced dir might be an in-flight concurrent commit, so
-    * only AGE may condemn it — exactly production VACUUM semantics).
-    * The probe reads the vacuumed store (bit-identical to the
-    * un-vacuumed resolve — a vacuum can never change a retained read)
-    * with the removed-orphan count as an audit column the oracle pins
-    * to exactly 1.
-    */
-  def vacuumedStoreProbe: Q = (s, d) => {
-    val table = ensureVacuumedDocStatsStore(s, d)
-    val removed = new String(java.nio.file.Files.readAllBytes(
-      table.getParent.resolve("VACUUMED")), "UTF-8").trim.toLong
-    manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed doc-stats snapshot"))
-      .select(col("doc_id"), col("n_words"),
-        lit(removed).as("n_orphans_removed"))
-  }
-
-  /** The q322 store: the raw events log committed in THREE TIME-CUT
-    * batches with per-member min/max stats on `t_us` — the time-keyed
-    * append store whose commits naturally carry disjoint ranges (the
-    * same epoch cuts the session feed stages on), which is exactly the
-    * layout that makes manifest-level data skipping pay.
-    */
-  private val eventLogStoreLock = new Object
-
-  def ensureEventLogStore(s: SparkSession, d: String): java.nio.file.Path =
-    eventLogStoreLock.synchronized {
-      import java.nio.file.{Files, Paths}
-      val root = Paths.get(
-        s"${graft.Tables.scratchDir}/graft-eventlog-store-${graft.Tables.datasetTag(d, "events")}")
-      if (!Files.exists(root.resolve("DONE"))) {
-        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-        val table = root.resolve("table")
-        Files.createDirectories(table)
-        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("t_us"))
-        val t = col("t_us")
-        val batches = Seq(
-          ev.where(t < SessionFeedCut1Us),
-          ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us),
-          ev.where(t >= SessionFeedCut2Us))
-        batches.zipWithIndex.foreach { case (b, i) =>
-          commitDelta(table, b, i.toLong, statsKey = Some("t_us")) }
-        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
-      }
-      root.resolve("table")
-    }
-
-  /** q322: RANGE-PRUNED store read — manifest-level data skipping: the
-    * epoch-2 window query resolves through per-member [min, max] stats
-    * written at commit time and OPENS ONLY the one member whose range
-    * intersects the window (StreamingSpec pins the plan's input files
-    * to delta-v1) — partition pruning one level above parquet, the
-    * mechanism that keeps "last hour" reads O(hour) instead of
-    * O(store) at 100 TB. Stats only prune; the residual predicate
-    * still applies, so the answer is exact with or without them —
-    * pinned by the oracle, which scans everything.
-    */
-  def rangedStoreScan: Q = (s, d) => {
-    val table = ensureEventLogStore(s, d)
-    manifestSnapshotRanged(s, table, "t_us",
-        SessionFeedCut1Us, SessionFeedCut2Us - 1)
-      .getOrElse(sys.error("no committed event-log snapshot"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("event_id")).cast("long").as("key_checksum"),
-        min(col("t_us")).as("min_us"), max(col("t_us")).as("max_us"))
-  }
-
-  /** The q323 store: WRITE-AUDIT-PUBLISH on a shingle index — buckets
-    * 0/1 commit to main; bucket 2 stages on a BRANCH, the audit
-    * queries the branch head (structural gate: no null doc, no
-    * non-positive size) while asserting main still serves the
-    * pre-stage version, and only then does the branch fast-forward
-    * into main. The staged batch was never visible to any main reader
-    * — snapshot, travel, or changelog — before the publish instant.
-    */
-  private val wapShingleLock = new Object
-
-  def ensureWapShingleIndex(s: SparkSession, d: String): java.nio.file.Path =
-    wapShingleLock.synchronized {
-      import java.nio.file.{Files, Paths}
-      val root = Paths.get(
-        s"${graft.Tables.scratchDir}/graft-shingle-wap-${graft.Tables.datasetTag(d, "documents")}")
-      if (!Files.exists(root.resolve("DONE"))) {
-        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-        val table = root.resolve("table")
-        Files.createDirectories(table)
-        val docs = Tables.documents(s, d).select("doc_id", "text")
-        def bucket(i: Int) =
-          shinglePostings(docs.where(pmod(col("doc_id"), lit(3)) === i))
-        commitDelta(table, bucket(0), 0L)
-        commitDelta(table, bucket(1), 1L)
-        // WRITE: stage bucket 2 on the branch
-        commitDeltaBranch(table, "wap", bucket(2), 2L)
-        // AUDIT: gate on the BRANCH head; main must be untouched
-        val staged = branchSnapshot(s, table, "wap")
-          .getOrElse(sys.error("branch head missing"))
-        val bad = staged.where(col("n") <= 0 || col("doc_id").isNull).count()
-        val mainDuringStage = committedManifest(table)
-          .getOrElse(sys.error("no main version"))
-        require(bad == 0L, s"audit failed: $bad bad staged postings")
-        require(mainDuringStage == 1L,
-          s"staging leaked into main (at v$mainDuringStage)")
-        graft.Tables.atomicWrite(root, "AUDIT",
-          s"bad=$bad;main_during_stage=v$mainDuringStage")
-        // PUBLISH: fast-forward main to the audited branch head
-        publishBranch(table, "wap")
-        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
-      }
-      root.resolve("table")
-    }
-
-  /** q323: the nightly probe served from the WAP-published store —
-    * after the audited publish, main denotes the full corpus index, so
-    * the probe lands exactly where every other full-index form lands:
-    * q214's oracle verbatim. StreamingSpec pins the WAP ledger: the
-    * audit ran against main at v1, the publish created v2 whose
-    * members are the two main deltas plus the branch delta, and no
-    * branch manifest survives.
-    */
-  def wapPublishedProbe: Q = (s, d) => {
-    val table = ensureWapShingleIndex(s, d)
-    shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot")))
-  }
-
   val queries: Map[String, Q] = Map(
     "q157_interval_join_semi" -> intervalJoinSemiBatch,
     "q25_session_window" -> sessionsBatch,
@@ -2647,16 +2204,6 @@ object Streams {
     "q302_session_store_changelog" -> sessionStoreChangelog,
     "q304_folded_stream_ivf" -> foldedStreamIvfChecked,
     "q308_folded_stream_sessions" -> foldedStreamSessions,
-    "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
-    "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
-    "q312_erasure_folded_ivf" -> erasureFoldedStreamIvfChecked,
-    "q315_deep_time_travel_shingle" -> deepTimeTravelShingleProbe,
-    "q317_store_diff_rewrite" -> storeDiffAcrossRewrite,
-    "q318_delete_file_commit" -> deleteFileShingleProbe,
-    "q319_schema_evolution_store" -> evolvedStoreStats,
-    "q320_vacuum_orphans" -> vacuumedStoreProbe,
-    "q322_range_pruned_store_scan" -> rangedStoreScan,
-    "q323_wap_publish" -> wapPublishedProbe,
     "q245_snapshot_time_travel" -> snapshotTimeTravel,
     "q89_stateful_totals_tws" -> statefulTotalsTwsReplay,
     "q101_join_then_window" -> joinThenWindowBatch,
@@ -2696,7 +2243,7 @@ object Streams {
     * events; shared verbatim by q311 (the erasure-folded store serves
     * the identical answer with the overlay folded away).
     */
-  private val erasedSessionOracle: String =
+  private[graft] val erasedSessionOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
       |  WHERE user_id % 13 <> 0),
@@ -2816,73 +2363,6 @@ object Streams {
     // sessionization of the SURVIVING users' events (q286's oracle
     // with the forget set removed at the scan)
     "q290_erased_stream_sessions" -> erasedSessionOracle,
-    // the erasure-FOLDED stores serve the overlay forms' answers
-    // verbatim: q264's surviving-corpus oracle (shingles), q290's
-    // surviving-users oracle (sessions), q296's audit shape (vectors)
-    "q310_erasure_folded_shingle" ->
-      graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
-    // the delete-file commit serves the same surviving-corpus answer
-    // as the overlay and the fold: q264's oracle a third time
-    "q318_delete_file_commit" ->
-      graft.dedup.DedupQueries.oracles("q264_erasure_dedup_index"),
-    // evolved store: every doc's word count; the widened column is
-    // real for bucket-2 docs (batch 2's schema) and -1 (null) before
-    "q319_schema_evolution_store" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) ELSE -1 END AS BIGINT)
-        |    AS n_chars
-        |FROM documents""".stripMargin,
-    // the range-pruned read is exact: the oracle scans everything
-    "q322_range_pruned_store_scan" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n_events,
-         |  CAST(sum(event_id) AS BIGINT) AS key_checksum,
-         |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
-         |FROM events
-         |WHERE epoch_us(ts) >= $SessionFeedCut1Us
-         |  AND epoch_us(ts) <= ${SessionFeedCut2Us - 1}""".stripMargin,
-    // the WAP-published store denotes the full corpus index: q214's
-    // oracle verbatim
-    "q323_wap_publish" ->
-      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
-    // vacuum removes exactly the one planted orphan and changes no read
-    "q320_vacuum_orphans" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |  CAST(1 AS BIGINT) AS n_orphans_removed
-        |FROM documents""".stripMargin,
-    "q311_erasure_folded_sessions" -> erasedSessionOracle,
-    // the diff across the erasure rewrite is exactly the ERASED
-    // users' sessions removed, nothing added
-    "q317_store_diff_rewrite" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
-        |  WHERE user_id % 13 = 0),
-        |x AS (
-        |  SELECT user_id, t_us, event_id,
-        |    CASE WHEN lag(t_us) OVER w IS NULL
-        |           OR t_us - lag(t_us) OVER w >= 21600000000
-        |      THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
-        |b AS (
-        |  SELECT user_id, t_us,
-        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-        |  FROM x)
-        |SELECT user_id, sid, count(*) AS n_events,
-        |  min(t_us) AS s_us, max(t_us) AS e_us,
-        |  CAST(0 AS BIGINT) AS n_added
-        |FROM b GROUP BY 1, 2""".stripMargin,
-    "q312_erasure_folded_ivf" ->
-      """SELECT count(*) AS n_queries, count(*) * 5 AS n_eval_pairs,
-        |  TRUE AS recall_ge_075
-        |FROM embeddings
-        |WHERE vec_id % 100 = 0 AND vec_id % 7 <> 1
-        |  AND vec_id < 100000""".stripMargin,
-    // the depth-2 travelled probe answers over the FIRST bucket's
-    // corpus alone: q214's oracle with both pair sides in bucket 0
-    "q315_deep_time_travel_shingle" ->
-      s"""SELECT * FROM (
-         |${graft.dedup.DedupQueries.oracles("q214_incremental_dedup")}
-         |) WHERE a_id % 3 = 0 AND b_id % 3 = 0""".stripMargin,
     // the stream-maintained composite snapshot must equal the full
     // bridge-join recompute (the feed carries every lineitem row)
     "q289_stream_composite_mv" ->

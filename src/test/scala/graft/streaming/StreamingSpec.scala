@@ -631,165 +631,6 @@ class StreamingSpec extends SparkSpec {
     graft.Tables.deleteRecursively(root.toFile)
   }
 
-  test("q310/q311/q312 erasure folds: bit-equal to overlay probes, purged bases, overlay-free plans") {
-    import org.apache.spark.sql.functions._
-    // ── shingles: folded probe == q293's overlay probe, store is ONE
-    // purged base, no anti-join anywhere in the probe plan ──
-    val r310 = Streams.queries("q310_erasure_folded_shingle")(spark, sf)
-    val got310 = r310.collect().map(_.toString).sorted.toSeq
-    val got293 = Streams.queries("q293_erased_stream_shingle")(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    assert(got310 === got293 && got310.nonEmpty)
-    val ts = Streams.ensureErasureFoldedShingleStreamIndex(spark, sf)
-    val curS = ManifestStore.committedManifest(ts).get
-    assert(ManifestStore.manifestMembers(ts, curS) === Seq(s"base-e$curS"))
-    // zero tombstoned rows in the folded FILES, not just the read
-    assert(spark.read.parquet(ts.resolve(s"base-e$curS").toString)
-      .where(col("doc_id") % 7 === 1).count() === 0L,
-      "erased docs' postings must be physically gone")
-    assert(!r310.queryExecution.executedPlan.toString.contains("LeftAnti"),
-      "folded probe must plan no tombstone overlay")
-
-    // ── sessions (upsert store): folded result == q290's overlay
-    // result; the fold leaves ONE purged base, so the read also skips
-    // the merge-on-read LWW window (single-member fast path) ──
-    val r311 = Streams.queries("q311_erasure_folded_sessions")(spark, sf)
-    val got311 = r311.collect().map(_.toString).sorted.toSeq
-    val got290 = Streams.queries("q290_erased_stream_sessions")(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    assert(got311 === got290 && got311.nonEmpty)
-    val tu = Streams.ensureErasureFoldedSessionStore(spark, sf)
-    val curU = ManifestStore.committedManifest(tu).get
-    assert(ManifestStore.manifestMembers(tu, curU) === Seq(s"base-e$curU"))
-    assert(spark.read.parquet(tu.resolve(s"base-e$curU").toString)
-      .where(col("user_id") % 13 === 0).count() === 0L,
-      "erased users' sessions must be physically gone")
-    assert(!r311.queryExecution.executedPlan.toString.contains("LeftAnti"))
-    // the only Window left is the read-time sid rank — the resolve
-    // itself is a plain single-dir scan (no __mf_seq arbitration)
-    assert(!r311.queryExecution.executedPlan.toString.contains("__mf_seq"),
-      "folded upsert read must not plan the merge-on-read window")
-
-    // ── vectors: folded store purged, probe overlay-free, audit TRUE ──
-    val ti = Streams.ensureErasureFoldedIvfStreamIndex(spark, sf)
-    val curI = ManifestStore.committedManifest(ti).get
-    assert(ManifestStore.manifestMembers(ti, curI) === Seq(s"base-e$curI"))
-    assert(spark.read.parquet(ti.resolve(s"base-e$curI").toString)
-      .where(col("vec_id") % 7 === 1).count() === 0L,
-      "erased vectors' assignments must be physically gone")
-    val probe312 = Streams.erasureFoldedStreamIvfProbe(spark, sf)
-    assert(!probe312.queryExecution.executedPlan.toString.contains("LeftAnti"),
-      "folded IVF probe must plan no tombstone overlay")
-    assert(Streams.queries("q312_erasure_folded_ivf")(spark, sf)
-      .collect().head.getBoolean(2), "audit recall bit is false")
-  }
-
-  test("q318/q319/q320: delete-file probe == overlay probe, evolved travel, vacuum invariance") {
-    import org.apache.spark.sql.functions._
-    // q318: no tombstone logic in the probe, yet the answer equals the
-    // overlay form's — the committed delete member does the work
-    val got318 = Streams.queries("q318_delete_file_commit")(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    val got293 = Streams.queries("q293_erased_stream_shingle")(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    assert(got318 === got293 && got318.nonEmpty)
-    val td = Streams.ensureDeleteFileShingleStreamIndex(spark, sf)
-    assert(ManifestStore.manifestMembers(td,
-      ManifestStore.committedManifest(td).get).last === "~del-v3")
-    // erased docs' postings are STILL in the delta files (logical
-    // delete — physical erasure is the fold's job, q310)
-    assert(spark.read.parquet(td.resolve("delta-v1").toString)
-      .where(col("doc_id") % 7 === 1).count() > 0L)
-    // q319: the travelled pre-evolution read does not carry the column
-    val te = Streams.ensureEvolvedDocStatsStore(spark, sf)
-    assert(ManifestStore.manifestSnapshotAt(spark, te, 1L).columns.toSeq ===
-      Seq("doc_id", "n_words"))
-    assert(Streams.queries("q319_schema_evolution_store")(spark, sf)
-      .columns.toSeq === Seq("doc_id", "n_words", "n_chars"))
-    // q320: the planted orphan is gone, the committed deltas are not
-    val tv = Streams.ensureVacuumedDocStatsStore(spark, sf)
-    assert(!java.nio.file.Files.exists(tv.resolve("delta-v99")))
-    (0 to 2).foreach(i =>
-      assert(java.nio.file.Files.exists(tv.resolve(s"delta-v$i"))))
-  }
-
-  test("q322 range-pruned scan: only the overlapping member opens, residual exact, empty window empty") {
-    import org.apache.spark.sql.functions._
-    val t = Streams.ensureEventLogStore(spark, sf)
-    val pruned = graft.store.ManifestStore.manifestSnapshotRanged(spark, t,
-      "t_us", Streams.SessionFeedCut1Us, Streams.SessionFeedCut2Us - 1).get
-    // data skipping: the window intersects exactly batch 1's range
-    val files = pruned.inputFiles.toSeq
-    assert(files.nonEmpty && files.forall(_.contains("delta-v1")), files.toString)
-    // stats prune, the residual filters: equal to the full-scan answer
-    val want = graft.store.ManifestStore.manifestSnapshot(spark, t).get
-      .where(col("t_us") >= Streams.SessionFeedCut1Us &&
-        col("t_us") <= Streams.SessionFeedCut2Us - 1)
-      .collect().map(_.toString).sorted.toSeq
-    assert(pruned.collect().map(_.toString).sorted.toSeq === want)
-    // a window beyond every member's range reads nothing and is empty
-    assert(graft.store.ManifestStore.manifestSnapshotRanged(spark, t,
-      "t_us", Long.MaxValue - 10, Long.MaxValue).get.count() === 0L)
-  }
-
-  test("q323 WAP ledger: audit saw main at v1, publish fast-forwarded, branch gone, probe == q291") {
-    val t = Streams.ensureWapShingleIndex(spark, sf)
-    val audit = new String(java.nio.file.Files.readAllBytes(
-      t.getParent.resolve("AUDIT")), "UTF-8")
-    assert(audit === "bad=0;main_during_stage=v1", audit)
-    assert(ManifestStore.committedManifest(t).contains(2L))
-    assert(ManifestStore.manifestMembers(t, 2L) ===
-      Seq("delta-v0", "delta-v1", "delta-wap-v2"))
-    assert(Option(t.toFile.listFiles()).toSeq.flatten
-      .forall(!_.getName.startsWith("manifest-wap-")),
-      "branch manifests must be dropped at publish")
-    val got = Streams.queries("q323_wap_publish")(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    val q291 = Streams.queries("q291_stream_shingle_index")(spark, sf)
-      .collect().map(_.toString).sorted.toSeq
-    assert(got === q291 && got.nonEmpty)
-  }
-
-  test("q317 diff across rewrite: incremental refuses, fallback states exactly the erased rows") {
-    import org.apache.spark.sql.functions._
-    val res = Streams.queries("q317_store_diff_rewrite")(spark, sf)
-    val rows = res.collect()
-    assert(rows.nonEmpty)
-    // nothing added by an erasure (the audit column rides every row)
-    assert(rows.forall(_.getLong(5) === 0L), "erasure must add no rows")
-    // the removed set is exactly the store complement: pre-fold store
-    // (q286's answer) minus the surviving store (q290's answer)
-    val all = Streams.queries("q286_stream_sessions_incremental")(spark, sf)
-      .select("user_id", "sid", "n_events", "s_us", "e_us")
-      .collect().map(_.toString).toSet
-    val surviving = Streams.queries("q290_erased_stream_sessions")(spark, sf)
-      .select("user_id", "sid", "n_events", "s_us", "e_us")
-      .collect().map(_.toString).toSet
-    val removed = res.select("user_id", "sid", "n_events", "s_us", "e_us")
-      .collect().map(_.toString).toSet
-    assert(removed === (all -- surviving),
-      "diff must equal the pre-fold store minus the surviving store")
-  }
-
-  test("q315 retention depth 3: full ledger on disk, depth-2 travel resolves bucket 0") {
-    import org.apache.spark.sql.functions._
-    val t = Streams.ensureRetainedShingleStreamIndex(spark, sf)
-    // keep-last-3 retained every manifest of the 3-batch replay
-    (0L to 2L).foreach { v =>
-      assert(java.nio.file.Files.exists(t.resolve(s"manifest-v$v")),
-        s"manifest-v$v must be retained under retain=3") }
-    assert(ManifestStore.committedManifest(t).contains(2L))
-    // depth-2 travel: v0 = bucket 0 postings only, complete per doc
-    val v0 = ManifestStore.manifestSnapshotAt(spark, t, 0L)
-    val v0Docs = v0.select("doc_id").distinct()
-      .collect().map(_.getLong(0))
-    assert(v0Docs.nonEmpty && v0Docs.forall(_ % 3 == 0),
-      "v0 must hold exactly the first bucket's docs")
-    // and the registered probe answers non-trivially over it
-    assert(Streams.queries("q315_deep_time_travel_shingle")(spark, sf)
-      .collect().nonEmpty)
-  }
-
   test("q293 stream-shingle erasure: overlay probe == q264, store never rewritten") {
     import org.apache.spark.sql.functions._
     val res = Streams.queries("q293_erased_stream_shingle")(spark, sf)
