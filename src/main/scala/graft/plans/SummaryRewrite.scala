@@ -44,8 +44,8 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *    re-registers ([[graft.ops.Scale.ensureLineitemSummary]]);
   *  - a summary location can be a fixed path (`_SUCCESS`-guarded: a
   *    swept scratch dir declines instead of throwing at planning
-  *    time) or a versioned store's CURRENT pointer
-  *    ([[SummaryLocation.CurrentPointer]]) — resolved at rewrite time,
+  *    time) or a versioned pointer store's committed manifest
+  *    ([[SummaryLocation.PointerStore]]) — resolved at rewrite time,
   *    so the rule only ever serves the committed version of a
   *    stream-maintained snapshot, never a torn or superseded one;
   *  - the replacement projection preserves the original output
@@ -125,7 +125,7 @@ case class SummaryRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     *    clear a discarded session's plans under memory pressure, after
     *    which the key itself is reclaimable; a cleared live entry just
     *    re-reads (a miss, never a correctness event);
-    *  - each session's cache is a 64-entry LRU, so a CurrentPointer
+    *  - each session's cache is a 64-entry LRU, so a PointerStore
     *    store committing new versions forever (each version = a new
     *    resolved path) cannot grow the cache without bound the way it
     *    grows — and GCs — version dirs on disk.
@@ -647,22 +647,19 @@ object SummaryRewrite {
         if (new java.io.File(path, "_SUCCESS").exists()) Some(path) else None
     }
     /** A versioned snapshot store (the streaming upsert sink's layout):
-      * the CURRENT pointer file names the committed version dir. Only
-      * that version is ever served — a refresh's new version becomes
-      * visible exactly at the pointer flip, and a torn (uncommitted)
-      * version is unreachable by construction.
+      * the highest one-line manifest names the committed version dir
+      * ([[graft.store.ManifestStore.pointerCurrent]] — the put-if-absent
+      * pointer-store protocol; no CURRENT file since r16). Only that
+      * version is ever served — a refresh's new version becomes visible
+      * exactly at the manifest link, and a torn (uncommitted) version
+      * is unreachable by construction.
       */
-    case class CurrentPointer(root: String) extends SummaryLocation {
-      override def resolve(): Option[String] = {
-        val ptr = new java.io.File(root, "CURRENT")
-        if (!ptr.exists()) None
-        else {
-          val v = new String(
-            java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
-          val dir = new java.io.File(root, v)
-          if (dir.isDirectory) Some(dir.toString) else None
-        }
-      }
+    case class PointerStore(root: String) extends SummaryLocation {
+      override def resolve(): Option[String] =
+        graft.store.ManifestStore
+          .pointerCurrent(java.nio.file.Paths.get(root))
+          .map(v => new java.io.File(root, v))
+          .filter(_.isDirectory).map(_.toString)
     }
   }
 

@@ -706,19 +706,24 @@ object SimQueries {
       path
     }
 
-  /** Atomic CURRENT flip for the versioned retrain dir — temp file +
-    * rename, the same single-instant commit the stream stores use.
+  /** Commit `target` as the retrain dir's current version through the
+    * manifest protocol's pointer-store form (one-line put-if-absent
+    * numbered manifests, recovery = max, NO CURRENT file) — ported in
+    * r16 from the last-writer-wins CURRENT flip: a stale flip could
+    * only ever serve a complete older snapshot here (retrain is
+    * offline, single-writer), but the unified protocol removes even
+    * that window, and the 4-thread race spec now covers this path too.
     */
   private def flipPointer(path: String, target: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(root)
-    graft.Tables.atomicWrite(root, "CURRENT", target)
+    graft.store.ManifestStore.commitPointer(root, target)
   }
 
-  /** The version the retrain dir's CURRENT pointer names. */
+  /** The version dir the retrain store's manifest names. */
   private[graft] def retrainCurrent(path: String): String =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path).resolve("CURRENT")), "UTF-8")
+    graft.store.ManifestStore.pointerCurrent(java.nio.file.Paths.get(path))
+      .getOrElse(sys.error(s"no committed retrain version under $path"))
 
   /** q294: the anchored-query probe served from the RETRAINED index —
     * resolved through the pointer, so the plan reads v2's codebook and

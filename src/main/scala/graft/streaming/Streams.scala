@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.store.ManifestStore.{branchSnapshot, commitDelta, commitDeleteFile, commitDeltaBranch, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotRanged, manifestSnapshotTouched, manifestChanges, manifestMembers, publishBranch, retainedPredecessor, commitContended, vacuumOrphans}
+import graft.store.ManifestStore.{commitDelta, committedManifest, manifestSnapshot, manifestSnapshotAt, manifestSnapshotTouched, manifestChanges, manifestMembers, retainedPredecessor, commitContended}
 
 /** Structured Streaming layer over the `events` table.
   *
@@ -455,15 +455,16 @@ object Streams {
     * the (t_us, event_id) total order for the current-state columns,
     * (b) additive merge for the running aggregates, (c) an IDEMPOTENCE
     * guard — foreachBatch delivery is at-least-once, so a re-delivered
-    * batch id must be a no-op (derived from the committed CURRENT
-    * version: batch ids are monotonic, so id ≤ committed ⇒ already
-    * applied — crash-safe because the pointer flip is the one commit
-    * instant), and (d) SNAPSHOT VERSIONING — each merge writes a new
-    * version dir and flips a CURRENT pointer by atomic rename, so a
-    * concurrent reader never sees a half-written table; after the
-    * flip, versions older than the immediate predecessor are GC'd
-    * (bounded disk for a long-running stream; the predecessor stays
-    * for crash recovery and one-back time travel).
+    * batch id must be a no-op (derived from the committed version:
+    * batch ids are monotonic, so id ≤ committed ⇒ already applied —
+    * crash-safe because the manifest link is the one commit instant),
+    * and (d) SNAPSHOT VERSIONING — each merge writes a new version dir
+    * and publishes it as a one-line put-if-absent manifest
+    * ([[commitVersion]]), so a concurrent reader never sees a
+    * half-written table; after the commit, versions older than the
+    * immediate predecessor are GC'd (bounded disk for a long-running
+    * stream; the predecessor stays for crash recovery and one-back
+    * time travel).
     * Sandbox stand-in for a lakehouse
     * `MERGE INTO` + snapshot commit: at 100 TB the same foreachBatch
     * body calls the table format's MERGE (partition/file-scoped
@@ -475,14 +476,15 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     // Idempotence derives from the COMMIT POINT itself: batch ids are
-    // monotonic, CURRENT names the last committed version, and the
-    // atomic pointer flip IS the single commit instant — so a
-    // re-delivered batch id ≤ the committed one is a no-op, and a crash
-    // anywhere before the flip leaves CURRENT on the previous version
-    // (the re-run then merges against the CORRECT prior state and
-    // overwrites the torn version dir). A separate applied-marker file
-    // written after the flip would reopen a crash window between the
-    // two writes — double-applying the batch against its own output.
+    // monotonic, the highest manifest names the last committed version,
+    // and the put-if-absent manifest link IS the single commit instant
+    // — so a re-delivered batch id ≤ the committed one is a no-op, and
+    // a crash anywhere before the link leaves the previous manifest as
+    // the maximum (the re-run then merges against the CORRECT prior
+    // state and overwrites the torn version dir). A separate
+    // applied-marker file written after the commit would reopen a crash
+    // window between the two writes — double-applying the batch against
+    // its own output.
     if (committedVersion(root).exists(_ >= batchId)) return
     val delta = upsertDelta(batch)
     val merged = currentSnapshot(s, root) match {
@@ -510,51 +512,44 @@ object Streams {
   }
 
   /** The shared COMMIT tail of every versioned snapshot sink: write the
-    * merged state as `v{batchId}`, flip CURRENT by atomic rename (the
-    * single commit instant), then GC versions older than the immediate
-    * predecessor.
+    * merged state as `v{batchId}`, then publish that dir through the
+    * manifest protocol's POINTER-store form
+    * ([[graft.store.ManifestStore.commitPointer]]) — a one-line numbered
+    * manifest, put-if-absent, recovery = max; NO CURRENT file (ported
+    * in r16: these grain-sized MV stores and the IVF retrain pointer
+    * were the last two last-writer-wins flips in the engine, and the
+    * unified protocol's argument — two writers can never regress the
+    * table — applies to them the same as to the data-sized stores).
     *
     * Retention: a long-running stream writes a full version dir per
-    * micro-batch, so without GC disk grows without bound. After the
-    * commit instant (the pointer flip), drop every version older than
-    * the immediate predecessor — the predecessor stays for crash
-    * recovery (a torn NEXT version re-merges against it) and for
-    * time-travel reads one version back (q245's contract).
+    * micro-batch, so without GC disk grows without bound. commitPointer's
+    * retain=2 keeps the current + predecessor manifests and reclaims
+    * the version dirs only dropped manifests referenced — the
+    * predecessor stays for crash recovery (a torn NEXT version
+    * re-merges against it) and for time-travel reads one version back
+    * (q245's contract).
     * READER CONTRACT: deletion is immediate at commit, so a read that
     * resolved a version must complete within ONE further commit cycle
     * (resolve v, survive the commit that demotes v to predecessor, die
     * at the next) — fine for this single-process replay, where every
-    * reader resolves through CURRENT/predecessor at plan time and
-    * finishes before the next trigger. If concurrent long scans ever
-    * share the store, widen retention to a grace window (keep K
-    * predecessors or age-based) or ref-count leases before deleting.
+    * reader resolves through the manifest at plan time and finishes
+    * before the next trigger. If concurrent long scans ever share the
+    * store, widen `retain` to a grace window or ref-count leases.
     */
   private def commitVersion(root: java.nio.file.Path, merged: DataFrame,
       batchId: Long): Unit = {
     merged.write.mode("overwrite").parquet(root.resolve(s"v$batchId").toString)
-    graft.Tables.atomicWrite(root, "CURRENT", s"v$batchId")
-    committedVersion(root).foreach { cur =>
-      val versioned = Option(root.toFile.listFiles()).toSeq.flatten
-        .filter(_.getName.matches("v\\d+"))
-        .map(f => (f.getName.stripPrefix("v").toLong, f))
-      val keepPrev = versioned.map(_._1).filter(_ < cur)
-        .sorted.lastOption // the actual predecessor, gap-safe
-      versioned.foreach { case (v, f) =>
-        if (v < cur && !keepPrev.contains(v)) graft.Tables.deleteRecursively(f)
-      }
-    }
+    graft.store.ManifestStore.commitPointer(root, s"v$batchId")
   }
 
-  /** The committed version id the CURRENT pointer names, if any. */
-  def committedVersion(root: java.nio.file.Path): Option[Long] = {
-    val ptr = root.resolve("CURRENT")
-    if (java.nio.file.Files.exists(ptr))
-      Some(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8")
-        .stripPrefix("v").toLong)
-    else None
-  }
+  /** The committed version id the pointer store's manifest names, if any. */
+  def committedVersion(root: java.nio.file.Path): Option[Long] =
+    graft.store.ManifestStore.pointerCurrent(root)
+      .map(_.stripPrefix("v").toLong)
 
-  /** The snapshot the CURRENT pointer names, if any commit happened. */
+  /** The snapshot the current pointer manifest names, if any commit
+    * happened.
+    */
   def currentSnapshot(s: SparkSession, root: java.nio.file.Path): Option[DataFrame] =
     committedVersion(root).map(v => s.read.parquet(root.resolve(s"v$v").toString))
 
@@ -688,7 +683,7 @@ object Streams {
     val src = ensureUpsertSource(s, d)
     import graft.plans.SummaryRewrite._
     register(graft.ops.Scale.sourcePathOf(s.read.parquet(src)), Summary(
-      SummaryLocation.CurrentPointer(table.toString), Seq("user_id"),
+      SummaryLocation.PointerStore(table.toString), Seq("user_id"),
       Map(CountStar -> "n_events", SumCol("cents") -> "total_cents"),
       graft.ops.Scale.freshnessProbe(d, "events")))
     graft.plans.SummaryRewrite.install(s)
@@ -809,7 +804,7 @@ object Streams {
       graft.ops.Scale.sourcePathOf(Tables.customer(s, d)),
       graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
       JoinSummary("c_custkey", "o_custkey",
-        SummaryLocation.CurrentPointer(table.toString), Seq("c_mktsegment"),
+        SummaryLocation.PointerStore(table.toString), Seq("c_mktsegment"),
         Map(CountStar -> "n", SumCol("o_orderkey") -> "key_checksum"),
         graft.ops.Scale.freshnessProbe(d, "orders", "customer")))
     graft.plans.SummaryRewrite.install(s)
@@ -928,7 +923,7 @@ object Streams {
         graft.ops.Scale.sourcePathOf(Tables.orders(s, d)),
         graft.ops.Scale.sourcePathOf(Tables.customer(s, d))),
       ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("o_custkey", "c_custkey")),
-        SummaryLocation.CurrentPointer(table.toString), Seq("c_mktsegment"),
+        SummaryLocation.PointerStore(table.toString), Seq("c_mktsegment"),
         Map(CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
           SumCol("l_partkey") -> "sum_part", CountCol("l_partkey") -> "cnt_part"),
         graft.ops.Scale.freshnessProbe(d, "lineitem", "orders", "customer")))
@@ -1017,7 +1012,7 @@ object Streams {
         graft.ops.Scale.sourcePathOf(Tables.orders(s, d)),
         graft.ops.Scale.sourcePathOf(Tables.part(s, d))),
       ChainSummary(Seq(("l_orderkey", "o_orderkey"), ("l_partkey", "p_partkey")),
-        SummaryLocation.CurrentPointer(table.toString),
+        SummaryLocation.PointerStore(table.toString),
         Seq("o_orderpriority", "p_type"),
         Map(CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
           SumCol("p_size") -> "sum_size"),
@@ -1125,7 +1120,7 @@ object Streams {
       graft.ops.Scale.sourcePathOf(s.read.parquet(feed)),
       graft.ops.Scale.sourcePathOf(s.read.parquet(bridge)),
       CompositeJoinSummary(Seq(("l_partkey", "ps_partkey"), ("l_suppkey", "ps_suppkey")),
-        SummaryLocation.CurrentPointer(table.toString),
+        SummaryLocation.PointerStore(table.toString),
         Seq("l_returnflag", "l_linestatus"),
         Map(CountStar -> "n", SumCol("l_orderkey") -> "key_checksum",
           SumCol("ps_cnt") -> "sum_pscnt"),
@@ -1248,13 +1243,9 @@ object Streams {
     */
   def snapshotTimeTravel: Q = (s, d) => {
     val table = ensureUpsertSnapshot(s, d)
-    val cur = committedVersion(table).getOrElse(sys.error("no committed snapshot"))
-    val prev = Option(table.toFile.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches("v\\d+"))
-      .map(_.stripPrefix("v").toLong).filter(_ < cur)
-      .sorted.lastOption
+    val prev = graft.store.ManifestStore.pointerPredecessor(table)
       .getOrElse(sys.error("no predecessor version retained"))
-    s.read.parquet(table.resolve(s"v$prev").toString)
+    s.read.parquet(table.resolve(prev).toString)
       .select("user_id", "last_us", "last_id", "last_type",
         "n_events", "total_cents")
   }

@@ -195,7 +195,7 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.set(SummaryRewrite.EnabledKey, "false")
   }
 
-  test("CurrentPointer summaries serve exactly the committed version") {
+  test("PointerStore summaries serve exactly the committed version") {
     import SummaryRewrite._
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory(
@@ -214,12 +214,14 @@ class SummaryRewriteSpec extends SparkSpec {
       Seq((1L, 400L, 6000L), (2L, 200L, 1000L), (3L, 1L, 1L))
         .toDF("user_id", "n_events", "total_cents")
         .repartition(1).write.parquet(root.resolve("v1").toString)
+      // commits go through the pointer store's put-if-absent manifest
+      // protocol (no CURRENT file) — retain=3 keeps v0/v1/v9 manifests
+      // alive so every flip below stays resolvable
       def setCurrent(v: String): Unit =
-        java.nio.file.Files.write(root.resolve("CURRENT"),
-          v.getBytes("UTF-8")): Unit
+        graft.store.ManifestStore.commitPointer(root, v, retain = 3)
       val key = graft.ops.Scale.sourcePathOf(spark.read.parquet(srcPath))
       register(key, Summary(
-        SummaryLocation.CurrentPointer(root.toString), Seq("user_id"),
+        SummaryLocation.PointerStore(root.toString), Seq("user_id"),
         Map(CountStar -> "n_events", SumCol("cents") -> "total_cents")))
       SummaryRewrite.install(spark)
       spark.conf.set(SummaryRewrite.EnabledKey, "true")

@@ -605,16 +605,19 @@ class StreamingSpec extends SparkSpec {
     Streams.mergeIntoSnapshot(spark, root, batch((2L, 14L, 9000L, "view", 2L)), 3L)
     assert(snap()(2L) === (9000L, 14L, "view", 2L, 9L))
     // versioning + RETENTION: every commit is its own snapshot dir,
-    // CURRENT points at the last one, and GC keeps exactly CURRENT +
-    // its immediate predecessor (crash recovery + one-back time
-    // travel) — older versions are removed, so a long-running stream's
-    // disk footprint is bounded at two snapshots
-    assert(new String(java.nio.file.Files.readAllBytes(
-      root.resolve("CURRENT")), "UTF-8") === "v3")
+    // published as a one-line put-if-absent manifest (the pointer-store
+    // protocol — NO CURRENT file anywhere, r16's port of the last two
+    // LWW flips), and GC keeps exactly the current + predecessor
+    // manifests and their dirs (crash recovery + one-back time travel)
+    // — older versions are removed, so a long-running stream's disk
+    // footprint is bounded at two snapshots
+    assert(!java.nio.file.Files.exists(root.resolve("CURRENT")),
+      "no CURRENT file may exist in the unified protocol")
+    assert(graft.store.ManifestStore.pointerCurrent(root).contains("v3"))
     val onDisk = Option(root.toFile.listFiles()).toSeq.flatten
       .map(_.getName).filter(_.matches("v\\d+")).toSet
     assert(onDisk === Set("v2", "v3"),
-      s"retention must keep exactly CURRENT + predecessor, got $onDisk")
+      s"retention must keep exactly current + predecessor, got $onDisk")
     // TIME TRAVEL one version back: the retained predecessor reads
     // as-of ITS commit — running totals are monotone and the last
     // version IS the CURRENT table
