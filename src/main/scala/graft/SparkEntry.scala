@@ -71,6 +71,7 @@ object SparkEntry {
     "q304_folded_stream_ivf" -> streaming.Streams.foldedStreamIvfProbe,
     "q312_erasure_folded_ivf" -> store.StoreQueries.erasureFoldedStreamIvfProbe,
     "q316_drift_aware_retrain" -> sim.SimQueries.driftAwareIvf,
+    "q325_drift_loop_stream_ivf" -> streaming.Streams.driftLoopStreamIvfProbe,
     "q224_knn_pq" -> sim.SimQueries.knnPq,
     "q58_embedding_pairs_lsh" -> sim.SimQueries.embeddingPairsLsh,
     "q73_approx_percentiles" -> ops.ExtraQueries.approxPercentiles,

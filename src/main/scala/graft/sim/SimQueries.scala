@@ -768,20 +768,41 @@ object SimQueries {
     * the spec drives both trigger branches with constructed
     * populations through this entry.
     */
-  private[graft] def codebookDriftPpmOf(emb: DataFrame): Long = {
-    val dims = emb
+  private[graft] def codebookDriftPpmOf(emb: DataFrame): Long =
+    driftPpmFromContribs(driftContrib(emb))
+
+  /** One corpus slice's ADDITIVE drift contribution: per dim, the
+    * quantized value sum and row count over the slice (`s_g`/`n_g`)
+    * and over its training-population part (`vec_id % 3 != 0`,
+    * `s_t`/`n_t`). Integer sums are associative, so per-batch
+    * contributions committed as store members accumulate to EXACTLY
+    * the one-shot measurement — the property that lets a streaming
+    * ingest maintain the drift artifact incrementally (q325) instead
+    * of rescanning the corpus per decision.
+    */
+  private[graft] def driftContrib(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))")))
       .toDF("vec_id", "dim", "qv")
-    val grown = dims.groupBy("dim")
-      .agg(sum("qv").as("s_g"), count(lit(1)).as("n_g"))
-    val trained = dims.where(col("vec_id") % 3 =!= 0).groupBy("dim")
-      .agg(sum("qv").as("s_t"), count(lit(1)).as("n_t"))
-    grown.join(trained, "dim")
+      .groupBy("dim")
+      .agg(sum("qv").as("s_g"), count(lit(1)).as("n_g"),
+        sum(when(col("vec_id") % 3 =!= 0, col("qv"))).as("s_t"),
+        count(when(col("vec_id") % 3 =!= 0, lit(1))).as("n_t"))
+
+  /** [[codebookDriftPpm]]'s integer-exact L1 formula over accumulated
+    * per-dim contributions (one or many [[driftContrib]] slices summed
+    * by dim): |mean_grown − mean_trained| per dim in millionths of a
+    * quantization step, via the common-denominator cross-product —
+    * never a float.
+    */
+  private[graft] def driftPpmFromContribs(contribs: DataFrame): Long =
+    contribs.groupBy("dim")
+      .agg(sum("s_g").as("s_g"), sum("n_g").as("n_g"),
+        sum("s_t").as("s_t"), sum("n_t").as("n_t"))
       .select(expr(
         "abs(s_g * n_t - s_t * n_g) * 1000000L div (n_g * n_t)").as("adiff"))
       .agg(coalesce(sum(col("adiff")), lit(0L))).collect()(0).getLong(0)
-  }
 
   /** Retrain trigger, in [[codebookDriftPpm]]'s units (millionths of a
     * quantization step, summed L1 over the 64 dims — one full
@@ -857,20 +878,32 @@ object SimQueries {
       drift.toString)
     if (drift >= DriftRetrainThresholdPpm) {
       // q294's offline retrain-and-swap, now under a data trigger
-      val grown = grownEmb
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      val cs2 = ivfCentroids(grown, 16, 64, iters = 3)
-      cs2.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-        .toDF("cell", "vals")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/v2/centroids")
-      grown.map { case (id, e) => (id, nearestCell(cs2, e)) }
-        .toDF("vec_id", "cell")
-        .repartition(8, col("cell"))
-        .write.mode("overwrite").parquet(s"$path/v2/assigned")
+      trainAndWriteVersion(s, s"$path/v2", grownEmb)
       flipPointer(path, "v2")
     }
     drift
+  }
+
+  /** q294's offline retrain body, reusable by every drift consumer
+    * (the batch drift store q316 and the stream drift loop q325): one
+    * k-means over the grown corpus, one linear re-assign pass, written
+    * as a complete index version dir — never visible until a pointer
+    * commit names it.
+    */
+  private[graft] def trainAndWriteVersion(s: SparkSession, dir: String,
+      grownEmb: DataFrame): Unit = {
+    import s.implicits._
+    val grown = grownEmb
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val cs2 = ivfCentroids(grown, 16, 64, iters = 3)
+    cs2.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vals")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    grown.map { case (id, e) => (id, nearestCell(cs2, e)) }
+      .toDF("vec_id", "cell")
+      .repartition(8, col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
   }
 
   /** The persisted drift measurement of a drift-aware index dir. */
@@ -943,6 +976,21 @@ object SimQueries {
     */
   def streamIvfChecked(probe: DataFrame, s: SparkSession, d: String): DataFrame =
     knnAudit(probe, knnBrute(s, d))
+
+  /** The standard anchored probe against a self-contained index VERSION
+    * dir (centroids + assigned — the retrain layout): what a drift
+    * consumer serves after its pointer swaps to a retrained version
+    * (q316's v2 branch, q325's stream drift loop). nprobe 10 = q294's
+    * setting, so the branches stay probe-for-probe comparable.
+    */
+  private[graft] def ivfProbeFromVersionDir(s: SparkSession, d: String,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val cs = storedCentroids(s, dir)
+    val queries = Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    ivfProbe(s, d, cs, s.read.parquet(s"$dir/assigned"), queries, nprobe = 10)
+  }
 
   /** The q296 probe: q279's erasure semantics applied to the
     * STREAM-maintained assignment store — the forget set broadcasts

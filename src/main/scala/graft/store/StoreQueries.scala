@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.store.ManifestStore.{branchSnapshot, commitDelta, commitDeleteFile, commitDeltaBranch, committedManifest, eraseFold, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotRanged, manifestChanges, publishBranch, retainedPredecessor, vacuumOrphans}
+import graft.store.ManifestStore.{branchSnapshot, commitDelta, commitDeleteFile, commitDeltaBranch, commitDeltaMulti, committedManifest, dropBranch, eraseFold, gcExpired, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, publishBranch, retainedPredecessor, vacuumOrphans}
 import graft.streaming.Streams.{ivfStreamReplay, sessionStreamReplay, sessionTombstones, shinglePostings, shingleStoreProbe, shingleStreamReplay, SessionFeedCut1Us, SessionFeedCut2Us}
 
 /** Store-LIFECYCLE queries — the registered showcases of the
@@ -462,6 +462,303 @@ object StoreQueries {
       .getOrElse(sys.error("no committed shingle-index snapshot")))
   }
 
+  /** The q324 store: the q318 shape PLUS the returning user — the
+    * shingle replay, then the equality-delete commit of q264's forget
+    * set (batch 3), then a batch 4 delta RE-INGESTING exactly the
+    * erased docs' postings. Under sequence-scoped deletes (the r15
+    * verdict's weak flag, closed in [[ManifestStore]] r16) the delete
+    * member subtracts only from the members that precede it, so the
+    * re-ingest serves — the resolved store is the FULL corpus index
+    * again. Under the old any-order anti-join the re-ingest would be
+    * suppressed forever, which is precisely what the full-corpus
+    * oracle discriminates.
+    */
+  private val reinsShingleLock = new Object
+
+  def ensureReinsertShingleStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    reinsShingleLock.synchronized {
+      val table = shingleStreamReplay(s, d,
+        s"graft-shingle-stream-reins-${graft.Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("REINS")
+      if (!java.nio.file.Files.exists(marker)) {
+        commitDeleteFile(table,
+          graft.dedup.DedupQueries.erasureTombstones(s, d), 3L)
+        commitDelta(table, shinglePostings(
+          Tables.documents(s, d).select("doc_id", "text")
+            .where(col("doc_id") % 7 === 1)), 4L)
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q324: RE-INGEST AFTER AN EQUALITY DELETE — the returning-user cell
+    * that proves delete scoping at query granularity: the probe carries
+    * no tombstone logic, the store's resolve applies the committed
+    * delete to pre-delete members only, and the answer lands on q214's
+    * FULL-corpus oracle verbatim (erased docs deleted at v3, identical
+    * postings re-committed at v4 — so the final index must equal the
+    * never-erased one bit for bit). StoreQueriesSpec pins the member
+    * ledger (delete member present, re-ingest delta after it) and
+    * bit-equality with q291's resolve.
+    */
+  def reinsertAfterDeleteProbe: Q = (s, d) => {
+    val table = ensureReinsertShingleStreamIndex(s, d)
+    shingleStoreProbe(s, d, manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed shingle-index snapshot")))
+  }
+
+  /** One-shot batch sessionization (q286's session_window shape) —
+    * the store content of the user-range session store below.
+    */
+  private def oneShotSessions(ev: DataFrame): DataFrame = ev
+    .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+    .agg(count(lit(1)).as("n_events"), max(col("ts")).as("mx"))
+    .select(col("user_id"), unix_micros(col("w.start")).as("s_us"),
+      unix_micros(col("mx")).as("e_us"), col("n_events"))
+
+  /** The q326 store: an UPSERT session store whose commits are cut by
+    * USER-ID RANGE (thirds of [0, max]) with per-member key stats —
+    * the layout that makes upsert-store range pruning pay (a shard
+    * read opens only its shard's members). Batch 0 writes STALE
+    * sessions for the low third (events before the epoch-2 cut only);
+    * batches 1/2 write the middle/high thirds complete; batch 3
+    * RE-MERGES the low third completely, superseding batch 0 under
+    * LWW — so a pruned read that mishandled either the pruning or the
+    * merge-on-read would serve the stale sessions and miss the oracle.
+    */
+  private val rangedSessLock = new Object
+
+  def ensureUserRangeSessionStore(s: SparkSession, d: String): java.nio.file.Path =
+    rangedSessLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-sess-urange-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("t_us"))
+        val maxU = ev.agg(max("user_id")).collect()(0).getLong(0)
+        val c1 = maxU / 3
+        val c2 = 2 * c1
+        def sess(df: DataFrame) = oneShotSessions(df)
+          .select("user_id", "n_events", "s_us", "e_us")
+        def commit(df: DataFrame, id: Long) = commitDelta(table, df, id,
+          upsertKey = Some("user_id"), statsKey = Some("user_id"))
+        commit(sess(ev.where(col("user_id") < c1 &&
+          col("t_us") < SessionFeedCut2Us)), 0L) // STALE low third
+        commit(sess(ev.where(col("user_id") >= c1 && col("user_id") < c2)), 1L)
+        commit(sess(ev.where(col("user_id") >= c2)), 2L)
+        commit(sess(ev.where(col("user_id") < c1)), 3L) // low third re-merged
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q326: RANGE-PRUNED UPSERT READ — q322's manifest-level data
+    * skipping extended to the merge-on-read store family (the r15
+    * verdict's item 4): the low-third shard read resolves through
+    * per-member [min, max] stats ON THE UPSERT KEY (the one column an
+    * upsert store may safely prune on — ManifestStoreSpec pins the
+    * non-key refusal and the resurrection hazard it guards) and opens
+    * ONLY the two low-third members, LWW picking the re-merged batch-3
+    * rows over batch 0's stale ones. Exact oracle: a one-shot
+    * sessionization of the low third's events, full scan.
+    */
+  def rangedUpsertSessionProbe: Q = (s, d) => {
+    val table = ensureUserRangeSessionStore(s, d)
+    val maxU = Tables.events(s, d).agg(max("user_id")).collect()(0).getLong(0)
+    val c1 = maxU / 3
+    val snap = manifestSnapshotRanged(s, table, "user_id", 0L, c1 - 1,
+        upsertKey = Some("user_id"))
+      .getOrElse(sys.error("no committed session snapshot"))
+    val w = Window.partitionBy("user_id").orderBy("s_us")
+    snap.withColumn("sid", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("sid"), col("n_events"),
+        col("s_us"), col("e_us"))
+  }
+
+  private val DayUs = 86400000000L
+
+  /** The q327 store: the q322 event log as a MULTI-RELATION store —
+    * relation `ev` carries the raw events, relation `day` a per-batch
+    * per-day rollup, committed in the same three time-cut batches
+    * behind one manifest per commit, with per-relation stats
+    * (`statsKeys`: t_us for ev, day_us for day).
+    */
+  private val mrEventLock = new Object
+
+  def ensureMultiRelEventStore(s: SparkSession, d: String): java.nio.file.Path =
+    mrEventLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-eventlog-mrel-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        val t = col("t_us")
+        val batches = Seq(
+          ev.where(t < SessionFeedCut1Us),
+          ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us),
+          ev.where(t >= SessionFeedCut2Us))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          commitDeltaMulti(table, Map(
+            "ev" -> b,
+            "day" -> b.groupBy(expr(s"t_us div $DayUs * $DayUs").as("day_us"))
+              .agg(count(lit(1)).as("n"))), i.toLong,
+            statsKeys = Map("ev" -> "t_us", "day" -> "day_us"))
+        }
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q327: REL-SCOPED RANGE PRUNING — q322's sibling on the
+    * multi-relation store (the r15 verdict's item 4, second half): the
+    * epoch-2 window read prunes EACH relation through its own
+    * commit-time stats — the `ev` scan opens only delta-v1-ev, and the
+    * cross-checking `day` rollup read opens only delta-v1-day (the
+    * epoch cuts are day-aligned, so epoch 2's days tile it exactly and
+    * the rollup must re-derive the same event count through an
+    * independent relation). Both plans pinned in StoreQueriesSpec;
+    * exact full-scan oracle.
+    */
+  def rangedMultiRelScan: Q = (s, d) => {
+    val table = ensureMultiRelEventStore(s, d)
+    val nDay = manifestSnapshotRelRanged(s, table, "day", "day_us",
+        SessionFeedCut1Us, SessionFeedCut2Us - DayUs)
+      .getOrElse(sys.error("no committed day relation"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long")).collect()(0).getLong(0)
+    manifestSnapshotRelRanged(s, table, "ev", "t_us",
+        SessionFeedCut1Us, SessionFeedCut2Us - 1)
+      .getOrElse(sys.error("no committed ev relation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("key_checksum"),
+        min(col("t_us")).as("min_us"), max(col("t_us")).as("max_us"))
+      .withColumn("n_by_day_rollup", lit(nDay))
+  }
+
+  /** Per-bucket doc word counts — the shared tiny store content of the
+    * q328/q329 protocol cells (q319/q320 inline the same shape).
+    */
+  private def docWordsBucket(s: SparkSession, d: String, i: Int): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .where(pmod(col("doc_id"), lit(3)) === i)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+
+  /** The q328 store: three commits kept by a COUNT retention wide
+    * enough to hold them all (retain=9), the third folding the deltas
+    * into one base — then the first two manifests are aged past the
+    * window and expired by TIME-BASED retention
+    * ([[graft.store.ManifestStore.gcExpired]]): exactly the versions
+    * count-retention would have kept, dropped by age, their
+    * fold-superseded delta dirs reclaimed, the newest manifest
+    * surviving however old (keep-at-least-1).
+    */
+  private val agedStoreLock = new Object
+
+  def ensureAgedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    agedStoreLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-aged-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach(i => commitDelta(table, docWordsBucket(s, d, i),
+          i.toLong, foldAfter = 2, retain = 9))
+        table.resolve("manifest-v0").toFile.setLastModified(1000L)
+        table.resolve("manifest-v1").toFile.setLastModified(1000L)
+        val expired = gcExpired(table, olderThanMs = 24L * 3600 * 1000,
+          nowMs = System.currentTimeMillis())
+        graft.Tables.atomicWrite(root, "EXPIRED", expired.toString)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q328: TIME-BASED RETENTION — "keep 7 days", the age sibling of the
+    * keep-last-N knob (q315): the probe reads the expired store
+    * (bit-identical to the pre-expiry resolve — the newest manifest's
+    * base carries everything) with the expired-manifest count as an
+    * audit column the oracle pins to exactly 2. StoreQueriesSpec pins
+    * the ledger: one manifest left, the fold-superseded deltas
+    * reclaimed, depth-1 travel now refusing (aged out) where q315's
+    * count-retained store still serves it.
+    */
+  def agedStoreProbe: Q = (s, d) => {
+    val table = ensureAgedDocStatsStore(s, d)
+    val expired = new String(java.nio.file.Files.readAllBytes(
+      table.getParent.resolve("EXPIRED")), "UTF-8").trim.toLong
+    manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed doc-stats snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(expired).as("n_expired"))
+  }
+
+  /** The q329 store: the WAP lost-update drill — bucket 0 commits to
+    * main, bucket 1 stages on a branch (fork recorded at v0), bucket 2
+    * lands on MAIN after the fork (the interleaved commit the r15
+    * advice showed the old publish silently dropped). The publish MUST
+    * abort (fork+1 is taken), and the recovery is the WAP contract:
+    * re-fork from the moved main, re-stage, re-audit, publish — after
+    * which main holds all three buckets. A protocol that lost the
+    * interleaved commit would serve a store missing bucket 2 and miss
+    * the full-corpus oracle.
+    */
+  private val wapForkLock = new Object
+
+  def ensureForkGuardedWapStore(s: SparkSession, d: String): java.nio.file.Path =
+    wapForkLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-wapfork-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        commitDelta(table, docWordsBucket(s, d, 0), 0L)
+        commitDeltaBranch(table, "stage", docWordsBucket(s, d, 1), 1L)
+        // the interleaved main commit — lands AFTER the fork
+        commitDelta(table, docWordsBucket(s, d, 2), 2L)
+        val aborted =
+          try { publishBranch(table, "stage"); false }
+          catch { case _: RuntimeException => true }
+        require(aborted,
+          "publish must abort when main advanced past the fork point")
+        // recovery per the WAP contract: re-fork, re-stage, publish
+        commitDeltaBranch(table, "stage2", docWordsBucket(s, d, 1), 3L)
+        publishBranch(table, "stage2")
+        dropBranch(table, "stage")
+        graft.Tables.atomicWrite(root, "AUDIT",
+          s"first_publish_aborted=$aborted")
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q329: FORK-GUARDED PUBLISH — the probe reads the post-recovery
+    * main (all three buckets: the interleaved commit was never lost)
+    * with the recorded abort as an audit column the oracle pins TRUE.
+    */
+  def forkGuardedWapProbe: Q = (s, d) => {
+    val table = ensureForkGuardedWapStore(s, d)
+    val aborted = new String(java.nio.file.Files.readAllBytes(
+      table.getParent.resolve("AUDIT")), "UTF-8").trim
+      .endsWith("true")
+    manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed doc-stats snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(aborted).as("publish_retried"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
     "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
@@ -472,7 +769,12 @@ object StoreQueries {
     "q319_schema_evolution_store" -> evolvedStoreStats,
     "q320_vacuum_orphans" -> vacuumedStoreProbe,
     "q322_range_pruned_store_scan" -> rangedStoreScan,
-    "q323_wap_publish" -> wapPublishedProbe)
+    "q323_wap_publish" -> wapPublishedProbe,
+    "q324_reinsert_after_delete" -> reinsertAfterDeleteProbe,
+    "q326_range_pruned_upsert" -> rangedUpsertSessionProbe,
+    "q327_range_pruned_multirel" -> rangedMultiRelScan,
+    "q328_time_retention" -> agedStoreProbe,
+    "q329_wap_fork_guard" -> forkGuardedWapProbe)
 
   val oracles: Map[String, String] = Map(
     // the erasure-FOLDED stores serve the overlay forms' answers
@@ -542,5 +844,53 @@ object StoreQueries {
     // the WAP-published store denotes the full corpus index: q214's
     // oracle verbatim
     "q323_wap_publish" ->
-      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"))
+      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
+    // delete-then-reinsert restores the FULL corpus index: q214's
+    // oracle again — the old any-order delete semantics would serve
+    // q264's surviving corpus instead and hash-mismatch
+    "q324_reinsert_after_delete" ->
+      graft.dedup.DedupQueries.oracles("q214_incremental_dedup"),
+    // the key-range-pruned upsert read is exact: the oracle
+    // re-sessionizes the low user third from raw events, full scan
+    "q326_range_pruned_upsert" ->
+      """WITH c AS (SELECT max(user_id) // 3 AS c1 FROM events),
+        |e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+        |  WHERE user_id < (SELECT c1 FROM c)),
+        |x AS (
+        |  SELECT user_id, t_us, event_id,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |           OR t_us - lag(t_us) OVER w >= 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |b AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  min(t_us) AS s_us, max(t_us) AS e_us
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // the rel-pruned multi-relation read is exact, and the day-rollup
+    // relation re-derives the same count (epoch 2 is day-tiled)
+    "q327_range_pruned_multirel" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(event_id) AS BIGINT) AS key_checksum,
+         |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+         |  CAST(count(*) AS BIGINT) AS n_by_day_rollup
+         |FROM events
+         |WHERE epoch_us(ts) >= $SessionFeedCut1Us
+         |  AND epoch_us(ts) <= ${SessionFeedCut2Us - 1}""".stripMargin,
+    // age-based retention expired exactly the two old manifests and
+    // changed no current read
+    "q328_time_retention" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(2 AS BIGINT) AS n_expired
+        |FROM documents""".stripMargin,
+    // the fork-guarded publish aborted once and lost nothing: all
+    // three buckets serve
+    "q329_wap_fork_guard" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS publish_retried
+        |FROM documents""".stripMargin)
 }
