@@ -166,4 +166,118 @@ class StoreQueriesSpec extends SparkSpec {
     (0 to 2).foreach(i =>
       assert(java.nio.file.Files.exists(tv.resolve(s"delta-v$i"))))
   }
+
+  test("q324 re-ingest after delete: ordered ledger, resolve == never-erased index, probe == q291") {
+    import org.apache.spark.sql.functions._
+    // the probe lands exactly where the never-erased stream index
+    // lands: delete-then-identical-reinsert must be a round trip
+    val r324 = StoreQueries.queries("q324_reinsert_after_delete")(spark, sf)
+    val got324 = r324.collect().map(_.toString).sorted.toSeq
+    val got291 = Streams.queries("q291_stream_shingle_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got324 === got291 && got324.nonEmpty,
+      "the returning docs' probe must equal the never-erased probe")
+    // the ledger: three replay deltas, THEN the delete, THEN the
+    // re-ingest — the order the sequence scoping rides on
+    val t = StoreQueries.ensureReinsertShingleStreamIndex(spark, sf)
+    val members = ManifestStore.manifestMembers(t,
+      ManifestStore.committedManifest(t).get)
+    assert(members ===
+      Seq("delta-v0", "delta-v1", "delta-v2", "~del-v3", "delta-v4"),
+      members.toString)
+    // the resolve serves the re-ingested docs' postings, bit-equal to
+    // the never-erased store's resolve
+    val snap = ManifestStore.manifestSnapshot(spark, t).get
+    assert(snap.where(col("doc_id") % 7 === 1).count() > 0L,
+      "re-ingested postings must serve through the delete member")
+    val full = ManifestStore.manifestSnapshot(spark,
+      Streams.ensureShingleStreamIndex(spark, sf)).get
+    assert(snap.collect().map(_.toString).sorted.toSeq ===
+      full.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("q326 ranged upsert read: only low-third members open, LWW serves the re-merge over the stale batch") {
+    val r = StoreQueries.queries("q326_range_pruned_upsert")(spark, sf)
+    val rows = r.collect().map(_.toString).sorted.toSeq
+    assert(rows.nonEmpty)
+    val files = r.inputFiles.toSeq
+    assert(files.exists(_.contains("delta-v0")) &&
+      files.exists(_.contains("delta-v3")),
+      "both low-third members must open: " + files.toString)
+    assert(files.forall(f => !f.contains("delta-v1") && !f.contains("delta-v2")),
+      "out-of-range members must be pruned: " + files.toString)
+    // LWW is observable: the stale batch-0 rows genuinely differ from
+    // the batch-3 re-merge (low-third users have post-cut events), and
+    // the served rows are batch 3's
+    val t = StoreQueries.ensureUserRangeSessionStore(spark, sf)
+    val v0 = spark.read.parquet(t.resolve("delta-v0").toString)
+      .collect().map(_.toString).toSet
+    val v3 = spark.read.parquet(t.resolve("delta-v3").toString)
+      .collect().map(_.toString).toSet
+    assert(v0 !== v3,
+      "the re-merge must supersede genuinely stale rows for LWW to matter")
+    val served = ManifestStore.manifestSnapshotRanged(spark, t, "user_id",
+        0L, Long.MaxValue, upsertKey = Some("user_id")).get
+      .select("user_id", "n_events", "s_us", "e_us")
+      .collect().map(_.toString).toSet
+    assert((v3 -- served).isEmpty, "every re-merged row must serve")
+    assert(served.intersect(v0 -- v3).isEmpty, "stale rows leaked through LWW")
+  }
+
+  test("q327 rel-scoped pruning: ev opens delta-v1-ev only, day opens delta-v1-day only, rollup agrees") {
+    import org.apache.spark.sql.functions._
+    val t = StoreQueries.ensureMultiRelEventStore(spark, sf)
+    val ev = ManifestStore.manifestSnapshotRelRanged(spark, t, "ev", "t_us",
+      Streams.SessionFeedCut1Us, Streams.SessionFeedCut2Us - 1).get
+    val fEv = ev.inputFiles.toSeq
+    assert(fEv.nonEmpty && fEv.forall(_.contains("delta-v1-ev")),
+      "ev relation must prune to the epoch-2 member: " + fEv.toString)
+    val day = ManifestStore.manifestSnapshotRelRanged(spark, t, "day", "day_us",
+      Streams.SessionFeedCut1Us, Streams.SessionFeedCut2Us - 86400000000L).get
+    val fDay = day.inputFiles.toSeq
+    assert(fDay.nonEmpty && fDay.forall(_.contains("delta-v1-day")),
+      "day relation must prune to the epoch-2 member: " + fDay.toString)
+    // the independent rollup relation re-derives the event count
+    val r = StoreQueries.queries("q327_range_pruned_multirel")(spark, sf)
+      .collect()(0)
+    assert(r.getLong(0) === r.getLong(4),
+      "day-rollup cross-check must equal the ev count (day-tiled window)")
+  }
+
+  test("q328 time retention ledger: two manifests expired, superseded deltas reclaimed, travel aged out") {
+    val t = StoreQueries.ensureAgedDocStatsStore(spark, sf)
+    val manifests = Option(t.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("manifest-v\\d+")).toSet
+    assert(manifests === Set("manifest-v2"),
+      s"age GC must leave only the newest manifest, got $manifests")
+    // the fold-superseded deltas died with their manifests
+    val deltas = Option(t.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("delta-v\\d+")).toSet
+    assert(deltas === Set.empty[String], deltas.toString)
+    assert(java.nio.file.Files.exists(t.resolve("base-v2")))
+    // depth-1 travel is gone — aged out where q315's count-retained
+    // store still serves it
+    intercept[java.nio.file.NoSuchFileException] {
+      ManifestStore.manifestSnapshotAt(spark, t, 1L)
+    }
+    // the current read is complete (the base carries everything)
+    val n = StoreQueries.queries("q328_time_retention")(spark, sf).count()
+    assert(n === graft.Tables.documents(spark, sf).count())
+  }
+
+  test("q329 fork-guard ledger: abort recorded, final main = both main deltas + re-staged branch, branches gone") {
+    val t = StoreQueries.ensureForkGuardedWapStore(spark, sf)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      t.getParent.resolve("AUDIT")), "UTF-8").trim
+      === "first_publish_aborted=true")
+    val members = ManifestStore.manifestMembers(t,
+      ManifestStore.committedManifest(t).get)
+    assert(members === Seq("delta-v0", "delta-v2", "delta-stage2-v3"),
+      members.toString)
+    assert(Option(t.toFile.listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("manifest-stage")) === 0,
+      "no branch manifest may survive the publish/abandon")
+    val n = StoreQueries.queries("q329_wap_fork_guard")(spark, sf).count()
+    assert(n === graft.Tables.documents(spark, sf).count())
+  }
 }

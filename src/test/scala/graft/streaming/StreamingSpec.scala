@@ -997,6 +997,83 @@ class StreamingSpec extends SparkSpec {
     assert(probe.collect().head.getBoolean(2), "audit recall bit is false")
   }
 
+  test("q325 drift loop: accumulated artifact exact, shipped serves stream, drifted 3rd batch retrains") {
+    import org.apache.spark.sql.functions._
+    // ── shipped corpus: the ingest-maintained accumulated drift must
+    // equal the one-shot measurement EXACTLY (integer contributions
+    // are associative), sit under the threshold, and serve the stream
+    // store at the fixed codebook ──
+    val root = Streams.ensureDriftLoopIvfStream(spark, sf)
+    val table = root.resolve("table")
+    assert(ManifestStore.committedManifest(table).contains(2L))
+    // atomicity: every commit carries BOTH relations behind one flip
+    val members = ManifestStore.manifestMembers(table, 2L)
+    assert(members.size === 6 && (0 to 2).forall(i =>
+      members.contains(s"assigned:delta-v$i-assigned") &&
+        members.contains(s"drift:delta-v$i-drift")), members.toString)
+    val stored = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("DRIFT")), "UTF-8").trim.toLong
+    val oneShot = graft.sim.SimQueries.codebookDriftPpmOf(
+      Tables.embeddings(spark, sf))
+    assert(stored === oneShot,
+      "accumulated per-batch contributions must equal the one-shot measurement bit-for-bit")
+    assert(stored < graft.sim.SimQueries.DriftRetrainThresholdPpm)
+    assert(ManifestStore.pointerCurrent(root).contains("stream"))
+    assert(!java.nio.file.Files.exists(root.resolve("v2")),
+      "no-retrain branch must not have trained anything")
+    assert(!java.nio.file.Files.exists(root.resolve("CURRENT")),
+      "no CURRENT file may exist in the unified protocol")
+    // probe plan: the stream store's members, nothing of a retrained
+    // version; audited registered form carries a TRUE recall bit
+    val raw = Streams.driftLoopStreamIvfProbe(spark, sf)
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-ivf-stream-drift") && !plan.contains("/v2/"),
+      plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1200))
+    assert(Streams.queries("q325_drift_loop_stream_ivf")(spark, sf)
+      .collect().head.getBoolean(2), "audit recall bit is false")
+
+    // ── drifted feed through the SAME commit + maintenance entries:
+    // two same-distribution batches stay under the threshold, the
+    // drifted THIRD batch crosses it, and maintenance retrains ──
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Tables.scratchDir), "graft-driftloop-")
+    try {
+      val tableT = tmp.resolve("table")
+      java.nio.file.Files.createDirectories(tableT)
+      val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      val shifted = emb.select(col("vec_id"),
+        when(col("vec_id") % 3 === 0,
+            expr("transform(embedding, x -> x + CAST(0.05 AS FLOAT))"))
+          .otherwise(col("embedding")).as("embedding"))
+      val cs = graft.sim.SimQueries.storedCentroidsOf(spark,
+        graft.sim.SimQueries.ensureIvfIndex(spark, sf))
+      // batch order 1, 2, then the SHIFTED bucket 0 — the drift
+      // arrives third
+      Streams.driftLoopCommit(tableT,
+        shifted.where(col("vec_id") % 3 === 1), 0L, cs)
+      Streams.driftLoopCommit(tableT,
+        shifted.where(col("vec_id") % 3 === 2), 1L, cs)
+      val d2 = graft.sim.SimQueries.driftPpmFromContribs(
+        ManifestStore.manifestSnapshotRel(spark, tableT, "drift").get)
+      assert(d2 < graft.sim.SimQueries.DriftRetrainThresholdPpm,
+        s"two same-distribution batches must stay under the trigger, got $d2")
+      Streams.driftLoopCommit(tableT,
+        shifted.where(col("vec_id") % 3 === 0), 2L, cs)
+      val dAll = Streams.driftLoopMaintain(spark, tmp, shifted)
+      info(s"accumulated drifted-feed drift = $dAll (2-batch prefix $d2)")
+      assert(dAll >= graft.sim.SimQueries.DriftRetrainThresholdPpm,
+        "the drifted third batch must push the accumulated artifact past the trigger")
+      // exactness again, now on the drifted corpus
+      assert(dAll === graft.sim.SimQueries.codebookDriftPpmOf(shifted))
+      assert(ManifestStore.pointerCurrent(tmp).contains("v2"))
+      assert(spark.read.parquet(tmp.resolve("v2").resolve("assigned").toString)
+        .count() === emb.count(),
+        "the retrained version must cover the full drifted corpus")
+    } finally graft.Tables.deleteRecursively(tmp.toFile)
+  }
+
   test("q296 stream-IVF erasure: no erased id either side, pinned recall, overlay in plan") {
     import org.apache.spark.sql.functions._
     val raw = Streams.erasedStreamIvfProbe(spark, sf)
