@@ -767,6 +767,49 @@ object Multimodal {
       classes.select(col("keeper").as("ka")))
   }
 
+  /** The q330 store: the frame replay plus a REL-SCOPED EQUALITY-DELETE
+    * commit ([[graft.store.ManifestStore.commitDeleteFileRel]]) of
+    * q306's forget set against the occurrence relation — erasure as an
+    * O(|deletes|) COMMIT on the multi-relation store, completing the
+    * same cost spectrum the single-relation shingle store closed in
+    * r15: per-read overlay (q306) / delete-file commit (here) /
+    * physical rel fold (q313), all three against the same oracle.
+    */
+  private val delFileFrameStreamLock = new Object
+
+  def ensureDeleteFileFrameStreamIndex(s: SparkSession, d: String): java.nio.file.Path =
+    delFileFrameStreamLock.synchronized {
+      val table = frameStreamReplay(s, d,
+        s"graft-frame-stream-delf-${Tables.datasetTag(d, "documents")}",
+        foldAfter = 8)
+      val marker = table.getParent.resolve("DELF")
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.store.ManifestStore.commitDeleteFileRel(table, "occ",
+          mediaTombstones(s, d), 3L)
+        java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
+      }
+      table
+    }
+
+  /** q330: the erased roll-up served through a committed REL-SCOPED
+    * delete member — the probe carries NO tombstone logic at all
+    * (compare q306's explicit anti-join): the occurrence relation's
+    * resolve applies the `~occ:` delete member itself, sequence-scoped
+    * below every consumer, while classes and pairs resolve untouched.
+    * Lands exactly on q306/q313's surviving-corpus oracle; the erased
+    * rows stay in the occ delta files until a fold absorbs the member
+    * (MultimodalSpec pins ledger, physical presence, and bit-equality
+    * with q306).
+    */
+  def deleteFileStreamMediaNearDup: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val table = ensureDeleteFileFrameStreamIndex(s, d)
+    def rel(r: String) = manifestSnapshotRel(s, table, r)
+      .getOrElse(sys.error(s"no committed frame-index $r"))
+    mediaPairRollup(rel("occ"), rel("pairs").select("keeper_a", "keeper_b"),
+      rel("classes").select(col("keeper").as("ka")))
+  }
+
   /** q307: CHANGELOG of the multi-relation frame store — the rel-scoped
     * incremental read (q298/q302's contract on a store whose commits
     * carry several relations): a consumer holding the predecessor
@@ -1336,6 +1379,7 @@ object Multimodal {
     "q305_stream_frame_index" -> streamMediaNearDup,
     "q306_erased_stream_frame_index" -> erasedStreamMediaNearDup,
     "q313_erasure_folded_frame_index" -> erasureFoldedStreamMediaNearDup,
+    "q330_delete_file_frame_index" -> deleteFileStreamMediaNearDup,
     "q321_content_erased_frame_index" -> contentErasedStreamMediaNearDup,
     "q314_folded_frame_index" -> foldedStreamMediaNearDup,
     "q307_frame_store_changelog" -> frameStoreChangelog,
@@ -1477,6 +1521,9 @@ object Multimodal {
     // folded away; the FOLDED store serves q305's (q249's) verbatim
     "q313_erasure_folded_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
     "q321_content_erased_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
+    // the rel-scoped delete-file commit serves the same surviving
+    // answer as the overlay and the fold: the spectrum's middle point
+    "q330_delete_file_frame_index" -> mediaRollupOracleW(" WHERE doc_id % 7 <> 1"),
     "q314_folded_frame_index" -> mediaRollupOracle,
     // the occ changelog is batch 2's media: per changed media its
     // distinct 64-byte frame contents, re-framed from text by DuckDB

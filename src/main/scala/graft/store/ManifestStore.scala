@@ -120,7 +120,7 @@ object ManifestStore {
       vs.flatMap(v => membersIfRetained(root, v).getOrElse(Nil)).exists { line =>
         val dir = memberDir(line)
         dir == s"delta-v$batchId" || dir == s"base-v$batchId" ||
-          dir == s"del-v$batchId" ||
+          dir == s"del-v$batchId" || dir.startsWith(s"del-v$batchId-") ||
           dir.startsWith(s"delta-v$batchId-") || dir.startsWith(s"base-v$batchId-")
       }
     }
@@ -318,13 +318,14 @@ object ManifestStore {
       }) None
       else {
         val appended = prior ++ newLines
-        val relTags = appended.map(l => l.take(l.indexOf(':'))).distinct
-        def relDirs(tag: String) = appended
-          .filter(_.startsWith(s"$tag:")).map(_.stripPrefix(s"$tag:"))
+        val relTags = appended.map(relTagOf).distinct
+        def relLines(tag: String) = relMemberLines(appended, tag)
         Some(
-          if (relTags.forall(t => relDirs(t).size <= foldAfter)) appended
+          if (relTags.forall(t => relLines(t).size <= foldAfter)) appended
           else relTags.map { t =>
-            resolveMembers(s, root, relDirs(t), None)
+            // the resolve absorbs any `~` delete members of the
+            // relation into the purged base, sequence-scoped
+            resolveMembers(s, root, relLines(t), None)
               .write.mode("overwrite")
               .parquet(root.resolve(s"base-v$batchId-$t").toString)
             statsKeys.get(t).foreach(writeDirStats(s, root, s"base-v$batchId-$t", _))
@@ -335,9 +336,32 @@ object ManifestStore {
     dropOwnOrphans(root, rels.map { case (rel, _) => s"delta-v$batchId-$rel" })
   }
 
-  /** Resolve ONE relation of a multi-relation manifest store: the
-    * union of the dirs whose manifest lines carry this relation's tag.
-    * None before the relation's first non-absent commit.
+  /** The relation tag of a multi-relation member line (`rel:dir` or
+    * `~rel:del-dir`), or "" for an untagged (single-relation) line.
+    */
+  private def relTagOf(line: String): String = {
+    val bare = if (line.startsWith("~")) line.substring(1) else line
+    val i = bare.indexOf(':')
+    if (i < 0) "" else bare.take(i)
+  }
+
+  /** One relation's member lines with the tag stripped and the `~`
+    * delete marker preserved — exactly the single-relation member
+    * grammar [[resolveMembers]] consumes, so a relation read gets
+    * sequence-scoped deletes and schema evolution identically to a
+    * single-relation store.
+    */
+  private def relMemberLines(members: Seq[String], rel: String): Seq[String] =
+    members.collect {
+      case l if relTagOf(l) == rel =>
+        if (l.startsWith("~")) "~" + l.substring(1).stripPrefix(s"$rel:")
+        else l.stripPrefix(s"$rel:")
+    }
+
+  /** Resolve ONE relation of a multi-relation manifest store: that
+    * relation's member lines resolved under the standard grammar
+    * (union by name, sequence-scoped `~` delete members). None before
+    * the relation's first data commit.
     */
   private[graft] def manifestSnapshotRel(s: SparkSession,
       root: java.nio.file.Path, rel: String): Option[DataFrame] =
@@ -353,31 +377,32 @@ object ManifestStore {
 
   private def relAt(s: SparkSession, root: java.nio.file.Path,
       rel: String, v: Long): Option[DataFrame] = {
-    val dirs = manifestMembers(root, v)
-      .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
-    if (dirs.isEmpty) None
-    else Some(dirs.map(m => s.read.parquet(root.resolve(m).toString))
-      .reduce(_ unionByName _))
+    val lines = relMemberLines(manifestMembers(root, v), rel)
+    if (!lines.exists(l => !l.startsWith("~"))) None
+    else Some(resolveMembers(s, root, lines, None))
   }
 
   /** Rel-scoped incremental read of a multi-relation manifest store —
-    * [[manifestChanges]] restricted to one relation's `rel:dir` lines:
-    * the rows relation `rel` gained between two retained manifests are
-    * exactly its delta dirs the newer manifest lists beyond the older
-    * one. Same prefix contract, same loud refusal if the relation's
-    * member list was rewritten (a fold or an erasure fold).
+    * [[manifestChanges]] restricted to one relation's lines: the rows
+    * relation `rel` gained between two retained manifests are exactly
+    * its delta dirs the newer manifest lists beyond the older one.
+    * Same prefix contract, same loud refusals: a rewritten member list
+    * (fold / erasure fold) and a delete commit (rows were removed, not
+    * appended) both demand the full diff fallback.
     */
   private[graft] def manifestChangesRel(s: SparkSession, root: java.nio.file.Path,
       rel: String, fromV: Long, toV: Long): DataFrame = {
-    def relDirs(v: Long) = manifestMembers(root, v)
-      .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
-    val prior = relDirs(fromV)
-    val next = relDirs(toV)
+    def relLines(v: Long) = relMemberLines(manifestMembers(root, v), rel)
+    val prior = relLines(fromV)
+    val next = relLines(toV)
     require(next.take(prior.size) == prior,
       s"incremental read of $rel $fromV->$toV crosses a rewrite; " +
         "a full-store diff is required")
     val added = next.drop(prior.size)
     require(added.nonEmpty, s"no $rel commits between $fromV and $toV")
+    require(!added.exists(_.startsWith("~")),
+      s"incremental read of $rel $fromV->$toV crosses a delete commit " +
+        "(rows were removed, not appended); a full-store diff is required")
     s.read.parquet(added.map(m => root.resolve(m).toString): _*)
   }
 
@@ -520,6 +545,23 @@ object ManifestStore {
   private[graft] def manifestSnapshotAt(s: SparkSession, root: java.nio.file.Path,
       v: Long, upsertKey: Option[String] = None): DataFrame =
     resolveMembers(s, root, manifestMembers(root, v), upsertKey)
+
+  /** TIMESTAMP time travel (`AS OF <wall clock>`): the newest retained
+    * manifest whose commit time is ≤ `tsMs` — commit time being the
+    * manifest file's mtime, stamped at the publish instant and
+    * immutable afterwards: the same local-filesystem commit-time
+    * stand-in [[gcExpired]] retention keys on (an object store reads
+    * its manifest's own metadata instead). None when the first
+    * retained commit is later than `tsMs`.
+    */
+  private[graft] def manifestVersionAsOf(root: java.nio.file.Path,
+      tsMs: Long): Option[Long] = {
+    val vs = Option(root.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("manifest-v\\d+") &&
+        f.lastModified() <= tsMs)
+      .map(_.getName.stripPrefix("manifest-v").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
 
   /** The current upsert store restricted to `touched` keys BEFORE the
     * merge-on-read resolve: each member semi-joins the (broadcast,
@@ -712,14 +754,17 @@ object ManifestStore {
     val cur = committedManifest(root)
       .getOrElse(sys.error(s"erasure fold on an empty store: $root"))
     val members = manifestMembers(root, cur)
-    val relDirs = members.filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
-    require(relDirs.nonEmpty, s"no $rel relation committed at v$cur")
+    val relLines = relMemberLines(members, rel)
+    require(relLines.exists(l => !l.startsWith("~")),
+      s"no $rel relation committed at v$cur")
     val baseDir = s"base-e${cur + 1}-$rel"
-    relDirs.map(m => s.read.parquet(root.resolve(m).toString))
-      .reduce(_ unionByName _)
+    // the resolve applies any committed `~` delete members of the
+    // relation (sequence-scoped) before the forget set subtracts, so
+    // the purged base absorbs both erasure mechanisms at once
+    resolveMembers(s, root, relLines, None)
       .join(broadcast(forget), joinKeys, "left_anti")
       .write.mode("overwrite").parquet(root.resolve(baseDir).toString)
-    val lines = members.filterNot(_.startsWith(s"$rel:")) :+ s"$rel:$baseDir"
+    val lines = members.filterNot(l => relTagOf(l) == rel) :+ s"$rel:$baseDir"
     if (!tryPublishManifest(root, cur + 1, lines))
       sys.error(s"concurrent commit raced the erasure fold at v${cur + 1}; " +
         "re-run against the new current version")
@@ -770,6 +815,28 @@ object ManifestStore {
     commitLoop(root, batchId, retain) { (_, prior) =>
       if (prior.contains(s"~$delDir")) None
       else Some(prior :+ s"~$delDir")
+    }
+    dropOwnOrphans(root, Seq(delDir))
+  }
+
+  /** [[commitDeleteFile]] for ONE relation of a multi-relation store:
+    * the forget keys commit as a `del-v<batch>-<rel>` dir behind a
+    * `~rel:`-tagged manifest line, subtracting — sequence-scoped, like
+    * every delete member — from that relation's PRECEDING members on
+    * every read, with sibling relations untouched. This is the
+    * O(|deletes|) middle of the multi-relation erasure cost spectrum
+    * the frame store now covers end to end: per-read overlay (q306) /
+    * delete-file commit (q330) / physical rel fold (q313); the next
+    * fold of the relation absorbs the delete member into a purged base.
+    */
+  private[graft] def commitDeleteFileRel(root: java.nio.file.Path, rel: String,
+      deletes: DataFrame, batchId: Long, retain: Int = 2): Unit = {
+    if (batchCommitted(root, batchId)) return
+    val delDir = s"del-v$batchId-$rel"
+    deletes.write.mode("overwrite").parquet(root.resolve(delDir).toString)
+    commitLoop(root, batchId, retain) { (_, prior) =>
+      if (prior.contains(s"~$rel:$delDir")) None
+      else Some(prior :+ s"~$rel:$delDir")
     }
     dropOwnOrphans(root, Seq(delDir))
   }
@@ -931,8 +998,11 @@ object ManifestStore {
       root: java.nio.file.Path, rel: String, key: String, lo: Long,
       hi: Long): Option[DataFrame] =
     committedManifest(root).flatMap { v =>
-      val dirs = manifestMembers(root, v)
-        .filter(_.startsWith(s"$rel:")).map(_.stripPrefix(s"$rel:"))
+      val lines = relMemberLines(manifestMembers(root, v), rel)
+      require(!lines.exists(_.startsWith("~")),
+        s"range-pruned reads of $rel are defined for append relations " +
+          "(no delete members)")
+      val dirs = lines
       if (dirs.isEmpty) None
       else {
         val kept = dirs.filter { d =>

@@ -759,6 +759,53 @@ object StoreQueries {
         lit(aborted).as("publish_retried"))
   }
 
+  /** The q331 store: three bucket commits whose manifests carry FIXED,
+    * strictly increasing commit times (the same deterministic-mtime
+    * discipline the staged feeds use) — the fixture for AS-OF-TIMESTAMP
+    * travel. Times T0 / T0+60s / T0+120s; the registered read asks for
+    * T0+90s and must resolve v1 (buckets 0 and 1), never v0 or v2.
+    */
+  private val asOfStoreLock = new Object
+  private val AsOfT0Ms = 1700000000000L
+
+  def ensureTimestampedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    asOfStoreLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-asof-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach { i =>
+          commitDelta(table, docWordsBucket(s, d, i), i.toLong, retain = 9)
+          require(table.resolve(s"manifest-v$i").toFile
+            .setLastModified(AsOfT0Ms + i * 60000L),
+            "could not stamp the manifest commit time")
+        }
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q331: AS-OF-TIMESTAMP time travel — the wall-clock twin of the
+    * version-numbered travel reads (q297/q315): "the table as it was
+    * at 00:01:30" resolves the newest manifest whose commit time is ≤
+    * the asked instant
+    * ([[graft.store.ManifestStore.manifestVersionAsOf]]) and reads it
+    * like any retained version. T0+90s lands between the second and
+    * third commits → v1 → buckets 0 and 1 only, with the resolved
+    * version as an audit column the oracle pins to 1. A pre-history
+    * instant resolves nothing (spec-pinned), never "the oldest state".
+    */
+  def asOfTimestampProbe: Q = (s, d) => {
+    val table = ensureTimestampedDocStatsStore(s, d)
+    val v = graft.store.ManifestStore.manifestVersionAsOf(table, AsOfT0Ms + 90000L)
+      .getOrElse(sys.error("no manifest committed at or before the asked instant"))
+    manifestSnapshotAt(s, table, v)
+      .select(col("doc_id"), col("n_words"), lit(v).as("as_of_version"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
     "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
@@ -774,7 +821,8 @@ object StoreQueries {
     "q326_range_pruned_upsert" -> rangedUpsertSessionProbe,
     "q327_range_pruned_multirel" -> rangedMultiRelScan,
     "q328_time_retention" -> agedStoreProbe,
-    "q329_wap_fork_guard" -> forkGuardedWapProbe)
+    "q329_wap_fork_guard" -> forkGuardedWapProbe,
+    "q331_as_of_timestamp" -> asOfTimestampProbe)
 
   val oracles: Map[String, String] = Map(
     // the erasure-FOLDED stores serve the overlay forms' answers
@@ -892,5 +940,11 @@ object StoreQueries {
     "q329_wap_fork_guard" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  TRUE AS publish_retried
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // T0+90s lands between the second and third commits: buckets 0+1,
+    // resolved version pinned to exactly 1
+    "q331_as_of_timestamp" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(1 AS BIGINT) AS as_of_version
+        |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin)
 }

@@ -552,6 +552,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("LeftAnti"), plan.take(1500))
   }
 
+  test("q330 rel delete-file commit: roll-up == q306, ~occ ledger line, erased rows physically present") {
+    import org.apache.spark.sql.functions._
+    // the probe carries NO tombstone logic, yet lands on q306's
+    // surviving-corpus answer — the committed `~occ:` member does the
+    // work below every consumer
+    val got330 = Multimodal.queries("q330_delete_file_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val got306 = Multimodal.queries("q306_erased_stream_frame_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got330 === got306 && got330.nonEmpty)
+    val t = Multimodal.ensureDeleteFileFrameStreamIndex(spark, sf)
+    val members = ManifestStore.manifestMembers(t,
+      ManifestStore.committedManifest(t).get)
+    assert(members.last === "~occ:del-v3-occ", members.toString)
+    assert(members.count(_.startsWith("classes:")) === 3 &&
+      members.count(_.startsWith("pairs:")) === 3,
+      s"sibling relations must be untouched by the delete commit: $members")
+    // merge-on-read: the erased media's occ rows are STILL in the
+    // delta files (logical delete — physical erasure is the fold's
+    // job, q313), but the RESOLVE subtracts them
+    val rawErased = (0 to 2).map(i => spark.read
+        .parquet(t.resolve(s"delta-v$i-occ").toString)
+        .where(col("media_id") % 7 === 1).count()).sum
+    assert(rawErased > 0L, "delete files are logical until a fold")
+    assert(ManifestStore.manifestSnapshotRel(spark, t, "occ").get
+      .where(col("media_id") % 7 === 1).count() === 0L)
+  }
+
   test("q321 content-GC erasure: no erased media, no orphan classes, no dangling pairs, roll-up == q306") {
     import org.apache.spark.sql.functions._
     val got321 = Multimodal.queries("q321_content_erased_frame_index")(spark, sf)

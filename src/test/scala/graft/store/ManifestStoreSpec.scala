@@ -408,6 +408,22 @@ class ManifestStoreSpec extends SparkSpec {
     graft.Tables.deleteRecursively(mr.toFile)
   }
 
+  test("fleet-wide no-CURRENT sweep: no store anywhere under scratch carries a last-writer-wins pointer file") {
+    // r16 ported the final two CURRENT flips (the MV snapshot stores,
+    // the IVF retrain pointer) onto the put-if-absent pointer store —
+    // this tripwire walks every scratch artifact built by any suite or
+    // ensure* so a reintroduced flip fails loudly wherever it hides
+    def sweep(dir: java.io.File, depth: Int): Seq[String] =
+      if (depth > 3) Nil
+      else Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) sweep(f, depth + 1)
+        else if (f.getName == "CURRENT") Seq(f.toString)
+        else Nil
+      }
+    val hits = sweep(new java.io.File(graft.Tables.scratchDir), 0)
+    assert(hits.isEmpty, s"CURRENT pointer files found: $hits")
+  }
+
   test("equality deletes are sequence-scoped: a post-delete re-ingest survives, folds bake it in") {
     // the r15 verdict's one weak flag: a `~del` member must subtract
     // only from data members that PRECEDE it in manifest order
@@ -448,6 +464,45 @@ class ManifestStoreSpec extends SparkSpec {
     assert(rows(ManifestStore.manifestSnapshot(spark, up, Some("k")).get) ===
       Set((1L, 10L), (3L, 30L)))
     graft.Tables.deleteRecursively(up.toFile)
+  }
+
+  test("rel-scoped delete members: sequence-scoped per relation, siblings untouched, fold absorbs, reads refuse right") {
+    def m(kv: (Long, Long)*) = Map(
+      "left" -> b(kv: _*),
+      "right" -> b(kv.map { case (k, v) => (k, v + 1) }: _*))
+    val rd = tmpStore()
+    ManifestStore.commitDeltaMulti(rd, m((1L, 10L), (2L, 20L)), 0L, retain = 9)
+    ManifestStore.commitDeleteFileRel(rd, "left", b((2L, 0L)).select("k"), 1L, retain = 9)
+    // the delete bites on LEFT only; RIGHT is untouched
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, rd, "left").get) ===
+      Set((1L, 10L)))
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, rd, "right").get) ===
+      Set((1L, 11L), (2L, 21L)),
+      "a rel-scoped delete must not leak into sibling relations")
+    // sequence scoping: a post-delete re-ingest of the key serves
+    ManifestStore.commitDeltaMulti(rd, m((2L, 22L)), 2L, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, rd, "left").get) ===
+      Set((1L, 10L), (2L, 22L)))
+    // rel changelog refuses across the delete commit, and the ranged
+    // read refuses a relation carrying delete members
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.manifestChangesRel(spark, rd, "left", 0L, 1L)
+    }
+    assert(ex.getMessage.contains("delete commit"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      ManifestStore.manifestSnapshotRelRanged(spark, rd, "left", "k", 0L, 9L)
+    }
+    // a fold absorbs the delete member into a purged base: the erased
+    // pre-delete row is physically absent, the re-ingest survives
+    ManifestStore.commitDeltaMulti(rd, m((3L, 30L)), 3L, foldAfter = 3, retain = 9)
+    val members = ManifestStore.manifestMembers(rd,
+      ManifestStore.committedManifest(rd).get)
+    assert(members.toSet ===
+      Set("left:base-v3-left", "right:base-v3-right"), members.toString)
+    assert(rows(spark.read.parquet(rd.resolve("base-v3-left").toString)) ===
+      Set((1L, 10L), (2L, 22L), (3L, 30L)),
+      "the fold must bake scoped deletes AND the re-ingest into the base")
+    graft.Tables.deleteRecursively(rd.toFile)
   }
 
   test("pointer store: put-if-absent one-line manifests, predecessor travel, 4-thread race, no CURRENT") {

@@ -265,6 +265,24 @@ class StoreQueriesSpec extends SparkSpec {
     assert(n === graft.Tables.documents(spark, sf).count())
   }
 
+  test("q331 as-of-timestamp: T0+90s resolves v1, pre-history resolves nothing, current unaffected") {
+    val t = StoreQueries.ensureTimestampedDocStatsStore(spark, sf)
+    // the asked instant lands between the second and third commits
+    assert(ManifestStore.manifestVersionAsOf(t, 1700000000000L + 90000L)
+      .contains(1L))
+    // exact boundary: AS OF a commit's own instant includes it
+    assert(ManifestStore.manifestVersionAsOf(t, 1700000000000L + 60000L)
+      .contains(1L))
+    // pre-history: nothing existed — None, never "the oldest state"
+    assert(ManifestStore.manifestVersionAsOf(t, 1700000000000L - 1L).isEmpty)
+    // far future resolves the current version
+    assert(ManifestStore.manifestVersionAsOf(t, Long.MaxValue).contains(2L))
+    // the travelled read carries buckets 0+1 only
+    val users = StoreQueries.queries("q331_as_of_timestamp")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(users.nonEmpty && users.forall(_ % 3 != 2))
+  }
+
   test("q329 fork-guard ledger: abort recorded, final main = both main deltas + re-staged branch, branches gone") {
     val t = StoreQueries.ensureForkGuardedWapStore(spark, sf)
     assert(new String(java.nio.file.Files.readAllBytes(
