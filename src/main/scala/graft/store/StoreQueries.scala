@@ -552,6 +552,9 @@ object StoreQueries {
         commit(sess(ev.where(col("user_id") >= c1 && col("user_id") < c2)), 1L)
         commit(sess(ev.where(col("user_id") >= c2)), 2L)
         commit(sess(ev.where(col("user_id") < c1)), 3L) // low third re-merged
+        // the shard cut is table metadata, written once at build — a
+        // probe must not rescan a 100 TB column to learn its shards
+        graft.Tables.atomicWrite(root, "CUTS", c1.toString)
         Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
       }
       root.resolve("table")
@@ -569,8 +572,8 @@ object StoreQueries {
     */
   def rangedUpsertSessionProbe: Q = (s, d) => {
     val table = ensureUserRangeSessionStore(s, d)
-    val maxU = Tables.events(s, d).agg(max("user_id")).collect()(0).getLong(0)
-    val c1 = maxU / 3
+    val c1 = new String(java.nio.file.Files.readAllBytes(
+      table.getParent.resolve("CUTS")), "UTF-8").trim.toLong
     val snap = manifestSnapshotRanged(s, table, "user_id", 0L, c1 - 1,
         upsertKey = Some("user_id"))
       .getOrElse(sys.error("no committed session snapshot"))
@@ -806,6 +809,123 @@ object StoreQueries {
       .select(col("doc_id"), col("n_words"), lit(v).as("as_of_version"))
   }
 
+  /** The q332 fixture: an upstream append store consumed by a DURABLE
+    * DOWNSTREAM CONSUMER — the pattern every derived index / training
+    * shard builder at 100 TB runs on: tail the upstream changelog
+    * O(changes) per round, keep your own position in a crash-safe
+    * CURSOR (a pointer store, committed AFTER the derived state — so a
+    * crash between the two replays an already-applied increment, which
+    * the additive merge absorbs because the cursor still names the
+    * pre-crash version: at-least-once delivery, exactly-once effect),
+    * and when the upstream rewrites itself (a fold) take the
+    * documented full-diff fallback instead of a wrong incremental
+    * answer. The drill: consume after commit 0 (bootstrap = full
+    * aggregate), consume after commits 1+2 (one incremental round over
+    * exactly the two new deltas), then a FOLDING commit 3 → the
+    * changelog refuses → the diff fallback applies (added, removed)
+    * additively. Every consume round records its mode in a ledger the
+    * spec pins: `full,incr,diff`.
+    */
+  private val consumerLock = new Object
+
+  /** One consumer round: advance the downstream per-user event-count MV
+    * from the upstream store's current version, through the cursor.
+    * Returns the mode taken ("full" | "incr" | "diff" | "noop").
+    */
+  private[graft] def consumeRound(s: SparkSession, upstream: java.nio.file.Path,
+      consumer: java.nio.file.Path): String = {
+    import graft.store.ManifestStore.{committedManifest => cm,
+      manifestChanges, manifestSnapshot, manifestSnapshotAt,
+      manifestSnapshotDiff, pointerCurrent, commitPointer}
+    val target = cm(upstream).getOrElse(sys.error("upstream has no commits"))
+    // the cursor's member IS the derived snapshot dir (named by the
+    // upstream version it reflects): one pointer commit advances the
+    // position AND publishes the new MV, and the pointer store's own
+    // retention reclaims superseded MV versions
+    val cursor = pointerCurrent(consumer).map(_.stripPrefix("mv-").toLong)
+    def agg(df: DataFrame) = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    def mvState: DataFrame = s.read.parquet(
+      consumer.resolve(s"mv-${cursor.get}").toString)
+    def merge(cur: DataFrame, deltaAgg: DataFrame, sign: Int): DataFrame =
+      cur.select(col("user_id"), col("n_events"))
+        .unionByName(deltaAgg.select(col("user_id"),
+          (col("n_events") * sign).as("n_events")))
+        .groupBy("user_id").agg(sum("n_events").cast("long").as("n_events"))
+        .where(col("n_events") > 0)
+    val (mode, next) = cursor match {
+      case Some(v) if v == target => return "noop"
+      case None => // bootstrap: one full aggregate of the current snapshot
+        ("full", agg(manifestSnapshot(s, upstream).get))
+      case Some(v) =>
+        try { // the fast path: O(changes) — only the new delta dirs
+          ("incr", merge(mvState, agg(manifestChanges(s, upstream, v, target)), 1))
+        } catch {
+          case _: IllegalArgumentException =>
+            // the upstream rewrote its members (fold): the honest
+            // fallback — one full diff, applied additively
+            val (added, removed) = manifestSnapshotDiff(s, upstream, v, target)
+            ("diff", merge(merge(mvState, agg(added), 1), agg(removed), -1))
+        }
+    }
+    next.write.mode("overwrite")
+      .parquet(consumer.resolve(s"mv-$target").toString)
+    // cursor commit LAST: a crash before this line replays the whole
+    // round against the CURSOR's state (never the torn new dir), so
+    // at-least-once delivery has exactly-once effect
+    commitPointer(consumer, s"mv-$target")
+    mode
+  }
+
+  def ensureConsumedEventMv(s: SparkSession, d: String): java.nio.file.Path =
+    consumerLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-event-consumer-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val up = root.resolve("upstream")
+        val co = root.resolve("consumer")
+        Files.createDirectories(up)
+        Files.createDirectories(co)
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        val t = col("t_us")
+        def commitCut(df: DataFrame, id: Long, foldAfter: Int = 8) =
+          commitDelta(up, df, id, foldAfter = foldAfter, retain = 3)
+        val modes = scala.collection.mutable.ArrayBuffer[String]()
+        commitCut(ev.where(t < SessionFeedCut1Us), 0L)
+        modes += consumeRound(s, up, co)
+        commitCut(ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us), 1L)
+        commitCut(ev.where(t >= SessionFeedCut2Us && t % 2 === 0), 2L)
+        modes += consumeRound(s, up, co)
+        // the folding commit rewrites the member list under the consumer
+        commitCut(ev.where(t >= SessionFeedCut2Us && t % 2 =!= 0), 3L,
+          foldAfter = 3)
+        modes += consumeRound(s, up, co)
+        modes += consumeRound(s, up, co) // caught up: must be a no-op
+        graft.Tables.atomicWrite(root, "MODES", modes.mkString(","))
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root
+    }
+
+  /** q332: the DOWNSTREAM-CONSUMER MV — after bootstrap, one
+    * incremental round, and one fold-crossing diff round, the derived
+    * per-user event counts must equal a direct aggregate of ALL events
+    * (the oracle recomputes it from the raw table), with the consume
+    * ledger as an audit column pinned to the exact mode sequence.
+    */
+  def consumedEventMv: Q = (s, d) => {
+    val root = ensureConsumedEventMv(s, d)
+    val modes = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("MODES")), "UTF-8").trim
+    val cur = graft.store.ManifestStore.pointerCurrent(root.resolve("consumer"))
+      .getOrElse(sys.error("no committed consumer cursor"))
+    s.read.parquet(root.resolve("consumer").resolve(cur).toString)
+      .select(col("user_id"), col("n_events"), lit(modes).as("consume_ledger"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
     "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
@@ -822,7 +942,8 @@ object StoreQueries {
     "q327_range_pruned_multirel" -> rangedMultiRelScan,
     "q328_time_retention" -> agedStoreProbe,
     "q329_wap_fork_guard" -> forkGuardedWapProbe,
-    "q331_as_of_timestamp" -> asOfTimestampProbe)
+    "q331_as_of_timestamp" -> asOfTimestampProbe,
+    "q332_changelog_consumer_mv" -> consumedEventMv)
 
   val oracles: Map[String, String] = Map(
     // the erasure-FOLDED stores serve the overlay forms' answers
@@ -946,5 +1067,12 @@ object StoreQueries {
     "q331_as_of_timestamp" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(1 AS BIGINT) AS as_of_version
-        |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
+    // the consumer MV equals a direct aggregate of every event, and
+    // the ledger pins the exact mode sequence: bootstrap, one
+    // incremental round, one fold-crossing diff round, one no-op
+    "q332_changelog_consumer_mv" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  'full,incr,diff,noop' AS consume_ledger
+        |FROM events GROUP BY 1""".stripMargin)
 }

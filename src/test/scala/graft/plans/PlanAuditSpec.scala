@@ -36,7 +36,7 @@ class PlanAuditSpec extends SparkSpec {
       "q279_erasure_ivf" + "q280_compacted_ivf" + "q292_stream_ivf_index" +
       "q294_retrained_ivf" + "q296_erased_stream_ivf" +
       "q304_folded_stream_ivf" + "q312_erasure_folded_ivf" +
-      "q316_drift_aware_retrain"
+      "q316_drift_aware_retrain" + "q325_drift_loop_stream_ivf"
 
   /** The bench path must never pay for audit machinery: every
     * bench-form override must (a) override a registered query, (b) not

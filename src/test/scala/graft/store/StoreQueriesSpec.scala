@@ -265,6 +265,38 @@ class StoreQueriesSpec extends SparkSpec {
     assert(n === graft.Tables.documents(spark, sf).count())
   }
 
+  test("q332 consumer: mode ledger exact, superseded MVs GC'd, crash-replay lands the same state, no CURRENT") {
+    val root = StoreQueries.ensureConsumedEventMv(spark, sf)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      root.resolve("MODES")), "UTF-8").trim === "full,incr,diff,noop")
+    val co = root.resolve("consumer")
+    assert(ManifestStore.pointerCurrent(co).contains("mv-3"))
+    assert(!java.nio.file.Files.exists(co.resolve("CURRENT")))
+    // the cursor's retention reclaims superseded MV versions: the
+    // bootstrap MV is gone, the predecessor stays for crash recovery
+    assert(!java.nio.file.Files.exists(co.resolve("mv-0")),
+      "superseded MV versions must be GC'd by the pointer store")
+    assert(java.nio.file.Files.exists(co.resolve("mv-2")))
+    def mv3 = spark.read.parquet(co.resolve("mv-3").toString)
+      .collect().map(_.toString).sorted.toSeq
+    val before = mv3
+    // crash drill: the crash landed between the MV write and the
+    // cursor commit — kill the newest cursor manifest and replay; the
+    // round recomputes from the CURSOR's state (mv-2, not the torn
+    // dir) and lands bit-identically
+    val newest = Option(co.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.matches("manifest-v\\d+"))
+      .maxBy(_.getName.stripPrefix("manifest-v").toLong)
+    assert(newest.delete())
+    assert(ManifestStore.pointerCurrent(co).contains("mv-2"))
+    assert(StoreQueries.consumeRound(spark, root.resolve("upstream"), co)
+      === "diff", "the replayed round must retake the fold-crossing fallback")
+    assert(ManifestStore.pointerCurrent(co).contains("mv-3"))
+    assert(mv3 === before, "crash replay must land the identical MV state")
+    assert(StoreQueries.consumeRound(spark, root.resolve("upstream"), co)
+      === "noop")
+  }
+
   test("q331 as-of-timestamp: T0+90s resolves v1, pre-history resolves nothing, current unaffected") {
     val t = StoreQueries.ensureTimestampedDocStatsStore(spark, sf)
     // the asked instant lands between the second and third commits
