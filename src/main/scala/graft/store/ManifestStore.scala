@@ -1123,6 +1123,60 @@ object ManifestStore {
       "straight races; giving up")
   }
 
+  /** [[commitDeltaBranch]] for a MULTI-RELATION store: every relation's
+    * batch delta stages behind ONE branch manifest (`rel:`-tagged
+    * lines, the same grammar as main's [[commitDeltaMulti]]), so the
+    * staged index can never be audited torn — and nothing of it is
+    * visible to any main reader until the fork-guarded publish.
+    */
+  private[graft] def commitDeltaBranchMulti(root: java.nio.file.Path,
+      branch: String, deltas: Map[String, DataFrame], batchId: Long): Unit = {
+    require(branch.matches("[A-Za-z0-9_]+"), s"bad branch name: $branch")
+    val rels = deltas.toSeq.sortBy(_._1)
+    rels.foreach { case (rel, df) =>
+      df.write.mode("overwrite")
+        .parquet(root.resolve(s"delta-$branch-v$batchId-$rel").toString)
+    }
+    val newLines = rels.map { case (rel, _) =>
+      s"$rel:delta-$branch-v$batchId-$rel" }
+    var attempts = 0
+    while (attempts < maxCommitAttempts) {
+      val cur = branchVersion(root, branch)
+      val observed: Option[(Long, Seq[String])] = cur match {
+        case Some(v) =>
+          try Some((branchFork(root, branch, v), branchMembers(root, branch, v)))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        case None =>
+          val mv = committedManifest(root)
+          Some((mv.getOrElse(-1L),
+            mv.map(v => manifestMembers(root, v)).getOrElse(Nil)))
+      }
+      observed match {
+        case None => attempts += 1
+        case Some((fork, prior)) =>
+          if (newLines.exists(prior.contains)) return
+          val lines = s"#fork:$fork" +: (prior ++ newLines)
+          if (tryPublishNamed(root,
+              s"manifest-$branch-v${cur.map(_ + 1).getOrElse(0L)}", lines))
+            return
+          attempts += 1
+      }
+    }
+    sys.error(s"branch commit of batch $batchId lost $maxCommitAttempts " +
+      "straight races; giving up")
+  }
+
+  /** One relation of a BRANCH head — what a multi-relation WAP audit
+    * queries per relation before publishing.
+    */
+  private[graft] def branchSnapshotRel(s: SparkSession,
+      root: java.nio.file.Path, branch: String, rel: String): Option[DataFrame] =
+    branchVersion(root, branch).flatMap { v =>
+      val lines = relMemberLines(branchMembers(root, branch, v), rel)
+      if (!lines.exists(l => !l.startsWith("~"))) None
+      else Some(resolveMembers(s, root, lines, None))
+    }
+
   /** Highest committed version of a branch, if any. */
   private[graft] def branchVersion(root: java.nio.file.Path,
       branch: String): Option[Long] = {

@@ -646,6 +646,89 @@ object StoreQueries {
       .withColumn("n_by_day_rollup", lit(nDay))
   }
 
+  /** The q333 store: WRITE-AUDIT-PUBLISH on a MULTI-RELATION store —
+    * q323's WAP drill where the staged batch carries TWO relations
+    * behind one branch manifest
+    * ([[graft.store.ManifestStore.commitDeltaBranchMulti]]): epochs 0/1
+    * commit {ev, day} to main, epoch 2 stages BOTH relations on the
+    * branch, the audit runs per relation against the branch head (a
+    * structural gate on ev plus an INTERNAL consistency gate — the
+    * staged day rollup must re-derive the staged event count, the kind
+    * of cross-relation invariant only an un-torn staging can check)
+    * while main provably still serves the pre-stage version, and the
+    * fork-guarded publish fast-forwards both relations at once.
+    */
+  private val wapMultiLock = new Object
+
+  def ensureWapMultiRelEventStore(s: SparkSession, d: String): java.nio.file.Path =
+    wapMultiLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.store.ManifestStore.{branchSnapshotRel, commitDeltaBranchMulti}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-eventlog-wapm-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        val t = col("t_us")
+        def rels(b: DataFrame) = Map(
+          "ev" -> b,
+          "day" -> b.groupBy(expr(s"t_us div $DayUs * $DayUs").as("day_us"))
+            .agg(count(lit(1)).as("n")))
+        commitDeltaMulti(table, rels(ev.where(t < SessionFeedCut1Us)), 0L)
+        commitDeltaMulti(table, rels(
+          ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us)), 1L)
+        // WRITE: stage epoch 2's BOTH relations on the branch
+        commitDeltaBranchMulti(table, "wap",
+          rels(ev.where(t >= SessionFeedCut2Us)), 2L)
+        // AUDIT: per-relation gates on the BRANCH head; main untouched
+        val sEv = branchSnapshotRel(s, table, "wap", "ev")
+          .getOrElse(sys.error("staged ev relation missing"))
+        val sDay = branchSnapshotRel(s, table, "wap", "day")
+          .getOrElse(sys.error("staged day relation missing"))
+        val bad = sEv.where(col("user_id").isNull || col("event_id").isNull)
+          .count()
+        require(bad == 0L, s"audit failed: $bad bad staged events")
+        val evN = sEv.count()
+        val dayN = sDay.agg(coalesce(sum(col("n")), lit(0L)))
+          .collect()(0).getLong(0)
+        require(evN == dayN,
+          s"staged rollup inconsistent: ev=$evN day=$dayN")
+        val mainDuringStage = committedManifest(table)
+          .getOrElse(sys.error("no main version"))
+        require(mainDuringStage == 1L,
+          s"staging leaked into main (at v$mainDuringStage)")
+        graft.Tables.atomicWrite(root, "AUDIT",
+          s"bad=$bad;ev=$evN;day=$dayN;main_during_stage=v$mainDuringStage")
+        // PUBLISH: one fork-guarded fast-forward moves BOTH relations
+        publishBranch(table, "wap")
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q333: the probe over the WAP-published multi-relation store — the
+    * full-corpus aggregate through the ev relation with the day
+    * relation re-deriving the event count through an independent path
+    * (both relations crossed the publish instant together, so they
+    * must agree on the WHOLE corpus, not just the staged epoch).
+    */
+  def wapMultiRelProbe: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val table = ensureWapMultiRelEventStore(s, d)
+    val nDay = manifestSnapshotRel(s, table, "day")
+      .getOrElse(sys.error("no committed day relation"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long")).collect()(0).getLong(0)
+    manifestSnapshotRel(s, table, "ev")
+      .getOrElse(sys.error("no committed ev relation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("key_checksum"),
+        min(col("t_us")).as("min_us"), max(col("t_us")).as("max_us"))
+      .withColumn("n_by_day_rollup", lit(nDay))
+  }
+
   /** Per-bucket doc word counts — the shared tiny store content of the
     * q328/q329 protocol cells (q319/q320 inline the same shape).
     */
@@ -943,7 +1026,8 @@ object StoreQueries {
     "q328_time_retention" -> agedStoreProbe,
     "q329_wap_fork_guard" -> forkGuardedWapProbe,
     "q331_as_of_timestamp" -> asOfTimestampProbe,
-    "q332_changelog_consumer_mv" -> consumedEventMv)
+    "q332_changelog_consumer_mv" -> consumedEventMv,
+    "q333_wap_multirel_publish" -> wapMultiRelProbe)
 
   val oracles: Map[String, String] = Map(
     // the erasure-FOLDED stores serve the overlay forms' answers
@@ -1074,5 +1158,13 @@ object StoreQueries {
     "q332_changelog_consumer_mv" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  'full,incr,diff,noop' AS consume_ledger
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    // after the multi-relation publish, BOTH relations denote the full
+    // corpus: the ev aggregate and the day-rollup cross-check agree
+    "q333_wap_multirel_publish" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS key_checksum,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+        |  CAST(count(*) AS BIGINT) AS n_by_day_rollup
+        |FROM events""".stripMargin)
 }

@@ -466,6 +466,28 @@ class ManifestStoreSpec extends SparkSpec {
     graft.Tables.deleteRecursively(up.toFile)
   }
 
+  test("stats survive folds: the folded base carries commit-time stats, ranged reads keep pruning") {
+    val st = tmpStore()
+    (Seq((1L, 10L), (2L, 20L), (100L, 30L))).zipWithIndex.foreach { case (kv, i) =>
+      ManifestStore.commitDelta(st, b(kv), i.toLong, foldAfter = 2,
+        statsKey = Some("k"))
+    }
+    // batch 2 folded: the base is the whole store and carries its own
+    // stats sidecar, written by the fold itself
+    assert(ManifestStore.manifestMembers(st, 2L) === Seq("base-v2"))
+    assert(java.nio.file.Files.exists(
+      st.resolve("base-v2").resolve("_graft_stats")))
+    ManifestStore.commitDelta(st, b((200L, 40L)), 3L, foldAfter = 2,
+      statsKey = Some("k"))
+    // a window beyond the base's [1, 100] opens ONLY the new delta
+    val r = ManifestStore.manifestSnapshotRanged(spark, st, "k", 150L, 250L).get
+    assert(rows(r) === Set((200L, 40L)))
+    val files = r.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("delta-v3")),
+      s"the folded base must be pruned through its own stats: $files")
+    graft.Tables.deleteRecursively(st.toFile)
+  }
+
   test("rel-scoped delete members: sequence-scoped per relation, siblings untouched, fold absorbs, reads refuse right") {
     def m(kv: (Long, Long)*) = Map(
       "left" -> b(kv: _*),

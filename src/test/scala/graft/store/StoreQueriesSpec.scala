@@ -297,6 +297,26 @@ class StoreQueriesSpec extends SparkSpec {
       === "noop")
   }
 
+  test("q333 multi-rel WAP ledger: audit saw main at v1, publish moved both relations at v2, no branch left") {
+    val t = StoreQueries.ensureWapMultiRelEventStore(spark, sf)
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      t.getParent.resolve("AUDIT")), "UTF-8").trim
+    assert(audit.contains("bad=0") && audit.endsWith("main_during_stage=v1"),
+      audit)
+    // the staged rollup re-derived the staged event count (recorded)
+    val ev = audit.split(";").find(_.startsWith("ev=")).get.stripPrefix("ev=")
+    val day = audit.split(";").find(_.startsWith("day=")).get.stripPrefix("day=")
+    assert(ev === day && ev.toLong > 0L)
+    // the publish landed at fork+1 = v2 with BOTH staged relations'
+    // lines appended after main's four, and no branch manifest remains
+    assert(ManifestStore.committedManifest(t).contains(2L))
+    val members = ManifestStore.manifestMembers(t, 2L)
+    assert(members.size === 6 && members.takeRight(2) ===
+      Seq("day:delta-wap-v2-day", "ev:delta-wap-v2-ev"), members.toString)
+    assert(Option(t.toFile.listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("manifest-wap")) === 0)
+  }
+
   test("q331 as-of-timestamp: T0+90s resolves v1, pre-history resolves nothing, current unaffected") {
     val t = StoreQueries.ensureTimestampedDocStatsStore(spark, sf)
     // the asked instant lands between the second and third commits
