@@ -661,22 +661,83 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.commitDelta(tr, b((2L, 20L)), 2L, foldAfter = 2, retain = 9)
     // count-retention (retain=9) keeps all three manifests…
     assert(dirs(tr, "manifest-v\\d+").size === 3)
-    // …but v0/v1 are OLD: age-based retention drops exactly them
-    tr.resolve("manifest-v0").toFile.setLastModified(1000L)
-    tr.resolve("manifest-v1").toFile.setLastModified(1000L)
-    assert(ManifestStore.gcExpired(tr, 24L * 3600 * 1000,
-      System.currentTimeMillis()) === 2)
+    // …but as of "one day after v1's commit" v0/v1 are OLD: age-based
+    // retention drops exactly them. Commit time is manifest CONTENT
+    // (the #ts: header, strictly monotone), so no clock staging is
+    // needed — and mangling every file's mtime to garbage beforehand
+    // must change NOTHING (the r16 weak flag: mtime is writable
+    // metadata the protocol does not own; a copy/restore loses it)
+    Option(tr.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.matches("manifest-v\\d+"))
+      .foreach(f => assert(f.setLastModified(1000L)))
+    val window = 24L * 3600 * 1000
+    assert(ManifestStore.gcExpired(tr, window,
+      ManifestStore.manifestTimestamp(tr, 1L) + window + 1L) === 2)
     assert(dirs(tr, "manifest-v\\d+") === Set("manifest-v2"))
     // the fold-superseded deltas died with their manifests; the base stays
     assert(dirs(tr, "delta-v\\d+") === Set.empty[String])
     assert(rows(ManifestStore.manifestSnapshot(spark, tr).get) ===
       Set((0L, 0L), (1L, 10L), (2L, 20L)))
     // keep-at-least-1: however old, the newest manifest never expires
-    tr.resolve("manifest-v2").toFile.setLastModified(1000L)
-    assert(ManifestStore.gcExpired(tr, 24L * 3600 * 1000,
-      System.currentTimeMillis()) === 0)
+    assert(ManifestStore.gcExpired(tr, window,
+      ManifestStore.manifestTimestamp(tr, 2L) + window + 1L) === 0)
     assert(dirs(tr, "manifest-v\\d+") === Set("manifest-v2"))
     graft.Tables.deleteRecursively(tr.toFile)
+  }
+
+  test("commit time is manifest content: monotone under the 4-thread race, mtime-mangled stores still travel") {
+    val ts = tmpStore()
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        ManifestStore.commitDelta(ts, b((i.toLong, i.toLong)), i.toLong,
+          retain = 9))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // strictly increasing commit times across the racing versions —
+    // ts := max(now, predecessor+1) at publish, Iceberg's snapshot rule
+    val times = (0 to 3).map(v => ManifestStore.manifestTimestamp(ts, v))
+    assert(times === times.sorted && times.distinct.size === 4,
+      s"commit times must be strictly monotone in version: $times")
+    // AS-OF travel keys on the header: asking for v1's own instant
+    // resolves exactly v1; one ms before the first commit resolves
+    // nothing (never "the oldest state")
+    assert(ManifestStore.manifestVersionAsOf(ts, times(1)).contains(1L))
+    assert(ManifestStore.manifestVersionAsOf(ts, times(0) - 1).isEmpty)
+    // mangle every mtime — travel must not move: the carrier is the
+    // manifest, not filesystem metadata (survives copy/restore)
+    Option(ts.toFile.listFiles()).toSeq.flatten
+      .foreach(f => f.setLastModified(1000L): Unit)
+    assert(ManifestStore.manifestVersionAsOf(ts, times(1)).contains(1L))
+    assert(ManifestStore.manifestVersionAsOf(ts, times(3)).contains(3L))
+    graft.Tables.deleteRecursively(ts.toFile)
+  }
+
+  test("version hint: probe-forward fast path serves, stale/garbage/missing hints fall back, races stay dense") {
+    import java.nio.file.Files
+    val vh = tmpStore()
+    (0 to 3).foreach(i =>
+      ManifestStore.commitDelta(vh, b((i.toLong, i.toLong)), i.toLong, retain = 9))
+    val hint = vh.resolve("_version_hint")
+    // the publish path maintains the hint at the newest version
+    assert(Files.exists(hint))
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim === "3")
+    assert(ManifestStore.committedManifest(vh).contains(3L))
+    // STALE hint: the reader probes forward from it to the true max
+    Files.write(hint, "1".getBytes("UTF-8"))
+    assert(ManifestStore.committedManifest(vh).contains(3L))
+    // GARBAGE hint: fall back to the listing
+    Files.write(hint, "not-a-version".getBytes("UTF-8"))
+    assert(ManifestStore.committedManifest(vh).contains(3L))
+    // hint BEYOND any manifest (a torn write): fall back
+    Files.write(hint, "99".getBytes("UTF-8"))
+    assert(ManifestStore.committedManifest(vh).contains(3L))
+    // MISSING hint: fall back — and the next commit rewrites it
+    Files.delete(hint)
+    assert(ManifestStore.committedManifest(vh).contains(3L))
+    ManifestStore.commitDelta(vh, b((4L, 4L)), 4L, retain = 9)
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim === "4")
+    graft.Tables.deleteRecursively(vh.toFile)
   }
 
   test("range-pruned upsert reads: key-stats prune, LWW intact, non-key stats refuse (the resurrection hazard)") {
@@ -706,6 +767,238 @@ class ManifestStoreSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("upsert key"), ex.getMessage)
     graft.Tables.deleteRecursively(ru.toFile)
+  }
+
+  test("GC pins fork+1 while a branch lives: the publish number is never recycled, the stale publish aborts") {
+    // the r16 advice's high flag: with retain=2, main advancing >= 3
+    // commits during staging used to DELETE manifest-v(fork+1), so the
+    // fork-guarded publish re-linked the recycled number and reported
+    // success while committedManifest (max) still served main's newer
+    // state — the staged work silently destroyed. Both GCs now refuse
+    // to drop versions >= any live branch's fork+1.
+    val fg = tmpStore()
+    ManifestStore.commitDelta(fg, b((0L, 0L)), 0L)
+    ManifestStore.commitDeltaBranch(fg, "stage", b((100L, 0L)), 1L)
+    // main advances FOUR commits at retain=2 — without the floor,
+    // manifest-v1 (= fork+1) would be GC'd by the v3/v4 commits
+    (2 to 5).foreach(i =>
+      ManifestStore.commitDelta(fg, b((i.toLong, i.toLong)), i.toLong))
+    assert(java.nio.file.Files.exists(fg.resolve("manifest-v1")),
+      "retention must never recycle a live branch's publish number")
+    // the stale publish still aborts LOUDLY (fork+1 is taken)
+    val ex = intercept[RuntimeException] {
+      ManifestStore.publishBranch(fg, "stage")
+    }
+    assert(ex.getMessage.contains("fork"), ex.getMessage)
+    assert(rows(ManifestStore.manifestSnapshot(spark, fg).get) ===
+      (0 to 5).filter(_ != 1).map(i => (i.toLong, i.toLong)).toSet,
+      "main must be untouched by the aborted stale publish")
+    // the floor dies with the branch: the next GC reclaims the pinned
+    // old manifests down to the count policy
+    ManifestStore.dropBranch(fg, "stage")
+    ManifestStore.commitDelta(fg, b((6L, 6L)), 6L)
+    assert(!java.nio.file.Files.exists(fg.resolve("manifest-v1")),
+      "dropped branches must release their retention pin")
+    graft.Tables.deleteRecursively(fg.toFile)
+  }
+
+  test("partial compaction: oldest-k absorb into a kept-suffix base on append, upsert and multi-rel stores") {
+    // ── append store: [base-c, newer deltas], bit-equal resolve ──
+    val pc = tmpStore()
+    (0 to 3).foreach(i =>
+      ManifestStore.commitDelta(pc, b((i.toLong, i.toLong * 10)), i.toLong,
+        retain = 9))
+    val pre = rows(ManifestStore.manifestSnapshot(spark, pc).get)
+    ManifestStore.commitCompact(spark, pc, 2, retain = 9)
+    assert(ManifestStore.manifestMembers(pc, 4L) ===
+      Seq("base-c4", "delta-v2", "delta-v3"),
+      "compaction must keep the newer deltas as members")
+    assert(rows(ManifestStore.manifestSnapshot(spark, pc).get) === pre,
+      "a compaction is a pure rewrite: the resolve must not move")
+    // write amplification is O(prefix), not O(store): the base holds
+    // exactly the absorbed members' rows
+    assert(rows(spark.read.parquet(pc.resolve("base-c4").toString)) ===
+      Set((0L, 0L), (1L, 10L)))
+    // the store keeps committing; a second compaction absorbs the
+    // first base plus the next delta (leveling, not all-or-nothing)
+    ManifestStore.commitDelta(pc, b((4L, 40L)), 5L, retain = 9)
+    ManifestStore.commitCompact(spark, pc, 2, retain = 9)
+    assert(ManifestStore.manifestMembers(pc, 6L) ===
+      Seq("base-c6", "delta-v3", "delta-v5"))
+    assert(rows(ManifestStore.manifestSnapshot(spark, pc).get) ===
+      pre + ((4L, 40L)))
+    graft.Tables.deleteRecursively(pc.toFile)
+
+    // ── upsert store: LWW arbitration survives re-basing (suffix
+    // re-upserts still outrank the compacted base) ──
+    val uc = tmpStore()
+    ManifestStore.commitDelta(uc, b((1L, 10L), (2L, 20L)), 0L,
+      upsertKey = Some("k"), retain = 9)
+    ManifestStore.commitDelta(uc, b((1L, 11L)), 1L, upsertKey = Some("k"),
+      retain = 9)
+    ManifestStore.commitDelta(uc, b((2L, 22L)), 2L, upsertKey = Some("k"),
+      retain = 9)
+    ManifestStore.commitCompact(spark, uc, 2, upsertKey = Some("k"), retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, uc, Some("k")).get) ===
+      Set((1L, 11L), (2L, 22L)))
+    // the base baked the prefix's LWW (k=1 -> 11); the suffix delta
+    // still wins k=2
+    assert(rows(spark.read.parquet(uc.resolve("base-c3").toString)) ===
+      Set((1L, 11L), (2L, 20L)))
+    graft.Tables.deleteRecursively(uc.toFile)
+
+    // ── delete members: a suffix equality delete still bites the
+    // compacted base (position 0 precedes it) ──
+    val dc = tmpStore()
+    ManifestStore.commitDelta(dc, b((1L, 10L)), 0L, retain = 9)
+    ManifestStore.commitDelta(dc, b((2L, 20L)), 1L, retain = 9)
+    ManifestStore.commitDeleteFile(dc, b((1L, 0L)).select("k"), 2L, retain = 9)
+    ManifestStore.commitCompact(spark, dc, 2, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, dc).get) ===
+      Set((2L, 20L)),
+      "a suffix delete must keep biting the re-based prefix")
+    graft.Tables.deleteRecursively(dc.toFile)
+
+    // ── multi-rel: one relation compacts, siblings untouched ──
+    def m(kv: (Long, Long)*) = Map(
+      "left" -> b(kv: _*),
+      "right" -> b(kv.map { case (k, v) => (k, v + 1) }: _*))
+    val mc = tmpStore()
+    (0 to 2).foreach(i =>
+      ManifestStore.commitDeltaMulti(mc, m((i.toLong, i.toLong * 10)),
+        i.toLong, retain = 9))
+    ManifestStore.commitCompactRel(spark, mc, "left", 2, retain = 9)
+    val members = ManifestStore.manifestMembers(mc, 3L)
+    assert(members.count(_.startsWith("left:")) === 2, members.toString)
+    assert(members.contains("left:base-c3-left") &&
+      members.contains("left:delta-v2-left"), members.toString)
+    assert(members.count(_.startsWith("right:delta-")) === 3,
+      "sibling relations must carry over unchanged: " + members)
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, mc, "left").get) ===
+      Set((0L, 0L), (1L, 10L), (2L, 20L)))
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, mc, "right").get) ===
+      Set((0L, 1L), (1L, 11L), (2L, 21L)))
+    graft.Tables.deleteRecursively(mc.toFile)
+  }
+
+  test("changelog across compaction: consumed-prefix rewrites cross free, unconsumed refuse, typed refusal") {
+    val cc = tmpStore()
+    (0 to 2).foreach(i =>
+      ManifestStore.commitDelta(cc, b((i.toLong, i.toLong * 10)), i.toLong,
+        retain = 9))
+    // consumer's cursor at v1 (consumed delta-v0, delta-v1); then a
+    // compaction absorbs EXACTLY those two, then a new delta lands
+    ManifestStore.commitCompact(spark, cc, 2, retain = 9)
+    ManifestStore.commitDelta(cc, b((4L, 40L)), 4L, retain = 9)
+    // the incremental read from v1 crosses the compaction for FREE:
+    // the absorbed members were all consumed, only the appended deltas
+    // serve — never the re-based old rows
+    val got = rows(ManifestStore.manifestChanges(spark, cc, 1L, 4L))
+    assert(got === Set((2L, 20L), (4L, 40L)),
+      "a consumed-only compaction must not disturb the changelog")
+    // a cursor at v0 did NOT consume delta-v1 before it was absorbed:
+    // refuse — with the DEDICATED type (the r16 advice), so consumers
+    // match the refusal, not every IllegalArgumentException
+    val ex = intercept[ManifestStore.RewriteRefusedException] {
+      ManifestStore.manifestChanges(spark, cc, 0L, 4L)
+    }
+    assert(ex.getMessage.contains("compaction"), ex.getMessage)
+    // a window that is ONLY a rewrite (no appended rows) also refuses
+    // to the diff fallback rather than inventing an answer
+    intercept[ManifestStore.RewriteRefusedException] {
+      ManifestStore.manifestChanges(spark, cc, 2L, 3L)
+    }
+    graft.Tables.deleteRecursively(cc.toFile)
+  }
+
+  test("positional deletes: physical rows subtract, re-ingest of the key is untouched, fold absorbs") {
+    import org.apache.spark.sql.functions.col
+    val pd = tmpStore()
+    ManifestStore.commitDelta(pd, b((1L, 10L), (2L, 20L), (3L, 30L)), 0L,
+      retain = 9)
+    ManifestStore.commitDelta(pd, b((4L, 40L), (5L, 50L)), 1L, retain = 9)
+    // DELETE WHERE v is 20 or 40 — a NON-KEY predicate: the write path
+    // emits (file, row-range) tombstones, no data member is rewritten
+    val dels = ManifestStore.emitPosDeletes(spark, pd,
+      col("v") === 20L || col("v") === 40L)
+    assert(dels.columns.toSeq === Seq("file", "start", "end"))
+    ManifestStore.commitDeletePos(pd, dels, 2L, retain = 9)
+    assert(ManifestStore.manifestMembers(pd, 2L) ===
+      Seq("delta-v0", "delta-v1", "~posdel-v2"))
+    assert(rows(ManifestStore.manifestSnapshot(spark, pd).get) ===
+      Set((1L, 10L), (3L, 30L), (5L, 50L)))
+    // physically still present in the immutable delta (merge-on-read)
+    assert(rows(spark.read.parquet(pd.resolve("delta-v0").toString))
+      .contains((2L, 20L)))
+    // a LATER re-ingest of the same key writes new files the position
+    // tombstones can never match — no scoping bookkeeping needed
+    ManifestStore.commitDelta(pd, b((2L, 21L)), 3L, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, pd).get) ===
+      Set((1L, 10L), (2L, 21L), (3L, 30L), (5L, 50L)))
+    // positional BELOW equality: an eq-delete of k=3 composes
+    ManifestStore.commitDeleteFile(pd, b((3L, 0L)).select("k"), 4L, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, pd).get) ===
+      Set((1L, 10L), (2L, 21L), (5L, 50L)))
+    // compacting BELOW a retained posdel refuses (its file references
+    // would dangle and rows resurrect); a full fold absorbs everything
+    intercept[IllegalArgumentException] {
+      ManifestStore.commitCompact(spark, pd, 2, retain = 9)
+    }
+    ManifestStore.commitDelta(pd, b((9L, 90L)), 5L, foldAfter = 2, retain = 9)
+    assert(ManifestStore.manifestMembers(pd, 5L) === Seq("base-v5"))
+    assert(rows(spark.read.parquet(pd.resolve("base-v5").toString)) ===
+      Set((1L, 10L), (2L, 21L), (5L, 50L), (9L, 90L)),
+      "the fold must bake positional deletes into the purged base")
+    // changelog refuses across a posdel commit (rows were removed)
+    graft.Tables.deleteRecursively(pd.toFile)
+
+    // an upsert store refuses positional deletes (its DELETE is by key)
+    import org.apache.spark.sql.functions.lit
+    val pu = tmpStore()
+    ManifestStore.commitDelta(pu, b((1L, 10L)), 0L, upsertKey = Some("k"))
+    ManifestStore.commitDeletePos(pu, b((1L, 0L)).select(
+      lit("x").as("file"), lit(0L).as("start"), lit(0L).as("end")), 1L)
+    intercept[IllegalArgumentException] {
+      ManifestStore.manifestSnapshot(spark, pu, Some("k")).get.collect()
+    }
+    graft.Tables.deleteRecursively(pu.toFile)
+  }
+
+  test("branch changelog + travel: per-batch incremental audit, since-fork reads, head travel") {
+    def m(i: Long) = Map("ev" -> b((i, i * 10)), "day" -> b((i, 1L)))
+    val bc = tmpStore()
+    ManifestStore.commitDeltaMulti(bc, m(0L), 0L, retain = 9)
+    // two staged batches on one branch
+    ManifestStore.commitDeltaBranchMulti(bc, "wap", m(1L), 1L)
+    ManifestStore.commitDeltaBranchMulti(bc, "wap", m(2L), 2L)
+    // batch 2's audit reads ONLY batch 2's deltas — O(batch), not the
+    // branch head (the r16 verdict's #5)
+    assert(rows(ManifestStore.branchChangesRel(spark, bc, "wap", "ev", 0L, 1L))
+      === Set((2L, 20L)))
+    // since-fork: everything the branch staged, nothing main owned
+    assert(rows(ManifestStore.branchChangesRel(spark, bc, "wap", "ev", -1L, 1L))
+      === Set((1L, 10L), (2L, 20L)))
+    // branch-side travel: the staged state as of branch v0
+    assert(rows(ManifestStore.branchSnapshotRelAt(spark, bc, "wap", "ev", 0L).get)
+      === Set((0L, 0L), (1L, 10L)))
+    // fork-guard semantics unchanged: publish still lands at fork+1
+    ManifestStore.publishBranch(bc, "wap")
+    assert(ManifestStore.committedManifest(bc).contains(1L))
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, bc, "ev").get) ===
+      Set((0L, 0L), (1L, 10L), (2L, 20L)))
+    graft.Tables.deleteRecursively(bc.toFile)
+  }
+
+  test("rel delete guard: a delete against a relation with no data member fails loudly at commit") {
+    val rg = tmpStore()
+    ManifestStore.commitDeltaMulti(rg, Map("left" -> b((1L, 10L))), 0L)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.commitDeleteFileRel(rg, "ghost", b((1L, 0L)).select("k"), 1L)
+    }
+    assert(ex.getMessage.contains("no data member"), ex.getMessage)
+    // the failed commit left no manifest behind
+    assert(ManifestStore.committedManifest(rg).contains(0L))
+    graft.Tables.deleteRecursively(rg.toFile)
   }
 
   test("rel-scoped range pruning: per-relation stats at commit, only intersecting members open") {

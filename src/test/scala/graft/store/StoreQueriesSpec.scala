@@ -317,18 +317,129 @@ class StoreQueriesSpec extends SparkSpec {
       .count(_.getName.startsWith("manifest-wap")) === 0)
   }
 
-  test("q331 as-of-timestamp: T0+90s resolves v1, pre-history resolves nothing, current unaffected") {
+  test("q334 partial compaction ledger: mixed [base-c, delta] members, O(prefix) base, probe == q291") {
+    import org.apache.spark.sql.functions._
+    val t = StoreQueries.ensureCompactedShingleStreamIndex(spark, sf)
+    assert(ManifestStore.committedManifest(t).contains(3L))
+    assert(ManifestStore.manifestMembers(t, 3L) ===
+      Seq("base-c3", "delta-v2"),
+      "compaction must keep the newer delta as a live member")
+    // bounded write amplification: the base holds exactly the absorbed
+    // prefix's rows (buckets 0+1), never the suffix's
+    val base = spark.read.parquet(t.resolve("base-c3").toString)
+    val baseDocs = base.select("doc_id").distinct().collect().map(_.getLong(0))
+    assert(baseDocs.nonEmpty && baseDocs.forall(_ % 3 != 2),
+      "the compacted base must not absorb the kept delta's rows")
+    assert(base.count() ===
+      spark.read.parquet(t.resolve("delta-v0").toString).count() +
+        spark.read.parquet(t.resolve("delta-v1").toString).count())
+    // a compaction is a pure rewrite: the probe == q291's uncompacted
+    val got = StoreQueries.queries("q334_partial_compaction")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val q291 = Streams.queries("q291_stream_shingle_index")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === q291 && got.nonEmpty)
+  }
+
+  test("q335 consumer across compaction: ledger pins incr, unconsumed-prefix compaction refuses typed") {
+    val root = StoreQueries.ensureCompactionConsumedMv(spark, sf)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      root.resolve("MODES")), "UTF-8").trim === "full,incr,incr,noop",
+      "the compaction-crossing round must stay INCREMENTAL")
+    val up = root.resolve("upstream")
+    // upstream ledger: v2 is the compaction, v3 the post-compaction
+    // delta — the consumer's v1->v3 walk crossed v2 for free
+    assert(ManifestStore.manifestMembers(up, 2L) === Seq("base-c2"))
+    assert(ManifestStore.manifestMembers(up, 3L) ===
+      Seq("base-c2", "delta-v3"))
+    // the refusal side: a cursor that had NOT consumed delta-v1 when
+    // the compaction absorbed it refuses — with the dedicated type
+    val ex = intercept[ManifestStore.RewriteRefusedException] {
+      ManifestStore.manifestChanges(spark, up, 0L, 3L)
+    }
+    assert(ex.getMessage.contains("compaction"), ex.getMessage)
+    // and the MV equals the upstream resolve aggregated directly
+    val cur = ManifestStore.pointerCurrent(root.resolve("consumer")).get
+    val mv = spark.read.parquet(
+        root.resolve("consumer").resolve(cur).toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ManifestStore.manifestSnapshot(spark, up).get
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mv === want && mv.nonEmpty)
+  }
+
+  test("q336 positional delete ledger: data members intact, tombstones committed, rows subtracted") {
+    import org.apache.spark.sql.functions._
+    val t = StoreQueries.ensurePosDeleteDocStore(spark, sf)
+    assert(ManifestStore.manifestMembers(t, 3L) ===
+      Seq("delta-v0", "delta-v1", "delta-v2", "~posdel-v3"),
+      "the DELETE must not rewrite any data member")
+    // the committed tombstones are (file, start, end) ranges, nonempty
+    val ranges = spark.read.parquet(t.resolve("posdel-v3").toString)
+    assert(ranges.columns.toSeq === Seq("file", "start", "end"))
+    assert(ranges.count() > 0)
+    // the resolve subtracts exactly the predicate's rows
+    val got = StoreQueries.queries("q336_pos_delete_where")(spark, sf)
+    assert(got.where(col("n_words") % 7 === 0).count() === 0L)
+    assert(got.collect().forall(_.getBoolean(2)), "member audit bit false")
+    val full = graft.Tables.documents(spark, sf).count()
+    assert(got.count() < full && got.count() > 0)
+  }
+
+  test("q337 version hint: recorded at publish, all four discovery paths agree, hint restored") {
+    val r = StoreQueries.queries("q337_version_hint")(spark, sf)
+    assert(r.collect().forall(_.getBoolean(2)),
+      "a hint state changed the discovered version")
+    val t = StoreQueries.ensureHintedDocStatsStore(spark, sf)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      t.resolve("_version_hint")), "UTF-8").trim === "2",
+      "the probe must leave the hint restored")
+  }
+
+  test("q338 incremental WAP ledger: per-batch audits nonempty, publish at fork+1 moved all six lines") {
+    val t = StoreQueries.ensureIncrementalWapEventStore(spark, sf)
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      t.getParent.resolve("AUDIT")), "UTF-8").trim
+    assert(audit.endsWith("main_during_stage=v0"), audit)
+    val ev1 = audit.split(";").find(_.startsWith("ev1=")).get
+      .stripPrefix("ev1=").toLong
+    val ev2 = audit.split(";").find(_.startsWith("ev2=")).get
+      .stripPrefix("ev2=").toLong
+    assert(ev1 > 0 && ev2 > 0, audit)
+    assert(ManifestStore.committedManifest(t).contains(1L),
+      "the publish must land at fork+1")
+    assert(ManifestStore.manifestMembers(t, 1L) === Seq(
+      "day:delta-v0-day", "ev:delta-v0-ev",
+      "day:delta-wap-v1-day", "ev:delta-wap-v1-ev",
+      "day:delta-wap-v2-day", "ev:delta-wap-v2-ev"))
+    assert(Option(t.toFile.listFiles()).toSeq.flatten
+      .forall(!_.getName.startsWith("manifest-wap-")),
+      "branch manifests must be dropped at publish")
+  }
+
+  test("q331 as-of-timestamp: header-recorded instants resolve, pre-history resolves nothing, mtime irrelevant") {
     val t = StoreQueries.ensureTimestampedDocStatsStore(spark, sf)
-    // the asked instant lands between the second and third commits
-    assert(ManifestStore.manifestVersionAsOf(t, 1700000000000L + 90000L)
-      .contains(1L))
+    // commit times are the manifests' own #ts: headers — strictly
+    // monotone, so each version's recorded instant resolves exactly it
+    val ts = (0 to 2).map(v => ManifestStore.manifestTimestamp(t, v.toLong))
+    assert(ts === ts.sorted && ts.distinct.size === 3, ts.toString)
+    // an instant between the second and third commits resolves v1
+    assert(ManifestStore.manifestVersionAsOf(t, ts(2) - 1L).contains(1L))
     // exact boundary: AS OF a commit's own instant includes it
-    assert(ManifestStore.manifestVersionAsOf(t, 1700000000000L + 60000L)
-      .contains(1L))
+    assert(ManifestStore.manifestVersionAsOf(t, ts(1)).contains(1L))
     // pre-history: nothing existed — None, never "the oldest state"
-    assert(ManifestStore.manifestVersionAsOf(t, 1700000000000L - 1L).isEmpty)
+    assert(ManifestStore.manifestVersionAsOf(t, ts(0) - 1L).isEmpty)
     // far future resolves the current version
     assert(ManifestStore.manifestVersionAsOf(t, Long.MaxValue).contains(2L))
+    // the time axis survives mtime mangling — the r16 weak flag: the
+    // carrier is manifest content, never filesystem metadata
+    Option(t.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.matches("manifest-v\\d+"))
+      .foreach(f => assert(f.setLastModified(1000L)))
+    assert(ManifestStore.manifestVersionAsOf(t, ts(1)).contains(1L))
     // the travelled read carries buckets 0+1 only
     val users = StoreQueries.queries("q331_as_of_timestamp")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0))
