@@ -109,8 +109,13 @@ object StoreQueries {
         col("s_us"), col("e_us"), (col("e_us") - col("s_us")).as("dur_us"))
   }
 
-  /** The q312 store: the IVF assignment replay plus an erasure fold of
-    * q279's forget set — the ANN family's erasure-fold cell.
+  /** The q312 store: the (composed, multi-relation — r17) IVF
+    * assignment replay plus a REL-SCOPED erasure fold of q279's forget
+    * set: only the `assigned` relation carries the erased subject key,
+    * so only it is purged and re-based; the `drift` relation's
+    * aggregate rows carry over unchanged behind the same flip — the
+    * ANN family's erasure-fold cell, now on the same store family
+    * whose commit path maintains the drift loop.
     */
   private val efoldIvfLock = new Object
 
@@ -121,7 +126,8 @@ object StoreQueries {
         foldAfter = 8)
       val marker = table.getParent.resolve("EFOLD")
       if (!java.nio.file.Files.exists(marker)) {
-        eraseFold(table, graft.sim.SimQueries.ivfTombstones(s, d), Seq("vec_id"))
+        graft.store.ManifestStore.eraseFoldRel(table, "assigned",
+          graft.sim.SimQueries.ivfTombstones(s, d), Seq("vec_id"))
         java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
       }
       table
@@ -135,8 +141,8 @@ object StoreQueries {
     */
   def erasureFoldedStreamIvfProbe: Q = (s, d) => {
     val table = ensureErasureFoldedIvfStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    val store = graft.store.ManifestStore.manifestSnapshotRel(s, table, "assigned")
+      .getOrElse(sys.error("no committed IVF assignment relation"))
     graft.sim.SimQueries.ivfSurvivorProbeFromStore(s, d, store)
   }
 

@@ -1872,11 +1872,13 @@ object Streams {
     * starts — streaming ingest NEVER retrains, exactly how production
     * vector stores ingest), each micro-batch assigns its vectors to the
     * fixed centroids in one executor-side pass, and the (vec_id, cell)
-    * assignments APPEND behind the manifest protocol ([[commitDelta]]):
-    * each commit writes the batch's assignments as one immutable delta
-    * dir plus a manifest line — history is neither re-read nor
-    * re-written (buckets partition the vector space, so the read-side
-    * resolve is a pure union).
+    * assignments APPEND behind the manifest protocol — as the
+    * `assigned` relation of a MULTI-RELATION commit whose sibling
+    * `drift` relation carries the batch's additive drift contribution
+    * (r17: the composed commit path, [[driftLoopCommit]]): history is
+    * neither re-read nor re-written (buckets partition the vector
+    * space, so the read-side resolve is a pure union), and the store's
+    * own ingest maintains the retrain statistic q325 decides on.
     */
   private val ivfStreamLock = new Object
 
@@ -1903,7 +1905,19 @@ object Streams {
         foldAfter = 2)
     }
 
-  /** Shared replay body of the two IVF stream stores. */
+  /** Shared replay body of the IVF stream stores — COMPOSED (r17, the
+    * r16 verdict's #6): every replica's micro-batch commits
+    * {assignments, drift contribution} behind ONE multi-relation flip
+    * ([[driftLoopCommit]]) and the replay ends with the accumulated-
+    * drift MAINTENANCE step ([[driftLoopMaintain]]: sum the drift
+    * relation — 64 dims × #batches rows, never the corpus — and commit
+    * the serving pointer), so ONE store family carries
+    * {ingest, erase (q296), fold (q304), erasure fold (q312),
+    * drift-retrain (q325)} together instead of the drift loop living
+    * on its own replica. The lifecycle cells now compose: the erase
+    * overlay and the fold operate on the same store whose commit path
+    * maintains the retrain statistic.
+    */
   private[graft] def ivfStreamReplay(s: SparkSession, d: String, dirName: String,
       foldAfter: Int): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
@@ -1921,13 +1935,11 @@ object Streams {
         .writeStream
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .foreachBatch { (b: Dataset[Row], id: Long) =>
-          if (!committedManifest(table).exists(_ >= id)) {
-            commitDelta(table, graft.sim.SimQueries.assignToCells(b.toDF(), cs),
-              id, foldAfter = foldAfter)
-          }
+          driftLoopCommit(table, b.toDF(), id, cs, foldAfter = foldAfter)
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      driftLoopMaintain(s, root, Tables.embeddings(s, d)): Unit
       Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
     }
     root.resolve("table")
@@ -1943,8 +1955,8 @@ object Streams {
     */
   def streamMaintainedIvfProbe: Q = (s, d) => {
     val table = ensureIvfStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    val store = manifestSnapshotRel(s, table, "assigned")
+      .getOrElse(sys.error("no committed IVF assignment relation"))
     graft.sim.SimQueries.ivfProbeFromStore(s, d, store)
   }
 
@@ -1961,8 +1973,8 @@ object Streams {
     */
   def foldedStreamIvfProbe: Q = (s, d) => {
     val table = ensureFoldedIvfStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    val store = manifestSnapshotRel(s, table, "assigned")
+      .getOrElse(sys.error("no committed IVF assignment relation"))
     graft.sim.SimQueries.ivfProbeFromStore(s, d, store)
   }
 
@@ -1982,8 +1994,8 @@ object Streams {
     */
   def erasedStreamIvfProbe: Q = (s, d) => {
     val table = ensureIvfStreamIndex(s, d)
-    val store = manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed IVF assignment snapshot"))
+    val store = manifestSnapshotRel(s, table, "assigned")
+      .getOrElse(sys.error("no committed IVF assignment relation"))
     graft.sim.SimQueries.ivfErasedProbeFromStore(s, d, store)
   }
 
@@ -1991,60 +2003,38 @@ object Streams {
   def erasedStreamIvfChecked: Q = (s, d) =>
     graft.sim.SimQueries.streamIvfErasedChecked(erasedStreamIvfProbe(s, d), s, d)
 
-  /** The q325 store: the IVF assignment replay with an ACCUMULATING
-    * drift artifact — each micro-batch commits TWO relations behind one
-    * manifest flip: the batch's cell assignments AND its additive drift
-    * contribution (per-dim quantized sums,
-    * [[graft.sim.SimQueries.driftContrib]] — integer sums, so the
-    * accumulated artifact equals the one-shot measurement EXACTLY).
-    * q316 measures drift once at build time; production re-measures per
-    * ingest (the r15 verdict's item 3), and this store does: the ingest
-    * itself maintains the statistic, and the maintenance step decides
-    * retrain-vs-serve from the ACCUMULATED artifact by summing 64 dims
-    * × #batches rows — never rescanning the corpus.
+  /** The q325 store IS the shared q292 stream store (r17 — the r16
+    * verdict's #6): its replay commits {assigned, drift} per batch and
+    * its commit path ends in the drift maintenance, so the drift loop
+    * no longer lives on a replica of its own — q292's ingest, q296's
+    * erasure overlay, and q325's retrain decision all operate on ONE
+    * store. This accessor returns the store ROOT (the table dir's
+    * parent), where the DRIFT artifact and the serving-pointer
+    * manifests live.
     */
-  private val driftLoopIvfLock = new Object
-
   def ensureDriftLoopIvfStream(s: SparkSession, d: String): java.nio.file.Path =
-    driftLoopIvfLock.synchronized {
-      import java.nio.file.{Files, Paths}
-      val root = Paths.get(
-        s"${graft.Tables.scratchDir}/graft-ivf-stream-drift-${graft.Tables.datasetTag(d, "embeddings")}")
-      if (!Files.exists(root.resolve("DONE"))) {
-        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
-        val table = root.resolve("table")
-        Files.createDirectories(table)
-        val feed = ensureEmbeddingsFeed(s, d)
-        val cs = graft.sim.SimQueries.storedCentroidsOf(s,
-          graft.sim.SimQueries.ensureIvfIndex(s, d))
-        val schema = s.read.parquet(feed).schema
-        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(feed)
-          .writeStream
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .foreachBatch { (b: Dataset[Row], id: Long) =>
-            driftLoopCommit(table, b.toDF(), id, cs)
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        driftLoopMaintain(s, root, Tables.embeddings(s, d)): Unit
-        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
-      }
-      root
-    }
+    ensureIvfStreamIndex(s, d).getParent
 
   /** One micro-batch of the drift loop: assignments + the batch's drift
-    * contribution, ONE atomic multi-relation commit — assignments can
-    * never advance without their stats rows, so a torn artifact can
-    * never feed a retrain decision. StreamingSpec drives this same
-    * entry with a constructed drifted feed.
+    * contribution (per-dim quantized integer sums,
+    * [[graft.sim.SimQueries.driftContrib]] — associative, so the
+    * accumulated artifact equals the one-shot measurement EXACTLY),
+    * ONE atomic multi-relation commit — assignments can never advance
+    * without their stats rows, so a torn artifact can never feed a
+    * retrain decision. q316 measures drift once at build time;
+    * production re-measures per ingest (the r15 verdict's item 3), and
+    * every IVF stream replica now does: this IS their commit path.
+    * StreamingSpec drives this same entry with a constructed drifted
+    * feed.
     */
   private[graft] def driftLoopCommit(table: java.nio.file.Path,
-      batch: DataFrame, id: Long, cs: Array[Array[Double]]): Unit =
+      batch: DataFrame, id: Long, cs: Array[Array[Double]],
+      foldAfter: Int = 8): Unit =
     if (!committedManifest(table).exists(_ >= id)) {
       commitDeltaMulti(table, Map(
         "assigned" -> graft.sim.SimQueries.assignToCells(batch, cs),
-        "drift" -> graft.sim.SimQueries.driftContrib(batch)), id)
+        "drift" -> graft.sim.SimQueries.driftContrib(batch)), id,
+        foldAfter = foldAfter)
     }
 
   /** The drift loop's MAINTENANCE step: sum the committed drift

@@ -47,11 +47,17 @@ class StoreQueriesSpec extends SparkSpec {
     assert(!r311.queryExecution.executedPlan.toString.contains("__mf_seq"),
       "folded upsert read must not plan the merge-on-read window")
 
-    // ── vectors: folded store purged, probe overlay-free, audit TRUE ──
+    // ── vectors: the assigned relation folds to one purged base, the
+    // drift relation's aggregate rows carry over unchanged (rel-scoped
+    // erasure on the composed store), probe overlay-free, audit TRUE ──
     val ti = StoreQueries.ensureErasureFoldedIvfStreamIndex(spark, sf)
     val curI = ManifestStore.committedManifest(ti).get
-    assert(ManifestStore.manifestMembers(ti, curI) === Seq(s"base-e$curI"))
-    assert(spark.read.parquet(ti.resolve(s"base-e$curI").toString)
+    val membersI = ManifestStore.manifestMembers(ti, curI)
+    assert(membersI.filter(_.startsWith("assigned:")) ===
+      Seq(s"assigned:base-e$curI-assigned"), membersI.toString)
+    assert(membersI.count(_.startsWith("drift:")) === 3,
+      "the drift relation must survive the erasure flip unchanged: " + membersI)
+    assert(spark.read.parquet(ti.resolve(s"base-e$curI-assigned").toString)
       .where(col("vec_id") % 7 === 1).count() === 0L,
       "erased vectors' assignments must be physically gone")
     val probe312 = StoreQueries.erasureFoldedStreamIvfProbe(spark, sf)

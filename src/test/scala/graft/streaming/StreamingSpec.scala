@@ -690,14 +690,23 @@ class StreamingSpec extends SparkSpec {
   test("q304 folded stream-IVF store: manifest folded to one base, store == q292's") {
     val table = Streams.ensureFoldedIvfStreamIndex(spark, sf)
     assert(ManifestStore.committedManifest(table).contains(2L))
-    assert(ManifestStore.manifestMembers(table, 2L) === Seq("base-v2"))
+    // the composed store folds BOTH relations behind one flip
+    assert(ManifestStore.manifestMembers(table, 2L) ===
+      Seq("assigned:base-v2-assigned", "drift:base-v2-drift"))
     // the folded assignment store is bit-equal to q292's resolve
-    val folded = ManifestStore.manifestSnapshot(spark, table).get
-      .collect().map(_.toString).sorted.toSeq
-    val unfolded = ManifestStore.manifestSnapshot(spark,
-        Streams.ensureIvfStreamIndex(spark, sf)).get
+    val folded = ManifestStore.manifestSnapshotRel(spark, table, "assigned")
+      .get.collect().map(_.toString).sorted.toSeq
+    val unfolded = ManifestStore.manifestSnapshotRel(spark,
+        Streams.ensureIvfStreamIndex(spark, sf), "assigned").get
       .collect().map(_.toString).sorted.toSeq
     assert(folded === unfolded && folded.nonEmpty)
+    // the fold preserved the drift artifact: the folded store's
+    // accumulated drift equals the unfolded store's (integer sums)
+    assert(graft.sim.SimQueries.driftPpmFromContribs(
+        ManifestStore.manifestSnapshotRel(spark, table, "drift").get) ===
+      graft.sim.SimQueries.driftPpmFromContribs(
+        ManifestStore.manifestSnapshotRel(spark,
+          Streams.ensureIvfStreamIndex(spark, sf), "drift").get))
     // the probe reads the folded store only — no delta dir in the plan
     val raw = Streams.foldedStreamIvfProbe(spark, sf)
     val plan = raw.queryExecution.executedPlan.toString
@@ -955,11 +964,14 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val table = Streams.ensureIvfStreamIndex(spark, sf)
     assert(ManifestStore.committedManifest(table).contains(2L))
+    // composed commit path (r17): each batch lands {assigned, drift}
+    // behind ONE flip — six lines, batch relations adjacent
     assert(ManifestStore.manifestMembers(table, 2L) ===
-      Seq("delta-v0", "delta-v1", "delta-v2"))
+      (0 to 2).flatMap(i => Seq(s"assigned:delta-v$i-assigned",
+        s"drift:delta-v$i-drift")))
     // O(batch) commit pin: delta-v1 holds exactly bucket 1's
     // assignments (vec_id % 3 == 1), never history's
-    val d1 = spark.read.parquet(table.resolve("delta-v1").toString)
+    val d1 = spark.read.parquet(table.resolve("delta-v1-assigned").toString)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val bucket1 = Tables.embeddings(spark, sf)
       .where(col("vec_id") % 3 === 1)
@@ -970,15 +982,15 @@ class StreamingSpec extends SparkSpec {
     // the FULL corpus at the stored (never retrained) centroids
     val cs = graft.sim.SimQueries.storedCentroidsOf(spark,
       graft.sim.SimQueries.ensureIvfIndex(spark, sf))
-    val store = ManifestStore.manifestSnapshot(spark, table).get
+    val store = ManifestStore.manifestSnapshotRel(spark, table, "assigned").get
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val want = graft.sim.SimQueries.assignToCells(
         Tables.embeddings(spark, sf).select("vec_id", "embedding"), cs)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(store === want && store.nonEmpty)
     // manifest-v1 = buckets 0+1 = vectors with vec_id % 3 != 2
-    val v1 = ManifestStore.manifestSnapshotAt(spark, table, 1L)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val v1 = ManifestStore.manifestSnapshotRelAt(spark, table, "assigned", 1L)
+      .get.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(v1.nonEmpty && v1.forall(_ % 3 != 2))
     // the raw probe: pinned recall vs brute, BNLJ-free plan
     val probe = Streams.queries("q292_stream_ivf_index")(spark, sf)
@@ -1027,7 +1039,7 @@ class StreamingSpec extends SparkSpec {
     // version; audited registered form carries a TRUE recall bit
     val raw = Streams.driftLoopStreamIvfProbe(spark, sf)
     val plan = raw.queryExecution.executedPlan.toString
-    assert(plan.contains("graft-ivf-stream-drift") && !plan.contains("/v2/"),
+    assert(plan.contains("graft-ivf-stream-idx2") && !plan.contains("/v2/"),
       plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(1200))
