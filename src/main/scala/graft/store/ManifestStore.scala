@@ -1255,6 +1255,33 @@ object ManifestStore {
     gcDropped(root, retain)
   }
 
+  /** The BIN CHOOSER for [[commitCompact]] — q151's offset-binning
+    * compaction planner applied at the member level: walk the oldest
+    * members accumulating their on-disk bytes and absorb one
+    * `targetBytes` bin's worth, ALWAYS keeping the newest member live
+    * (leveling never absorbs the head — the hot tail keeps its
+    * O(batch) commit economics) and always absorbing at least two
+    * (a one-member "compaction" rewrites without consolidating).
+    * Returns the prefix length `k` to pass to [[commitCompact]].
+    */
+  private[graft] def compactionPrefixByBytes(root: java.nio.file.Path,
+      targetBytes: Long): Int = {
+    val cur = committedManifest(root)
+      .getOrElse(sys.error(s"compaction planning on an empty store: $root"))
+    val members = manifestMembers(root, cur)
+    require(members.size >= 3,
+      s"nothing to level: ${members.size} members (newest stays live)")
+    def dirBytes(dir: String): Long =
+      Option(root.resolve(dir).toFile.listFiles()).toSeq.flatten
+        .filter(_.isFile).map(_.length()).sum
+    val candidates = members.dropRight(1) // the newest member stays live
+    var cum = 0L
+    val fit = candidates.takeWhile { m =>
+      cum += dirBytes(memberDir(m)); cum <= targetBytes
+    }.size
+    math.max(2, fit)
+  }
+
   /** [[commitCompact]] for ONE relation of a multi-relation store: the
     * relation's oldest `k` lines absorb into `base-c<v>-<rel>` placed
     * where its first absorbed line stood (per-relation order is what

@@ -203,7 +203,7 @@ object StoreQueries {
       .getOrElse(sys.error("no predecessor manifest retained"))
     val incremental =
       try Some(manifestChanges(s, table, pred, cur))
-      catch { case _: IllegalArgumentException => None }
+      catch { case _: graft.store.ManifestStore.RewriteRefusedException => None }
     require(incremental.isEmpty,
       "the incremental read must refuse across an erasure fold")
     val (added, removed) = manifestSnapshotDiff(s, table, pred, cur,
@@ -1046,7 +1046,11 @@ object StoreQueries {
         foldAfter = 8)
       val marker = table.getParent.resolve("PCOMP")
       if (!java.nio.file.Files.exists(marker)) {
-        commitCompact(s, table, 2)
+        // the bin chooser (q151's offset-binning economics at member
+        // level) picks the prefix: one generous bin absorbs both old
+        // deltas, the newest member always stays live
+        commitCompact(s, table,
+          graft.store.ManifestStore.compactionPrefixByBytes(table, 1L << 30))
         java.nio.file.Files.write(marker, Array.empty[Byte]): Unit
       }
       table

@@ -859,6 +859,42 @@ class ManifestStoreSpec extends SparkSpec {
       "a suffix delete must keep biting the re-based prefix")
     graft.Tables.deleteRecursively(dc.toFile)
 
+    // ── stats carried: the compacted base writes its own sidecar, so
+    // ranged reads keep pruning through it ──
+    val sc = tmpStore()
+    (Seq((1L, 10L), (2L, 20L), (100L, 30L), (200L, 40L))).zipWithIndex
+      .foreach { case (kv, i) =>
+        ManifestStore.commitDelta(sc, b(kv), i.toLong, retain = 9,
+          statsKey = Some("k"))
+      }
+    ManifestStore.commitCompact(spark, sc, 3, statsKey = Some("k"), retain = 9)
+    assert(java.nio.file.Files.exists(
+      sc.resolve("base-c4").resolve("_graft_stats")))
+    val rr = ManifestStore.manifestSnapshotRanged(spark, sc, "k", 150L, 250L).get
+    assert(rows(rr) === Set((200L, 40L)))
+    assert(rr.inputFiles.toSeq.forall(_.contains("delta-v3")),
+      "the compacted base must be pruned through its carried stats: " +
+        rr.inputFiles.toSeq)
+
+    // ── the bin chooser: q151's offset-binning economics pick the
+    // prefix by byte budget, newest member always stays live ──
+    val bc = tmpStore()
+    (0 to 3).foreach(i => ManifestStore.commitDelta(bc,
+      b((0 until 50).map(j => (i * 100L + j, j.toLong)): _*), i.toLong,
+      retain = 9))
+    def bytes(dir: String) = Option(bc.resolve(dir).toFile.listFiles())
+      .toSeq.flatten.filter(_.isFile).map(_.length()).sum
+    // a budget of exactly the two oldest members' bytes absorbs them
+    // and stops before the third
+    val budget = bytes("delta-v0") + bytes("delta-v1")
+    assert(ManifestStore.compactionPrefixByBytes(bc, budget) === 2)
+    // a huge budget absorbs everything EXCEPT the newest member
+    assert(ManifestStore.compactionPrefixByBytes(bc, Long.MaxValue) === 3)
+    // a tiny budget still consolidates at least two
+    assert(ManifestStore.compactionPrefixByBytes(bc, 1L) === 2)
+    graft.Tables.deleteRecursively(sc.toFile)
+    graft.Tables.deleteRecursively(bc.toFile)
+
     // ── multi-rel: one relation compacts, siblings untouched ──
     def m(kv: (Long, Long)*) = Map(
       "left" -> b(kv: _*),
