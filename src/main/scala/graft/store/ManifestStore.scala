@@ -1530,9 +1530,11 @@ object ManifestStore {
           if (prior.contains(deltaDir)) return
           val lines = Seq(s"#fork:$fork", s"#inherited:$inherited") ++
             (prior :+ deltaDir)
-          if (tryPublishNamed(root,
-              s"manifest-$branch-v${cur.map(_ + 1).getOrElse(0L)}", lines))
+          val next = cur.map(_ + 1).getOrElse(0L)
+          if (tryPublishNamed(root, s"manifest-$branch-v$next", lines)) {
+            writeVersionHint(root, s"_version_hint_$branch", next)
             return
+          }
           attempts += 1
       }
     }
@@ -1576,9 +1578,11 @@ object ManifestStore {
           if (newLines.exists(prior.contains)) return
           val lines = Seq(s"#fork:$fork", s"#inherited:$inherited") ++
             (prior ++ newLines)
-          if (tryPublishNamed(root,
-              s"manifest-$branch-v${cur.map(_ + 1).getOrElse(0L)}", lines))
+          val next = cur.map(_ + 1).getOrElse(0L)
+          if (tryPublishNamed(root, s"manifest-$branch-v$next", lines)) {
+            writeVersionHint(root, s"_version_hint_$branch", next)
             return
+          }
           attempts += 1
       }
     }
@@ -1597,13 +1601,31 @@ object ManifestStore {
       else Some(resolveMembers(s, root, lines, None))
     }
 
-  /** Highest committed version of a branch, if any. */
+  /** Highest committed version of a branch, if any — with the same
+    * advisory hint fast path as [[committedManifest]] (`_version_hint_
+    * <branch>`, maintained by the branch commit loops): branch
+    * manifests are never individually GC'd (they die wholesale at
+    * publish/drop, which also deletes the hint), so density above any
+    * surviving hinted version holds trivially and the probe-forward
+    * stop is the max. Stale/garbage/missing hints fall back to the
+    * listing.
+    */
   private[graft] def branchVersion(root: java.nio.file.Path,
       branch: String): Option[Long] = {
-    val vs = Option(root.toFile.listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.matches(s"manifest-$branch-v\\d+"))
-      .map(_.stripPrefix(s"manifest-$branch-v").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+    readVersionHint(root, s"_version_hint_$branch") match {
+      case Some(h) if java.nio.file.Files.exists(
+          root.resolve(s"manifest-$branch-v$h")) =>
+        var v = h
+        while (java.nio.file.Files.exists(
+            root.resolve(s"manifest-$branch-v${v + 1}")))
+          v += 1
+        Some(v)
+      case _ =>
+        val vs = Option(root.toFile.listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.matches(s"manifest-$branch-v\\d+"))
+          .map(_.stripPrefix(s"manifest-$branch-v").toLong)
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   private def branchMembers(root: java.nio.file.Path, branch: String,
@@ -1739,6 +1761,8 @@ object ManifestStore {
     Option(root.toFile.listFiles()).toSeq.flatten
       .filter(_.getName.matches(s"manifest-$branch-v\\d+"))
       .foreach(f => { f.delete(): Unit })
+    java.nio.file.Files.deleteIfExists(
+      root.resolve(s"_version_hint_$branch")): Unit
     gcDropped(root, retain)
   }
 
@@ -1746,10 +1770,13 @@ object ManifestStore {
     * become age-gated [[vacuumOrphans]] candidates — nothing else
     * references them once the manifests are gone).
     */
-  private[graft] def dropBranch(root: java.nio.file.Path, branch: String): Unit =
+  private[graft] def dropBranch(root: java.nio.file.Path, branch: String): Unit = {
     Option(root.toFile.listFiles()).toSeq.flatten
       .filter(_.getName.matches(s"manifest-$branch-v\\d+"))
       .foreach(f => { f.delete(): Unit })
+    java.nio.file.Files.deleteIfExists(
+      root.resolve(s"_version_hint_$branch")): Unit
+  }
 
   // ---- contended (multi-writer) commits -------------------------------
 

@@ -1318,7 +1318,31 @@ object StoreQueries {
       .withColumn("n_staged_batches", lit(2L))
   }
 
+  /** q339: CHANGELOG on the composed stream-IVF store — the
+    * consumption cell that completes the one-store lifecycle the drift
+    * composition built (ingest q292 / erase q296 / fold q304 / erasure
+    * fold q312 / retrain q325 / changelog here): a downstream consumer
+    * that processed the predecessor commit catches up by reading
+    * EXACTLY the assignment deltas the newer manifest lists beyond the
+    * older one — rel-scoped, so the sibling drift relation's rows
+    * never enter the plan — O(changes), never O(store). Assignments
+    * are 1:1 with vectors, so the exact oracle is the newest ingest
+    * bucket recomputed from the raw embeddings table.
+    */
+  def ivfAssignChangelogProbe: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestChangesRel
+    val table = graft.streaming.Streams.ensureIvfStreamIndex(s, d)
+    val cur = committedManifest(table)
+      .getOrElse(sys.error("no committed IVF assignment store"))
+    val pred = retainedPredecessor(table, cur)
+      .getOrElse(sys.error("no predecessor manifest retained"))
+    manifestChangesRel(s, table, "assigned", pred, cur)
+      .agg(count(lit(1)).as("n_changed"),
+        sum(col("vec_id")).cast("long").as("vec_checksum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q339_ivf_assign_changelog" -> ivfAssignChangelogProbe,
     "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
     "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
     "q312_erasure_folded_ivf" -> erasureFoldedStreamIvfChecked,
@@ -1513,5 +1537,12 @@ object StoreQueries {
         |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
         |  CAST(count(*) AS BIGINT) AS n_by_day_rollup,
         |  CAST(2 AS BIGINT) AS n_staged_batches
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // the incremental read of the composed IVF store's assigned
+    // relation is exactly the newest ingest bucket (vec_id % 3 = 2),
+    // assignments 1:1 with vectors
+    "q339_ivf_assign_changelog" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_changed,
+        |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
+        |FROM embeddings WHERE vec_id % 3 = 2""".stripMargin)
 }

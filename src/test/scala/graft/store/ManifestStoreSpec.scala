@@ -1025,6 +1025,37 @@ class ManifestStoreSpec extends SparkSpec {
     graft.Tables.deleteRecursively(bc.toFile)
   }
 
+  test("branch version hint: probe-forward fast path, adversarial states fall back, dies with the branch") {
+    import java.nio.file.Files
+    val bh = tmpStore()
+    ManifestStore.commitDelta(bh, b((0L, 0L)), 0L)
+    (1 to 3).foreach(i =>
+      ManifestStore.commitDeltaBranch(bh, "stage", b((i.toLong, 0L)), i.toLong))
+    val hint = bh.resolve("_version_hint_stage")
+    assert(Files.exists(hint))
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim === "2")
+    assert(ManifestStore.branchVersion(bh, "stage").contains(2L))
+    // stale: probe forward; garbage and missing: fall back
+    Files.write(hint, "0".getBytes("UTF-8"))
+    assert(ManifestStore.branchVersion(bh, "stage").contains(2L))
+    Files.write(hint, "junk".getBytes("UTF-8"))
+    assert(ManifestStore.branchVersion(bh, "stage").contains(2L))
+    Files.delete(hint)
+    assert(ManifestStore.branchVersion(bh, "stage").contains(2L))
+    // the publish removes the branch's manifests AND its hint
+    ManifestStore.commitDeltaBranch(bh, "stage", b((9L, 0L)), 4L)
+    assert(Files.exists(hint), "the next stage commit rewrites the hint")
+    ManifestStore.publishBranch(bh, "stage")
+    assert(!Files.exists(hint), "the hint must die with the branch")
+    assert(ManifestStore.branchVersion(bh, "stage").isEmpty)
+    // dropBranch removes it too
+    ManifestStore.commitDeltaBranch(bh, "b2", b((7L, 0L)), 5L)
+    assert(Files.exists(bh.resolve("_version_hint_b2")))
+    ManifestStore.dropBranch(bh, "b2")
+    assert(!Files.exists(bh.resolve("_version_hint_b2")))
+    graft.Tables.deleteRecursively(bh.toFile)
+  }
+
   test("rel delete guard: a delete against a relation with no data member fails loudly at commit") {
     val rg = tmpStore()
     ManifestStore.commitDeltaMulti(rg, Map("left" -> b((1L, 10L))), 0L)

@@ -426,6 +426,23 @@ class StoreQueriesSpec extends SparkSpec {
       "branch manifests must be dropped at publish")
   }
 
+  test("q339 IVF changelog: reads only the newest assignment delta, drift relation never enters the plan") {
+    val r = StoreQueries.queries("q339_ivf_assign_changelog")(spark, sf)
+    val files = r.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("delta-v2-assigned")),
+      s"the incremental read must open exactly the new assignment delta: $files")
+    // O(changes) == the newest ingest bucket, 1:1 with its vectors
+    val row = r.collect().head
+    val want = Tables.embeddings(spark, sf)
+      .where(org.apache.spark.sql.functions.col("vec_id") % 3 === 2)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("vec_id"))
+      .collect().head
+    assert(row.getLong(0) === want.getLong(0))
+    assert(row.getLong(1) === want.getLong(1))
+  }
+
   test("q331 as-of-timestamp: header-recorded instants resolve, pre-history resolves nothing, mtime irrelevant") {
     val t = StoreQueries.ensureTimestampedDocStatsStore(spark, sf)
     // commit times are the manifests' own #ts: headers — strictly
