@@ -847,7 +847,9 @@ object ManifestStore {
     * retention deleting it would let a stale staged publish link the
     * number afresh and "succeed" while [[committedManifest]] still
     * serves main's newer state (the r16 advice). The floor dies with
-    * the branch (publish or [[dropBranch]] removes its manifests).
+    * the branch (publish or [[dropBranch]] removes its manifests);
+    * a branch ABANDONED mid-staging would hold it forever, which is
+    * what the age-gated [[dropStaleBranches]] sweep exists to release.
     * Listing cost note: this re-lists the table dir once per GC call
     * (itself once per commit) — free on a local FS, and the class of
     * cost a real object-store deployment amortizes with the same
@@ -1528,7 +1530,8 @@ object ManifestStore {
         case None => attempts += 1 // raced a publish's cleanup: re-observe
         case Some((fork, inherited, prior)) =>
           if (prior.contains(deltaDir)) return
-          val lines = Seq(s"#fork:$fork", s"#inherited:$inherited") ++
+          val lines = Seq(s"#ts:${branchCommitTs(root, branch, cur)}",
+            s"#fork:$fork", s"#inherited:$inherited") ++
             (prior :+ deltaDir)
           val next = cur.map(_ + 1).getOrElse(0L)
           if (tryPublishNamed(root, s"manifest-$branch-v$next", lines)) {
@@ -1576,7 +1579,8 @@ object ManifestStore {
         case None => attempts += 1
         case Some((fork, inherited, prior)) =>
           if (newLines.exists(prior.contains)) return
-          val lines = Seq(s"#fork:$fork", s"#inherited:$inherited") ++
+          val lines = Seq(s"#ts:${branchCommitTs(root, branch, cur)}",
+            s"#fork:$fork", s"#inherited:$inherited") ++
             (prior ++ newLines)
           val next = cur.map(_ + 1).getOrElse(0L)
           if (tryPublishNamed(root, s"manifest-$branch-v$next", lines)) {
@@ -1658,6 +1662,61 @@ object ManifestStore {
       .find(_.startsWith("#inherited:"))
       .map(_.stripPrefix("#inherited:").toLong)
       .getOrElse(0L)
+
+  /** Commit time of a branch manifest — the `#ts:` header the branch
+    * commit loops stamp (monotone within the branch, same rule as
+    * main's), mtime fallback for pre-header branch manifests.
+    */
+  private[graft] def branchManifestTimestamp(root: java.nio.file.Path,
+      branch: String, v: Long): Long =
+    readManifestLines(root, s"manifest-$branch-v$v")
+      .find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
+      .getOrElse(root.resolve(s"manifest-$branch-v$v").toFile.lastModified())
+
+  /** The `#ts:` value a new branch manifest should carry: monotone
+    * over the branch's own predecessor (0 when the predecessor
+    * vanished under a racing publish — the loop re-observes anyway).
+    */
+  private def branchCommitTs(root: java.nio.file.Path, branch: String,
+      cur: Option[Long]): Long = {
+    val predTs = cur.map { v =>
+      try branchManifestTimestamp(root, branch, v)
+      catch { case _: java.nio.file.NoSuchFileException => 0L }
+    }.getOrElse(0L)
+    math.max(System.currentTimeMillis(), predTs + 1)
+  }
+
+  /** AGE-GATED STALE-BRANCH SWEEP — the liveness remedy for the GC
+    * fork-pin: [[branchPublishFloor]] makes a LIVE branch block
+    * retention of main versions ≥ fork+1 (correct: its publish number
+    * must stay decidable), but a branch ABANDONED by a crashed
+    * pipeline — never published, never dropped — would pin them
+    * forever and stall retention unboundedly. This drops every branch
+    * whose NEWEST manifest's commit time (the `#ts:` header — manifest
+    * content, like main's) is older than `olderThanMs`: staging that
+    * has not advanced in a whole retention window is wreckage, exactly
+    * the judgement production formats apply when expiring stale refs.
+    * Dropping releases the branch's retention pin and turns its delta
+    * dirs into ordinary age-gated [[vacuumOrphans]] candidates.
+    * Returns the number of branches dropped. Size the window like the
+    * vacuum's: comfortably longer than any legitimate staging.
+    */
+  private[graft] def dropStaleBranches(root: java.nio.file.Path,
+      olderThanMs: Long, nowMs: Long): Int = {
+    val branches = Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(isBranchManifestName)
+      .map(_.stripPrefix("manifest-").replaceAll("-v\\d+$", ""))
+      .distinct
+    val stale = branches.filter { b =>
+      branchVersion(root, b).exists { v =>
+        (try branchManifestTimestamp(root, b, v)
+         catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }) <
+          nowMs - olderThanMs
+      }
+    }
+    stale.foreach(dropBranch(root, _))
+    stale.size
+  }
 
   /** A BRANCH head as of branch version `v` — branch-side time travel,
     * the sibling of [[manifestSnapshotAt]]: branch manifests are never

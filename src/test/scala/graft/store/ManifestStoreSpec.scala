@@ -1056,6 +1056,49 @@ class ManifestStoreSpec extends SparkSpec {
     graft.Tables.deleteRecursively(bh.toFile)
   }
 
+  test("stale-branch sweep: an abandoned branch's pin releases by age, fresh staging survives, time is header-carried") {
+    val sb = tmpStore()
+    ManifestStore.commitDelta(sb, b((0L, 0L)), 0L)
+    ManifestStore.commitDeltaBranch(sb, "dead", b((1L, 10L)), 1L)
+    ManifestStore.commitDeltaBranch(sb, "dead", b((2L, 20L)), 2L)
+    Thread.sleep(3L) // strict wall-clock separation for the age cells
+    ManifestStore.commitDeltaBranch(sb, "live", b((3L, 30L)), 3L)
+    // branch commit times are header-carried and monotone per branch
+    val t0 = ManifestStore.branchManifestTimestamp(sb, "dead", 0L)
+    val t1 = ManifestStore.branchManifestTimestamp(sb, "dead", 1L)
+    assert(t0 < t1)
+    // mangled mtimes change nothing: the carrier is the manifest
+    Option(sb.toFile.listFiles()).toSeq.flatten
+      .foreach(f => f.setLastModified(1000L): Unit)
+    assert(ManifestStore.branchManifestTimestamp(sb, "dead", 1L) === t1)
+    // the dead branch pins main retention (the fork floor)…
+    (4 to 7).foreach(i =>
+      ManifestStore.commitDelta(sb, b((i.toLong, i.toLong)), i.toLong))
+    assert(java.nio.file.Files.exists(sb.resolve("manifest-v1")),
+      "a live pin must hold while the branch exists")
+    // …until the age sweep judges it abandoned: a cutoff just past the
+    // dead branch's last commit expires it and only it (the live
+    // branch committed strictly later)
+    val window = 24L * 3600 * 1000
+    assert(ManifestStore.dropStaleBranches(sb, window, t1 + window) === 0,
+      "a branch inside the window is legitimate staging")
+    assert(ManifestStore.dropStaleBranches(sb, window, t1 + window + 1) === 1)
+    assert(ManifestStore.branchVersion(sb, "dead").isEmpty)
+    assert(ManifestStore.branchVersion(sb, "live").isDefined,
+      "fresh staging must survive the sweep")
+    // the released pin lets the next GC reclaim down to count policy
+    ManifestStore.dropBranch(sb, "live")
+    ManifestStore.commitDelta(sb, b((8L, 8L)), 8L)
+    assert(!java.nio.file.Files.exists(sb.resolve("manifest-v1")),
+      "the sweep must release the dead branch's retention pin")
+    // the dead branch's delta is now ordinary vacuum wreckage
+    sb.resolve("delta-dead-v1").toFile.setLastModified(1000L): Unit
+    assert(ManifestStore.vacuumOrphans(sb, 3600L * 1000,
+      System.currentTimeMillis()) >= 1)
+    assert(!java.nio.file.Files.exists(sb.resolve("delta-dead-v1")))
+    graft.Tables.deleteRecursively(sb.toFile)
+  }
+
   test("rel delete guard: a delete against a relation with no data member fails loudly at commit") {
     val rg = tmpStore()
     ManifestStore.commitDeltaMulti(rg, Map("left" -> b((1L, 10L))), 0L)
