@@ -225,7 +225,7 @@ object ManifestStore {
         val dir = memberDir(line)
         dir == s"delta-v$batchId" || dir == s"base-v$batchId" ||
           dir == s"del-v$batchId" || dir.startsWith(s"del-v$batchId-") ||
-          dir == s"posdel-v$batchId" ||
+          dir == s"posdel-v$batchId" || dir.startsWith(s"posdel-v$batchId-") ||
           dir.startsWith(s"delta-v$batchId-") || dir.startsWith(s"base-v$batchId-")
       }
     }
@@ -1112,6 +1112,60 @@ object ManifestStore {
     dropOwnOrphans(root, Seq(delDir))
   }
 
+  /** [[commitDeletePos]] for ONE relation of a multi-relation store:
+    * the (file, row-range) tombstones commit as `posdel-v<batch>-<rel>`
+    * behind a `~rel:`-tagged line, subtracting physical rows from that
+    * relation's members on every read with sibling relations untouched
+    * — the fourth point of the multi-relation erasure spectrum
+    * {per-read overlay, equality delete file, POSITIONAL delete file,
+    * physical rel fold}. The rel resolve strips the tag, so the
+    * standard posdel application in [[resolveMembers]] handles it; the
+    * relation's next fold absorbs it.
+    */
+  private[graft] def commitDeletePosRel(root: java.nio.file.Path, rel: String,
+      posDeletes: DataFrame, batchId: Long, retain: Int = 2): Unit = {
+    if (batchCommitted(root, batchId)) return
+    val delDir = s"posdel-v$batchId-$rel"
+    posDeletes.write.mode("overwrite").parquet(root.resolve(delDir).toString)
+    commitLoop(root, batchId, retain) { (_, prior) =>
+      require(relMemberLines(prior, rel).exists(!_.startsWith("~")),
+        s"delete commit against relation '$rel', which has no data member")
+      if (prior.contains(s"~$rel:$delDir")) None
+      else Some(prior :+ s"~$rel:$delDir")
+    }
+    dropOwnOrphans(root, Seq(delDir))
+  }
+
+  /** [[emitPosDeletes]] for one relation of a multi-relation store:
+    * scan only that relation's data members with position metadata.
+    */
+  private[graft] def emitPosDeletesRel(s: SparkSession,
+      root: java.nio.file.Path, rel: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val cur = committedManifest(root)
+      .getOrElse(sys.error(s"DELETE against an empty store: $root"))
+    val datas = relMemberLines(manifestMembers(root, cur), rel)
+      .filterNot(_.startsWith("~"))
+    require(datas.nonEmpty, s"relation '$rel' has no data member")
+    rangesOf(datas
+      .map(m => s.read.parquet(root.resolve(memberDir(m)).toString)
+        .withColumn("__mf_file", col("_metadata.file_path"))
+        .withColumn("__mf_pos", col("_metadata.row_index")))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .where(pred))
+  }
+
+  /** Run-length-compact matched (file, pos) rows into (file, start,
+    * end) ranges — one shuffle over the MATCHED rows only.
+    */
+  private def rangesOf(hit: DataFrame): DataFrame =
+    hit.select(col("__mf_file").as("file"), col("__mf_pos").as("pos"))
+      .withColumn("__grp", col("pos") - row_number().over(
+        Window.partitionBy(col("file")).orderBy(col("pos"))))
+      .groupBy(col("file"), col("__grp"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("end"))
+      .drop("__grp")
+
   /** The DELETE-WHERE write path for [[commitDeletePos]]: scan the
     * current members' data dirs with their file/row-position metadata,
     * keep the rows matching `pred`, and compact consecutive positions
@@ -1125,19 +1179,12 @@ object ManifestStore {
     val cur = committedManifest(root)
       .getOrElse(sys.error(s"DELETE against an empty store: $root"))
     val datas = manifestMembers(root, cur).filterNot(_.startsWith("~"))
-    val hit = datas
+    rangesOf(datas
       .map(m => s.read.parquet(root.resolve(memberDir(m)).toString)
         .withColumn("__mf_file", col("_metadata.file_path"))
         .withColumn("__mf_pos", col("_metadata.row_index")))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-      .where(pred)
-      .select(col("__mf_file").as("file"), col("__mf_pos").as("pos"))
-    hit
-      .withColumn("__grp", col("pos") - row_number().over(
-        Window.partitionBy(col("file")).orderBy(col("pos"))))
-      .groupBy(col("file"), col("__grp"))
-      .agg(min(col("pos")).as("start"), max(col("pos")).as("end"))
-      .drop("__grp")
+      .where(pred))
   }
 
   /** Age-gated ORPHAN VACUUM — the offline half of the GC split
@@ -1301,6 +1348,9 @@ object ManifestStore {
     val prefix = relLines.take(k)
     require(prefix.exists(!_.startsWith("~")),
       s"compaction prefix of $rel holds no data member")
+    require(!relLines.drop(k).exists(isPosDeleteLine),
+      s"cannot compact $rel below a retained positional-delete member: " +
+        "its file references would dangle (rows resurrect); compact past it")
     val next = cur + 1
     val baseDir = s"base-c$next-$rel"
     resolveMembers(s, root, prefix, None)

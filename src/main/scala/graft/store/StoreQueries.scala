@@ -1341,8 +1341,73 @@ object StoreQueries {
         sum(col("vec_id")).cast("long").as("vec_checksum"))
   }
 
+  /** The q340 store: the two-relation event store DELETE-WHERE'd on
+    * the `ev` relation through REL-SCOPED positional delete files —
+    * the fourth point of the multi-relation erasure spectrum
+    * {per-read overlay q306, equality delete file q330, POSITIONAL
+    * delete file here, physical rel fold q313}: the tombstones name
+    * (file, row-range) pairs inside `ev`'s members only, committed as
+    * one `~ev:posdel` line; the sibling `day` relation (and every ev
+    * data member) is untouched.
+    */
+  private val posDelRelLock = new Object
+
+  def ensurePosDeleteMultiRelStore(s: SparkSession, d: String): java.nio.file.Path =
+    posDelRelLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      import graft.store.ManifestStore.{commitDeletePosRel, emitPosDeletesRel}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-eventlog-posdel-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        val t = col("t_us")
+        val batches = Seq(
+          ev.where(t < SessionFeedCut1Us),
+          ev.where(t >= SessionFeedCut1Us && t < SessionFeedCut2Us),
+          ev.where(t >= SessionFeedCut2Us))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          commitDeltaMulti(table, Map(
+            "ev" -> b,
+            "day" -> b.groupBy(expr(s"t_us div $DayUs * $DayUs").as("day_us"))
+              .agg(count(lit(1)).as("n"))), i.toLong, retain = 9)
+        }
+        // DELETE WHERE the event lands on an odd microsecond — a
+        // non-key value predicate, expressible only by naming rows
+        commitDeletePosRel(table, "ev",
+          emitPosDeletesRel(s, table, "ev", pmod(col("t_us"), lit(2)) === 1),
+          3L, retain = 9)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q340: REL-SCOPED POSITIONAL DELETE — the `ev` read subtracts the
+    * committed row ranges below the resolve (no delete logic in the
+    * probe), while the `day` rollup relation still denotes the FULL
+    * corpus (rel scoping: the delete named ev's physical rows only).
+    * Oracle = the filtered recompute with the full count as the
+    * rollup cross-check column.
+    */
+  def posDeleteRelProbe: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val table = ensurePosDeleteMultiRelStore(s, d)
+    val nDay = manifestSnapshotRel(s, table, "day")
+      .getOrElse(sys.error("no committed day relation"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long")).collect()(0).getLong(0)
+    manifestSnapshotRel(s, table, "ev")
+      .getOrElse(sys.error("no committed ev relation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("key_checksum"))
+      .withColumn("n_by_day_rollup", lit(nDay))
+  }
+
   val queries: Map[String, Q] = Map(
     "q339_ivf_assign_changelog" -> ivfAssignChangelogProbe,
+    "q340_pos_delete_rel" -> posDeleteRelProbe,
     "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
     "q311_erasure_folded_sessions" -> erasureFoldedStreamSessions,
     "q312_erasure_folded_ivf" -> erasureFoldedStreamIvfChecked,
@@ -1544,5 +1609,12 @@ object StoreQueries {
     "q339_ivf_assign_changelog" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_changed,
         |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
-        |FROM embeddings WHERE vec_id % 3 = 2""".stripMargin)
+        |FROM embeddings WHERE vec_id % 3 = 2""".stripMargin,
+    // the ev relation serves the filtered recompute; the day rollup
+    // still rolls up the FULL corpus (the delete was rel-scoped)
+    "q340_pos_delete_rel" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS key_checksum,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_by_day_rollup
+        |FROM events WHERE epoch_us(ts) % 2 = 0""".stripMargin)
 }

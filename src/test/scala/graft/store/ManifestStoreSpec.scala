@@ -1000,6 +1000,70 @@ class ManifestStoreSpec extends SparkSpec {
     graft.Tables.deleteRecursively(pu.toFile)
   }
 
+  test("rel-scoped positional deletes: only the named relation's rows subtract, fold absorbs, compaction refuses below") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    def m(kv: (Long, Long)*) = Map(
+      "left" -> b(kv: _*),
+      "right" -> b(kv.map { case (k, v) => (k, v + 1) }: _*))
+    val rp = tmpStore()
+    ManifestStore.commitDeltaMulti(rp, m((1L, 10L), (2L, 21L)), 0L, retain = 9)
+    ManifestStore.commitDeltaMulti(rp, m((3L, 31L), (4L, 40L)), 1L, retain = 9)
+    // DELETE WHERE v is odd — a value predicate — on LEFT only
+    val dels = ManifestStore.emitPosDeletesRel(spark, rp, "left",
+      pmod(col("v"), lit(2)) === 1)
+    ManifestStore.commitDeletePosRel(rp, "left", dels, 2L, retain = 9)
+    assert(ManifestStore.manifestMembers(rp, 2L).last === "~left:posdel-v2-left")
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, rp, "left").get) ===
+      Set((1L, 10L), (4L, 40L)))
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, rp, "right").get) ===
+      Set((1L, 11L), (2L, 22L), (3L, 32L), (4L, 41L)),
+      "a rel-scoped positional delete must not leak into siblings")
+    // compacting LEFT below its retained posdel refuses; RIGHT compacts
+    intercept[IllegalArgumentException] {
+      ManifestStore.commitCompactRel(spark, rp, "left", 2, retain = 9)
+    }
+    ManifestStore.commitCompactRel(spark, rp, "right", 2, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, rp, "right").get) ===
+      Set((1L, 11L), (2L, 22L), (3L, 32L), (4L, 41L)))
+    // a multi-rel fold absorbs the posdel into LEFT's purged base
+    ManifestStore.commitDeltaMulti(rp, m((5L, 50L)), 4L, foldAfter = 2,
+      retain = 9)
+    val members = ManifestStore.manifestMembers(rp,
+      ManifestStore.committedManifest(rp).get)
+    assert(members.forall(l => !l.startsWith("~")), members.toString)
+    assert(rows(spark.read.parquet(
+        rp.resolve(members.find(_.startsWith("left:")).get
+          .stripPrefix("left:")).toString)) ===
+      Set((1L, 10L), (4L, 40L), (5L, 50L)),
+      "the fold must bake the positional delete into the purged base")
+    graft.Tables.deleteRecursively(rp.toFile)
+  }
+
+  test("rel changelog across a rel compaction: consumed-prefix rewrites cross free per relation") {
+    def m(kv: (Long, Long)*) = Map(
+      "left" -> b(kv: _*), "right" -> b(kv.map { case (k, v) => (k, v + 1) }: _*))
+    val rc = tmpStore()
+    (0 to 2).foreach(i =>
+      ManifestStore.commitDeltaMulti(rc, m((i.toLong, i.toLong * 10)),
+        i.toLong, retain = 9))
+    // consumer cursor at v1 (consumed left's delta 0 and 1); compact
+    // exactly those, then another batch lands
+    ManifestStore.commitCompactRel(spark, rc, "left", 2, retain = 9)
+    ManifestStore.commitDeltaMulti(rc, m((4L, 40L)), 4L, retain = 9)
+    val got = rows(ManifestStore.manifestChangesRel(spark, rc, "left", 1L, 4L))
+    assert(got === Set((2L, 20L), (4L, 40L)),
+      "a consumed-only rel compaction must not disturb the rel changelog")
+    // an unconsumed-prefix crossing still refuses, typed
+    val ex = intercept[ManifestStore.RewriteRefusedException] {
+      ManifestStore.manifestChangesRel(spark, rc, "left", 0L, 4L)
+    }
+    assert(ex.getMessage.contains("compaction"), ex.getMessage)
+    // the untouched sibling's changelog is plain appends throughout
+    assert(rows(ManifestStore.manifestChangesRel(spark, rc, "right", 1L, 4L))
+      === Set((2L, 21L), (4L, 41L)))
+    graft.Tables.deleteRecursively(rc.toFile)
+  }
+
   test("branch changelog + travel: per-batch incremental audit, since-fork reads, head travel") {
     def m(i: Long) = Map("ev" -> b((i, i * 10)), "day" -> b((i, 1L)))
     val bc = tmpStore()
