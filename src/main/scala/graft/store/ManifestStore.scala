@@ -1,8 +1,9 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The manifest-based store commit protocol — the engine's table-format
   * layer, shared by every DATA-SIZED stream store (shingle postings,
@@ -239,6 +240,26 @@ object ManifestStore {
     if (i < 0) bare else bare.substring(i + 1)
   }
 
+  /** Physical location of a member dir. A member this store wrote is
+    * root-relative (`delta-v3`); a SHALLOW-CLONE member
+    * (`delta-v3@/path/to/src/table`, [[cloneShallow]]) lives under its
+    * SOURCE table's root. Keeping the dir NAME first means every
+    * grammar test (`posdel-` prefix, `base` prefix, rel tags, batch-id
+    * fencing) works unchanged on external members, and `@` appears in
+    * no writer-generated dir name — full physical paths in the
+    * manifest is exactly the convention that lets production formats
+    * (Iceberg manifests name fully-qualified files) do zero-copy
+    * snapshot export. Every READ path resolves through here; every
+    * DELETE path skips external members (a clone must never reclaim
+    * its source's data).
+    */
+  private def memberPath(root: java.nio.file.Path,
+      dir: String): java.nio.file.Path = {
+    val i = dir.lastIndexOf('@')
+    if (i < 0) root.resolve(dir)
+    else java.nio.file.Paths.get(dir.substring(i + 1)).resolve(dir.take(i))
+  }
+
   /** A POSITIONAL-delete member line (`~posdel-v<batch>`): the dir
     * holds (file, start, end) row-range tombstones, not key rows —
     * distinguished from equality deletes by the dir-name prefix, so
@@ -299,13 +320,14 @@ object ManifestStore {
   private[graft] def commitDelta(root: java.nio.file.Path, delta: DataFrame,
       batchId: Long, upsertKey: Option[String] = None,
       foldAfter: Int = 8, retain: Int = 2,
-      statsKey: Option[String] = None): Unit = {
+      statsKey: Option[String] = None, statsBloom: Boolean = false): Unit = {
     if (batchCommitted(root, batchId)) return
     val s = delta.sparkSession
     val deltaDir = s"delta-v$batchId"
     delta.write.mode("overwrite")
       .parquet(root.resolve(deltaDir).toString)
     statsKey.foreach(writeDirStats(s, root, deltaDir, _))
+    if (statsBloom) statsKey.foreach(writeDirBloom(s, root, deltaDir, _))
     commitLoop(root, batchId, retain) { (cur, prior) =>
       if (prior.exists(m => m == deltaDir || m == s"base-v$batchId")) None
       else {
@@ -317,6 +339,8 @@ object ManifestStore {
               .write.mode("overwrite")
               .parquet(root.resolve(s"base-v$batchId").toString)
             statsKey.foreach(writeDirStats(s, root, s"base-v$batchId", _))
+            if (statsBloom)
+              statsKey.foreach(writeDirBloom(s, root, s"base-v$batchId", _))
             Seq(s"base-v$batchId")
           })
       }
@@ -509,7 +533,7 @@ object ManifestStore {
       v => relMemberLines(manifestMembers(root, v), rel), s"of $rel ")
     refuse(added.nonEmpty, s"no $rel commits appended between $fromV and " +
       s"$toV (rewrites only); a full-store diff states the change")
-    s.read.parquet(added.map(m => root.resolve(m).toString): _*)
+    s.read.parquet(added.map(m => memberPath(root, memberDir(m)).toString): _*)
   }
 
   // ---- reads ----------------------------------------------------------
@@ -587,7 +611,7 @@ object ManifestStore {
           "positional deletes are defined for append stores " +
             "(an upsert store's DELETE resolves by key)")
         Some(broadcast(posDelLines
-          .map(l => s.read.parquet(root.resolve(memberDir(l)).toString))
+          .map(l => s.read.parquet(memberPath(root, memberDir(l)).toString))
           .reduce(_ unionByName _)))
       }
     def applyPos(df: DataFrame): DataFrame = posDels match {
@@ -604,9 +628,9 @@ object ManifestStore {
           .drop("__mf_file", "__mf_pos")
     }
     def read(m: String) =
-      prep(applyPos(s.read.parquet(root.resolve(m).toString)))
+      prep(applyPos(s.read.parquet(memberPath(root, m).toString)))
     def readDel(l: String) =
-      s.read.parquet(root.resolve(l.stripPrefix("~")).toString)
+      s.read.parquet(memberPath(root, l.stripPrefix("~")).toString)
     def unite(a: DataFrame, b: DataFrame) =
       a.unionByName(b, allowMissingColumns = true)
     val indexed = members.filterNot(isPosDeleteLine).zipWithIndex
@@ -764,7 +788,7 @@ object ManifestStore {
       .flatMap { case (v, _) => membersIfRetained(root, v).getOrElse(Nil) }
       .map(memberDir).toSet ++ branchReferencedDirs(root)
     dropped.foreach { case (_, f) => f.delete(): Unit }
-    (droppedDirs -- keptDirs)
+    (droppedDirs -- keptDirs).filterNot(_.contains("@")) // never the source's
       .foreach(d => graft.Tables.deleteRecursively(root.resolve(d).toFile))
   }
 
@@ -811,7 +835,7 @@ object ManifestStore {
       .flatMap { case (v, _) => membersIfRetained(root, v).getOrElse(Nil) }
       .map(memberDir).toSet ++ branchReferencedDirs(root)
     dropped.foreach { case (_, f) => f.delete(): Unit }
-    (droppedDirs -- keptDirs)
+    (droppedDirs -- keptDirs).filterNot(_.contains("@")) // never the source's
       .foreach(d => graft.Tables.deleteRecursively(root.resolve(d).toFile))
     dropped.size
   }
@@ -897,7 +921,7 @@ object ManifestStore {
       v => manifestMembers(root, v), "")
     refuse(added.nonEmpty, s"no commits appended between $fromV and $toV " +
       "(rewrites only); a full-store diff states the change")
-    s.read.parquet(added.map(m => root.resolve(m).toString): _*)
+    s.read.parquet(added.map(m => memberPath(root, memberDir(m)).toString): _*)
   }
 
   /** The shared changelog WALK: step version-by-version from `fromV`
@@ -1148,7 +1172,7 @@ object ManifestStore {
       .filterNot(_.startsWith("~"))
     require(datas.nonEmpty, s"relation '$rel' has no data member")
     rangesOf(datas
-      .map(m => s.read.parquet(root.resolve(memberDir(m)).toString)
+      .map(m => s.read.parquet(memberPath(root, memberDir(m)).toString)
         .withColumn("__mf_file", col("_metadata.file_path"))
         .withColumn("__mf_pos", col("_metadata.row_index")))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1180,7 +1204,7 @@ object ManifestStore {
       .getOrElse(sys.error(s"DELETE against an empty store: $root"))
     val datas = manifestMembers(root, cur).filterNot(_.startsWith("~"))
     rangesOf(datas
-      .map(m => s.read.parquet(root.resolve(memberDir(m)).toString)
+      .map(m => s.read.parquet(memberPath(root, memberDir(m)).toString)
         .withColumn("__mf_file", col("_metadata.file_path"))
         .withColumn("__mf_pos", col("_metadata.row_index")))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1321,7 +1345,7 @@ object ManifestStore {
     require(members.size >= 3,
       s"nothing to level: ${members.size} members (newest stays live)")
     def dirBytes(dir: String): Long =
-      Option(root.resolve(dir).toFile.listFiles()).toSeq.flatten
+      Option(memberPath(root, dir).toFile.listFiles()).toSeq.flatten
         .filter(_.isFile).map(_.length()).sum
     val candidates = members.dropRight(1) // the newest member stays live
     var cum = 0L
@@ -1396,13 +1420,65 @@ object ManifestStore {
     * at commit time. None = unknown → the member can never be pruned.
     */
   private def dirStats(root: java.nio.file.Path, dir: String,
-      key: String): Option[(Long, Long)] = {
-    val f = root.resolve(dir).resolve(StatsFile)
+      key: String): Option[(Long, Long)] =
+    dirStatsRaw(root, dir).collect { case (k, lo, hi) if k == key => (lo, hi) }
+
+  /** The sidecar's recorded (key, min, max) whatever the key — the
+    * form [[metaMembers]] surfaces (an observer doesn't know the
+    * store's stats key; the sidecar itself says).
+    */
+  private def dirStatsRaw(root: java.nio.file.Path,
+      dir: String): Option[(String, Long, Long)] = {
+    val f = memberPath(root, dir).resolve(StatsFile)
     if (!java.nio.file.Files.exists(f)) None
     else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
       .split(":") match {
-      case Array(k, lo, hi) if k == key => Some((lo.toLong, hi.toLong))
+      case Array(k, lo, hi) => Some((k, lo.toLong, hi.toLong))
       case _ => None
+    }
+  }
+
+  /** Name of the per-member BLOOM sidecar ([[writeDirBloom]]). */
+  private val BloomFile = "_graft_bloom"
+
+  /** Commit-time BLOOM sidecar over `key` — data skipping for POINT
+    * lookups that range stats cannot serve: a store keyed by hashed or
+    * interleaved ids has every member spanning the whole key range, so
+    * [min, max] prunes nothing, while a per-member bloom (the parquet /
+    * Iceberg bloom-filter idea lifted to member granularity) rules out
+    * almost every member for a given key at ~10 bits/key and fpp 1e-3.
+    * Built DISTRIBUTED (`df.stat.bloomFilter` is a Spark aggregation —
+    * no driver-side key collection), written once at commit next to the
+    * range sidecar, consumed by [[manifestSnapshotKeyEq]]. A false
+    * positive costs one wasted member read; a false negative cannot
+    * occur, so pruning stays exact.
+    */
+  private def writeDirBloom(s: SparkSession, root: java.nio.file.Path,
+      dir: String, key: String): Unit = {
+    val df = s.read.parquet(root.resolve(dir).toString)
+      .select(col(key).cast("long").as(key)).where(col(key).isNotNull)
+    val bf = df.stat.bloomFilter(key, math.max(df.count(), 64L), 0.001)
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeUTF(key)
+    bf.writeTo(dos)
+    dos.flush()
+    java.nio.file.Files.write(root.resolve(dir).resolve(BloomFile),
+      out.toByteArray): Unit
+  }
+
+  /** The member's bloom for `key`, if one was written at commit time.
+    * None = unknown → never pruned (same contract as [[dirStats]]).
+    */
+  private def dirBloom(root: java.nio.file.Path, dir: String,
+      key: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = memberPath(root, dir).resolve(BloomFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+        java.nio.file.Files.readAllBytes(f)))
+      if (in.readUTF() != key) None
+      else Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
     }
   }
 
@@ -1478,7 +1554,7 @@ object ManifestStore {
           }
         }
         val base = if (kept.nonEmpty) kept else dirs.take(1)
-        val df = base.map(d => s.read.parquet(root.resolve(d).toString))
+        val df = base.map(d => s.read.parquet(memberPath(root, d).toString))
           .reduce(_.unionByName(_, allowMissingColumns = true))
         val bounded = df.where(col(key) >= lo && col(key) <= hi)
         Some(if (kept.nonEmpty) bounded else bounded.limit(0))
@@ -1776,7 +1852,7 @@ object ManifestStore {
   private[graft] def branchSnapshotAt(s: SparkSession, root: java.nio.file.Path,
       branch: String, v: Long): DataFrame =
     branchMembers(root, branch, v)
-      .map(m => s.read.parquet(root.resolve(memberDir(m)).toString))
+      .map(m => s.read.parquet(memberPath(root, memberDir(m)).toString))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** One relation of a branch head as of branch version `v`. */
@@ -1802,7 +1878,7 @@ object ManifestStore {
       branch: String, fromV: Long, toV: Long): DataFrame = {
     val added = branchAddedLines(root, branch, fromV, toV)
     refuse(added.nonEmpty, s"no branch commits between $fromV and $toV")
-    s.read.parquet(added.map(m => root.resolve(memberDir(m)).toString): _*)
+    s.read.parquet(added.map(m => memberPath(root, memberDir(m)).toString): _*)
   }
 
   /** [[branchChanges]] restricted to one relation's lines. */
@@ -1812,7 +1888,7 @@ object ManifestStore {
       .filter(l => relTagOf(l) == rel)
     refuse(added.nonEmpty,
       s"no $rel branch commits between $fromV and $toV")
-    s.read.parquet(added.map(m => root.resolve(memberDir(m)).toString): _*)
+    s.read.parquet(added.map(m => memberPath(root, memberDir(m)).toString): _*)
   }
 
   private def branchAddedLines(root: java.nio.file.Path, branch: String,
@@ -1929,5 +2005,338 @@ object ManifestStore {
       }
     }
     sys.error(s"commit of $deltaDir lost $maxAttempts straight races; giving up")
+  }
+
+  // ---- point-lookup pruning ---------------------------------------------
+
+  /** The members a point lookup `key = value` must open, and the total
+    * — the pruning decision [[manifestSnapshotKeyEq]] reads through,
+    * surfaced separately so specs and audit columns can pin HOW MUCH
+    * was skipped, not only that the answer is right. A member is kept
+    * unless a sidecar PROVES the key absent: range stats whose
+    * [min, max] excludes it, or a bloom that rules it out. No sidecar
+    * = kept (stats prune, they never filter).
+    */
+  private[graft] def keyEqKeptMembers(root: java.nio.file.Path, key: String,
+      value: Long): (Seq[String], Int) = {
+    val v = committedManifest(root)
+      .getOrElse(sys.error(s"point lookup on an empty store: $root"))
+    val members = manifestMembers(root, v)
+    require(!members.exists(_.startsWith("~")),
+      "point-lookup-pruned reads are defined for append stores (no delete members)")
+    val kept = members.filter { m =>
+      val dir = memberDir(m)
+      dirStats(root, dir, key).forall { case (mn, mx) =>
+        value >= mn && value <= mx } &&
+        dirBloom(root, dir, key).forall(_.mightContainLong(value))
+    }
+    (kept, members.size)
+  }
+
+  /** POINT-LOOKUP read of an append store: members whose bloom or
+    * range sidecar proves `key != value` are never opened; the
+    * residual equality predicate still applies, so the answer is exact
+    * whichever sidecars exist — the same stats-prune-predicate-filters
+    * contract as [[manifestSnapshotRanged]], aimed at the lookup shape
+    * range stats cannot serve (hashed ids: every member spans the full
+    * range, the bloom rules out all but the one member holding the
+    * key). At 100 TB this is the difference between "find document X"
+    * reading one member and reading the store. Same upsert-key rule as
+    * the ranged read would apply; the append-only guard above keeps
+    * this entry point to the store family the fixture registers.
+    */
+  private[graft] def manifestSnapshotKeyEq(s: SparkSession,
+      root: java.nio.file.Path, key: String, value: Long): Option[DataFrame] =
+    committedManifest(root).map { _ =>
+      val (kept, _) = keyEqKeptMembers(root, key, value)
+      val base = if (kept.nonEmpty) kept
+        else manifestMembers(root, committedManifest(root).get).take(1)
+      val bounded = resolveMembers(s, root, base, None)
+        .where(col(key) === value)
+      if (kept.nonEmpty) bounded else bounded.limit(0)
+    }
+
+  // ---- positional-delete consolidation ----------------------------------
+
+  /** MAINTENANCE: consolidate every retained `~posdel` member into ONE
+    * — production's rewrite_position_delete_files. Each read of a
+    * posdel-carrying store broadcasts the UNION of all posdel members
+    * below every data member; a long-lived store taking periodic
+    * DELETE WHEREs accretes one member per delete and the read-side
+    * union grows with history, not with live tombstones. This commit
+    * reads the posdel members, MERGES touching/adjacent (file,
+    * start, end) ranges per file (the island-merge, computed in Spark
+    * — a window per file, never a driver loop), writes one fresh
+    * `posdel-v<batch>` member and republishes the member list with the
+    * old posdel lines removed. Data members untouched; position
+    * semantics are order-free (tombstones name physical rows), so the
+    * consolidated member's position in the list is immaterial —
+    * [[resolveMembers]] excludes posdel lines from the equality-delete
+    * segmentation before indexing. No-op below 2 posdel members.
+    */
+  private[graft] def commitConsolidatePosDeletes(s: SparkSession,
+      root: java.nio.file.Path, batchId: Long, retain: Int = 2): Unit = {
+    if (batchCommitted(root, batchId)) return
+    val outDir = s"posdel-v$batchId"
+    commitLoop(root, batchId, retain) { (cur, prior) =>
+      val pos = prior.filter(isPosDeleteLine)
+      if (pos.size < 2) None
+      else {
+        val pd = pos
+          .map(l => s.read.parquet(memberPath(root, memberDir(l)).toString))
+          .reduce(_ unionByName _)
+        val w = Window.partitionBy(col("file")).orderBy(col("start"))
+        val prevMax = max(col("end"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val fresh = when(prevMax.isNull || col("start") > prevMax + 1, 1)
+          .otherwise(0)
+        pd.withColumn("__island", sum(fresh).over(w))
+          .groupBy(col("file"), col("__island"))
+          .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+          .select(col("file"), col("start"), col("end"))
+          .write.mode("overwrite").parquet(root.resolve(outDir).toString)
+        Some(prior.filterNot(isPosDeleteLine) :+ s"~$outDir")
+      }
+    }
+    dropOwnOrphans(root, Seq(outDir))
+  }
+
+  // ---- metadata tables --------------------------------------------------
+
+  /** The store's SNAPSHOTS metadata table — one row per RETAINED main
+    * manifest version, oldest first: the observability surface
+    * production formats expose as `tbl$snapshots` / DESCRIBE HISTORY,
+    * and the substrate [[maintenancePlan]] advises from. Every column
+    * derives from manifest CONTENT (the member grammar plus the `#ts:`
+    * commit-time header) — no data file is opened, so the cost is a
+    * few manifest-sized reads bounded by RETENTION, identical at 60 k
+    * rows and at 100 TB. A version GC'd between the listing and the
+    * read is omitted (the same re-observe rule every concurrent reader
+    * follows).
+    */
+  private[graft] def metaSnapshots(s: SparkSession,
+      root: java.nio.file.Path): DataFrame = {
+    val rows: Seq[Row] = versionsOnDisk(root).sorted.flatMap { v =>
+      membersIfRetained(root, v).map { ms =>
+        Row(v, manifestTimestamp(root, v), ms.size.toLong,
+          ms.count(l => !l.startsWith("~")).toLong,
+          ms.count(l => l.startsWith("~") && !isPosDeleteLine(l)).toLong,
+          ms.count(isPosDeleteLine).toLong,
+          ms.map(relTagOf).distinct.size.toLong)
+      }
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("commit_ts", LongType, nullable = false),
+      StructField("n_members", LongType, nullable = false),
+      StructField("n_data", LongType, nullable = false),
+      StructField("n_eq_deletes", LongType, nullable = false),
+      StructField("n_pos_deletes", LongType, nullable = false),
+      StructField("n_relations", LongType, nullable = false))))
+  }
+
+  /** The MEMBERS metadata table of one retained version — a row per
+    * member line in manifest order: position, dir, relation tag, the
+    * grammar kind (data delta / fold base / equality delete /
+    * positional delete / external clone reference), physical size, and
+    * the stats sidecar verbatim. This is the table a 100 TB operator
+    * debugs from: which member is big, what a fold would absorb,
+    * whether pruning has stats to work with. Sizes come from dir
+    * listings here (local stat calls); an object-store deployment
+    * would record them in the manifest at commit like the stats
+    * sidecar — the surface, not the carrier, is the contract.
+    */
+  private[graft] def metaMembers(s: SparkSession, root: java.nio.file.Path,
+      v: Long): DataFrame = {
+    val rows: Seq[Row] = manifestMembers(root, v).zipWithIndex.map {
+      case (l, i) =>
+        val dir = memberDir(l)
+        val kind =
+          if (isPosDeleteLine(l)) "posdel"
+          else if (l.startsWith("~")) "eqdelete"
+          else if (dir.takeWhile(_ != '@').startsWith("base")) "base"
+          else "data"
+        val files = Option(memberPath(root, dir).toFile.listFiles())
+          .toSeq.flatten.filter(_.isFile)
+        val st = dirStatsRaw(root, dir)
+        Row(i.toLong, dir, relTagOf(l), kind, dir.contains("@"),
+          files.map(_.length()).sum, files.size.toLong,
+          st.map(_._1).orNull,
+          st.map(x => Long.box(x._2)).orNull,
+          st.map(x => Long.box(x._3)).orNull)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("ord", LongType, nullable = false),
+      StructField("member", StringType, nullable = false),
+      StructField("rel", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("external", org.apache.spark.sql.types.BooleanType,
+        nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("stats_key", StringType, nullable = true),
+      StructField("stats_min", LongType, nullable = true),
+      StructField("stats_max", LongType, nullable = true))))
+  }
+
+  // ---- shallow clone / snapshot export ----------------------------------
+
+  /** ZERO-COPY CLONE of a committed version into a fresh table dir —
+    * Delta's SHALLOW CLONE: the clone's first manifest lists the
+    * source's member dirs BY FULL PATH (`<dir>@<srcRoot>`,
+    * [[memberPath]]) and copies no data — O(manifest) at any corpus
+    * size. The clone is immediately a first-class store: it commits
+    * its own (local) deltas, folds, travels, GCs; its maintenance
+    * never deletes source dirs (every delete path skips `@` members),
+    * and stats/bloom sidecars travel with the references because they
+    * live inside the member dirs. Its first fold — or an explicit
+    * [[detachClone]] — materializes the external members locally,
+    * detaching it from the source. The documented production hazard
+    * applies verbatim: SOURCE-side maintenance (a fold that supersedes
+    * the referenced dirs followed by GC, or a vacuum) reclaims dirs
+    * the clone still references and the clone's reads break —
+    * exactly Delta's "vacuum on the source breaks shallow clones".
+    * ManifestStoreSpec pins the breakage AND the detach-first escape;
+    * a deployment detaches before source retention can fire, or pins
+    * the source version (a branch fork would pin it here).
+    */
+  private[graft] def cloneShallow(src: java.nio.file.Path,
+      dst: java.nio.file.Path, v: Long): Unit = {
+    require(committedManifest(dst).isEmpty, s"clone target not empty: $dst")
+    val srcAbs = src.toAbsolutePath.toString
+    require(!srcAbs.contains("@"), s"source path contains '@': $srcAbs")
+    val lines = manifestMembers(src, v).map { l =>
+      require(!memberDir(l).contains("@"),
+        s"clone of a clone must detach first: $l")
+      s"$l@$srcAbs"
+    }
+    java.nio.file.Files.createDirectories(dst)
+    require(tryPublishManifest(dst, 0L, lines),
+      s"clone commit lost a race on a supposedly fresh table: $dst")
+  }
+
+  /** Materialize every EXTERNAL member of a shallow clone locally (the
+    * deep-clone step): per relation, resolve the clone's snapshot and
+    * commit it as one local base — after which nothing references the
+    * source and source-side retention can never break this table.
+    * No-op when nothing external remains. `upsertKey` bakes the LWW
+    * window in exactly like a fold; `statsKey` re-derives the range
+    * sidecar for the new base so pruned reads keep pruning.
+    */
+  private[graft] def detachClone(s: SparkSession, root: java.nio.file.Path,
+      batchId: Long, upsertKey: Option[String] = None,
+      statsKey: Option[String] = None, retain: Int = 2): Unit = {
+    commitLoop(root, batchId, retain) { (cur, prior) =>
+      if (!prior.exists(_.contains("@"))) None
+      else Some(prior.map(relTagOf).distinct.map { t =>
+        val dir = if (t == "") s"base-d$batchId" else s"base-d$batchId-$t"
+        resolveMembers(s, root, relMemberLines(prior, t),
+          if (t == "") upsertKey else None)
+          .write.mode("overwrite").parquet(root.resolve(dir).toString)
+        statsKey.foreach(writeDirStats(s, root, dir, _))
+        if (t == "") dir else s"$t:$dir"
+      })
+    }
+    val own = Option(root.toFile.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(n => n == s"base-d$batchId" || n.startsWith(s"base-d$batchId-"))
+    dropOwnOrphans(root, own)
+  }
+
+  // ---- maintenance advisor ----------------------------------------------
+
+  /** The OPTIMIZE DRY-RUN: inspect the store's METADATA (manifests,
+    * sidecars, dir listings — never a data row) against a maintenance
+    * policy and emit one row per action due, with the same parameters
+    * the real maintenance entry points take — the advisor a 100 TB
+    * deployment runs on a schedule to decide, cheaply and centrally,
+    * which tables get a compaction (bin chosen by
+    * [[compactionPrefixByBytes]]'s byte-budget economics), a posdel
+    * consolidation ([[commitConsolidatePosDeletes]]), an age-based
+    * retention pass ([[gcExpired]] — expirable count derived from the
+    * `#ts:` commit-time headers, honouring the branch fork-pin floor
+    * and keep-newest), or an orphan vacuum ([[vacuumOrphans]] —
+    * age-gate applied with the SAME nowMs so the plan matches what the
+    * sweep would do). Deterministic given the manifests and `nowMs`,
+    * which is what lets a fixture pin the whole plan exactly. Empty
+    * plan = healthy store.
+    */
+  private[graft] def maintenancePlan(s: SparkSession,
+      root: java.nio.file.Path, compactTargetBytes: Long,
+      expireOlderThanMs: Long, vacuumOlderThanMs: Long, nowMs: Long,
+      maxPosDeleteMembers: Int = 1): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer[Row]()
+    committedManifest(root).foreach { v =>
+      val members = manifestMembers(root, v)
+      val nPos = members.count(isPosDeleteLine)
+      if (members.size >= 3 && !members.exists(_.startsWith("~")))
+        rows += Row("compact",
+          s"oldest:${compactionPrefixByBytes(root, compactTargetBytes)}",
+          "bin-packed leveled rewrite; newest member stays live")
+      if (nPos > maxPosDeleteMembers)
+        rows += Row("consolidate-posdels", s"members:$nPos",
+          "merge row-range tombstones into one member")
+      val floor = branchPublishFloor(root)
+      val expirable = versionsOnDisk(root).sorted.dropRight(1)
+        .takeWhile { u =>
+          (try manifestTimestamp(root, u)
+           catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }) <
+            nowMs - expireOlderThanMs && !floor.exists(u >= _)
+        }
+      if (expirable.nonEmpty)
+        rows += Row("expire", s"versions:${expirable.size}",
+          "age-based retention; newest and fork-pinned versions kept")
+      val referenced = versionsOnDisk(root)
+        .flatMap(u => membersIfRetained(root, u).getOrElse(Nil))
+        .map(memberDir).toSet ++ branchReferencedDirs(root)
+      val orphans = Option(root.toFile.listFiles()).toSeq.flatten
+        .count(f => f.getName.matches("(delta|base|del|posdel)-.+") &&
+          !referenced.contains(f.getName) &&
+          f.lastModified() < nowMs - vacuumOlderThanMs)
+      if (orphans > 0)
+        rows += Row("vacuum", s"dirs:$orphans",
+          "unreferenced write wreckage past the age gate")
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), StructType(Seq(
+      StructField("action", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("reason", StringType, nullable = false))))
+  }
+
+  /** The BRANCHES metadata table — one row per LIVE branch: name, fork
+    * version, branch head version, how many member lines it inherited
+    * from main at the fork, how many versions/member lines it has
+    * STAGED since, and the head's commit time (the same `#ts:` carrier
+    * [[dropStaleBranches]] sweeps by). This is the WAP observability a
+    * staging pipeline and its operators watch — "what is in flight,
+    * how much, since when" — and, like the other metadata tables, it
+    * derives from manifest content alone: O(live branches) tiny reads
+    * at any corpus size. Published or dropped branches have no
+    * manifests and therefore no row.
+    */
+  private[graft] def metaBranches(s: SparkSession,
+      root: java.nio.file.Path): DataFrame = {
+    val branches = Option(root.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(isBranchManifestName)
+      .map(_.stripPrefix("manifest-").takeWhile(_ != '-')).distinct.sorted
+    val rows: Seq[Row] = branches.flatMap { b =>
+      branchVersion(root, b).map { head =>
+        val lines =
+          try readManifestLines(root, s"manifest-$b-v$head")
+            .filterNot(_.startsWith("#"))
+          catch { case _: java.nio.file.NoSuchFileException => Nil }
+        val inherited = branchInherited(root, b, head)
+        Row(b, branchFork(root, b, head), head, inherited,
+          head + 1, lines.size.toLong - inherited,
+          branchManifestTimestamp(root, b, head))
+      }
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("inherited_members", LongType, nullable = false),
+      StructField("n_staged_versions", LongType, nullable = false),
+      StructField("n_staged_members", LongType, nullable = false),
+      StructField("head_ts", LongType, nullable = false))))
   }
 }

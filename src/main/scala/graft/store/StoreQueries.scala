@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.store.ManifestStore.{branchSnapshot, commitCompact, commitDelta, commitDeleteFile, commitDeletePos, commitDeltaBranch, commitDeltaMulti, committedManifest, dropBranch, emitPosDeletes, eraseFold, gcExpired, manifestMembers, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, publishBranch, retainedPredecessor, vacuumOrphans}
+import graft.store.ManifestStore.{branchSnapshot, cloneShallow, commitCompact, commitConsolidatePosDeletes, commitDelta, commitDeleteFile, commitDeletePos, commitDeltaBranch, commitDeltaMulti, committedManifest, detachClone, dropBranch, emitPosDeletes, eraseFold, gcExpired, keyEqKeptMembers, maintenancePlan, manifestMembers, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotKeyEq, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, manifestTimestamp, metaBranches, metaMembers, metaSnapshots, publishBranch, retainedPredecessor, vacuumOrphans}
 import graft.streaming.Streams.{ivfStreamReplay, sessionStreamReplay, sessionTombstones, shinglePostings, shingleStoreProbe, shingleStreamReplay, SessionFeedCut1Us, SessionFeedCut2Us}
 
 /** Store-LIFECYCLE queries — the registered showcases of the
@@ -1405,7 +1405,472 @@ object StoreQueries {
       .withColumn("n_by_day_rollup", lit(nDay))
   }
 
+  /** q341: STORE METADATA TABLES — the observability surface
+    * production formats expose as `tbl$snapshots` / `tbl$files`
+    * (Iceberg metadata tables, Delta DESCRIBE HISTORY/DETAIL), derived
+    * from manifest CONTENT only: no data file is opened, so the query
+    * costs a handful of manifest reads at ANY corpus size. Runs over
+    * q336's store (read-only — metadata reads never mutate): four
+    * retained versions, three data deltas plus one positional-delete
+    * member. The audit column folds in the snapshots side: versions
+    * 0..3 present, commit times STRICTLY increasing (the `#ts:` header
+    * contract), and the head version's member/kind tallies exact.
+    */
+  def metaTablesProbe: Q = (s, d) => {
+    val table = ensurePosDeleteDocStore(s, d)
+    val snaps = metaSnapshots(s, table).orderBy(col("version")).collect()
+    val tsMono = snaps.map(_.getLong(1)).sliding(2)
+      .forall(a => a.length < 2 || a(0) < a(1))
+    val head = snaps.last
+    val consistent = snaps.map(_.getLong(0)).toSeq == (0L to 3L) && tsMono &&
+      head.getLong(2) == 4 && head.getLong(3) == 3 &&
+      head.getLong(4) == 0 && head.getLong(5) == 1 && head.getLong(6) == 1
+    metaMembers(s, table, head.getLong(0))
+      .select(col("ord"), col("member"), col("kind"),
+        (col("bytes") > 0 && col("n_files") > 0).as("bytes_positive"),
+        lit(consistent).as("snapshots_consistent"))
+  }
+
+  /** The q342 store: q336's shape with TWO successive DELETE WHEREs
+    * (n_words % 7, then % 5 over the survivors), then the
+    * rewrite_position_delete_files maintenance
+    * ([[graft.store.ManifestStore.commitConsolidatePosDeletes]]):
+    * both tombstone members merge into ONE with touching ranges
+    * island-merged, data members never rewritten.
+    */
+  private val posDel2Lock = new Object
+
+  def ensureConsolidatedPosDelStore(s: SparkSession, d: String): java.nio.file.Path =
+    posDel2Lock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-posdel2-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach(i => commitDelta(table, docWordsBucket(s, d, i),
+          i.toLong, retain = 9))
+        commitDeletePos(table,
+          emitPosDeletes(s, table, pmod(col("n_words"), lit(7)) === 0), 3L,
+          retain = 9)
+        commitDeletePos(table,
+          emitPosDeletes(s, table, pmod(col("n_words"), lit(5)) === 0), 4L,
+          retain = 9)
+        commitConsolidatePosDeletes(s, table, 5L, retain = 9)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q342: CONSOLIDATED POSITION DELETES — after two DELETE WHEREs and
+    * the consolidation commit, the store serves both filters through
+    * ONE merged tombstone member (reads broadcast one posdel union,
+    * not one per historical DELETE), and the audit pins the final
+    * member list: the three original data deltas, provably
+    * unrewritten, plus exactly `~posdel-v5`. ManifestStoreSpec pins
+    * the island-merge itself (adjacent ranges fuse) and read equality
+    * before/after.
+    */
+  def consolidatedPosDelProbe: Q = (s, d) => {
+    val table = ensureConsolidatedPosDelStore(s, d)
+    val members = manifestMembers(table,
+      committedManifest(table).getOrElse(sys.error("no committed version")))
+    val consolidated = members ==
+      Seq("delta-v0", "delta-v1", "delta-v2", "~posdel-v5")
+    manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed doc-stats snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(consolidated).as("tombstones_consolidated"))
+  }
+
+  /** The q343 stores: a source doc-stats store, a ZERO-COPY SHALLOW
+    * CLONE of its head ([[graft.store.ManifestStore.cloneShallow]] —
+    * the clone's manifest lists the source's member dirs by full
+    * path, no data copied), a LOCAL commit on the clone (divergence —
+    * the source must not move), then [[graft.store.ManifestStore
+    * .detachClone]] (deep-clone step), then source-side maintenance
+    * fires HARD (fold to one base + retain=1 GC, reclaiming every dir
+    * the clone had referenced). The detached clone must not care —
+    * that ordering is exactly the production discipline shallow clones
+    * demand (Delta documents that vacuum on the source breaks them;
+    * ManifestStoreSpec pins the breakage on an UNdetached clone).
+    */
+  private val cloneLock = new Object
+
+  def ensureClonedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    cloneLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-clone-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val src = root.resolve("src")
+        val clone = root.resolve("clone")
+        Files.createDirectories(src)
+        (0 to 2).foreach(i => commitDelta(src, docWordsBucket(s, d, i),
+          i.toLong, retain = 9, statsKey = Some("doc_id")))
+        cloneShallow(src, clone,
+          committedManifest(src).getOrElse(sys.error("empty source")))
+        val srcHead = committedManifest(src)
+        val srcFiles = Option(src.toFile.listFiles()).toSeq.flatten
+          .map(_.getName).sorted
+        commitDelta(clone, docWordsBucket(s, d, 0), 10L, retain = 9)
+        val untouched = committedManifest(src) == srcHead &&
+          Option(src.toFile.listFiles()).toSeq.flatten
+            .map(_.getName).sorted == srcFiles
+        detachClone(s, clone, 11L, statsKey = Some("doc_id"), retain = 9)
+        // source maintenance: fold everything to one base, retain=1 —
+        // every dir the shallow clone referenced is reclaimed
+        commitDelta(src, docWordsBucket(s, d, 1), 12L, foldAfter = 1,
+          retain = 1)
+        graft.Tables.atomicWrite(root, "AUDIT",
+          if (untouched) "src-untouched" else "SRC-MOVED")
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root
+    }
+
+  /** q343: SHALLOW CLONE → local divergence → DETACH → source GC — the
+    * clone serves its own lineage (the cloned corpus plus its local
+    * delta) AFTER the source reclaimed every referenced dir; the audit
+    * pins that the clone's commit left the source byte-untouched and
+    * that the detach left no external member behind.
+    */
+  def clonedStoreProbe: Q = (s, d) => {
+    val root = ensureClonedDocStatsStore(s, d)
+    val clone = root.resolve("clone")
+    val untouched = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("AUDIT")), "UTF-8").trim == "src-untouched"
+    val members = manifestMembers(clone,
+      committedManifest(clone).getOrElse(sys.error("no committed clone")))
+    val detached = members == Seq("base-d11")
+    manifestSnapshot(s, clone)
+      .getOrElse(sys.error("no committed clone snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(untouched).as("src_untouched"),
+        lit(detached).as("clone_detached"))
+  }
+
+  /** The q344 store: three commits bucketed by doc_id % 3 with BOTH
+    * sidecars (range stats + bloom) on the key. The buckets interleave
+    * over the whole id range, so [min, max] stats can prune almost
+    * nothing — the shape hashed or round-robin ids always produce —
+    * and the bloom is what rules members out.
+    */
+  private val bloomStoreLock = new Object
+
+  def ensureBloomDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    bloomStoreLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-bloom-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach(i => commitDelta(table, docWordsBucket(s, d, i),
+          i.toLong, retain = 9, statsKey = Some("doc_id"), statsBloom = true))
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q344: BLOOM-PRUNED POINT LOOKUPS — `doc_id IN (1, 2, 3)` served
+    * as three [[graft.store.ManifestStore.manifestSnapshotKeyEq]]
+    * lookups. Each key lives in exactly one member, but every member
+    * SPANS the full id range (interleaved buckets), so range stats
+    * keep everything — the bloom sidecar is what skips members, and
+    * the audit pins that it did (strictly fewer member opens than
+    * lookups × members, never zero for any key). Exactness does not
+    * ride on the bloom: a false positive is only a wasted read, and
+    * the residual predicate always applies.
+    */
+  def bloomLookupProbe: Q = (s, d) => {
+    val table = ensureBloomDocStatsStore(s, d)
+    val keys = Seq(1L, 2L, 3L)
+    val kept = keys.map(k => keyEqKeptMembers(table, "doc_id", k))
+    val pruned = kept.map(_._1.size).sum < kept.map(_._2).sum &&
+      kept.forall(_._1.nonEmpty)
+    keys.map(k => manifestSnapshotKeyEq(s, table, "doc_id", k)
+        .getOrElse(sys.error("no committed bloom store")))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), col("n_words"), lit(pruned).as("bloom_pruned"))
+  }
+
+  /** The q345 store: a deliberately unhealthy table — four data
+    * deltas, TWO posdel members, six manifests all retained, plus one
+    * unreferenced wreckage dir — so the maintenance advisor has every
+    * finding to make.
+    */
+  private val adviseLock = new Object
+
+  def ensureAdvisedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    adviseLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-advise-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach(i => commitDelta(table, docWordsBucket(s, d, i),
+          i.toLong, retain = 9))
+        commitDelta(table, docWordsBucket(s, d, 0), 3L, retain = 9)
+        commitDeletePos(table,
+          emitPosDeletes(s, table, pmod(col("n_words"), lit(7)) === 0), 4L,
+          retain = 9)
+        commitDeletePos(table,
+          emitPosDeletes(s, table, pmod(col("n_words"), lit(5)) === 0), 5L,
+          retain = 9)
+        // wreckage: an unreferenced delta dir aged an hour (a crashed
+        // writer's, long dead) AND a fresh one (possibly an in-flight
+        // writer's) — the advisor's age gate must count the first and
+        // skip the second, the same discrimination vacuumOrphans
+        // itself applies (dir mtime IS that gate's carrier, by design)
+        Files.createDirectories(table.resolve("delta-v99"))
+        Files.write(table.resolve("delta-v99").resolve("part-0.parquet"),
+          Array[Byte](0)): Unit
+        table.resolve("delta-v99").toFile
+          .setLastModified(System.currentTimeMillis() - 3600L * 1000): Unit
+        Files.createDirectories(table.resolve("delta-v98"))
+        Files.write(table.resolve("delta-v98").resolve("part-0.parquet"),
+          Array[Byte](0)): Unit
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q345: MAINTENANCE ADVISOR — the OPTIMIZE dry-run
+    * ([[graft.store.ManifestStore.maintenancePlan]]) over two stores:
+    * the healthy-but-leveled q337 store (three deltas, no deletes →
+    * one bin-packed compaction bin) and the deliberately unhealthy
+    * advise store (two posdel members → consolidate; versions 0..2
+    * aged past the cutoff → expire 3, newest kept; of two
+    * unreferenced wreckage dirs only the hour-old one passes the
+    * 30-minute vacuum age gate → vacuum 1, the fresh dir — possibly an
+    * in-flight writer's — correctly spared). The expire cutoff derives from the
+    * store's OWN recorded `#ts:` commit times (nothing wall-clock in
+    * the output), so the full plan is exact at every scale factor.
+    */
+  def maintenancePlanProbe: Q = (s, d) => {
+    val healthy = ensureHintedDocStatsStore(s, d)
+    val sick = ensureAdvisedDocStatsStore(s, d)
+    // AFTER the ensures: on a fresh build the wreckage dir's mtime
+    // must already be in the past when the advisor's age gate reads it
+    val nowMs = System.currentTimeMillis()
+    // expire versions with ts <= ts(v2): cutoff just above v2's time
+    val cutoff = nowMs - manifestTimestamp(sick, 2L) - 1
+    maintenancePlan(s, healthy, compactTargetBytes = Long.MaxValue / 2,
+        expireOlderThanMs = Long.MaxValue / 2,
+        vacuumOlderThanMs = Long.MaxValue / 2, nowMs = nowMs)
+      .withColumn("store", lit("hinted"))
+      .unionByName(
+        maintenancePlan(s, sick, compactTargetBytes = Long.MaxValue / 2,
+          expireOlderThanMs = cutoff, vacuumOlderThanMs = 30L * 60 * 1000,
+          nowMs = nowMs)
+          .withColumn("store", lit("advise")))
+      .select(col("store"), col("action"), col("target"), col("reason"))
+  }
+
+  /** The q346 store: q345's sick shape rebuilt as its OWN replica,
+    * then the advisor's plan APPLIED inside the build — consolidate
+    * (the one posdel member), expire (the three aged versions), vacuum
+    * (the hour-old wreckage, the fresh dir spared) — and the advisor
+    * re-run: the plan must converge to EMPTY while the store still
+    * serves every surviving row. Plan-before and plan-after are
+    * recorded in an AUDIT file at build time (seconds after creation,
+    * so the age gates read the same reality the plan did).
+    */
+  private val maintainLock = new Object
+
+  def ensureMaintainedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    maintainLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-maintain-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach(i => commitDelta(table, docWordsBucket(s, d, i),
+          i.toLong, retain = 9))
+        commitDelta(table, docWordsBucket(s, d, 0), 3L, retain = 9)
+        commitDeletePos(table,
+          emitPosDeletes(s, table, pmod(col("n_words"), lit(7)) === 0), 4L,
+          retain = 9)
+        commitDeletePos(table,
+          emitPosDeletes(s, table, pmod(col("n_words"), lit(5)) === 0), 5L,
+          retain = 9)
+        Files.createDirectories(table.resolve("delta-v99"))
+        Files.write(table.resolve("delta-v99").resolve("part-0.parquet"),
+          Array[Byte](0)): Unit
+        table.resolve("delta-v99").toFile
+          .setLastModified(System.currentTimeMillis() - 3600L * 1000): Unit
+        Files.createDirectories(table.resolve("delta-v98"))
+        Files.write(table.resolve("delta-v98").resolve("part-0.parquet"),
+          Array[Byte](0)): Unit
+        val nowMs = System.currentTimeMillis()
+        val cutoff = nowMs - manifestTimestamp(table, 2L) - 1
+        def planStr(t: Long) = maintenancePlan(s, table,
+            compactTargetBytes = Long.MaxValue / 2, expireOlderThanMs = cutoff,
+            vacuumOlderThanMs = 30L * 60 * 1000, nowMs = t)
+          .orderBy("action").collect()
+          .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(",")
+        val before = planStr(nowMs)
+        // APPLY the plan, action for action
+        commitConsolidatePosDeletes(s, table, 6L, retain = 9)
+        gcExpired(table, cutoff, nowMs): Unit
+        vacuumOrphans(table, 30L * 60 * 1000, nowMs): Unit
+        // the SAME frozen nowMs: the re-plan asks "is anything still
+        // due as of the moment the plan was made", not "did time pass
+        // while we applied it"
+        val after = planStr(nowMs)
+        graft.Tables.atomicWrite(root, "AUDIT", s"before[$before] after[$after]")
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root
+    }
+
+  /** q346: MAINTENANCE CONVERGENCE — the advisor\'s plan, applied,
+    * leaves a store the advisor calls healthy: plan-before names
+    * {consolidate, expire, vacuum}, plan-after is EMPTY, the fresh
+    * wreckage dir survived the vacuum\'s age gate, and the store
+    * serves its survivors bit-for-bit. The advise→apply→re-advise loop
+    * is what a 100 TB deployment actually schedules; this cell pins
+    * that the loop CLOSES instead of advising forever.
+    */
+  def maintainedStoreProbe: Q = (s, d) => {
+    val root = ensureMaintainedDocStatsStore(s, d)
+    val table = root.resolve("table")
+    val audit = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("AUDIT")), "UTF-8").trim
+    val converged = audit ==
+      "before[consolidate-posdels=members:2,expire=versions:3,vacuum=dirs:1] after[]" &&
+      java.nio.file.Files.exists(table.resolve("delta-v98")) &&
+      !java.nio.file.Files.exists(table.resolve("delta-v99"))
+    manifestSnapshot(s, table)
+      .getOrElse(sys.error("no committed maintained snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(converged).as("plan_converged"))
+  }
+
+  /** The q347 store: two main commits, then a branch staging two more
+    * batches that stays LIVE (never published) — the fixture for the
+    * branches metadata table.
+    */
+  private val branchMetaLock = new Object
+
+  def ensureBranchedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    branchMetaLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-branchmeta-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        commitDelta(table, docWordsBucket(s, d, 0), 0L, retain = 9)
+        commitDelta(table, docWordsBucket(s, d, 1), 1L, retain = 9)
+        commitDeltaBranch(table, "audit", docWordsBucket(s, d, 2), 2L)
+        commitDeltaBranch(table, "audit", docWordsBucket(s, d, 0), 3L)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q347: BRANCHES METADATA TABLE — the WAP observability surface
+    * ([[graft.store.ManifestStore.metaBranches]]): one live branch,
+    * forked at main v1 with 2 inherited member lines, 2 staged
+    * versions carrying 2 staged member lines — every column from
+    * manifest content. The staged-row count cross-checks the branch
+    * head snapshot against the corpus (inherited buckets 0, 1 plus
+    * staged buckets 2 and 0-again).
+    */
+  def branchMetaProbe: Q = (s, d) => {
+    val table = ensureBranchedDocStatsStore(s, d)
+    val nBranchRows = branchSnapshot(s, table, "audit")
+      .getOrElse(sys.error("no branch head")).count()
+    metaBranches(s, table)
+      .select(col("branch"), col("fork"), col("head_version"),
+        col("inherited_members"), col("n_staged_versions"),
+        col("n_staged_members"))
+      .withColumn("n_branch_rows", lit(nBranchRows))
+  }
+
+  /** The q348 stores: a MULTI-RELATION source (ev rows + day rollup,
+    * the q333/q340 shape) shallow-cloned, detached per relation, then
+    * extended with the clone\'s own multi-rel commit while the SOURCE
+    * takes a fold + hard retention that reclaims every dir the
+    * shallow manifest had referenced — the multi-relation face of
+    * q343\'s lifecycle.
+    */
+  private val cloneRelLock = new Object
+
+  def ensureClonedEventRelStore(s: SparkSession, d: String): java.nio.file.Path =
+    cloneRelLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-eventlog-clone-${graft.Tables.datasetTag(d, "events")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val src = root.resolve("src")
+        val clone = root.resolve("clone")
+        Files.createDirectories(src)
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"))
+        def rels(i: Int) = {
+          val b = ev.where(pmod(col("event_id"), lit(3)) === i)
+          Map("ev" -> b,
+            "day" -> b.groupBy(expr(s"t_us div $DayUs * $DayUs").as("day_us"))
+              .agg(count(lit(1)).as("n")))
+        }
+        commitDeltaMulti(src, rels(0), 0L, retain = 9)
+        commitDeltaMulti(src, rels(1), 1L, retain = 9)
+        cloneShallow(src, clone,
+          committedManifest(src).getOrElse(sys.error("empty source")))
+        detachClone(s, clone, 5L, retain = 9)
+        commitDeltaMulti(clone, rels(2), 6L, retain = 9)
+        // source maintenance reclaims everything the clone referenced
+        commitDeltaMulti(src, rels(2), 7L, foldAfter = 1, retain = 1)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root
+    }
+
+  /** q348: MULTI-RELATION SHALLOW CLONE — after the per-relation
+    * detach and the source\'s reclaim, the clone serves the FULL event
+    * corpus on the ev relation while its day relation\'s rollup
+    * re-derives the same count; the audit pins that no member is
+    * external anymore.
+    */
+  def clonedRelStoreProbe: Q = (s, d) => {
+    import graft.store.ManifestStore.manifestSnapshotRel
+    val root = ensureClonedEventRelStore(s, d)
+    val clone = root.resolve("clone")
+    val members = manifestMembers(clone,
+      committedManifest(clone).getOrElse(sys.error("no committed clone")))
+    val detached = members.forall(!_.contains("@"))
+    val nDay = manifestSnapshotRel(s, clone, "day")
+      .getOrElse(sys.error("no day relation"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long")).collect()(0).getLong(0)
+    manifestSnapshotRel(s, clone, "ev")
+      .getOrElse(sys.error("no ev relation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("key_checksum"))
+      .withColumn("n_by_day_rollup", lit(nDay))
+      .withColumn("clone_detached", lit(detached))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q346_maintenance_convergence" -> maintainedStoreProbe,
+    "q347_branch_metadata" -> branchMetaProbe,
+    "q348_multirel_shallow_clone" -> clonedRelStoreProbe,
+    "q341_meta_tables" -> metaTablesProbe,
+    "q342_posdel_consolidation" -> consolidatedPosDelProbe,
+    "q343_shallow_clone" -> clonedStoreProbe,
+    "q344_bloom_point_lookup" -> bloomLookupProbe,
+    "q345_maintenance_plan" -> maintenancePlanProbe,
     "q339_ivf_assign_changelog" -> ivfAssignChangelogProbe,
     "q340_pos_delete_rel" -> posDeleteRelProbe,
     "q310_erasure_folded_shingle" -> erasureFoldedStreamShingleProbe,
@@ -1610,6 +2075,96 @@ object StoreQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_changed,
         |  CAST(sum(vec_id) AS BIGINT) AS vec_checksum
         |FROM embeddings WHERE vec_id % 3 = 2""".stripMargin,
+    // the members metadata table of q336's store head, verbatim: the
+    // grammar kinds and manifest order are part of the protocol's
+    // contract, so the whole table is literally enumerable — plus the
+    // snapshots-side audit (versions 0..3, strictly increasing commit
+    // times, exact member tallies) folded into one column
+    "q341_meta_tables" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'delta-v0', 'data', TRUE, TRUE),
+        |  (CAST(1 AS BIGINT), 'delta-v1', 'data', TRUE, TRUE),
+        |  (CAST(2 AS BIGINT), 'delta-v2', 'data', TRUE, TRUE),
+        |  (CAST(3 AS BIGINT), 'posdel-v3', 'posdel', TRUE, TRUE))
+        |  t(ord, member, kind, bytes_positive, snapshots_consistent)""".stripMargin,
+    // two DELETE WHEREs served through ONE consolidated tombstone
+    // member; the data members provably unrewritten
+    "q342_posdel_consolidation" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS tombstones_consolidated
+        |FROM documents
+        |WHERE CAST(len(string_split(text, ' ')) AS BIGINT) % 7 <> 0
+        |  AND CAST(len(string_split(text, ' ')) AS BIGINT) % 5 <> 0""".stripMargin,
+    // the detached clone = the cloned corpus plus its own local delta
+    // (bucket 0 again), alive after the source reclaimed every dir the
+    // shallow manifest had referenced
+    "q343_shallow_clone" ->
+      """SELECT doc_id, n_words, TRUE AS src_untouched,
+        |  TRUE AS clone_detached FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+    // three point lookups, each served by (almost always) one member
+    // open out of three — the bloom sidecar's pruning pinned by the
+    // audit column, exactness by the rows
+    "q344_bloom_point_lookup" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS bloom_pruned
+        |FROM documents WHERE doc_id IN (1, 2, 3)""".stripMargin,
+    // the advise→apply→re-advise loop closes: the applied plan leaves
+    // an empty plan, and the store serves its survivors exactly
+    "q346_maintenance_convergence" ->
+      """SELECT doc_id, n_words, TRUE AS plan_converged FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |WHERE n_words % 7 <> 0 AND n_words % 5 <> 0""".stripMargin,
+    // the live branch's whole metadata row from manifest content, plus
+    // the head-snapshot row count cross-checked against the corpus
+    // (inherited buckets 0 and 1, staged buckets 2 and 0-again)
+    "q347_branch_metadata" ->
+      """SELECT 'audit' AS branch, CAST(1 AS BIGINT) AS fork,
+        |  CAST(1 AS BIGINT) AS head_version,
+        |  CAST(2 AS BIGINT) AS inherited_members,
+        |  CAST(2 AS BIGINT) AS n_staged_versions,
+        |  CAST(2 AS BIGINT) AS n_staged_members,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) +
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 3 = 0) AS n_branch_rows""".stripMargin,
+    // the detached multi-rel clone serves the full corpus on ev while
+    // its day rollup re-derives the same count, the source long since
+    // reclaimed
+    "q348_multirel_shallow_clone" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS key_checksum,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_by_day_rollup,
+        |  TRUE AS clone_detached
+        |FROM events""".stripMargin,
+    // the advisor's full output across both stores, literally: one
+    // compaction bin on the healthy store; consolidate + expire +
+    // vacuum on the sick one — derived from manifests and the stores'
+    // own recorded commit times, so exact at every scale factor
+    "q345_maintenance_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('hinted', 'compact', 'oldest:2',
+        |   'bin-packed leveled rewrite; newest member stays live'),
+        |  ('advise', 'consolidate-posdels', 'members:2',
+        |   'merge row-range tombstones into one member'),
+        |  ('advise', 'expire', 'versions:3',
+        |   'age-based retention; newest and fork-pinned versions kept'),
+        |  ('advise', 'vacuum', 'dirs:1',
+        |   'unreferenced write wreckage past the age gate'))
+        |  t(store, action, target, reason)""".stripMargin,
     // the ev relation serves the filtered recompute; the day rollup
     // still rolls up the FULL corpus (the delete was rel-scoped)
     "q340_pos_delete_rel" ->

@@ -1196,4 +1196,255 @@ class ManifestStoreSpec extends SparkSpec {
     assert(rx.queryExecution.executedPlan.toString.contains("delta-v0-x"))
     graft.Tables.deleteRecursively(mrr.toFile)
   }
+
+  test("metadata tables: snapshots and members derive from manifest content alone") {
+    val mt = tmpStore()
+    ManifestStore.commitDelta(mt, b((1L, 10L)), 0L, retain = 9,
+      statsKey = Some("k"))
+    ManifestStore.commitDelta(mt, b((2L, 20L)), 1L, retain = 9,
+      statsKey = Some("k"))
+    ManifestStore.commitDeleteFile(mt, b((1L, 0L)).select("k"), 2L,
+      retain = 9)
+    val snaps = ManifestStore.metaSnapshots(spark, mt)
+      .orderBy("version").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(snaps.map(_.getLong(1)).sliding(2).forall(a => a(0) < a(1)),
+      "commit_ts must be strictly increasing (the #ts header contract)")
+    // head version: 2 data members + 1 equality delete, single relation
+    val head = snaps.last
+    assert((head.getLong(2), head.getLong(3), head.getLong(4),
+      head.getLong(5), head.getLong(6)) === ((3L, 2L, 1L, 0L, 1L)))
+    val mem = ManifestStore.metaMembers(spark, mt, 2L).orderBy("ord").collect()
+    assert(mem.map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq ===
+      Seq((0L, "delta-v0", "data"), (1L, "delta-v1", "data"),
+        (2L, "del-v2", "eqdelete")))
+    assert(mem.forall(r => !r.getBoolean(4)), "nothing external here")
+    assert(mem.forall(r => r.getLong(5) > 0 && r.getLong(6) > 0),
+      "bytes and file counts come from the dir listing")
+    // the stats sidecar is surfaced verbatim on the stat-keyed members
+    assert(mem.take(2).forall(r => r.getString(7) == "k"))
+    assert((mem(0).getLong(8), mem(0).getLong(9)) === ((1L, 1L)))
+    // a fold flips the kind to base and the tallies to one member
+    ManifestStore.commitDelta(mt, b((3L, 30L)), 3L, retain = 9, foldAfter = 2)
+    val mem2 = ManifestStore.metaMembers(spark, mt,
+      ManifestStore.committedManifest(mt).get).collect()
+    assert(mem2.map(r => (r.getString(1), r.getString(3))).toSeq ===
+      Seq(("base-v3", "base")))
+    graft.Tables.deleteRecursively(mt.toFile)
+  }
+
+  test("posdel consolidation: island-merge to one member, reads identical, replay and below-2 no-ops, changelog refuses") {
+    val pc = tmpStore()
+    // one data member written as ONE ordered file so row positions are
+    // crafted: k=10..14 at positions 0..4
+    ManifestStore.commitDelta(pc,
+      b((10L, 100L), (11L, 110L), (12L, 120L), (13L, 130L), (14L, 140L))
+        .repartition(1).sortWithinPartitions("k"), 0L, retain = 9)
+    val f = spark.read.parquet(pc.resolve("delta-v0").toString)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .head.getString(0)
+    def ranges(rs: (String, Long, Long)*) =
+      spark.createDataFrame(rs).toDF("file", "start", "end")
+    ManifestStore.commitDeletePos(pc, ranges((f, 0L, 1L)), 1L, retain = 9)
+    ManifestStore.commitDeletePos(pc, ranges((f, 2L, 3L)), 2L, retain = 9)
+    val before = rows(ManifestStore.manifestSnapshot(spark, pc).get)
+    assert(before === Set((14L, 140L)))
+    ManifestStore.commitConsolidatePosDeletes(spark, pc, 3L, retain = 9)
+    assert(ManifestStore.manifestMembers(pc,
+      ManifestStore.committedManifest(pc).get) ===
+      Seq("delta-v0", "~posdel-v3"))
+    assert(rows(ManifestStore.manifestSnapshot(spark, pc).get) === before,
+      "consolidation is a pure tombstone rewrite")
+    // ADJACENT ranges fused into one island: (0,1)+(2,3) -> (0,3)
+    val merged = spark.read.parquet(pc.resolve("posdel-v3").toString)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === Seq((0L, 3L)), s"island-merge must fuse touching ranges: $merged")
+    // replayed batch id: a no-op (the member is referenced)
+    ManifestStore.commitConsolidatePosDeletes(spark, pc, 3L, retain = 9)
+    assert(ManifestStore.committedManifest(pc).contains(3L))
+    // below 2 posdel members: nothing to consolidate, no new version
+    ManifestStore.commitConsolidatePosDeletes(spark, pc, 4L, retain = 9)
+    assert(ManifestStore.committedManifest(pc).contains(3L))
+    // the member list was rewritten under any changelog consumer whose
+    // cursor predates the consolidation: refuse to the diff fallback
+    intercept[ManifestStore.RewriteRefusedException] {
+      ManifestStore.manifestChanges(spark, pc, 1L, 3L)
+    }
+    graft.Tables.deleteRecursively(pc.toFile)
+  }
+
+  test("shallow clone: zero-copy equality, divergence isolation, clone GC never touches source, detach survives source GC, undetached clone breaks") {
+    val src = tmpStore()
+    ManifestStore.commitDelta(src, b((1L, 10L)), 0L, retain = 9,
+      statsKey = Some("k"))
+    ManifestStore.commitDelta(src, b((2L, 20L)), 1L, retain = 9,
+      statsKey = Some("k"))
+    // clone reads the cloned version verbatim, through FULL-PATH
+    // external member references — no data copied into the clone dir
+    val c1 = tmpStore()
+    ManifestStore.cloneShallow(src, c1, 1L)
+    assert(rows(ManifestStore.manifestSnapshot(spark, c1).get) ===
+      Set((1L, 10L), (2L, 20L)))
+    assert(dirs(c1, "(delta|base).*") === Set.empty,
+      "a shallow clone holds no data dirs")
+    val memExt = ManifestStore.metaMembers(spark, c1, 0L).collect()
+    assert(memExt.forall(_.getBoolean(4)), "members are external references")
+    // the source sidecars travel with the references: ranged reads on
+    // the CLONE prune through the source-written stats
+    val pruned = ManifestStore.manifestSnapshotRanged(spark, c1,
+      "k", 2L, 2L).get
+    assert(rows(pruned) === Set((2L, 20L)))
+    assert(pruned.inputFiles.forall(_.contains("delta-v1")),
+      s"stats must prune the out-of-range external member: ${pruned.inputFiles.toSeq}")
+    // divergence isolation: a commit on the clone moves only the clone
+    val srcListing = Option(src.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).sorted
+    ManifestStore.commitDelta(c1, b((3L, 30L)), 5L, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, c1).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(Option(src.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).sorted === srcListing,
+      "the clone's commit must leave the source byte-untouched")
+    // a clone of an undetached clone must refuse (chained @ grammar)
+    intercept[IllegalArgumentException] {
+      ManifestStore.cloneShallow(c1, tmpStore(), 1L)
+    }
+    // DETACH: one local base absorbs externals and local deltas alike;
+    // stats re-derived so pruned reads keep pruning
+    ManifestStore.detachClone(spark, c1, 6L, statsKey = Some("k"), retain = 9)
+    assert(ManifestStore.manifestMembers(c1,
+      ManifestStore.committedManifest(c1).get) === Seq("base-d6"))
+    assert(rows(ManifestStore.manifestSnapshot(spark, c1).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // clone-side GC after detach: the dropped manifests reference the
+    // external dirs, and the @ guard keeps the deletes clone-local
+    ManifestStore.gcDropped(c1, retain = 1)
+    assert(java.nio.file.Files.exists(src.resolve("delta-v0")) &&
+      java.nio.file.Files.exists(src.resolve("delta-v1")),
+      "clone maintenance must never reclaim source dirs")
+    // a second, UNDETACHED clone rides the source's dirs — source-side
+    // maintenance (fold + hard retention) reclaims them and the
+    // shallow read breaks: the documented production hazard, and why
+    // detach-before-source-retention is the deployment rule
+    val c2 = tmpStore()
+    ManifestStore.cloneShallow(src, c2, 1L)
+    ManifestStore.commitDelta(src, b((9L, 90L)), 7L, foldAfter = 1, retain = 1)
+    assert(!java.nio.file.Files.exists(src.resolve("delta-v0")),
+      "precondition: source retention reclaimed the referenced dir")
+    intercept[Exception] {
+      ManifestStore.manifestSnapshot(spark, c2).get.collect()
+    }
+    // the detached clone does not care
+    assert(rows(ManifestStore.manifestSnapshot(spark, c1).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // detach on an upsert clone bakes the LWW window in
+    val us = tmpStore()
+    ManifestStore.commitDelta(us, b((1L, 10L), (2L, 20L)), 0L,
+      upsertKey = Some("k"), retain = 9)
+    ManifestStore.commitDelta(us, b((1L, 11L)), 1L,
+      upsertKey = Some("k"), retain = 9)
+    val uc = tmpStore()
+    ManifestStore.cloneShallow(us, uc, 1L)
+    ManifestStore.detachClone(spark, uc, 2L, upsertKey = Some("k"), retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, uc, Some("k")).get) ===
+      Set((1L, 11L), (2L, 20L)))
+    Seq(src, c1, c2, us, uc).foreach(p => graft.Tables.deleteRecursively(p.toFile))
+  }
+
+  test("bloom point lookup: blooms prune where range stats cannot, sidecar-free members never pruned, exact everywhere") {
+    val bl = tmpStore()
+    // interleaved keys: every member spans the full range, so [min,max]
+    // keeps everything and only the bloom can skip members
+    ManifestStore.commitDelta(bl, b((1L, 10L), (4L, 40L)), 0L, retain = 9,
+      statsKey = Some("k"), statsBloom = true)
+    ManifestStore.commitDelta(bl, b((2L, 20L), (5L, 50L)), 1L, retain = 9,
+      statsKey = Some("k"), statsBloom = true)
+    ManifestStore.commitDelta(bl, b((3L, 30L), (6L, 60L)), 2L, retain = 9,
+      statsKey = Some("k"), statsBloom = true)
+    val (kept, total) = ManifestStore.keyEqKeptMembers(bl, "k", 2L)
+    assert(total === 3 && kept === Seq("delta-v1"),
+      s"the bloom must isolate the one member holding k=2: $kept")
+    val hit = ManifestStore.manifestSnapshotKeyEq(spark, bl, "k", 2L).get
+    assert(rows(hit) === Set((2L, 20L)))
+    assert(hit.inputFiles.forall(_.contains("delta-v1")),
+      s"only the kept member may be opened: ${hit.inputFiles.toSeq}")
+    // a key outside every recorded range: range stats alone prune ALL
+    // members and the lookup is exactly empty
+    val (kept9, _) = ManifestStore.keyEqKeptMembers(bl, "k", 9L)
+    assert(kept9 === Seq.empty)
+    assert(ManifestStore.manifestSnapshotKeyEq(spark, bl, "k", 9L)
+      .get.count() === 0L)
+    // members without sidecars are conservatively kept — pruning is
+    // an optimization, never a correctness input
+    val nb = tmpStore()
+    ManifestStore.commitDelta(nb, b((1L, 10L)), 0L, retain = 9)
+    ManifestStore.commitDelta(nb, b((2L, 20L)), 1L, retain = 9)
+    val (keptNb, totalNb) = ManifestStore.keyEqKeptMembers(nb, "k", 2L)
+    assert(keptNb.size === totalNb)
+    assert(rows(ManifestStore.manifestSnapshotKeyEq(spark, nb, "k", 2L).get)
+      === Set((2L, 20L)))
+    Seq(bl, nb).foreach(p => graft.Tables.deleteRecursively(p.toFile))
+  }
+
+  test("branches metadata table: live staging surfaces whole, dies with publish or drop") {
+    val bm = tmpStore()
+    ManifestStore.commitDelta(bm, b((1L, 10L)), 0L, retain = 9)
+    ManifestStore.commitDelta(bm, b((2L, 20L)), 1L, retain = 9)
+    ManifestStore.commitDeltaBranch(bm, "wap", b((3L, 30L)), 2L)
+    ManifestStore.commitDeltaBranch(bm, "wap", b((4L, 40L)), 3L)
+    val row = ManifestStore.metaBranches(spark, bm).collect().toSeq
+    assert(row.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))) ===
+      Seq(("wap", 1L, 1L, 2L, 2L, 2L)))
+    assert(row.head.getLong(6) > 0, "head commit time from the #ts header")
+    // a published branch has no manifests left and therefore no row
+    ManifestStore.publishBranch(bm, "wap")
+    assert(ManifestStore.metaBranches(spark, bm).count() === 0L)
+    // same for an explicitly dropped branch
+    ManifestStore.commitDeltaBranch(bm, "dead", b((9L, 90L)), 4L)
+    assert(ManifestStore.metaBranches(spark, bm).count() === 1L)
+    ManifestStore.dropBranch(bm, "dead")
+    assert(ManifestStore.metaBranches(spark, bm).count() === 0L)
+    graft.Tables.deleteRecursively(bm.toFile)
+  }
+
+  test("multi-relation shallow clone: per-relation detach, relation reads exact, source untouched") {
+    val ms = tmpStore()
+    ManifestStore.commitDeltaMulti(ms,
+      Map("a" -> b((1L, 10L)), "z" -> b((1L, 100L))), 0L, retain = 9)
+    ManifestStore.commitDeltaMulti(ms,
+      Map("a" -> b((2L, 20L)), "z" -> b((2L, 200L))), 1L, retain = 9)
+    val mc = tmpStore()
+    ManifestStore.cloneShallow(ms, mc, 1L)
+    // rel reads through external references
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, mc, "a").get) ===
+      Set((1L, 10L), (2L, 20L)))
+    val srcListing = Option(ms.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).sorted
+    ManifestStore.detachClone(spark, mc, 5L, retain = 9)
+    assert(ManifestStore.manifestMembers(mc,
+      ManifestStore.committedManifest(mc).get).toSet ===
+      Set("a:base-d5-a", "z:base-d5-z"))
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, mc, "a").get) ===
+      Set((1L, 10L), (2L, 20L)))
+    assert(rows(ManifestStore.manifestSnapshotRel(spark, mc, "z").get) ===
+      Set((1L, 100L), (2L, 200L)))
+    assert(Option(ms.toFile.listFiles()).toSeq.flatten
+      .map(_.getName).sorted === srcListing,
+      "the per-relation detach must leave the source byte-untouched")
+    Seq(ms, mc).foreach(p => graft.Tables.deleteRecursively(p.toFile))
+  }
+
+  test("maintenance advisor: a healthy young store yields an empty plan") {
+    val ok = tmpStore()
+    ManifestStore.commitDelta(ok, b((1L, 10L)), 0L)
+    ManifestStore.commitDelta(ok, b((2L, 20L)), 1L)
+    val plan = ManifestStore.maintenancePlan(spark, ok,
+      compactTargetBytes = Long.MaxValue / 2,
+      expireOlderThanMs = Long.MaxValue / 2,
+      vacuumOlderThanMs = Long.MaxValue / 2,
+      nowMs = System.currentTimeMillis())
+    assert(plan.count() === 0L, "two young members, no deletes, no wreckage")
+    graft.Tables.deleteRecursively(ok.toFile)
+  }
 }
