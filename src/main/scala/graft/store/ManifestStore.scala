@@ -2211,8 +2211,60 @@ object ManifestStore {
       s"$l@$srcAbs"
     }
     java.nio.file.Files.createDirectories(dst)
-    require(tryPublishManifest(dst, 0L, lines),
+    require(tryPublishManifest(dst, 0L, s"#from:$srcAbs@v$v" +: lines),
       s"clone commit lost a race on a supposedly fresh table: $dst")
+  }
+
+  /** Where this table was cloned from, if it ever was: the
+    * `#from:<srcRoot>@v<version>` header [[cloneShallow]] stamps at
+    * creation and [[syncClone]] re-stamps at every re-sync — the
+    * newest retained provenance record. Like production commit
+    * metadata it is subject to LOG retention: once every
+    * provenance-carrying manifest ages out, the lineage is forgotten
+    * (the data, local by then, is not).
+    */
+  private[graft] def cloneProvenance(
+      root: java.nio.file.Path): Option[(String, Long)] =
+    versionsOnDisk(root).sorted.flatMap { v =>
+      try readManifestLines(root, s"manifest-v$v")
+        .find(_.startsWith("#from:")).toSeq
+      catch { case _: java.nio.file.NoSuchFileException => Nil }
+    }.lastOption.map { h =>
+      val body = h.stripPrefix("#from:")
+      val i = body.lastIndexOf("@v")
+      (body.take(i), body.substring(i + 2).toLong)
+    }
+
+  /** RE-SYNC a shallow clone to its source's CURRENT head — the
+    * incremental form of [[cloneShallow]] (re-running Delta's CREATE
+    * OR REPLACE ... SHALLOW CLONE): ONE commit replaces the clone's
+    * member list with the source's head, externalized, and re-stamps
+    * the provenance header. Because the sync re-points wholesale, it
+    * crosses source-side REWRITES (folds, compactions, erasure folds)
+    * that prefix-contract changelogs must refuse on — the trade being
+    * that it serves the source's current truth, not an increment.
+    * REFUSES if the clone has DIVERGED (any local member — its own
+    * deltas or a detach base): a silent re-point would drop that work;
+    * the diverged clone's path forward is detach + its own life.
+    * No-op when already current.
+    */
+  private[graft] def syncClone(src: java.nio.file.Path,
+      dst: java.nio.file.Path, batchId: Long, retain: Int = 2): Unit = {
+    val srcAbs = src.toAbsolutePath.toString
+    val head = committedManifest(src)
+      .getOrElse(sys.error(s"sync from an empty source: $src"))
+    val lines = manifestMembers(src, head).map { l =>
+      require(!memberDir(l).contains("@"),
+        s"sync from a shallow clone must detach first: $l")
+      s"$l@$srcAbs"
+    }
+    commitLoop(dst, batchId, retain) { (_, prior) =>
+      require(prior.forall(_.contains("@")),
+        s"clone at $dst diverged (local members exist); " +
+          "re-sync would drop that work — detach instead")
+      if (prior == lines) None
+      else Some(s"#from:$srcAbs@v$head" +: lines)
+    }
   }
 
   /** Materialize every EXTERNAL member of a shallow clone locally (the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.store.ManifestStore.{branchSnapshot, cloneShallow, commitCompact, commitConsolidatePosDeletes, commitDelta, commitDeleteFile, commitDeletePos, commitDeltaBranch, commitDeltaMulti, committedManifest, detachClone, dropBranch, emitPosDeletes, eraseFold, gcExpired, keyEqKeptMembers, maintenancePlan, manifestMembers, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotKeyEq, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, manifestTimestamp, metaBranches, metaMembers, metaSnapshots, publishBranch, retainedPredecessor, vacuumOrphans}
+import graft.store.ManifestStore.{branchSnapshot, cloneShallow, commitCompact, commitConsolidatePosDeletes, commitDelta, commitDeleteFile, commitDeletePos, commitDeltaBranch, commitDeltaMulti, committedManifest, detachClone, dropBranch, emitPosDeletes, eraseFold, gcExpired, keyEqKeptMembers, maintenancePlan, manifestMembers, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotKeyEq, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, manifestTimestamp, cloneProvenance, metaBranches, metaMembers, metaSnapshots, publishBranch, syncClone, retainedPredecessor, vacuumOrphans}
 import graft.streaming.Streams.{ivfStreamReplay, sessionStreamReplay, sessionTombstones, shinglePostings, shingleStoreProbe, shingleStreamReplay, SessionFeedCut1Us, SessionFeedCut2Us}
 
 /** Store-LIFECYCLE queries — the registered showcases of the
@@ -1862,8 +1862,108 @@ object StoreQueries {
       .withColumn("clone_detached", lit(detached))
   }
 
+  /** The q349 stores: SNAPSHOT EXPORT AT AN OLDER VERSION — the
+    * reproducibility use of the clone: while the source is at v1, a
+    * clone freezes v0 (bucket 0 only), detaches, and the source moves
+    * on through a fold + hard retention. The export still serves
+    * exactly the v0 state, and its provenance header records where
+    * and which version it came from.
+    */
+  private val exportLock = new Object
+
+  def ensureExportedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    exportLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-export-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val src = root.resolve("src")
+        val exp = root.resolve("export")
+        Files.createDirectories(src)
+        commitDelta(src, docWordsBucket(s, d, 0), 0L, retain = 9)
+        commitDelta(src, docWordsBucket(s, d, 1), 1L, retain = 9)
+        cloneShallow(src, exp, 0L) // freeze v0, not the head
+        detachClone(s, exp, 5L, retain = 9)
+        commitDelta(src, docWordsBucket(s, d, 2), 6L, foldAfter = 1,
+          retain = 1)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root
+    }
+
+  /** q349: EXPORT AT VERSION + PROVENANCE — the detached v0 export
+    * serves bucket 0 verbatim after the source folded past it and
+    * reclaimed its dirs; [[graft.store.ManifestStore.cloneProvenance]]
+    * still names the source root and the exported version (the
+    * reproducibility record a training run keeps next to its data).
+    */
+  def exportedStoreProbe: Q = (s, d) => {
+    val root = ensureExportedDocStatsStore(s, d)
+    val exp = root.resolve("export")
+    val prov = cloneProvenance(exp)
+    val ok = prov.exists { case (p, v) =>
+      p == root.resolve("src").toAbsolutePath.toString && v == 0L }
+    manifestSnapshot(s, exp)
+      .getOrElse(sys.error("no committed export snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(ok).as("provenance_recorded"))
+  }
+
+  /** The q350 stores: INCREMENTAL CLONE RE-SYNC — a clone taken at
+    * the source's v0 re-points to the source's current head in one
+    * commit ([[graft.store.ManifestStore.syncClone]]) after the
+    * source advanced twice, then detaches, then the source is
+    * hard-maintained. The sync also re-stamps provenance at the
+    * synced version.
+    */
+  private val syncLock = new Object
+
+  def ensureSyncedDocStatsStore(s: SparkSession, d: String): java.nio.file.Path =
+    syncLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-sync-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val src = root.resolve("src")
+        val c = root.resolve("clone")
+        Files.createDirectories(src)
+        commitDelta(src, docWordsBucket(s, d, 0), 0L, retain = 9)
+        cloneShallow(src, c, 0L)
+        commitDelta(src, docWordsBucket(s, d, 1), 1L, retain = 9)
+        commitDelta(src, docWordsBucket(s, d, 2), 2L, retain = 9)
+        syncClone(src, c, 10L, retain = 9)
+        detachClone(s, c, 11L, retain = 9)
+        commitDelta(src, docWordsBucket(s, d, 0), 12L, foldAfter = 1,
+          retain = 1)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root
+    }
+
+  /** q350: the re-synced clone serves the source's FULL head state
+    * (all three buckets) with provenance re-stamped at the synced
+    * version — then outlives the source's retention because it
+    * detached. The diverged-clone refusal and the sync-across-a-fold
+    * cell are spec-pinned.
+    */
+  def syncedStoreProbe: Q = (s, d) => {
+    val root = ensureSyncedDocStatsStore(s, d)
+    val c = root.resolve("clone")
+    val prov = cloneProvenance(c)
+    val ok = prov.exists { case (p, v) =>
+      p == root.resolve("src").toAbsolutePath.toString && v == 2L }
+    manifestSnapshot(s, c)
+      .getOrElse(sys.error("no committed synced snapshot"))
+      .select(col("doc_id"), col("n_words"),
+        lit(ok).as("synced_provenance"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_maintenance_convergence" -> maintainedStoreProbe,
+    "q349_export_at_version" -> exportedStoreProbe,
+    "q350_clone_resync" -> syncedStoreProbe,
     "q347_branch_metadata" -> branchMetaProbe,
     "q348_multirel_shallow_clone" -> clonedRelStoreProbe,
     "q341_meta_tables" -> metaTablesProbe,
@@ -2117,6 +2217,20 @@ object StoreQueries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  TRUE AS bloom_pruned
         |FROM documents WHERE doc_id IN (1, 2, 3)""".stripMargin,
+    // the frozen v0 export serves bucket 0 verbatim after the source
+    // folded past it; provenance names the source and version
+    "q349_export_at_version" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS provenance_recorded
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // the re-synced clone serves the source's full head (the sync
+    // re-points wholesale, crossing rewrites changelogs refuse on)
+    "q350_clone_resync" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS synced_provenance
+        |FROM documents""".stripMargin,
     // the advise→apply→re-advise loop closes: the applied plan leaves
     // an empty plan, and the store serves its survivors exactly
     "q346_maintenance_convergence" ->

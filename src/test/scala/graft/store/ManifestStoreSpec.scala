@@ -1435,6 +1435,42 @@ class ManifestStoreSpec extends SparkSpec {
     Seq(ms, mc).foreach(p => graft.Tables.deleteRecursively(p.toFile))
   }
 
+  test("clone re-sync: re-points across a source fold, refuses a diverged clone, no-ops when current, provenance re-stamped") {
+    val sc = tmpStore()
+    ManifestStore.commitDelta(sc, b((1L, 10L)), 0L, retain = 9)
+    val cl = tmpStore()
+    ManifestStore.cloneShallow(sc, cl, 0L)
+    assert(ManifestStore.cloneProvenance(cl).contains(
+      (sc.toAbsolutePath.toString, 0L)))
+    // source advances THROUGH A FOLD — the rewrite class a
+    // prefix-contract changelog must refuse on; the sync re-points
+    // wholesale and crosses it
+    ManifestStore.commitDelta(sc, b((2L, 20L)), 1L, retain = 9)
+    ManifestStore.commitDelta(sc, b((3L, 30L)), 2L, foldAfter = 2, retain = 9)
+    ManifestStore.syncClone(sc, cl, 10L, retain = 9)
+    assert(rows(ManifestStore.manifestSnapshot(spark, cl).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(ManifestStore.manifestMembers(cl,
+      ManifestStore.committedManifest(cl).get).forall(_.contains("@")))
+    assert(ManifestStore.cloneProvenance(cl).contains(
+      (sc.toAbsolutePath.toString, 2L)), "provenance re-stamped at sync")
+    // already current: the sync is a no-op, no new version published
+    val v = ManifestStore.committedManifest(cl).get
+    ManifestStore.syncClone(sc, cl, 11L, retain = 9)
+    assert(ManifestStore.committedManifest(cl).contains(v))
+    // a DIVERGED clone refuses the re-sync: local work must not be
+    // silently dropped — detach is the sanctioned path forward
+    ManifestStore.commitDelta(cl, b((9L, 90L)), 12L, retain = 9)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.syncClone(sc, cl, 13L, retain = 9)
+    }
+    assert(ex.getMessage.contains("diverged"), ex.getMessage)
+    assert(rows(ManifestStore.manifestSnapshot(spark, cl).get) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (9L, 90L)),
+      "the refused sync must leave the diverged clone intact")
+    Seq(sc, cl).foreach(p => graft.Tables.deleteRecursively(p.toFile))
+  }
+
   test("maintenance advisor: a healthy young store yields an empty plan") {
     val ok = tmpStore()
     ManifestStore.commitDelta(ok, b((1L, 10L)), 0L)
