@@ -476,7 +476,7 @@ object ManifestStore {
   /** The relation tag of a multi-relation member line (`rel:dir` or
     * `~rel:del-dir`), or "" for an untagged (single-relation) line.
     */
-  private def relTagOf(line: String): String = {
+  private[graft] def relTagOf(line: String): String = {
     val bare = if (line.startsWith("~")) line.substring(1) else line
     val i = bare.indexOf(':')
     if (i < 0) "" else bare.take(i)
@@ -2056,6 +2056,49 @@ object ManifestStore {
       if (kept.nonEmpty) bounded else bounded.limit(0)
     }
 
+  /** [[keyEqKeptMembers]] for a BATCH of keys (`key IN (...)`): a
+    * member is kept iff it might hold ANY of the looked-up keys — one
+    * plan and one scan for the whole batch instead of |keys| separate
+    * lookups, with the union of the per-key admissions as the pruning
+    * set. The batch-entity-lookup shape (hydrate these 500 documents)
+    * every serving layer runs.
+    */
+  private[graft] def keyInKeptMembers(root: java.nio.file.Path, key: String,
+      values: Seq[Long]): (Seq[String], Int) = {
+    require(values.nonEmpty, "empty IN-list lookup")
+    val v = committedManifest(root)
+      .getOrElse(sys.error(s"point lookup on an empty store: $root"))
+    val members = manifestMembers(root, v)
+    require(!members.exists(_.startsWith("~")),
+      "point-lookup-pruned reads are defined for append stores (no delete members)")
+    val kept = members.filter { m =>
+      val dir = memberDir(m)
+      val st = dirStats(root, dir, key)
+      val bf = dirBloom(root, dir, key)
+      values.exists { value =>
+        st.forall { case (mn, mx) => value >= mn && value <= mx } &&
+          bf.forall(_.mightContainLong(value))
+      }
+    }
+    (kept, members.size)
+  }
+
+  /** Batched point lookup (`key IN (...)`) over an append store: the
+    * members [[keyInKeptMembers]] admits, resolved once, with the
+    * IN-list as the residual predicate — exact whichever sidecars
+    * exist, one scan for the batch.
+    */
+  private[graft] def manifestSnapshotKeyIn(s: SparkSession,
+      root: java.nio.file.Path, key: String,
+      values: Seq[Long]): Option[DataFrame] =
+    committedManifest(root).map { v =>
+      val (kept, _) = keyInKeptMembers(root, key, values)
+      val base = if (kept.nonEmpty) kept else manifestMembers(root, v).take(1)
+      val bounded = resolveMembers(s, root, base, None)
+        .where(col(key).isin(values: _*))
+      if (kept.nonEmpty) bounded else bounded.limit(0)
+    }
+
   // ---- positional-delete consolidation ----------------------------------
 
   /** MAINTENANCE: consolidate every retained `~posdel` member into ONE
@@ -2118,7 +2161,8 @@ object ManifestStore {
       root: java.nio.file.Path): DataFrame = {
     val rows: Seq[Row] = versionsOnDisk(root).sorted.flatMap { v =>
       membersIfRetained(root, v).map { ms =>
-        Row(v, manifestTimestamp(root, v), ms.size.toLong,
+        Row(v, manifestTimestamp(root, v), operationOf(root, v, ms),
+          ms.size.toLong,
           ms.count(l => !l.startsWith("~")).toLong,
           ms.count(l => l.startsWith("~") && !isPosDeleteLine(l)).toLong,
           ms.count(isPosDeleteLine).toLong,
@@ -2128,11 +2172,45 @@ object ManifestStore {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("commit_ts", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
       StructField("n_members", LongType, nullable = false),
       StructField("n_data", LongType, nullable = false),
       StructField("n_eq_deletes", LongType, nullable = false),
       StructField("n_pos_deletes", LongType, nullable = false),
       StructField("n_relations", LongType, nullable = false))))
+  }
+
+  /** DESCRIBE HISTORY's `operation` column: classify what version `v`
+    * DID from the member-list diff against its predecessor — the
+    * grammar is expressive enough that the write paths are
+    * reconstructible from their footprints (each maintenance commit
+    * writes a distinctly-prefixed base; deletes add `~` lines; a sync
+    * replaces the list with external references). `unknown` only when
+    * the predecessor aged out from under the classification.
+    */
+  private def operationOf(root: java.nio.file.Path, v: Long,
+      cur: Seq[String]): String = {
+    def kindDir(l: String) = memberDir(l).takeWhile(_ != '@')
+    val prior = if (v == 0) None else membersIfRetained(root, v - 1)
+    prior match {
+      case None if v == 0 =>
+        if (cur.nonEmpty && cur.forall(_.contains("@"))) "clone" else "append"
+      case None => "unknown"
+      case Some(p) =>
+        val added = cur.filterNot(p.contains(_))
+        val removed = p.filterNot(cur.contains(_))
+        if (cur.nonEmpty && cur.forall(_.contains("@"))) "sync"
+        else if (added.exists(l => kindDir(l).startsWith("base-d"))) "detach"
+        else if (added.exists(l => kindDir(l).startsWith("base-e"))) "erase"
+        else if (added.exists(l => kindDir(l).startsWith("base-c"))) "compact"
+        else if (added.exists(isPosDeleteLine) && removed.nonEmpty &&
+          removed.forall(isPosDeleteLine)) "consolidate"
+        else if (added.exists(isPosDeleteLine)) "delete-pos"
+        else if (added.exists(_.startsWith("~"))) "delete"
+        else if (removed.nonEmpty &&
+          added.forall(l => kindDir(l).startsWith("base"))) "fold"
+        else "append"
+    }
   }
 
   /** The MEMBERS metadata table of one retained version — a row per

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.store.ManifestStore.{branchSnapshot, cloneShallow, commitCompact, commitConsolidatePosDeletes, commitDelta, commitDeleteFile, commitDeletePos, commitDeltaBranch, commitDeltaMulti, committedManifest, detachClone, dropBranch, emitPosDeletes, eraseFold, gcExpired, keyEqKeptMembers, maintenancePlan, manifestMembers, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotKeyEq, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, manifestTimestamp, cloneProvenance, metaBranches, metaMembers, metaSnapshots, publishBranch, syncClone, retainedPredecessor, vacuumOrphans}
+import graft.store.ManifestStore.{branchSnapshot, cloneShallow, commitCompact, commitConsolidatePosDeletes, commitDelta, commitDeleteFile, commitDeletePos, commitDeltaBranch, commitDeltaMulti, committedManifest, detachClone, dropBranch, emitPosDeletes, eraseFold, gcExpired, keyEqKeptMembers, maintenancePlan, manifestMembers, manifestSnapshot, manifestSnapshotAt, manifestSnapshotDiff, manifestSnapshotKeyEq, manifestSnapshotRanged, manifestSnapshotRelRanged, manifestChanges, manifestTimestamp, cloneProvenance, keyInKeptMembers, manifestSnapshotKeyIn, metaBranches, metaMembers, metaSnapshots, publishBranch, syncClone, retainedPredecessor, vacuumOrphans}
 import graft.streaming.Streams.{ivfStreamReplay, sessionStreamReplay, sessionTombstones, shinglePostings, shingleStoreProbe, shingleStreamReplay, SessionFeedCut1Us, SessionFeedCut2Us}
 
 /** Store-LIFECYCLE queries — the registered showcases of the
@@ -1423,8 +1423,10 @@ object StoreQueries {
       .forall(a => a.length < 2 || a(0) < a(1))
     val head = snaps.last
     val consistent = snaps.map(_.getLong(0)).toSeq == (0L to 3L) && tsMono &&
-      head.getLong(2) == 4 && head.getLong(3) == 3 &&
-      head.getLong(4) == 0 && head.getLong(5) == 1 && head.getLong(6) == 1
+      snaps.map(_.getString(2)).toSeq ==
+        Seq("append", "append", "append", "delete-pos") &&
+      head.getLong(3) == 4 && head.getLong(4) == 3 &&
+      head.getLong(5) == 0 && head.getLong(6) == 1 && head.getLong(7) == 1
     metaMembers(s, table, head.getLong(0))
       .select(col("ord"), col("member"), col("kind"),
         (col("bytes") > 0 && col("n_files") > 0).as("bytes_positive"),
@@ -1960,9 +1962,54 @@ object StoreQueries {
         lit(ok).as("synced_provenance"))
   }
 
+  /** q351: THE SQL SURFACE — [[graft.store.StoreSql.registerStoreViews]]
+    * registers q336's store and its metadata tables as temp views, and
+    * ONE SQL statement reads the data through the table view while
+    * scalar subqueries over the `_snapshots`/`_members` views fold the
+    * metadata into audit columns: versions present, the head's member
+    * tallies, the posdel member named. Views, not a custom connector —
+    * Spark's native parquet pushdown survives the view boundary
+    * (ManifestStoreSpec pins PushedFilters + pruned ReadSchema through
+    * a registered view).
+    */
+  def storeSqlProbe: Q = (s, d) => {
+    val table = ensurePosDeleteDocStore(s, d)
+    graft.store.StoreSql.registerStoreViews(s, "q351_docstats", table)
+    s.sql(
+      """SELECT d.doc_id, d.n_words,
+        |  (SELECT count(*) FROM q351_docstats_snapshots) = 4 AND
+        |  (SELECT max(n_members) FROM q351_docstats_snapshots
+        |   WHERE version = 3) = 4 AND
+        |  (SELECT count(*) FROM q351_docstats_members
+        |   WHERE kind = 'posdel') = 1 AND
+        |  (SELECT member FROM q351_docstats_members WHERE kind = 'posdel')
+        |    = 'posdel-v3' AND
+        |  (SELECT count(*) FROM q351_docstats_branches) = 0
+        |    AS metadata_sql_agrees
+        |FROM q351_docstats d""".stripMargin)
+  }
+
+  /** q352: BATCHED IN-LIST LOOKUP — `doc_id IN (1, 2)` as ONE read
+    * ([[graft.store.ManifestStore.manifestSnapshotKeyIn]]): the union
+    * of the two keys' bloom admissions keeps two of the three members
+    * (doc_id % 3 = 0 lives in the third, which neither key can touch),
+    * one scan for the whole batch instead of |keys| plans. The audit
+    * pins the pruning; exactness never rides on it.
+    */
+  def bloomLookupBatchProbe: Q = (s, d) => {
+    val table = ensureBloomDocStatsStore(s, d)
+    val (kept, total) = keyInKeptMembers(table, "doc_id", Seq(1L, 2L))
+    val pruned = kept.size < total && kept.nonEmpty
+    manifestSnapshotKeyIn(s, table, "doc_id", Seq(1L, 2L))
+      .getOrElse(sys.error("no committed bloom store"))
+      .select(col("doc_id"), col("n_words"), lit(pruned).as("batch_pruned"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_maintenance_convergence" -> maintainedStoreProbe,
     "q349_export_at_version" -> exportedStoreProbe,
+    "q351_store_sql_views" -> storeSqlProbe,
+    "q352_bloom_batch_lookup" -> bloomLookupBatchProbe,
     "q350_clone_resync" -> syncedStoreProbe,
     "q347_branch_metadata" -> branchMetaProbe,
     "q348_multirel_shallow_clone" -> clonedRelStoreProbe,
@@ -2217,6 +2264,20 @@ object StoreQueries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  TRUE AS bloom_pruned
         |FROM documents WHERE doc_id IN (1, 2, 3)""".stripMargin,
+    // one SQL statement over the registered views: the data through
+    // the table view, the metadata folded in by scalar subqueries
+    "q351_store_sql_views" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS metadata_sql_agrees
+        |FROM documents
+        |WHERE CAST(len(string_split(text, ' ')) AS BIGINT) % 7 <> 0""".stripMargin,
+    // one scan hydrates the whole IN-list, two of three members kept
+    "q352_bloom_batch_lookup" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  TRUE AS batch_pruned
+        |FROM documents WHERE doc_id IN (1, 2)""".stripMargin,
     // the frozen v0 export serves bucket 0 verbatim after the source
     // folded past it; provenance names the source and version
     "q349_export_at_version" ->

@@ -1210,10 +1210,13 @@ class ManifestStoreSpec extends SparkSpec {
     assert(snaps.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
     assert(snaps.map(_.getLong(1)).sliding(2).forall(a => a(0) < a(1)),
       "commit_ts must be strictly increasing (the #ts header contract)")
+    // DESCRIBE HISTORY's operation column, from the member-list diff
+    assert(snaps.map(_.getString(2)).toSeq ===
+      Seq("append", "append", "delete"))
     // head version: 2 data members + 1 equality delete, single relation
     val head = snaps.last
-    assert((head.getLong(2), head.getLong(3), head.getLong(4),
-      head.getLong(5), head.getLong(6)) === ((3L, 2L, 1L, 0L, 1L)))
+    assert((head.getLong(3), head.getLong(4), head.getLong(5),
+      head.getLong(6), head.getLong(7)) === ((3L, 2L, 1L, 0L, 1L)))
     val mem = ManifestStore.metaMembers(spark, mt, 2L).orderBy("ord").collect()
     assert(mem.map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq ===
       Seq((0L, "delta-v0", "data"), (1L, "delta-v1", "data"),
@@ -1230,6 +1233,8 @@ class ManifestStoreSpec extends SparkSpec {
       ManifestStore.committedManifest(mt).get).collect()
     assert(mem2.map(r => (r.getString(1), r.getString(3))).toSeq ===
       Seq(("base-v3", "base")))
+    assert(ManifestStore.metaSnapshots(spark, mt).orderBy("version")
+      .collect().last.getString(2) === "fold")
     graft.Tables.deleteRecursively(mt.toFile)
   }
 
@@ -1259,6 +1264,8 @@ class ManifestStoreSpec extends SparkSpec {
     val merged = spark.read.parquet(pc.resolve("posdel-v3").toString)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(merged === Seq((0L, 3L)), s"island-merge must fuse touching ranges: $merged")
+    assert(ManifestStore.metaSnapshots(spark, pc).orderBy("version")
+      .collect().last.getString(2) === "consolidate")
     // replayed batch id: a no-op (the member is referenced)
     ManifestStore.commitConsolidatePosDeletes(spark, pc, 3L, retain = 9)
     assert(ManifestStore.committedManifest(pc).contains(3L))
@@ -1314,6 +1321,9 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.detachClone(spark, c1, 6L, statsKey = Some("k"), retain = 9)
     assert(ManifestStore.manifestMembers(c1,
       ManifestStore.committedManifest(c1).get) === Seq("base-d6"))
+    assert(ManifestStore.metaSnapshots(spark, c1).orderBy("version")
+      .collect().map(_.getString(2)).toSeq ===
+      Seq("clone", "append", "detach"))
     assert(rows(ManifestStore.manifestSnapshot(spark, c1).get) ===
       Set((1L, 10L), (2L, 20L), (3L, 30L)))
     // clone-side GC after detach: the dropped manifests reference the
@@ -1374,6 +1384,15 @@ class ManifestStoreSpec extends SparkSpec {
     assert(kept9 === Seq.empty)
     assert(ManifestStore.manifestSnapshotKeyEq(spark, bl, "k", 9L)
       .get.count() === 0L)
+    // BATCHED IN-list: one read for the whole batch, the union of the
+    // keys' admissions as the pruning set — k=3's member never opens
+    val (keptIn, totalIn) = ManifestStore.keyInKeptMembers(bl, "k", Seq(1L, 2L))
+    assert(totalIn === 3 && keptIn.toSet === Set("delta-v0", "delta-v1"))
+    val batch = ManifestStore.manifestSnapshotKeyIn(spark, bl, "k",
+      Seq(1L, 2L)).get
+    assert(rows(batch) === Set((1L, 10L), (2L, 20L)))
+    assert(batch.inputFiles.forall(f => !f.contains("delta-v2")),
+      s"the unadmitted member must not open: ${batch.inputFiles.toSeq}")
     // members without sidecars are conservatively kept — pruning is
     // an optimization, never a correctness input
     val nb = tmpStore()
@@ -1454,6 +1473,8 @@ class ManifestStoreSpec extends SparkSpec {
       ManifestStore.committedManifest(cl).get).forall(_.contains("@")))
     assert(ManifestStore.cloneProvenance(cl).contains(
       (sc.toAbsolutePath.toString, 2L)), "provenance re-stamped at sync")
+    assert(ManifestStore.metaSnapshots(spark, cl).orderBy("version")
+      .collect().map(_.getString(2)).toSeq === Seq("clone", "sync"))
     // already current: the sync is a no-op, no new version published
     val v = ManifestStore.committedManifest(cl).get
     ManifestStore.syncClone(sc, cl, 11L, retain = 9)
@@ -1469,6 +1490,45 @@ class ManifestStoreSpec extends SparkSpec {
       Set((1L, 10L), (2L, 20L), (3L, 30L), (9L, 90L)),
       "the refused sync must leave the diverged clone intact")
     Seq(sc, cl).foreach(p => graft.Tables.deleteRecursively(p.toFile))
+  }
+
+  test("sql surface: parquet pushdown and column pruning survive the view boundary, metadata views answer") {
+    val sv = tmpStore()
+    ManifestStore.commitDelta(sv, b((1L, 10L)), 0L, retain = 9)
+    ManifestStore.commitDelta(sv, b((2L, 20L)), 1L, retain = 9)
+    StoreSql.registerStoreViews(spark, "msspec_store", sv)
+    val q = spark.sql("SELECT k FROM msspec_store WHERE k = 2")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole native parquet scan machinery works through the view:
+    // the filter reaches the scan and the scan reads ONE column
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,2)"),
+      "filter must reach the parquet scan through the view:\n" + plan.take(1200))
+    assert(plan.contains("struct<k:bigint>"),
+      "the scan must read only the projected column:\n" + plan.take(1200))
+    // metadata + time travel through SQL
+    assert(spark.sql("SELECT count(*) FROM msspec_store_snapshots")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM msspec_store_members WHERE kind = 'data'")
+      .head.getLong(0) === 2L)
+    assert(spark.sql("SELECT k FROM msspec_store_v0")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // re-registration refreshes to the new head
+    ManifestStore.commitDelta(sv, b((3L, 30L)), 2L, retain = 9)
+    StoreSql.registerStoreViews(spark, "msspec_store", sv)
+    assert(spark.sql("SELECT count(*) FROM msspec_store").head.getLong(0) === 3L)
+    // a pure multi-relation store registers per-relation views and NO
+    // bare-name view (one name over differing schemas would be nonsense)
+    val mr2 = tmpStore()
+    ManifestStore.commitDeltaMulti(mr2,
+      Map("a" -> b((1L, 10L)), "z" -> b((2L, 200L))), 0L)
+    StoreSql.registerStoreViews(spark, "msspec_mr", mr2)
+    assert(spark.sql("SELECT k FROM msspec_mr_a")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(!spark.catalog.tableExists("msspec_mr"),
+      "no bare-name view for a pure multi-rel store")
+    Seq(sv, mr2).foreach(x => graft.Tables.deleteRecursively(x.toFile))
   }
 
   test("maintenance advisor: a healthy young store yields an empty plan") {
