@@ -1661,6 +1661,12 @@ object StoreQueries {
     // AFTER the ensures: on a fresh build the wreckage dir's mtime
     // must already be in the past when the advisor's age gate reads it
     val nowMs = System.currentTimeMillis()
+    // re-assert the fixture's premise at probe time: delta-v98 models
+    // an IN-FLIGHT writer's dir, and a live writer keeps its dir
+    // fresh — without the touch the DONE-gated fixture ages past the
+    // 30-minute gate between runs and the spare-the-fresh-dir cell
+    // silently becomes a second vacuum candidate
+    sick.resolve("delta-v98").toFile.setLastModified(nowMs): Unit
     // expire versions with ts <= ts(v2): cutoff just above v2's time
     val cutoff = nowMs - manifestTimestamp(sick, 2L) - 1
     maintenancePlan(s, healthy, compactTargetBytes = Long.MaxValue / 2,
