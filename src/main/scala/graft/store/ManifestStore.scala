@@ -2018,12 +2018,21 @@ object ManifestStore {
     * = kept (stats prune, they never filter).
     */
   private[graft] def keyEqKeptMembers(root: java.nio.file.Path, key: String,
-      value: Long): (Seq[String], Int) = {
+      value: Long, upsertKey: Option[String] = None): (Seq[String], Int) = {
+    // same safety rule as the ranged upsert read (q326): pruning an
+    // upsert store is sound ONLY on its key — a member whose sidecars
+    // exclude `value` holds no row (older or newer) for that key, so
+    // dropping it cannot change the key's LWW winner; pruning on any
+    // OTHER column could drop the member holding the NEWEST row and
+    // resurrect a superseded one
+    require(upsertKey.forall(_ == key),
+      s"an upsert store may point-prune only on its upsert key " +
+        s"(got lookup on '$key', upsert on '${upsertKey.getOrElse("")}')")
     val v = committedManifest(root)
       .getOrElse(sys.error(s"point lookup on an empty store: $root"))
     val members = manifestMembers(root, v)
     require(!members.exists(_.startsWith("~")),
-      "point-lookup-pruned reads are defined for append stores (no delete members)")
+      "point-lookup-pruned reads are defined for stores without delete members")
     val kept = members.filter { m =>
       val dir = memberDir(m)
       dirStats(root, dir, key).forall { case (mn, mx) =>
@@ -2046,12 +2055,16 @@ object ManifestStore {
     * this entry point to the store family the fixture registers.
     */
   private[graft] def manifestSnapshotKeyEq(s: SparkSession,
-      root: java.nio.file.Path, key: String, value: Long): Option[DataFrame] =
-    committedManifest(root).map { _ =>
-      val (kept, _) = keyEqKeptMembers(root, key, value)
+      root: java.nio.file.Path, key: String, value: Long,
+      upsertKey: Option[String] = None): Option[DataFrame] =
+    committedManifest(root).map { v =>
+      val (kept, _) = keyEqKeptMembers(root, key, value, upsertKey)
       val base = if (kept.nonEmpty) kept
-        else manifestMembers(root, committedManifest(root).get).take(1)
-      val bounded = resolveMembers(s, root, base, None)
+        else manifestMembers(root, v).take(1)
+      // the kept members preserve manifest order, so the LWW window
+      // arbitrates re-upserts of the looked-up key identically to the
+      // full read
+      val bounded = resolveMembers(s, root, base, upsertKey)
         .where(col(key) === value)
       if (kept.nonEmpty) bounded else bounded.limit(0)
     }

@@ -2011,8 +2011,63 @@ object StoreQueries {
       .select(col("doc_id"), col("n_words"), lit(pruned).as("batch_pruned"))
   }
 
+  /** The q353 store: an UPSERT doc-stats store with bloom + range
+    * sidecars on the key — three disjoint buckets, then bucket 0
+    * RE-UPSERTED with shifted word counts, so a point lookup of a
+    * bucket-0 doc admits TWO members and the LWW window must pick the
+    * newer one from the pruned set.
+    */
+  private val upsertBloomLock = new Object
+
+  def ensureUpsertBloomDocStore(s: SparkSession, d: String): java.nio.file.Path =
+    upsertBloomLock.synchronized {
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(
+        s"${graft.Tables.scratchDir}/graft-docstats-upbloom-${graft.Tables.datasetTag(d, "documents")}")
+      if (!Files.exists(root.resolve("DONE"))) {
+        if (Files.exists(root)) graft.Tables.deleteRecursively(root.toFile)
+        val table = root.resolve("table")
+        Files.createDirectories(table)
+        (0 to 2).foreach(i => commitDelta(table, docWordsBucket(s, d, i),
+          i.toLong, upsertKey = Some("doc_id"), retain = 9,
+          statsKey = Some("doc_id"), statsBloom = true))
+        commitDelta(table,
+          docWordsBucket(s, d, 0)
+            .withColumn("n_words", col("n_words") + 1000L),
+          3L, upsertKey = Some("doc_id"), retain = 9,
+          statsKey = Some("doc_id"), statsBloom = true)
+        Files.write(root.resolve("DONE"), Array.empty[Byte]): Unit
+      }
+      root.resolve("table")
+    }
+
+  /** q353: UPSERT POINT LOOKUP — the {append, upsert} × {range,
+    * point, batch} pruning matrix closes on the same safety rule as
+    * the ranged upsert read (q326): prune only on the UPSERT KEY,
+    * where a member the sidecars exclude provably holds no row for
+    * the key. Keys 1 and 2 each admit one member; key 3 admits its
+    * original bucket AND the re-upsert member, and the LWW window
+    * over the PRUNED set serves the updated count — merge-on-read
+    * arbitration surviving the skip. The non-key refusal (the
+    * resurrection hazard) is spec-pinned.
+    */
+  def upsertBloomLookupProbe: Q = (s, d) => {
+    val table = ensureUpsertBloomDocStore(s, d)
+    val up = Some("doc_id")
+    val keys = Seq(1L, 2L, 3L)
+    val kept = keys.map(k => keyEqKeptMembers(table, "doc_id", k, up))
+    val pruned = kept.map(_._1.size).sum < kept.map(_._2).sum &&
+      kept.forall(_._1.nonEmpty)
+    keys.map(k => manifestSnapshotKeyEq(s, table, "doc_id", k, up)
+        .getOrElse(sys.error("no committed upsert bloom store")))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), col("n_words"),
+        lit(pruned).as("upsert_lww_pruned"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_maintenance_convergence" -> maintainedStoreProbe,
+    "q353_upsert_point_lookup" -> upsertBloomLookupProbe,
     "q349_export_at_version" -> exportedStoreProbe,
     "q351_store_sql_views" -> storeSqlProbe,
     "q352_bloom_batch_lookup" -> bloomLookupBatchProbe,
@@ -2278,6 +2333,14 @@ object StoreQueries {
         |  TRUE AS metadata_sql_agrees
         |FROM documents
         |WHERE CAST(len(string_split(text, ' ')) AS BIGINT) % 7 <> 0""".stripMargin,
+    // the pruned-set LWW: key 3 admits its bucket and the re-upsert
+    // member, and the lookup serves the updated count
+    "q353_upsert_point_lookup" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) +
+        |    CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END AS n_words,
+        |  TRUE AS upsert_lww_pruned
+        |FROM documents WHERE doc_id IN (1, 2, 3)""".stripMargin,
     // one scan hydrates the whole IN-list, two of three members kept
     "q352_bloom_batch_lookup" ->
       """SELECT doc_id,

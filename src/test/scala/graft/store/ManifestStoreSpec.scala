@@ -1393,6 +1393,31 @@ class ManifestStoreSpec extends SparkSpec {
     assert(rows(batch) === Set((1L, 10L), (2L, 20L)))
     assert(batch.inputFiles.forall(f => !f.contains("delta-v2")),
       s"the unadmitted member must not open: ${batch.inputFiles.toSeq}")
+    // UPSERT point lookup: kept members preserve manifest order, so
+    // the LWW window over the PRUNED set picks the re-upserted row;
+    // pruning on anything but the upsert key refuses (the same
+    // resurrection hazard the ranged upsert read pins)
+    val ub = tmpStore()
+    ManifestStore.commitDelta(ub, b((1L, 10L), (3L, 30L)), 0L,
+      upsertKey = Some("k"), retain = 9, statsKey = Some("k"),
+      statsBloom = true)
+    ManifestStore.commitDelta(ub, b((2L, 20L)), 1L,
+      upsertKey = Some("k"), retain = 9, statsKey = Some("k"),
+      statsBloom = true)
+    ManifestStore.commitDelta(ub, b((3L, 31L)), 2L,
+      upsertKey = Some("k"), retain = 9, statsKey = Some("k"),
+      statsBloom = true)
+    val (keptUb, totalUb) = ManifestStore.keyEqKeptMembers(ub, "k", 3L,
+      Some("k"))
+    assert(totalUb === 3 && keptUb === Seq("delta-v0", "delta-v2"))
+    assert(rows(ManifestStore.manifestSnapshotKeyEq(spark, ub, "k", 3L,
+      Some("k")).get) === Set((3L, 31L)),
+      "the LWW winner must survive the member skip")
+    val exUb = intercept[IllegalArgumentException] {
+      ManifestStore.keyEqKeptMembers(ub, "v", 31L, Some("k"))
+    }
+    assert(exUb.getMessage.contains("upsert key"), exUb.getMessage)
+    graft.Tables.deleteRecursively(ub.toFile)
     // members without sidecars are conservatively kept — pruning is
     // an optimization, never a correctness input
     val nb = tmpStore()
