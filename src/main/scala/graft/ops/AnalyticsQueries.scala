@@ -913,6 +913,12 @@ object AnalyticsQueries {
           .cast("long").as("cents"))
     val per = base.groupBy("l_returnflag", "cents")
       .agg(count(lit(1)).as("w"))
+    // r17 A/B note: aggregating the clamped mean from the distinct
+    // (flag, cents) distribution instead of re-scanning `base` was
+    // measured SLOWER (2.91 → 3.07 s TimeQ-min at sf0.1): prices are
+    // near-unique, so the distinct table is ~fact-sized and the extra
+    // window re-derivations from the checkpoint outweigh the saved
+    // scan. The row-scale re-scan + broadcast-join form stands.
     val bounds = cumWeights(per, "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
@@ -955,6 +961,10 @@ object AnalyticsQueries {
       .groupBy("event_type").agg(min("cents").as("med_cents"))
     val dev = b.join(broadcast(med), "event_type")
       .withColumn("dv", abs(col("cents") - col("med_cents")))
+    // r17 A/B note: computing the final counts from the distinct
+    // (type, dv) distribution instead of this third row-scale pass
+    // measured SLOWER (2.34 → 2.61 s TimeQ-min at sf0.1) — the same
+    // near-unique-values effect as q172. The row-scale form stands.
     val mad = cumWeights(
       dev.groupBy(col("event_type"), col("dv").as("cents"))
         .agg(count(lit(1)).as("w")),
@@ -1694,7 +1704,16 @@ object AnalyticsQueries {
       .unionAll(ends)
       .groupBy("cents").agg(sum("delta").as("w"))
       .withColumn("g", lit("all"))
-    cumWeights(per, "g")
+    // bucket width 2³³ µs (~2.4 h), not the price-cents default 2¹⁶:
+    // boundaries are EPOCH MICROSECONDS, where 65536 µs buckets
+    // degenerate to ~one bucket per distinct boundary — the
+    // bucket-offset "tiny table" becomes |boundaries|-sized, prefix-
+    // summed in ONE task and broadcast whole (the exact single-task
+    // trap cumWeights exists to avoid). 2³³ keeps the offset table
+    // calendar-bounded (a 30-day corpus → ~300 buckets; a year →
+    // ~3700) at any event volume. cumw is width-independent, so the
+    // result is bit-identical.
+    cumWeights(per, "g", 1L << 33)
       .withColumn("day", expr("cents div 86400000000L"))
       .groupBy("day")
       .agg(count(lit(1)).as("n_boundaries"),

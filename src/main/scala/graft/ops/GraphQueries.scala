@@ -62,6 +62,40 @@ object GraphQueries {
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureEdges(s, d))
 
+  /** One-time BUCKETED materialization of the DIRECTED, degree-
+    * annotated edge list `(src, dst, odeg)` — the "persist the edges
+    * pre-partitioned so only node-sized rank tables move per
+    * iteration" lifetime the [[pagerank]] scaladoc always pointed at,
+    * landed via the `Scale.ensureBucketedTables` mechanics: 32 buckets
+    * on `src`, sorted within buckets, so every iteration's
+    * rank-join reads the edges WITHOUT an exchange or a per-iteration
+    * degree aggregation (odeg rides on the edge row — +8 bytes/edge
+    * buys the join away). Derived content is exactly
+    * `edges ⋈ degree(edges)` over [[ensureEdges]]'s relation, so every
+    * consumer computes identical results.
+    */
+  private val prEdgesLock = new Object
+
+  def ensurePagerankEdges(s: SparkSession, d: String): String = prEdgesLock.synchronized {
+    val name = s"graft_pr_edges_${Tables.datasetTag(d, "lineitem")}"
+    if (!s.catalog.tableExists(name)) {
+      // the in-memory catalog forgets tables across JVMs but the
+      // warehouse directory persists — clear any stale location first
+      // (the Scale.ensureBucketedTables contract)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, name)
+      if (loc.exists()) Tables.deleteRecursively(loc)
+      val e = copurchaseEdges(s, d)
+      val edges = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      edges.join(deg, "src")
+        .write.bucketBy(32, "src").sortBy("src")
+        .mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    name
+  }
+
   /** Exact triangle count via DEGREE-ORDERED edge orientation — the
     * standard scale-out trick: orient every edge from its
     * lower-(degree, id) endpoint to the higher one, enumerate wedges
@@ -133,21 +167,20 @@ object GraphQueries {
     * construction (every node's out-degree = its degree > 0).
     */
   def pagerank: Q = (s, d) => {
-    val e = copurchaseEdges(s, d)
-    val edges = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
-    // deliberately NOT cached in-memory: all three iterations reference
-    // an identical subplan and Spark's ReusedExchange shares it. Both
-    // cache() (bench-min 7.0 s — InMemoryRelation blocks AQE's join
-    // planning) and localCheckpoint (5.7 s — eager storage, reuse
-    // forfeited) measured SLOWER than plain re-reference in the bench
-    // regime. The "persist the edges across runs" lifetime those
-    // measurements pointed at landed in r09 as [[ensureEdges]]: the
-    // iterations now re-reference a materialized parquet edge list,
-    // not the lineitem self-join.
-    val withDeg = edges.join(deg, "src")
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    // the edges are served PRE-PARTITIONED: [[ensurePagerankEdges]]
+    // holds (src, dst, odeg) bucketed 32-way on src, so each
+    // iteration's join shuffles ONLY the node-sized rank table (the
+    // Pregel/GraphX layout: edge partitions static, vertex data
+    // moves), and the old per-iteration degree aggregation + edge-side
+    // exchange (SortMergeJoin of two edge-scale relations; bench-min
+    // 3.67 s at sf0.1) are gone from the loop entirely. The earlier
+    // in-JVM alternatives stay rejected as measured in r09: cache()
+    // 7.0 s (InMemoryRelation blocks AQE), localCheckpoint 5.7 s
+    // (eager storage, reuse forfeited).
+    val withDeg = s.table(ensurePagerankEdges(s, d))
+    // distinct src over the bucketed table: exchange-free node list
+    var rank = withDeg.select("src").distinct()
+      .select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {
       rank = withDeg
         .join(rank, col("src") === col("node"))

@@ -610,20 +610,43 @@ object ManifestStore {
         require(upsertKey.isEmpty,
           "positional deletes are defined for append stores " +
             "(an upsert store's DELETE resolves by key)")
-        Some(broadcast(posDelLines
+        val pd = posDelLines
           .map(l => s.read.parquet(memberPath(root, memberDir(l)).toString))
-          .reduce(_ unionByName _)))
+          .reduce(_ unionByName _)
+        // Split by range width before probing. A single range anti-join
+        // builds its hash relation on `file` ALONE (the only equi key),
+        // so every data row linearly re-scans ALL ranges sharing its
+        // file as a residual condition — quadratic when a point-dense
+        // DELETE (q340's parity predicate: ~|rows|/4 single-row ranges)
+        // meets a member of few files (measured 4.36 s for the q340
+        // probe at sf0.1). Narrow ranges therefore explode to exact
+        // (file, pos) points probed O(1) by a two-key equi anti-join;
+        // only wide ranges (a consolidated island can span a whole
+        // file, q342) keep the range form. Width ≤ 16 bounds the
+        // explosion at 16× the compact row count, and the union of the
+        // two subtractions is exactly the union of the ranges — the
+        // split changes HOW a range is checked, never WHETHER.
+        Some((
+          broadcast(pd.where(col("end") - col("start") < 16)
+            .select(col("file"),
+              explode(sequence(col("start"), col("end"))).as("pos"))),
+          broadcast(pd.where(col("end") - col("start") >= 16))))
       }
     def applyPos(df: DataFrame): DataFrame = posDels match {
       case None => df
-      case Some(pd) =>
+      case Some((pts, wide)) =>
         val withMeta = df
           .withColumn("__mf_file", col("_metadata.file_path"))
           .withColumn("__mf_pos", col("_metadata.row_index"))
-        withMeta.join(pd,
-            withMeta("__mf_file") === pd("file") &&
-              withMeta("__mf_pos") >= pd("start") &&
-              withMeta("__mf_pos") <= pd("end"),
+        withMeta
+          .join(pts,
+            withMeta("__mf_file") === pts("file") &&
+              withMeta("__mf_pos") === pts("pos"),
+            "left_anti")
+          .join(wide,
+            withMeta("__mf_file") === wide("file") &&
+              withMeta("__mf_pos") >= wide("start") &&
+              withMeta("__mf_pos") <= wide("end"),
             "left_anti")
           .drop("__mf_file", "__mf_pos")
     }

@@ -177,12 +177,20 @@ class GraphSpec extends SparkSpec {
           }
       }.flatten
     // the derived-artifact economics (q214's pattern): traversal reads
-    // the edge parquet; the lineitem self-join ran once at ensureEdges
-    // time and never appears in the iteration's own plan
+    // the BUCKETED degree-annotated edge table (r17 — every iteration's
+    // join is exchange-free on the edge side); the lineitem self-join
+    // ran once at ensure time and never appears in the iteration's plan
     val pr = scanPaths(GraphQueries.pagerank(spark, sf))
-    assert(pr.exists(_.contains("graft-copurchase-edges")), pr.toString)
+    assert(pr.exists(_.contains("graft_pr_edges")), pr.toString)
     assert(!pr.exists(_.contains("lineitem")),
       s"fact-table scan leaked back into the pagerank plan: $pr")
+    // the bucketing pin itself: the per-iteration rank join must not
+    // re-shuffle the edge side — no Exchange directly above the edge
+    // table's scan (the rank side keeps its node-sized exchange)
+    val prPhys = GraphQueries.pagerank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(prPhys.contains("Bucketed: true"),
+      s"pagerank edge scan is not bucket-partitioned:\n$prPhys")
     // triangles eagerly localCheckpoints its oriented edges at
     // construction, so its optimized plan bottoms out at LogicalRDD —
     // the edge scan already ran (from the materialized parquet, like
