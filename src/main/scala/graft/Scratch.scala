@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad (not part of the driver contract). Current use: rsd
-  * sweep for q34's approx_count_distinct cost shape at sf0.1.
+/** Dev scratchpad (not part of the driver contract). Current use:
+  * decompose the shared shingle-store probe (q291 family) cost at
+  * sf0.1 — which stage pays: batch shingling, store resolve, the
+  * h-join + orientation distinct, or the sizes joins.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -13,6 +15,8 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"${Tables.scratchDir}/spark-local")
+      .config("spark.sql.warehouse.dir", s"${Tables.scratchDir}/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(label: String)(f: => Unit): Unit = {
@@ -20,26 +24,40 @@ object Scratch {
       f
       println(f"SCRATCH $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val li = Tables.fanOut(Tables.lineitem(spark, sfDir), col("l_orderkey"))
-    li.count() // warm the scan
-    for (pass <- 1 to 2; rsd <- Seq(0.05, 0.02, 0.015, 0.01)) {
-      time(s"pass$pass approx rsd=$rsd") {
-        li.groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), rsd).as("a"))
-          .write.format("noop").mode("overwrite").save()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val table = streaming.Streams.ensureShingleStreamIndex(spark, sfDir)
+    import graft.store.ManifestStore.manifestSnapshot
+    def store = manifestSnapshot(spark, table).get
+    def batchSh = graft.dedup.DedupQueries
+      .shingles(Tables.documents(spark, sfDir)
+        .where(col("doc_id") % 3 === 0))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
+
+    for (pass <- 1 to 3) {
+      time(s"p$pass A batchSh only")(noop(batchSh))
+      time(s"p$pass B store resolve only")(noop(store))
+      time(s"p$pass C join+distinct+agg") {
+        val allSh = store.select(col("doc_id").as("oid"), col("h"))
+        noop(batchSh.join(allSh, Seq("h"))
+          .where(col("nid") =!= col("oid"))
+          .select(least(col("nid"), col("oid")).as("a_id"),
+            greatest(col("nid"), col("oid")).as("b_id"), col("h"))
+          .distinct()
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c")))
       }
-    }
-    for (pass <- 1 to 2) {
-      time(s"pass$pass exact countDistinct") {
-        li.groupBy("l_returnflag")
-          .agg(countDistinct(col("l_partkey")).as("e"))
-          .write.format("noop").mode("overwrite").save()
+      time(s"p$pass C2 join+orientfilter+agg") {
+        val allSh = store.select(col("doc_id").as("oid"), col("h"))
+        noop(batchSh.join(allSh, Seq("h"))
+          .where(col("nid") =!= col("oid") &&
+            (col("oid") % 3 =!= 0 || col("nid") < col("oid")))
+          .select(least(col("nid"), col("oid")).as("a_id"),
+            greatest(col("nid"), col("oid")).as("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("c")))
       }
-      time(s"pass$pass both (registered q34 shape, rsd=0.015)") {
-        li.groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.015).as("a"),
-            countDistinct(col("l_partkey")).as("e"))
-          .write.format("noop").mode("overwrite").save()
+      time(s"p$pass D full probe") {
+        noop(streaming.Streams.shingleStoreProbe(spark, sfDir, store))
       }
     }
     spark.stop()

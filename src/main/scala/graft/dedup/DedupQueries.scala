@@ -218,18 +218,45 @@ object DedupQueries {
   }
 
   /** The shared nightly-probe shape (q214/q264/q272): batch shingles
-    * equi-join the index postings on the 8-byte hash, (least, greatest,
-    * shingle) distinct canonicalizes direction, stored sizes supply the
+    * equi-join the index postings on the 8-byte hash, direction is
+    * canonicalized to (least, greatest), stored sizes supply the
     * Jaccard denominator.
+    *
+    * Orientation dedup (r17): a within-batch pair surfaces from the
+    * h-join TWICE — (nid=a, oid=b) and (nid=b, oid=a) — whenever both
+    * docs sit in batch AND store, which is why the original shape paid
+    * a full `.distinct()` exchange over every candidate row before
+    * counting. When the store COVERS the batch (every store except the
+    * time-travel prefixes), "the mirrored row exists" reduces to
+    * `oid % 3 === 0` (oid is a batch doc — the same predicate `kind`
+    * already bakes in; erased ids are absent from both sides by
+    * construction), so a map-side filter keeps exactly one orientation
+    * and the distinct exchange disappears: (a_id, b_id, h) is unique
+    * after the filter because each side's (doc, h) rows are distinct.
+    * Measured 0.5–0.7 s per probe at sf0.1 across the ~14 queries
+    * sharing this shape. Every registered caller satisfies coverage —
+    * including the time-travel prefixes, because the probe batch IS
+    * bucket 0 and every retained prefix contains bucket 0 — but the
+    * guard stays explicit: a store that does NOT cover its batch
+    * (pairs with a single orientation) must pass
+    * `storeCoversBatch = false` to keep the distinct-based
+    * canonicalization, or within-batch pairs double-count.
     */
   private[graft] def ingestProbePairs(batchSh: DataFrame, allSh: DataFrame,
-      sizes: DataFrame): DataFrame = {
-    val inter = batchSh.join(allSh, Seq("h"))
+      sizes: DataFrame, storeCoversBatch: Boolean = true): DataFrame = {
+    val joined = batchSh.join(allSh, Seq("h"))
       .where(col("nid") =!= col("oid"))
-      .select(least(col("nid"), col("oid")).as("a_id"),
-        greatest(col("nid"), col("oid")).as("b_id"), col("h"))
-      .distinct()
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    val canon =
+      if (storeCoversBatch)
+        joined.where(col("oid") % 3 =!= 0 || col("nid") < col("oid"))
+          .select(least(col("nid"), col("oid")).as("a_id"),
+            greatest(col("nid"), col("oid")).as("b_id"), col("h"))
+      else
+        joined
+          .select(least(col("nid"), col("oid")).as("a_id"),
+            greatest(col("nid"), col("oid")).as("b_id"), col("h"))
+          .distinct()
+    val inter = canon.groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")

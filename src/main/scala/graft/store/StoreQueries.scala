@@ -177,6 +177,8 @@ object StoreQueries {
     val table = ensureRetainedShingleStreamIndex(s, d)
     val cur = committedManifest(table)
       .getOrElse(sys.error("no committed shingle-index snapshot"))
+    // even the depth-2 prefix covers the batch (v0 = bucket 0 = the
+    // probe batch itself), so the orientation-filter fast path holds
     shingleStoreProbe(s, d, manifestSnapshotAt(s, table, cur - 2))
   }
 

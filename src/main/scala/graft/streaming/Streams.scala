@@ -1608,6 +1608,9 @@ object Streams {
       .getOrElse(sys.error("no committed shingle-index snapshot"))
     val pred = retainedPredecessor(table, cur)
       .getOrElse(sys.error("no predecessor manifest retained"))
+    // the prefix STILL covers the batch: the probe batch is bucket 0
+    // (doc_id % 3 === 0) and every retained prefix contains bucket 0,
+    // so the orientation-filter fast path stays sound here
     shingleStoreProbe(s, d, manifestSnapshotAt(s, table, pred))
   }
 
@@ -1631,13 +1634,14 @@ object Streams {
     * plan shape.
     */
   private[graft] def shingleStoreProbe(s: SparkSession, d: String,
-      store: DataFrame): DataFrame = {
+      store: DataFrame, storeCoversBatch: Boolean = true): DataFrame = {
     val batchSh = graft.dedup.DedupQueries.shingles(
         Tables.documents(s, d).where(col("doc_id") % 3 === 0))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
     graft.dedup.DedupQueries.ingestProbePairs(batchSh,
       store.select(col("doc_id").as("oid"), col("h")),
-      store.select(col("doc_id"), col("n")).distinct())
+      store.select(col("doc_id"), col("n")).distinct(),
+      storeCoversBatch = storeCoversBatch)
   }
 
   /** q293: ERASURE on the stream-maintained shingle store — the erase

@@ -467,4 +467,46 @@ class DedupSpec extends SparkSpec {
       .select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
     assert(out.map(_._1).toSet === q88multi)
   }
+
+  test("ingestProbePairs orientation filter equals the distinct form; the guard matters on a prefix store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic index: batch docs are ≡0 mod 3 (the registered batch
+    // predicate the fast path keys on). Docs 0/3 near-dup (4 shared of
+    // 5), doc 2 (old) shares 3 with doc 0.
+    def sh(id: Long, hs: Seq[Long]) = hs.map(h => (id, h))
+    val postings = (sh(0L, Seq(1, 2, 3, 4, 5)) ++ sh(3L, Seq(1, 2, 3, 4, 9)) ++
+      sh(2L, Seq(1, 2, 3, 7, 8))).toDF("doc_id", "h")
+    val sizes = Seq((0L, 5L), (3L, 5L), (2L, 5L)).toDF("doc_id", "n")
+    val batch = postings.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("nid"), col("h"))
+    val all = postings.select(col("doc_id").as("oid"), col("h"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // covering store: fast path ≡ distinct path, bit for bit
+    val fast = DedupQueries.ingestProbePairs(batch, all, sizes)
+    val slow = DedupQueries.ingestProbePairs(batch, all, sizes,
+      storeCoversBatch = false)
+    assert(rows(fast) === rows(slow) && rows(fast).nonEmpty)
+    // and the distinct's extra aggregate (one exchange at scale) is
+    // gone from the fast path's plan: one Aggregate (the pair count)
+    // vs the slow path's two (dedup + count)
+    def nAgg(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    assert(nAgg(fast) === nAgg(slow) - 1,
+      s"fast=${nAgg(fast)} slow=${nAgg(slow)}")
+    // prefix store (batch doc 3 missing from the index): the pair
+    // (0, 3) exists with ONE orientation only — the distinct path
+    // keeps it; the fast path's filter would drop it, which is why
+    // non-covering callers must pass storeCoversBatch = false
+    val prefix = all.where(col("oid") =!= 3)
+    val slowP = DedupQueries.ingestProbePairs(batch, prefix, sizes,
+      storeCoversBatch = false)
+    assert(rows(slowP).exists(_.contains("0,3")), rows(slowP).toString)
+    val fastP = DedupQueries.ingestProbePairs(batch, prefix, sizes)
+    assert(!rows(fastP).exists(_.contains("0,3")),
+      "guard misdocumented: fast path kept the single-orientation pair")
+  }
 }
