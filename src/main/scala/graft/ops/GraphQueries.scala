@@ -371,19 +371,35 @@ object GraphQueries {
       var live = edges
       var r = 1
       var converged = false
+      // round r-1's n_surviving is |surv| at round r — so ONE aggregate
+      // over the checkpointed surv serves BOTH (r17: the old loop ran a
+      // separate surv.count() action per round; the survivor count now
+      // rides the next round's removal aggregate, one driver action per
+      // round instead of two). (round, n_removed, checksum) waits here
+      // until the following aggregate supplies its survivor count.
+      var pending: Option[(Long, Long, Long)] = None
       while (!converged && r <= PeelCap) {
-        val removed = surv.where(col("c") < k).select(col("x"))
-        val agg = removed
-          .agg(count(lit(1)), coalesce(sum("x"), lit(0L))).head()
-        val cnt = agg.getLong(0)
+        val agg = surv.agg(count(lit(1)),
+          count(when(col("c") < k, 1)),
+          coalesce(sum(when(col("c") < k, col("x"))), lit(0L))).head()
+        val (nAll, cnt, chk) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        pending.foreach { case (pr, pCnt, pChk) =>
+          out += ((pr, k, pCnt, nAll, pChk)) }
+        pending = None
         if (cnt == 0L) converged = true
         else {
+          val removed = surv.where(col("c") < k).select(col("x"))
           live = peelEdges(live, removed)
           surv = degreesOf(live).localCheckpoint(true)
-          out += ((r.toLong, k, cnt, surv.count(), agg.getLong(1)))
+          pending = Some((r.toLong, cnt, chk))
           r += 1
         }
       }
+      // cap exit with a round still open (never reached on these
+      // corpora — the cascade converges first): close it with the
+      // final survivor count
+      pending.foreach { case (pr, pCnt, pChk) =>
+        out += ((pr, k, pCnt, surv.count(), pChk)) }
     }
     import s.implicits._
     out.toSeq.toDF("round", "k", "n_removed", "n_surviving", "removed_checksum")
