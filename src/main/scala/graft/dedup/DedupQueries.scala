@@ -214,7 +214,8 @@ object DedupQueries {
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
     val allSh = s.read.parquet(s"$idx/hpostings")
       .select(col("doc_id").as("oid"), col("h"))
-    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"))
+    ingestProbePairs(newSh, allSh, s.read.parquet(s"$idx/sizes"),
+      storeCoversBatch = true)
   }
 
   /** The shared nightly-probe shape (q214/q264/q272): batch shingles
@@ -240,10 +241,14 @@ object DedupQueries {
     * guard stays explicit: a store that does NOT cover its batch
     * (pairs with a single orientation) must pass
     * `storeCoversBatch = false` to keep the distinct-based
-    * canonicalization, or within-batch pairs double-count.
+    * canonicalization, or within-batch pairs double-count. The default
+    * is therefore the SAFE path (r18, VERDICT item 7): the fast path is
+    * opt-in — every covering caller asserts coverage at its own call
+    * site by passing `storeCoversBatch = true`, so a future
+    * non-covering store cannot silently double-count.
     */
   private[graft] def ingestProbePairs(batchSh: DataFrame, allSh: DataFrame,
-      sizes: DataFrame, storeCoversBatch: Boolean = true): DataFrame = {
+      sizes: DataFrame, storeCoversBatch: Boolean = false): DataFrame = {
     val joined = batchSh.join(allSh, Seq("h"))
       .where(col("nid") =!= col("oid"))
     val canon =
@@ -297,7 +302,7 @@ object DedupQueries {
       .join(tombstones, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("oid"), col("h"))
     ingestProbePairs(survivingBatchShingles(s, d), allSh,
-      s.read.parquet(s"$idx/sizes"))
+      s.read.parquet(s"$idx/sizes"), storeCoversBatch = true)
   }
 
   /** The surviving ingest batch's hashed shingles — ONE definition so
@@ -370,7 +375,7 @@ object DedupQueries {
     val allSh = s.read.parquet(s"$idx/hpostings")
       .select(col("doc_id").as("oid"), col("h"))
     ingestProbePairs(survivingBatchShingles(s, d), allSh,
-      s.read.parquet(s"$idx/sizes"))
+      s.read.parquet(s"$idx/sizes"), storeCoversBatch = true)
   }
 
   /** One-time, idempotent materialization of the OLD-corpus

@@ -1510,6 +1510,7 @@ object Scale {
     graft.dedup.DedupQueries.ensureClusters(s, d): Unit
     graft.dedup.DedupQueries.ensureOldClusters(s, d): Unit
     GraphQueries.ensureEdges(s, d): Unit
+    GraphQueries.ensurePagerankEdges(s, d): Unit
     graft.streaming.Streams.ensureUpsertSource(s, d): Unit
     graft.streaming.Streams.ensureUpsertSnapshot(s, d): Unit
     graft.streaming.Streams.ensureOrdersFeed(s, d): Unit

@@ -70,7 +70,8 @@ object StoreQueries {
     graft.dedup.DedupQueries.ingestProbePairs(
       graft.dedup.DedupQueries.survivingBatchShingles(s, d),
       store.select(col("doc_id").as("oid"), col("h")),
-      store.select(col("doc_id"), col("n")).distinct())
+      store.select(col("doc_id"), col("n")).distinct(),
+      storeCoversBatch = true)
   }
 
   /** The q311 store: the session stream replay plus an erasure fold of
@@ -179,7 +180,8 @@ object StoreQueries {
       .getOrElse(sys.error("no committed shingle-index snapshot"))
     // even the depth-2 prefix covers the batch (v0 = bucket 0 = the
     // probe batch itself), so the orientation-filter fast path holds
-    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, cur - 2))
+    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, cur - 2),
+      storeCoversBatch = true)
   }
 
   /** q317: CHANGELOG-WITH-FALLBACK across a store rewrite — what a
@@ -257,7 +259,8 @@ object StoreQueries {
     graft.dedup.DedupQueries.ingestProbePairs(
       graft.dedup.DedupQueries.survivingBatchShingles(s, d),
       store.select(col("doc_id").as("oid"), col("h")),
-      store.select(col("doc_id"), col("n")).distinct())
+      store.select(col("doc_id"), col("n")).distinct(),
+      storeCoversBatch = true)
   }
 
   /** The q319 store: a per-doc stats store whose batch-2 commit WIDENS
@@ -467,7 +470,8 @@ object StoreQueries {
   def wapPublishedProbe: Q = (s, d) => {
     val table = ensureWapShingleIndex(s, d)
     shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot")))
+      .getOrElse(sys.error("no committed shingle-index snapshot")),
+      storeCoversBatch = true)
   }
 
   /** The q324 store: the q318 shape PLUS the returning user — the
@@ -513,7 +517,8 @@ object StoreQueries {
   def reinsertAfterDeleteProbe: Q = (s, d) => {
     val table = ensureReinsertShingleStreamIndex(s, d)
     shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot")))
+      .getOrElse(sys.error("no committed shingle-index snapshot")),
+      storeCoversBatch = true)
   }
 
   /** One-shot batch sessionization (q286's session_window shape) —
@@ -1069,7 +1074,8 @@ object StoreQueries {
   def compactedShingleProbe: Q = (s, d) => {
     val table = ensureCompactedShingleStreamIndex(s, d)
     shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot")))
+      .getOrElse(sys.error("no committed shingle-index snapshot")),
+      storeCoversBatch = true)
   }
 
   /** The q335 fixture: the q332 consumer pattern where the upstream's

@@ -1586,7 +1586,8 @@ object Streams {
   def streamMaintainedShingleProbe: Q = (s, d) => {
     val table = ensureShingleStreamIndex(s, d)
     shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot")))
+      .getOrElse(sys.error("no committed shingle-index snapshot")),
+      storeCoversBatch = true)
   }
 
   /** q297: TIME-TRAVEL probe of the manifest store — the q245 read
@@ -1611,7 +1612,8 @@ object Streams {
     // the prefix STILL covers the batch: the probe batch is bucket 0
     // (doc_id % 3 === 0) and every retained prefix contains bucket 0,
     // so the orientation-filter fast path stays sound here
-    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, pred))
+    shingleStoreProbe(s, d, manifestSnapshotAt(s, table, pred),
+      storeCoversBatch = true)
   }
 
   /** q295: the q214 probe served from the FOLDED stream shingle store —
@@ -1626,7 +1628,8 @@ object Streams {
   def foldedStreamShingleProbe: Q = (s, d) => {
     val table = ensureFoldedShingleStreamIndex(s, d)
     shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed shingle-index snapshot")))
+      .getOrElse(sys.error("no committed shingle-index snapshot")),
+      storeCoversBatch = true)
   }
 
   /** The shared q291/q295/q297 probe: batch shingles against a resolved
@@ -1634,7 +1637,7 @@ object Streams {
     * plan shape.
     */
   private[graft] def shingleStoreProbe(s: SparkSession, d: String,
-      store: DataFrame, storeCoversBatch: Boolean = true): DataFrame = {
+      store: DataFrame, storeCoversBatch: Boolean = false): DataFrame = {
     val batchSh = graft.dedup.DedupQueries.shingles(
         Tables.documents(s, d).where(col("doc_id") % 3 === 0))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
@@ -1667,7 +1670,8 @@ object Streams {
     graft.dedup.DedupQueries.ingestProbePairs(
       graft.dedup.DedupQueries.survivingBatchShingles(s, d),
       surviving.select(col("doc_id").as("oid"), col("h")),
-      surviving.select(col("doc_id"), col("n")).distinct())
+      surviving.select(col("doc_id"), col("n")).distinct(),
+      storeCoversBatch = true)
   }
 
   /** q298: INCREMENTAL READ (changelog) of the manifest store — what a
@@ -1782,7 +1786,8 @@ object Streams {
   def contendedCommitProbe: Q = (s, d) => {
     val table = ensureContendedShingleIndex(s, d)
     shingleStoreProbe(s, d, manifestSnapshot(s, table)
-      .getOrElse(sys.error("no committed contended snapshot")))
+      .getOrElse(sys.error("no committed contended snapshot")),
+      storeCoversBatch = true)
   }
 
   /** The q300 store: benchmark DECONTAMINATION AT INGEST — the hygiene

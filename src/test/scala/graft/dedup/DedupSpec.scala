@@ -483,8 +483,10 @@ class DedupSpec extends SparkSpec {
     val all = postings.select(col("doc_id").as("oid"), col("h"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
-    // covering store: fast path ≡ distinct path, bit for bit
-    val fast = DedupQueries.ingestProbePairs(batch, all, sizes)
+    // covering store: fast path (opt-in since r18) ≡ distinct path,
+    // bit for bit
+    val fast = DedupQueries.ingestProbePairs(batch, all, sizes,
+      storeCoversBatch = true)
     val slow = DedupQueries.ingestProbePairs(batch, all, sizes,
       storeCoversBatch = false)
     assert(rows(fast) === rows(slow) && rows(fast).nonEmpty)
@@ -505,8 +507,15 @@ class DedupSpec extends SparkSpec {
     val slowP = DedupQueries.ingestProbePairs(batch, prefix, sizes,
       storeCoversBatch = false)
     assert(rows(slowP).exists(_.contains("0,3")), rows(slowP).toString)
-    val fastP = DedupQueries.ingestProbePairs(batch, prefix, sizes)
+    val fastP = DedupQueries.ingestProbePairs(batch, prefix, sizes,
+      storeCoversBatch = true)
     assert(!rows(fastP).exists(_.contains("0,3")),
       "guard misdocumented: fast path kept the single-orientation pair")
+    // the DEFAULT is the safe distinct path (r18 flip): a caller that
+    // does not opt in gets the canonicalization that keeps the
+    // single-orientation pair
+    val defP = DedupQueries.ingestProbePairs(batch, prefix, sizes)
+    assert(rows(defP) === rows(slowP),
+      "default no longer the safe distinct path")
   }
 }
