@@ -12,8 +12,12 @@ object Explain {
     val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
     val spark = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional name filter (args 2+): dump only those queries
+    val only = args.drop(2).toSet
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n================ $name ================\n")
       try {
         val df = fn(spark, sfDir)

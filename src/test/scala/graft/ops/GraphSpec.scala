@@ -114,7 +114,9 @@ class GraphSpec extends SparkSpec {
     val deg0 = GraphQueries.degreesOf(e).localCheckpoint(true)
     val n = deg0.count()
     val rank = (n + 7) / 8
-    val kdf = GraphQueries.kcoreKDf(deg0, rank)
+    // the rank is derived IN-PLAN from the histogram's own total (r18):
+    // no separate count() action parameterizes the quantile
+    val kdf = GraphQueries.kcoreKDf(deg0)
     // the scale pin: the former orderBy().limit(⌈n/8⌉) planned a
     // GlobalLimit funneling n/8 node rows through ONE partition; the
     // histogram quantile must not
