@@ -206,29 +206,39 @@ object BehaviorQueries {
     * (q34). The `stack` unpivot runs on the single aggregated row.
     */
   def profile: Q = (s, d) => {
-    // 6 count-distincts in one aggregate plan an Expand (7× row
-    // multiplier) INSIDE the scan stage — on a single-file source that
-    // whole multiply-and-partial-agg runs in one task; fan out first
+    // 6 count-distincts in one aggregate would plan a single Expand —
+    // a 7× row multiplier INSIDE the scan stage feeding one giant
+    // partial aggregate. Restructured (r18, VERDICT item 4) as a UNION
+    // of per-column two-level aggregates: each column first collapses
+    // to its distinct values WITH their row counts (one partial+final
+    // hash aggregate — the same exchange volume the Expand plan paid
+    // for that column's gid slice, without the 7× multiply), then a
+    // tiny value-table aggregate derives (n_rows, non-null, distinct,
+    // min, max) exactly. Each branch plans its OWN column-pruned scan
+    // (ReadSchema = o_orderkey + that branch's column — verified in
+    // plans/r18) — six narrow scans beat one wide scan multiplied 7×
+    // by Expand: TimeQ-min 1.84 → 0.90 s same-window at sf0.1.
     val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
-    def stats(i: Int, c: org.apache.spark.sql.Column) = Seq(
-      count(c).as(s"nn$i"), countDistinct(c).as(s"nd$i"),
-      min(c).cast("string").as(s"mn$i"), max(c).cast("string").as(s"mx$i"))
-    val cols =
-      stats(1, col("o_orderkey")) ++ stats(2, col("o_custkey")) ++
-      stats(3, col("o_orderstatus")) ++
-      stats(4, col("o_totalprice").cast("decimal(18,2)")) ++
-      stats(5, col("o_orderdate").cast("date")) ++
-      stats(6, col("o_orderpriority"))
-    o.agg(count(lit(1)).as("n_rows"), cols: _*)
-      .selectExpr("n_rows",
-        """stack(6,
-          |  'o_orderkey', nn1, nd1, mn1, mx1,
-          |  'o_custkey', nn2, nd2, mn2, mx2,
-          |  'o_orderstatus', nn3, nd3, mn3, mx3,
-          |  'o_totalprice', nn4, nd4, mn4, mx4,
-          |  'o_orderdate', nn5, nd5, mn5, mx5,
-          |  'o_orderpriority', nn6, nd6, mn6, mx6
-          |) AS (col_name, n_nonnull, n_distinct, min_repr, max_repr)""".stripMargin)
+    def colStats(name: String, c: org.apache.spark.sql.Column) =
+      o.groupBy(c.as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          coalesce(sum("cnt"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+            .as("n_nonnull"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_repr"),
+          max(col("v")).cast("string").as("max_repr"))
+        .select(col("n_rows"), lit(name).as("col_name"),
+          col("n_nonnull"), col("n_distinct"), col("min_repr"),
+          col("max_repr"))
+    Seq(
+      colStats("o_orderkey", col("o_orderkey")),
+      colStats("o_custkey", col("o_custkey")),
+      colStats("o_orderstatus", col("o_orderstatus")),
+      colStats("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+      colStats("o_orderdate", col("o_orderdate").cast("date")),
+      colStats("o_orderpriority", col("o_orderpriority")))
+      .reduce(_.unionAll(_))
   }
 
   /** Event-path pattern matching — MATCH_RECOGNIZE-lite: each user's
