@@ -849,8 +849,17 @@ object AnalyticsQueries {
     * with weight `w`; output adds `cumw` (inclusive running weight) and
     * `tot` (group total).
     */
-  private[ops] def cumWeights(per: DataFrame, grp: String,
-      bucketWidth: Long = 65536L): DataFrame = {
+  /** [[cumWeights]] variant that ALSO returns the eagerly-checkpointed
+    * distinct-(group, value) base it builds internally (r18): consumers
+    * whose final aggregate is a pure function of the DISTRIBUTION —
+    * q172's clamped mean, q176's outlier counts — aggregate that
+    * checkpointed base directly (weighted by `w`) instead of re-scanning
+    * the fact table a second or third time. Unlike the r17 reverted
+    * attempt, no window re-derivation is involved: the base carries no
+    * cumulative columns, so the saved row-scale pass is a pure win.
+    */
+  private[ops] def cumWeightsWithBase(per: DataFrame, grp: String,
+      bucketWidth: Long = 65536L): (DataFrame, DataFrame) = {
     // `withB` (distinct-(group, value)-sized) feeds BOTH the bucket
     // aggregate and the final reassembly join below — an eager
     // checkpoint executes the upstream distinct aggregate once instead
@@ -873,11 +882,16 @@ object AnalyticsQueries {
       .select(col(grp), col("bucket"), col("offset"), col("tot"))
     val inB = Window.partitionBy(grp, "bucket").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, 0)
-    withB
+    val assembled = withB
       .withColumn("incum", sum("w").over(inB))
       .join(broadcast(offsets), Seq(grp, "bucket"))
       .withColumn("cumw", col("offset") + col("incum"))
+    (assembled, withB)
   }
+
+  private[ops] def cumWeights(per: DataFrame, grp: String,
+      bucketWidth: Long = 65536L): DataFrame =
+    cumWeightsWithBase(per, grp, bucketWidth)._1
 
   def weightedMedian: Q = (s, d) => {
     val per = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
@@ -913,26 +927,30 @@ object AnalyticsQueries {
           .cast("long").as("cents"))
     val per = base.groupBy("l_returnflag", "cents")
       .agg(count(lit(1)).as("w"))
-    // r17 A/B note: aggregating the clamped mean from the distinct
-    // (flag, cents) distribution instead of re-scanning `base` was
-    // measured SLOWER (2.91 → 3.07 s TimeQ-min at sf0.1): prices are
-    // near-unique, so the distinct table is ~fact-sized and the extra
-    // window re-derivations from the checkpoint outweigh the saved
-    // scan. The row-scale re-scan + broadcast-join form stands.
-    val bounds = cumWeights(per, "l_returnflag")
+    // r18 (VERDICT item 5): the clamped mean is a pure function of the
+    // (flag, cents, w) DISTRIBUTION, which cumWeights already
+    // checkpoints — so the final aggregate runs over that in-memory
+    // base (Σ clamp(v)·w) instead of a third row-scale pass (scan +
+    // fanOut exchange + broadcast join over the fact table). The r17
+    // attempt that lost (2.91 → 3.07) re-derived the WINDOWED
+    // cumWeights output per consumer; the checkpointed base carries no
+    // windows, so only the saved scan remains. Bit-identical: n = Σw,
+    // winsor_sum = Σ clamp(cents)·w over exactly the same rows.
+    val (cw, perChk) = cumWeightsWithBase(per, "l_returnflag")
+    val bounds = cw
       .groupBy("l_returnflag")
       .agg(
         min(when(col("cumw") * 100 >= col("tot") * 5, col("cents")))
           .as("p05_cents"),
         min(when(col("cumw") * 100 >= col("tot") * 95, col("cents")))
           .as("p95_cents"))
-    base.join(broadcast(bounds), "l_returnflag")
+    perChk.join(broadcast(bounds), "l_returnflag")
       .withColumn("clamped",
         greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum("w").as("n"),
         max("p05_cents").as("p05_cents"), max("p95_cents").as("p95_cents"),
-        sum("clamped").as("winsor_sum_cents"))
+        sum(col("clamped") * col("w")).as("winsor_sum_cents"))
       .withColumn("winsor_mean_cents",
         expr("winsor_sum_cents div n"))
   }
@@ -954,28 +972,36 @@ object AnalyticsQueries {
       .where(col("value").isNotNull)
       .select(col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-    val med = cumWeights(
+    // r18 (VERDICT item 5): the whole median→MAD→outlier-count chain is
+    // a pure function of the (type, cents, w) DISTRIBUTION, which the
+    // median cumWeights checkpoints — so the event log is scanned ONCE
+    // (this groupBy), and both the deviation distribution (group the
+    // value distribution by |cents − med|, summing weights — identical
+    // to grouping the raw rows) and the final counts (n = Σw,
+    // n_outliers = Σ w·[dv > 3·mad]) derive from checkpointed
+    // distribution tables. The r17 attempt that lost (2.34 → 2.61)
+    // re-derived the WINDOWED cumWeights output per consumer; the
+    // checkpointed base carries no windows.
+    val (medCw, perChk) = cumWeightsWithBase(
       b.groupBy("event_type", "cents").agg(count(lit(1)).as("w")),
       "event_type", 4096L)
+    val med = medCw
       .where(col("cumw") * 2 >= col("tot"))
       .groupBy("event_type").agg(min("cents").as("med_cents"))
-    val dev = b.join(broadcast(med), "event_type")
-      .withColumn("dv", abs(col("cents") - col("med_cents")))
-    // r17 A/B note: computing the final counts from the distinct
-    // (type, dv) distribution instead of this third row-scale pass
-    // measured SLOWER (2.34 → 2.61 s TimeQ-min at sf0.1) — the same
-    // near-unique-values effect as q172. The row-scale form stands.
-    val mad = cumWeights(
-      dev.groupBy(col("event_type"), col("dv").as("cents"))
-        .agg(count(lit(1)).as("w")),
-      "event_type", 4096L)
+    val dev = perChk.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"),
+        abs(col("cents") - col("med_cents")).as("cents"))
+      .agg(sum("w").as("w"))
+    val (madCw, devChk) = cumWeightsWithBase(dev, "event_type", 4096L)
+    val mad = madCw
       .where(col("cumw") * 2 >= col("tot"))
       .groupBy("event_type").agg(min("cents").as("mad_cents"))
-    dev.join(broadcast(mad), "event_type")
+    devChk.join(broadcast(mad), "event_type")
+      .join(broadcast(med), "event_type")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("dv") > col("mad_cents") * 3, 1L).otherwise(0L))
-          .as("n_outliers"),
+      .agg(sum("w").as("n"),
+        sum(when(col("cents") > col("mad_cents") * 3, col("w"))
+          .otherwise(0L)).as("n_outliers"),
         max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"))
   }
 
