@@ -110,27 +110,29 @@ object GraphQueries {
     * their keys.
     */
   def triangles: Q = (s, d) => {
-    val e = copurchaseEdges(s, d)
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-    // orient: src = endpoint with smaller (deg, id), dst = the other.
-    // ddeg (the dst's degree) rides along because the wedge pair below
-    // must be ordered by the SAME (deg, id) total order the edges are
-    // oriented by — ordering it by node id alone silently drops every
-    // triangle whose closing edge runs against id order (caught by
-    // GraphSpec's brute-force replay).
-    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = e
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"),
-        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-      // referenced 3× below (wedge pair + closing edge): materialize
-      // once, or the edge self-join + distinct + degree joins re-run
-      // per reference (a cluster job would persist pre-partitioned)
-      .localCheckpoint(true)
+    // r18: orientation now derives from the src-BUCKETED doubled-edge
+    // table ([[ensurePagerankEdges]] — each orientation of each edge
+    // with its src's degree already on the row): the per-query degree
+    // aggregation (a 2|E|-row union shuffle), the two edge-side degree
+    // joins AND the edge-scale localCheckpoint are all gone. The degree
+    // table for the dst side is a bucket-local aggregate (no exchange)
+    // broadcast at node size; keeping the row whose (odeg, src) <
+    // (ddeg, dst) under the same strict (deg, id) total order keeps
+    // exactly one orientation per edge — and every pass over `oriented`
+    // is a map-side pipeline over the bucketed scan (plan: zero
+    // non-broadcast exchanges before the final scalar aggregate).
+    // ddeg itself is no longer carried: the adjacency-intersection
+    // count below never orders by it (only the ORACLE's wedge-pair SQL
+    // needs it). Measured 2.39 → 0.94 s bench-regime at sf0.1;
+    // GraphSpec's brute-force replay pins the count.
+    val und = s.table(ensurePagerankEdges(s, d))
+      .select(col("src"), col("dst"), col("odeg"))
+    val deg = und.groupBy(col("src").as("n")).agg(max("odeg").as("d"))
+    val oriented = und
+      .join(broadcast(deg.select(col("n").as("dst"), col("d").as("ddeg"))), "dst")
+      .where(col("odeg") < col("ddeg") ||
+        (col("odeg") === col("ddeg") && col("src") < col("dst")))
+      .select("src", "dst")
     // adjacency-intersection counting: for each oriented edge (u, v) a
     // triangle exists per common oriented out-neighbor, so the count is
     // Σ_edges |N⁺(u) ∩ N⁺(v)|. This never materializes the wedge

@@ -193,13 +193,16 @@ class GraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(prPhys.contains("Bucketed: true"),
       s"pagerank edge scan is not bucket-partitioned:\n$prPhys")
-    // triangles eagerly localCheckpoints its oriented edges at
-    // construction, so its optimized plan bottoms out at LogicalRDD —
-    // the edge scan already ran (from the materialized parquet, like
-    // pagerank's); the observable pin left is that NO scan of any kind
-    // survives into the iteration plan
+    // triangles (r18) derives its orientation from the same bucketed
+    // degree-annotated table — every scan in its plan is that derived
+    // artifact (map-side passes, no per-query degree aggregation), and
+    // the fact table never appears
     val tri = GraphQueries.triangles(spark, sf)
-    assert(scanPaths(tri).isEmpty && !tri.queryExecution.optimizedPlan
-      .toString.contains("lineitem"))
+    val triScans = scanPaths(tri)
+    assert(triScans.nonEmpty && triScans.forall(_.contains("graft_pr_edges")),
+      s"triangles should read only the bucketed edge table: $triScans")
+    assert(!tri.queryExecution.optimizedPlan.toString.contains("lineitem"))
+    assert(tri.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+      "triangles edge scan is not bucket-partitioned")
   }
 }
