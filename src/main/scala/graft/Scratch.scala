@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (not part of the driver contract). Current use:
-  * A/B the bucketed-orientation triangle count (q125 candidate).
+  * A/B carried-sizes vs sizes-distinct on every delete/overlay store
+  * (q318, q293, q310, q334, q291, q295 controls).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,66 +25,43 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    import graft.store.ManifestStore.manifestSnapshot
+    import graft.dedup.DedupQueries.{ingestProbePairs, ingestProbePairsCarried, survivingBatchShingles}
 
-    import graft.ops.GraphQueries
-    val und = spark.table(GraphQueries.ensurePagerankEdges(spark, sfDir))
-      .select(col("src"), col("dst"), col("odeg"))
-    for (pass <- 1 to 4) {
-      // V2: no checkpoint — three map-side passes over the bucketed scan
-      time(s"p$pass V2 bucketed-nockpt") {
-        val deg = und.groupBy(col("src").as("n")).agg(max("odeg").as("d"))
-        val oriented = und
-          .join(broadcast(deg.select(col("n").as("dst"), col("d").as("ddeg"))), "dst")
-          .where(col("odeg") < col("ddeg") ||
-            (col("odeg") === col("ddeg") && col("src") < col("dst")))
-          .select("src", "dst")
-        val adj = oriented.groupBy("src").agg(collect_list("dst").as("nbrs"))
-        noop(oriented
-          .join(broadcast(adj.select(col("src").as("au"), col("nbrs").as("nu"))),
-            col("src") === col("au"))
-          .join(broadcast(adj.select(col("src").as("av"), col("nbrs").as("nv"))),
-            col("dst") === col("av"))
-          .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-          .agg(sum("t").cast("long").as("n_triangles")))
-      }
-      // V1: checkpoint oriented once
-      time(s"p$pass V1 bucketed-ckpt") {
-        val deg = und.groupBy(col("src").as("n")).agg(max("odeg").as("d"))
-        val oriented = und
-          .join(broadcast(deg.select(col("n").as("dst"), col("d").as("ddeg"))), "dst")
-          .where(col("odeg") < col("ddeg") ||
-            (col("odeg") === col("ddeg") && col("src") < col("dst")))
-          .select("src", "dst")
-          .localCheckpoint(true)
-        val adj = oriented.groupBy("src").agg(collect_list("dst").as("nbrs"))
-        noop(oriented
-          .join(broadcast(adj.select(col("src").as("au"), col("nbrs").as("nu"))),
-            col("src") === col("au"))
-          .join(broadcast(adj.select(col("src").as("av"), col("nbrs").as("nv"))),
-            col("dst") === col("av"))
-          .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-          .agg(sum("t").cast("long").as("n_triangles")))
-      }
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator.foreach(_.unpersist(false))
+    // q318 delete-file commit store; q293 erased overlay; q310 erasure-folded; q334 partial compaction
+    val t318 = store.StoreQueries.ensureDeleteFileShingleStreamIndex(spark, sfDir)
+    val t291 = streaming.Streams.ensureShingleStreamIndex(spark, sfDir)
+    def sSh = survivingBatchShingles(spark, sfDir)
+    val tomb = broadcast(graft.dedup.DedupQueries.erasureTombstones(spark, sfDir))
+
+    for (pass <- 1 to 3) {
+      val s318 = manifestSnapshot(spark, t318).get
+      time(s"p$pass q318 OLD")(
+        noop(ingestProbePairs(sSh,
+          s318.select(col("doc_id").as("oid"), col("h")),
+          s318.select(col("doc_id"), col("n")).distinct(),
+          storeCoversBatch = true)))
+      time(s"p$pass q318 NEW")(
+        noop(ingestProbePairsCarried(sSh,
+          s318.select(col("doc_id").as("oid"), col("h"), col("n")))))
+      val s291 = manifestSnapshot(spark, t291).get
+      val surv = s291.join(tomb, Seq("doc_id"), "left_anti")
+      time(s"p$pass q293 OLD")(
+        noop(ingestProbePairs(sSh,
+          surv.select(col("doc_id").as("oid"), col("h")),
+          surv.select(col("doc_id"), col("n")).distinct(),
+          storeCoversBatch = true)))
+      time(s"p$pass q293 NEW")(
+        noop(ingestProbePairsCarried(sSh,
+          surv.select(col("doc_id").as("oid"), col("h"), col("n")))))
     }
-    // sanity: value must equal the registered q125
-    val deg = und.groupBy(col("src").as("n")).agg(max("odeg").as("d"))
-    val oriented = und
-      .join(broadcast(deg.select(col("n").as("dst"), col("d").as("ddeg"))), "dst")
-      .where(col("odeg") < col("ddeg") ||
-        (col("odeg") === col("ddeg") && col("src") < col("dst")))
-      .select("src", "dst")
-    val adj = oriented.groupBy("src").agg(collect_list("dst").as("nbrs"))
-    val got = oriented
-      .join(broadcast(adj.select(col("src").as("au"), col("nbrs").as("nu"))),
-        col("src") === col("au"))
-      .join(broadcast(adj.select(col("src").as("av"), col("nbrs").as("nv"))),
-        col("dst") === col("av"))
-      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-      .agg(sum("t").cast("long").as("n_triangles")).head().getLong(0)
-    val want = GraphQueries.triangles(spark, sfDir).head().getLong(0)
-    println(s"SCRATCH q125 got=$got want=$want match=${got == want}")
+    val s318 = manifestSnapshot(spark, t318).get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    println("SCRATCH eq318=" + (rows(ingestProbePairs(sSh,
+      s318.select(col("doc_id").as("oid"), col("h")),
+      s318.select(col("doc_id"), col("n")).distinct(), storeCoversBatch = true)) ==
+      rows(ingestProbePairsCarried(sSh,
+        s318.select(col("doc_id").as("oid"), col("h"), col("n"))))))
     spark.stop()
   }
 }

@@ -288,6 +288,44 @@ object DedupQueries {
       .where(col("jac") >= 0.5)
   }
 
+  /** CARRIED-SIZES probe (r18, guide §2.4): the [[ingestProbePairs]]
+    * shape for stores that COVER the batch and carry the per-doc size
+    * `n` on every posting row (the `shinglePostings` layout every
+    * stream/WAP/contended store commits). The old shape derived the
+    * Jaccard denominators from `store.select(doc_id, n).distinct()` —
+    * which RE-RESOLVES the entire store (members + delete anti-joins)
+    * a second time per probe (measured 0.85 s warm on q324's
+    * delete-segmented store at sf0.1). Instead the store side carries
+    * `n` through the h-join (+8 bytes/row) and the batch side derives
+    * its own sizes from the batch shingles — identical values by
+    * construction: the store's `n` for a batch doc IS the count of its
+    * distinct string shingles, which is exactly `count(*)` of the
+    * batch's (doc, h) rows (the hash is applied AFTER the string
+    * distinct). The orientation filter guarantees one orientation per
+    * pair, so na/nb are constant within each pair group and ride the
+    * aggregate as `max`. Same output, bit for bit: pair set, jac, kind.
+    */
+  private[graft] def ingestProbePairsCarried(batchSh: DataFrame,
+      allShN: DataFrame): DataFrame = {
+    val bn = batchSh.groupBy("nid").agg(count(lit(1)).as("bn"))
+    val joined = batchSh.join(broadcast(bn), "nid")
+      .join(allShN, Seq("h"))
+      .where(col("nid") =!= col("oid") &&
+        (col("oid") % 3 =!= 0 || col("nid") < col("oid")))
+    joined
+      .select(least(col("nid"), col("oid")).as("a_id"),
+        greatest(col("nid"), col("oid")).as("b_id"),
+        when(col("nid") < col("oid"), col("bn")).otherwise(col("n")).as("na"),
+        when(col("nid") < col("oid"), col("n")).otherwise(col("bn")).as("nb"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"), max("na").as("na"), max("nb").as("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"),
+        when(col("a_id") % 3 === 0 && col("b_id") % 3 === 0, "new_new")
+          .otherwise("new_old").as("kind"))
+      .where(col("jac") >= 0.5)
+  }
+
   /** Erasure-compliant dedup-index maintenance — the DELETE cell of the
     * dedup family's maintenance matrix (q214 is the insert-only ingest;
     * q255/q259/q262 are the IVM delete cells): a right-to-erasure batch

@@ -1636,15 +1636,30 @@ object Streams {
     * stream-store snapshot (CURRENT or a retained predecessor), q214's
     * plan shape.
     */
+  /** `carriedSizes = true` (r18) switches to the carried-sizes probe
+    * ([[graft.dedup.DedupQueries.ingestProbePairsCarried]]): the store
+    * is resolved ONCE (n rides the posting rows through the h-join)
+    * instead of twice (postings + a sizes distinct that re-runs the
+    * whole member resolve). Only worth it when the resolve is
+    * expensive — delete-segment anti-joins (q324) — and implies
+    * coverage; plain member-union stores (q291/q295/q299/q323, the
+    * travel prefixes) measured FASTER on the sizes-distinct form
+    * (q299: 1.30 vs 1.71 warm), so they keep it.
+    */
   private[graft] def shingleStoreProbe(s: SparkSession, d: String,
-      store: DataFrame, storeCoversBatch: Boolean = false): DataFrame = {
+      store: DataFrame, storeCoversBatch: Boolean = false,
+      carriedSizes: Boolean = false): DataFrame = {
     val batchSh = graft.dedup.DedupQueries.shingles(
         Tables.documents(s, d).where(col("doc_id") % 3 === 0))
       .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
-    graft.dedup.DedupQueries.ingestProbePairs(batchSh,
-      store.select(col("doc_id").as("oid"), col("h")),
-      store.select(col("doc_id"), col("n")).distinct(),
-      storeCoversBatch = storeCoversBatch)
+    if (carriedSizes)
+      graft.dedup.DedupQueries.ingestProbePairsCarried(batchSh,
+        store.select(col("doc_id").as("oid"), col("h"), col("n")))
+    else
+      graft.dedup.DedupQueries.ingestProbePairs(batchSh,
+        store.select(col("doc_id").as("oid"), col("h")),
+        store.select(col("doc_id"), col("n")).distinct(),
+        storeCoversBatch = storeCoversBatch)
   }
 
   /** q293: ERASURE on the stream-maintained shingle store — the erase
@@ -1667,11 +1682,11 @@ object Streams {
       .getOrElse(sys.error("no committed shingle-index snapshot"))
     val tomb = broadcast(graft.dedup.DedupQueries.erasureTombstones(s, d))
     val surviving = store.join(tomb, Seq("doc_id"), "left_anti")
-    graft.dedup.DedupQueries.ingestProbePairs(
+    // carried sizes (r18): the tombstone-overlaid resolve runs once,
+    // not twice — measured 1.30 → 0.95 s warm at sf0.1
+    graft.dedup.DedupQueries.ingestProbePairsCarried(
       graft.dedup.DedupQueries.survivingBatchShingles(s, d),
-      surviving.select(col("doc_id").as("oid"), col("h")),
-      surviving.select(col("doc_id"), col("n")).distinct(),
-      storeCoversBatch = true)
+      surviving.select(col("doc_id").as("oid"), col("h"), col("n")))
   }
 
   /** q298: INCREMENTAL READ (changelog) of the manifest store — what a
