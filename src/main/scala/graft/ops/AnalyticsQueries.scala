@@ -893,6 +893,59 @@ object AnalyticsQueries {
       bucketWidth: Long = 65536L): DataFrame =
     cumWeightsWithBase(per, grp, bucketWidth)._1
 
+  /** POINT quantiles from the two-level prefix sum WITHOUT the
+    * distribution-wide window (r18, guide §2.5): a lower-discrete
+    * quantile — the smallest value whose cumulative weight satisfies
+    * `cumw·a ≥ tot·b` — lives in the single bucket per group where the
+    * end-of-bucket cumulative first crosses the threshold (earlier
+    * buckets cannot qualify; later buckets hold only larger values).
+    * So the in-bucket running sum runs over the TARGET buckets' rows
+    * only (distribution/|buckets| rows) instead of exchanging, sorting
+    * and windowing the whole distinct-value distribution — which for
+    * near-unique values (prices, deviations) is fact-sized. Thresholds
+    * are (tag, a, b) triples; returns ((grp, tag, cents, tot) — one
+    * row per group × threshold — and the checkpointed distribution
+    * base for consumers that also aggregate over it). Identical values
+    * to filtering [[cumWeights]]: cumw inside the target bucket is
+    * offset + the same in-bucket running sum, and the bucket's last
+    * row always crosses, so the per-group min is never lost.
+    */
+  private[ops] def quantilePoints(per: DataFrame, grp: String,
+      bucketWidth: Long, thresholds: Seq[(String, Long, Long)])
+      : (DataFrame, DataFrame) = {
+    val withB = per.withColumn("bucket", expr(s"cents div $bucketWidth"))
+      .localCheckpoint(true)
+    val bkt = withB.groupBy(grp, "bucket").agg(sum("w").as("bw"))
+    val prevB = Window.partitionBy(grp).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bkt
+      .withColumn("offset", coalesce(sum("bw").over(prevB), lit(0L)))
+      .withColumn("tot", sum("bw").over(Window.partitionBy(grp)))
+    // all thresholds ride ONE pass over the tiny offsets table (an
+    // explode, not a union — a union branch per threshold re-ran the
+    // bucket aggregate per branch)
+    val thArr = array(thresholds.map { case (tag, a, b) =>
+      struct(lit(tag).as("tag"), lit(a).as("a"), lit(b).as("b")) }: _*)
+    val tgt = offsets
+      .select(col(grp), col("bucket"), col("offset"), col("tot"),
+        col("bw"), explode(thArr).as("th"))
+      .where((col("offset") + col("bw")) * col("th.a") >=
+        col("tot") * col("th.b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(grp), col("th.tag")).orderBy("bucket")))
+      .where(col("rn") === 1)
+      .select(col(grp), col("bucket"), col("offset"), col("tot"),
+        col("th.tag").as("tag"), col("th.a").as("a"), col("th.b").as("b"))
+    val inB = Window.partitionBy(grp, "tag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val res = withB.join(broadcast(tgt), Seq(grp, "bucket"))
+      .withColumn("cumw", col("offset") + sum("w").over(inB))
+      .where(col("cumw") * col("a") >= col("tot") * col("b"))
+      .groupBy(col(grp), col("tag"))
+      .agg(min("cents").as("cents"), max("tot").as("tot"))
+    (res, withB)
+  }
+
   def weightedMedian: Q = (s, d) => {
     val per = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
       .select(col("l_returnflag"),
@@ -900,10 +953,12 @@ object AnalyticsQueries {
           .cast("long").as("cents"),
         col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"))
       .groupBy("l_returnflag", "cents").agg(sum("qty").as("w"))
-    cumWeights(per, "l_returnflag")
-      .where(col("cumw") * 2 >= col("tot"))
-      .groupBy("l_returnflag")
-      .agg(min("cents").as("wmedian_cents"), max("tot").as("total_weight"))
+    // r18: the median is one POINT quantile — the distribution-wide
+    // window (exchange + sort of the near-unique price distribution)
+    // collapses to the target bucket's rows via [[quantilePoints]]
+    quantilePoints(per, "l_returnflag", 65536L, Seq(("med", 2L, 1L)))._1
+      .select(col("l_returnflag"), col("cents").as("wmedian_cents"),
+        col("tot").as("total_weight"))
   }
 
   /** Winsorized mean (outlier-robust mean): per return flag, clamp
@@ -936,14 +991,13 @@ object AnalyticsQueries {
     // cumWeights output per consumer; the checkpointed base carries no
     // windows, so only the saved scan remains. Bit-identical: n = Σw,
     // winsor_sum = Σ clamp(cents)·w over exactly the same rows.
-    val (cw, perChk) = cumWeightsWithBase(per, "l_returnflag")
-    val bounds = cw
+    val (qp, perChk) = quantilePoints(per, "l_returnflag", 65536L,
+      Seq(("p05", 100L, 5L), ("p95", 100L, 95L)))
+    val bounds = qp
       .groupBy("l_returnflag")
       .agg(
-        min(when(col("cumw") * 100 >= col("tot") * 5, col("cents")))
-          .as("p05_cents"),
-        min(when(col("cumw") * 100 >= col("tot") * 95, col("cents")))
-          .as("p95_cents"))
+        max(when(col("tag") === "p05", col("cents"))).as("p05_cents"),
+        max(when(col("tag") === "p95", col("cents"))).as("p95_cents"))
     perChk.join(broadcast(bounds), "l_returnflag")
       .withColumn("clamped",
         greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
@@ -982,20 +1036,17 @@ object AnalyticsQueries {
     // distribution tables. The r17 attempt that lost (2.34 → 2.61)
     // re-derived the WINDOWED cumWeights output per consumer; the
     // checkpointed base carries no windows.
-    val (medCw, perChk) = cumWeightsWithBase(
+    val (medQp, perChk) = quantilePoints(
       b.groupBy("event_type", "cents").agg(count(lit(1)).as("w")),
-      "event_type", 4096L)
-    val med = medCw
-      .where(col("cumw") * 2 >= col("tot"))
-      .groupBy("event_type").agg(min("cents").as("med_cents"))
+      "event_type", 4096L, Seq(("med", 2L, 1L)))
+    val med = medQp.select(col("event_type"), col("cents").as("med_cents"))
     val dev = perChk.join(broadcast(med), "event_type")
       .groupBy(col("event_type"),
         abs(col("cents") - col("med_cents")).as("cents"))
       .agg(sum("w").as("w"))
-    val (madCw, devChk) = cumWeightsWithBase(dev, "event_type", 4096L)
-    val mad = madCw
-      .where(col("cumw") * 2 >= col("tot"))
-      .groupBy("event_type").agg(min("cents").as("mad_cents"))
+    val (madQp, devChk) = quantilePoints(dev, "event_type", 4096L,
+      Seq(("med", 2L, 1L)))
+    val mad = madQp.select(col("event_type"), col("cents").as("mad_cents"))
     devChk.join(broadcast(mad), "event_type")
       .join(broadcast(med), "event_type")
       .groupBy("event_type")
