@@ -4,8 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (not part of the driver contract). Current use:
-  * A/B carried-sizes vs sizes-distinct on every delete/overlay store
-  * (q318, q293, q310, q334, q291, q295 controls).
+  * A/B q05 shapes: projected 3-way join vs pre-aggregated lineitem.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -25,43 +24,26 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    import graft.store.ManifestStore.manifestSnapshot
-    import graft.dedup.DedupQueries.{ingestProbePairs, ingestProbePairsCarried, survivingBatchShingles}
+    def dval(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
-    // q318 delete-file commit store; q293 erased overlay; q310 erasure-folded; q334 partial compaction
-    val t318 = store.StoreQueries.ensureDeleteFileShingleStreamIndex(spark, sfDir)
-    val t291 = streaming.Streams.ensureShingleStreamIndex(spark, sfDir)
-    def sSh = survivingBatchShingles(spark, sfDir)
-    val tomb = broadcast(graft.dedup.DedupQueries.erasureTombstones(spark, sfDir))
-
-    for (pass <- 1 to 3) {
-      val s318 = manifestSnapshot(spark, t318).get
-      time(s"p$pass q318 OLD")(
-        noop(ingestProbePairs(sSh,
-          s318.select(col("doc_id").as("oid"), col("h")),
-          s318.select(col("doc_id"), col("n")).distinct(),
-          storeCoversBatch = true)))
-      time(s"p$pass q318 NEW")(
-        noop(ingestProbePairsCarried(sSh,
-          s318.select(col("doc_id").as("oid"), col("h"), col("n")))))
-      val s291 = manifestSnapshot(spark, t291).get
-      val surv = s291.join(tomb, Seq("doc_id"), "left_anti")
-      time(s"p$pass q293 OLD")(
-        noop(ingestProbePairs(sSh,
-          surv.select(col("doc_id").as("oid"), col("h")),
-          surv.select(col("doc_id"), col("n")).distinct(),
-          storeCoversBatch = true)))
-      time(s"p$pass q293 NEW")(
-        noop(ingestProbePairsCarried(sSh,
-          surv.select(col("doc_id").as("oid"), col("h"), col("n")))))
+    for (pass <- 1 to 4) {
+      time(s"p$pass preagg") {
+        val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+        val o = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey")
+        val l = Tables.fanOut(Tables.lineitem(spark, sfDir), col("l_orderkey"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val lAgg = l.groupBy("l_orderkey")
+          .agg(sum(dval(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("rev"), count(lit(1)).as("cnt"))
+        noop(c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(lAgg, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum("rev").as("revenue"), sum("cnt").as("n_items")))
+      }
+      time(s"p$pass current") {
+        noop(SparkEntry.queries("q05_join_segment_revenue")(spark, sfDir))
+      }
     }
-    val s318 = manifestSnapshot(spark, t318).get
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
-    println("SCRATCH eq318=" + (rows(ingestProbePairs(sSh,
-      s318.select(col("doc_id").as("oid"), col("h")),
-      s318.select(col("doc_id"), col("n")).distinct(), storeCoversBatch = true)) ==
-      rows(ingestProbePairsCarried(sSh,
-        s318.select(col("doc_id").as("oid"), col("h"), col("n"))))))
     spark.stop()
   }
 }

@@ -104,17 +104,36 @@ object CoreQueries {
 
   /** 3-way equi join (customer ⋈ orders ⋈ lineitem) + aggregate. */
   def joinRevenueBySegment: Q = (s, d) => {
-    val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d)
-    // the probe side of both broadcast joins: fan the single-file scan
-    // out so the join+partial-agg stage runs at task width
+    // project each input to its join/aggregate columns BEFORE the joins
+    // (guide §2.3 "project before the exchange", r18): with the wide
+    // unprojected inputs the planner's size estimates inverted the
+    // build side — it BROADCAST the fanned-out 600k-row lineitem scan
+    // and streamed the 150k customer⋈orders side (before-plan in
+    // plans/r18). Narrow inputs put the build on the (orderkey,
+    // segment) side, and lineitem streams straight into the partial
+    // aggregate.
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderkey")
+    // pre-aggregate revenue per ORDER before the join (guide §2.3
+    // "aggregate before you shuffle", r18): the per-order aggregate
+    // reuses the fanOut repartition's l_orderkey partitioning (no new
+    // exchange), and the join then moves one row per order instead of
+    // one per line item — which also puts the broadcast back on the
+    // small side (the unaggregated shape broadcast the 600k-row
+    // lineitem scan and streamed the 150k customer⋈orders side).
+    // Decimal sums are exact, so summing per-order decimal subtotals
+    // and casting the total to double is bit-identical to dsum over
+    // the raw rows.
     val l = Tables.fanOut(Tables.lineitem(s, d), col("l_orderkey"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val lAgg = l.groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"), count(lit(1)).as("cnt"))
     c.join(o, c("c_custkey") === o("o_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(lAgg, o("o_orderkey") === col("l_orderkey"))
       .groupBy("c_mktsegment")
-      .agg(
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum("rev").cast("double").as("revenue"),
+        sum("cnt").as("n_items"))
   }
 
   /** Broadcast join against the small dims (nation, region). */
