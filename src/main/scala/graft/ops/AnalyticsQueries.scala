@@ -1255,12 +1255,14 @@ object AnalyticsQueries {
         .cast("long").as("cents"))
     val per = base.withColumn("g", lit("all"))
       .groupBy("g", "cents").agg(count(lit(1)).as("w"))
-    val boundCols = (1 to 9).map(i =>
-      min(when(col("cumw") * 10 >= col("tot") * i, col("cents"))).as(s"b$i"))
-    val bounds = cumWeights(per, "g")
-      .groupBy("g").agg(boundCols.head, boundCols.tail: _*)
-      .head()
-    val bs = (1 to 9).map(i => bounds.getLong(i))
+    // r18: the nine decile edges are POINT quantiles — quantilePoints
+    // windows only the nine target buckets instead of sorting the whole
+    // near-unique price distribution (same 9-scalar collect shape)
+    val qp = quantilePoints(per, "g", 65536L,
+      (1 to 9).map(i => (s"b$i", 10L, i.toLong)))._1
+    val bm = qp.collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val bs = (1 to 9).map(i => bm(s"b$i"))
     val binExpr = bs.map(b => s"(case when cents > ${b}L then 1 else 0 end)")
       .mkString(" + ")
     base
