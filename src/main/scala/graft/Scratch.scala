@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (not part of the driver contract). Current use:
-  * A/B q05 shapes: projected 3-way join vs pre-aggregated lineitem.
+  * A/B a bucketed hpostings table vs the plain 32-file parquet for the
+  * q214 incremental probe's h-join.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,26 +25,28 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def dval(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
-    for (pass <- 1 to 4) {
-      time(s"p$pass preagg") {
-        val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
-        val o = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey")
-        val l = Tables.fanOut(Tables.lineitem(spark, sfDir), col("l_orderkey"))
-          .select("l_orderkey", "l_extendedprice", "l_discount")
-        val lAgg = l.groupBy("l_orderkey")
-          .agg(sum(dval(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .as("rev"), count(lit(1)).as("cnt"))
-        noop(c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(lAgg, col("o_orderkey") === col("l_orderkey"))
-          .groupBy("c_mktsegment")
-          .agg(sum("rev").as("revenue"), sum("cnt").as("n_items")))
-      }
-      time(s"p$pass current") {
-        noop(SparkEntry.queries("q05_join_segment_revenue")(spark, sfDir))
-      }
+    val idx = graft.dedup.DedupQueries.ensureShingleIndex(spark, sfDir)
+    val tbl = "graft_scratch_hpostings_b"
+    if (!spark.catalog.tableExists(tbl)) {
+      spark.read.parquet(s"$idx/hpostings")
+        .write.bucketBy(32, "h").sortBy("h")
+        .mode("overwrite").format("parquet").saveAsTable(tbl)
     }
+    def batch = graft.dedup.DedupQueries.shingles(
+        Tables.documents(spark, sfDir).where(col("doc_id") % 3 === 0))
+      .select(col("doc_id").as("nid"), xxhash64(col("s")).as("h"))
+    def probe(all: org.apache.spark.sql.DataFrame) =
+      graft.dedup.DedupQueries.ingestProbePairs(batch,
+        all.select(col("doc_id").as("oid"), col("h")),
+        spark.read.parquet(s"$idx/sizes"), storeCoversBatch = true)
+    for (pass <- 1 to 4) {
+      time(s"p$pass plain")(noop(probe(spark.read.parquet(s"$idx/hpostings"))))
+      time(s"p$pass bucketed")(noop(probe(spark.table(tbl))))
+    }
+    val a = probe(spark.read.parquet(s"$idx/hpostings")).collect().map(_.toString).sorted.toSeq
+    val b = probe(spark.table(tbl)).collect().map(_.toString).sorted.toSeq
+    println(s"SCRATCH equal=${a == b} n=${a.size}")
     spark.stop()
   }
 }
